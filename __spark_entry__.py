@@ -1,38 +1,1214 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each registered query has a Spark implementation (built on the
+``owl_etl_spark`` library) and, where ANSI-SQL-expressible, a DuckDB
+oracle producing identical column names, types, and values.
+
+Cross-engine determinism rules used throughout (see AGENTS-level note
+in README):
+- every float that passes through arithmetic is ``round``-ed at a
+  precision far above the accumulated IEEE error before comparison;
+- top-k ranking always orders on (rounded score, integer id) so ties
+  are deterministic;
+- hashes are md5-hex-prefix integers (identical in Spark and DuckDB);
+- timestamps are emitted as formatted strings; epoch math uses integer
+  micros/seconds (floor semantics) on both sides;
+- integer outputs are cast to BIGINT on both sides (DuckDB's SUM/COUNT
+  would otherwise produce HUGEINT).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from owl_etl_spark.functions.dates import parse_fecha_robusta_iso
+from owl_etl_spark.functions.hashing import md5_long
+from owl_etl_spark.functions.text import fingerprint, lang_id, normalize_text, quality_features
+from owl_etl_spark.functions.similarity import cosine_sql
+from owl_etl_spark.operators.dedup import ngram_jaccard_pairs
+from owl_etl_spark.operators.knn import brute_force_knn, lsh_knn
+from owl_etl_spark.operators.latest import latest_per_key
+from owl_etl_spark.operators.sessionize import session_stats
+from owl_etl_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _money_sum(col, scale: int = 100):
+    """Order-independent float aggregation: each per-row term is rounded
+    to an integer at ``scale`` (bitwise-identical across engines, since
+    per-row arithmetic is IEEE-deterministic), summed exactly as BIGINT,
+    then scaled back once. This removes the accumulation-order
+    nondeterminism that makes naive sum(double) differ between engines
+    (and between Spark partitionings of the same data!) at the last ulp
+    — which matters both for the oracle gate and for reproducible
+    pipeline runs at 100 TB.
+    """
+    return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
+
+
+def _money_sum_duck(expr: str, scale: int = 100) -> str:
+    return f"(CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale})"
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-style; SURVEY §2.4-2.8 operators)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_money_sum_duck('l_quantity')}                                    AS sum_qty,
+           {_money_sum_duck('l_extendedprice')}                               AS sum_base_price,
+           {_money_sum_duck('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {_money_sum_duck('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           round({_money_sum_duck('l_quantity')} / count(*), 4)               AS avg_qty,
+           round({_money_sum_duck('l_extendedprice')} / count(*), 4)          AS avg_price,
+           round({_money_sum_duck('l_discount', 10000)} / count(*), 6)        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg.
+
+    Catalyst plans partial+final hash aggregation automatically; at
+    100 TB the only shuffle moves one row per (flag, status) group per
+    partition.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(_money_sum(F.col("l_quantity")) / n, 4).alias("avg_qty"),
+            F.round(_money_sum(F.col("l_extendedprice")) / n, 4).alias("avg_price"),
+            F.round(_money_sum(F.col("l_discount"), 10000) / n, 6).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_order_priority_semi",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) + agg — TPC-H Q4 shape. left_semi keeps the
+    probe-side row width minimal through the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@_register(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_money_sum_duck('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (sans LIMIT — float-ranked top-k is not a stable
+    cross-engine contract; rank-based top-k is exercised in q08)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@_register(
+    "q05_region_revenue",
+    f"""
+    SELECT n_name, {_money_sum_duck('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the two dimension joins are explicitly broadcast
+    (nation/region are always tiny); fact-to-fact joins shuffle on
+    their keys and AQE handles runtime skew."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q06_revenue_forecast",
+    f"""
+    SELECT {_money_sum_duck('l_extendedprice * l_discount', 10000)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg; every predicate reaches the parquet
+    reader as a pushed filter (verify: PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q07_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-version-per-key — the reference's upsert-by-recency
+    core (src/etl/load.py:99-219) as a window dedup, via the library
+    operator."""
+    o = _t(spark, sf_dir, "orders")
+    return latest_per_key(o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]).select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_totalprice",
+    )
+
+
+@_register(
+    "q08_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W2 pattern): raw stored doubles are compared,
+    never recomputed, so ordering is engine-stable; ties break on the
+    integer key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@_register(
+    "q09_customers_without_orders",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the reference's skip-list filter F1 generalizes to
+    this) + broadcast dimension join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_money_sum_duck('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q11_brand_revenue_share",
+    f"""
+    SELECT p_brand,
+           CAST(cents AS DOUBLE) / 100 AS brand_revenue,
+           round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM (SELECT p_brand,
+                 sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand)
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg + global window share. Group revenues are rounded BEFORE the
+    share division so the window total is engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    grouped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "p_brand",
+        (F.col("cents").cast("double") / 100).alias("brand_revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+@_register(
+    "q12_orders_per_month",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT)       AS n_orders,
+           {_money_sum_duck('o_totalprice')}    AS month_revenue
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing — at scale this is also the natural write
+    partitioning (partitionBy(year, month)), mirroring the reference's
+    monthly folder convention (S8)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("month_revenue"),
+        )
+    )
+
+
+@_register(
+    "q13_qty_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)  AS sum_qty,
+           CAST(count(*) AS BIGINT)   AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference; SURVEY §2.5
+    notes the gap — included as engine surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "q14_fulfilled_not_open",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (EXCEPT) — the reference's MISSING-key detection analog
+    (SURVEY §2.8 SE1)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)  # EXCEPT (set semantics), not exceptAll
+
+
+# ---------------------------------------------------------------------------
+# events: time bucketing, sessionization, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q15_events_hourly",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour_bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_money_sum_duck('value')}     AS total_value,
+           round({_money_sum_duck('value')} / count(*), 4)     AS avg_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d %H:00:00'), event_type
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    windowed agg in owl_etl_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _money_sum(F.col("value")).alias("total_value"),
+            F.round(_money_sum(F.col("value")) / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "q16_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000) AS sec,
+             ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) // 1000000)
+                          - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, sec, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the library operator (lag + running
+    sum over one shared shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    stats = session_stats(e, "user_id", "ts", 1800)
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@_register(
+    "q17_events_json_props",
+    f"""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           {_money_sum_duck('value')}     AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the reference's raw_json archive S11
+    read back): get_json_object + agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy((F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar transform pack on relational data (SURVEY §2.2 P2/P4/P5/P8, §2.4 J1/J2)
+# ---------------------------------------------------------------------------
+
+
+def _spanish_month_case(engine: str) -> str:
+    months = ["ene", "feb", "mar", "abr", "may", "jun", "jul", "ago", "sep", "oct", "nov", "dic"]
+    field = "month(o_orderdate)" if engine == "spark" else "date_part('month', o_orderdate)"
+    whens = " ".join(f"WHEN {i + 1} THEN '{m}'" for i, m in enumerate(months))
+    return f"(CASE {field} {whens} END)"
+
+
+_DATE_GEN_SPARK = f"""
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN date_format(o_orderdate, 'yyyy-MM-dd')
+    WHEN 1 THEN date_format(o_orderdate, 'dd/MM/yyyy')
+    WHEN 2 THEN concat({_spanish_month_case('spark')}, '-', date_format(o_orderdate, 'yy'))
+    ELSE concat(date_format(o_orderdate, 'dd'), '-', date_format(o_orderdate, 'MM'),
+                '-', date_format(o_orderdate, 'yy'))
+  END
+"""
+
+_DATE_GEN_DUCK = f"""
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+    WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+    WHEN 2 THEN {_spanish_month_case('duck')} || '-' || strftime(o_orderdate, '%y')
+    ELSE strftime(o_orderdate, '%d') || '-' || strftime(o_orderdate, '%m')
+         || '-' || strftime(o_orderdate, '%y')
+  END
+"""
+
+# Expected ISO result implements the SAME two-digit-year rule the parser
+# (and the reference, src/etl/transform.py:884-906) uses: yy -> 20yy.
+# Order years span 1995-2001, so '99' deliberately parses to 2099 — the
+# oracle encodes the rule, not the ground truth.
+_DATE_EXPECT_DUCK = """
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+    WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+    WHEN 2 THEN '20' || strftime(o_orderdate, '%y') || '-' || strftime(o_orderdate, '%m') || '-01'
+    ELSE '20' || strftime(o_orderdate, '%y') || '-' || strftime(o_orderdate, '%m')
+         || '-' || strftime(o_orderdate, '%d')
+  END
+"""
+
+
+@_register(
+    "q19_robust_date_parse",
+    f"""
+    SELECT o_orderkey, {_DATE_GEN_DUCK} AS raw_date, {_DATE_EXPECT_DUCK} AS parsed_iso
+    FROM orders
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 robust multi-format date parse: mixed-format strings are
+    generated deterministically from o_orderdate, parsed by the
+    library's coalesce-chain, and checked against the rule-derived
+    expectation in the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(_DATE_GEN_SPARK).alias("raw_date"),
+        parse_fecha_robusta_iso(F.expr(_DATE_GEN_SPARK)).alias("parsed_iso"),
+    )
+
+
+def _descale_duck(expr: str, iters: int = 4) -> str:
+    v = expr
+    for _ in range(iters):
+        v = f"(CASE WHEN {v} > 1000000.0 THEN {v} / 1000.0 ELSE {v} END)"
+    return f"round({v}, 2)"
+
+
+@_register(
+    "q20_monetary_descale",
+    f"""
+    SELECT o_orderkey, scaled,
+           {_descale_duck('scaled')} AS descaled
+    FROM (SELECT o_orderkey,
+                 o_totalprice * (CASE CAST(o_orderkey % 3 AS INT)
+                                 WHEN 0 THEN 1.0 WHEN 1 THEN 1000.0
+                                 ELSE 1000000.0 END) AS scaled
+          FROM orders)
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 while-loop monetary descale (divide by 1000 while > 1e6),
+    unrolled as an exact bounded CASE chain on both engines."""
+    from owl_etl_spark.functions.numeric import descale_monetary
+
+    o = _t(spark, sf_dir, "orders")
+    mult = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.0))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(1000.0))
+        .otherwise(F.lit(1000000.0))
+    )
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * mult).alias("scaled"),
+        descale_monetary(F.col("o_totalprice") * mult, max_iters=4).alias("descaled"),
+    )
+
+
+_FMT_VOTE_DUCK = """CASE
+    WHEN total = 0 THEN 'unknown'
+    WHEN gt1 * 2 > total AND s BETWEEN 90.0 AND 110.0 THEN 'x100'
+    WHEN (total - gt1) * 2 > total AND s BETWEEN 0.9 AND 1.1 THEN 'frac'
+    WHEN s BETWEEN 90.0 AND 110.0 THEN 'x100'
+    WHEN s BETWEEN 0.9 AND 1.1 THEN 'frac'
+    ELSE 'unknown' END"""
+
+
+@_register(
+    "q21_percent_smart_normalize",
+    f"""
+    WITH shares AS (
+      SELECT l_orderkey,
+             (l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey))
+             * (CASE WHEN l_orderkey % 2 = 0 THEN 100.0 ELSE 1.0 END) AS v
+      FROM lineitem
+    ), stats AS (
+      SELECT l_orderkey,
+             sum(v) AS s,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (WHERE v > 1.0) AS BIGINT) AS gt1
+      FROM shares GROUP BY l_orderkey
+    ), fmts AS (
+      SELECT l_orderkey, total, ({_FMT_VOTE_DUCK}) AS fmt FROM stats
+    )
+    SELECT f.l_orderkey AS l_orderkey, f.fmt AS fmt, f.total AS n_values,
+           round(sum(CASE WHEN f.fmt = 'x100' THEN round(sh.v / 100.0, 6)
+                          ELSE round(sh.v, 6) END), 4) AS normalized_sum
+    FROM fmts f JOIN shares sh ON f.l_orderkey = sh.l_orderkey
+    GROUP BY f.l_orderkey, f.fmt, f.total
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 two-pass percentage normalization at group level: per-order
+    value collections in mixed scales (x100 vs fractional) are
+    format-voted (majority range + sum heuristic,
+    reference src/etl/transform.py:534-566) then converted."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    shares = li.select(
+        "l_orderkey",
+        (
+            (F.col("l_extendedprice") / F.sum("l_extendedprice").over(w))
+            * F.when(F.col("l_orderkey") % 2 == 0, F.lit(100.0)).otherwise(F.lit(1.0))
+        ).alias("v"),
+    )
+    stats = shares.groupBy("l_orderkey").agg(
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("v") > 1.0, 1).otherwise(0)).cast("long").alias("gt1"),
+    )
+    fmt = (
+        F.when(F.col("total") == 0, F.lit("unknown"))
+        .when(
+            (F.col("gt1") * 2 > F.col("total")) & F.col("s").between(90.0, 110.0), F.lit("x100")
+        )
+        .when(
+            ((F.col("total") - F.col("gt1")) * 2 > F.col("total"))
+            & F.col("s").between(0.9, 1.1),
+            F.lit("frac"),
+        )
+        .when(F.col("s").between(90.0, 110.0), F.lit("x100"))
+        .when(F.col("s").between(0.9, 1.1), F.lit("frac"))
+        .otherwise(F.lit("unknown"))
+    )
+    fmts = stats.select("l_orderkey", fmt.alias("fmt"), F.col("total").alias("n_values"))
+    converted = shares.join(fmts, "l_orderkey").select(
+        "l_orderkey",
+        "fmt",
+        "n_values",
+        F.when(F.col("fmt") == "x100", F.round(F.col("v") / 100.0, 6))
+        .otherwise(F.round(F.col("v"), 6))
+        .alias("cv"),
+    )
+    return converted.groupBy("l_orderkey", "fmt", "n_values").agg(
+        F.round(F.sum("cv"), 4).alias("normalized_sum")
+    )
+
+
+@_register(
+    "q18_fuzzy_part_match",
+    """
+    SELECT a_partkey, b_partkey, CAST(lev AS BIGINT) AS lev
+    FROM (SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+                 levenshtein(a.p_name, b.p_name) AS lev,
+                 row_number() OVER (PARTITION BY a.p_partkey
+                                    ORDER BY levenshtein(a.p_name, b.p_name) ASC,
+                                             b.p_partkey ASC) AS rn
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey)
+    WHERE rn = 1
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/W2: fuzzy top-1 match within a blocking key (brand) —
+    score every candidate, keep the best per probe via row_number.
+    levenshtein is the engine-portable scorer; difflib/LCS-parity
+    scorers live in functions.similarity as Pandas UDFs."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("a_partkey"), F.col("p_name").alias("a_name"), F.col("p_brand").alias("brand"))
+    b = p.select(F.col("p_partkey").alias("b_partkey"), F.col("p_name").alias("b_name"), F.col("p_brand").alias("brand"))
+    cand = a.join(F.broadcast(b), "brand").filter(F.col("a_partkey") != F.col("b_partkey"))
+    cand = cand.withColumn("lev", F.levenshtein("a_name", "b_name"))
+    w = Window.partitionBy("a_partkey").orderBy(F.col("lev").asc(), F.col("b_partkey").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_partkey", "b_partkey", F.col("lev").cast("long").alias("lev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis / dedup operators over documents (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_DUCK = f"string_split({_NORM_DUCK}, ' ')"
+
+
+@_register(
+    "q22_keyword_classify",
+    """
+    WITH scored AS (
+      SELECT lang,
+             (CASE WHEN lower(text) LIKE '%join%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%filter%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%scan%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%query%' THEN 1 ELSE 0 END) AS s_q,
+             (CASE WHEN lower(text) LIKE '%stream%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%window%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%batch%' THEN 1 ELSE 0 END) AS s_s,
+             (CASE WHEN lower(text) LIKE '%table%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%row%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%column%' THEN 1 ELSE 0 END) AS s_t
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_q, s_s, s_t) = 0 THEN 'Desconocido'
+                WHEN s_q = greatest(s_q, s_s, s_t) THEN 'query_engine'
+                WHEN s_s = greatest(s_q, s_s, s_t) THEN 'streaming'
+                ELSE 'storage' END AS doc_class,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 keyword-count argmax classifier, generalized (library:
+    functions.text.classify_keywords; ties resolve to the
+    first-declared class, matching Python's max())."""
+    from owl_etl_spark.functions.text import classify_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    classes = {
+        "query_engine": ["join", "filter", "scan", "query"],
+        "streaming": ["stream", "window", "batch"],
+        "storage": ["table", "row", "column"],
+    }
+    return (
+        d.withColumn("doc_class", classify_keywords(F.col("text"), classes))
+        .groupBy("lang", "doc_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@_register(
+    "q23_exact_dedup",
+    f"""
+    SELECT fp AS fingerprint,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id
+    FROM (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 fingerprint of normalized text (library:
+    operators.dedup.duplicate_clusters). One hash shuffle; at 100 TB
+    this is the mandatory first pass before any fuzzy dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("survivor_id"),
+        )
+    )
+
+
+@_register(
+    "q24_token_stats",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS total_tokens,
+           round(avg(len({_TOKS_DUCK})), 4) AS avg_tokens,
+           CAST(max(len({_TOKS_DUCK})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per language."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(normalize_text(F.col("text")), " "))
+    return (
+        d.withColumn("n_tokens", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+def _lang_scores_duck() -> str:
+    probes = {
+        "en": [" the ", " and ", " of ", " is "],
+        "es": [" el ", " la ", " de ", " que "],
+        "de": [" der ", " die ", " und ", " ist "],
+        "fr": [" le ", " la ", " et ", " est "],
+        "zh": ["的", "是", "了"],
+    }
+    cols = []
+    for lang, words in probes.items():
+        terms = [
+            f"CAST((length(padded) - length(replace(padded, '{w}', ''))) / {len(w)} AS INT)"
+            for w in words
+        ]
+        cols.append(" + ".join(terms) + f" AS s_{lang}")
+    return ", ".join(cols)
+
+
+@_register(
+    "q25_lang_id",
+    f"""
+    WITH padded AS (SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+    scored AS (SELECT lang, {_lang_scores_duck()} FROM padded)
+    SELECT lang AS actual_lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID stopword heuristic (library: functions.text.lang_id);
+    confusion counts against the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("actual_lang"), lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@_register(
+    "q26_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / len({_TOKS_DUCK}), 6) AS avg_token_len,
+           round(len(list_distinct({_TOKS_DUCK}))
+                 / len({_TOKS_DUCK}), 6) AS distinct_token_ratio
+    FROM documents
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (library:
+    functions.text.quality_features) — the cheap pre-filters of a
+    training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_tokens"].cast("long").alias("n_tokens"),
+        qf["avg_token_len"].alias("avg_token_len"),
+        qf["distinct_token_ratio"].alias("distinct_token_ratio"),
+    )
+
+
+_SHINGLES_DUCK = f"""
+  (SELECT doc_id, t FROM (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents))
+"""
+
+
+@_register(
+    "q27_minhash_signatures",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents),
+    shingles AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 3 THEN [norm]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+             AS shingle
+      FROM toks
+    ),
+    seeded AS (
+      SELECT doc_id, seed, shingle
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
+    )
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+    FROM seeded
+    GROUP BY doc_id, seed
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash family members) over word 3-shingles,
+    emitted as rows for oracle comparison. The library form
+    (operators.dedup.with_minhash) computes the same values intra-row
+    as array<bigint> — zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    toks = "split(norm, ' ')"
+    shingles_sql = (
+        f"CASE WHEN size({toks}) < 3 THEN array(norm) "
+        f"ELSE transform(sequence(1, size({toks}) - 2), "
+        f"i -> array_join(slice({toks}, i, 3), ' ')) END"
+    )
+    sh = base.select("doc_id", F.explode(F.expr(shingles_sql)).alias("shingle"))
+    seeded = sh.crossJoin(
+        spark.range(8).select(F.col("id").cast("long").alias("seed"))
+    )
+    return (
+        seeded.withColumn(
+            "h", md5_long(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _simhash_duck(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(t, tok -> CASE WHEN "
+            f"(CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) >> {b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({vote}) > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+@_register(
+    "q28_simhash",
+    f"""
+    SELECT doc_id, CAST({_simhash_duck(16)} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents)
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (library: operators.dedup.with_simhash)
+    — near-dup bucketing key; intra-row, shuffle-free."""
+    from owl_etl_spark.functions.hashing import simhash_sql
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    return base.select("doc_id", simhash_sql("split(norm, ' ')", 16).alias("simhash"))
+
+
+@_register(
+    "q29_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [norm]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+               AS shingle
+        FROM toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(common / (sa.n + sb.n - common), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (library operator) — the
+    correctness baseline that MinHash/LSH approximates."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search (ANN) operators
+# ---------------------------------------------------------------------------
+
+_DOT_DUCK = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    dot = _DOT_DUCK.format(a=a, b=b)
+    na = f"sqrt({_DOT_DUCK.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_DUCK.format(a=b, b=b)})"
+    return f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE ({dot}) / ({na} * {nb}) END"
+
+
+@_register(
+    "q30_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             round({_cosine_duck('qv', 'c.embedding')}, 6) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (library: operators.knn.brute_force_knn):
+    broadcast query side, fixed-order double-precision fold for the dot
+    product, rank on (rounded score, id)."""
+    em = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+@_register(
+    "q31_label_centroid_norm",
+    f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(round(sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}), 6)), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm stats — array math via intra-row folds."""
+    from owl_etl_spark.functions.similarity import norm_sql
+
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.withColumn("nrm", F.round(norm_sql("embedding"), 6))
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+@_register(
+    "q32_embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cosine_duck('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_duck('a.embedding', 'b.embedding')} >= 0.5
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by label (IVF-style bucketed
+    join — the scale path; library:
+    operators.dedup.embedding_near_dup_pairs)."""
+    from owl_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(em, "vec_id", "embedding", block_col="label", threshold=0.5)
+
+
+# no-oracle entries: approximate / non-SQL-expressible operators --------------
+
+
+@_register("q33_lsh_knn", None)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN via random-hyperplane LSH buckets (library:
+    operators.knn.lsh_knn). Approximate by design → rows-only check;
+    exactness is covered by q30 and tests assert recall vs q30."""
+    em = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+@_register("q34_minhash_lsh_pairs", None)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (library:
+    operators.dedup.minhash_lsh_pairs) — banding is approximate →
+    rows-only; tests assert candidate superset vs q29 at threshold."""
+    from owl_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
+
+
+@_register("q35_multimodal_features", None)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: documents→binary payloads with typed
+    metadata, batched through a mapInPandas feature extractor (decode
+    stubbed deterministically — image/audio libs absent by design; see
+    operators.multimodal)."""
+    from owl_etl_spark.operators.multimodal import extract_features, to_binary_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(to_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}

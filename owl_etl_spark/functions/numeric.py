@@ -1,0 +1,122 @@
+"""Numeric normalization expressions (SURVEY.md §2.2 P4-P7).
+
+All pure ``Column`` expressions — JVM-side, codegen-friendly, no UDFs.
+Higher-order array functions are built as SQL expression strings
+(the lambda forms are only reachable via ``F.expr``/``selectExpr``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_numero(col: Column) -> Column:
+    """Lenient string→double parse (P7).
+
+    Strips everything but digits, dot, minus; comma decimal → dot;
+    null on failure (reference: src/etl/transform.py:787-802 uses
+    ``float()`` with exception→None; ``try_cast`` is the declarative
+    equivalent).
+    """
+    cleaned = F.regexp_replace(F.translate(col.cast("string"), ",", "."), r"[^\d.\-]", "")
+    return cleaned.try_cast("double")
+
+
+def parse_percent(col: Column) -> Column:
+    """Percent-string parse: keeps digits/dot/comma/minus/%, comma→dot,
+    drops the %, casts (P5's string branch,
+    reference: src/etl/transform.py:569-605)."""
+    cleaned = F.regexp_replace(col.cast("string"), r"[^\d.,\-%]", "")
+    cleaned = F.translate(cleaned, ",", ".")
+    cleaned = F.regexp_replace(cleaned, "%", "")
+    return cleaned.try_cast("double")
+
+
+def descale_monetary(col: Column, max_iters: int = 10, scale: int = 2) -> Column:
+    """Monetary de-scaling with exact while-loop semantics (P4).
+
+    The reference repeatedly divides by 1000 while the value exceeds
+    1e6, then rounds to 2 dp (src/etl/transform.py:70-86) — result in
+    (1000, 1e6] for inputs > 1e6. A bounded CASE-chain unrolls the
+    loop deterministically (``max_iters`` of 10 covers values up to
+    1e36); each step is the same IEEE double division the reference
+    performs, so results are bit-identical — unlike a log10-based
+    closed form, which can disagree on boundaries.
+    """
+    v = col.cast("double")
+    for _ in range(max_iters):
+        v = F.when(v > 1_000_000.0, v / 1000.0).otherwise(v)
+    return F.round(v, scale)
+
+
+def convert_if_needed(col: Column, scale: int = 6) -> Column:
+    """Return/volatility normalization (P6): values with |v| > 1 are
+    percentages → divide by 100; always round (reference:
+    src/etl/transform.py:631-658)."""
+    v = col.cast("double")
+    return F.when(F.abs(v) > 1.0, F.round(v / 100.0, scale)).otherwise(F.round(v, scale))
+
+
+def _format_vote_sql(arr_sql: str) -> str:
+    """SQL CASE classifying an array's percentage format (P5 vote,
+    reference: src/etl/transform.py:534-566): 'x100' (66.96-style →
+    /100), 'frac' (0.6696-style → keep), or 'unknown'. Majority range
+    vote first, then the sum heuristic (90-110 → x100, 0.9-1.1 → frac).
+    """
+    nonnull = f"filter({arr_sql}, x -> x.participacion IS NOT NULL)"
+    total = f"size({nonnull})"
+    s = f"aggregate({nonnull}, 0D, (a, x) -> a + x.participacion)"
+    gt1 = f"size(filter({nonnull}, x -> x.participacion > 1.0D))"
+    return f"""CASE
+        WHEN {total} = 0 THEN 'unknown'
+        WHEN {gt1} * 2 > {total} AND {s} BETWEEN 90.0D AND 110.0D THEN 'x100'
+        WHEN ({total} - {gt1}) * 2 > {total} AND {s} BETWEEN 0.9D AND 1.1D THEN 'frac'
+        WHEN {s} BETWEEN 90.0D AND 110.0D THEN 'x100'
+        WHEN {s} BETWEEN 0.9D AND 1.1D THEN 'frac'
+        ELSE 'unknown' END"""
+
+
+def smart_percent_array(arr_sql: str, key_field: str, scale: int = 6) -> Column:
+    """Two-pass percentage normalization over an array of structs (P5).
+
+    Pass 1 (intra-row ``aggregate``): sum + count of >1 values; pass 2
+    (intra-row ``transform``): convert each element per the detected
+    format. Mirrors the reference's per-category two-pass
+    (src/etl/transform.py:426-605) with zero shuffle — each category
+    is one array inside one row, so higher-order functions do the
+    whole job inside WholeStageCodegen.
+
+    ``arr_sql`` is the SQL path of an
+    ``array<struct{<key_field>: string, participacion: double}>``
+    column; returns the same shape, participacion normalized to
+    fractional scale and rounded.
+    """
+    fmt = _format_vote_sql(arr_sql)
+    return F.expr(
+        f"""transform({arr_sql}, x -> named_struct(
+              '{key_field}', x.{key_field},
+              'participacion',
+              CASE WHEN x.participacion IS NULL THEN CAST(NULL AS DOUBLE)
+                   WHEN ({fmt}) = 'x100' THEN round(x.participacion / 100.0D, {scale})
+                   ELSE round(x.participacion, {scale}) END))"""
+    )
+
+
+def participation_sum(arr_sql: str) -> Column:
+    """Intra-row participation sum (A1): ``aggregate`` over the array,
+    null participacion treated as 0 (reference gathers then sums,
+    src/etl/transform.py:439-460)."""
+    return F.expr(f"aggregate({arr_sql}, 0D, (a, x) -> a + coalesce(x.participacion, 0D))")
+
+
+def range_bucket_counts(arr_sql: str, threshold: float = 1.0) -> Column:
+    """Count of array values above/below a threshold (A2,
+    reference: src/etl/transform.py:549-551) as a
+    ``struct{gt, le}``."""
+    nonnull = f"filter({arr_sql}, x -> x.participacion IS NOT NULL)"
+    return F.expr(
+        f"""named_struct(
+            'gt', size(filter({nonnull}, x -> x.participacion > {threshold}D)),
+            'le', size(filter({nonnull}, x -> x.participacion <= {threshold}D)))"""
+    )

@@ -1,0 +1,183 @@
+"""Text-analysis expressions: tokenization, n-grams, language ID,
+quality scoring, fingerprinting, keyword classification.
+
+Generalizes the reference's keyword-classifier (P2,
+src/etl/transform.py:109-168) and normalization helpers (§2.9) into
+the text operators a large-scale training-data pipeline needs. All
+pure Column expressions (JVM-side); nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — the canonical form used
+    by dedup/fingerprint operators."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank)."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+
+    Built with ``sequence`` + ``transform`` over the token array —
+    intra-row, no explode, no shuffle. Documents shorter than ``n``
+    tokens yield a single shingle of the whole text.
+    """
+    toks = f"split(trim({_sql(col)}), '\\\\s+')"
+    return F.expr(
+        f"""CASE
+              WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
+              ELSE transform(sequence(1, size({toks}) - {n} + 1),
+                             i -> array_join(slice({toks}, i, {n}), ' '))
+            END"""
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of the normalized text (for fuzzy dedup)."""
+    s = normalize_text(col)
+    return F.expr(
+        f"""CASE WHEN length({_sql(s)}) <= {n} THEN array({_sql(s)})
+             ELSE transform(sequence(1, length({_sql(s)}) - {n} + 1),
+                            i -> substring({_sql(s)}, i, {n})) END"""
+    )
+
+
+def _sql(col: Column) -> str:
+    # Column → SQL text for embedding inside higher-order expressions.
+    from pyspark.sql.classic.column import Column as ClassicColumn
+
+    if isinstance(col, ClassicColumn):
+        return col._jc.toString()
+    raise TypeError("expected a classic Column")
+
+
+def keyword_class_score(col: Column, keywords: list[str]) -> Column:
+    """Count how many of ``keywords`` appear in the lowercased text —
+    the reference's per-class score (src/etl/transform.py:144-156)."""
+    low = F.lower(col)
+    score = F.lit(0)
+    for kw in keywords:
+        score = score + F.when(low.contains(kw.lower()), 1).otherwise(0)
+    return score
+
+
+def classify_keywords(col: Column, class_keywords: dict[str, list[str]], default: str = "Desconocido") -> Column:
+    """Keyword-count argmax classifier (P2 generalized).
+
+    Ties and zero-match fall to ``default`` unless exactly one class
+    attains the max (the reference tie-breaks by insertion order of a
+    dict + fallback rules; we use first-declared-class-wins on ties,
+    matching Python's ``max`` over dict items).
+    """
+    scores = {name: keyword_class_score(col, kws) for name, kws in class_keywords.items()}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    out = F.lit(default)
+    # Python max() returns the FIRST maximal item → check in declaration
+    # order, first match wins.
+    expr = None
+    for name in class_keywords:
+        cond = scores[name] == best
+        expr = F.when((best > 0) & cond, name) if expr is None else expr.when((best > 0) & cond, name)
+    return expr.otherwise(out) if expr is not None else out
+
+
+#: The reference's four fund classes (src/etl/transform.py:120-142) —
+#: kept as the canonical example instantiation of classify_keywords.
+FIC_CLASS_KEYWORDS = {
+    "Renta Fija": [
+        "renta fija", "bonos", "cdt", "tes", "deuda", "titulos de deuda",
+        "mercado monetario", "liquidez", "corto plazo",
+    ],
+    "Renta Variable": [
+        "renta variable", "acciones", "equity", "indices accionarios",
+        "mercado accionario", "dividendos",
+    ],
+    "Mixta": ["mixto", "balanceado", "multiactivo", "diversificado"],
+    "Alternativa": [
+        "inmobiliario", "private equity", "capital privado", "infraestructura",
+        "commodities", "alternativo",
+    ],
+}
+
+
+def lang_stopword_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (language-ID heuristic).
+
+    A tiny n-gram/stopword heuristic: count occurrences of
+    high-frequency function words per language in the lowercased,
+    space-padded text. Deterministic and SQL-expressible — the scale
+    path for a real pipeline would swap in a trained model via a
+    Pandas UDF with identical signature.
+    """
+    probes = {
+        "en": [" the ", " and ", " of ", " is "],
+        "es": [" el ", " la ", " de ", " que "],
+        "de": [" der ", " die ", " und ", " ist "],
+        "fr": [" le ", " la ", " et ", " est "],
+        "zh": ["的", "是", "了"],
+    }
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = {}
+    for lang, words in probes.items():
+        score = F.lit(0)
+        for w in words:
+            # occurrence count = (len - len(remove(w))) / len(w)
+            score = score + (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(w), F.lit("")))) / len(w)
+            ).cast("int")
+        out[lang] = score
+    return out
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Argmax over lang_stopword_scores; 'und' when nothing matches."""
+    scores = lang_stopword_scores(col)
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in scores:
+        cond = scores[lang] == best
+        expr = F.when((best > 0) & cond, lang) if expr is None else expr.when((best > 0) & cond, lang)
+    return expr.otherwise(F.lit(default))
+
+
+def quality_features(col: Column) -> Column:
+    """Document quality features as a struct:
+    n_chars, n_tokens, avg_token_len, distinct_token_ratio,
+    punct_ratio, digit_ratio — the standard cheap pre-filters of a
+    training-data pipeline. All rounded to 6 dp for stable comparison.
+    """
+    s = _sql(col)
+    toks = f"split(trim({s}), '\\\\s+')"
+    return F.expr(
+        f"""named_struct(
+          'n_chars', length({s}),
+          'n_tokens', size({toks}),
+          'avg_token_len', round(length(regexp_replace({s}, '\\\\s+', '')) / size({toks}), 6),
+          'distinct_token_ratio', round(size(array_distinct({toks})) / size({toks}), 6),
+          'punct_ratio', round((length({s}) - length(regexp_replace({s}, '[.,;:!?]', ''))) / length({s}), 6),
+          'digit_ratio', round((length({s}) - length(regexp_replace({s}, '[0-9]', ''))) / length({s}), 6)
+        )"""
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so independent engines agree on the value —
+    this is the key for exact dedup clusters.
+    """
+    return F.md5(normalize_text(col))

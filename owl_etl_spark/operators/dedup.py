@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash buckets, n-gram Jaccard,
+and embedding-cosine near-dup. These extend the reference (whose only
+dedup is latest-per-key, SURVEY.md W1) with the operators a 100 TB
+text corpus needs.
+
+Scale design:
+- signatures/fingerprints are computed intra-row with higher-order
+  functions — zero shuffle until the candidate join;
+- candidate generation always goes through a *bucket equi-join*
+  (LSH band or SimHash prefix), never an all-pairs cross join; the
+  exact verifier (Jaccard/cosine) runs only on candidates;
+- the all-pairs ``ngram_jaccard_pairs`` is the small-data oracle
+  baseline and deliberately documents its O(n·d²) blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from owl_etl_spark.functions.hashing import minhash_signature_sql, simhash_sql
+from owl_etl_spark.functions.text import fingerprint, normalize_text
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min id) per
+    fingerprint. Single hash-shuffle on the md5 fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint → cluster of ids + size; clusters of 1 are unique docs."""
+    return (
+        df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Attach ``minhash`` (array<bigint>) computed from word shingles.
+
+    Intra-row only; safe to run on any corpus size.
+    """
+    norm = normalize_text(F.col(text_col))
+    df = df.withColumn("__norm", norm)
+    toks = "split(__norm, ' ')"
+    shingles = (
+        f"CASE WHEN size({toks}) < {shingle_n} THEN array(__norm) "
+        f"ELSE transform(sequence(1, size({toks}) - {shingle_n} + 1), "
+        f"i -> array_join(slice({toks}, i, {shingle_n}), ' ')) END"
+    )
+    return df.withColumn("minhash", minhash_signature_sql(shingles, num_hashes)).drop("__norm")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    rows → (band, band-signature) keys → equi-join on identical band
+    signature → distinct candidate pairs (a < b). The join key is the
+    *hashed band slice*, so the shuffle moves only (id, band-hash)
+    pairs — at 100 TB this is the only communication, and the band
+    hash distributes uniformly (no skew) unless the corpus contains
+    massive exact-duplicate classes, which exact-dedup removes first.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, num_hashes, shingle_n).select(id_col, "minhash")
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'sig', "
+                f"array_join(transform(slice(minhash, b * {rows_per_band} + 1, {rows_per_band}), x -> CAST(x AS STRING)), '_')))"
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Attach a SimHash fingerprint column (intra-row)."""
+    df = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    return df.withColumn("simhash", simhash_sql("split(__norm, ' ')", bits)).drop("__norm")
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Group ids by identical SimHash — near-dup *buckets* (the cheap
+    screen before a verifier; identical 16-bit simhash on short docs is
+    a strong near-dup signal, and hamming-≤k needs only ``bits`` choose
+    ``k`` rotated variants as extra keys)."""
+    return (
+        with_simhash(df, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("bucket_size"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    explode shingles → self-equi-join on shingle → count common
+    shingles per pair → Jaccard = common / (|A| + |B| - common).
+    Exact, deterministic (integer arithmetic until the final ratio).
+
+    Scale: the join fan-out is Σ_shingle df(shingle)² — fine for
+    verification corpora; at 100 TB use ``minhash_lsh_pairs`` for
+    candidates and this only on the candidate set.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    toks = "split(__norm, ' ')"
+    shingles_sql = (
+        f"CASE WHEN size({toks}) < {shingle_n} THEN array(__norm) "
+        f"ELSE transform(sequence(1, size({toks}) - {shingle_n} + 1), "
+        f"i -> array_join(slice({toks}, i, {shingle_n}), ' ')) END"
+    )
+    sh = base.select("id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("shingle"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, optionally blocked.
+
+    With ``block_col`` (e.g. a cluster/label id or an LSH bucket from
+    ``knn.random_hyperplane_bucket``) the join is an equi-join within
+    blocks; without it, a full cross join (small corpora only).
+    """
+    from owl_etl_spark.functions.similarity import cosine_sql
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col(block_col).alias("blk2")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        joined = a.join(b, (F.col("blk") == F.col("blk2")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.withColumn("cosine", F.round(cosine_sql("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

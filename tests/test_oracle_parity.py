@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
+compare row count, column names/types, and order-insensitive values.
+
+Values are compared exactly (string repr after per-cell normalization)
+because the engine contract is that every emitted float is already
+rounded far above accumulated IEEE error.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE, SF_ORACLE
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", SF_SMOKE)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # 12 significant digits — outputs are pre-rounded well above this
+        return f"{v:.12g}"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def _pairs():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return [(name, q[name], o[name]) for name in q if name in o]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_parity(spark, duck, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    _, s_norm = _norm_rows(spark_cols, [tuple(r) for r in spark_rows])
+    _, d_norm = _norm_rows(duck_cols, duck_rows)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first 3: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_no_oracle_queries_run(spark):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for name in set(q) - set(o):
+        df = q[name](spark, SF_SMOKE)
+        assert df.count() >= 0, name
