@@ -56,16 +56,28 @@ def with_minhash(
     """Attach ``minhash`` (array<bigint>) computed from word shingles.
 
     Intra-row only; safe to run on any corpus size.
+
+    The token and shingle arrays are materialized as columns BEFORE the
+    per-seed aggregates: embedding the ``split(...)`` expression inside
+    the higher-order lambdas makes Catalyst re-evaluate it per array
+    element per seed — O(tokens² · seeds) character work per row
+    (measured 25× slower at 5k docs).
     """
-    norm = normalize_text(F.col(text_col))
-    df = df.withColumn("__norm", norm)
-    toks = "split(__norm, ' ')"
-    shingles = (
-        f"CASE WHEN size({toks}) < {shingle_n} THEN array(__norm) "
-        f"ELSE transform(sequence(1, size({toks}) - {shingle_n} + 1), "
-        f"i -> array_join(slice({toks}, i, {shingle_n}), ' ')) END"
+    df = (
+        df.withColumn("__norm", normalize_text(F.col(text_col)))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn(
+            "__shingles",
+            F.expr(
+                f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
+                f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
+                f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+            ),
+        )
     )
-    return df.withColumn("minhash", minhash_signature_sql(shingles, num_hashes)).drop("__norm")
+    return df.withColumn("minhash", minhash_signature_sql("__shingles", num_hashes)).drop(
+        "__norm", "__toks", "__shingles"
+    )
 
 
 def minhash_lsh_pairs(
@@ -87,6 +99,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = with_minhash(df, text_col, num_hashes, shingle_n).select(id_col, "minhash")
+    # Exchange barrier: without it CollapseProject inlines the whole
+    # 16-aggregate signature expression into the band-explode lambda and
+    # recomputes it once PER BAND (measured 8x cost). The shuffle moves
+    # only (id, signature) — the same order of bytes the band join
+    # shuffles anyway.
+    sig = sig.repartition(F.col(id_col))
     banded = sig.select(
         id_col,
         F.explode(
@@ -97,6 +115,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # The self-join consumes `banded` twice; caching computes the
+    # signatures once instead of per-branch (Spark's ReuseExchange does
+    # not cover the post-exchange explode projection).
+    banded = banded.cache()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -115,9 +137,13 @@ def minhash_lsh_pairs(
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Attach a SimHash fingerprint column (intra-row)."""
-    df = df.withColumn("__norm", normalize_text(F.col(text_col)))
-    return df.withColumn("simhash", simhash_sql("split(__norm, ' ')", bits)).drop("__norm")
+    """Attach a SimHash fingerprint column (intra-row). Tokens are
+    materialized first (same lambda re-evaluation hazard as
+    with_minhash)."""
+    df = df.withColumn("__norm", normalize_text(F.col(text_col))).withColumn(
+        "__toks", F.split(F.col("__norm"), " ")
+    )
+    return df.withColumn("simhash", simhash_sql("__toks", bits)).drop("__norm", "__toks")
 
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
@@ -150,12 +176,13 @@ def ngram_jaccard_pairs(
     candidates and this only on the candidate set.
     """
     norm = normalize_text(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
-    toks = "split(__norm, ' ')"
+    base = df.select(F.col(id_col).alias("id"), norm.alias("__norm")).withColumn(
+        "__toks", F.split(F.col("__norm"), " ")
+    )
     shingles_sql = (
-        f"CASE WHEN size({toks}) < {shingle_n} THEN array(__norm) "
-        f"ELSE transform(sequence(1, size({toks}) - {shingle_n} + 1), "
-        f"i -> array_join(slice({toks}, i, {shingle_n}), ' ')) END"
+        f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
+        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
+        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
     )
     sh = base.select("id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
