@@ -18,9 +18,14 @@ def parse_numero(col: Column) -> Column:
     null on failure (reference: src/etl/transform.py:787-802 uses
     ``float()`` with exception→None; ``try_cast`` is the declarative
     equivalent).
+
+    Values that already cast cleanly pass through untouched — the
+    regex path must only see true strings, because a double rendered
+    as ``2.3E13`` would have its exponent marker stripped.
     """
+    direct = col.try_cast("double")
     cleaned = F.regexp_replace(F.translate(col.cast("string"), ",", "."), r"[^\d.\-]", "")
-    return cleaned.try_cast("double")
+    return F.coalesce(direct, cleaned.try_cast("double"))
 
 
 def parse_percent(col: Column) -> Column:
@@ -43,11 +48,23 @@ def descale_monetary(col: Column, max_iters: int = 10, scale: int = 2) -> Column
     1e36); each step is the same IEEE double division the reference
     performs, so results are bit-identical — unlike a log10-based
     closed form, which can disagree on boundaries.
+
+    Implementation note: a naive ``when(v>1e6, v/1000)`` chain triples
+    the expression tree per iteration (3^max_iters nodes — measured
+    codegen blowup); instead, one CASE picks the first k for which k
+    repeated divisions land ≤ 1e6, with each candidate spelled as the
+    same exact division sequence — O(max_iters²) tiny tree, identical
+    IEEE results.
     """
     v = col.cast("double")
+    candidates = [v]
     for _ in range(max_iters):
-        v = F.when(v > 1_000_000.0, v / 1000.0).otherwise(v)
-    return F.round(v, scale)
+        candidates.append(candidates[-1] / 1000.0)
+    expr = None
+    for k in range(max_iters):
+        cond = candidates[k] <= 1_000_000.0
+        expr = F.when(cond, candidates[k]) if expr is None else expr.when(cond, candidates[k])
+    return F.round(expr.otherwise(candidates[max_iters]), scale)
 
 
 def convert_if_needed(col: Column, scale: int = 6) -> Column:
@@ -77,6 +94,28 @@ def _format_vote_sql(arr_sql: str) -> str:
         ELSE 'unknown' END"""
 
 
+def convert_if_needed_sql(path: str, scale: int = 6) -> str:
+    """SQL-text form of :func:`convert_if_needed` for composition inside
+    higher-order lambdas (Column trees don't re-serialize to parseable
+    SQL)."""
+    v = f"CAST({path} AS DOUBLE)"
+    return (
+        f"CASE WHEN abs({v}) > 1.0D THEN round({v} / 100.0D, {scale}) "
+        f"ELSE round({v}, {scale}) END"
+    )
+
+
+def smart_percent_array_sql(arr_sql: str, key_field: str, scale: int = 6) -> str:
+    """SQL-text form of :func:`smart_percent_array`."""
+    fmt = _format_vote_sql(arr_sql)
+    return f"""transform({arr_sql}, x -> named_struct(
+              '{key_field}', x.{key_field},
+              'participacion',
+              CASE WHEN x.participacion IS NULL THEN CAST(NULL AS DOUBLE)
+                   WHEN ({fmt}) = 'x100' THEN round(x.participacion / 100.0D, {scale})
+                   ELSE round(x.participacion, {scale}) END))"""
+
+
 def smart_percent_array(arr_sql: str, key_field: str, scale: int = 6) -> Column:
     """Two-pass percentage normalization over an array of structs (P5).
 
@@ -92,15 +131,7 @@ def smart_percent_array(arr_sql: str, key_field: str, scale: int = 6) -> Column:
     column; returns the same shape, participacion normalized to
     fractional scale and rounded.
     """
-    fmt = _format_vote_sql(arr_sql)
-    return F.expr(
-        f"""transform({arr_sql}, x -> named_struct(
-              '{key_field}', x.{key_field},
-              'participacion',
-              CASE WHEN x.participacion IS NULL THEN CAST(NULL AS DOUBLE)
-                   WHEN ({fmt}) = 'x100' THEN round(x.participacion / 100.0D, {scale})
-                   ELSE round(x.participacion, {scale}) END))"""
-    )
+    return F.expr(smart_percent_array_sql(arr_sql, key_field, scale))
 
 
 def participation_sum(arr_sql: str) -> Column:

@@ -50,14 +50,10 @@ def brute_force_knn(
     )
 
 
-def random_hyperplane_bucket(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    num_planes: int = 8,
-    seed: int = 42,
-) -> DataFrame:
-    """Attach an LSH bucket id: sign pattern of ``num_planes`` random
+def hyperplane_bucket_expr(
+    vec_col: str, dim: int = 64, num_planes: int = 8, seed: int = 42
+):
+    """LSH bucket id Column: sign pattern of ``num_planes`` random
     hyperplane projections.
 
     Hyperplanes are generated driver-side from a fixed seed and
@@ -74,7 +70,45 @@ def random_hyperplane_bucket(
             f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         )
         bucket_terms.append(f"(CASE WHEN ({dot}) >= 0D THEN {2 ** p_idx} ELSE 0 END)")
-    return df.withColumn("lsh_bucket", F.expr(" + ".join(bucket_terms)))
+    return F.expr(" + ".join(bucket_terms))
+
+
+def random_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach an ``lsh_bucket`` column (see hyperplane_bucket_expr)."""
+    return df.withColumn("lsh_bucket", hyperplane_bucket_expr(vec_col, dim, num_planes, seed))
+
+
+def _multi_table_buckets(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) — one row per hash table. Each table is
+    an independent set of hyperplanes (seed offset); all tables' buckets
+    are computed in ONE projection, then exploded."""
+    out = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+    exprs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket_expr(vec_alias, dim, num_planes, seed + 1000 * t).alias("bucket"),
+        )
+        for t in range(num_tables)
+    ]
+    return out.withColumn("tb", F.explode(F.array(*exprs))).select(
+        id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def lsh_knn(
@@ -84,24 +118,30 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine rank within candidates. One equi-join on bucket id
-    instead of a cross join — the 100 TB path. Recall < 1.0 by design;
-    increase planes/probes or fall back to brute force on the
-    candidate-starved queries (bucket recall is observable: compare
-    candidate counts per query)."""
-    qb = random_hyperplane_bucket(queries, vec_col, dim, num_planes, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "lsh_bucket"
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``num_tables`` independent hyperplane tables, then exact cosine rank
+    within candidates. Equi-join on (table, bucket) instead of a cross
+    join — the 100 TB path.
+
+    Recall is tuned by (num_planes, num_tables): fewer planes → bigger
+    buckets → higher recall & cost; more tables → more probes. The
+    defaults (4, 4) give ~2^4 buckets/table; recall is observable by
+    comparing against ``brute_force_knn`` on a sample (tests do)."""
+    qb = _multi_table_buckets(
+        queries, "query_id", "qv", id_col, vec_col, dim, num_planes, num_tables, seed
     )
-    cb = random_hyperplane_bucket(corpus, vec_col, dim, num_planes, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "lsh_bucket"
+    cb = _multi_table_buckets(
+        corpus, "neighbor_id", "cv", id_col, vec_col, dim, num_planes, num_tables, seed
     )
     scored = (
-        cb.join(F.broadcast(qb), "lsh_bucket")
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # a pair may collide in several tables
         .withColumn("cosine", F.round(cosine_sql("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

@@ -1,0 +1,4 @@
+from owl_etl_spark.streaming.windows import hourly_event_counts, session_counts
+from owl_etl_spark.streaming.dedup_stream import streaming_latest_per_key
+
+__all__ = ["hourly_event_counts", "session_counts", "streaming_latest_per_key"]

@@ -1,0 +1,70 @@
+"""Streaming latest-per-key — the reference's recency upsert (W1/F4)
+as a continuous operator.
+
+In the reference, a newer fact sheet replaces the stored one and an
+older arrival is dropped (src/etl/load.py:99-219). Streamed, that is
+last-value-per-key with event-time ordering and bounded lateness:
+
+- ``dropDuplicatesWithinWatermark`` handles the exact-duplicate case;
+- the recency rule needs per-key state → ``applyInPandasWithState``
+  keeping the max-recency row per key, emitting only improvements.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_latest_per_key(
+    stream: DataFrame,
+    keys: list[str],
+    recency_col: str,
+    watermark_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Continuously emit the newest-seen row per key.
+
+    Output is an append stream of improvements (a row is emitted only
+    when it beats the stored recency for its key — downstream sinks see
+    a changelog they can upsert). State: one scalar recency per key,
+    expired by processing-time timeout after quiet periods. At 100 TB
+    of keys, state is sharded by the groupBy hash shuffle across the
+    cluster; per-key state is O(bytes).
+    """
+    schema = stream.schema
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(recency_col)
+            for _, row in pdf.iterrows():
+                r = row[recency_col]
+                if r is not None and (best is None or str(r) > str(best)):
+                    best = str(r)
+                    out.append(row.to_frame().T)
+        if best is not None:
+            state.update((best,))
+            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+        if out:
+            yield pd.concat(out)
+
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        stream.withWatermark(watermark_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=cols,
+            stateStructType="best string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

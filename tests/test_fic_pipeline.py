@@ -1,0 +1,202 @@
+"""Golden-style tests for the FIC document transform pipeline.
+
+Fixtures are synthesized per FIXTURES.md §1 guidance (mixed percentage
+scales, multi-format dates, near-miss agency names, scaled monetary
+values, keyword-loaded investment policies) — they exercise the same
+heuristics the reference's golden pairs exercise, with hand-computed
+expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl_etl_spark.plans.fic_pipeline import transform_fic_documents
+from owl_etl_spark.schemas import FIC_RAW_SCHEMA
+
+
+def _doc(
+    nombre="fondoX",
+    fecha_corte="2025-07-31",
+    politica="",
+    plazos=None,
+    por_activo=None,
+    valor=None,
+    entidad=None,
+    rv=None,
+):
+    return {
+        "fic": {
+            "nombre_fic": nombre,
+            "gestor": "G",
+            "custodio": "C",
+            "fecha_corte": fecha_corte,
+            "politica_de_inversion": politica,
+        },
+        "plazo_duracion": plazos,
+        "composicion_portafolio": {
+            "por_activo": por_activo,
+            "por_tipo_de_renta": None,
+            "por_sector_economico": None,
+            "por_pais_emisor": None,
+            "por_moneda": None,
+            "por_calificacion": None,
+        },
+        "caracteristicas": {
+            "tipo": "Abierto",
+            "valor": valor,
+            "fecha_inicio_operaciones": "15/03/2010",
+            "no_unidades_en_circulacion": 1000.0,
+        },
+        "calificacion": {
+            "calificacion": "AAA",
+            "fecha_ultima_calificacion": "jul-25",
+            "entidad_calificadora": entidad,
+        },
+        "principales_inversiones": None,
+        "rentabilidad_volatilidad": rv,
+    }
+
+
+@pytest.fixture(scope="module")
+def transformed(spark):
+    docs = [
+        # x100-scale percentages (sum ~100), huge valor, near-miss agency
+        _doc(
+            nombre="fondoA",
+            politica="inversion en renta fija, bonos y cdt de deuda publica",
+            plazos=[
+                {"plazo": "0-30", "participacion": 66.96},
+                {"plazo": "30-180", "participacion": 33.04},
+            ],
+            por_activo=[
+                {"activo": "CDT", "participacion": 80.0},
+                {"activo": "Bonos", "participacion": 20.0},
+            ],
+            valor=23_232_542_280_000.0,
+            entidad="BRC Investors Servic",
+            rv=[
+                {
+                    "tipo_de_participacion": "Tipo A",
+                    "rentabilidad_historica_ea": {
+                        "ultimo_mes": 8.55,
+                        "ultimos_6_meses": 0.0812,
+                        "anio_corrido": None,
+                        "ultimo_anio": 9.1,
+                        "ultimos_2_anios": 10.2,
+                        "ultimos_3_anios": 11.3,
+                    },
+                    "volatilidad_historica": {
+                        "ultimo_mes": 0.55,
+                        "ultimos_6_meses": 0.61,
+                        "anio_corrido": 0.62,
+                        "ultimo_anio": 0.63,
+                        "ultimos_2_anios": 0.64,
+                        "ultimos_3_anios": 0.65,
+                    },
+                }
+            ],
+        ),
+        # fractional-scale percentages (sum ~1.0), acciones keywords
+        _doc(
+            nombre="fondoB",
+            fecha_corte="31/07/2025",
+            politica="acciones y renta variable en mercado accionario con dividendos",
+            plazos=[
+                {"plazo": "0-30", "participacion": 0.6696},
+                {"plazo": "30-180", "participacion": 0.3304},
+            ],
+            valor=500_000.0,
+            entidad="Fitch Ratings Colombia",
+        ),
+        # garbage date, unknown agency, no keywords, dissimilar name
+        _doc(
+            nombre="cartera especial zz",
+            fecha_corte="not a date",
+            politica="politica generica",
+            entidad="Agencia Desconocida XYZ",
+            valor=None,
+        ),
+    ]
+    raw = spark.createDataFrame(docs, FIC_RAW_SCHEMA)
+    raw = (
+        raw.withColumn("_filename", F.concat(F.lit("banco1_"), F.col("fic.nombre_fic"), F.lit("_raw.json")))
+        .withColumn("banco", F.lit("banco1"))
+        .withColumn("fondo", F.col("fic.nombre_fic"))
+    )
+    lookup = spark.createDataFrame(
+        [
+            ("banco1", "fondoA", "http://example.test/fondoA"),
+            ("banco1", "fondo B", "http://example.test/fondoB"),
+            ("otrobanco", "cartera especial zz", "http://example.test/WRONG"),
+        ],
+        ["banco", "fic", "url"],
+    )
+    df = transform_fic_documents(raw, url_lookup=lookup)
+    return {r["fic"]["nombre_fic"]: r.asDict(recursive=True) for r in df.collect()}
+
+
+def test_percent_x100_converted(transformed):
+    a = transformed["fondoA"]
+    assert [p["participacion"] for p in a["plazo_duracion"]] == [0.6696, 0.3304]
+    assert [p["participacion"] for p in a["composicion_portafolio"]["por_activo"]] == [0.8, 0.2]
+
+
+def test_percent_fractional_kept(transformed):
+    b = transformed["fondoB"]
+    assert [p["participacion"] for p in b["plazo_duracion"]] == [0.6696, 0.3304]
+
+
+def test_rv_horizons_normalized(transformed):
+    rv = transformed["fondoA"]["rentabilidad_volatilidad"][0]
+    r = rv["rentabilidad_historica_ea"]
+    assert r["ultimo_mes"] == 0.0855  # 8.55 > 1 → /100
+    assert r["ultimos_6_meses"] == 0.0812  # ≤1 → kept
+    assert r["anio_corrido"] is None
+    v = rv["volatilidad_historica"]
+    assert v["ultimo_mes"] == 0.55
+
+
+def test_agency_fuzzy_normalized(transformed):
+    a = transformed["fondoA"]["calificacion"]
+    assert a["entidad_calificadora"] == "BRC Investor Services"
+    assert a["entidad_calificadora_normalizada"] is True
+    c = transformed["cartera especial zz"]["calificacion"]
+    assert c["entidad_calificadora"] == "Agencia Desconocida XYZ"
+    assert c["entidad_calificadora_normalizada"] is False
+
+
+def test_dates_parsed(transformed):
+    assert transformed["fondoA"]["fic"]["fecha_corte"] == "2025-07-31"
+    assert transformed["fondoB"]["fic"]["fecha_corte"] == "2025-07-31"
+    assert transformed["cartera especial zz"]["fic"]["fecha_corte"] is None
+    assert transformed["fondoA"]["caracteristicas"]["fecha_inicio_operaciones"] == "2010-03-15"
+    assert transformed["fondoA"]["calificacion"]["fecha_ultima_calificacion"] == "2025-07-01"
+
+
+def test_tipo_classified(transformed):
+    assert transformed["fondoA"]["fic"]["tipo"] == "Renta Fija"
+    assert transformed["fondoB"]["fic"]["tipo"] == "Renta Variable"
+    assert transformed["cartera especial zz"]["fic"]["tipo"] == "Desconocido"
+
+
+def test_valor_descaled(transformed):
+    # 23_232_542_280_000 / 1000^3 = 23_232.54228 → round 2
+    assert transformed["fondoA"]["caracteristicas"]["valor"] == 23232.54
+    assert transformed["fondoB"]["caracteristicas"]["valor"] == 500000.0
+    assert transformed["cartera especial zz"]["caracteristicas"]["valor"] is None
+
+
+def test_url_enriched(transformed):
+    assert transformed["fondoA"]["fic"]["url"] == "http://example.test/fondoA"
+    assert transformed["fondoB"]["fic"]["url"] == "http://example.test/fondoB"
+    assert transformed["cartera especial zz"]["fic"]["url"] is None  # its url lives under another bank
+
+
+def test_structure_repaired(transformed):
+    c = transformed["cartera especial zz"]
+    assert c["plazo_duracion"] == []
+    assert c["principales_inversiones"] == []
+    assert c["composicion_portafolio"]["por_moneda"] == []

@@ -1,0 +1,230 @@
+"""Unit tests for library operators: latest/upsert, dedup family,
+KNN recall, sessionize edges, quality gates, star-schema explode."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_latest_per_key(spark):
+    from owl_etl_spark.operators.latest import latest_per_key
+
+    df = spark.createDataFrame(
+        [
+            ("f1", "u1", "2025-06-30", 1),
+            ("f1", "u1", "2025-07-31", 2),
+            ("f1", "u1", None, 3),
+            ("f2", "u2", "2025-05-31", 4),
+        ],
+        ["nombre", "url", "fecha", "v"],
+    )
+    out = {r.nombre: r.v for r in latest_per_key(df, ["nombre", "url"], "fecha", ["v"]).collect()}
+    assert out == {"f1": 2, "f2": 4}
+
+
+def test_upsert_by_recency(spark):
+    from owl_etl_spark.operators.latest import upsert_by_recency
+
+    existing = spark.createDataFrame(
+        [("f1", "2025-06-30", "old"), ("f2", "2025-07-31", "keep")],
+        ["k", "fecha", "val"],
+    )
+    incoming = spark.createDataFrame(
+        [("f1", "2025-07-31", "new"), ("f2", "2025-06-30", "stale"), ("f3", "2025-01-31", "ins")],
+        ["k", "fecha", "val"],
+    )
+    out = {r.k: r.val for r in upsert_by_recency(existing, incoming, ["k"], "fecha").collect()}
+    # newer wins, older incoming discarded, new key inserted
+    assert out == {"f1": "new", "f2": "keep", "f3": "ins"}
+
+
+def test_upsert_tie_prefers_existing(spark):
+    from owl_etl_spark.operators.latest import upsert_by_recency
+
+    existing = spark.createDataFrame([("k", "2025-07-31", "existing")], ["k", "fecha", "val"])
+    incoming = spark.createDataFrame([("k", "2025-07-31", "incoming")], ["k", "fecha", "val"])
+    out = upsert_by_recency(existing, incoming, ["k"], "fecha").collect()
+    assert out[0].val == "existing"
+
+
+def test_dedup_exact_and_clusters(spark):
+    from owl_etl_spark.operators.dedup import dedup_exact, duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "distinct doc")],
+        ["doc_id", "text"],
+    )
+    survivors = dedup_exact(df).collect()
+    assert {(r.doc_id, r.dup_count) for r in survivors} == {(1, 2), (3, 1)}
+    clusters = {tuple(r.ids) for r in duplicate_clusters(df).collect()}
+    assert (1, 2) in clusters  # case/whitespace-normalized duplicates
+
+
+def test_minhash_lsh_superset_of_exact_duplicates(spark):
+    """LSH candidates must contain every exact-duplicate pair (identical
+    shingle sets → identical signatures → same band buckets)."""
+    from owl_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "spark window join filter scan table row batch stream merge"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra tail tokens here"), (4, "totally different words apple banana")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_pair(spark):
+    from owl_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    rows = ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_docs_share_fingerprint(spark):
+    from owl_etl_spark.operators.dedup import with_simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely unrelated content about databases")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    """LSH KNN is approximate; assert its hits are a subset of brute-force
+    scores and recall is sane on clustered data."""
+    from owl_etl_spark.operators.knn import brute_force_knn, lsh_knn
+    from owl_etl_spark.sources.readers import read_table
+
+    em = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = em.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_knn(q, em, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in lsh_knn(q, em, k=5).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.3, f"suspiciously low LSH recall {recall}"
+
+
+def test_sessionize_gap_boundary(spark):
+    from owl_etl_spark.operators.sessionize import session_stats
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(seconds=1800)),   # == gap → same session
+        (1, t0 + datetime.timedelta(seconds=3601)),   # > gap  → new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = session_stats(df, gap_seconds=1800).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [1]
+
+
+def test_anti_filter_and_skiplist(spark, tmp_path):
+    from owl_etl_spark.operators.quality import anti_filter
+    from owl_etl_spark.sources.readers import read_skip_list
+
+    p = tmp_path / "skip.txt"
+    p.write_text("# comment\nbanco1_f1_raw.json\n\nbanco2_f2\n")
+    skip = read_skip_list(spark, str(p))
+    names = {r.skip_name for r in skip.collect()}
+    assert names == {"banco1_f1_raw_transformed.json", "banco2_f2_transformed.json"}
+
+    df = spark.createDataFrame(
+        [("banco1_f1_raw_transformed.json", 1), ("other_transformed.json", 2)],
+        ["fname", "v"],
+    )
+    kept = anti_filter(df, skip, "fname", "skip_name").collect()
+    assert [r.v for r in kept] == [2]
+
+
+def test_fuzzy_set_membership(spark):
+    from owl_etl_spark.operators.fuzzy_join import fuzzy_set_membership
+
+    df = spark.createDataFrame(
+        [("BRC Investors Servic",), ("No Such Agency Ltd",)], ["entidad"]
+    )
+    out = fuzzy_set_membership(
+        df, "entidad", ["BRC Investor Services", "Fitch Ratings"], "canonical", "matched"
+    ).collect()
+    res = {r.entidad: (r.canonical, r.matched) for r in out}
+    assert res["BRC Investors Servic"] == ("BRC Investor Services", True)
+    assert res["No Such Agency Ltd"] == ("No Such Agency Ltd", False)
+
+
+def test_star_schema_explode(spark):
+    from owl_etl_spark.operators.relational import to_star_schema
+    from owl_etl_spark.plans.fic_pipeline import transform_fic_documents
+    from owl_etl_spark.schemas import FIC_RAW_SCHEMA
+
+    doc = {
+        "fic": {
+            "nombre_fic": "f",
+            "gestor": "g",
+            "custodio": "c",
+            "fecha_corte": "2025-07-31",
+            "politica_de_inversion": "bonos",
+        },
+        "plazo_duracion": [{"plazo": "0-30", "participacion": 1.0}],
+        "composicion_portafolio": {
+            "por_activo": [{"activo": "CDT", "participacion": 0.6},
+                           {"activo": "Bonos", "participacion": 0.4}],
+            "por_tipo_de_renta": None,
+            "por_sector_economico": None,
+            "por_pais_emisor": None,
+            "por_moneda": [{"moneda": "COP", "participacion": 1.0}],
+            "por_calificacion": None,
+        },
+        "caracteristicas": {"tipo": "Abierto", "valor": 100.0,
+                            "fecha_inicio_operaciones": None,
+                            "no_unidades_en_circulacion": None},
+        "calificacion": {"calificacion": "AAA", "fecha_ultima_calificacion": None,
+                         "entidad_calificadora": "Fitch Ratings"},
+        "principales_inversiones": [{"emisor": "TES", "participacion": 0.5}],
+        "rentabilidad_volatilidad": [],
+    }
+    raw = spark.createDataFrame([doc], FIC_RAW_SCHEMA).withColumn(
+        "_filename", F.lit("b_f_raw.json")
+    ).withColumn("banco", F.lit("b")).withColumn("fondo", F.lit("f"))
+    silver = transform_fic_documents(raw)
+    tables = to_star_schema(silver)
+    assert set(tables) == {
+        "fic", "composicion_portafolio", "plazo_duracion", "caracteristicas",
+        "calificacion", "principales_inversiones", "rentabilidad_historica",
+        "volatilidad_historica", "raw_json",
+    }
+    comp = tables["composicion_portafolio"].collect()
+    assert {(r.tipo_composicion, r.categoria) for r in comp} == {
+        ("activo", "CDT"), ("activo", "Bonos"), ("moneda", "COP")
+    }
+    fic = tables["fic"].collect()[0]
+    assert fic.nombre_fic == "f" and fic.tipo == "Renta Fija"
+    rawj = tables["raw_json"].collect()[0]
+    assert rawj.filename == "b_f_raw.json" and '"nombre_fic":"f"' in rawj.json_data
+
+
+def test_multimodal_feature_extraction(spark):
+    from owl_etl_spark.operators.multimodal import extract_features, to_binary_payload
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = extract_features(to_binary_payload(df)).collect()[0]
+    assert out.media_type == "text/plain"
+    assert out.n_bytes == 11
+    assert out.width == 12 and out.height == 12  # deterministic stub dims
