@@ -1225,3 +1225,411 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# coverage batch 2: diff harness, grouping sets, set ops, subqueries,
+# scalar-function surface, running windows, fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q36_golden_diff",
+    """
+    WITH actual AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'CORRUPTED' ELSE o_orderpriority END
+               AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 500 <> 0
+    ), expected AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+    ), joined AS (
+      SELECT coalesce(a.o_orderkey, e.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NULL AS a_missing,
+             a.o_orderpriority AS ap, e.o_orderpriority AS ep,
+             a.o_orderstatus AS ast, e.o_orderstatus AS est
+      FROM actual a FULL OUTER JOIN expected e ON a.o_orderkey = e.o_orderkey
+    )
+    SELECT o_orderkey, campo, valor_actual, valor_esperado, estado FROM (
+      SELECT o_orderkey, 'o_orderpriority' AS campo, ap AS valor_actual,
+             ep AS valor_esperado,
+             CASE WHEN a_missing THEN 'MISSING_ACTUAL' ELSE 'DIFERENTE' END AS estado
+      FROM joined WHERE a_missing OR ap IS DISTINCT FROM ep
+      UNION ALL
+      SELECT o_orderkey, 'o_orderstatus', ast, est,
+             CASE WHEN a_missing THEN 'MISSING_ACTUAL' ELSE 'DIFERENTE' END
+      FROM joined WHERE a_missing OR ast IS DISTINCT FROM est
+    )
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-diff harness (J5/A4): field-level full-outer diff with
+    deterministic injected corruption, via operators.diff.diff_tables —
+    the distributed twin of the reference's test_ETL.py comparator."""
+    from owl_etl_spark.operators.diff import diff_tables
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    actual = o.filter(F.col("o_orderkey") % 500 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 100 == 0, "CORRUPTED").otherwise(F.col("o_orderpriority")),
+    )
+    return diff_tables(actual, o, ["o_orderkey"])
+
+
+@_register(
+    "q37_reliability_report",
+    """
+    WITH actual AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'CORRUPTED' ELSE o_orderpriority END
+               AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 500 <> 0
+    ), expected AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+    ), joined AS (
+      SELECT coalesce(a.o_orderkey, e.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NULL AS a_missing,
+             a.o_orderpriority AS ap, e.o_orderpriority AS ep,
+             a.o_orderstatus AS ast, e.o_orderstatus AS est
+      FROM actual a FULL OUTER JOIN expected e ON a.o_orderkey = e.o_orderkey
+    ), per_key AS (
+      SELECT o_orderkey,
+             (CASE WHEN a_missing OR ap IS DISTINCT FROM ep THEN 1 ELSE 0 END
+            + CASE WHEN a_missing OR ast IS DISTINCT FROM est THEN 1 ELSE 0 END) AS n_diffs
+      FROM joined
+    )
+    SELECT CAST(n_diffs AS BIGINT) AS n_diffs,
+           round((1 - n_diffs / 2.0) * 100, 2) AS confiabilidad,
+           CAST(count(*) AS BIGINT) AS n_records
+    FROM per_key GROUP BY n_diffs
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability scoring (A4): (1 - diffs/fields)*100 per record,
+    histogrammed — the reference's Confiabilidad sheet shape."""
+    from owl_etl_spark.operators.diff import reliability_report
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    actual = o.filter(F.col("o_orderkey") % 500 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 100 == 0, "CORRUPTED").otherwise(F.col("o_orderpriority")),
+    )
+    rep = reliability_report(actual, o, ["o_orderkey"])
+    return rep.groupBy(F.col("n_diffs").cast("long").alias("n_diffs"), "confiabilidad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+
+
+@_register(
+    "q38_status_pivot",
+    """
+    SELECT n_name,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A5 per-group summary) via the DataFrame pivot API."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "n_name",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("F"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("P"),
+        )
+    )
+
+
+@_register(
+    "q39_segment_cube",
+    """
+    SELECT c_mktsegment, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {_cube_money} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE(c_mktsegment, n_name)
+    """.replace("{_cube_money}", "(CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100)"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "q40_repeat_customers_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SE1 complement of q14's EXCEPT)."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@_register(
+    "q41_small_quantity_orders",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk, avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           {_money_sum_duck('l_extendedprice')} AS small_revenue
+    FROM part_avg WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17 shape): rows below half
+    their group mean — window formulation on both engines (identical
+    float ops: one avg + one multiply per row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            _money_sum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+    )
+
+
+@_register(
+    "q42_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat_ws('|', c_name, c_mktsegment) AS name_seg,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(lower(c_mktsegment), 'a', '@') AS seg_replaced,
+           reverse(c_mktsegment) AS seg_rev,
+           trim(concat('  ', c_name, '  ')) AS trimmed
+    FROM customer
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (§2.9: case/trim/substr/concat/
+    pad/replace/reverse) — one row per input row, engine parity."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.lower("c_mktsegment"), F.lit("a"), F.lit("@")).alias("seg_replaced"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@_register(
+    "q43_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function surface (§2.9: extract/add_months/last_day/
+    datediff)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@_register(
+    "q44_distinct_counts",
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Catalyst plans expand + two-phase agg)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q45_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+             AS running_revenue,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative window (frame spec) in the exact integer
+    domain — order-deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / 100
+        ).alias("running_revenue"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@_register(
+    "q46_bpe_token_estimate",
+    """
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+             AS total_subtokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex segmentation into letter runs /
+    digit runs / punctuation (the cheap proxy for subword token counts
+    in a training-data pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "n_sub", F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_sub").cast("long").alias("total_subtokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+@_register(
+    "q47_winnow_fingerprints",
+    """
+    WITH h AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(length(s) - 8 - 4 + 3, 2)),
+               i -> list_aggregate(
+                      list_transform(range(i, i + 4),
+                        j -> CAST(('0x' || substring(md5(substring(s, CAST(j AS INT), 8)), 1, 15)) AS BIGINT)),
+                      'min')))) AS BIGINT) AS n_fingerprints
+    FROM h WHERE length(s) >= 12
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: k-gram rolling hashes (k=8),
+    min-sampled over windows of w=4 — the classic local fingerprinting
+    scheme; distinct-count per doc. Hashes are md5-prefix ints so the
+    oracle agrees. Each window recomputes only its own w hashes —
+    O(len·w) work, no materialization hazards."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", normalize_text(F.col("text")).alias("s")).filter(
+        F.length("s") >= 12
+    )
+    # windows i = 1 .. len-k-w+2 ; inner j = i .. i+w-1 ; hash(substring(s, j, k))
+    fp = (
+        "size(array_distinct(transform(sequence(1, greatest(length(s) - 8 - 4 + 2, 1)), "
+        "i -> array_min(transform(sequence(i, i + 3), "
+        "j -> CAST(conv(substring(md5(substring(s, j, 8)), 1, 15), 16, 10) AS BIGINT))))))"
+    )
+    return base.select("doc_id", F.expr(fp).cast("long").alias("n_fingerprints"))
+
+
+@_register(
+    "q48_multimodal_features",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS height,
+           CAST((octet_length(encode(text)) % 1000) AS DOUBLE) / 1000 AS feature_norm
+    FROM documents
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing with an oracle: binary payload + metadata
+    through the Arrow-batched mapInPandas feature extractor; the stub
+    decode is deterministic, so even the Python-side path is
+    SQL-checkable end-to-end."""
+    from owl_etl_spark.operators.multimodal import extract_features, to_binary_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(to_binary_payload(d))

@@ -1,0 +1,98 @@
+"""Plan-quality assertions: the physical plans Catalyst produces for
+the headline queries must have the shape we would want at 100 TB —
+filters pushed to the parquet scan, pruned read schemas, broadcast
+joins on dimensions, partial aggregation before the shuffle, and no
+Python row-UDFs in relational paths.
+
+These tests freeze the *scale characteristics*, not the exact plan
+text — they fail loudly if a refactor accidentally de-optimizes
+(e.g. a cast that blocks pushdown, or a join that flips to
+sort-merge-with-shuffle on a 25-row dimension).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q06_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "q06_revenue_forecast")
+    assert "PushedFilters:" in plan
+    # discount/quantity predicates must reach the reader
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q01_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # ReadSchema must not include unused columns like l_comment/l_partkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_q01_partial_aggregation(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q05_region_revenue")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q07_single_shuffle_window(spark):
+    import re
+
+    plan = _plan(spark, "q07_latest_order_per_customer")
+    # one exchange for the window partitioning; no extra shuffles
+    # (count node headers, not tree-section mentions)
+    exchanges = re.findall(r"^\(\d+\) (ReusedExchange|Exchange)", plan, re.M)
+    assert exchanges.count("Exchange") <= 1, plan
+    assert "Window" in plan
+    # rn=1 is planned as a group-limit BEFORE the shuffle (map-side
+    # partial top-k) — the property that makes W1 scale
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    for name in [
+        "q01_pricing_summary",
+        "q05_region_revenue",
+        "q16_sessionize",
+        "q23_exact_dedup",
+        "q27_minhash_signatures",
+        "q30_knn_bruteforce",
+    ]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unnecessarily"
+
+
+def test_wholestage_codegen_active(spark):
+    import contextlib
+    import io
+
+    df = entrymod.queries()["q01_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan only after execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode shows codegen stage markers *(n)
+    assert "*(1)" in buf.getvalue()
