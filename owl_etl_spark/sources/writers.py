@@ -1,0 +1,62 @@
+"""Sinks (SURVEY.md §2.1 S8-S14): partitioned staging writers, the
+skip-list sink, gold-table writers with upsert semantics.
+
+The reference writes one pretty-printed JSON file per document into
+``data/json_raw_<year>_<month>/`` folders and upserts per-document
+into Postgres. Distributed form: partitioned columnar writes (the
+folder convention becomes a partition spec — partition pruning for
+free) and snapshot-merge writes for gold tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_staged_json(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("anio", "mes"), mode: str = "overwrite") -> None:
+    """S8/S9: staging layer partitioned by (year, month) — the
+    reference's folder-per-month convention as a partition spec.
+    JSON keeps the staging contract human-readable; switch to
+    ``.parquet`` for the compressed path at scale.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).json(path)
+
+
+def write_staged_parquet(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("anio", "mes"), mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_skip_list(df: DataFrame, stem_col, path: str) -> None:
+    """S12: quarantine sink — one file-stem per line, header comment,
+    consumable by sources.read_skip_list. Coalesced to 1 file (skip
+    lists are tiny by construction)."""
+    (
+        df.select(F.col(stem_col).cast("string").alias("value"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_gold_snapshot(tables: dict[str, DataFrame], base_path: str, mode: str = "overwrite") -> None:
+    """S10: write all gold tables from one silver snapshot.
+
+    Plain parquet overwrite = full-refresh semantics. For incremental
+    loads, merge with ``operators.latest.upsert_by_recency`` against the
+    previous snapshot before writing (Delta MERGE being the managed-
+    table equivalent); cross-table atomicity is documented as weaker
+    than the reference's per-document transaction (SURVEY.md §7.4) —
+    idempotent reruns from the same snapshot converge.
+    """
+    for name, df in tables.items():
+        df.write.mode(mode).parquet(f"{base_path}/{name}")
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """Postgres-parity sink (S10 exact-target variant). Not exercised in
+    tests (no database in the environment); kept as the thin adapter a
+    deployment would use: ``df.write.jdbc`` with batch sizing options.
+    """
+    df.write.mode(mode).options(**options).jdbc(url, table)
