@@ -1633,3 +1633,15 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return extract_features(to_binary_payload(d))
+
+
+@_register("q49_ivf_knn", None)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN: k-means (Lloyd, library operator) buckets
+    the corpus, queries probe the nearest clusters only. Iterative +
+    approximate → rows-only; tests assert recall vs q30."""
+    from owl_etl_spark.operators.cluster import ivf_knn, kmeans_fit
+
+    em = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(em, k=8, max_iters=3)
+    return ivf_knn(em.filter(F.col("vec_id") < 10), em, centroids, k=5, n_probes=3)

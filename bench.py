@@ -37,6 +37,8 @@ HEADLINE = [
     "q29_ngram_jaccard_pairs",
     "q30_knn_bruteforce",
     "q34_minhash_lsh_pairs",
+    "q45_running_revenue",
+    "q47_winnow_fingerprints",
 ]
 
 

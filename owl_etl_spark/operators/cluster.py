@@ -1,0 +1,148 @@
+"""K-means clustering over embedding columns (Lloyd iterations) and
+IVF-style ANN built on it.
+
+The iterative-algorithm pattern on Spark: per iteration, one
+assignment pass (broadcast centroids → argmin distance, map-only) and
+one centroid update (groupBy cluster → vector mean, one shuffle of
+dim-sized partial sums). Centroids live driver-side between iterations
+(k·dim doubles — trivially small); the DATA never leaves executors.
+
+This is the bucketing path for similarity search at 100 TB: cluster
+once, store ``cluster_id`` as a column (or partition), and restrict
+query probes to the nearest few centroids (IVF) — the same shape as
+``knn.lsh_knn`` but with data-adaptive buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from owl_etl_spark.functions.similarity import cosine_sql
+
+
+def _assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """argmin squared-L2 over centroid literals — one intra-row
+    expression, no UDF, no shuffle."""
+    k, dim = centroids.shape
+    dists = []
+    for c in range(k):
+        arr = ", ".join(f"{v!r}D" for v in centroids[c])
+        dists.append(
+            f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        )
+    best = " ".join(
+        f"WHEN least({', '.join(dists)}) = ({dists[c]}) THEN {c}" for c in range(k)
+    )
+    return F.expr(f"CASE {best} END")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's algorithm; returns (k, dim) centroids.
+
+    Init: deterministic sample (first k by an md5 hash of the vector —
+    seed-stable without a data scan order dependency). Each iteration
+    is one Spark job: assignment (map) + per-cluster mean (shuffle of
+    k·dim partials via Summarizer-style agg on array columns).
+    """
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([list(r.v) for r in sample], dtype=float)
+    if centroids.shape[0] < k:
+        raise ValueError(f"need at least k={k} vectors, got {centroids.shape[0]}")
+
+    for _ in range(max_iters):
+        assigned = df.select(
+            _assign_expr(vec_col, centroids).alias("cluster"),
+            F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("v"),
+        )
+        # per-cluster element-wise sum + count: aggregate arrays with
+        # zip_with inside a reduce-style agg — k·dim doubles move, not data
+        agg = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(dim)]).alias("sums"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for row in agg:
+            new[row.cluster] = np.array(row.sums) / row.n
+        if np.allclose(new, centroids, atol=1e-9):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``cluster_id`` — map-only, broadcast-by-literal."""
+    return df.withColumn("cluster_id", _assign_expr(vec_col, centroids))
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are probed only in the
+    ``n_probes`` clusters nearest to each query.
+
+    probe assignment is the same argmin expression ranked to n_probes;
+    the candidate join is an equi-join on cluster_id. Recall rises with
+    n_probes (== brute force at n_probes=k_clusters)."""
+    kc = centroids.shape[0]
+    c = assign_clusters(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster_id"
+    )
+    # per-query distances to each centroid → explode top n_probes
+    dist_structs = []
+    for ci in range(kc):
+        arr = ", ".join(f"{v!r}D" for v in centroids[ci])
+        d = (
+            f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        )
+        dist_structs.append(f"named_struct('cluster_id', {ci}, 'd', {d})")
+    probes = (
+        f"transform(slice(array_sort(array({', '.join(dist_structs)}), "
+        f"(a, b) -> CASE WHEN a.d < b.d THEN -1 WHEN a.d > b.d THEN 1 ELSE 0 END), 1, {n_probes}), "
+        f"p -> p.cluster_id)"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.expr(probes)).alias("cluster_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_sql("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
