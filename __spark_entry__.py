@@ -1645,3 +1645,90 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(em, k=8, max_iters=3)
     return ivf_knn(em.filter(F.col("vec_id") < 10), em, centroids, k=5, n_probes=3)
+
+
+@_register(
+    "q50_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.value AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase enriched with the user's
+    latest preceding click. Spark lacks ASOF JOIN — the library
+    operator uses the union + last(ignorenulls) carry-forward (one
+    shuffle, no candidate blow-up); the oracle uses DuckDB's native
+    ASOF JOIN, so the semantics equivalence is machine-checked."""
+    from owl_etl_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"], suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_click", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
+@_register(
+    "q51_range_join",
+    """
+    WITH signups AS (
+      SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS t0 FROM events
+      WHERE event_type = 'signup'
+    ), clicks AS (
+      SELECT user_id, (epoch_us(ts) // 1000000) AS tc FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT s.event_id, s.user_id,
+           CAST(count(c.user_id) AS BIGINT) AS clicks_within_1h
+    FROM signups s LEFT JOIN clicks c
+      ON s.user_id = c.user_id AND c.tc >= s.t0 AND c.tc <= s.t0 + 3600
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within 1 hour after each signup,
+    same user. The library operator bucketizes the range key so the
+    join is equi (keys, bucket) + exact filter — bounded candidates
+    instead of a per-key cross product."""
+    from owl_etl_spark.operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", sec.alias("t0"), (sec + 3600).alias("t1")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", sec.alias("tc"))
+    joined = range_join(
+        signups, clicks, on=["user_id"], left_lo="t0", left_hi="t1",
+        right_point="tc", bucket_width=3600,
+    )
+    counts = joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("clicks_within_1h")
+    )
+    # left semantics: signups with zero clicks keep a 0 row
+    return (
+        signups.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .withColumn("clicks_within_1h", F.coalesce("clicks_within_1h", F.lit(0)).cast("long"))
+    )
