@@ -1732,3 +1732,57 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["event_id", "user_id"], "left")
         .withColumn("clicks_within_1h", F.coalesce("clicks_within_1h", F.lit(0)).cast("long"))
     )
+
+
+@_register(
+    "q52_multi_granularity_rollup",
+    f"""
+    SELECT granularity, bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_money_sum_duck('value')} AS total_value
+    FROM (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS d,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             event_type, value
+      FROM events
+    ) t
+    CROSS JOIN (VALUES ('day'), ('hour')) g(granularity)
+    CROSS JOIN LATERAL (SELECT CASE granularity WHEN 'day' THEN d ELSE h END AS bucket) b
+    GROUP BY granularity, bucket, event_type
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass produces
+    day- AND hour-grain aggregates (continuous-aggregate shape). Spark
+    side: explode per-row (granularity, bucket) pairs then one hash
+    agg — at scale this is the standard pre-aggregation cascade
+    written as a single shuffle."""
+    e = _t(spark, sf_dir, "events")
+    buckets = F.expr(
+        "array(named_struct('granularity', 'day', 'bucket', "
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss')), "
+        "named_struct('granularity', 'hour', 'bucket', "
+        "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')))"
+    )
+    return (
+        e.select(F.explode(buckets).alias("g"), "event_type", "value")
+        .select("g.granularity", "g.bucket", "event_type", "value")
+        .groupBy("granularity", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _money_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@_register("q53_approx_stats", None)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
+    algorithms differ across engines by design → rows-only; the test
+    suite bounds relative error against exact counts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -228,3 +228,24 @@ def test_multimodal_feature_extraction(spark):
     assert out.media_type == "text/plain"
     assert out.n_bytes == 11
     assert out.width == 12 and out.height == 12  # deterministic stub dims
+
+
+def test_approx_stats_error_bounds(spark):
+    import __spark_entry__ as m
+
+    approx = {
+        r.o_orderpriority: r
+        for r in m.queries()["q53_approx_stats"](spark, "/root/testdata/sf0.001").collect()
+    }
+    from owl_etl_spark.sources.readers import read_table
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = {
+        r.o_orderpriority: r.d
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for k, row in approx.items():
+        rel_err = abs(row.approx_customers - exact[k]) / exact[k]
+        assert rel_err < 0.1, f"{k}: approx {row.approx_customers} vs exact {exact[k]}"
