@@ -98,13 +98,14 @@ def minhash_lsh_pairs(
     massive exact-duplicate classes, which exact-dedup removes first.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, num_hashes, shingle_n).select(id_col, "minhash")
-    # Exchange barrier: without it CollapseProject inlines the whole
-    # 16-aggregate signature expression into the band-explode lambda and
-    # recomputes it once PER BAND (measured 8x cost). The shuffle moves
-    # only (id, signature) — the same order of bytes the band join
-    # shuffles anyway.
-    sig = sig.repartition(F.col(id_col))
+    # Repartition BEFORE the signature stage: a small text corpus often
+    # arrives as one scan partition, which would serialize the CPU-heavy
+    # md5 work onto a single task. This exchange also doubles as the
+    # plan barrier that stops CollapseProject from inlining the
+    # 16-aggregate signature expression into the band-explode lambda
+    # (measured 8x recompute without it).
+    spread = df.select(id_col, text_col).repartition(F.col(id_col))
+    sig = with_minhash(spread, text_col, num_hashes, shingle_n).select(id_col, "minhash")
     banded = sig.select(
         id_col,
         F.explode(
@@ -176,8 +177,12 @@ def ngram_jaccard_pairs(
     candidates and this only on the candidate set.
     """
     norm = normalize_text(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), norm.alias("__norm")).withColumn(
-        "__toks", F.split(F.col("__norm"), " ")
+    # pre-spread: small corpora scan as one partition; shingling +
+    # hashing must not serialize onto a single task
+    base = (
+        df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+        .repartition(F.col("id"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
     )
     shingles_sql = (
         f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
