@@ -1,0 +1,99 @@
+"""Scale-technique tests: bucketed co-located joins (no exchange),
+salted aggregation/join equivalence."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl_etl_spark.sources.readers import read_table
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing both join sides on the key co-locates them at write
+    time — the join plans WITHOUT a shuffle. This is the 100 TB recipe
+    for repeated fact-fact joins (pay the shuffle once at load)."""
+    import re
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderpriority").count()
+        plan = _plan_of(joined)
+        # the join itself must not shuffle either side: no Exchange
+        # between the scans and the SortMergeJoin (the final groupBy
+        # exchange is expected)
+        join_section = plan.split("SortMergeJoin")[0]
+        scans = [l for l in join_section.splitlines() if "Scan" in l]
+        assert "SortMergeJoin" in plan
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+        assert len(exchanges) <= 1, plan  # only the aggregation exchange
+
+        # and results equal the plain join
+        expected = {
+            r.o_orderpriority: r["count"]
+            for r in o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        got = {r.o_orderpriority: r["count"] for r in joined.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_groupby_sum_equivalence(spark):
+    from owl_etl_spark.operators.skew import salted_groupby_sum
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plain = {
+        r.l_returnflag: round(r.s, 2)
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r.l_returnflag: round(r.sum_l_quantity, 2)
+        for r in salted_groupby_sum(li, ["l_returnflag"], "l_quantity", "l_orderkey").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equivalence(spark):
+    from owl_etl_spark.operators.skew import salted_join
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    c = read_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        o.join(c, "o_custkey").groupBy("c_mktsegment").count().collect()
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", "o_orderkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in salted} == {
+        (r.c_mktsegment, r["count"]) for r in plain
+    }
