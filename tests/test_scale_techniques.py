@@ -26,10 +26,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     for repeated fact-fact joins (pay the shuffle once at load)."""
     import re
 
+    import shutil
+
     o = read_table(spark, "/root/testdata/sf0.001", "orders")
     li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a previous session's drop removes only the catalog entry; orphaned
+    # warehouse dirs block managed-table creation
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
 
