@@ -82,21 +82,11 @@ def cmd_transform(args) -> int:
     if args.reference_layout:
         bronze = read_fic_json(spark, args.input, FIC_RAW_SCHEMA)
     else:
+        from owl_etl_spark.sources.readers import derive_metadata_from_filename
+
         schema = _staged_schema(FIC_RAW_SCHEMA, extra=("filename",))
         raw = spark.read.schema(schema).json(args.input)
-        fname = F.col("filename")
-        bronze = (
-            raw.withColumnRenamed("filename", "_filename")
-            .withColumn("banco", F.regexp_extract(F.col("_filename"), r"^([^_]+)_", 1))
-            .withColumn(
-                "fondo",
-                F.regexp_extract(F.col("_filename"), r"^[^_]+_(.+?)(?:_raw)?\.(?:json|pdf)$", 1),
-            )
-            .withColumn("anio", F.regexp_extract(F.col("_filename"), r"(\d{4})[_-](\d{1,2})", 1))
-            .withColumn("mes", F.regexp_extract(F.col("_filename"), r"(\d{4})[_-](\d{1,2})", 2))
-            .withColumn("anio", F.when(F.col("anio") == "", None).otherwise(F.col("anio")))
-            .withColumn("mes", F.when(F.col("mes") == "", None).otherwise(F.col("mes")))
-        )
+        bronze = derive_metadata_from_filename(raw)
     lookup = None
     if args.lookup:
         # {banco: {fic: url}} nested file → flat dimension

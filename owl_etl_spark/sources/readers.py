@@ -151,3 +151,21 @@ def read_skip_list(spark: SparkSession, path: str) -> DataFrame:
         .distinct()
     )
     return stems
+
+
+def derive_metadata_from_filename(df: DataFrame, filename_col: str = "filename") -> DataFrame:
+    """P9 for staged layers: banco/fondo/anio/mes from a filename COLUMN
+    (staged JSONL rows carry the original name as data; the physical
+    part-file name is meaningless)."""
+    out = df
+    if filename_col != "_filename":
+        out = out.withColumnRenamed(filename_col, "_filename")
+    f = F.col("_filename")
+    date_y = F.regexp_extract(f, r"(\d{4})[_-](\d{1,2})", 1)
+    date_m = F.regexp_extract(f, r"(\d{4})[_-](\d{1,2})", 2)
+    return (
+        out.withColumn("banco", F.regexp_extract(f, r"^([^_]+)_", 1))
+        .withColumn("fondo", F.regexp_extract(f, r"^[^_]+_(.+?)(?:_raw)?\.(?:json|pdf)$", 1))
+        .withColumn("anio", F.when(date_y == "", None).otherwise(date_y))
+        .withColumn("mes", F.when(date_m == "", None).otherwise(date_m))
+    )

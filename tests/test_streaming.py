@@ -103,3 +103,32 @@ def test_streaming_latest_per_key(spark, tmp_path):
         if r.k not in last or r.fecha > last[r.k][0]:
             last[r.k] = (r.fecha, r.val)
     assert last == {"f1": ("2025-07-31", "new"), "f2": ("2025-05-31", "only")}
+
+
+def test_incremental_silver_exactly_once(spark, tmp_path):
+    """Two invocations over a growing bronze dir: the second run
+    processes ONLY the new file (checkpointed file source)."""
+    from owl_etl_spark.streaming.incremental import incremental_silver
+
+    bronze = tmp_path / "bronze"; bronze.mkdir()
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(name):
+        return json.dumps({
+            "fic": {"nombre_fic": name, "gestor": "g", "custodio": "c",
+                    "fecha_corte": "2025-07-31", "politica_de_inversion": "bonos"},
+            "filename": f"banco1_{name}_raw.json",
+        })
+
+    (bronze / "b0.json").write_text(doc("fondo1") + "\n")
+    incremental_silver(spark, str(bronze), silver, ckpt)
+    first = spark.read.json(silver)
+    assert first.count() == 1
+
+    (bronze / "b1.json").write_text(doc("fondo2") + "\n")
+    incremental_silver(spark, str(bronze), silver, ckpt)
+    out = spark.read.json(silver)
+    # fondo1 NOT reprocessed: exactly 2 rows total
+    assert out.count() == 2
+    assert {r["fic"]["nombre_fic"] for r in out.select("fic").collect()} == {"fondo1", "fondo2"}
