@@ -106,14 +106,27 @@ def convert_if_needed_sql(path: str, scale: int = 6) -> str:
 
 
 def smart_percent_array_sql(arr_sql: str, key_field: str, scale: int = 6) -> str:
-    """SQL-text form of :func:`smart_percent_array`."""
+    """SQL-text form of :func:`smart_percent_array`.
+
+    The 'unknown' vote falls back to PER-VALUE conversion, exactly like
+    the reference's ``_convertir_porcentaje_individual``
+    (src/etl/transform.py:608-628): values in [0.9, 1.1] kept, in
+    [90, 110] or > 1.1 divided by 100, else kept.
+    """
     fmt = _format_vote_sql(arr_sql)
+    v = "x.participacion"
+    individual = f"""CASE
+        WHEN abs({v}) BETWEEN 0.9D AND 1.1D THEN round({v}, {scale})
+        WHEN abs({v}) BETWEEN 90.0D AND 110.0D THEN round({v} / 100.0D, {scale})
+        WHEN abs({v}) > 1.1D THEN round({v} / 100.0D, {scale})
+        ELSE round({v}, {scale}) END"""
     return f"""transform({arr_sql}, x -> named_struct(
               '{key_field}', x.{key_field},
               'participacion',
-              CASE WHEN x.participacion IS NULL THEN CAST(NULL AS DOUBLE)
-                   WHEN ({fmt}) = 'x100' THEN round(x.participacion / 100.0D, {scale})
-                   ELSE round(x.participacion, {scale}) END))"""
+              CASE WHEN {v} IS NULL THEN CAST(NULL AS DOUBLE)
+                   WHEN ({fmt}) = 'x100' THEN round({v} / 100.0D, {scale})
+                   WHEN ({fmt}) = 'frac' THEN round({v}, {scale})
+                   ELSE ({individual}) END))"""
 
 
 def smart_percent_array(arr_sql: str, key_field: str, scale: int = 6) -> Column:

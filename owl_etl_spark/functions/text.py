@@ -95,21 +95,30 @@ def classify_keywords(col: Column, class_keywords: dict[str, list[str]], default
     return expr.otherwise(out) if expr is not None else out
 
 
-#: The reference's four fund classes (src/etl/transform.py:120-142) —
-#: kept as the canonical example instantiation of classify_keywords.
+#: The reference's four keyword classes, verbatim facts from
+#: src/etl/transform.py:120-142 (substring containment over the
+#: lowercased investment policy; first-declared class wins ties).
 FIC_CLASS_KEYWORDS = {
     "Renta Fija": [
-        "renta fija", "bonos", "cdt", "tes", "deuda", "titulos de deuda",
-        "mercado monetario", "liquidez", "corto plazo",
+        "renta fija", "bonos", "cdt", "certificado de depósito", "tes",
+        "títulos de deuda", "deuda pública", "tasa fija", "fixed income",
+        "instrumentos de deuda", "papeles comerciales", "obligaciones",
     ],
     "Renta Variable": [
-        "renta variable", "acciones", "equity", "indices accionarios",
-        "mercado accionario", "dividendos",
+        "renta variable", "acciones", "equity", "bolsa de valores",
+        "mercado accionario", "stocks", "índices accionarios",
+        "participaciones", "capitalización bursátil",
     ],
-    "Mixta": ["mixto", "balanceado", "multiactivo", "diversificado"],
+    "Mixta": [
+        "mixta", "balanced", "balanceado", "combinado",
+        "renta fija y variable", "fija y variable", "diversificado",
+        "multiactivo", "multi-activo",
+    ],
     "Alternativa": [
-        "inmobiliario", "private equity", "capital privado", "infraestructura",
-        "commodities", "alternativo",
+        "alternativa", "alternative", "hedge fund", "fondos de cobertura",
+        "private equity", "capital privado", "inmobiliario", "real estate",
+        "commodities", "materias primas", "infraestructura", "derivados",
+        "divisas", "forex", "opciones", "futuros",
     ],
 }
 

@@ -37,23 +37,26 @@ from owl_etl_spark.functions.text import FIC_CLASS_KEYWORDS, classify_keywords
 from owl_etl_spark.operators.quality import repair_structure
 from owl_etl_spark.schemas import COMPOSICION_CATEGORIES
 
-#: Known rating agencies for J2 normalization (the reference pins 13
-#: Colombian-market agencies at src/etl/transform.py:12-16; the set is
-#: a config knob here).
+#: Known rating agencies for J2 normalization — the reference's 13
+#: canonical (uppercase) names (src/etl/transform.py:12-16). Note the
+#: reference iterates a *set* for its substring fallback, so its pick
+#: among multiple containing candidates is interpreter-hash-order
+#: dependent; this engine breaks such ties deterministically by
+#: similarity, then list order.
 RATING_AGENCIES = [
-    "BRC Investor Services",
-    "BRC Ratings",
-    "Fitch Ratings Colombia",
-    "Fitch Ratings",
-    "Moody's Local",
-    "Moody's",
-    "S&P Global Ratings",
-    "Standard & Poor's",
-    "Value and Risk Rating",
-    "Pacific Credit Rating",
-    "Duff and Phelps",
-    "Humphreys",
-    "Feller Rate",
+    "FITCH RATINGS",
+    "FITCH",
+    "STANDARD & POOR'S",
+    "S&P",
+    "MOODY'S",
+    "DBRS",
+    "BRC",
+    "BRC INVESTOR SERVICES",
+    "VALORA",
+    "VALORAMERICA",
+    "CEC",
+    "CEPAL",
+    "ICFC",
 ]
 
 #: Bank-name aliases (camelCase lookup keys vs filename tokens) — the
@@ -128,8 +131,17 @@ def _agency_match(col: Column, agencies: list[str], cutoff: float = 0.8) -> Colu
         max_len = F.greatest(F.length(probe), F.length(cand))
         sim = F.lit(1.0) - F.levenshtein(probe, cand) / max_len
         contained = probe.contains(cand) | cand.contains(probe)
+        # Containment ties: the reference iterates a SET here (its pick
+        # is interpreter-hash-order dependent); we break ties by the
+        # match appearing earliest in the probe, then the tighter
+        # (shorter) canonical — which reproduces the checked-in goldens.
+        contained_score = (
+            F.lit(0.801)
+            + F.lit(0.001) / (1 + F.greatest(F.locate(agency.upper(), probe) - 1, F.lit(0)))
+            + F.lit(0.0001) / len(agency)
+        )
         return F.when(probe.isNull() | (probe == ""), F.lit(-1.0)).otherwise(
-            F.when(contained & (sim < cutoff), F.lit(cutoff)).otherwise(sim)
+            F.when(contained & (sim < cutoff), contained_score).otherwise(sim)
         )
 
     scores = [(a, score(a)) for a in agencies]
@@ -159,23 +171,26 @@ def _normalize_agencies(df: DataFrame, agencies: list[str]) -> DataFrame:
 def _parse_dates(df: DataFrame) -> DataFrame:
     """Stage 3 — P8 on the three date fields; ISO-string output keeps
     the reference's store-as-string convention (lexicographic compare
-    stays valid)."""
+    stays valid). Unparseable values keep the ORIGINAL string
+    (reference: src/etl/transform.py:955-963 warns and leaves the
+    field untouched); downstream validity gates treat non-ISO as null.
+    """
+
+    def parse_keep(path: str) -> Column:
+        return F.coalesce(parse_fecha_robusta_iso(F.col(path)), F.col(path))
+
     return df.withColumn(
         "fic",
-        F.col("fic").withField(
-            "fecha_corte", parse_fecha_robusta_iso(F.col("fic.fecha_corte"))
-        ),
+        F.col("fic").withField("fecha_corte", parse_keep("fic.fecha_corte")),
     ).withColumn(
         "caracteristicas",
         F.col("caracteristicas").withField(
-            "fecha_inicio_operaciones",
-            parse_fecha_robusta_iso(F.col("caracteristicas.fecha_inicio_operaciones")),
+            "fecha_inicio_operaciones", parse_keep("caracteristicas.fecha_inicio_operaciones")
         ),
     ).withColumn(
         "calificacion",
         F.col("calificacion").withField(
-            "fecha_ultima_calificacion",
-            parse_fecha_robusta_iso(F.col("calificacion.fecha_ultima_calificacion")),
+            "fecha_ultima_calificacion", parse_keep("calificacion.fecha_ultima_calificacion")
         ),
     )
 

@@ -161,7 +161,7 @@ def test_rv_horizons_normalized(transformed):
 
 def test_agency_fuzzy_normalized(transformed):
     a = transformed["fondoA"]["calificacion"]
-    assert a["entidad_calificadora"] == "BRC Investor Services"
+    assert a["entidad_calificadora"] == "BRC INVESTOR SERVICES"
     assert a["entidad_calificadora_normalizada"] is True
     c = transformed["cartera especial zz"]["calificacion"]
     assert c["entidad_calificadora"] == "Agencia Desconocida XYZ"
@@ -171,7 +171,7 @@ def test_agency_fuzzy_normalized(transformed):
 def test_dates_parsed(transformed):
     assert transformed["fondoA"]["fic"]["fecha_corte"] == "2025-07-31"
     assert transformed["fondoB"]["fic"]["fecha_corte"] == "2025-07-31"
-    assert transformed["cartera especial zz"]["fic"]["fecha_corte"] is None
+    assert transformed["cartera especial zz"]["fic"]["fecha_corte"] == "not a date"  # unparseable kept, like the reference
     assert transformed["fondoA"]["caracteristicas"]["fecha_inicio_operaciones"] == "2010-03-15"
     assert transformed["fondoA"]["calificacion"]["fecha_ultima_calificacion"] == "2025-07-01"
 

@@ -1,0 +1,91 @@
+"""Golden parity against the reference's own checked-in outputs.
+
+Runs the engine's FIC transform over the reference's raw JSON fixtures
+(read-only inputs) and field-diffs the result against the reference's
+transformed goldens — the same validation strategy the reference uses
+on itself (src/scripts/test_ETL.py, float tolerance 1e-10).
+
+Excluded fields, with reasons:
+- ``fic.url``: the lookup dimension (owl-web-scraping/fics.json) is not
+  part of the reference snapshot, so URLs cannot be derived.
+- ``caracteristicas.valor``: the goldens are internally inconsistent
+  (three historical behaviors: raw value kept, descaled unrounded,
+  descaled differently) and none match the current reference code
+  (while >1e6 /1000, round 2); the engine follows the current code,
+  property-tested in test_properties.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+
+import pytest
+
+REF = "/root/reference/data"
+EXCLUDE_PREFIXES = ("fic.url", "caracteristicas.valor")
+TOL = 1e-10
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{REF}/json_raw_2025_07"), reason="reference fixtures unavailable"
+)
+
+
+def _flatten(obj, prefix=""):
+    out = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            out.update(_flatten(v, f"{prefix}.{k}" if prefix else k))
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            out.update(_flatten(v, f"{prefix}[{i}]"))
+    else:
+        out[prefix] = obj
+    return out
+
+
+@pytest.fixture(scope="module")
+def transformed(spark):
+    from owl_etl_spark.plans.fic_pipeline import transform_fic_documents
+    from owl_etl_spark.schemas import FIC_RAW_SCHEMA
+    from owl_etl_spark.sources.readers import read_fic_json
+
+    bronze = read_fic_json(spark, f"{REF}/json_raw_2025_07", FIC_RAW_SCHEMA)
+    silver = transform_fic_documents(bronze)
+    return {r["_filename"]: r.asDict(recursive=True) for r in silver.collect()}
+
+
+def _pairs():
+    return sorted(glob.glob(f"{REF}/json_transformed_2025_07/*_transformed.json"))
+
+
+@pytest.mark.parametrize("gold_path", _pairs(), ids=[p.split("/")[-1] for p in _pairs()])
+def test_golden_reliability(transformed, gold_path):
+    golden = json.load(open(gold_path))
+    stem = gold_path.split("/")[-1].replace("_raw_transformed.json", "_raw.json")
+    mine = transformed[stem]
+    mine = {
+        k: v
+        for k, v in mine.items()
+        if not k.startswith("_") and k not in ("banco", "fondo", "anio", "mes")
+    }
+    fg, fm = _flatten(golden), _flatten(mine)
+    keys = {
+        k
+        for k in (set(fg) | set(fm))
+        if not any(k.startswith(e) for e in EXCLUDE_PREFIXES)
+    }
+    diffs = []
+    for k in sorted(keys):
+        a, b = fm.get(k), fg.get(k)
+        if isinstance(a, float) and isinstance(b, float):
+            if not (abs(a - b) <= TOL or (math.isnan(a) and math.isnan(b))):
+                diffs.append((k, a, b))
+        elif a != b:
+            diffs.append((k, a, b))
+    reliability = (1 - len(diffs) / len(keys)) * 100
+    # reference's own per-file accuracy floor is 88 (BASELINE.md); the
+    # engine reproduces the current-code semantics at ~100
+    assert reliability >= 99.0, f"{stem}: {reliability:.2f}%, diffs: {diffs[:10]}"
