@@ -59,14 +59,29 @@ RATING_AGENCIES = [
     "ICFC",
 ]
 
-#: Bank-name aliases (camelCase lookup keys vs filename tokens) — the
-#: reference hardcodes ~17 (src/etl/transform.py:272-305).
+#: Bank-name alias map (filename token → fics.json key), the
+#: reference's mapping verbatim as data facts
+#: (src/etl/transform.py:277-297; probe is lowercased with
+#: space/dash/underscore stripped before lookup).
 BANK_ALIASES = {
     "bancodebogota": "bancoDeBogota",
-    "bancodeoccidente": "bancoDeOccidenteFiduoccidente",
-    "fiduoccidente": "bancoDeOccidenteFiduoccidente",
-    "credicorp": "credicorpCapital",
+    "bancodeoccidentefiduoccidente": "bancoDeOccidenteFiduoccidente",
     "credicorpcapital": "credicorpCapital",
+    "bancolombia": "bancolombia",
+    "bbva": "bbva",
+    "davivienda": "davivienda",
+    "bancoagrario": "bancoAgrario",
+    "bancoavvillas": "bancoAvVillas",
+    "bancocajasocial": "bancoCajaSocial",
+    "bancoomeva": "bancoomeva",
+    "bancoopular": "bancoPopular",
+    "bancofinandina": "bancolombia",
+    "bancopichincha": "bancoPichincha",
+    "bancoreservas": "bancoDeBogota",
+    "bancoinsa": "insa",
+    "cititrust": "citiTrust",
+    "gnbsudameris": "gnbSudameris",
+    "scotiabankcolpatria": "scotiabankColpatria",
 }
 
 _HORIZONS = [
@@ -221,9 +236,12 @@ def _classify_tipo(df: DataFrame) -> DataFrame:
 
 
 def _alias_expr(col: Column, aliases: dict[str, str]) -> Column:
+    """Alias lookup on the reference's normalized key: lowercase with
+    spaces/dashes/underscores stripped (src/etl/transform.py:299-302)."""
+    norm = F.regexp_replace(F.lower(col), r"[\s_\-]+", "")
     out = col
     for k, v in aliases.items():
-        out = F.when(F.lower(col) == k, v).otherwise(out)
+        out = F.when(norm == k, v).otherwise(out)
     return out
 
 
