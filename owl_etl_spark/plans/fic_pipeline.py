@@ -171,15 +171,18 @@ def _agency_match(col: Column, agencies: list[str], cutoff: float = 0.8) -> Colu
 def _normalize_agencies(df: DataFrame, agencies: list[str]) -> DataFrame:
     """Stage 2 — J2: normalized agency name + boolean flag inside the
     calificacion struct (reference writes both — transform.py:699-702)."""
-    matched = _agency_match(F.col("calificacion.entidad_calificadora"), agencies)
+    ent = F.col("calificacion.entidad_calificadora")
+    matched = _agency_match(ent, agencies)
+    # flag stays NULL when the field is absent/empty — the reference
+    # only writes it when an entidad value exists (transform.py:691-703)
+    flag = F.when(ent.isNull() | (F.trim(ent) == ""), F.lit(None).cast("boolean")).otherwise(
+        matched.isNotNull()
+    )
     return df.withColumn(
         "calificacion",
         F.col("calificacion")
-        .withField(
-            "entidad_calificadora",
-            F.coalesce(matched, F.col("calificacion.entidad_calificadora")),
-        )
-        .withField("entidad_calificadora_normalizada", matched.isNotNull()),
+        .withField("entidad_calificadora", F.coalesce(matched, ent))
+        .withField("entidad_calificadora_normalizada", flag),
     )
 
 

@@ -88,8 +88,12 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
     ``regexp_extract`` columns over ``input_file_name()`` — evaluated
     at scan time, no extra pass.
     """
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    folder = F.element_at(F.split(F.input_file_name(), "/"), -2)
+    # input_file_name() percent-encodes (spaces -> %20); decode so
+    # filename-derived keys match the on-disk names
+    raw_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    raw_folder = F.element_at(F.split(F.input_file_name(), "/"), -2)
+    fname = F.coalesce(F.expr(f"try_url_decode({raw_name._jc.toString()})"), raw_name)
+    folder = F.coalesce(F.expr(f"try_url_decode({raw_folder._jc.toString()})"), raw_folder)
     return (
         df.withColumn("_filename", fname)
         .withColumn("banco", F.regexp_extract(fname, r"^([^_]+)_", 1))
