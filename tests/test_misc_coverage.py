@@ -1,0 +1,112 @@
+"""Coverage for the remaining library surface: similarity UDF parity
+with difflib, the Pipeline runner, observation metrics, text shingles,
+fuzzy_top1_join directly, and the reference's monthly-upsert flow."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+from pyspark.sql import functions as F
+
+
+def test_difflib_ratio_udf_parity(spark):
+    from owl_etl_spark.functions.similarity import difflib_ratio, lcs_ratio
+
+    pairs = [
+        ("BRC Investors Servic", "BRC Investor Services"),
+        ("fitch ratings", "fitch"),
+        ("abc", "xyz"),
+        ("", "x"),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select("a", "b", difflib_ratio("a", "b").alias("d"), lcs_ratio("a", "b").alias("l")).collect()
+    for r in got:
+        expected = SequenceMatcher(None, r.a.lower(), r.b.lower()).ratio()
+        assert abs(r.d - expected) < 1e-12, (r.a, r.b)
+        # LCS ratio: 2*lcs/(len_a+len_b)
+        if r.a and r.b:
+            assert 0.0 <= r.l <= 1.0
+
+
+def test_pipeline_runner(spark):
+    from owl_etl_spark.plans.pipeline import Pipeline
+
+    df = spark.range(10)
+    p = (
+        Pipeline()
+        .then("double", lambda d: d.withColumn("x", F.col("id") * 2))
+        .then("filter", lambda d: d.filter(F.col("x") >= 10))
+    )
+    out = p.run(df)
+    assert out.count() == 5
+    assert [n for n, _ in p.steps] == ["double", "filter"]
+
+
+def test_observed_counts(spark):
+    from owl_etl_spark.operators.quality import observed_counts
+
+    df = spark.range(100).withColumn("ok", F.col("id") % 10 != 0)
+    observed, obs = observed_counts(
+        df, "load_metrics",
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("failed"),
+    )
+    observed.collect()
+    assert obs.get["total"] == 100
+    assert obs.get["failed"] == 10
+
+
+def test_word_shingles_and_char_ngrams(spark):
+    from owl_etl_spark.functions.text import char_ngrams, word_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("xy",)], ["t"])
+    rows = df.select(
+        word_shingles(F.col("t"), 2).alias("ws"), char_ngrams(F.col("t"), 3).alias("cn")
+    ).collect()
+    assert rows[0].ws == ["a b", "b c", "c d"]
+    assert rows[0].cn == ["a b", " b ", "b c", " c ", "c d"]
+    assert rows[1].ws == ["xy"]  # shorter than n -> whole text
+    assert rows[1].cn == ["xy"]
+
+
+def test_fuzzy_top1_join_direct(spark):
+    from owl_etl_spark.operators.fuzzy_join import fuzzy_top1_join
+
+    probe = spark.createDataFrame([("Banco de Bogota",), ("Unknown Entity",)], ["name"])
+    dim = spark.createDataFrame(
+        [("bancodebogota", "u1"), ("bancolombia", "u2")], ["canon", "url"]
+    )
+    out = {r.name: (r.canon, r.url) for r in fuzzy_top1_join(probe, dim, "name", "canon").collect()}
+    assert out["Banco de Bogota"] == ("bancodebogota", "u1")
+    assert out["Unknown Entity"] == (None, None)
+
+
+def test_monthly_upsert_flow(spark):
+    """The reference's operating loop: month N gold snapshot + month N+1
+    silver -> upsert-by-recency keeps newest per fund, inserts new
+    funds, discards stale arrivals (F4/W1/S10 together)."""
+    from owl_etl_spark.operators.latest import upsert_by_recency
+
+    gold_n = spark.createDataFrame(
+        [("FondoA", "u/a", "2025-06-30", 100.0), ("FondoB", "u/b", "2025-06-30", 200.0)],
+        ["nombre_fic", "url", "fecha_corte", "valor"],
+    )
+    silver_n1 = spark.createDataFrame(
+        [
+            ("FondoA", "u/a", "2025-07-31", 110.0),   # newer → replaces
+            ("FondoB", "u/b", "2025-05-31", 150.0),   # stale → discarded
+            ("FondoC", "u/c", "2025-07-31", 300.0),   # new fund → inserted
+        ],
+        ["nombre_fic", "url", "fecha_corte", "valor"],
+    )
+    out = {
+        r.nombre_fic: (r.fecha_corte, r.valor)
+        for r in upsert_by_recency(
+            gold_n, silver_n1, ["nombre_fic", "url"], "fecha_corte"
+        ).collect()
+    }
+    assert out == {
+        "FondoA": ("2025-07-31", 110.0),
+        "FondoB": ("2025-06-30", 200.0),
+        "FondoC": ("2025-07-31", 300.0),
+    }
