@@ -1786,3 +1786,29 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@_register(
+    "q54_unpivot_balances",
+    """
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'acctbal_x2', c_acctbal * 2 FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long reshaping) via the DataFrame unpivot API —
+    the stack() surface the reference's report queries imply (A5)."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_acctbal") * 2).alias("acctbal_x2"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "acctbal_x2", "nationkey"], "metric", "val")
