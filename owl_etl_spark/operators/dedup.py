@@ -241,3 +241,62 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """The full near-duplicate removal flow, composed:
+
+    1. MinHash-LSH candidate pairs (band equi-join — the only shuffle
+       that touches pair space);
+    2. exact Jaccard verification on candidates only (intra-row
+       ``array_intersect`` over distinct shingle sets);
+    3. survivor selection: greedy keep-smaller-id (each verified pair
+       drops its larger id; chains collapse toward the smallest id).
+
+    Returns ``(kept, dropped_pairs)`` where dropped_pairs carries
+    (id_a, id_b, jaccard) evidence. At 100 TB: exact dedup first
+    (removes identical docs and the band-skew they cause), then this.
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    norm = normalize_text(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn(
+            "__sh",
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
+                    f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
+                    f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+                )
+            ),
+        )
+        .select("id", "__sh")
+    )
+    verified = (
+        cand.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(base.withColumnRenamed("id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.size("__sha") + F.size("__shb") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    dropped_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    kept = df.join(dropped_ids, id_col, "left_anti")
+    return kept, verified

@@ -60,3 +60,21 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     deployment would use: ``df.write.jdbc`` with batch sizing options.
     """
     df.write.mode(mode).options(**options).jdbc(url, table)
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("anio", "mes")
+) -> None:
+    """Monthly-load upsert without a transactional table format:
+    dynamic partition overwrite replaces ONLY the partitions present in
+    ``df`` (the arriving month), leaving history untouched — the
+    reference's per-month reload semantics at warehouse scale. The
+    conf flip is scoped to this write.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

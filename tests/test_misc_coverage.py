@@ -110,3 +110,40 @@ def test_monthly_upsert_flow(spark):
         "FondoB": ("2025-06-30", 200.0),
         "FondoC": ("2025-07-31", 300.0),
     }
+
+
+def test_partition_overwrite_monthly_upsert(spark, tmp_path):
+    from owl_etl_spark.sources.writers import write_partition_overwrite, write_staged_parquet
+
+    base = str(tmp_path / "gold")
+    month1 = spark.createDataFrame(
+        [("a", "2025", "6"), ("b", "2025", "7")], ["v", "anio", "mes"]
+    )
+    write_staged_parquet(month1, base)
+    # month 7 re-arrives with corrected data; month 6 must survive
+    month2 = spark.createDataFrame([("b2", "2025", "7")], ["v", "anio", "mes"])
+    write_partition_overwrite(month2, base)
+    # partition values come back type-inferred (ints)
+    back = {(str(r.anio), str(r.mes)): r.v for r in spark.read.parquet(base).collect()}
+    assert back == {("2025", "6"): "a", ("2025", "7"): "b2"}
+
+
+def test_near_dup_dedup_end_to_end(spark):
+    from owl_etl_spark.operators.dedup import near_dup_dedup
+
+    base = "spark window join filter scan table row batch stream merge sort key"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tiny tail"),                  # near-dup of 1
+            (3, "completely different words about cooking pasta tonight"),
+            (4, base),                                  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    kept, dropped = near_dup_dedup(df, threshold=0.6)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    dropped_pairs = {(r.id_a, r.id_b) for r in dropped.collect()}
+    assert 1 in kept_ids and 3 in kept_ids
+    assert 2 not in kept_ids and 4 not in kept_ids
+    assert (1, 4) in dropped_pairs
