@@ -1812,3 +1812,30 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return wide.unpivot("c_custkey", ["acctbal", "acctbal_x2", "nationkey"], "metric", "val")
+
+
+@_register(
+    "q55_array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_aggregate(embedding, 'max') AS max_val,
+           list_aggregate(embedding, 'min') AS min_val,
+           embedding[1] AS first_val,
+           CAST(len(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (§2.9 ARR): size/max/min/index/filter over
+    the embedding arrays — raw stored floats, no arithmetic, exact
+    cross-engine equality."""
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.size(F.expr("filter(embedding, v -> v > 0)")).cast("long").alias("n_positive"),
+    )
