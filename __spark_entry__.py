@@ -1839,3 +1839,88 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("first_val"),
         F.size(F.expr("filter(embedding, v -> v > 0)")).cast("long").alias("n_positive"),
     )
+
+
+@_register(
+    "q56_embedding_normalize",
+    f"""
+    SELECT vec_id,
+           round(sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}), 6) AS norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}), 6) AS first_unit,
+           round({_DOT_DUCK.format(a='embedding', b='embedding')}, 6) AS sq_norm
+    FROM embeddings
+    WHERE sqrt({_DOT_DUCK.format(a='embedding', b='embedding')}) > 0
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization (unit-norm preprocessing for cosine ANN):
+    fixed-order double folds; emits the norm and the first unit-vector
+    component (the full normalized array is the library form —
+    emitting scalars keeps the oracle comparison exact)."""
+    from owl_etl_spark.functions.similarity import norm_sql
+
+    em = _t(spark, sf_dir, "embeddings")
+    n = norm_sql("embedding")
+    return (
+        em.filter(n > 0)
+        .select(
+            "vec_id",
+            F.round(n, 6).alias("norm"),
+            F.round(F.element_at("embedding", 1).cast("double") / n, 6).alias("first_unit"),
+            F.round(
+                F.expr(
+                    "aggregate(transform(embedding, v -> CAST(v AS DOUBLE)), 0D, (acc, v) -> acc + v * v)"
+                ),
+                6,
+            ).alias("sq_norm"),
+        )
+    )
+
+
+@_register(
+    "q57_tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-document top-3 terms. Term
+    frequencies and document frequencies are integer aggregates; the
+    only float op is one ln + one multiply per (doc, token) —
+    deterministic, ranked on the rounded score with a token tiebreak.
+    At scale: two shuffles (tf groupBy, df groupBy) + a broadcast of
+    the df dimension."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
