@@ -1924,3 +1924,189 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@_register(
+    "q58_event_deltas",
+    """
+    SELECT user_id, event_id,
+           CAST(gap_sec AS BIGINT) AS gap_sec,
+           prev_type, next_type
+    FROM (
+      SELECT user_id, event_id,
+             (epoch_us(ts) // 1000000)
+               - (epoch_us(lag(ts) OVER w) // 1000000) AS gap_sec,
+             lag(event_type) OVER w AS prev_type,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface: per-user inter-event gaps and
+    neighboring event types (integer epoch math)."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (sec - F.lag(sec).over(w)).cast("long").alias("gap_sec"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@_register(
+    "q59_exact_variance",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), sums AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round((s2 - s1 * s1 / n) / (n - 1) / 10000, 2) AS price_variance,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100, 4) AS price_stddev
+    FROM sums
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev in the exact integer domain: Σc and Σc² are
+    exact BIGINT sums of cents, so the classic sum-of-squares formula
+    is order-independent and engine-identical — unlike built-in
+    var_samp, whose streaming accumulation differs per engine/
+    partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    sums = o.select("o_orderpriority", c.alias("c")).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return sums.select(
+        "o_orderpriority",
+        "n",
+        F.round(var / 10000, 2).alias("price_variance"),
+        F.round(F.sqrt(var) / 100, 4).alias("price_stddev"),
+    )
+
+
+@_register(
+    "q60_session_funnel",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) // 1000000)
+                          - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             ts, event_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_view) AS BIGINT) AS with_view,
+           CAST(sum(CASE WHEN has_view = 1 AND has_click = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS view_then_click,
+           CAST(sum(CASE WHEN has_view = 1 AND has_click = 1 AND has_purchase = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM per_session
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel: sessionize (library operator), then per-session
+    step flags → funnel counts (view → click → purchase)."""
+    from owl_etl_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 1800)
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("with_view"),
+        F.sum(F.when((F.col("has_view") == 1) & (F.col("has_click") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("view_then_click"),
+        F.sum(
+            F.when(
+                (F.col("has_view") == 1)
+                & (F.col("has_click") == 1)
+                & (F.col("has_purchase") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("full_funnel"),
+    )
+
+
+_AUGMENT_DUCK = """concat(text,
+    CASE WHEN doc_id % 5 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN ' see https://example.test/d/' || CAST(doc_id AS VARCHAR) ELSE '' END)"""
+
+
+@_register(
+    "q61_pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_AUGMENT_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{{2,}}')) AS BIGINT) AS email,
+           CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS url,
+           CAST(length(regexp_replace(regexp_replace(t,
+                  '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{{2,}}', '[REDACTED]', 'g'),
+                  'https?://[^\\s]+', '[REDACTED]', 'g')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): deterministic emails/URLs
+    are injected, then counted and scrubbed via the library's
+    engine-portable patterns (functions.text.redact)."""
+    from owl_etl_spark.functions.text import REDACTION_PATTERNS, redact
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://example.test/d/"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    pats = {k: REDACTION_PATTERNS[k] for k in ("email", "url")}
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(pats["email"])).cast("long").alias("email"),
+        F.regexp_count(F.col("t"), F.lit(pats["url"])).cast("long").alias("url"),
+        F.length(redact(F.col("t"), pats)).cast("long").alias("redacted_len"),
+    )

@@ -190,3 +190,40 @@ def fingerprint(col: Column) -> Column:
     this is the key for exact dedup clusters.
     """
     return F.md5(normalize_text(col))
+
+
+#: Redaction patterns for common PII-ish spans (training-data hygiene).
+#: Engine-portable regex subset (no lookbehind — works in Java regex
+#: and RE2 alike).
+REDACTION_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact(col: Column, patterns: dict[str, str] | None = None, token: str = "[REDACTED]") -> Column:
+    """Replace PII-ish spans with a token — the standard scrubbing pass
+    before corpus publication. Chained regexp_replace (JVM-side)."""
+    out = col
+    for pat in (patterns or REDACTION_PATTERNS).values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redaction_counts(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """struct of per-pattern match counts (audit metric for the scrub)."""
+    pats = patterns or REDACTION_PATTERNS
+    fields = []
+    for name, pat in pats.items():
+        fields.append(F.regexp_count(col, F.lit(pat)).cast("long").alias(name))
+    return F.struct(*fields)
+
+
+def clean_text(col: Column) -> Column:
+    """Canonical corpus cleaning: strip simple markup tags, collapse
+    entities and whitespace, trim. Deliberately conservative — cleaning
+    that alters token content belongs in explicit operators."""
+    out = F.regexp_replace(col, r"<[^>]{1,200}>", " ")     # tags
+    out = F.regexp_replace(out, r"&[a-z]{2,6};", " ")      # entities
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
