@@ -2110,3 +2110,44 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(pats["url"])).cast("long").alias("url"),
         F.length(redact(F.col("t"), pats)).cast("long").alias("redacted_len"),
     )
+
+
+@_register("q62_lsh_blocked_near_dup", None)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with hyperplane-LSH blocking (the label-free
+    scale path of q32): bucket join instead of label join. Approximate
+    (bucket boundaries) → rows-only; q32 is the exact-blocked oracle."""
+    from owl_etl_spark.operators.dedup import embedding_near_dup_pairs
+    from owl_etl_spark.operators.knn import random_hyperplane_bucket
+
+    em = _t(spark, sf_dir, "embeddings")
+    bucketed = random_hyperplane_bucket(em, num_planes=4)
+    return embedding_near_dup_pairs(
+        bucketed, "vec_id", "embedding", block_col="lsh_bucket", threshold=0.5
+    )
+
+
+@_register(
+    "q63_collect_surface",
+    """
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set/sort_array surface: per-group sorted distinct list —
+    collection order is engine-internal, so sorting before emission is
+    the determinism contract for collect-type aggregates."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+        )
+    )

@@ -132,3 +132,40 @@ def test_incremental_silver_exactly_once(spark, tmp_path):
     # fondo1 NOT reprocessed: exactly 2 rows total
     assert out.count() == 2
     assert {r["fic"]["nombre_fic"] for r in out.select("fic").collect()} == {"fondo1", "fondo2"}
+
+
+def test_streaming_batch_equivalence(spark, tmp_path):
+    """The SAME transformation (hourly_event_counts) over the same rows
+    must produce identical aggregates in batch mode and in streaming
+    micro-batch mode — the mode-independence property that makes the
+    medallion incremental path trustworthy."""
+    from owl_etl_spark.streaming.windows import hourly_event_counts
+
+    rows = [
+        {"ts": "2024-01-01T00:10:00", "event_type": "click", "value": 1.5, "user_id": 1},
+        {"ts": "2024-01-01T00:40:00", "event_type": "click", "value": 2.5, "user_id": 2},
+        {"ts": "2024-01-01T01:05:00", "event_type": "view", "value": 3.0, "user_id": 1},
+        {"ts": "2024-01-01T02:59:00", "event_type": "view", "value": 4.0, "user_id": 3},
+    ]
+    path = _write_events_json(tmp_path, rows)
+    schema = "ts timestamp, event_type string, value double, user_id bigint"
+
+    batch = hourly_event_counts(spark.read.schema(schema).json(path))
+    batch_res = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
+    }
+
+    stream = hourly_event_counts(spark.readStream.schema(schema).json(path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("equiv_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_res = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM equiv_test").collect()
+    }
+    assert batch_res == stream_res
