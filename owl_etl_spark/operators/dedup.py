@@ -300,3 +300,62 @@ def near_dup_dedup(
     dropped_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
     kept = df.join(dropped_ids, id_col, "left_anti")
     return kept, verified
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over a similarity-pair edge list:
+    (id, component) where component = min id reachable.
+
+    Iterative min-label propagation: each round joins labels across
+    edges (both directions) and keeps the per-node minimum; stops when
+    a round changes nothing. Rounds needed = graph diameter in the
+    worst case — near-dup graphs are shallow (dup clusters are cliques
+    or short chains), so this converges in 2-3 rounds in practice.
+
+    Each iteration: one join + one groupBy (2 shuffles) on the PAIR
+    list, not the corpus — edges are sparse after LSH + verification.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = new_labels.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Full transitive near-dup clustering: LSH candidates → exact
+    Jaccard verify → connected components. Returns (id, component);
+    keeping ``component == id`` rows is the canonical dedup."""
+    _, verified = near_dup_dedup(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
+    return connected_components(verified, df.select(id_col), id_col)

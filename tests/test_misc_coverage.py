@@ -147,3 +147,50 @@ def test_near_dup_dedup_end_to_end(spark):
     assert 1 in kept_ids and 3 in kept_ids
     assert 2 not in kept_ids and 4 not in kept_ids
     assert (1, 4) in dropped_pairs
+
+
+def test_connected_components_chain(spark):
+    """A-B and B-C pairs (no direct A-C edge) must land in ONE component
+    — the transitive case greedy pair-dropping gets wrong."""
+    from owl_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11]], ["doc_id"])
+    out = {r.doc_id: r.component for r in connected_components(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_transitive(spark):
+    from owl_etl_spark.operators.dedup import near_dup_clusters
+
+    base = "spark window join filter scan table row batch stream merge sort key"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail one"),
+            (3, base + " tail one two"),   # near 2, likely near 1 transitively
+            (9, "unrelated text about gardening and soil and plants today"),
+        ],
+        ["doc_id", "text"],
+    )
+    comp = {r.doc_id: r.component for r in near_dup_clusters(df, threshold=0.5).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 9
+
+
+def test_cli_pipeline_in_process(spark, tmp_path):
+    """Drive the CLI end-to-end in-process: fake PDFs -> gold tables."""
+    from owl_etl_spark import cli
+
+    pdfs = tmp_path / "pdfs_2025_07"
+    pdfs.mkdir()
+    (pdfs / "banco1_fondo uno_2025_07.pdf").write_bytes(b"%PDF fake content A")
+    (pdfs / "banco2_fondo dos_2025_07.pdf").write_bytes(b"%PDF fake other content B")
+    out = tmp_path / "out"
+    rc = cli.main(["--cpus", "4", "pipeline", "--input", str(pdfs), "--output", str(out)])
+    assert rc == 0
+    fic = spark.read.parquet(str(out / "gold" / "fic"))
+    assert fic.count() == 2
+    assert set(spark.read.parquet(str(out / "gold" / "composicion_portafolio")).columns) == {
+        "fic_id", "tipo_composicion", "categoria", "participacion"
+    }
