@@ -169,3 +169,119 @@ def test_streaming_batch_equivalence(spark, tmp_path):
         for r in spark.sql("SELECT * FROM equiv_test").collect()
     }
     assert batch_res == stream_res
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked interval join: purchases attributed to the click that
+    preceded them within the attribution window, both sides unbounded."""
+    from owl_etl_spark.streaming.joins import stream_stream_interval_join
+
+    clicks_dir = tmp_path / "clicks"; clicks_dir.mkdir()
+    buys_dir = tmp_path / "buys"; buys_dir.mkdir()
+    (clicks_dir / "c0.json").write_text(
+        json.dumps({"user_id": 1, "l_ts": "2024-01-01T00:00:00", "page": "home"}) + "\n"
+        + json.dumps({"user_id": 2, "l_ts": "2024-01-01T00:00:00", "page": "promo"}) + "\n"
+    )
+    (buys_dir / "b0.json").write_text(
+        json.dumps({"user_id": 1, "r_ts": "2024-01-01T00:10:00", "amount": 5.0}) + "\n"
+        + json.dumps({"user_id": 1, "r_ts": "2024-01-01T01:00:00", "amount": 9.0}) + "\n"
+        + json.dumps({"user_id": 3, "r_ts": "2024-01-01T00:05:00", "amount": 7.0}) + "\n"
+    )
+    clicks = spark.readStream.schema("user_id bigint, l_ts timestamp, page string").json(
+        str(clicks_dir)
+    )
+    buys = spark.readStream.schema("user_id bigint, r_ts timestamp, amount double").json(
+        str(buys_dir)
+    )
+    joined = stream_stream_interval_join(clicks, buys, "user_id", max_lag="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, page, amount FROM attrib_test").collect()
+    # Only user 1's 00:10 purchase is within (click, click+30min]; the
+    # 01:00 purchase is too late, users 2/3 have no counterpart.
+    assert [(r.user_id, r.page, r.amount) for r in rows] == [(1, "home", 5.0)]
+
+
+def test_sessionize_stateful_timeout_eviction(spark, tmp_path):
+    """Event-time-timeout sessionizer: a session is emitted when the
+    watermark passes last_event+gap, and its state is evicted."""
+    import os as _os
+
+    from owl_etl_spark.streaming.joins import sessionize_stateful
+
+    src = tmp_path / "sess_in"; src.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    # Batch 0: user 1 has a 2-event burst; user 2's late event pushes
+    # the NEXT batch's watermark far past user 1's gap timer.
+    f0 = src / "batch0.json"
+    f0.write_text(
+        json.dumps({"user_id": 1, "ts": "2024-01-01T00:00:00"}) + "\n"
+        + json.dumps({"user_id": 1, "ts": "2024-01-01T00:10:00"}) + "\n"
+        + json.dumps({"user_id": 2, "ts": "2024-01-01T02:00:00"}) + "\n"
+    )
+    # Batch 1: unrelated user keeps the stream moving; no user-1 data.
+    f1 = src / "batch1.json"
+    f1.write_text(json.dumps({"user_id": 9, "ts": "2024-01-01T02:30:00"}) + "\n")
+    _os.utime(f0, (1700000000, 1700000000))
+    _os.utime(f1, (1700000100, 1700000100))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_state_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_state_test"
+    ).collect()
+    # Batch 1 ran with watermark = 02:00 (max ts of batch 0), so user
+    # 1's timer (00:10 + 30min = 00:40) fired: one closed session.
+    # Users 2/9 remain open (timers at 02:30/03:00 >= watermark).
+    assert [
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in rows
+    ] == [(1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
+
+
+def test_sessionize_stateful_gap_split_in_batch(spark, tmp_path):
+    """A new event arriving more than gap after the previous one closes
+    the old session inline (no timer needed)."""
+    from owl_etl_spark.streaming.joins import sessionize_stateful
+
+    rows = [
+        {"user_id": 5, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 5, "ts": "2024-01-01T00:05:00"},
+        {"user_id": 5, "ts": "2024-01-01T01:00:00"},  # > 30min gap
+    ]
+    path = _write_events_json(tmp_path, rows)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").json(path)
+    out = sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_split_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_split_test"
+    ).collect()
+    assert [
+        (r.session_start.isoformat(), r.session_end.isoformat(), r.n_events) for r in got
+    ] == [("2024-01-01T00:00:00", "2024-01-01T00:05:00", 2)]
