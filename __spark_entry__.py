@@ -2151,3 +2151,273 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage batch 6: GROUPING SETS, exact order statistics, exact correlation,
+# conditional aggregation, per-group text top-k, salting equivalence, ntile
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q64_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           {_money_sum_duck('l_extendedprice')} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q13 ROLLUP / q39 CUBE): three
+    chosen granularities in one pass with a grouping-id discriminator.
+    Catalyst expands to a single Expand + hash-aggregate — one shuffle
+    for all three granularities, which at 100 TB beats three separate
+    group-bys by 3x on scan+shuffle volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (
+            F.grouping("l_returnflag").cast("long") * 2
+            + F.grouping("l_linestatus").cast("long")
+        ).alias("gid"),
+        _money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+
+@_register(
+    "q65_exact_quartiles",
+    f"""
+    SELECT l_returnflag,
+           round(quantile_cont({_CENTS}, 0.25), 4) AS p25_cents,
+           round(quantile_cont({_CENTS}, 0.50), 4) AS median_cents,
+           round(quantile_cont({_CENTS}, 0.75), 4) AS p75_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (vs q53's sketch): integer-cents domain makes
+    the linear interpolation a + (b-a)*frac exact in double on both
+    engines. Spark's percentile() is a sort-based exact aggregate —
+    at 100 TB prefer q53's percentile_approx unless exactness is a
+    hard requirement (docstring is the contract: exact = expensive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"round(percentile({cents}, 0.25D), 4)").alias("p25_cents"),
+        F.expr(f"round(percentile({cents}, 0.50D), 4)").alias("median_cents"),
+        F.expr(f"round(percentile({cents}, 0.75D), 4)").alias("p75_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "q66_exact_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sp,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS spp,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+                 / (sqrt(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * sqrt(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer-domain moment sums (the
+    engine's reproducibility rule: never let float accumulation order
+    leak into results — see _money_sum). Built-in corr() uses Welford
+    streaming updates whose rounding differs per engine/partitioning;
+    the five integer sums shuffle the same one-row-per-group partials
+    and reduce exactly, then one double formula per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    qi = F.round("l_quantity").cast("long")
+    pi = F.round("l_extendedprice").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(qi).alias("sq"),
+        F.sum(pi).alias("sp"),
+        F.sum(qi * qi).alias("sqq"),
+        F.sum(pi * pi).alias("spp"),
+        F.sum(qi * pi).alias("sqp"),
+    )
+    n, sq, sp = F.col("n").cast("double"), F.col("sq").cast("double"), F.col("sp").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * F.col("sqp") - sq * F.col("sp"))
+            / (
+                F.sqrt(n * F.col("sqq") - sq * F.col("sq"))
+                * F.sqrt(n * F.col("spp") - sp * F.col("sp"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "q67_conditional_agg",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           {_money_sum_duck("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")}
+             AS open_revenue,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS finished_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER/CASE pattern): several predicates
+    folded into ONE scan+shuffle instead of one query per predicate —
+    the cheapest way to compute N metrics over 100 TB is always a
+    single pass with conditional terms."""
+    o = _t(spark, sf_dir, "orders")
+    finished = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        finished.cast("long").alias("n_finished"),
+        _money_sum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(F.lit(0.0))
+        ).alias("open_revenue"),
+        F.round(finished.cast("double") / F.count(F.lit(1)), 6).alias("finished_share"),
+    )
+
+
+@_register(
+    "q68_word_topk",
+    """
+    WITH words AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+      FROM words WHERE length(word) >= 4 GROUP BY lang, word
+    ), ranked AS (
+      SELECT lang, word, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS BIGINT)
+               AS rk
+      FROM counts
+    )
+    SELECT lang, word, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-k words: tokenize (ASCII letter runs) → explode
+    → count → windowed top-3. The explode fans out ~hundreds of rows
+    per doc BEFORE the count shuffle; partial map-side aggregation
+    collapses that blowup to distinct (lang, word) pairs per partition,
+    so shuffle volume tracks vocabulary size, not corpus size — the
+    property that keeps this runnable on a 100 TB corpus. Ties break
+    on the word itself for cross-engine determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 4)
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "word", "n", "rk")
+    )
+
+
+@_register(
+    "q69_salted_revenue",
+    f"""
+    SELECT l_returnflag,
+           {_money_sum_duck('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation, oracle-proven equal to the plain
+    group-by. l_returnflag has ~3 values — at 100 TB a naive group-by
+    sends each flag's partials to 3 reducers; salting by a key-derived
+    shard first spreads phase 1 over 8x more reducers, and phase 2
+    reduces 8 rows per flag. Integer-cents partials make the two-phase
+    sum EXACTLY equal to the single-phase one (float sums would differ
+    by accumulation order — see _money_sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(F.sum(cents).alias("c"), F.count(F.lit(1)).alias("k"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("c").cast("double") / 100).alias("revenue"),
+        F.sum("k").cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "q70_spend_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), dec AS (
+      SELECT o_custkey, cents,
+             CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM dec GROUP BY decile
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend deciles via ntile. The unpartitioned ORDER BY is
+    a global sort into ONE window partition — fine for the per-customer
+    aggregate (rows = |customers|), but at 100 TB of raw facts the
+    pre-aggregation (first group-by) is what makes it viable; for
+    billions of KEYS switch to approx percentile cutpoints + a range
+    join instead of ntile. Tie order (cents, custkey) pins the decile
+    assignment on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    dec = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.asc("cents"), F.asc("o_custkey"))).cast("long"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
