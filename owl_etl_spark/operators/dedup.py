@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from owl_etl_spark.functions.hashing import minhash_signature_sql, simhash_sql
@@ -172,9 +172,12 @@ def ngram_jaccard_pairs(
     shingles per pair → Jaccard = common / (|A| + |B| - common).
     Exact, deterministic (integer arithmetic until the final ratio).
 
-    Scale: the join fan-out is Σ_shingle df(shingle)² — fine for
-    verification corpora; at 100 TB use ``minhash_lsh_pairs`` for
-    candidates and this only on the candidate set.
+    Scale: the join fan-out is Σ_shingle df(shingle)² — right for
+    corpora whose shingle vocabulary is small relative to the corpus
+    (every posting list is hot; no order can avoid them). For Zipfian
+    real-text corpora use ``ngram_jaccard_pairs_prefix`` (identical
+    output, fan-out restricted to rare-shingle prefixes) or
+    ``minhash_lsh_pairs`` + candidate verification.
     """
     norm = normalize_text(F.col(text_col))
     # pre-spread: small corpora scan as one partition; shingling +
@@ -201,6 +204,89 @@ def ngram_jaccard_pairs(
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
         .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+    inverted index (AllPairs/PPJoin family). Output is identical to
+    ``ngram_jaccard_pairs`` (pinned by test).
+
+    J(A,B) >= t forces |A∩B| >= ceil(t·|A|) (because |A∪B| >= |A|), so
+    under ANY global total order on shingles, two qualifying docs must
+    share a shingle among each one's first |X| - ceil(t·|X|) + 1
+    shingles. Ordering rarest-first (global document frequency, then
+    shingle text) makes the indexed prefix avoid exactly the hot
+    shingles whose df² fan-out dominates a naive all-shingles
+    self-join; candidates are then verified EXACTLY with an intra-row
+    set intersection, so the output is identical to the naive join.
+
+    Scale: no stage materializes the full pair space — the self-join
+    fan-out is Σ over *prefix* postings only, and hot shingles land in
+    prefixes only for docs that have nothing rarer (i.e. genuinely
+    need them). The df table is vocabulary-sized (AQE broadcasts it
+    when small); the verification joins shuffle candidate pairs, whose
+    count the prefix filter already bounded.
+    """
+    norm = normalize_text(F.col(text_col))
+    # pre-spread: small corpora scan as one partition; shingling +
+    # hashing must not serialize onto a single task
+    base = (
+        df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+        .repartition(F.col("id"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+    )
+    shingles_sql = (
+        f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
+        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
+        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+    )
+    # Consumed by three branches (df counts, prefix index, verification)
+    # — cache computes the shingle sets once. At 100 TB swap for
+    # persist(DISK_ONLY) or a checkpoint; the set is corpus-sized.
+    sets = base.select("id", F.array_distinct(F.expr(shingles_sql)).alias("sh")).cache()
+    ex = sets.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Prefix length |X| - ceil(t'·|X|) + 1 with t' backed off 1e-6 below
+    # the threshold: the final filter accepts round(J, 6) >= t, i.e.
+    # true J >= t - 5e-7, and the backoff keeps the filter lossless for
+    # those boundary pairs (an over-long prefix only adds candidates,
+    # never drops pairs).
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(threshold - 1e-6) * F.col("sz")) + 1
+        )
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.size("sha") + F.size("shb") - F.col("common")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -90,6 +90,28 @@ def test_ngram_jaccard_exact_pair(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_ngram_jaccard_prefix_equals_naive(spark):
+    """The prefix-filtered AllPairs variant must return EXACTLY the
+    pairs of the all-shingles inverted-index join (the prefix-filter
+    lemma is lossless) — checked on the real documents table."""
+    from owl_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        naive = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert naive == pref and naive
+
+
 def test_simhash_near_docs_share_fingerprint(spark):
     from owl_etl_spark.operators.dedup import with_simhash
 
