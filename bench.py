@@ -49,8 +49,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # Warm the JVM + parquet footer caches with a trivial action.
+    # Warm the JVM with a trivial action and touch every table's parquet
+    # footer (schema read) so one-time file-listing/metadata IO isn't
+    # billed to whichever query happens to scan the table first.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+    # JIT-warm the scan/hash-agg/join/window execution paths on the two
+    # tiny dimension tables (25+5 rows) so steady-state query time, not
+    # first-use JVM compilation, is what gets measured.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("r_name").orderBy("n")))
+        .orderBy("r_name")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
