@@ -2421,3 +2421,32 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("long").alias("max_cents"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@_register(
+    "q71_scd2_order_history",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history: the auditable generalization of the reference's
+    keep-latest versioning (W1/F4) — every version kept with a validity
+    interval; ``latest_per_key`` is exactly the is_current slice. One
+    window shuffle on the key, same cost as the W1 dedup."""
+    from owl_etl_spark.operators.latest import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    h = scd2_history(o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"])
+    return h.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )

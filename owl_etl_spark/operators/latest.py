@@ -75,3 +75,38 @@ def upsert_by_recency(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: every version kept,
+    with a validity interval instead of the reference's delete-and-
+    replace (src/etl/load.py:154-219 keeps only the newest; this is
+    the auditable generalization — ``latest_per_key`` == the
+    ``is_current`` slice of this output).
+
+    ``valid_from`` = the row's own version value; ``valid_to`` = the
+    NEXT version's value per key (open/null for the newest);
+    ``current_flag`` marks the open row. One window shuffle on the
+    key, identical cost to the W1 dedup — history costs nothing extra
+    at 100 TB until storage, where partitioning on ``current_flag``
+    (or date-bucketed ``valid_to``) keeps the hot current slice
+    pruned.
+    """
+    order = [F.col(version_col).asc_nulls_first()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(version_col).over(w)
+    return (
+        df.withColumn(valid_from, F.col(version_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current_flag, F.col(valid_to).isNull())
+    )

@@ -271,3 +271,33 @@ def test_approx_stats_error_bounds(spark):
     for k, row in approx.items():
         rel_err = abs(row.approx_customers - exact[k]) / exact[k]
         assert rel_err < 0.1, f"{k}: approx {row.approx_customers} vs exact {exact[k]}"
+
+
+def test_scd2_history_current_slice_is_latest(spark):
+    """scd2_history keeps every version with validity intervals; its
+    is_current slice must equal latest_per_key."""
+    from owl_etl_spark.operators.latest import latest_per_key, scd2_history
+
+    df = spark.createDataFrame(
+        [
+            ("f1", "2025-05-31", "a"),
+            ("f1", "2025-06-30", "b"),
+            ("f1", "2025-07-31", "c"),
+            ("f2", "2025-07-31", "x"),
+        ],
+        ["k", "fecha", "val"],
+    )
+    hist = scd2_history(df, ["k"], "fecha").collect()
+    by_row = {(r.k, r.fecha): (r.valid_to, r.is_current) for r in hist}
+    assert len(hist) == 4
+    assert by_row[("f1", "2025-05-31")] == ("2025-06-30", False)
+    assert by_row[("f1", "2025-06-30")] == ("2025-07-31", False)
+    assert by_row[("f1", "2025-07-31")] == (None, True)
+    assert by_row[("f2", "2025-07-31")] == (None, True)
+
+    current = {
+        (r.k, r.fecha, r.val)
+        for r in scd2_history(df, ["k"], "fecha").filter("is_current").select("k", "fecha", "val").collect()
+    }
+    latest = {(r.k, r.fecha, r.val) for r in latest_per_key(df, ["k"], "fecha").collect()}
+    assert current == latest
