@@ -2450,3 +2450,183 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     )
+
+
+@_register(
+    "q72_rolling_1h_features",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT)                                AS n_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY (epoch_us(ts) // 1000000)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user features via a RANGE window over
+    integer epoch seconds — same-second peers are always co-included,
+    so the result is deterministic under any tie order. One shuffle
+    on user_id; integer-cents sums for cross-engine exactness."""
+    from owl_etl_spark.operators.resample import rolling_time_agg
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = rolling_time_agg(
+        e,
+        ["user_id"],
+        "ts",
+        {"n_1h": F.count(F.lit(1)), "cents_1h": F.sum(cents)},
+        window_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_1h").cast("long").alias("n_1h"),
+        F.col("cents_1h").cast("long").alias("cents_1h"),
+    )
+
+
+@_register(
+    "q73_hash_split",
+    """
+    SELECT split,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN b < 900000 THEN 'train'
+                  WHEN b < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 1000000 AS b
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key
+    (90/5/5): pure per-row arithmetic — stable under repartitioning
+    and dataset growth, unlike seeded sampling. Zero extra shuffles
+    beyond the summary agg."""
+    from owl_etl_spark.operators.split import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "q74_length_histogram",
+    """
+    SELECT CAST(least(n_chars // 200, 15) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width buckets, clamped top
+    bucket) — the standard corpus-profiling pass before length
+    filtering; all-integer so it oracle-matches exactly."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(15)).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@_register(
+    "q75_decontaminate",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(length(s) - 8 - 4 + 3, 2)),
+                 i -> list_aggregate(
+                        list_transform(range(i, i + 4),
+                          j -> CAST(('0x' || substring(md5(substring(s, CAST(j AS INT), 8)), 1, 15)) AS BIGINT)),
+                        'min')))) AS fingerprint
+      FROM norm WHERE length(s) >= 12
+    ),
+    bench AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps f JOIN bench USING (fingerprint)
+      WHERE f.doc_id % 97 <> 0
+      GROUP BY f.doc_id
+      HAVING count(*) >= 3
+    )
+    SELECT d.doc_id, d.source, h.n_shared
+    FROM hits h JOIN documents d USING (doc_id)
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥3 winnowing
+    fingerprints with the (synthetic) benchmark slice doc_id%97=0.
+    Fingerprints are intra-row; the only shuffles are the fingerprint
+    equi-join (benchmark side distinct + small → broadcasts under
+    AQE) and the evidence agg."""
+    from owl_etl_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    _, contaminated = decontaminate(train, bench, min_shared=3)
+    return contaminated.select("doc_id", "source", "n_shared")
+
+
+@_register(
+    "q76_gap_fill_hourly",
+    """
+    WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+    observed AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM e GROUP BY user_id)
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:00:00') AS hour_bucket,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN observed o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-user series with zero-filled gaps:
+    ``sequence()`` + explode generates each key's own [min,max] grid
+    distributed (never on the driver), left join pins observed
+    counts. Restricted to user_id%10=0 to keep the oracle compare
+    bounded."""
+    from owl_etl_spark.operators.resample import gap_fill
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    out = gap_fill(e, ["user_id"], "ts", step="1 hour", trunc_unit="hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        F.col("n"),
+    )

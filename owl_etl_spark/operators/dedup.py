@@ -445,3 +445,67 @@ def near_dup_clusters(
     keeping ``component == id`` rows is the canonical dedup."""
     _, verified = near_dup_dedup(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
     return connected_components(verified, df.select(id_col), id_col)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Exploded winnowing fingerprint set: one (id, fingerprint) row
+    per distinct selected hash (Schleimer et al. local fingerprinting:
+    k-gram rolling hashes min-sampled over windows of ``window``).
+
+    Computed intra-row (higher-order functions over the normalized
+    text) then exploded — the only shuffle is whatever the caller
+    joins on. md5-prefix integer hashes keep it oracle-portable.
+    """
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__s")
+    ).filter(F.length("__s") >= k + window)
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(length(__s) - {k} - {window} + 2, 1)), "
+        f"i -> array_min(transform(sequence(i, i + {window - 1}), "
+        f"j -> CAST(conv(substring(md5(substring(__s, j, {k})), 1, 15), 16, 10) AS BIGINT)))))"
+    )
+    return base.select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+    k: int = 8,
+    window: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop training docs that share ≥
+    ``min_shared`` winnowing fingerprints with any benchmark doc.
+
+    Returns ``(clean, contaminated)``; ``contaminated`` carries
+    ``n_shared`` (distinct shared fingerprints) as evidence. The
+    benchmark fingerprint set is distinct-projected to one column
+    before the join — benchmarks are small relative to the corpus, so
+    with AQE the equi-join broadcasts; the corpus side streams
+    through map-side. This is the standard eval-leakage guard in
+    LLM-training pipelines (the n-gram-overlap method), built from
+    the same fingerprint primitive as the near-dup operators.
+    """
+    doc_fp = winnow_fingerprints(docs, id_col, text_col, k, window)
+    bench_fp = (
+        winnow_fingerprints(benchmark, id_col, text_col, k, window)
+        .select("fingerprint")
+        .distinct()
+    )
+    hits = (
+        doc_fp.join(bench_fp, "fingerprint")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    contaminated = docs.join(hits, id_col)
+    clean = docs.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated

@@ -1,0 +1,98 @@
+"""Time-series resampling: gap-filling to a regular grid and
+time-range rolling aggregates.
+
+The reference's only time axis is a monthly folder convention
+(src/etl/load.py:56-62); a telemetry/training pipeline needs dense
+regular series (models hate missing buckets) and trailing-window
+features. Both are expressed with built-in Catalyst operators:
+
+- ``gap_fill``: per-key `sequence()` + `explode` builds the dense
+  grid (rows proportional to keys x buckets, generated distributed —
+  never on the driver), then a left join pins observed values. The
+  join key is (key, bucket): with AQE on, the observed side is
+  usually the small side and broadcasts.
+- ``rolling_time_agg``: a RANGE window over integer epoch seconds —
+  one shuffle on the partition key, peers at the same timestamp are
+  all included, so results are deterministic under any tie order.
+
+Epoch math is `timestampdiff` against the NTZ epoch: timezone-proof
+(identical on any session TZ) and identical to UTC-naive engines'
+``epoch_us // 1e6`` floor semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_seconds(ts_col: str) -> Column:
+    """Floor epoch seconds, timezone-independent for NTZ timestamps."""
+    return F.expr(f"timestampdiff(SECOND, {_EPOCH}, {ts_col})")
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    aggs: dict[str, Column] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Dense per-key time grid with zero-filled counts.
+
+    Buckets ``ts_col`` to ``trunc_unit``, aggregates per (keys,
+    bucket), then explodes ``sequence(min_bucket, max_bucket, step)``
+    per key and left-joins the observed aggregates back; missing
+    buckets get ``n = 0`` (other aggregates stay null — the caller
+    coalesces to a domain-correct default). Each key spans only its
+    own [min, max] — the grid never extrapolates.
+    """
+    aggs = aggs or {}
+    b = F.date_trunc(trunc_unit, F.col(ts_col)).alias(bucket_col)
+    observed = df.groupBy(*keys, b).agg(
+        F.count(F.lit(1)).alias("n"), *[c.alias(a) for a, c in aggs.items()]
+    )
+    grid = (
+        df.groupBy(*keys)
+        .agg(
+            F.date_trunc(trunc_unit, F.min(ts_col)).alias("__lo"),
+            F.date_trunc(trunc_unit, F.max(ts_col)).alias("__hi"),
+        )
+        .select(
+            *keys,
+            F.explode(F.expr(f"sequence(__lo, __hi, interval {step})")).alias(bucket_col),
+        )
+    )
+    joined = grid.join(observed, [*keys, bucket_col], "left")
+    return joined.withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-range aggregates: for every row, ``aggs`` over
+    the key's rows in ``[ts - window_seconds, ts]``.
+
+    RANGE (not ROWS) framing over integer epoch seconds: all rows at
+    the same second are peers and always co-included, making the
+    result independent of intra-second ordering — required for
+    cross-run reproducibility. One shuffle on ``keys``.
+    """
+    sec = epoch_seconds(ts_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(sec.alias("__sec"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(w))
+    return out

@@ -301,3 +301,94 @@ def test_scd2_history_current_slice_is_latest(spark):
     }
     latest = {(r.k, r.fecha, r.val) for r in latest_per_key(df, ["k"], "fecha").collect()}
     assert current == latest
+
+
+def test_hash_split_stable_and_partitioned(spark):
+    """hash_split: every row lands in exactly one split, assignment is
+    a pure function of the key (stable under repartitioning and
+    dataset growth), and fractions are roughly honored."""
+    from owl_etl_spark.operators.split import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in s1.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400 and counts["val"] > 100 and counts["test"] > 100
+
+    # same keys, different partitioning and a subset -> identical assignment
+    sub = hash_split(df.filter("k < 500").repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r.k: r.split for r in s1.filter("k < 500").collect()}
+    assert all(full[r.k] == r.split for r in sub.collect())
+
+    # salt derives an independent split
+    salted = hash_split(df, "k", {"a": 0.5, "b": 0.5}, salt="other")
+    plain = hash_split(df, "k", {"a": 0.5, "b": 0.5})
+    joined = plain.alias("p").join(salted.alias("s"), "k").filter("p.split <> s.split")
+    assert joined.count() > 400  # ~half differ
+
+
+def test_rolling_time_agg_hand_check(spark):
+    from owl_etl_spark.operators.resample import rolling_time_agg
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:30:00", 2.0),
+        (1, "2024-01-01 11:00:00", 4.0),   # exactly 3600s after first -> included
+        (1, "2024-01-01 12:00:01", 8.0),   # 3601s after 11:00 -> alone
+        (2, "2024-01-01 10:30:00", 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = rolling_time_agg(df, ["user_id"], "ts", {"s": F.sum("value")}, 3600)
+    got = {(r.user_id, str(r.ts)): r.s for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 1.0
+    assert got[(1, "2024-01-01 10:30:00")] == 3.0
+    assert got[(1, "2024-01-01 11:00:00")] == 7.0
+    assert got[(1, "2024-01-01 12:00:01")] == 8.0
+    assert got[(2, "2024-01-01 10:30:00")] == 100.0
+
+
+def test_gap_fill_dense_grid(spark):
+    from owl_etl_spark.operators.resample import gap_fill
+
+    rows = [
+        (1, "2024-01-01 10:05:00"),
+        (1, "2024-01-01 10:55:00"),
+        (1, "2024-01-01 13:10:00"),  # 11:00 and 12:00 are gaps
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = gap_fill(df, ["user_id"], "ts").collect()
+    got = {(r.user_id, str(r.bucket)): r.n for r in out}
+    assert got == {
+        (1, "2024-01-01 10:00:00"): 2,
+        (1, "2024-01-01 11:00:00"): 0,
+        (1, "2024-01-01 12:00:00"): 0,
+        (1, "2024-01-01 13:00:00"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
+
+
+def test_decontaminate_partitions_corpus(spark):
+    from owl_etl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # verbatim leak
+            (2, "completely unrelated words about maritime navigation rules"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean, contaminated = decontaminate(docs, bench, min_shared=3)
+    assert [r.doc_id for r in contaminated.select("doc_id").collect()] == [1]
+    assert [r.doc_id for r in clean.select("doc_id").collect()] == [2]
+    assert contaminated.collect()[0].n_shared >= 3
+    # clean + contaminated partition the corpus
+    assert clean.count() + contaminated.count() == docs.count()
