@@ -2630,3 +2630,144 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
         F.col("n"),
     )
+
+
+_MIX_RATES = {"en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.1}
+
+
+@_register(
+    "q77_weighted_mixture",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15)) AS BIGINT)
+               % 1000000 AS b
+      FROM documents
+    )
+    WHERE b < CASE lang WHEN 'en' THEN 1000000 WHEN 'fr' THEN 500000
+                        WHEN 'es' THEN 500000  WHEN 'de' THEN 250000
+                        WHEN 'zh' THEN 100000  ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mixture sampling: per-language keep rates applied
+    via hashed-key thresholds — pure per-row filter (no shuffle until
+    the summary agg), and re-weighting one stratum never changes which
+    rows of the others survive."""
+    from owl_etl_spark.operators.split import weighted_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_mixture(d, "doc_id", "lang", _MIX_RATES)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "q78_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 15)) AS BIGINT)
+                          % 1000000000, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: 5 docs per language by hash
+    order — deterministic, uniform-per-stratum; plans as
+    WindowGroupLimit so each map task retains only 5 rows per stratum
+    before the single shuffle."""
+    from owl_etl_spark.operators.split import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(d, ["lang"], 5, "doc_id").select("doc_id", "lang")
+
+
+@_register(
+    "q79_skew_report",
+    """
+    SELECT CAST(count(*) AS BIGINT)  AS n_keys,
+           CAST(max(n) AS BIGINT)    AS max_rows,
+           round(sum(n) / count(*), 4)          AS avg_rows,
+           round(max(n) / (sum(n) / count(*)), 4) AS skew_ratio
+    FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (pre-flight for the salted paths in
+    operators/skew.py): per-key counts then a single-row reduce."""
+    from owl_etl_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+@_register(
+    "q80_group_zscore",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN n > 1 THEN
+             round((n_chars - CAST(s AS DOUBLE) / n)
+                   / sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))), 6)
+           END AS z
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             count(*)              OVER (PARTITION BY lang) AS n,
+             sum(n_chars)          OVER (PARTITION BY lang) AS s,
+             sum(n_chars * n_chars) OVER (PARTITION BY lang) AS ss
+      FROM documents
+    )
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization in the exact integer
+    domain: mean/variance derived from BIGINT (n, Σx, Σx²) — no
+    Welford accumulation-order nondeterminism, so any engine and any
+    partitioning produce bit-identical z. One window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    x = F.col("n_chars").cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    mean = s.cast("double") / n
+    var = (n * ss - s * s).cast("double") / (n * (n - 1))
+    z = F.when(n > 1, F.round((x - mean) / F.sqrt(var), 6))
+    return d.select("doc_id", "lang", z.alias("z"))
+
+
+@_register(
+    "q81_edit_distance_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join: candidate pairs confined
+    to equal-brand blocks (hash join, never a cross product);
+    levenshtein runs JVM-side in codegen. The corpus-scale analog of
+    the reference's difflib matching (SURVEY J1/J2)."""
+    from owl_etl_spark.operators.fuzzy_join import edit_distance_self_join
+
+    p = _t(spark, sf_dir, "part")
+    out = edit_distance_self_join(p, "p_partkey", "p_name", ["p_brand"], 2)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), "p_brand", F.col("dist").cast("long").alias("dist")
+    )

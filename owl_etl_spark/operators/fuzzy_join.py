@@ -117,3 +117,34 @@ def fuzzy_set_membership(
     return joined.withColumn(flag_col, F.col(out_col).isNotNull()).withColumn(
         out_col, F.coalesce(F.col(out_col), F.col("__orig"))
     ).drop("__orig")
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int,
+) -> DataFrame:
+    """All pairs within ``max_dist`` edit distance, *blocked*: the
+    quadratic candidate set is confined to equal ``block_cols``
+    groups (brand, length band, phonetic key, ...) joined equi-style,
+    so Catalyst plans a hash join on the block key instead of a cross
+    product. ``levenshtein`` is JVM-side codegen. ``id_a < id_b``
+    canonicalizes pairs. The reference's difflib matching (SURVEY
+    J1/J2) is the tiny-dim form; this is the corpus-scale form."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
+        *[F.col(c) for c in block_cols],
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", *block_cols, "dist")
+    )

@@ -59,3 +59,19 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return fact.join(dim, [key, "__salt"]).drop("__salt")
+
+
+def skew_report(df: DataFrame, key: str, heavy_hitter_k: int = 5) -> DataFrame:
+    """Key-distribution diagnostics ahead of a join/agg on ``key``:
+    one row with key cardinality, max/avg per-key row counts, and the
+    skew ratio (max/avg) that predicts straggler tasks. Two-level
+    aggregation — per-key counts (one shuffle), then a global
+    single-row reduce. At 100 TB run it on ``sample_by_hash`` output;
+    the ratio estimate is unbiased for heavy keys."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 4).alias("avg_rows"),
+        F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 4).alias("skew_ratio"),
+    )

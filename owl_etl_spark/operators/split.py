@@ -60,3 +60,68 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, last)
+
+
+def sample_by_hash(
+    df: DataFrame, key: str | Column, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hashed key — unlike
+    ``df.sample`` the decision is a pure row function: reproducible
+    across runs/engines/partitionings, and consistent across tables
+    sharing the key (sampling users samples all their events)."""
+    space = 1_000_000
+    bucket = hash_bucket(F.col(key) if isinstance(key, str) else key, space, salt)
+    return df.filter(bucket < int(round(fraction * space)))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    key: str | Column,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Curriculum-style source mixing: keep each stratum (source,
+    language, quality tier, ...) at its own sampling rate. Per-row
+    hash test — zero shuffles, deterministic, and up/down-weighting a
+    stratum never changes *which* rows of the others are kept (each
+    stratum's keep set is a prefix of the same hash order)."""
+    space = 1_000_000
+    bucket = hash_bucket(F.col(key) if isinstance(key, str) else key, space, salt)
+    thr = None
+    for name, rate in rates.items():
+        cut = int(round(rate * space))
+        thr = (
+            F.when(F.col(stratum_col) == name, cut)
+            if thr is None
+            else thr.when(F.col(stratum_col) == name, cut)
+        )
+    thr = F.lit(int(round(default_rate * space))) if thr is None else thr.otherwise(
+        int(round(default_rate * space))
+    )
+    return df.filter(bucket < thr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    key: str | Column,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, picked by hash
+    order (uniform, deterministic, engine-portable; key tiebreak for
+    full determinism). One window shuffle on the strata — top-k per
+    group plans as WindowGroupLimit, so each map task keeps only k
+    rows per stratum before the exchange."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    space = 1_000_000_000
+    w = Window.partitionBy(*strata).orderBy(hash_bucket(kc, space, salt).asc(), kc.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

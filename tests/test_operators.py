@@ -392,3 +392,68 @@ def test_decontaminate_partitions_corpus(spark):
     assert contaminated.collect()[0].n_shared >= 3
     # clean + contaminated partition the corpus
     assert clean.count() + contaminated.count() == docs.count()
+
+
+def test_weighted_mixture_prefix_property(spark):
+    """Raising one stratum's rate only adds rows; other strata's kept
+    sets are unchanged (prefix-of-hash-order property)."""
+    from owl_etl_spark.operators.split import weighted_mixture
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("src")
+    )
+    lo = weighted_mixture(df, "k", "src", {"true": 0.3, "false": 0.5})
+    hi = weighted_mixture(df, "k", "src", {"true": 0.6, "false": 0.5})
+    lo_ids = {r.k for r in lo.collect()}
+    hi_ids = {r.k for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert {r.k for r in lo.filter("src = 'false'").collect()} == {
+        r.k for r in hi.filter("src = 'false'").collect()
+    }
+    # unknown strata use default_rate (drop)
+    assert weighted_mixture(df, "k", "src", {"true": 0.5}).filter("src='false'").count() == 0
+
+
+def test_stratified_sample_exact_counts(spark):
+    from owl_etl_spark.operators.split import stratified_sample_exact
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_sample_exact(df, ["g"], 7, "k")
+    counts = {r.g: r.cnt for r in out.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # stable: same pick on repartitioned input
+    again = stratified_sample_exact(df.repartition(13), ["g"], 7, "k")
+    assert {r.k for r in out.collect()} == {r.k for r in again.collect()}
+    # small stratum returns all its rows
+    tiny = stratified_sample_exact(df.filter("k < 2"), ["g"], 7, "k")
+    assert tiny.count() == 2
+
+
+def test_skew_report_hand_check(spark):
+    from owl_etl_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 1, ["k"]
+    )
+    r = skew_report(df, "k").collect()[0]
+    assert (r.n_keys, r.max_rows) == (3, 6)
+    assert r.avg_rows == 3.0
+    assert r.skew_ratio == 2.0
+
+
+def test_edit_distance_self_join_blocked(spark):
+    from owl_etl_spark.operators.fuzzy_join import edit_distance_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "red bolt"),
+            (2, "B1", "red bolts"),   # dist 1
+            (3, "B1", "green screw"), # far
+            (4, "B2", "red bolt"),    # other block: never paired with 1
+        ],
+        ["pk", "brand", "name"],
+    )
+    out = edit_distance_self_join(df, "pk", "name", ["brand"], 2).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
