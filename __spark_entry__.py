@@ -2771,3 +2771,133 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a"), F.col("id_b"), "p_brand", F.col("dist").cast("long").alias("dist")
     )
+
+
+@_register(
+    "q82_chunk_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CASE WHEN len(t) <= 50 THEN 1
+                      ELSE 1 + CAST(ceil((len(t) - 50) / 40.0) AS INT) END),
+               i -> {{'idx': i,
+                     'chunk': array_to_string(list_slice(t, i * 40 + 1, i * 40 + 50), ' ')}})) AS u
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(u.idx AS BIGINT) AS chunk_idx,
+           u.chunk               AS chunk
+    FROM ch
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 50, overlap 10): the
+    pre-tokenization pass that turns long docs into training-window
+    pieces. Chunk arrays are built intra-row (zero shuffle at any
+    corpus size); posexplode emits (doc, idx, chunk)."""
+    from owl_etl_spark.functions.text import chunk_tokens, normalize_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_tokens(tokens(normalize_text(F.col("text"))), size=50, overlap=10)
+    return d.select(
+        "doc_id", F.posexplode(ch).alias("chunk_idx", "chunk")
+    ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk")
+
+
+@_register(
+    "q83_sequence_packing",
+    f"""
+    WITH toks AS (SELECT doc_id, source, len({_TOKS_DUCK}) AS n FROM documents)
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset,
+           CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT)
+             AS bin
+    FROM toks
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing by running token offset: concatenate each
+    source's docs in key order and cut at 256-token boundaries — each
+    doc's bin is its start offset div budget. One window shuffle per
+    source; the offsets are what a packed-tfrecord writer needs."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(tokens(normalize_text(F.col("text")))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "source", n.alias("n_tokens"))
+        .withColumn("start_offset", off.cast("long"))
+        .withColumn("bin", F.floor(F.col("start_offset") / 256).cast("long"))
+    )
+
+
+@_register(
+    "q84_gopher_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_NORM_DUCK} AS s, {_TOKS_DUCK} AS t FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, len(t) AS n, length(s) AS chars FROM toks WHERE len(t) >= 1
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_tokens,
+           round(CAST(s.chars - (s.n - 1) AS DOUBLE) / s.n, 6) AS avg_word_len,
+           round(CAST(m.max_tok AS DOUBLE) / s.n, 6)           AS rep_ratio,
+           (s.n BETWEEN 20 AND 1000
+            AND (CAST(s.chars - (s.n - 1) AS DOUBLE) / s.n) BETWEEN 2 AND 12
+            AND (CAST(m.max_tok AS DOUBLE) / s.n) <= 0.2)      AS keep
+    FROM stats s
+    JOIN (SELECT doc_id, max(cnt) AS max_tok FROM (
+            SELECT doc_id, tok, count(*) AS cnt FROM (
+              SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok)
+          GROUP BY doc_id) m USING (doc_id)
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: token count bounds, mean
+    word length bounds, and top-token repetition ratio. The repetition
+    stat needs a (doc, token) count — explode + two hash aggs,
+    partial-combined map-side; everything else is intra-row."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("s"),
+        tokens(normalize_text(F.col("text"))).alias("t"),
+    ).withColumn("n", F.size("t")).filter(F.col("n") >= 1)
+    rep = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_tok"))
+    )
+    avg_len = (F.length("s") - (F.col("n") - 1)).cast("double") / F.col("n")
+    rep_ratio = F.col("max_tok").cast("double") / F.col("n")
+    return (
+        base.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(avg_len, 6).alias("avg_word_len"),
+            F.round(rep_ratio, 6).alias("rep_ratio"),
+            (
+                F.col("n").between(20, 1000)
+                & avg_len.between(2, 12)
+                & (rep_ratio <= 0.2)
+            ).alias("keep"),
+        )
+    )

@@ -227,3 +227,25 @@ def clean_text(col: Column) -> Column:
     out = F.regexp_replace(col, r"<[^>]{1,200}>", " ")     # tags
     out = F.regexp_replace(out, r"&[a-z]{2,6};", " ")      # entities
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def chunk_tokens(tokens_col: Column, size: int = 50, overlap: int = 10) -> Column:
+    """Split a token array into overlapping fixed-size windows
+    (``array<string>`` of space-joined chunks) — the standard
+    pre-tokenization pass that turns long documents into training-
+    window-sized pieces. Stride = ``size - overlap``; the last chunk
+    may be short; a doc shorter than ``size`` yields one chunk.
+    Intra-row higher-order functions — zero shuffle at any corpus
+    size; pair with ``posexplode`` for (doc, chunk_idx, chunk) rows.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    n = F.size(tokens_col)
+    nchunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(size)).cast("double") / stride).cast("int")
+    )
+    idx = F.sequence(F.lit(0), nchunks - 1)
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens_col, i * stride + 1, size), " ")
+    )

@@ -457,3 +457,33 @@ def test_edit_distance_self_join_blocked(spark):
     )
     out = edit_distance_self_join(df, "pk", "name", ["brand"], 2).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
+
+
+def test_chunk_tokens_shapes(spark):
+    import pytest as _pytest
+    from owl_etl_spark.functions.text import chunk_tokens, tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(120))),  # 120 toks -> 3 chunks
+         (2, " ".join(f"t{i}" for i in range(50))),   # exactly size -> 1
+         (3, "a b c"),                                  # short -> 1
+         (4, " ".join(f"t{i}" for i in range(51)))],   # size+1 -> 2
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id", F.posexplode(chunk_tokens(tokens(F.col("text")), 50, 10))
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.col))
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2
+    # stride 40: chunk 1 of doc 1 starts at token 40; overlap of 10 tokens
+    c0 = by_doc[1][0][1].split(" ")
+    c1 = by_doc[1][1][1].split(" ")
+    assert len(c0) == 50 and c1[0] == "t40" and c0[40:] == c1[:10]
+    # tail chunk is short: tokens 80..119
+    c2 = by_doc[1][2][1].split(" ")
+    assert c2[0] == "t80" and len(c2) == 40
+    with _pytest.raises(ValueError):
+        chunk_tokens(tokens(F.col("text")), 10, 10)

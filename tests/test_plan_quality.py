@@ -96,3 +96,32 @@ def test_wholestage_codegen_active(spark):
     with contextlib.redirect_stdout(buf):
         df.explain()  # simple mode shows codegen stage markers *(n)
     assert "*(1)" in buf.getvalue()
+
+
+def test_q78_stratified_sample_group_limit(spark):
+    """Hash-order stratified sampling must plan as WindowGroupLimit so
+    map tasks keep only k rows per stratum before the shuffle."""
+    plan = _plan(spark, "q78_stratified_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q81_edit_distance_join_is_hash_join(spark):
+    """The blocked similarity join must be an equi hash join on the
+    block key — never a cartesian/nested-loop product."""
+    plan = _plan(spark, "q81_edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled, either is fine
+
+
+def test_q73_hash_split_single_exchange(spark):
+    """Split assignment is a pure row expression: the only exchange in
+    the plan is the final summary aggregation's."""
+    plan = _plan(spark, "q73_hash_split")
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_q82_chunking_no_exchange(spark):
+    """Intra-row chunking + posexplode must not shuffle at all."""
+    plan = _plan(spark, "q82_chunk_documents")
+    assert "Exchange" not in plan
