@@ -78,3 +78,53 @@ def write_partition_overwrite(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by ``sort_cols`` then sort within partitions
+    before writing: rows with nearby keys land in the same files, so
+    parquet min/max statistics make later point/range scans on those
+    keys prune whole files (poor man's clustering/Z-order for the
+    single-key case). At 100 TB this is the difference between a
+    needle lookup touching ~1 file and touching all of them."""
+    out = df.repartitionByRange(*sort_cols) if target_partitions is None else (
+        df.repartitionByRange(target_partitions, *sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``max(min_files, ceil(bytes / target))`` files. Streaming sinks
+    and per-batch incremental loads (the engine's monthly-drop
+    contract) accumulate tiny files that poison scan planning at
+    scale — NameNode/listing pressure and one task per splinter file.
+    Returns the output file count. Coalesce (not repartition): a pure
+    read-merge-write with no shuffle."""
+    import math
+
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        s.getLen()
+        for s in fs.listStatus(jvm_path)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    n = max(min_files, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    return n

@@ -95,3 +95,46 @@ def test_app_tables_favorites(spark):
     per_user = rep.groupBy("usuario_id").count().collect()
     assert all(r["count"] == 2 for r in per_user)
     assert {r.nombre_fic for r in rep.collect()} == {"fondoA", "fondoB"}
+
+
+def test_write_sorted_parquet_clusters_keys(spark, tmp_path):
+    """Range-partitioned sorted write: each output file covers a
+    disjoint key range, so min/max stats can prune point lookups."""
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(8)  # scrambled input
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(df, path, ["k"], target_partitions=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # per-file key ranges must be disjoint
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 4
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from owl_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "splintered")
+    spark.range(0, 1000).repartition(40).write.parquet(path)  # 40 tiny files
+    before = spark.read.parquet(path)
+    rows_before = sorted(r.id for r in before.collect())
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    import os
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == rows_before
