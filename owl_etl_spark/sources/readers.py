@@ -173,3 +173,44 @@ def derive_metadata_from_filename(df: DataFrame, filename_col: str = "filename")
         .withColumn("anio", F.when(date_y == "", None).otherwise(date_y))
         .withColumn("mes", F.when(date_m == "", None).otherwise(date_m))
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan split into (good, quarantined): malformed
+    lines land whole in ``corrupt_col`` instead of failing the job —
+    the distributed form of the reference's per-file try/except
+    accounting (src/scripts/script_load.py:86-151). At 100 TB a
+    single bad record must never kill a stage; quarantined rows keep
+    the raw text for replay after a parser fix.
+
+    Spark requires referencing the corrupt column from a *cached*
+    frame (it is populated only at parse time).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType([*schema.fields, StructField(corrupt_col, StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions
+    the footers of every vintage (columns added over time read as
+    null in old files) — the monthly-drop contract means the staged
+    layout WILL gain columns between vintages. Merge costs a footer
+    read per file at planning; keep it off (default) for fixed-schema
+    hot paths."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -104,3 +104,45 @@ def test_salted_join_equivalence(spark):
     assert {(r.c_mktsegment, r["count"]) for r in salted} == {
         (r.c_mktsegment, r["count"]) for r in plain
     }
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """With broadcast disabled (big-dim case), Catalyst can still
+    inject a bloom filter built from the filtered dimension into the
+    fact scan — rows that can't join are dropped BEFORE the shuffle.
+    Local thresholds are lowered to exercise the rule that fires
+    automatically at real scale."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 97).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("cat")
+    ).write.parquet(dim_p)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+        joined = fact.join(dim, fact.fk == dim.k).groupBy("cat").count()
+        plan = _plan_of(joined)
+        assert "bloom" in plan.lower(), plan[:2000]
+        got = joined.collect()
+        expected = len([k for k in range(5_000) if k % 13 == 3])  # 1 fact row per dim key
+        assert len(got) == 1 and got[0]["count"] == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

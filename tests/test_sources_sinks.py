@@ -138,3 +138,37 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert len(files) == 1
     after = spark.read.parquet(path)
     assert sorted(r.id for r in after.collect()) == rows_before
+
+
+def test_read_json_with_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from owl_etl_spark.sources.readers import read_json_with_quarantine
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "data.json").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2 "name": "missing comma"}\n'
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    good, bad = read_json_with_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    quarantined = bad.collect()
+    assert len(quarantined) == 1 and "missing comma" in quarantined[0][0]
+
+
+def test_read_parquet_merged_schema(spark, tmp_path):
+    from owl_etl_spark.sources.readers import read_parquet_merged_schema
+
+    v1 = str(tmp_path / "t" / "v=1")
+    v2 = str(tmp_path / "t" / "v=2")
+    spark.range(0, 3).select(F.col("id").alias("a")).write.parquet(v1)
+    spark.range(3, 6).select(
+        F.col("id").alias("a"), (F.col("id") * 10).alias("b")
+    ).write.parquet(v2)
+    df = read_parquet_merged_schema(spark, str(tmp_path / "t"))
+    assert set(df.columns) >= {"a", "b"}
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows[1] is None and rows[4] == 40
