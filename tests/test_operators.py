@@ -487,3 +487,29 @@ def test_chunk_tokens_shapes(spark):
     assert c2[0] == "t80" and len(c2) == 40
     with _pytest.raises(ValueError):
         chunk_tokens(tokens(F.col("text")), 10, 10)
+
+
+def test_hll_sketch_incremental_merge_consistency(spark):
+    """Per-month sketches merged agree with the one-shot global sketch
+    (within the composite-vs-HIP estimator gap) and land within HLL
+    error bounds of the exact distinct count — the incremental-stats
+    contract."""
+    from owl_etl_spark.operators.sketches import distinct_sketch, estimate, merge_sketches
+    from owl_etl_spark.sources.readers import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.01", "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    monthly = distinct_sketch(orders, ["month"], "o_custkey")
+    assert monthly.count() > 1  # genuinely incremental
+    merged = merge_sketches(monthly.withColumn("g", F.lit(1)), ["g"]).select(
+        estimate().alias("n")
+    ).collect()[0].n
+    oneshot = distinct_sketch(orders.withColumn("g", F.lit(1)), ["g"], "o_custkey").select(
+        estimate().alias("n")
+    ).collect()[0].n
+    # union drops the HIP estimator (composite instead): near, not equal
+    assert abs(merged - oneshot) / oneshot < 0.01
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(oneshot - exact) / exact < 0.05
