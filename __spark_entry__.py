@@ -1103,6 +1103,25 @@ def _cosine_duck(a: str, b: str) -> str:
     return f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE ({dot}) / ({na} * {nb}) END"
 
 
+def _hp_bucket_duck(vec: str, num_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of knn.hyperplane_bucket_expr: same literal seeded
+    hyperplanes, same left-fold dot product, so the bucket ids are
+    IEEE-identical across engines."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    terms = []
+    for p_idx in range(num_planes):
+        arr = ", ".join(repr(v) for v in planes[p_idx])
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * (CAST([{arr}] AS DOUBLE[]))[i]), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** p_idx} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @_register(
     "q30_knn_bruteforce",
     f"""
@@ -1177,20 +1196,98 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-oracle entries: approximate / non-SQL-expressible operators --------------
 
 
-@_register("q33_lsh_knn", None)
+def _q33_tables_duck() -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_hp_bucket_duck('embedding', num_planes=4, seed=42 + 1000 * t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(4)
+    )
+
+
+@_register(
+    "q33_lsh_knn",
+    f"""
+    WITH bt AS (
+      {_q33_tables_duck()}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bt c JOIN bt q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({_cosine_duck('qe.embedding', 'ce.embedding')}, 6) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN via random-hyperplane LSH buckets (library:
-    operators.knn.lsh_knn). Approximate by design → rows-only check;
-    exactness is covered by q30 and tests assert recall vs q30."""
+    operators.knn.lsh_knn). The candidate set and ranking are a
+    deterministic function of seeded literal hyperplanes + (rounded
+    cosine, id) ordering — so the 'approximate' operator still
+    oracle-matches exactly; tests additionally assert recall vs the
+    exact q30."""
     em = _t(spark, sf_dir, "embeddings")
     return lsh_knn(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
-@_register("q34_minhash_lsh_pairs", None)
+_Q34_MINS = ",\n             ".join(
+    f"min(CAST(('0x' || substring(md5(shingle || '#{i}'), 1, 15)) AS BIGINT)) AS h{i}"
+    for i in range(16)
+)
+_Q34_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR) || '_' || "
+    f"CAST(h{2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    for b in range(8)
+)
+
+
+@_register(
+    "q34_minhash_lsh_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [norm]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+               AS shingle
+        FROM toks)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_Q34_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      {_Q34_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+    """,
+)
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (library:
-    operators.dedup.minhash_lsh_pairs) — banding is approximate →
-    rows-only; tests assert candidate superset vs q29 at threshold."""
+    operators.dedup.minhash_lsh_pairs). Although banding is an
+    approximation of Jaccard, the *candidate set* is a deterministic
+    function of the md5-portable signatures — so it oracle-matches
+    exactly (the oracle recomputes the same 16 minhashes and 8 band
+    signatures in SQL). Tests additionally assert the candidate
+    superset property vs exact Jaccard (q29)."""
     from owl_etl_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -2112,18 +2209,33 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q62_lsh_blocked_near_dup", None)
+@_register(
+    "q62_lsh_blocked_near_dup",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_hp_bucket_duck('embedding')} AS lsh_bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cosine_duck('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+    WHERE round({_cosine_duck('a.embedding', 'b.embedding')}, 6) >= 0.2
+    """,
+)
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with hyperplane-LSH blocking (the label-free
-    scale path of q32): bucket join instead of label join. Approximate
-    (bucket boundaries) → rows-only; q32 is the exact-blocked oracle."""
+    scale path of q32): bucket join instead of label join. The bucket
+    ids are a deterministic function of seeded literal hyperplanes
+    (left-fold dot product — IEEE-identical in any engine), so even
+    this 'approximate' path oracle-matches exactly."""
     from owl_etl_spark.operators.dedup import embedding_near_dup_pairs
     from owl_etl_spark.operators.knn import random_hyperplane_bucket
 
     em = _t(spark, sf_dir, "embeddings")
     bucketed = random_hyperplane_bucket(em, num_planes=4)
     return embedding_near_dup_pairs(
-        bucketed, "vec_id", "embedding", block_col="lsh_bucket", threshold=0.5
+        bucketed, "vec_id", "embedding", block_col="lsh_bucket", threshold=0.2
     )
 
 
