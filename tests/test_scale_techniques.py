@@ -146,3 +146,47 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
+    """Z-ordered layout: a box predicate on BOTH dimensions touches
+    fewer files than a single-key sorted layout does, and far fewer
+    than all of them; content is unchanged."""
+    from owl_etl_spark.functions.zorder import write_zordered_parquet
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    n = 60_000
+    df = spark.range(0, n).select(
+        (F.col("id") % 600).alias("x"),
+        ((F.col("id") * 37) % 500).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered_parquet(df, zpath, "x", "y", target_partitions=16)
+    write_sorted_parquet(df, lpath, ["x"], target_partitions=16)
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    x_box = "x BETWEEN 100 AND 160"
+    y_box = "y BETWEEN 100 AND 150"
+    # single-key layout: perfect on its own key, hopeless on the other —
+    # every file contains the full y range
+    assert files_touched(lpath, y_box) == 16
+    # z-order: BOTH dimensions prune; neither degenerates to full scan
+    zx, zy = files_touched(zpath, x_box), files_touched(zpath, y_box)
+    assert zx < 16 and zy < 16, f"zorder x={zx} y={zy}"
+    # and the balanced sum beats the single-key layout's sum
+    lx, ly = files_touched(lpath, x_box), files_touched(lpath, y_box)
+    assert zx + zy < lx + ly, f"z({zx}+{zy}) vs linear({lx}+{ly})"
+    # correctness: same rows either way
+    box = f"{x_box} AND {y_box}"
+    a = sorted(r.payload for r in spark.read.parquet(zpath).filter(box).collect())
+    b = sorted(r.payload for r in spark.read.parquet(lpath).filter(box).collect())
+    assert a == b and len(a) > 0
