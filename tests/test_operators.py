@@ -513,3 +513,38 @@ def test_hll_sketch_incremental_merge_consistency(spark):
     exact = orders.select("o_custkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
     assert abs(oneshot - exact) / exact < 0.05
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """Fold monthly partials one at a time into state; the final state
+    must be exactly the single-shot aggregate over all months, in any
+    arrival order."""
+    from owl_etl_spark.operators.rollup import finalize, merge_partial_aggs, partial_agg
+    from owl_etl_spark.sources.readers import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    months = sorted(r.month for r in orders.select("month").distinct().collect())
+    assert len(months) >= 3
+
+    full = partial_agg(orders, ["o_orderstatus"], "o_totalprice")
+
+    for order in (months, list(reversed(months))):  # arrival order must not matter
+        state = None
+        for mth in order:
+            batch = partial_agg(
+                orders.filter(F.col("month") == mth), ["o_orderstatus"], "o_totalprice"
+            )
+            state = batch if state is None else merge_partial_aggs(state, batch, ["o_orderstatus"])
+        got = {tuple(r) for r in state.collect()}
+        want = {tuple(r) for r in full.collect()}
+        assert got == want
+
+    fin = {r.o_orderstatus: r for r in finalize(state).collect()}
+    chk = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum(F.round(F.col("o_totalprice") * 100)) / 100, 2).alias("t")
+    ).collect()
+    for r in chk:
+        assert fin[r.o_orderstatus].n == r.n
+        assert abs(fin[r.o_orderstatus].total - r.t) < 1e-9
