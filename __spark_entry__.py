@@ -3013,3 +3013,101 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@_register(
+    "q85_training_prep_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, md5({_NORM_DUCK}) AS fp,
+             {_NORM_DUCK} AS s, {_TOKS_DUCK} AS t
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, max(cnt) AS max_tok FROM (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT toks.* FROM toks JOIN rep USING (doc_id)
+      WHERE len(t) >= 1
+        AND len(t) BETWEEN 20 AND 1000
+        AND (CAST(length(s) - (len(t) - 1) AS DOUBLE) / len(t)) BETWEEN 2 AND 12
+        AND (CAST(rep.max_tok AS DOUBLE) / len(t)) <= 0.2
+    ),
+    deduped AS (
+      SELECT * FROM quality
+      WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY fp)
+    ),
+    mixed AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15)) AS BIGINT)
+              % 1000000
+            < CASE lang WHEN 'en' THEN 1000000 WHEN 'fr' THEN 500000
+                        WHEN 'es' THEN 500000  WHEN 'de' THEN 250000
+                        WHEN 'zh' THEN 100000  ELSE 0 END
+    ),
+    assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN b < 900000 THEN 'train'
+                  WHEN b < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, n_chars,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 1000000 AS b
+            FROM mixed)
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as one training-data prep pipeline:
+    Gopher-style quality gate → exact dedup (min-id survivor per md5
+    fingerprint) → per-language curriculum mixture → deterministic
+    90/5/5 hash split → per-(split, lang) stats. Every stage is the
+    same library call the standalone queries use; the whole pipeline
+    oracle-matches DuckDB end-to-end. Plan shape: the gates and split
+    are per-row; shuffles are the repetition-count aggs, one dedup
+    semi-join, and the final stats agg."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.split import hash_split, weighted_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+        normalize_text(F.col("text")).alias("s"),
+        tokens(normalize_text(F.col("text"))).alias("t"),
+    ).withColumn("n", F.size("t"))
+    rep = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_tok"))
+    )
+    avg_len = (F.length("s") - (F.col("n") - 1)).cast("double") / F.col("n")
+    quality = (
+        base.join(rep, "doc_id")
+        .filter(
+            (F.col("n") >= 1)
+            & F.col("n").between(20, 1000)
+            & avg_len.between(2, 12)
+            & ((F.col("max_tok").cast("double") / F.col("n")) <= 0.2)
+        )
+    )
+    survivors = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    mixed = weighted_mixture(deduped, "doc_id", "lang", _MIX_RATES)
+    assigned = hash_split(mixed, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
