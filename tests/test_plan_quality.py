@@ -72,18 +72,23 @@ def test_q07_single_shuffle_window(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_no_python_udf_in_relational_queries(spark):
-    for name in [
-        "q01_pricing_summary",
-        "q05_region_revenue",
-        "q16_sessionize",
-        "q23_exact_dedup",
-        "q27_minhash_signatures",
-        "q30_knn_bruteforce",
-    ]:
+#: the ONLY queries allowed a Python boundary: multimodal decode is
+#: inherently Python (mapInPandas over binary payloads, Arrow-batched).
+_PYTHON_ALLOWED = {"q35_multimodal_features", "q48_multimodal_features"}
+
+
+def test_no_python_udf_in_any_query(spark):
+    """Every driver-contract query except the declared multimodal pair
+    must plan 100% JVM-side — no row-Python fallback, no pandas UDF,
+    no mapInPandas. This freezes the codegen boundary for the whole
+    surface, not a sample."""
+    for name in entrymod.queries():
         plan = _plan(spark, name)
-        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
-        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unnecessarily"
+        if name in _PYTHON_ALLOWED:
+            assert "MapInPandas" in plan, f"{name} should be mapInPandas by design"
+            continue
+        for tag in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert tag not in plan, f"{name} has a Python boundary: {tag}"
 
 
 def test_wholestage_codegen_active(spark):
