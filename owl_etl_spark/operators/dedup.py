@@ -116,23 +116,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    # The self-join consumes `banded` twice; caching computes the
-    # signatures once instead of per-branch (Spark's ReuseExchange does
-    # not cover the post-exchange explode projection).
-    banded = banded.cache()
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pair generation is a single groupBy on (band, sig) + intra-row
+    # expansion of each bucket's sorted id list — NOT a self-join. One
+    # shuffle, the signatures are computed exactly once, and nothing
+    # needs .cache() (the r1 version cached `banded` for a two-branch
+    # self-join and leaked the cache into the session). A bucket of g
+    # members expands to g·(g-1)/2 pairs inside its task — same output
+    # and same worst-case skew as the self-join (one band-key = one
+    # task either way); exact-dedup first, or salted banding, remains
+    # the answer for massive duplicate classes.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "x -> named_struct('id_a', element_at(ids, i), 'id_b', x))))"
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)  # sequence(1, 0) would count DOWN
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -229,6 +232,10 @@ def ngram_jaccard_pairs_prefix(
     self-join; candidates are then verified EXACTLY with an intra-row
     set intersection, so the output is identical to the naive join.
 
+    EAGER: the verified pair list is materialized (localCheckpoint)
+    before returning so the corpus-sized shingle cache can be released
+    inside this call instead of leaking into the session.
+
     Scale: no stage materializes the full pair space — the self-join
     fan-out is Σ over *prefix* postings only, and hot shingles land in
     prefixes only for docs that have nothing rarer (i.e. genuinely
@@ -249,10 +256,18 @@ def ngram_jaccard_pairs_prefix(
         f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
         f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
     )
-    # Consumed by three branches (df counts, prefix index, verification)
-    # — cache computes the shingle sets once. At 100 TB swap for
-    # persist(DISK_ONLY) or a checkpoint; the set is corpus-sized.
-    sets = base.select("id", F.array_distinct(F.expr(shingles_sql)).alias("sh")).cache()
+    # `sets` feeds three branches (df counts, prefix index, verification);
+    # without materialization each branch re-scans and re-shingles the
+    # corpus (ReuseExchange does NOT fire here — per-branch filter
+    # pushdown de-canonicalizes the subtrees; measured 6 scans). It is
+    # persisted MEMORY_AND_DISK for the duration of this call and
+    # unpersisted in the finally below — the r1 version leaked this
+    # cache into the session.
+    from pyspark import StorageLevel
+
+    sets = base.select("id", F.array_distinct(F.expr(shingles_sql)).alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ex = sets.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Prefix length |X| - ceil(t'·|X|) + 1 with t' backed off 1e-6 below
@@ -270,16 +285,23 @@ def ngram_jaccard_pairs_prefix(
         )
         .select("id", "shingle")
     )
+    # Candidate pairs: groupBy-shingle + intra-row expansion of each
+    # posting list (same shape as minhash_lsh_pairs) — one shuffle on
+    # the prefix postings, no prefix self-join.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "x -> named_struct('id_a', element_at(ids, i), 'id_b', x))))"
+    )
     cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        prefix.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)  # sequence(1, 0) would count DOWN
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return (
+    result = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
         .withColumn("common", F.size(F.array_intersect("sha", "shb")))
@@ -290,6 +312,15 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    try:
+        # Eager: materialize the (small) verified pair list, then release
+        # the corpus-sized shingle cache in the finally. The call returns
+        # a flat scan of the checkpointed pairs; its own (pair-sized)
+        # storage is released by the context cleaner when the caller
+        # drops the DataFrame.
+        return result.localCheckpoint()
+    finally:
+        sets.unpersist()
 
 
 def embedding_near_dup_pairs(
@@ -393,6 +424,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over a similarity-pair edge list:
     (id, component) where component = min id reachable.
@@ -405,32 +437,77 @@ def connected_components(
 
     Each iteration: one join + one groupBy (2 shuffles) on the PAIR
     list, not the corpus — edges are sparse after LSH + verification.
+
+    Scale notes:
+    - ``labels`` is ``localCheckpoint``-ed every round, so each round's
+      convergence count executes only that round's join — without it
+      the uncached lineage re-runs ALL prior rounds (O(rounds²) work)
+      and the logical plan grows without bound. On a real cluster with
+      flaky executors prefer ``spark.sparkContext.setCheckpointDir`` +
+      ``.checkpoint()`` (HDFS-backed) over the executor-local variant.
+    - ``edges`` is consumed once per round; caching it computes the
+      pair list once.
+    - ``strict=True`` raises if the loop exhausts ``max_iters`` while
+      labels are still changing — a truncated result is NOT a valid
+      clustering and must never be silently returned (ADVICE r1).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()
+    )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias(
-                    "new_component"
-                ),
-                "component",
+    prev_checkpoint: DataFrame | None = None
+    converged = False
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("n_comp"))
             )
-        )
-        changed = new_labels.filter(F.col("new_component") != F.col("component")).limit(1).count()
-        labels = new_labels.select("node", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias(id_col), "component")
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    ).alias("new_component"),
+                    "component",
+                )
+                .localCheckpoint()  # truncate lineage; `changed` below reads this
+            )
+            changed = (
+                new_labels.filter(F.col("new_component") != F.col("component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.select("node", F.col("new_component").alias("component"))
+            if prev_checkpoint is not None:
+                prev_checkpoint.unpersist()
+            prev_checkpoint = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            msg = (
+                f"connected_components did not converge within max_iters={max_iters}; "
+                "the graph diameter exceeds the iteration budget and the labels are "
+                "truncated mid-propagation. Raise max_iters."
+            )
+            if strict:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        # localCheckpoint is eager — the result is materialized here, so
+        # the per-round checkpoint backing `labels` can be released.
+        result = labels.select(F.col("node").alias(id_col), "component").localCheckpoint()
+        if prev_checkpoint is not None:
+            prev_checkpoint.unpersist()
+        return result
+    finally:
+        edges.unpersist()
 
 
 def near_dup_clusters(

@@ -271,6 +271,16 @@ def _enrich_url(df: DataFrame, lookup: DataFrame, aliases: dict[str, str]) -> Da
         F.lower(F.regexp_replace(F.col("fic"), r"[\s_]+", " ")).alias("__d_fund"),
         F.col("url").alias("__url"),
     )
+    # Top-1 window key: the reference layout repeats the same
+    # <bank>_<fund>_raw.json basename across monthly folders, so
+    # partitioning by _filename alone would collapse a multi-month read
+    # to one surviving row per basename (dropping whole documents, not
+    # just URLs). Key on the full path when the scan provides it, else
+    # a per-row unique id so each input record keeps exactly one row.
+    if "_filepath" in probe.columns:
+        probe = probe.withColumn("__doc_key", F.col("_filepath"))
+    else:
+        probe = probe.withColumn("__doc_key", F.monotonically_increasing_id())
     cand = probe.join(
         F.broadcast(dim),
         (F.col("__bank_norm") == F.col("__d_bank"))
@@ -284,7 +294,7 @@ def _enrich_url(df: DataFrame, lookup: DataFrame, aliases: dict[str, str]) -> Da
             F.lit(1.0) - F.levenshtein("__fund_norm", "__d_fund") / max_len
         )
     )
-    w = Window.partitionBy("_filename").orderBy(
+    w = Window.partitionBy("__doc_key").orderBy(
         F.desc("__sim"), F.asc_nulls_last("__d_fund")
     )
     best = (
@@ -297,7 +307,10 @@ def _enrich_url(df: DataFrame, lookup: DataFrame, aliases: dict[str, str]) -> Da
         F.col("fic").withField(
             "url", F.when(F.col("__sim") >= 0.7, F.col("__url"))
         ),
-    ).drop("__bank_norm", "__fund_norm", "__d_bank", "__d_fund", "__url", "__sim", "__rn")
+    ).drop(
+        "__bank_norm", "__fund_norm", "__d_bank", "__d_fund", "__url",
+        "__sim", "__rn", "__doc_key",
+    )
 
 
 def _descale_valor(df: DataFrame) -> DataFrame:

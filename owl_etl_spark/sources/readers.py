@@ -96,6 +96,17 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
     folder = F.coalesce(F.expr(f"try_url_decode({raw_folder._jc.toString()})"), raw_folder)
     return (
         df.withColumn("_filename", fname)
+        # Full decoded path: the reference layout repeats the same
+        # <bank>_<fund>_raw.json basename across monthly folders
+        # (data/json_raw_<year>_<month>/), so the basename alone is NOT a
+        # per-record key — dedup/top-1 windows must key on _filepath.
+        .withColumn(
+            "_filepath",
+            F.coalesce(
+                F.expr(f"try_url_decode({F.input_file_name()._jc.toString()})"),
+                F.input_file_name(),
+            ),
+        )
         .withColumn("banco", F.regexp_extract(fname, r"^([^_]+)_", 1))
         .withColumn(
             "fondo",

@@ -200,3 +200,39 @@ def test_structure_repaired(transformed):
     assert c["plazo_duracion"] == []
     assert c["principales_inversiones"] == []
     assert c["composicion_portafolio"]["por_moneda"] == []
+
+
+def test_multi_month_same_basename_not_collapsed(spark):
+    """Regression (ADVICE r1, medium): the reference layout repeats the
+    same <bank>_<fund>_raw.json basename across monthly folders; the URL
+    top-1 window must not collapse those to one row per basename."""
+    docs = [_doc(nombre="fondoA", fecha_corte="2025-06-30"),
+            _doc(nombre="fondoA", fecha_corte="2025-07-31")]
+    raw = spark.createDataFrame(docs, FIC_RAW_SCHEMA)
+    raw = (
+        raw.withColumn("_filename", F.lit("banco1_fondoA_raw.json"))
+        # distinct monthly folders, identical basename
+        .withColumn(
+            "_filepath",
+            F.concat(
+                F.lit("data/json_raw_2025_"),
+                F.month(F.to_date("fic.fecha_corte")).cast("string"),
+                F.lit("/banco1_fondoA_raw.json"),
+            ),
+        )
+        .withColumn("banco", F.lit("banco1"))
+        .withColumn("fondo", F.col("fic.nombre_fic"))
+    )
+    lookup = spark.createDataFrame(
+        [("banco1", "fondoA", "http://example.test/fondoA")], ["banco", "fic", "url"]
+    )
+    out = transform_fic_documents(raw, url_lookup=lookup)
+    rows = out.select("fic.fecha_corte", "fic.url").collect()
+    assert len(rows) == 2, "multi-month read collapsed rows by basename"
+    assert {r["fecha_corte"] for r in rows} == {"2025-06-30", "2025-07-31"}
+    assert all(r["url"] == "http://example.test/fondoA" for r in rows)
+
+    # Fallback path (no _filepath column): unique-per-row key still keeps
+    # every record.
+    out2 = transform_fic_documents(raw.drop("_filepath"), url_lookup=lookup)
+    assert out2.count() == 2

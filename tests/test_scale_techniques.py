@@ -190,3 +190,75 @@ def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
     a = sorted(r.payload for r in spark.read.parquet(zpath).filter(box).collect())
     b = sorted(r.payload for r in spark.read.parquet(lpath).filter(box).collect())
     assert a == b and len(a) > 0
+
+
+def test_dedup_pair_generators_leave_no_cache(spark):
+    """r1 VERDICT: minhash_lsh_pairs / ngram_jaccard_pairs_prefix cached
+    intermediates and never unpersisted — leaking executor memory across
+    a long-lived session. Both are now cache-free (groupBy pair
+    expansion / shuffle-file ReuseExchange); after a full run the
+    session must hold no MORE persisted RDDs than before."""
+    from owl_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # minhash pair generation is cache-free (groupBy pair expansion)
+    minhash_lsh_pairs(docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    # prefix-jaccard scopes its corpus-sized shingle cache inside the
+    # call; the only storage it may leave behind is the checkpointed
+    # (pair-sized) RESULT, released when the caller drops the frame.
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    pairs.count()
+    grew = spark.sparkContext._jsc.getPersistentRDDs().size() - before
+    assert grew <= 1, f"persistent RDDs grew by {grew} (> result itself)"
+
+
+def test_jaccard_prefix_returns_flat_materialized_plan(spark):
+    """Eager scoping: the returned frame must be a flat scan of the
+    checkpointed pair list — not a live plan still referencing the
+    (now-unpersisted) shingle cache."""
+    from owl_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and ("LogicalRDD" in plan or "ExistingRDD" in plan), plan
+
+
+def test_connected_components_lineage_truncated(spark):
+    """r1 VERDICT: each round's convergence check re-executed all prior
+    rounds (O(rounds^2)). With per-round localCheckpoint the returned
+    plan must be a flat scan of checkpointed data — no join lineage."""
+    from owl_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 needs several propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    out = connected_components(pairs, ids)
+    assert {r.component for r in out.collect()} == {1}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A truncated (max_iters-exhausted) labeling is not a clustering;
+    strict mode must refuse to return it, non-strict must warn."""
+    import warnings
+
+    import pytest
+
+    from owl_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, ids, max_iters=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, ids, max_iters=1, strict=False).collect()
+    assert any("did not converge" in str(x.message) for x in w)
