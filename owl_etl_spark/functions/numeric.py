@@ -22,6 +22,13 @@ def parse_numero(col: Column) -> Column:
     Values that already cast cleanly pass through untouched — the
     regex path must only see true strings, because a double rendered
     as ``2.3E13`` would have its exponent marker stripped.
+
+    INTENTIONAL DIVERGENCE from the reference: ``"1,5"`` parses here
+    as 1.5 (comma = Spanish decimal separator). The reference strips
+    commas BEFORE its ``replace(',', '.')`` can act
+    (src/etl/transform.py:787-802), so it yields 15.0 — a locale bug
+    this engine does not reproduce. Golden parity is unaffected (the
+    fixtures carry no comma-decimal numerics).
     """
     direct = col.try_cast("double")
     cleaned = F.regexp_replace(F.translate(col.cast("string"), ",", "."), r"[^\d.\-]", "")
@@ -29,13 +36,16 @@ def parse_numero(col: Column) -> Column:
 
 
 def parse_percent(col: Column) -> Column:
-    """Percent-string parse: keeps digits/dot/comma/minus/%, comma→dot,
-    drops the %, casts (P5's string branch,
-    reference: src/etl/transform.py:569-605)."""
+    """Percent parse. Clean casts pass through directly — the
+    reference's numeric branch, and the only safe path for scientific
+    notation ("5e-05"), whose exponent marker the regex would strip.
+    The regex clean (keep digits/dot/comma/minus/%, comma→dot, drop %)
+    is the string branch (reference: src/etl/transform.py:569-605)."""
+    direct = col.try_cast("double")
     cleaned = F.regexp_replace(col.cast("string"), r"[^\d.,\-%]", "")
     cleaned = F.translate(cleaned, ",", ".")
     cleaned = F.regexp_replace(cleaned, "%", "")
-    return cleaned.try_cast("double")
+    return F.coalesce(direct, cleaned.try_cast("double"))
 
 
 def descale_monetary(col: Column, max_iters: int = 10, scale: int = 2) -> Column:
@@ -75,6 +85,32 @@ def convert_if_needed(col: Column, scale: int = 6) -> Column:
     return F.when(F.abs(v) > 1.0, F.round(v / 100.0, scale)).otherwise(F.round(v, scale))
 
 
+def parse_percent_sql(path: str) -> str:
+    """SQL-text form of :func:`parse_percent` for use inside
+    higher-order lambdas. Direct cast first (scientific notation must
+    not hit the regex, which would strip the exponent marker)."""
+    return (
+        f"coalesce(try_cast({path} AS DOUBLE), "
+        f"try_cast(replace(translate(regexp_replace(CAST({path} AS STRING), "
+        f"'[^0-9.,%-]', ''), ',', '.'), '%', '') AS DOUBLE))"
+    )
+
+
+def parsed_participation_sql(arr_sql: str, key_field: str) -> str:
+    """Lenient-parse every ``participacion`` in a participation array
+    (string → double via :func:`parse_percent_sql`), preserving the
+    array-of-struct shape. Composes in front of
+    :func:`smart_percent_array_sql` so string percents like
+    ``"66,96%"`` survive the typed read (the raw schema keeps
+    participacion as STRING for exactly this reason — see
+    schemas._part_array)."""
+    return (
+        f"transform({arr_sql}, x -> named_struct("
+        f"'{key_field}', x.{key_field}, "
+        f"'participacion', {parse_percent_sql('x.participacion')}))"
+    )
+
+
 def _format_vote_sql(arr_sql: str) -> str:
     """SQL CASE classifying an array's percentage format (P5 vote,
     reference: src/etl/transform.py:534-566): 'x100' (66.96-style →
@@ -112,6 +148,15 @@ def smart_percent_array_sql(arr_sql: str, key_field: str, scale: int = 6) -> str
     the reference's ``_convertir_porcentaje_individual``
     (src/etl/transform.py:608-628): values in [0.9, 1.1] kept, in
     [90, 110] or > 1.1 divided by 100, else kept.
+
+    The format vote (an O(n) aggregate over the array) is bound ONCE
+    per row via an outer single-element ``transform`` lambda — naming
+    it ``__fmt`` and referencing the lambda variable inside the
+    per-element CASE. Inlining the vote into the element lambda would
+    re-evaluate it per element (O(n²) per row) — the same lambda
+    re-evaluation hazard fixed in ``dedup.with_minhash``; a temp
+    column is no defense either, since CollapseProject inlines it
+    straight back into each use site.
     """
     fmt = _format_vote_sql(arr_sql)
     v = "x.participacion"
@@ -120,13 +165,14 @@ def smart_percent_array_sql(arr_sql: str, key_field: str, scale: int = 6) -> str
         WHEN abs({v}) BETWEEN 90.0D AND 110.0D THEN round({v} / 100.0D, {scale})
         WHEN abs({v}) > 1.1D THEN round({v} / 100.0D, {scale})
         ELSE round({v}, {scale}) END"""
-    return f"""transform({arr_sql}, x -> named_struct(
+    return f"""element_at(transform(array({fmt}), __fmt ->
+              transform({arr_sql}, x -> named_struct(
               '{key_field}', x.{key_field},
               'participacion',
               CASE WHEN {v} IS NULL THEN CAST(NULL AS DOUBLE)
-                   WHEN ({fmt}) = 'x100' THEN round({v} / 100.0D, {scale})
-                   WHEN ({fmt}) = 'frac' THEN round({v}, {scale})
-                   ELSE ({individual}) END))"""
+                   WHEN __fmt = 'x100' THEN round({v} / 100.0D, {scale})
+                   WHEN __fmt = 'frac' THEN round({v}, {scale})
+                   ELSE ({individual}) END))), 1)"""
 
 
 def smart_percent_array(arr_sql: str, key_field: str, scale: int = 6) -> Column:

@@ -23,21 +23,46 @@ from pyspark.sql import functions as F
 from owl_etl_spark.functions.similarity import cosine_sql
 
 
-def _assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
+def _assign_expr(
+    vec_col: str, centroids: np.ndarray, round_digits: int | None = None
+) -> F.Column:
     """argmin squared-L2 over centroid literals — one intra-row
-    expression, no UDF, no shuffle."""
+    expression, no UDF, no shuffle. ``round_digits`` rounds each
+    distance before the argmin (ties → lowest cluster index), making
+    the assignment portable across engines for oracle checking — the
+    same trick the cosine family uses (round 6 + id tiebreak)."""
     k, dim = centroids.shape
     dists = []
     for c in range(k):
         arr = ", ".join(f"{v!r}D" for v in centroids[c])
-        dists.append(
+        d = (
             f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
             f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
         )
+        dists.append(f"round({d}, {round_digits})" if round_digits is not None else d)
     best = " ".join(
         f"WHEN least({', '.join(dists)}) = ({dists[c]}) THEN {c}" for c in range(k)
     )
     return F.expr(f"CASE {best} END")
+
+
+def centroids_from_ids(
+    df: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Pinned centroids: the embedding rows with the given ids, ordered
+    by id (cluster_id = position in ``ids`` sorted). Deterministic and
+    recomputable by any engine — the oracle-portable alternative to
+    ``kmeans_fit`` for IVF demos/tests. Collects k rows (k·dim driver
+    state, same footprint as fitted centroids)."""
+    rows = (
+        df.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .collect()
+    )
+    if len(rows) != len(ids):
+        raise ValueError(f"expected {len(ids)} centroid rows, got {len(rows)}")
+    return np.array([list(r.v) for r in rows], dtype=float)
 
 
 def kmeans_fit(
@@ -91,10 +116,13 @@ def kmeans_fit(
 
 
 def assign_clusters(
-    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Attach ``cluster_id`` — map-only, broadcast-by-literal."""
-    return df.withColumn("cluster_id", _assign_expr(vec_col, centroids))
+    return df.withColumn("cluster_id", _assign_expr(vec_col, centroids, round_digits))
 
 
 def ivf_knn(
@@ -105,15 +133,18 @@ def ivf_knn(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are probed only in the
     ``n_probes`` clusters nearest to each query.
 
     probe assignment is the same argmin expression ranked to n_probes;
     the candidate join is an equi-join on cluster_id. Recall rises with
-    n_probes (== brute force at n_probes=k_clusters)."""
+    n_probes (== brute force at n_probes=k_clusters). ``round_digits``
+    rounds centroid distances before argmin/probe ranking (ties →
+    lowest cluster_id) so the candidate set is engine-portable."""
     kc = centroids.shape[0]
-    c = assign_clusters(corpus, centroids, vec_col).select(
+    c = assign_clusters(corpus, centroids, vec_col, round_digits).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster_id"
     )
     # per-query distances to each centroid → explode top n_probes
@@ -124,6 +155,8 @@ def ivf_knn(
             f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
             f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
         )
+        if round_digits is not None:
+            d = f"round({d}, {round_digits})"
         dist_structs.append(f"named_struct('cluster_id', {ci}, 'd', {d})")
     probes = (
         f"transform(slice(array_sort(array({', '.join(dist_structs)}), "

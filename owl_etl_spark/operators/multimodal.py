@@ -33,14 +33,21 @@ FEATURE_SCHEMA = (
 )
 
 
-def to_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def to_binary_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media_type: F.Column | None = None,
+) -> DataFrame:
     """Wrap a source column as an opaque binary payload with typed
     metadata — the canonical multimodal row shape:
-    (id, payload binary, media_type string, n_bytes long)."""
+    (id, payload binary, media_type string, n_bytes long).
+    ``media_type`` may be a Column for mixed-media corpora (drives the
+    per-type decoder dispatch in ``extract_features``)."""
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit("text/plain").alias("media_type"),
+        (media_type if media_type is not None else F.lit("text/plain")).alias("media_type"),
         F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
     )
 
@@ -52,12 +59,17 @@ def _decode(payload: bytes, media_type: str) -> dict:
 
     Raises ``NotImplementedError`` for media types the stub does not
     model, mirroring how a production decoder should fail loudly on
-    unsupported codecs.
+    unsupported codecs. The two supported types decode with DIFFERENT
+    (deterministic) dimension formulas so per-type dispatch is
+    observable end-to-end — an oracle over mixed-media input catches a
+    decoder that ignores ``media_type``.
     """
-    if media_type not in ("text/plain", "image/fake"):
-        raise NotImplementedError(f"no decoder for {media_type}")
     n = len(payload)
-    return {"width": (n % 640) + 1, "height": (n % 480) + 1, "feature_norm": float(n % 1000) / 1000.0}
+    if media_type == "text/plain":
+        return {"width": (n % 640) + 1, "height": (n % 480) + 1, "feature_norm": float(n % 1000) / 1000.0}
+    if media_type == "image/fake":
+        return {"width": (n % 1280) + 1, "height": (n % 720) + 1, "feature_norm": float(n % 997) / 997.0}
+    raise NotImplementedError(f"no decoder for {media_type}")
 
 
 def extract_features(df: DataFrame) -> DataFrame:

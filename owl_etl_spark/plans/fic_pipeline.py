@@ -30,6 +30,7 @@ from owl_etl_spark.functions.numeric import (
     convert_if_needed_sql,
     descale_monetary,
     parse_numero,
+    parsed_participation_sql,
     smart_percent_array,
     smart_percent_array_sql,
 )
@@ -95,15 +96,23 @@ _HORIZONS = [
 
 
 def _normalize_percentages(df: DataFrame) -> DataFrame:
-    """Stage 1 — P5 on every participation array, P6 on horizons."""
+    """Stage 1 — lenient percent parse (string participacion survives
+    the typed read — see schemas._part_array), then P5 on every
+    participation array, P6 on horizons."""
     out = df.withColumn(
-        "plazo_duracion", smart_percent_array("plazo_duracion", "plazo")
+        "plazo_duracion",
+        smart_percent_array(parsed_participation_sql("plazo_duracion", "plazo"), "plazo"),
     ).withColumn(
         "principales_inversiones",
-        smart_percent_array("principales_inversiones", "emisor"),
+        smart_percent_array(
+            parsed_participation_sql("principales_inversiones", "emisor"), "emisor"
+        ),
     )
     comp_fields = ", ".join(
-        f"'{name}', " + smart_percent_array_sql(f"composicion_portafolio.{name}", key)
+        f"'{name}', "
+        + smart_percent_array_sql(
+            parsed_participation_sql(f"composicion_portafolio.{name}", key), key
+        )
         for name, key in COMPOSICION_CATEGORIES.items()
     )
     out = out.withColumn(

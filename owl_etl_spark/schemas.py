@@ -33,11 +33,18 @@ def _horizon_struct() -> StructType:
 
 
 def _part_array(key_field: str) -> ArrayType:
+    """participacion reads as STRING, not double: the reference
+    explicitly parses string percent values like ``"66,96%"``
+    (src/etl/transform.py:585-600), and a DoubleType read would make
+    PERMISSIVE mode null such a field (or record) out silently. The
+    transform pipeline's stage 1 applies the lenient percent parse
+    before the smart-percent vote; plain JSON numbers round-trip
+    through the string read losslessly."""
     return ArrayType(
         StructType(
             [
                 StructField(key_field, StringType()),
-                StructField("participacion", DoubleType()),
+                StructField("participacion", StringType()),
             ]
         )
     )

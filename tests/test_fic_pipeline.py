@@ -236,3 +236,75 @@ def test_multi_month_same_basename_not_collapsed(spark):
     # every record.
     out2 = transform_fic_documents(raw.drop("_filepath"), url_lookup=lookup)
     assert out2.count() == 2
+
+
+def test_string_percent_values_survive_typed_read(spark):
+    """The raw schema keeps participacion as STRING so reference-legal
+    string percents ("66,96%") survive the typed read; stage 1's
+    lenient parse feeds the smart-percent vote. Scientific-notation
+    numbers must pass through the direct-cast path (the regex clean
+    would strip the exponent marker)."""
+    import json
+
+    from owl_etl_spark.schemas import FIC_RAW_SCHEMA
+
+    doc = _doc(
+        nombre="fondoS",
+        plazos=[
+            {"plazo": "0-30", "participacion": "66,96%"},
+            {"plazo": "30-180", "participacion": "33.04"},
+        ],
+        por_activo=[
+            {"activo": "CDT", "participacion": 5e-05},
+            {"activo": "Bonos", "participacion": 0.99995},
+        ],
+    )
+    raw = (
+        spark.createDataFrame([(json.dumps(doc),)], ["j"])
+        .select(F.from_json("j", FIC_RAW_SCHEMA).alias("d"))
+        .select("d.*")
+        .withColumn("_filename", F.lit("banco1_fondoS_raw.json"))
+        .withColumn("banco", F.lit("banco1"))
+        .withColumn("fondo", F.lit("fondoS"))
+    )
+    out = transform_fic_documents(raw).collect()[0].asDict(recursive=True)
+    plazos = {p["plazo"]: p["participacion"] for p in out["plazo_duracion"]}
+    assert plazos["0-30"] == pytest.approx(0.6696)
+    assert plazos["30-180"] == pytest.approx(0.3304)
+    activos = {a["activo"]: a["participacion"] for a in out["composicion_portafolio"]["por_activo"]}
+    assert activos["CDT"] == pytest.approx(5e-05)
+    assert activos["Bonos"] == pytest.approx(0.99995)
+
+
+def test_multimodal_mixed_media_dispatch(spark):
+    """Per-media decoder dispatch: the two stub formulas differ, so a
+    decoder ignoring media_type shows wrong dims."""
+    from owl_etl_spark.operators.multimodal import extract_features, to_binary_payload
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "hello world")], ["doc_id", "text"])
+    media = F.when(F.col("doc_id") == 1, F.lit("image/fake")).otherwise(F.lit("text/plain"))
+    out = {r.doc_id: r for r in extract_features(to_binary_payload(df, media_type=media)).collect()}
+    assert out[2].width == 12 and out[2].height == 12            # text: n%640+1, n%480+1
+    assert out[1].width == 12 and out[1].height == 12            # image: n%1280+1, n%720+1 (n=11)
+    assert out[1].feature_norm == pytest.approx(11 / 997)
+    assert out[2].feature_norm == pytest.approx(11 / 1000)
+
+
+def test_centroids_from_ids_and_rounded_ivf(spark):
+    """Pinned-centroid IVF (q49's form): centroids are exact embedding
+    rows; rounded distances keep assignment engine-portable; recall vs
+    brute force stays high at n_probes=3/k=8."""
+    from owl_etl_spark.operators.cluster import centroids_from_ids, ivf_knn
+    from owl_etl_spark.operators.knn import brute_force_knn
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = [0, 60, 120, 180, 240, 300, 360, 420]
+    cent = centroids_from_ids(em, ids)
+    assert cent.shape == (8, 64)
+    q = em.filter(F.col("vec_id") < 10)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(q, em, cent, k=5, n_probes=3, round_digits=6).collect()
+    }
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_knn(q, em, k=5).collect()}
+    assert len(ivf & bf) / len(bf) >= 0.5

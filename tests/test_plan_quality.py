@@ -74,7 +74,7 @@ def test_q07_single_shuffle_window(spark):
 
 #: the ONLY queries allowed a Python boundary: multimodal decode is
 #: inherently Python (mapInPandas over binary payloads, Arrow-batched).
-_PYTHON_ALLOWED = {"q35_multimodal_features", "q48_multimodal_features"}
+_PYTHON_ALLOWED = {"q35_multimodal_mixed_media", "q48_multimodal_features"}
 
 
 def test_no_python_udf_in_any_query(spark):
