@@ -975,6 +975,14 @@ _SHINGLES_DUCK = f"""
 """
 
 
+from owl_etl_spark.functions.hashing import MINHASH_P as _MINHASH_P
+from owl_etl_spark.functions.hashing import minhash_coeffs as _minhash_coeffs
+
+#: DuckDB VALUES list of the seeded affine MinHash coefficients — the
+#: same literals the Spark operators use (functions.hashing).
+_Q27_COEFS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_coeffs(8)))
+
+
 @_register(
     "q27_minhash_signatures",
     f"""
@@ -987,21 +995,27 @@ _SHINGLES_DUCK = f"""
              AS shingle
       FROM toks
     ),
-    seeded AS (
-      SELECT doc_id, seed, shingle
-      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
-    )
+    hashes AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM shingles
+    ),
+    coef(seed, a, b) AS (VALUES {_Q27_COEFS})
     SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-           min(CAST(('0x' || substring(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
-    FROM seeded
+           min((a * h + b) % {_MINHASH_P}) AS minhash
+    FROM hashes CROSS JOIN coef
     GROUP BY doc_id, seed
     """,
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hash family members) over word 3-shingles,
-    emitted as rows for oracle comparison. The library form
-    (operators.dedup.with_minhash) computes the same values intra-row
-    as array<bigint> — zero shuffle."""
+    """MinHash signatures (8 affine family members over ONE md5 base
+    hash per shingle — functions.hashing.minhash_coeffs) over word
+    3-shingles, emitted as rows for oracle comparison. All-codegen:
+    explode → md5 → 8 min aggregates → stack unpivot; no per-seed
+    crypto fan-out. The library form (operators.dedup.with_minhash)
+    computes the same values intra-row as array<bigint>."""
+    from owl_etl_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
     d = _t(spark, sf_dir, "documents")
     base = d.select("doc_id", normalize_text(F.col("text")).alias("norm")).withColumn(
         "toks", F.split(F.col("norm"), " ")
@@ -1012,16 +1026,18 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(toks, i, 3), ' ')) END"
     )
     sh = base.select("doc_id", F.explode(F.expr(shingles_sql)).alias("shingle"))
-    seeded = sh.crossJoin(
-        spark.range(8).select(F.col("id").cast("long").alias("seed"))
+    hashes = sh.select(
+        "doc_id", F.pmod(md5_long(F.col("shingle")), F.lit(MINHASH_P)).alias("h")
     )
-    return (
-        seeded.withColumn(
-            "h", md5_long(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    coeffs = minhash_coeffs(8)
+    sig = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
+    stack = ", ".join(f"CAST({i} AS BIGINT), m{i}" for i in range(8))
+    return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
 
 
 def _simhash_duck(bits: int = 16) -> str:
@@ -1244,8 +1260,8 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q34_MINS = ",\n             ".join(
-    f"min(CAST(('0x' || substring(md5(shingle || '#{i}'), 1, 15)) AS BIGINT)) AS h{i}"
-    for i in range(16)
+    f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_minhash_coeffs(16))
 )
 _Q34_BANDS = "\n      UNION ALL\n      ".join(
     f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR) || '_' || "
@@ -1267,10 +1283,15 @@ _Q34_BANDS = "\n      UNION ALL\n      ".join(
                AS shingle
         FROM toks)
     ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              {_Q34_MINS}
-      FROM sh GROUP BY doc_id
+      FROM h GROUP BY doc_id
     ),
     banded AS (
       {_Q34_BANDS}

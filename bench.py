@@ -104,6 +104,49 @@ def main() -> None:
         )
     )
     spark.stop()
+    _check_regression(timings, total, sf)
+
+
+def _check_regression(timings: dict[str, float], total: float, sf: float) -> None:
+    """Regression guard: compare against the newest BENCH_r*.json
+    (previous round's recorded run) and exit non-zero if any headline
+    query regressed >1.5x, with a +1.0s absolute allowance so Spark
+    fixed-cost noise on sub-second queries can't false-positive
+    (run-to-run noise at sf0.1 is a few hundred ms per query). Skip
+    with SPARK_GRAFT_NO_GUARD=1 or when no prior round file exists /
+    the sf differs. The JSON line above is always printed first."""
+    import glob
+
+    if os.environ.get("SPARK_GRAFT_NO_GUARD"):
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior_files:
+        return
+    try:
+        with open(prior_files[-1]) as f:
+            prior = json.load(f)
+        # the round driver wraps the JSON line under "parsed"
+        prior = prior.get("parsed", prior)
+    except (OSError, json.JSONDecodeError):
+        return
+    if prior.get("sf") != sf:
+        return
+    regressions = []
+    for name, old in prior.get("queries", {}).items():
+        new = timings.get(name)
+        if new is not None and new > old * 1.5 + 1.0:
+            regressions.append(f"{name}: {old:.3f}s -> {new:.3f}s")
+    old_total = prior.get("value")
+    if old_total and total > old_total * 1.5 + 2.0:
+        regressions.append(f"TOTAL: {old_total:.3f}s -> {total:.3f}s")
+    if regressions:
+        print(
+            "BENCH REGRESSION vs " + os.path.basename(prior_files[-1]) + ": "
+            + "; ".join(regressions),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

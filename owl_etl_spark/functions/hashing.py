@@ -30,20 +30,52 @@ def md5_long_seeded(col: Column, seed: int) -> Column:
     return md5_long(F.concat(col, F.lit(f"#{seed}")))
 
 
+#: Modulus of the affine MinHash family — the Mersenne prime 2^31-1.
+#: Residues are < 2^31, so a*h + b < 2^62 never overflows BIGINT in
+#: any engine (the portability constraint that rules out 2^61-1).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficient pairs for the universal-hash family
+    ``h_i(x) = (a_i·x + b_i) mod P`` — the standard MinHash
+    construction (one base hash, k cheap affine derivations) instead
+    of k independent cryptographic hashes. Deterministic: both the
+    Spark operators and the SQL oracles regenerate the same literals
+    (same trick as the q33 seeded hyperplanes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_hashes)
+    b = rng.integers(0, MINHASH_P, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
 def minhash_signature_sql(shingles_sql: str, num_hashes: int = 16) -> Column:
     """MinHash signature as ``array<bigint>`` over a shingle array.
 
-    For each seed i: min over shingles of md5_long(shingle + '#i').
-    Entirely intra-row (``transform`` + ``aggregate``) — signatures for
-    a billion docs need zero shuffles; only the LSH band join shuffles.
+    ONE md5 per shingle (reduced mod P), then ``num_hashes`` affine
+    minima over the integer array — 16x less cryptographic hashing
+    than an md5-per-(shingle, seed) family, measured ~6 s → sub-second
+    for 5k docs at sf0.1 (higher-order aggregates run interpreted, so
+    the md5-per-seed form pays interpreter-dispatch × crypto on every
+    element). Entirely intra-row — signatures for a billion docs need
+    zero shuffles; only the LSH band join shuffles.
+
+    The base-hash array is bound once via a single-element outer
+    ``transform`` (lambda variable ``__h``) so CollapseProject cannot
+    re-inline the md5 pass into each of the 16 aggregates.
     """
-    sigs = ", ".join(
-        f"""aggregate({shingles_sql},
-                      CAST(9223372036854775807 AS BIGINT),
-                      (acc, s) -> least(acc, CAST(conv(substring(md5(concat(s, '#{i}')), 1, {_HEX_CHARS}), 16, 10) AS BIGINT)))"""
-        for i in range(num_hashes)
+    base = (
+        f"transform({shingles_sql}, s -> "
+        f"pmod(CAST(conv(substring(md5(s), 1, {_HEX_CHARS}), 16, 10) AS BIGINT), {MINHASH_P}))"
     )
-    return F.expr(f"array({sigs})")
+    sigs = ", ".join(
+        f"aggregate(__h, CAST({MINHASH_P} AS BIGINT), "
+        f"(acc, h) -> least(acc, pmod({a}L * h + {b}L, {MINHASH_P})))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+    return F.expr(f"element_at(transform(array({base}), __h -> array({sigs})), 1)")
 
 
 def simhash_sql(tokens_sql: str, bits: int = 16) -> Column:
@@ -55,15 +87,20 @@ def simhash_sql(tokens_sql: str, bits: int = 16) -> Column:
     bucketing-style near-dup candidate generation; use 64-bit xxhash
     variants when oracle portability is not needed.
     """
+    base = (
+        f"transform({tokens_sql}, t -> "
+        f"CAST(conv(substring(md5(t), 1, {_HEX_CHARS}), 16, 10) AS BIGINT))"
+    )
     terms = []
     for b in range(bits):
-        vote = (
-            f"aggregate({tokens_sql}, 0L, (acc, t) -> acc + "
-            f"(CASE WHEN (CAST(conv(substring(md5(t), 1, {_HEX_CHARS}), 16, 10) AS BIGINT) >> {b}) % 2 = 1 "
-            f"THEN 1L ELSE -1L END))"
-        )
+        # one md5 pass total (bound as __h below), then per-bit votes
+        # over the integer array — md5-inside-every-vote costs bits×
+        # the crypto plus interpreter dispatch on each element
+        # shiftright(), not the ">>" operator: the SQL parser rejects
+        # ">>" when its left operand is a bare lambda variable
+        vote = f"aggregate(__h, 0L, (acc, h) -> acc + (CASE WHEN shiftright(h, {b}) % 2 = 1 THEN 1L ELSE -1L END))"
         terms.append(f"(CASE WHEN ({vote}) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0L END)")
-    return F.expr(" + ".join(terms))
+    return F.expr(f"element_at(transform(array({base}), __h -> {' + '.join(terms)}), 1)")
 
 
 def xxhash_bucket(col: Column, num_buckets: int) -> Column:

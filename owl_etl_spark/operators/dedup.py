@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from owl_etl_spark.functions.hashing import minhash_signature_sql, simhash_sql
+from owl_etl_spark.functions.hashing import (
+    MINHASH_P,
+    md5_long,
+    minhash_coeffs,
+    minhash_signature_sql,
+    simhash_sql,
+)
 from owl_etl_spark.functions.text import fingerprint, normalize_text
 
 
@@ -100,22 +106,64 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # Repartition BEFORE the signature stage: a small text corpus often
     # arrives as one scan partition, which would serialize the CPU-heavy
-    # md5 work onto a single task. This exchange also doubles as the
-    # plan barrier that stops CollapseProject from inlining the
-    # 16-aggregate signature expression into the band-explode lambda
-    # (measured 8x recompute without it).
+    # md5 work onto a single task.
     spread = df.select(id_col, text_col).repartition(F.col(id_col))
-    sig = with_minhash(spread, text_col, num_hashes, shingle_n).select(id_col, "minhash")
-    banded = sig.select(
-        id_col,
-        F.explode(
+    # Signatures via explode → md5 once per distinct shingle → groupBy
+    # id with num_hashes affine MIN aggregates. Everything runs in
+    # WholeStageCodegen — unlike the intra-row higher-order form
+    # (with_minhash), whose aggregate lambdas evaluate interpreted
+    # (measured ~6 s vs ~0.3 s for 5k docs at sf0.1). The groupBy
+    # needs NO exchange: the explode/project chain preserves the
+    # upstream hash partitioning on id. with_minhash stays the right
+    # form when the signature must ride along as a column next to
+    # other row data.
+    norm = normalize_text(F.col(text_col))
+    base = (
+        spread.select(F.col(id_col).alias("__id"), norm.alias("__norm"))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+    )
+    shingles_sql = (
+        f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
+        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
+        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+    )
+    hashes = base.select(
+        "__id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("__s")
+    ).select("__id", F.pmod(md5_long(F.col("__s")), F.lit(MINHASH_P)).alias("__h"))
+    coeffs = minhash_coeffs(num_hashes)
+    sig = (
+        hashes.groupBy("__id")
+        .agg(
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MINHASH_P))).alias(
+                    f"__m{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("minhash"),
+        )
+    )
+    # Band slicing happens ABOVE a Generate(explode) whose generator is
+    # a literal sequence: the Generate node is the barrier that stops
+    # CollapseProject from inlining the 16-aggregate signature
+    # expression into the per-band projection (an explode of a
+    # transform-over-minhash lambda recomputes the signature per band —
+    # measured 30x slower banding at sf0.1). The minhash array rides
+    # through the explode as a plain column; each band row slices it.
+    banded = (
+        sig.select(id_col, "minhash", F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"))
+        .select(
+            id_col,
+            "band",
             F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, 'sig', "
-                f"array_join(transform(slice(minhash, b * {rows_per_band} + 1, {rows_per_band}), x -> CAST(x AS STRING)), '_')))"
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+                f"array_join(transform(slice(minhash, band * {rows_per_band} + 1, {rows_per_band}), "
+                f"x -> CAST(x AS STRING)), '_')"
+            ).alias("sig"),
+        )
+    )
     # Pair generation is a single groupBy on (band, sig) + intra-row
     # expansion of each bucket's sorted id list — NOT a self-join. One
     # shuffle, the signatures are computed exactly once, and nothing

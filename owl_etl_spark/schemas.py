@@ -97,9 +97,14 @@ FIC_RAW_SCHEMA = StructType(
             StructType(
                 [
                     StructField("tipo", StringType()),
-                    StructField("valor", DoubleType()),
+                    # string reads for the same reason as participacion
+                    # (see _part_array): the reference leniently parses
+                    # string numerics ("23,2 billones") that a typed
+                    # double read would null out in PERMISSIVE mode;
+                    # stage 4 (P7 parse_numero) restores the doubles
+                    StructField("valor", StringType()),
                     StructField("fecha_inicio_operaciones", StringType()),
-                    StructField("no_unidades_en_circulacion", DoubleType()),
+                    StructField("no_unidades_en_circulacion", StringType()),
                 ]
             ),
         ),

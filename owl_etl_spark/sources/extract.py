@@ -22,6 +22,8 @@ is one serial client loop; do NOT thread inside the UDF.
 from __future__ import annotations
 
 import json
+import re
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -54,6 +56,146 @@ def fake_text_extractor(content: bytes) -> str:
     payload (real deployments plug pdfplumber/PyPDF2 or an external
     OCR service here; those libs are not in this environment)."""
     return f"FAKE_TEXT len={len(content)} head={content[:16].hex()}"
+
+
+def _pdf_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at the '(' at ``data[i]``;
+    returns (decoded bytes, index past the closing ')'). Handles
+    nested parens, the \\-escapes of ISO 32000 §7.3.4.2 (named, octal,
+    line-continuation)."""
+    assert data[i : i + 1] == b"("
+    out = bytearray()
+    depth, i = 1, i + 1
+    esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+           b"(": b"(", b")": b")", b"\\": b"\\"}
+    while i < len(data) and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in esc:
+                out += esc[nxt]
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(data)) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+            else:
+                i += 1
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+def _pdf_content_text(stream: bytes) -> list[str]:
+    """Scan one decoded content stream for text-show operators.
+
+    Supports Tj / TJ / ' / \" shows, newlines on Td/TD/T*/ET, literal
+    ``(...)`` and hex ``<...>`` strings. Glyph bytes are decoded as
+    cp1252 (WinAnsi — the common single-byte encoding); CMap/Type0
+    composite fonts are out of scope and simply yield their raw bytes.
+    """
+    lines: list[str] = [""]
+    pending: list[bytes] = []  # string operands since the last operator
+    i, n = 0, len(stream)
+    token = bytearray()
+
+    def flush_token() -> None:
+        nonlocal token
+        op = bytes(token)
+        token = bytearray()
+        if op in (b"Tj", b"'", b'"'):
+            if op in (b"'", b'"') and lines[-1]:  # ' and " move to the next line first
+                lines.append("")
+            if pending:
+                lines[-1] += pending[-1].decode("cp1252", errors="replace")
+            del pending[:]
+        elif op == b"TJ":
+            lines[-1] += b"".join(pending).decode("cp1252", errors="replace")
+            del pending[:]
+        elif op in (b"Td", b"TD", b"T*", b"ET"):
+            if lines[-1]:
+                lines.append("")
+            del pending[:]
+
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"(":
+            s, i = _pdf_literal_string(stream, i)
+            pending.append(s)
+        elif c == b"<" and stream[i + 1 : i + 2] != b"<":
+            j = stream.find(b">", i)
+            j = j if j != -1 else n
+            hexs = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                pending.append(bytes.fromhex(hexs.decode("ascii")))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c.isspace() or c in (b"[", b"]", b"/"):
+            flush_token()
+            i += 1
+        else:
+            token += c
+            i += 1
+    flush_token()
+    return [ln for ln in lines if ln]
+
+
+def pdf_text_extractor(content: bytes) -> str:
+    """REAL S2 extractor for digitally-born PDFs — pure stdlib (zlib +
+    a content-stream scanner), so it is hermetic in this environment.
+
+    The reference extracts text through an external PDF API
+    (src/etl/extract.py:111-166) with an offline pdfplumber path in
+    notebooks/pdfPlumber.ipynb; this is the equivalent offline path.
+    Scope: unencrypted PDFs whose page content streams are plain or
+    FlateDecode, with simple (single-byte) fonts — i.e. machine-
+    generated fact sheets. Scanned/encrypted/Type0-CMap PDFs raise
+    ``ValueError`` (→ retry/quarantine in ``extract_text``, exactly
+    like an API failure).
+    """
+    if not content.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    if b"/Encrypt" in content:
+        raise ValueError("encrypted PDF not supported")
+    lines: list[str] = []
+    for m in re.finditer(rb"<<(.*?)>>\s*stream\r?\n", content, re.S):
+        meta = m.group(1)
+        start = m.end()
+        end = content.find(b"endstream", start)
+        if end == -1:
+            continue
+        raw = content[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in meta:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        elif b"/Filter" in meta:
+            continue  # unsupported filter (DCT images etc.)
+        if b"BT" in raw:
+            lines.extend(_pdf_content_text(raw))
+    if not lines:
+        raise ValueError("no extractable text (scanned or unsupported PDF)")
+    return "\n".join(lines)
 
 
 def fake_json_structurer(text: str) -> str:

@@ -128,3 +128,110 @@ def compact_parquet(
     fs.delete(jvm_path, True)
     fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
     return n
+
+
+def write_excel_report(tables: dict[str, DataFrame], path: str) -> None:
+    """S13: multi-sheet xlsx report sink — stdlib-only (xlsx is a zip
+    of XML parts; no openpyxl in this environment, none needed).
+
+    The reference emits a 4-sheet validation workbook driver-side
+    (src/scripts/test_ETL.py:305-323). Same contract here: report
+    tables are SMALL aggregates (diff summaries, reliability scores),
+    so ``.toPandas()`` per sheet is the correct driver-side move — the
+    heavy lifting happened in the DataFrames that produced them. Not
+    for bulk data export; that's the parquet writers' job.
+
+    Strings are written as inline strings (no sharedStrings part),
+    numbers as native numeric cells, None as blank.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_letter(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    def sheet_xml(pdf) -> str:
+        rows = ['<row r="1">']
+        for ci, name in enumerate(pdf.columns):
+            rows.append(
+                f'<c r="{col_letter(ci)}1" t="inlineStr"><is><t>{escape(str(name))}</t></is></c>'
+            )
+        rows.append("</row>")
+        for ri, (_, row) in enumerate(pdf.iterrows(), start=2):
+            rows.append(f'<row r="{ri}">')
+            for ci, v in enumerate(row):
+                ref = f"{col_letter(ci)}{ri}"
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                if isinstance(v, bool):
+                    rows.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+                elif isinstance(v, (int, float)):
+                    rows.append(f'<c r="{ref}"><v>{v!r}</v></c>')
+                else:
+                    rows.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+                    )
+            rows.append("</row>")
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(rows)}</sheetData></worksheet>"
+        )
+
+    names = [
+        (str(n)[:31].replace("/", "_").replace("\\", "_") or f"Sheet{i + 1}")
+        for i, n in enumerate(tables)
+    ]
+    sheets_meta = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheets_meta}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, df in enumerate(tables.values()):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(df.toPandas()))
