@@ -93,6 +93,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_group: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -101,7 +102,19 @@ def minhash_lsh_pairs(
     *hashed band slice*, so the shuffle moves only (id, band-hash)
     pairs — at 100 TB this is the only communication, and the band
     hash distributes uniformly (no skew) unless the corpus contains
-    massive exact-duplicate classes, which exact-dedup removes first.
+    massive exact-duplicate classes (exact-dedup first remains the
+    best medicine for those).
+
+    ``max_group`` is the skew guard: a band bucket with g members
+    implies g·(g-1)/2 pairs, and a 100k-member exact-duplicate class
+    would otherwise expand ~5e9 pairs inside ONE task. Buckets up to
+    ``max_group`` expand intra-row (zero extra cost — the common
+    case); larger buckets are split into ≤``max_group``-sized chunks,
+    fanned out as chunk-PAIR rows (the triangle (ci ≤ cj) of chunk
+    combinations), re-spread across the cluster by an exchange that
+    moves only chunk arrays (~2g²/max_group ids, not g² pairs), and
+    expanded per chunk-pair — so no task ever materializes more than
+    ``max_group``² pairs. Output is identical (pinned by test).
     """
     rows_per_band = num_hashes // bands
     # Repartition BEFORE the signature stage: a small text corpus often
@@ -168,24 +181,55 @@ def minhash_lsh_pairs(
     # expansion of each bucket's sorted id list — NOT a self-join. One
     # shuffle, the signatures are computed exactly once, and nothing
     # needs .cache() (the r1 version cached `banded` for a two-branch
-    # self-join and leaked the cache into the session). A bucket of g
-    # members expands to g·(g-1)/2 pairs inside its task — same output
-    # and same worst-case skew as the self-join (one band-key = one
-    # task either way); exact-dedup first, or salted banding, remains
-    # the answer for massive duplicate classes.
+    # self-join and leaked the cache into the session).
     pair_expr = F.expr(
         "flatten(transform(sequence(1, size(ids) - 1), "
         "i -> transform(slice(ids, i + 1, size(ids) - i), "
         "x -> named_struct('id_a', element_at(ids, i), 'id_b', x))))"
     )
-    return (
+    buckets = (
         banded.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)  # sequence(1, 0) would count DOWN
+    )
+    # Common path: bucket fits the per-task cap — expand in place.
+    small = (
+        buckets.filter(F.size("ids") <= max_group)
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+    # Skew path (empty unless a bucket exceeds the cap): split the
+    # sorted id list into chunks of max_group; one row per (ci ≤ cj)
+    # chunk combination carrying just the two slices. The repartition
+    # is the point — it moves each chunk-pair row to its own task
+    # before expansion. Chunking a SORTED list means every id in
+    # chunk ci < every id in chunk cj (ci < cj), so cross-chunk pairs
+    # need no comparison and the (a < b) invariant is free.
+    nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
+    chunk_pair_expr = F.expr(
+        f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
+        f"transform(sequence(ci, {nchunks} - 1, 1), cj -> named_struct("
+        f"'a', slice(ids, ci * {max_group} + 1, {max_group}), "
+        f"'b', slice(ids, cj * {max_group} + 1, {max_group}), "
+        f"'same', ci = cj))))"
+    )
+    # same-chunk → triangle within a; cross-chunk → full a × b
+    expand_expr = F.expr(
+        "CASE WHEN c.same THEN "
+        "flatten(transform(sequence(1, size(c.a) - 1), "
+        "i -> transform(slice(c.a, i + 1, size(c.a) - i), "
+        "x -> named_struct('id_a', element_at(c.a, i), 'id_b', x)))) "
+        "ELSE flatten(transform(c.a, x -> transform(c.b, "
+        "y -> named_struct('id_a', x, 'id_b', y)))) END"
+    )
+    big = (
+        buckets.filter(F.size("ids") > max_group)
+        .select("band", "sig", F.explode(chunk_pair_expr).alias("c"))
+        .repartition(F.col("band"), F.col("sig"), F.col("c.a")[0], F.col("c.b")[0])
+        .select(F.explode(expand_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    return small.unionByName(big).distinct()
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
@@ -290,7 +334,7 @@ def ngram_jaccard_pairs_prefix(
     under ANY global total order on shingles, two qualifying docs must
     share a shingle among each one's first |X| - ceil(t·|X|) + 1
     shingles. Ordering rarest-first (global document frequency, then
-    shingle text) makes the indexed prefix avoid exactly the hot
+    shingle xxhash64) makes the indexed prefix avoid exactly the hot
     shingles whose df² fan-out dominates a naive all-shingles
     self-join; candidates are then verified EXACTLY with an intra-row
     set intersection, so the output is identical to the naive join.
@@ -326,11 +370,21 @@ def ngram_jaccard_pairs_prefix(
     # persisted MEMORY_AND_DISK for the duration of this call and
     # unpersisted in the finally below — the r1 version leaked this
     # cache into the session.
+    #
+    # Shingles are hashed to int64 (xxhash64) at the source, exactly
+    # like the naive join form: the df-join, the prefix window's
+    # ordering, and the verification ``array_intersect`` all run on
+    # 8-byte longs instead of ~30-char strings (the string forms made
+    # the prefix variant 1.6x SLOWER than the naive long-keyed join at
+    # sf0.1). The prefix filter only needs SOME global total order on
+    # shingles — (df, hash) is as valid as (df, text). Exact up to
+    # 64-bit collisions, the same tolerance the naive form documents.
     from pyspark import StorageLevel
 
-    sets = base.select("id", F.array_distinct(F.expr(shingles_sql)).alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets = base.select(
+        "id",
+        F.expr(f"array_distinct(transform({shingles_sql}, s -> xxhash64(s)))").alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sets.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Prefix length |X| - ceil(t'·|X|) + 1 with t' backed off 1e-6 below
