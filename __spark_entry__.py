@@ -1407,8 +1407,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the rest in definition order. Every registered query appears
 #: exactly once — asserted below.
 _PRIORITY = [
-    # never driver-checked (r1 snapshot stopped at q51) / newly oracled
-    *[f"q{i}" for i in range(52, 86)],
+    # never driver-checked (r1 snapshot stopped at q51) / newly added
+    *[f"q{i}" for i in range(52, 93)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3281,4 +3281,330 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 2 additions: correlated decision-support shapes, BM25 ranking,
+# SemDeDup, CDC apply
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q86_late_ship_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS with an inequality on columns
+    from BOTH sides): orders in a 1-year window having at least one
+    line shipped more than 60 days after the order date. Spark plans
+    the correlated EXISTS as a left-semi hash join on the order key
+    with the non-equi predicate evaluated at the join; the date window
+    is pushed to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP '1996-01-01'")
+        & F.expr("o_orderdate < TIMESTAMP '1997-01-01'")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@_register(
+    "q87_small_lot_revenue",
+    f"""
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_money_sum_duck('l.l_extendedprice')} AS small_lot_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN pavg ON l.l_partkey = pavg.l_partkey
+    WHERE l.l_quantity < 0.5 * pavg.avg_qty
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar aggregate): revenue of lines
+    whose quantity is below half their part's average quantity. The
+    correlated ``(SELECT avg ... WHERE same part)`` becomes a per-part
+    aggregate joined back — one shuffle for the agg, one equi-join
+    (AQE broadcasts the part-sized side). The average is computed as
+    exact-BIGINT sum / count so both engines derive the identical
+    double before the comparison."""
+    l = _t(spark, sf_dir, "lineitem")
+    pavg = l.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            _money_sum(F.col("l_extendedprice")).alias("small_lot_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q88_sole_latest_supplier",
+    """
+    WITH om AS (
+      SELECT l_orderkey, max(l_shipdate) AS mx, count(DISTINCT l_suppkey) AS ns
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    latest AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN om ON l.l_orderkey = om.l_orderkey
+                             AND l.l_shipdate = om.mx
+      WHERE om.ns >= 2
+    ),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS suppkey
+      FROM latest GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS n_orders_blocked
+    FROM sole JOIN supplier ON suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY n_orders_blocked DESC, s_name
+    LIMIT 10
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS another-supplier line + NOT EXISTS a
+    later one): in multi-supplier orders, credit the supplier whose
+    line shipped strictly last — i.e. the per-order latest-shipper is
+    unique. The double correlation is expressed as one per-order
+    aggregate (max shipdate + distinct-supplier count) joined back,
+    then a uniqueness HAVING — two shuffles total instead of two
+    correlated subquery scans; the supplier dimension broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    om = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.count_distinct("l_suppkey").alias("ns"),
+    )
+    latest = (
+        l.join(om, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("mx")) & (F.col("ns") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("suppkey"), F.count(F.lit(1)).alias("n_latest"))
+        .filter(F.col("n_latest") == 1)
+    )
+    counts = (
+        sole.join(F.broadcast(s), sole.suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_blocked"))
+    )
+    w = Window.orderBy(F.col("n_orders_blocked").desc(), F.col("s_name").asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "q89_idle_premium_customers",
+    f"""
+    WITH mx AS (SELECT max(o_orderdate) AS mo FROM orders),
+    ab AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {_money_sum_duck('c_acctbal')} AS total_acctbal
+    FROM customer, ab, mx
+    WHERE c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= mx.mo - INTERVAL 365 DAY)
+    GROUP BY c_mktsegment
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar aggregate subquery + NOT EXISTS):
+    customers holding an above-average positive balance with no order
+    in the final year of the data. Both scalars (global avg balance,
+    max order date) ride in as 1-row broadcast frames — no driver-side
+    collect; the NOT EXISTS is a broadcast-able left-anti join against
+    the recent-orders slice. The average is exact-cents / count so the
+    comparison threshold is bit-identical across engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mo"))
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("avg_bal")
+    )
+    recent = (
+        o.crossJoin(F.broadcast(mx))
+        .filter(F.expr("o_orderdate >= mo - INTERVAL 365 DAY"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@_register(
+    "q90_bm25_topk",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t, CAST(len({_TOKS_DUCK}) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM docs
+    ),
+    matched AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, dl, unnest(t) AS term FROM docs)
+      WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM matched GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             round(sum(CAST(round(
+               (ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+               * 1000000000) AS BIGINT)) / 1000000000, 6) AS score
+      FROM matched JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query bag (library:
+    operators.ranking.bm25_topk) — query-driven corpus curation /
+    retrieval-eval construction. Postings are filtered to the query
+    terms BEFORE the tf aggregate (shuffle carries matched postings
+    only); corpus stats ride in as a 1-row broadcast; per-term
+    contributions sum exactly in integer nano-units so the score is
+    engine- and partitioning-independent."""
+    from owl_etl_spark.operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=20, k1=1.2, b=0.75)
+
+
+@_register(
+    "q91_semantic_dedup",
+    f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, embedding AS cv
+      FROM embeddings WHERE vec_id IN ({', '.join(str(i) for i in _Q49_CENTROID_IDS)})
+    ),
+    d_all AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             round({_SQDIST_DUCK.format(a='e.embedding', b='c.cv')}, 6) AS d
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+        FROM d_all) WHERE rn = 1
+    )
+    SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cosine_duck('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE round({_cosine_duck('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic near-duplicate pairs): pinned-literal
+    centroids (the q49 oracle trick) bucket the embedding space
+    map-only; cosine comparisons happen ONLY inside clusters (Σ|c|²
+    pair space, the N²/k blocking the published recipe relies on).
+    Library: operators.dedup.semantic_dedup_pairs composing
+    cluster.assign_clusters + blocked embedding_near_dup_pairs."""
+    from owl_etl_spark.operators.cluster import centroids_from_ids
+    from owl_etl_spark.operators.dedup import semantic_dedup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    centroids = centroids_from_ids(em, _Q49_CENTROID_IDS)
+    return semantic_dedup_pairs(em, centroids, threshold=0.3, round_digits=6).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"), "id_a", "id_b", "cosine"
+    )
+
+
+@_register(
+    "q92_cdc_apply",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_op,
+           round(value, 6) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes (library: operators.cdc.apply_changes — the
+    batch analog of Delta's APPLY CHANGES INTO): the events stream is
+    replayed as a change feed keyed by user; the latest change wins
+    (sequence = (ts, event_id) — the unique id breaks timestamp ties so
+    replays are deterministic) and a final 'error' op deletes the key.
+    One shuffle; the top-1 window plans as WindowGroupLimit."""
+    from owl_etl_spark.operators.cdc import apply_changes
+
+    e = _t(spark, sf_dir, "events")
+    final = apply_changes(
+        e, keys=["user_id"], sequence_cols=["ts", "event_id"],
+        op_col="event_type", delete_ops=("error",),
+    )
+    return final.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_op"),
+        F.round("value", 6).alias("last_value"),
     )

@@ -477,6 +477,41 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embedding space (broadcast-literal centroids — k·dim driver state,
+    map-only assignment), then compare cosines ONLY within clusters.
+
+    The cluster equi-join bounds the pair space to Σ_c |c|² instead of
+    N² — the published SemDeDup recipe (Abbas et al. 2023,
+    arXiv:2303.09540) and the same blocking discipline as the LSH
+    family. With k-means-sized clusters (N/k members) that is an N²/k
+    reduction; skewed clusters are visible in the output's cluster_id
+    and split by raising k.
+
+    Returns (cluster_id, id_a, id_b, cosine) evidence pairs; compose
+    with ``connected_components`` + keep-min-id for survivor selection
+    exactly like ``near_dup_dedup``.
+    """
+    from owl_etl_spark.operators.cluster import assign_clusters
+
+    assigned = assign_clusters(df, centroids, vec_col, round_digits)
+    pairs = embedding_near_dup_pairs(
+        assigned, id_col, vec_col, block_col="cluster_id", threshold=threshold
+    )
+    blocks = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id").alias("cluster_id")
+    )
+    return pairs.join(blocks, "id_a").select("cluster_id", "id_a", "id_b", "cosine")
+
+
 def near_dup_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,104 @@
+"""Corpus-level relevance ranking (BM25) — the retrieval-side
+counterpart of the TF-IDF keyword extractor (functions/text.py).
+
+A training-data pipeline uses this for query-driven corpus curation
+(pulling topical slices out of a web crawl) and for building retrieval
+eval sets. The whole computation is DataFrame-native: token explode →
+per-(doc, term) tf → per-term df → 1-row corpus stats cross-joined in
+(never a driver-side ``.count()``) → per-row IEEE math → top-k window.
+
+Scale: the only shuffles are the tf groupBy (keyed by doc), the
+vocabulary-sized df aggregate for the query terms (|terms| rows — a
+broadcast join), and the final top-k. Query terms are filtered BEFORE
+the tf aggregate, so the shuffled volume is matched postings only, not
+the corpus vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from owl_etl_spark.functions.text import normalize_text, tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query ``terms``.
+
+    Uses the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and the classic
+    saturation/length normalization
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Determinism: idf and the length norm are computed from exact
+    BIGINT counts; every double op after that is per-row IEEE, and the
+    final score is rounded to ``round_digits`` before ranking with a
+    (score DESC, id ASC) tie-break — so the top-k set is identical
+    across engines and partitionings.
+
+    Documents matching none of the terms score 0 and are not returned.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("t")
+    ).withColumn("dl", F.size("t").cast("long"))
+    # 1-row corpus stats, joined in as a broadcast-able literal frame —
+    # the n_docs anti-pattern (a separate driver-side count job) stays out
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    matched = (
+        toks.select("id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        # per-term contributions are rounded to integer nano-units and
+        # summed exactly as BIGINT: a naive sum(double) over the terms
+        # would depend on accumulation order (engine- and
+        # partitioning-specific at the last ulp)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("contrib") * 1e9).cast("long")) / 1e9,
+                round_digits,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -548,3 +548,95 @@ def test_incremental_rollup_equals_full_recompute(spark):
     for r in chk:
         assert fin[r.o_orderstatus].n == r.n
         assert abs(fin[r.o_orderstatus].total - r.t) < 1e-9
+
+
+def test_bm25_ranking_sane(spark):
+    from owl_etl_spark.operators.ranking import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),        # heavy on 'spark'
+            (2, "spark join window filter scan"), # all three terms once
+            (3, "filter scan merge sort batch"),  # no query terms
+            (4, "window window join"),            # two terms
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["spark", "join", "window"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids  # zero-match docs are absent
+    assert rows[0].rank == 1 and len(ids) == 3
+    # doc 2 matches all three terms once each; doc 4 matches two —
+    # with equal df-weighting, more matched terms must outrank fewer
+    by_id = {r.doc_id: r.score for r in rows}
+    assert by_id[2] > by_id[4]
+    # scores strictly ordered by (score desc, id)
+    assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+
+
+def test_cdc_apply_changes_latest_wins_and_deletes(spark):
+    from owl_etl_spark.operators.cdc import apply_changes
+
+    feed = spark.createDataFrame(
+        [
+            # user 1: upsert then delete -> absent
+            (1, 1, 100, "signup", 1.0),
+            (2, 1, 200, "error", 2.0),
+            # user 2: delete then later upsert -> present with latest value
+            (3, 2, 100, "error", 0.0),
+            (4, 2, 300, "purchase", 9.0),
+            # user 3: timestamp tie broken by event_id (6 > 5)
+            (5, 3, 100, "view", 1.0),
+            (6, 3, 100, "click", 2.0),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    out = apply_changes(
+        feed, keys=["user_id"], sequence_cols=["ts", "event_id"],
+        op_col="event_type", delete_ops=("error",),
+    )
+    got = {(r.user_id, r.event_type, r.value) for r in out.collect()}
+    assert got == {(2, "purchase", 9.0), (3, "click", 2.0)}
+
+
+def test_cdc_apply_is_idempotent_over_replay(spark):
+    """Replaying old + new changes must equal applying to the applied
+    state — the property that makes the operator safe as a CDC
+    compactor."""
+    from owl_etl_spark.operators.cdc import apply_changes
+
+    old = [(1, 1, 100, "signup", 1.0), (2, 2, 100, "signup", 2.0)]
+    new = [(3, 1, 200, "error", 0.0), (4, 2, 200, "purchase", 5.0)]
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    kw = dict(keys=["user_id"], sequence_cols=["ts", "event_id"],
+              op_col="event_type", delete_ops=("error",))
+    full = apply_changes(spark.createDataFrame(old + new, cols), **kw)
+    stepped = apply_changes(
+        apply_changes(spark.createDataFrame(old, cols), **kw)
+        .unionByName(spark.createDataFrame(new, cols)), **kw)
+    assert {tuple(r) for r in full.collect()} == {tuple(r) for r in stepped.collect()}
+
+
+def test_semantic_dedup_blocks_by_cluster(spark):
+    """Pairs may only appear within a cluster, and every
+    above-threshold same-cluster pair must appear."""
+    import numpy as np
+
+    from owl_etl_spark.operators.dedup import semantic_dedup_pairs
+
+    centroids = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),   # cluster 0
+        (2, [0.99, 0.0, 0.1, 0.0]),   # cluster 0, near 1
+        (3, [0.0, 1.0, 0.0, 0.05]),   # cluster 1
+        (4, [0.05, 0.98, 0.0, 0.0]),  # cluster 1, near 3
+        (5, [1.0, 0.0, 0.0, 0.0]),    # cluster 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    out = semantic_dedup_pairs(df, centroids, threshold=0.9).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    # cross-cluster near pairs are impossible by construction
+    assert all({a, b} <= {1, 2, 5} or {a, b} <= {3, 4} for a, b in pairs)
+    assert (1, 2) in pairs and (3, 4) in pairs and (1, 5) in pairs
