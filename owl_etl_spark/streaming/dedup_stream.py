@@ -68,3 +68,63 @@ def streaming_latest_per_key(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_cdc_apply(
+    stream: DataFrame,
+    keys: list[str],
+    sequence_col: str,
+    op_col: str,
+    watermark_col: str,
+    delete_ops: tuple[str, ...] = ("delete",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Continuous CDC apply — the streaming twin of
+    ``operators.cdc.apply_changes``.
+
+    Emits an upsert/delete CHANGELOG: per micro-batch and key, only the
+    highest-sequence change is emitted, and only if it beats the
+    sequence already applied (stored in state) — intra-batch churn is
+    compacted away, and a late or re-delivered old change never
+    un-deletes or regresses a key (replay-safe). Each emitted row
+    carries ``is_delete`` so a downstream sink applies it as MERGE
+    (upsert) or DELETE (tombstone).
+
+    State per key is ONE scalar (the applied sequence) — at 100 TB of
+    keys the state store shards across the cluster on the groupBy
+    hash, and the processing-time timeout bounds quiet-key retention.
+    """
+    schema = stream.schema
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = state.get[0] if state.exists else None
+        winner = None
+        for pdf in pdfs:
+            pdf = pdf[pdf[sequence_col].notna()]
+            if pdf.empty:
+                continue
+            top = pdf.loc[pdf[sequence_col].astype(str).idxmax()]
+            if winner is None or str(top[sequence_col]) > str(winner[sequence_col]):
+                winner = top
+        if winner is not None and (best is None or str(winner[sequence_col]) > best):
+            state.update((str(winner[sequence_col]),))
+            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+            res = winner.to_frame().T
+            res["is_delete"] = res[op_col].isin(list(delete_ops))
+            yield res
+
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    cols += ", is_delete boolean"
+    return (
+        stream.withWatermark(watermark_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=cols,
+            stateStructType="best string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

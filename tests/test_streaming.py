@@ -339,3 +339,49 @@ def test_rate_source_soak_multi_batch(spark):
         assert wm is not None and not wm.startswith("1970")
     finally:
         q.stop()
+
+
+def test_streaming_cdc_apply_changelog(spark, tmp_path):
+    """Upserts emit is_delete=false, a delete op emits a tombstone, and
+    a late (lower-sequence) change after a delete is suppressed — the
+    replay-safety property of the CDC compactor."""
+    from owl_etl_spark.streaming.dedup_stream import streaming_cdc_apply
+
+    rows = [
+        {"k": "u1", "seq": "002", "op": "upsert", "val": "b", "ts": "2024-01-01T00:00:00"},
+        {"k": "u1", "seq": "001", "op": "upsert", "val": "a", "ts": "2024-01-01T00:01:00"},
+        {"k": "u2", "seq": "001", "op": "upsert", "val": "x", "ts": "2024-01-01T00:02:00"},
+        {"k": "u2", "seq": "003", "op": "delete", "val": None, "ts": "2024-01-01T00:03:00"},
+        {"k": "u2", "seq": "002", "op": "upsert", "val": "y", "ts": "2024-01-01T00:04:00"},
+    ]
+    path = _write_events_json(tmp_path, rows)
+    stream = spark.readStream.schema(
+        "k string, seq string, op string, val string, ts timestamp"
+    ).json(path)
+    out = streaming_cdc_apply(stream, ["k"], "seq", "op", "ts", delete_ops=("delete",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM cdc_test ORDER BY k, seq").collect()
+    # u1: batch compacts to the seq-002 upsert (the out-of-order 001 is
+    # never emitted)
+    u1 = [(r.seq, r.op, r.is_delete) for r in emitted if r.k == "u1"]
+    assert u1 == [("002", "upsert", False)]
+    # u2: batch compacts to the seq-003 tombstone; the lower-sequence
+    # upserts (001, 002) are suppressed — a late change cannot
+    # un-delete the key
+    u2 = [(r.seq, r.op, r.is_delete) for r in emitted if r.k == "u2"]
+    assert u2 == [("003", "delete", True)]
+    # applying the changelog converges to: u1=b, u2 deleted
+    state = {}
+    for r in sorted(emitted, key=lambda r: (r.k, r.seq)):
+        if r.is_delete:
+            state.pop(r.k, None)
+        else:
+            state[r.k] = r.val
+    assert state == {"u1": "b"}
