@@ -1408,7 +1408,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: exactly once — asserted below.
 _PRIORITY = [
     # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 93)],
+    *[f"q{i}" for i in range(52, 94)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3608,3 +3608,47 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_op"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+_WINNOW_FP_DUCK = """list_distinct(
+      list_transform(range(1, greatest(length(s) - 8 - 4 + 3, 2)),
+        i -> list_aggregate(
+               list_transform(range(i, i + 4),
+                 j -> CAST(('0x' || substring(md5(substring(s, CAST(j AS INT), 8)), 1, 15)) AS BIGINT)),
+               'min')))"""
+
+
+@_register(
+    "q93_containment_pairs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, unnest({_WINNOW_FP_DUCK}) AS fingerprint
+      FROM h WHERE length(s) >= 12
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS c
+      FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_id, outer_id, round(c * 1.0 / sa.n, 6) AS containment
+    FROM common JOIN sz sa ON inner_id = sa.doc_id
+    WHERE round(c * 1.0 / sa.n, 6) >= 0.8
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup pairs (library:
+    operators.dedup.containment_pairs): asymmetric
+    |fp(inner) ∩ fp(outer)| / |fp(inner)| over winnowing fingerprints —
+    catches short-doc-inside-long-doc duplication that symmetric
+    Jaccard misses (the suffix-array exact-substring-dedup use case,
+    distributed as a fingerprint equi-join)."""
+    from owl_etl_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8)

@@ -702,6 +702,56 @@ def winnow_fingerprints(
     return base.select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Substring-containment near-dup pairs — the winnowing analog of
+    exact-substring dedup (the RefinedWeb/Dolma suffix-array step,
+    re-expressed with the fingerprint primitive Spark can distribute).
+
+    For an ordered pair (inner, outer):
+    ``containment = |fp(inner) ∩ fp(outer)| / |fp(inner)|``.
+    A document whose text is (mostly) a substring of another shares
+    (mostly) all of its winnowing fingerprints, so containment → 1
+    even when the outer doc is much longer — exactly the asymmetry
+    Jaccard misses (a 100-word doc inside a 10k-word doc has tiny
+    Jaccard but containment ≈ 1).
+
+    Candidate generation is the fingerprint inverted-index join —
+    Σ_fp df² fan-out, the same discipline and caveat as
+    ``ngram_jaccard_pairs`` (winnowing already thins postings ~1/window
+    vs raw k-grams; for Zipfian corpora compose with LSH blocking
+    first). Output: (inner_id, outer_id, containment), both directions
+    when both clear the threshold.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    common = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("inner_id"),
+            F.col(f"b.{id_col}").alias("outer_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "inner_id"), "inner_id")
+        .withColumn("containment", F.round(F.col("__c") / F.col("__n"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("inner_id", "outer_id", "containment")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

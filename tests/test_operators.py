@@ -640,3 +640,25 @@ def test_semantic_dedup_blocks_by_cluster(spark):
     # cross-cluster near pairs are impossible by construction
     assert all({a, b} <= {1, 2, 5} or {a, b} <= {3, 4} for a, b in pairs)
     assert (1, 2) in pairs and (3, 4) in pairs and (1, 5) in pairs
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc embedded verbatim in a long doc must show
+    containment ~1 in the short->long direction only; symmetric
+    Jaccard would miss it entirely."""
+    from owl_etl_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "intro prefix words here " + short + " and a very long tail "
+        + " ".join(f"tok{i}" for i in range(60))
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely unrelated content tokens only")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, threshold=0.8).collect()
+    directed = {(r.inner_id, r.outer_id) for r in rows}
+    assert (1, 2) in directed      # short contained in long
+    assert (2, 1) not in directed  # long NOT contained in short
+    assert all(3 not in p for p in directed)
