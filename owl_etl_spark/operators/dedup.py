@@ -182,29 +182,24 @@ def minhash_lsh_pairs(
     # shuffle, the signatures are computed exactly once, and nothing
     # needs .cache() (the r1 version cached `banded` for a two-branch
     # self-join and leaked the cache into the session).
-    pair_expr = F.expr(
-        "flatten(transform(sequence(1, size(ids) - 1), "
-        "i -> transform(slice(ids, i + 1, size(ids) - i), "
-        "x -> named_struct('id_a', element_at(ids, i), 'id_b', x))))"
-    )
     buckets = (
         banded.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)  # sequence(1, 0) would count DOWN
     )
-    # Common path: bucket fits the per-task cap — expand in place.
-    small = (
-        buckets.filter(F.size("ids") <= max_group)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-    )
-    # Skew path (empty unless a bucket exceeds the cap): split the
-    # sorted id list into chunks of max_group; one row per (ci ≤ cj)
-    # chunk combination carrying just the two slices. The repartition
-    # is the point — it moves each chunk-pair row to its own task
-    # before expansion. Chunking a SORTED list means every id in
-    # chunk ci < every id in chunk cj (ci < cj), so cross-chunk pairs
-    # need no comparison and the (a < b) invariant is free.
+    # Skew guard, single-path: split each bucket's SORTED id list into
+    # ≤max_group chunks and emit one row per (ci ≤ cj) chunk
+    # combination carrying just the two slices. A bucket within the cap
+    # yields exactly one (0,0) row whose triangle expansion is the
+    # plain intra-row expansion — so the common case pays only the
+    # repartition below, while a g-member duplicate class fans out to
+    # (g/cap)² rows that the exchange spreads across the cluster
+    # (moving ~2g²/cap ids, never g²/2 pairs into one task). Chunking
+    # a sorted list means every id in chunk ci < every id in chunk cj
+    # for ci < cj, so cross-chunk pairs get the (a < b) invariant free.
+    # A small/big two-branch union was measured and rejected: both
+    # branches re-run the bucket aggregate (ReuseExchange shares only
+    # the shuffle files), costing more than the repartition it saved.
     nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
     chunk_pair_expr = F.expr(
         f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
@@ -222,14 +217,13 @@ def minhash_lsh_pairs(
         "ELSE flatten(transform(c.a, x -> transform(c.b, "
         "y -> named_struct('id_a', x, 'id_b', y)))) END"
     )
-    big = (
-        buckets.filter(F.size("ids") > max_group)
-        .select("band", "sig", F.explode(chunk_pair_expr).alias("c"))
+    return (
+        buckets.select("band", "sig", F.explode(chunk_pair_expr).alias("c"))
         .repartition(F.col("band"), F.col("sig"), F.col("c.a")[0], F.col("c.b")[0])
         .select(F.explode(expand_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
     )
-    return small.unionByName(big).distinct()
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -288,14 +288,11 @@ def test_minhash_lsh_skew_guard_chunks_giant_buckets(spark):
     assert got == want
     assert len(got) == n_dup * (n_dup - 1) // 2  # the full dup-class clique
 
-    # per-task bound: every pair-expansion row in the skew path carries
-    # chunk slices of at most max_group ids -> <= max_group^2 pairs
-    # per row. Assert on the physical chunk-pair stage itself.
-    from pyspark.sql import functions as F
-
-    cap = 64
-    # rebuild just the bucket stage the operator uses internally
-    sig_pairs = minhash_lsh_pairs(df, num_hashes=16, bands=8, max_group=cap)
-    plan = sig_pairs._jdf.queryExecution().executedPlan().toString()
-    # the skew path must exist in the plan (a union of small + big)
-    assert "Union" in plan
+    # per-task bound: the plan must show the two-stage expansion —
+    # chunk-pair explode, then a repartition exchange that spreads the
+    # chunk-pair rows, then the pair explode. Each expansion row
+    # carries chunk slices of at most max_group ids -> <= max_group^2
+    # pairs per task.
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 2, plan
+    assert "REPARTITION_BY_COL" in plan or "hashpartitioning(band" in plan, plan
