@@ -1408,7 +1408,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: exactly once — asserted below.
 _PRIORITY = [
     # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 94)],
+    *[f"q{i}" for i in range(52, 96)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3652,3 +3652,108 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@_register(
+    "q94_constraint_report",
+    """
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'in_range:o_totalprice',
+           CAST(count(*) FILTER (o_totalprice IS NULL
+                                 OR o_totalprice < 1000
+                                 OR o_totalprice > 300000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range:o_orderdate',
+           CAST(count(*) FILTER (o_orderdate IS NULL
+                                 OR o_orderdate < TIMESTAMP '1995-01-01'
+                                 OR o_orderdate > TIMESTAMP '2000-12-31') AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(sum(n - 1) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'foreign_key:o_custkey', CAST(count(*) AS BIGINT)
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report (library:
+    operators.validate.constraint_report — the Deequ-style expectations
+    layer): all row-level checks fold into ONE aggregate pass; key
+    uniqueness is one groupBy; referential integrity is one left-anti
+    join (parent side broadcast-able). The in_range windows are chosen
+    to produce real violations in this data, so the report's non-zero
+    path is what the oracle checks."""
+    from owl_etl_spark.operators.validate import (
+        constraint_report,
+        in_range,
+        not_null,
+        row_check,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    report = constraint_report(
+        o,
+        row_checks=[
+            not_null("o_custkey"),
+            in_range("o_totalprice", 1000, 300000),
+            row_check(
+                "in_range:o_orderdate",
+                F.expr(
+                    "o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1995-01-01' "
+                    "OR o_orderdate > TIMESTAMP '2000-12-31'"
+                ),
+            ),
+        ],
+        unique_keys=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+    return report.select(F.col("constraint").alias("check_name"), "n_violations")
+
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+
+
+@_register(
+    "q95_table_profile",
+    """
+    WITH w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    """
+    + ",\n".join(
+        f"""         CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS null_{c},
+         CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c},
+         CAST(min({c}) AS VARCHAR) AS min_{c},
+         CAST(max({c}) AS VARCHAR) AS max_{c}"""
+        for c in _PROFILE_COLS
+    )
+    + """
+      FROM lineitem
+    )
+    """
+    + "\n    UNION ALL\n".join(
+        f"""SELECT '{c}' AS column, n_rows, null_{c} AS n_null, dist_{c} AS n_distinct,
+               min_{c} AS min_value, max_{c} AS max_value FROM w"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler (library:
+    operators.profile.table_profile): one wide aggregation computes
+    null/distinct/min/max for every profiled column in a single table
+    scan, then ``stack`` unpivots to a row per column. At 100 TB pass
+    ``approx_distinct=True`` (HLL) — the exact multi-column distinct is
+    the only expand-based part of the plan; min/max/null stay one
+    pass."""
+    from owl_etl_spark.operators.profile import table_profile
+
+    l = _t(spark, sf_dir, "lineitem")
+    return table_profile(l, _PROFILE_COLS)

@@ -1,0 +1,53 @@
+"""Single-pass table profiling — per-column statistics for data
+discovery and pipeline monitoring (the `ANALYZE`/`dbt docs`-style
+summary an ETL engine publishes with every load).
+
+All per-column aggregates are computed in ONE wide aggregation over
+the table, then unpivoted to a row per column with ``stack`` — the
+table is scanned once however many columns are profiled. (Exact
+distinct counts add the usual expand-based distinct aggregation; pass
+``approx_distinct=True`` to swap in HLL ``approx_count_distinct`` —
+the right choice at 100 TB, where an exact multi-column distinct is a
+multi-shuffle expand.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(
+    df: DataFrame, cols: list[str], approx_distinct: bool = False
+) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) with min/max rendered as strings so mixed
+    column types unpivot into one frame.
+
+    ``n_distinct`` excludes nulls (count(distinct) semantics in both
+    Spark and ANSI SQL). Deterministic: every stat is an exact count or
+    an order statistic — no floats unless the column itself is float
+    (min/max of doubles format via the shortest round-trip repr both
+    engines share for parquet-born values).
+    """
+    distinct_fn = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx_distinct
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
+            distinct_fn(c).cast("long").alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `__null_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.selectExpr(
+        "__n_rows AS n_rows",
+        f"stack({len(cols)}, {stack}) AS (column, n_null, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")

@@ -662,3 +662,56 @@ def test_containment_pairs_asymmetric(spark):
     assert (1, 2) in directed      # short contained in long
     assert (2, 1) not in directed  # long NOT contained in short
     assert all(3 not in p for p in directed)
+
+
+def test_constraint_report_and_gate(spark):
+    import pytest
+
+    from owl_etl_spark.operators.validate import (
+        constraint_report,
+        fail_on_violations,
+        in_range,
+        not_null,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, None, 2.0), (4, 99, 3.0)],
+        ["id", "parent_id", "amount"],
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pid"])
+    dup = child.unionByName(child.filter("id = 1"))  # duplicate id 1
+    report = constraint_report(
+        dup,
+        row_checks=[not_null("parent_id"), in_range("amount", 0, 100)],
+        unique_keys=[["id"]],
+        foreign_keys=[("parent_id", parent, "pid")],
+    )
+    got = {r.constraint: r.n_violations for r in report.collect()}
+    assert got == {
+        "not_null:parent_id": 1,
+        "in_range:amount": 1,        # -1.0
+        "unique:id": 1,              # one surplus row for id 1
+        "foreign_key:parent_id": 1,  # 99 has no parent
+    }
+    with pytest.raises(ValueError, match="constraints violated"):
+        fail_on_violations(report)
+    clean = spark.createDataFrame([(1, 10, 5.0)], ["id", "parent_id", "amount"])
+    fail_on_violations(
+        constraint_report(clean, row_checks=[not_null("parent_id")])
+    )  # no raise
+
+
+def test_table_profile_single_pass(spark):
+    from owl_etl_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 0.5)],
+        ["k", "s", "v"],
+    )
+    rows = {r.column: r for r in table_profile(df, ["k", "s", "v"]).collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_distinct == 2 and rows["k"].n_null == 0
+    assert rows["s"].n_null == 1 and rows["s"].min_value == "a" and rows["s"].max_value == "b"
+    assert rows["v"].n_null == 1 and rows["v"].min_value == "0.5"
+    # single scan: exactly one aggregation source — no union of per-column jobs
+    plan = table_profile(df, ["k", "s", "v"])._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
