@@ -1408,7 +1408,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: exactly once — asserted below.
 _PRIORITY = [
     # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 96)],
+    *[f"q{i}" for i in range(52, 98)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3757,3 +3757,92 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = _t(spark, sf_dir, "lineitem")
     return table_profile(l, _PROFILE_COLS)
+
+
+@_register(
+    "q96_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             max(o_orderdate) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT ck,
+             CAST(ntile(5) OVER (ORDER BY recency, ck) AS BIGINT) AS r_bucket,
+             CAST(ntile(5) OVER (ORDER BY frequency, ck) AS BIGINT) AS f_bucket,
+             CAST(ntile(5) OVER (ORDER BY cents, ck) AS BIGINT) AS m_bucket
+      FROM cust
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM b GROUP BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation:
+    per-customer aggregates → three quintile ntiles → segment counts.
+    Same scale posture as q70: the fact table collapses to |customers|
+    rows BEFORE the global-order ntiles (at billions of keys, switch
+    to approx-percentile cutpoints + range join); monetary sums in
+    exact cents; every ntile order tie-breaks on the key so segment
+    assignment is engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    b = cust.select(
+        "ck",
+        F.ntile(5).over(Window.orderBy("recency", "ck")).cast("long").alias("r_bucket"),
+        F.ntile(5).over(Window.orderBy("frequency", "ck")).cast("long").alias("f_bucket"),
+        F.ntile(5).over(Window.orderBy("cents", "ck")).cast("long").alias("m_bucket"),
+    )
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@_register(
+    "q97_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort, aw) / 7 AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM first JOIN act USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-activity week
+    (ISO Monday truncation in both engines), counted in each
+    subsequent active week. Two aggregations on user_id — the join
+    reuses the same hash partitioning (Exchange reuse, no extra
+    shuffle) — and the week delta is exact integer day arithmetic on
+    week-truncated dates (always a multiple of 7), engine- and
+    timezone-stable where months_between floats are not."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    act = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw")).distinct()
+    wsince = (F.datediff(F.col("aw"), F.col("cohort")) / 7).cast("long")
+    return (
+        first.join(act, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            wsince.alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
