@@ -1408,7 +1408,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: exactly once — asserted below.
 _PRIORITY = [
     # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 98)],
+    *[f"q{i}" for i in range(52, 99)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3846,3 +3846,66 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@_register(
+    "q98_dup_components",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [norm]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+               AS shingle
+        FROM toks)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_Q34_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      {_Q34_BANDS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                 AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH dup graph — the
+    iterative min-label-propagation operator
+    (operators.dedup.connected_components, localCheckpoint-per-round)
+    now ORACLE-CHECKED: DuckDB computes the same q34 candidate edges,
+    then the transitive closure with a recursive CTE, and component =
+    min reachable id on both engines. Every doc is labeled (singletons
+    label themselves), so the full clustering — not just a summary —
+    must match."""
+    from owl_etl_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
+    return connected_components(pairs, d.select("doc_id"), "doc_id")
