@@ -385,3 +385,70 @@ def test_streaming_cdc_apply_changelog(spark, tmp_path):
         else:
             state[r.k] = r.val
     assert state == {"u1": "b"}
+
+
+def test_stream_static_enrich_broadcast_join(spark, tmp_path):
+    """Stateless broadcast enrichment: known keys enrich, unknown keys
+    survive as null (left join) — and the plan holds no streaming
+    state."""
+    from owl_etl_spark.streaming.joins import stream_static_enrich
+
+    dim_dir = tmp_path / "dim"; dim_dir.mkdir()
+    (dim_dir / "d1.json").write_text(
+        json.dumps({"k": "a", "label": "alpha"}) + "\n"
+        + json.dumps({"k": "b", "label": "beta"}) + "\n"
+    )
+    src = tmp_path / "src"; src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"k": "a", "v": 1, "ts": "2024-01-01T00:00:00"}) + "\n"
+        + json.dumps({"k": "z", "v": 2, "ts": "2024-01-01T00:01:00"}) + "\n"
+    )
+    dim = spark.read.schema("k string, label string").json(str(dim_dir))
+    stream = spark.readStream.schema("k string, v long, ts timestamp").json(str(src))
+    out = stream_static_enrich(stream, dim, on=["k"])
+    q = (
+        out.writeStream.format("memory").queryName("enrich_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.v: r.label for r in spark.sql("SELECT * FROM enrich_test").collect()}
+    assert got == {1: "alpha", 2: None}
+    assert q.lastProgress["stateOperators"] in ([], None)  # stateless
+
+
+def test_foreach_batch_enrich_refreshes_dimension(spark, tmp_path):
+    """The foreachBatch form re-loads the dimension every micro-batch:
+    a key added to the dimension AFTER the query plan was built still
+    enriches rows in later batches — the SCD-refresh property the
+    plan-pinned static join cannot provide."""
+    from owl_etl_spark.streaming.joins import foreach_batch_enrich
+
+    dim_dir = tmp_path / "dim"; dim_dir.mkdir()
+    (dim_dir / "d1.json").write_text(json.dumps({"k": "a", "label": "alpha"}) + "\n")
+    src = tmp_path / "src"; src.mkdir()
+    (src / "b1.json").write_text(json.dumps({"k": "a", "v": 1, "ts": "2024-01-01T00:00:00"}) + "\n")
+
+    results = []
+
+    def sink(df, batch_id):
+        results.extend((r.v, r.label) for r in df.collect())
+
+    def dim_loader(s):
+        return s.read.schema("k string, label string").json(str(dim_dir))
+
+    stream = spark.readStream.schema("k string, v long, ts timestamp").json(str(src))
+    # batch 1: only 'a' known
+    q = foreach_batch_enrich(stream, dim_loader, ["k"], sink).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    assert results == [(1, "alpha")]
+    # dimension gains 'b'; a new stream row with k='b' arrives; restart
+    # from the checkpoint processes ONLY the new file, with a FRESH dim
+    (dim_dir / "d2.json").write_text(json.dumps({"k": "b", "label": "beta"}) + "\n")
+    (src / "b2.json").write_text(json.dumps({"k": "b", "v": 2, "ts": "2024-01-01T00:01:00"}) + "\n")
+    q = foreach_batch_enrich(stream, dim_loader, ["k"], sink).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    assert results == [(1, "alpha"), (2, "beta")]
