@@ -1408,7 +1408,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: exactly once — asserted below.
 _PRIORITY = [
     # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 99)],
+    *[f"q{i}" for i in range(52, 100)],
     "q35",
     "q49",
     # round-1-green regression canaries, one per operator family
@@ -3909,3 +3909,40 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
     return connected_components(pairs, d.select("doc_id"), "doc_id")
+
+
+@_register(
+    "q99_order_value_distribution",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           cents,
+           round(percent_rank() OVER (ORDER BY cents, o_custkey), 6) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY cents, o_custkey), 6) AS cume,
+           CAST(ntile(4) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS quartile
+    FROM cust
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (percent_rank /
+    cume_dist / ntile together) over per-customer spend — the analytic
+    surface a warehouse user expects. Same scale posture as q70/q96:
+    facts collapse to |customers| rows before the global-order window;
+    ties broken on the key; both rank fractions are (row-count ratios)
+    of exact integers, rounded at 6 on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    return cust.select(
+        "o_custkey",
+        "cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

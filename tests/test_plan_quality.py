@@ -130,3 +130,22 @@ def test_q82_chunking_no_exchange(spark):
     """Intra-row chunking + posexplode must not shuffle at all."""
     plan = _plan(spark, "q82_chunk_documents")
     assert "Exchange" not in plan
+
+
+def test_q92_cdc_apply_group_limit(spark):
+    """The CDC apply's latest-change-per-key window must plan as
+    WindowGroupLimit (map-side partial top-1 before the exchange) —
+    same property as q07; the delete filter must not defeat it."""
+    plan = _plan(spark, "q92_cdc_apply")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q94_constraint_row_checks_single_pass(spark):
+    """All row-level constraint checks fold into ONE aggregate over the
+    table: orders is scanned once for the three row checks (plus one
+    scan each for uniqueness and FK — 3 total), never once per check."""
+    plan = _plan(spark, "q94_constraint_report")
+    import re
+
+    scans = re.findall(r"Scan parquet.*orders", plan)
+    assert len(scans) <= 3, plan
