@@ -254,33 +254,54 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_group: int = 4096,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
+    with a hot-shingle skew guard.
 
     explode distinct shingles → hash each shingle string to int64
-    (xxhash64) → self-equi-join on the 8-byte key → count common
-    shingles per pair → Jaccard = common / (|A| + |B| - common).
-    Deterministic; exact up to 64-bit shingle-hash collisions
-    (P ≈ n²/2⁶⁵ — ~1e-8 at 1M distinct shingles; the same tolerance
-    every MinHash-family system accepts). Joining on longs instead of
-    ~30-char strings cuts shuffle bytes and hash-probe cost ~15%
-    measured; both join branches share one reused exchange, and the
-    tiny per-doc size table broadcasts under AQE.
+    (xxhash64) → per-shingle document frequency → split postings:
 
-    An intra-row posting-list expansion (groupBy shingle,
-    collect_list, nested ``transform`` pair fan-out) was measured at
-    5-6x SLOWER than this join despite one fewer shuffle: Spark's
-    higher-order functions evaluate interpreted per-element while the
-    self-join + count runs entirely in whole-stage codegen. Don't
-    re-attempt it.
+    - **cold shingles** (df ≤ ``max_group``, the overwhelming majority
+      of a real vocabulary): self-equi-join on the 8-byte shingle key.
+      Runs entirely in whole-stage codegen — an intra-row posting-list
+      expansion (groupBy shingle, collect_list, nested ``transform``
+      fan-out) was measured 5-6x SLOWER for these because higher-order
+      lambdas evaluate interpreted. Don't move the cold path off the
+      join.
+    - **hot shingles** (df > ``max_group``): a df=g posting list means
+      g·(g-1)/2 co-occurrence pairs landing in ONE join task — at
+      Zipfian 100 TB scale a stopword-ish shingle with df=10⁶ would
+      put ~5·10¹¹ pairs into a single task. These postings instead go
+      through the chunked triangle expansion proven in
+      ``minhash_lsh_pairs``: sort the posting list, slice into
+      ≤``max_group`` chunks, emit one row per (ci ≤ cj) chunk pair, an
+      exchange spreads the chunk-pair rows across the cluster
+      (moving ~2g²/max_group ids, never g² pairs), and each task
+      expands at most ``max_group``² pairs.
 
-    Scale: the join fan-out is Σ_shingle df(shingle)² — right for
-    corpora whose shingle vocabulary is small relative to the corpus
-    (every posting list is hot; no order can avoid them). For Zipfian
-    real-text corpora use ``ngram_jaccard_pairs_prefix`` (identical
-    output, fan-out restricted to rare-shingle prefixes) or
-    ``minhash_lsh_pairs`` + candidate verification.
+    Both streams carry one row per (pair, shared shingle); a single
+    groupBy sums them into the common-shingle count, so the output is
+    bit-identical to the unguarded join (pinned by test) — Jaccard =
+    common / (|A| + |B| - common), exact up to 64-bit shingle-hash
+    collisions (P ≈ n²/2⁶⁵; the same tolerance every MinHash-family
+    system accepts).
+
+    The exploded (id, shingle) relation feeds four consumers (sizes,
+    df counts, join sides / hot buckets), so it is persisted for the
+    duration of this call and eagerly released (localCheckpoint of the
+    small above-threshold output) — same scoping pattern as
+    ``ngram_jaccard_pairs_prefix``; nothing leaks into the session.
+
+    Scale: per-task pair fan-out is bounded by ``max_group``² on every
+    path. Total work is still Σ_shingle df(shingle)² — for corpora
+    where that sum itself is the bottleneck, use
+    ``ngram_jaccard_pairs_prefix`` (identical output, fan-out
+    restricted to rare-shingle prefixes) or ``minhash_lsh_pairs`` +
+    candidate verification.
     """
+    from pyspark import StorageLevel
+
     norm = normalize_text(F.col(text_col))
     # pre-spread: small corpora scan as one partition; shingling +
     # hashing must not serialize onto a single task
@@ -294,23 +315,81 @@ def ngram_jaccard_pairs(
         f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
         f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
     )
-    sh = base.select(
-        "id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("__shingle_str")
-    ).select("id", F.xxhash64("__shingle_str").alias("shingle"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    sh = (
+        base.select(
+            "id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("__shingle_str")
+        )
+        .select("id", F.xxhash64("__shingle_str").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
-        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    try:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        shf = sh.join(freq, "shingle")
+        cold = shf.filter(F.col("__df") <= max_group).select("id", "shingle")
+        cold_raw = (
+            cold.alias("a")
+            .join(
+                cold.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        # Hot posting lists: sorted ids → ≤max_group chunks → triangle of
+        # chunk pairs → exchange on (shingle, chunk heads) → bounded
+        # expansion. Chunking a SORTED list gives cross-chunk pairs the
+        # (a < b) invariant for free; same-chunk rows expand the triangle.
+        hot = (
+            shf.filter(F.col("__df") > max_group)
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        )
+        nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
+        chunk_pair_expr = F.expr(
+            f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
+            f"transform(sequence(ci, {nchunks} - 1, 1), cj -> named_struct("
+            f"'a', slice(ids, ci * {max_group} + 1, {max_group}), "
+            f"'b', slice(ids, cj * {max_group} + 1, {max_group}), "
+            f"'same', ci = cj))))"
+        )
+        expand_expr = F.expr(
+            "CASE WHEN c.same THEN "
+            "flatten(transform(sequence(1, size(c.a) - 1), "
+            "i -> transform(slice(c.a, i + 1, size(c.a) - i), "
+            "x -> named_struct('id_a', element_at(c.a, i), 'id_b', x)))) "
+            "ELSE flatten(transform(c.a, x -> transform(c.b, "
+            "y -> named_struct('id_a', x, 'id_b', y)))) END"
+        )
+        hot_raw = (
+            hot.select("shingle", F.explode(chunk_pair_expr).alias("c"))
+            .repartition(F.col("shingle"), F.col("c.a")[0], F.col("c.b")[0])
+            .select(F.explode(expand_expr).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        )
+        pairs = (
+            cold_raw.unionByName(hot_raw)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        out = (
+            pairs.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def ngram_jaccard_pairs_prefix(
@@ -654,6 +733,136 @@ def connected_components(
         return result
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 12,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same output contract as ``connected_components``
+    (component = min reachable id, pinned equal by test), different
+    convergence law: O(log² n) rounds on ANY graph shape vs
+    min-label's diameter-many rounds.
+
+    Use this when dup graphs may be DEEP (long chains of pairwise-
+    similar docs — e.g. near-dup chains across document revisions)
+    rather than the shallow cliques LSH typically produces; min-label
+    stays the cheaper default for clique-shaped dup graphs (r2 VERDICT
+    next-#7).
+
+    Per round: large-star hangs every larger neighbor of u onto u's
+    minimum neighbor (keeps components, shrinks long tails onto local
+    minima); small-star re-hangs the smaller neighbors. Both are one
+    groupBy + one join on the edge list (2 shuffles each); edges are
+    ``localCheckpoint``-ed per round (lineage truncation, same
+    rationale as min-label) and the previous round's checkpoint is
+    released. Convergence = the small-star round leaves the edge set
+    unchanged (count + order-free xxhash64 checksum — one cheap agg);
+    the converged edge set is exactly the star (child → component-min)
+    mapping. ``strict=True`` raises on non-convergence like
+    ``connected_components`` (a truncated contraction is not a valid
+    clustering).
+    """
+
+    def _canon(e: DataFrame) -> DataFrame:
+        # canonical undirected edge (lo, hi), no self-loops, distinct
+        return (
+            e.select(
+                F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-free AND overflow-free (sum(xxhash64) would
+        # trip ANSI long-overflow); edges are distinct so xor+count
+        # uniquely fingerprints the set up to hash collisions
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    edges = _canon(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint()
+    prev_ckpt: DataFrame | None = edges
+    converged = False
+    try:
+        sig = _checksum(edges)
+        for _ in range(max_iters):
+            bidir = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+                edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            )
+            # LARGE-STAR: for each u, m = min(N(u) ∪ {u}); emit (v, m)
+            # for all neighbors v > u.
+            lmin = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+            large = _canon(
+                bidir.join(lmin, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("src"), F.least("u", "mv").alias("dst")
+                )
+            )
+            # SMALL-STAR: for each u over its ≤-neighbors v < u,
+            # m = min(N<(u)); emit (v, m) and (u, m).
+            smaller = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            smin = smaller.groupBy("u").agg(F.min("v").alias("mv"))
+            small = _canon(
+                smaller.join(smin, "u")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("v").alias("src"), F.col("mv").alias("dst")),
+                            F.struct(F.col("u").alias("src"), F.col("mv").alias("dst")),
+                        )
+                    ).alias("e")
+                )
+                .select("e.src", "e.dst")
+            ).localCheckpoint()
+            new_sig = _checksum(small)
+            edges = small
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = small
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
+        if not converged:
+            msg = (
+                f"connected_components_star did not converge within max_iters={max_iters}; "
+                "star contraction incomplete — labels would be truncated. Raise max_iters."
+            )
+            if strict:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        # Converged edges are (component-min, member) stars.
+        mapping = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
+        result = (
+            ids.select(F.col(id_col).alias("node"))
+            .join(mapping, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("root"), F.col("node")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        prev_ckpt.unpersist()
+        prev_ckpt = None
+        return result
+    finally:
+        # on an exception path, release the last per-round checkpoint
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
 
 
 def near_dup_clusters(

@@ -79,6 +79,30 @@ def test_minhash_lsh_superset_of_exact_duplicates(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_minhash_lsh_recall_floor_vs_exact_jaccard(spark):
+    """r2 VERDICT next-#6: the r2 hash-family swap changed the q34
+    candidate set (1153→1243 bench rows) with only a superset-of-
+    exact-DUPLICATES test guarding it. This quantifies recall against
+    the full exact-Jaccard truth at threshold 0.5 on the real
+    documents table, for both registered band configs (q34 uses 16/4,
+    q98 uses 16/8) — a future hash-family change that silently
+    degrades near-dup recall fails here. Current measured recall is
+    1.000 for both; the 0.9 floor leaves room for benign family
+    tweaks, not for degradation."""
+    from owl_etl_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert exact, "corpus lost its planted near-dups"
+    for bands in (4, 8):
+        cand = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, num_hashes=16, bands=bands).collect()
+        }
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9, f"bands={bands}: LSH recall {recall:.3f} < 0.9 floor"
+
+
 def test_ngram_jaccard_exact_pair(spark):
     from owl_etl_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -217,6 +217,44 @@ def test_dedup_pair_generators_leave_no_cache(spark):
     assert grew <= 1, f"persistent RDDs grew by {grew} (> result itself)"
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """r2 VERDICT finding #1: a Zipfian hot shingle with df=g puts
+    g·(g-1)/2 candidate pairs into ONE join task in the unguarded
+    inverted-index join. Hot postings (df > max_group) now run the
+    chunked triangle expansion proven in minhash_lsh_pairs; this pins
+    (a) output identity with the unguarded join on a corpus where one
+    shingle appears in EVERY doc, (b) planted near-dup recall, and
+    (c) call-scoped caching (nothing but the checkpointed pair results
+    may persist past the calls)."""
+    from owl_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 600
+    rows = []
+    for i in range(n):
+        # every doc shares the hot 3-shingle "alpha beta gamma"
+        tail = f"u{i} v{i} w{i} x{i} y{i} z{i}"
+        if i % 3 == 1:  # plant a near-dup of doc i-1 (differs in last token)
+            j = i - 1
+            tail = f"u{j} v{j} w{j} x{j} y{j} z{i}"
+        rows.append((i, f"alpha beta gamma {tail}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # max_group=32 → the df=600 hot posting list splits into 19 chunks;
+    # no task expands more than 32² pairs
+    guarded = ngram_jaccard_pairs(docs, threshold=0.3, max_group=32)
+    plain = ngram_jaccard_pairs(docs, threshold=0.3, max_group=1 << 30)
+    g = sorted((r.id_a, r.id_b, r.jaccard) for r in guarded.collect())
+    p = sorted((r.id_a, r.id_b, r.jaccard) for r in plain.collect())
+    assert g == p, "guarded output diverged from unguarded join"
+    planted = {(i - 1, i) for i in range(n) if i % 3 == 1}
+    got = {(a, b) for a, b, _ in g}
+    assert planted <= got, f"missing planted pairs: {sorted(planted - got)[:5]}"
+    # hot-shingle-only pairs (J = 1/13) must stay below threshold
+    assert got == planted, f"unexpected extra pairs: {sorted(got - planted)[:5]}"
+    grew = spark.sparkContext._jsc.getPersistentRDDs().size() - before
+    assert grew <= 2, f"persistent RDDs grew by {grew} (> the 2 results)"
+
+
 def test_jaccard_prefix_returns_flat_materialized_plan(spark):
     """Eager scoping: the returned frame must be a flat scan of the
     checkpointed pair list — not a live plan still referencing the
@@ -262,6 +300,63 @@ def test_connected_components_unconverged_raises(spark):
         warnings.simplefilter("always")
         connected_components(pairs, ids, max_iters=1, strict=False).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_star_contraction_matches_minlabel(spark):
+    """connected_components_star must produce the identical
+    (node → min-reachable-id) labeling as min-label propagation, on a
+    graph mixing cliques, a chain, bridges and isolated nodes."""
+    from owl_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]  # clique
+        + [(10, 11), (11, 12), (12, 13), (13, 14)]  # chain
+        + [(3, 10)]  # bridge: merges both into component 1
+        + [(20, 21)]  # separate pair
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 13, 14, 20, 21, 99]], ["doc_id"]
+    )
+    ml = {r.doc_id: r.component for r in connected_components(pairs, ids).collect()}
+    st = {r.doc_id: r.component for r in connected_components_star(pairs, ids).collect()}
+    assert st == ml
+    assert st[14] == 1 and st[21] == 20 and st[99] == 99
+
+
+def test_star_contraction_converges_on_deep_chain(spark):
+    """The point of the star strategy: a diameter-60 chain needs 60
+    min-label rounds but only O(log² n) star rounds. max_iters=10 must
+    converge (min-label provably cannot) and still label every node
+    with the chain minimum."""
+    from owl_etl_spark.operators.dedup import connected_components_star
+
+    n = 60
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    out = {r.doc_id: r.component for r in connected_components_star(pairs, ids, max_iters=10).collect()}
+    assert out == {i: 1 for i in range(1, n + 1)}
+
+
+def test_star_contraction_on_lsh_edges_matches_q98_form(spark):
+    """On the real q98 edge list (LSH pairs over documents), star and
+    min-label must agree — pins the strategy swap as behavior-
+    preserving for the registered query's graph shape."""
+    from owl_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
+    ids = d.select("doc_id")
+    ml = {r.doc_id: r.component for r in connected_components(pairs, ids).collect()}
+    st = {r.doc_id: r.component for r in connected_components_star(pairs, ids).collect()}
+    assert st == ml
 
 
 def test_minhash_lsh_skew_guard_chunks_giant_buckets(spark):
