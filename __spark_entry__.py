@@ -1400,20 +1400,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Registry emission order. The external correctness gate snapshots a
-#: bounded prefix of this dict (round 1 recorded exactly the first 50
-#: entries), so queries whose oracle rows have never been driver-
-#: checked go FIRST: q52–q85 plus the newly-oracled q35/q49, then a
-#: cross-family spread of round-1-green anchors (regression canaries),
-#: then the rest in definition order. Every registered query appears
-#: exactly once — asserted below.
+#: bounded prefix of this dict (rounds 1 and 2 each recorded exactly
+#: the first 50 entries), so round 3 front-loads the queries whose
+#: driver evidence is STALE or NEW (r2 VERDICT "Next round" #1):
+#: q27/q33/q34 (MinHash family + LSH skew guard changed after their r1
+#: green rows), q29 (hot-shingle guard added this round), q53 (now a
+#: checkable error-bound contract), q100 (new quantile-bucket
+#: operator) — then every remaining q01–q51 entry, none of which has
+#: been driver-checked on post-r1 code (q35/q49/q52–q99 hold current
+#: green rows from r02 and follow after). Exactly 50 names precede
+#: them. Every registered query appears exactly once — asserted below.
 _PRIORITY = [
-    # never driver-checked (r1 snapshot stopped at q51) / newly added
-    *[f"q{i}" for i in range(52, 100)],
+    # stale driver rows (implementation changed after last green) / new
+    "q27", "q33", "q34", "q29", "q53", "q100",
+    # q01–q51 last checked in r1 — re-green on current code
+    *[
+        f"q{i:02d}"
+        for i in range(1, 52)
+        if i not in (4, 27, 29, 33, 34, 35, 49)
+    ],
+    # current-green r02 rows follow (q52–q99 minus re-prioritized q53)
+    *[f"q{i}" for i in range(52, 100) if i != 53],
     "q35",
     "q49",
-    # round-1-green regression canaries, one per operator family
-    "q01", "q05", "q07", "q16", "q18", "q21", "q23", "q27",
-    "q29", "q30", "q33", "q34", "q36", "q48",
 ]
 
 
@@ -2035,16 +2044,41 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q53_approx_stats", None)
+@_register(
+    "q53_approx_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                 AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS distinct_ok,
+           TRUE AS median_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
-    algorithms differ across engines by design → rows-only; the test
-    suite bounds relative error against exact counts."""
+    """Approximate aggregates (HLL distinct, quantile sketch) as a
+    DRIVER-CHECKABLE contract. Sketch estimates are engine-specific by
+    design, so the raw estimates can never hash-match an oracle —
+    instead the query emits the EXACT counts plus booleans asserting
+    the sketch landed within its error bound (HLL++ rsd=0.05 → 3σ
+    relative bound 0.15; percentile_approx rank error n/accuracy →
+    estimate must sit inside the exact [p40, p60] band). The oracle
+    recomputes the exact values and asserts the booleans TRUE — a
+    sketch regression flips a boolean and fails the hash gate. The
+    exact aggregates here exist only to power the bound check at test
+    scale; at 100 TB you'd run the sketch side alone (one pass, KBs
+    per group — see operators/sketches.py for the mergeable form)."""
     o = _t(spark, sf_dir, "orders")
+    exact_d = F.count_distinct(F.col("o_custkey"))
+    approx_d = F.approx_count_distinct("o_custkey")
+    approx_med = F.percentile_approx("o_totalprice", 0.5)
+    p40 = F.percentile(F.col("o_totalprice"), F.lit(0.4))
+    p60 = F.percentile(F.col("o_totalprice"), F.lit(0.6))
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).cast("long").alias("n"),
+        exact_d.cast("long").alias("exact_customers"),
+        (F.abs(approx_d - exact_d) <= 0.15 * exact_d).alias("distinct_ok"),
+        ((approx_med >= p40) & (approx_med <= p60)).alias("median_ok"),
     )
 
 
@@ -3945,4 +3979,71 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# coverage batch 7 (round 3): scalable quantile bucketing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q100_quantile_buckets",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM spend
+    ), vals AS (
+      SELECT cents, count(*) AS c FROM spend GROUP BY cents
+    ), cum AS (
+      SELECT cents, CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cum FROM vals
+    ), cuts AS (
+      SELECT d, min(cents) AS cut
+      FROM cum CROSS JOIN n CROSS JOIN range(1, 10) ds(d)
+      WHERE cum >= (d * n + 9) // 10
+      GROUP BY d
+    )
+    SELECT CAST(1 + (SELECT count(*) FROM cuts WHERE cut < s.cents) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM spend s
+    GROUP BY bucket
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend deciles via the BILLIONS-OF-KEYS path (r2 VERDICT next-#5):
+    exact nearest-rank cutpoints (integer rank arithmetic — cum-count
+    over DISTINCT cents, bit-identical across engines) + a broadcast
+    literal comparison chain for assignment — NO global ntile sort over
+    the keys. Same per-bucket aggregate surface as q70; bucket ties on
+    a cutpoint land in the lower bucket (deterministic under any row
+    order, unlike ntile's positional tie-split). The oracle spells out
+    the identical nearest-rank rule: cut_d = min{v : cum(v) >=
+    ceil(d*n/10)} with ceil as (d*n+9)//10 — no floats anywhere. The
+    approx-cutpoint form (percentile_approx sketch, the true 100 TB
+    path — one pass, KBs, no |distinct| window) is pinned against this
+    exact form and against ntile by tests/test_quantiles.py."""
+    from owl_etl_spark.operators.quantiles import (
+        assign_buckets,
+        collect_cutpoints,
+        exact_rank_cutpoints,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    cuts = collect_cutpoints(exact_rank_cutpoints(spend, "cents", 10))
+    b = assign_buckets(spend, "cents", cuts)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
     )
