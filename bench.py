@@ -39,6 +39,17 @@ HEADLINE = [
     "q34_minhash_lsh_pairs",
     "q45_running_revenue",
     "q47_winnow_fingerprints",
+    # round-2 operator families (r2 VERDICT "Next round" #3): composed
+    # prep pipeline, BM25, CDC apply, single-pass profiler, connected
+    # components — a perf regression in any of these was previously
+    # invisible to the per-round BENCH record.
+    "q85_training_prep_pipeline",
+    "q90_bm25_topk",
+    "q92_cdc_apply",
+    "q95_table_profile",
+    "q98_dup_components",
+    # round-3: billions-of-keys quantile bucketing (no global sort)
+    "q100_quantile_buckets",
 ]
 
 
