@@ -144,13 +144,20 @@ def _check_regression(timings: dict[str, float], total: float, sf: float) -> Non
     if prior.get("sf") != sf:
         return
     regressions = []
+    common_old = common_new = 0.0
     for name, old in prior.get("queries", {}).items():
         new = timings.get(name)
-        if new is not None and new > old * 1.5 + 1.0:
+        if new is None:
+            continue
+        common_old += old
+        common_new += new
+        if new > old * 1.5 + 1.0:
             regressions.append(f"{name}: {old:.3f}s -> {new:.3f}s")
-    old_total = prior.get("value")
-    if old_total and total > old_total * 1.5 + 2.0:
-        regressions.append(f"TOTAL: {old_total:.3f}s -> {total:.3f}s")
+    # Totals are only comparable over the INTERSECTION of headline
+    # sets — newly added headline queries must not read as a
+    # regression of the old ones.
+    if common_old and common_new > common_old * 1.5 + 2.0:
+        regressions.append(f"COMMON TOTAL: {common_old:.3f}s -> {common_new:.3f}s")
     if regressions:
         print(
             "BENCH REGRESSION vs " + os.path.basename(prior_files[-1]) + ": "
