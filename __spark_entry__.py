@@ -1412,13 +1412,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: them. Every registered query appears exactly once — asserted below.
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
-    "q27", "q33", "q34", "q29", "q53", "q100",
-    # q01–q51 last checked in r1 — re-green on current code
+    "q27", "q33", "q34", "q29", "q53", "q100", "q101", "q102", "q103",
+    # q01–q48 last checked in r1 — re-green on current code (q48/q50/
+    # q51, also unchanged since r1, yield their top-50 slots to the
+    # new q101–q103 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 52)
-        if i not in (4, 27, 29, 33, 34, 35, 49)
+        for i in range(1, 48)
+        if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q48",
+    "q50",
+    "q51",
     # current-green r02 rows follow (q52–q99 minus re-prioritized q53)
     *[f"q{i}" for i in range(52, 100) if i != 53],
     "q35",
@@ -2721,9 +2726,10 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort into ONE window partition — fine for the per-customer
     aggregate (rows = |customers|), but at 100 TB of raw facts the
     pre-aggregation (first group-by) is what makes it viable; for
-    billions of KEYS switch to approx percentile cutpoints + a range
-    join instead of ntile. Tie order (cents, custkey) pins the decile
-    assignment on both engines."""
+    billions of KEYS switch to cutpoints + map-side assignment —
+    shipped as ``operators/quantiles.py`` and oracle-gated as q100.
+    Tie order (cents, custkey) pins the decile assignment on both
+    engines."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -3820,7 +3826,8 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer aggregates → three quintile ntiles → segment counts.
     Same scale posture as q70: the fact table collapses to |customers|
     rows BEFORE the global-order ntiles (at billions of keys, switch
-    to approx-percentile cutpoints + range join); monetary sums in
+    to ``operators/quantiles.py`` cutpoints + map-side assignment,
+    oracle-gated as q100); monetary sums in
     exact cents; every ntile order tie-breaks on the key so segment
     assignment is engine-identical."""
     o = _t(spark, sf_dir, "orders")
@@ -4046,4 +4053,209 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
         F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@_register(
+    "q101_url_dedup_domain_cap",
+    r"""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             'https://www.' || source
+               || (CASE WHEN doc_id % 7 = 0 THEN '.org' ELSE '.com' END)
+               || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''),
+               '\?.*$', ''), '^www\.', ''), '/+$', '') AS curl
+      FROM urls
+    ), dom AS (
+      SELECT doc_id, n_chars, curl,
+             regexp_extract(curl, '^([^/]+)', 1) AS domain
+      FROM canon
+    ), uniq AS (
+      SELECT * FROM dom
+      QUALIFY row_number() OVER (PARTITION BY curl ORDER BY doc_id) = 1
+    ), capped AS (
+      SELECT * FROM uniq
+      QUALIFY row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) <= 5
+    )
+    SELECT d.domain,
+           CAST(count(*) AS BIGINT)               AS n_docs,
+           CAST(count(DISTINCT d.curl) AS BIGINT) AS n_unique,
+           CAST((SELECT count(*) FROM capped c WHERE c.domain = d.domain) AS BIGINT)
+             AS n_kept
+    FROM dom d GROUP BY d.domain
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL curation (functions/urls.py + split.per_key_cap):
+    canonicalize synthetic-but-deterministic URLs (scheme/www/query/
+    fragment/trailing-slash stripping — pure regexp chains, codegen),
+    dedup to one doc per canonical URL (min doc_id — WindowGroupLimit),
+    then cap each registered domain at 5 docs ranked by (n_chars desc,
+    doc_id). Output: per-domain doc/unique/kept counts. The oracle
+    replays the identical canonicalization regexes and window rules in
+    SQL. At scale: two WindowGroupLimit shuffles (url, then domain) —
+    map tasks pre-truncate groups, so skewed domains never flood a
+    task; no global sort anywhere."""
+    from owl_etl_spark.functions.urls import canonicalize_url, registered_domain, url_host
+    from owl_etl_spark.operators.split import per_key_cap
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    dom = d.select(
+        "doc_id",
+        "n_chars",
+        canonicalize_url(url).alias("curl"),
+    ).withColumn("domain", registered_domain(url_host(F.col("curl"))))
+    uniq = per_key_cap(dom, ["curl"], [F.col("doc_id").asc()], 1)
+    capped = per_key_cap(
+        uniq, ["domain"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 5
+    )
+    kept = capped.groupBy("domain").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("curl")).cast("long").alias("n_unique"),
+        )
+        .join(kept, "domain")
+        .select("domain", "n_docs", "n_unique", "n_kept")
+    )
+
+
+@_register(
+    "q102_segment_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i*8+1:i*8+8], ' ') AS seg
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+            FROM toks)
+    ), freq AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+      SELECT s.doc_id, s.pos, s.seg
+      FROM segs s JOIN freq f USING (seg) WHERE f.df <= 2
+    ), nsegs AS (
+      SELECT doc_id, CAST(ceil(len(t)/8.0) AS BIGINT) AS n_segments FROM toks
+    )
+    SELECT n.doc_id,
+           coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(n.n_segments AS BIGINT)                 AS n_segments,
+           CAST(n.n_segments - count(k.seg) AS BIGINT)  AS n_dropped
+    FROM nsegs n LEFT JOIN kept k USING (doc_id)
+    GROUP BY n.doc_id, n.n_segments
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level boilerplate removal (library:
+    operators.dedup.dedup_segments) — the C4/RefinedWeb "drop text
+    repeated across documents" pass: 8-token segments occurring in >2
+    distinct docs are dropped, survivors reassembled in order. The
+    oracle replays segmentation, df counting and ordered reassembly in
+    SQL (the Spark side joins on xxhash64(seg) — the engine-wide
+    64-bit tolerance). Plan: intra-row chunk → hash groupBy → join
+    back → per-doc collect_list reassembly; no window, no global
+    sort."""
+    from owl_etl_spark.operators.dedup import dedup_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_segments(d, "doc_id", "text", seg_tokens=8, max_df=2)
+
+
+@_register(
+    "q103_temperature_mixture",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(wi) AS BIGINT) AS twi FROM w
+    ), q AS (
+      SELECT source, n, (300 * wi) // twi AS quota FROM w CROSS JOIN t
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|temp'), 1, 15)) AS BIGINT)
+                          % 1000000000,
+                        d.doc_id) AS rn
+      FROM documents d
+    ), kept AS (
+      SELECT r.source, r.doc_id FROM ranked r JOIN q USING (source)
+      WHERE r.rn <= q.quota
+    )
+    SELECT q.source,
+           q.n                                        AS n_total,
+           CAST(q.quota AS BIGINT)                    AS quota,
+           CAST(count(k.doc_id) AS BIGINT)            AS n_kept,
+           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM q LEFT JOIN kept k USING (source)
+    GROUP BY q.source, q.n, q.quota
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (library:
+    split.temperature_mixture, alpha=0.5): per-source quotas ∝ sqrt(n)
+    snapped to integer micro-units (order-free, engine-exact), filled
+    in stable md5-hash order. Output pins BOTH the quota arithmetic
+    and the exact selected row set (kept_id_sum) against the oracle's
+    replay of the same integer rule + hash order. Plan: strata-sized
+    count agg + broadcast quotas + one per-stratum window — no global
+    sort, no float accumulation."""
+    from owl_etl_spark.operators.split import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(d, "doc_id", "source", target_total=300, alpha=0.5)
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wi = F.round(F.sqrt(F.col("n_total").cast("double")) * 1_000_000).cast("long")
+    quotas = (
+        counts.withColumn("__wi", wi)
+        .crossJoin(
+            F.broadcast(
+                counts.select(F.round(F.sqrt(F.col("n_total").cast("double")) * 1_000_000)
+                              .cast("long").alias("__wi"))
+                .agg(F.sum("__wi").alias("__twi"))
+            )
+        )
+        .select(
+            "source",
+            "n_total",
+            F.expr("(300 * __wi) div __twi").cast("long").alias("quota"),
+        )
+    )
+    return (
+        quotas.join(kept_stats, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_id_sum"), F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
     )

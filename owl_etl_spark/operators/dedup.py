@@ -735,6 +735,83 @@ def connected_components(
         edges.unpersist()
 
 
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup (the C4/RefinedWeb
+    "remove lines repeated across the corpus" pass, generalized to
+    fixed ``seg_tokens``-token segments for corpora without line
+    structure): drop every segment that occurs in more than ``max_df``
+    distinct documents, reassemble the survivors in order.
+
+    Whole-document dedup misses boilerplate — headers, footers,
+    license blurbs, navigation chrome — that repeats across otherwise
+    distinct documents; segment-level df filtering removes exactly
+    that. Output: one row per input doc with ``clean_text`` (surviving
+    segments joined in original order; empty when everything was
+    boilerplate), ``n_segments``, ``n_dropped``.
+
+    Plan shape at scale: posexplode of an intra-row chunking expr (no
+    shuffle) → one groupBy on the segment's xxhash64 (the df count;
+    8-byte shuffle keys, partial aggregation folds per-map duplicates)
+    → hash equi-join back → one groupBy on doc id with an
+    ``array_sort(collect_list(struct(pos, seg)))`` reassembly. The
+    reassembly group carries only the doc's own segments — no window,
+    no global sort. Exact up to 64-bit segment-hash collisions (the
+    documented engine-wide tolerance).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nseg_expr = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        nseg_expr.alias("__nseg"),
+    )
+    segs = base.select(
+        "__id",
+        "__nseg",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, __nseg - 1), "
+                f"i -> array_join(slice(__toks, i * {seg_tokens} + 1, {seg_tokens}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    )
+    freq = (
+        segs.select(F.xxhash64("seg").alias("h"), "__id")
+        .groupBy("h")
+        .agg(F.count_distinct(F.col("__id")).alias("df"))
+    )
+    kept = (
+        segs.join(freq, F.xxhash64(segs["seg"]) == freq["h"])
+        .filter(F.col("df") <= max_df)
+        .select("__id", "pos", "seg")
+    )
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select("__id", "__nseg")
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("__nseg").cast("long").alias("n_segments"),
+            (F.col("__nseg") - F.coalesce(F.col("__kept"), F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     ids: DataFrame,

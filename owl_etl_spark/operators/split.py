@@ -125,3 +125,93 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+    n: int,
+) -> DataFrame:
+    """At most ``n`` rows per key group, ranked by ``order_by`` — the
+    per-domain-cap primitive of web-corpus curation (and the general
+    "keep best n per group" operator). Plans as WindowGroupLimit:
+    each map task truncates its groups to n rows BEFORE the single
+    window exchange, so the shuffle moves at most n·|groups| rows no
+    matter how skewed the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str | Column,
+    stratum_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-weighted source mixture (the multilingual/
+    multi-source LM sampling rule): per-stratum quotas ∝ n_s^alpha,
+    filled in stable hash order.
+
+    alpha=1 reproduces natural proportions, alpha=0 uniform-per-
+    stratum; 0<alpha<1 up-weights small sources the standard way.
+    Quota_s = floor(target_total · n_s^alpha / Σ_t n_t^alpha); rows
+    are ranked per stratum by (md5-bucket, key) — the same stable
+    hash order every sampler here uses, so regrowing a stratum only
+    appends to its keep set's order, and quotas from a different
+    ``target_total`` nest.
+
+    Plan: one count aggregate (strata-sized), broadcast back, one
+    window rank per stratum. The rank is a dynamic per-group limit, so
+    it plans as a plain Window (not WindowGroupLimit) — at extreme
+    skew cap the stratum first with ``per_key_cap`` or use
+    ``weighted_mixture`` with precomputed rates (both prefix-
+    compatible with this order).
+
+    Portability: weights are snapped to integer micro-units
+    (round(1e6·n^alpha) — sqrt for alpha=0.5 is a correctly-rounded
+    IEEE op, so the per-stratum rounding is bit-identical on any
+    engine) and quotas use pure integer division — no float
+    accumulation anywhere, same rule an ANSI oracle can replay
+    (engine determinism rule: never let float summation order into a
+    result).
+    """
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    w_expr = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__wi", F.round(w_expr * 1_000_000).cast("long"))
+    )
+    tot = counts.agg(F.sum("__wi").alias("__twi"))
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            F.expr(f"({int(target_total)} * __wi) div __twi").cast("long").alias("__quota"),
+        )
+    )
+    space = 1_000_000_000
+    rank_w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(kc, space, salt).asc(), kc.asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(rank_w))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
