@@ -1412,15 +1412,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: them. Every registered query appears exactly once — asserted below.
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
-    "q27", "q33", "q34", "q29", "q53", "q100", "q101", "q102", "q103",
-    # q01–q48 last checked in r1 — re-green on current code (q48/q50/
-    # q51, also unchanged since r1, yield their top-50 slots to the
-    # new q101–q103 and queue immediately after)
+    "q27", "q33", "q34", "q29", "q53",
+    "q100", "q101", "q102", "q103", "q104",
+    # q01–q46 last checked in r1 — re-green on current code (q47/q48/
+    # q50/q51, also unchanged since r1, yield their top-50 slots to
+    # the new q100–q104 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 48)
+        for i in range(1, 47)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q47",
     "q48",
     "q50",
     "q51",
@@ -4259,3 +4261,40 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_id_sum"), F.lit(0)).cast("long").alias("kept_id_sum"),
         )
     )
+
+
+@_register(
+    "q104_unigram_logprob_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM toks
+    ), costed AS (
+      SELECT toks.doc_id,
+             CAST(round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS cost
+      FROM toks JOIN vocab USING (tok) CROSS JOIN t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_tokens,
+           CAST(sum(cost) AS BIGINT) AS cost_micro_nats,
+           CAST(round(CAST(sum(cost) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_cost_micro_nats
+    FROM costed GROUP BY doc_id
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (library:
+    ranking.unigram_logprob_score) — the CCNet-style cheap perplexity
+    proxy: per-doc cross-entropy against the corpus's own unigram
+    distribution, in integer micro-nats (per-token ln snapped to 1e-6
+    before the BIGINT sum — no float accumulation, engine-exact). One
+    vocab aggregate + one join + one doc aggregate; no windows or
+    sorts at any scale."""
+    from owl_etl_spark.operators.ranking import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(d, "doc_id", "text")

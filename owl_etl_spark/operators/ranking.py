@@ -102,3 +102,59 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM — the cheap stand-in for KenLM-style LM filtering
+    (CCNet's quality signal): fluent/typical documents score LOW
+    (their tokens are common), gibberish and off-distribution text
+    scores HIGH. Rank by score and gate the tail.
+
+    Exactness contract (engine determinism rule — no float
+    accumulation order anywhere): each token's cost is snapped to
+    integer micro-nats, ``round(ln(total/count(tok)) * 1e6)`` (ln and
+    division are correctly-rounded IEEE ops on an integer ratio →
+    bit-identical on any engine), the per-doc sum is a BIGINT, and the
+    mean is one final rounded division. Output: (id, n_tokens,
+    cost_micro_nats, avg_cost_micro_nats).
+
+    Plan at 100 TB: tokenize + explode (map-side) → one groupBy tok
+    (the vocab aggregate; partial aggregation collapses per-task
+    repeats) → broadcast-or-shuffle hash join of exploded tokens
+    against the vocab (AQE decides; a natural-language vocab is MBs —
+    broadcast) → one groupBy doc. No windows, no sorts.
+    """
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    cost = F.round(
+        F.log(F.col("__total").cast("double") / F.col("__cnt").cast("double")) * 1_000_000
+    ).cast("long")
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("__id", cost.alias("__cost"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__cost").cast("long").alias("cost_micro_nats"),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "cost_micro_nats",
+        F.round(F.col("cost_micro_nats").cast("double") / F.col("n_tokens"))
+        .cast("long")
+        .alias("avg_cost_micro_nats"),
+    )

@@ -135,3 +135,20 @@ def test_temperature_mixture_quotas_and_prefix_order(spark):
     a = {r.doc_id for r in kept_half.collect()}
     b = {r.doc_id for r in kept.collect()}
     assert a < b  # strict prefix nesting
+
+
+def test_unigram_logprob_score_hand_check(spark):
+    """Integer micro-nat arithmetic pinned by hand: corpus 'a a b' /
+    'a c' → total=5, cnt(a)=3, cnt(b)=cnt(c)=1; cost(a)=round(ln(5/3)
+    ·1e6)=510826, cost(b|c)=round(ln(5)·1e6)=1609438. The common-token
+    doc must score LOWER (more typical) than the rare-token doc."""
+    from owl_etl_spark.operators.ranking import unigram_logprob_score
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].cost_micro_nats == 2 * 510826 + 1609438
+    assert out[2].cost_micro_nats == 510826 + 1609438
+    assert out[1].avg_cost_micro_nats == 877030
+    assert out[2].avg_cost_micro_nats == 1060132
+    assert out[1].avg_cost_micro_nats < out[2].avg_cost_micro_nats
