@@ -3,14 +3,18 @@ from owl_etl_spark.operators.quality import anti_filter, repair_structure, split
 from owl_etl_spark.operators.sessionize import sessionize
 from owl_etl_spark.operators.split import (
     hash_split,
+    per_key_cap,
     sample_by_hash,
     stratified_sample_exact,
+    temperature_mixture,
     weighted_mixture,
 )
 
 __all__ = [
     "anti_filter",
     "hash_split",
+    "per_key_cap",
+    "temperature_mixture",
     "latest_per_key",
     "repair_structure",
     "sample_by_hash",
