@@ -1413,15 +1413,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
-    "q100", "q101", "q102", "q103", "q104",
-    # q01–q46 last checked in r1 — re-green on current code (q47/q48/
+    "q100", "q101", "q102", "q103", "q104", "q105",
+    # q01–q45 last checked in r1 — re-green on current code (q46–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q104 and queue immediately after)
+    # the new q100–q105 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 47)
+        for i in range(1, 46)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q46",
     "q47",
     "q48",
     "q50",
@@ -4298,3 +4299,95 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return unigram_logprob_score(d, "doc_id", "text")
+
+
+_Q105_CB_IDS = [10, 70, 130, 190, 250, 310, 370, 430]
+_Q105_M, _Q105_SUB = 4, 16  # 64-dim embeddings → 4 blocks of 16
+
+
+def _pq_dist_duck(e: str, c: str, b: int) -> str:
+    """DuckDB twin of cluster._pq_block_dists: same left-fold
+    squared-L2 over block b's 16 dims, same float32→double casts."""
+    off = b * _Q105_SUB
+    return (
+        f"list_reduce(list_transform(range(1, {_Q105_SUB + 1}), "
+        f"i -> (CAST({e}[{off} + i] AS DOUBLE) - CAST({c}[{off} + i] AS DOUBLE)) "
+        f"* (CAST({e}[{off} + i] AS DOUBLE) - CAST({c}[{off} + i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@_register(
+    "q105_pq_adc_knn",
+    f"""
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM embeddings
+      WHERE vec_id IN ({', '.join(str(i) for i in _Q105_CB_IDS)})
+    ), pairs AS (
+      SELECT e.vec_id, cb.cid,
+    {','.join(
+        f"         round({_pq_dist_duck('e.embedding', 'cb.cv', b)}, 6) AS d{b}"
+        for b in range(_Q105_M)
+    )}
+      FROM embeddings e CROSS JOIN cb
+    ), mins AS (
+      SELECT vec_id,
+             {', '.join(f'min(d{b}) AS m{b}' for b in range(_Q105_M))}
+      FROM pairs GROUP BY vec_id
+    ), codes AS (
+      SELECT p.vec_id,
+             {', '.join(
+                 f'min(CASE WHEN p.d{b} = m.m{b} THEN p.cid END) AS code_{b}'
+                 for b in range(_Q105_M)
+             )}
+      FROM pairs p JOIN mins m USING (vec_id) GROUP BY p.vec_id
+    ), qd AS (
+      SELECT q.vec_id AS query_id, cb.cid,
+    {','.join(
+        f"         {_pq_dist_duck('q.embedding', 'cb.cv', b)} AS ud{b}"
+        for b in range(_Q105_M)
+    )}
+      FROM embeddings q CROSS JOIN cb
+      WHERE q.vec_id < 5
+    ), scored AS (
+      SELECT q0.query_id, c.vec_id AS neighbor_id,
+             round(q0.ud0 + q1.ud1 + q2.ud2 + q3.ud3, 6) AS approx_dist
+      FROM codes c
+      JOIN qd q0 ON q0.cid = c.code_0
+      JOIN qd q1 ON q1.cid = c.code_1 AND q1.query_id = q0.query_id
+      JOIN qd q2 ON q2.cid = c.code_2 AND q2.query_id = q0.query_id
+      JOIN qd q3 ON q3.cid = c.code_3 AND q3.query_id = q0.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance search
+    (library: cluster.pq_codebooks_from_ids/pq_encode/pq_adc_topk) —
+    THE vector-compression play at 100 TB: encode once (map-only,
+    broadcast-by-literal codebooks; a 64-dim float vector becomes 4
+    small ints, ~64x smaller), then search touches only (id, codes) —
+    per-query distance is 4 table lookups, never vector arithmetic
+    against the corpus. Codebooks pinned to embedding rows (the
+    q49/q33 oracle-portability trick; per-block kmeans_fit is the
+    production path); block argmin rounds at 6 with lowest-code ties,
+    final ADC distance rounds at 6 with id tie-break — the oracle
+    replays encoding AND search in SQL. Top-k plans as
+    WindowGroupLimit."""
+    from owl_etl_spark.operators.cluster import (
+        pq_adc_topk,
+        pq_codebooks_from_ids,
+        pq_encode,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks_from_ids(em, _Q105_CB_IDS, m=_Q105_M)
+    encoded = pq_encode(em, cbs, round_digits=6)
+    return pq_adc_topk(
+        em.filter(F.col("vec_id") < 5), encoded, cbs, k=5, round_digits=6
+    ).select("query_id", "neighbor_id", "approx_dist", "rank")

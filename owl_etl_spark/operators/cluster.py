@@ -179,3 +179,181 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_codebooks_from_ids(
+    df: DataFrame,
+    ids: list[int],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks pinned to embedding rows:
+    (m, ks, dim/m) — block b's codebook is the b-th sub-vector of each
+    pinned row. Same oracle-portability trick as
+    ``centroids_from_ids`` (fitted codebooks via ``kmeans_fit`` per
+    block stay the production path; only pinned ones can hash-match an
+    oracle)."""
+    full = centroids_from_ids(df, ids, id_col, vec_col)  # (ks, dim)
+    ks, dim = full.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return full.reshape(ks, m, sub).transpose(1, 0, 2)
+
+
+def _pq_block_dists(vec_col: str, codebooks: np.ndarray, b: int, round_digits: int | None):
+    """Squared-L2 of block b's sub-vector against each of its ks
+    centroids — fixed-order left folds (aggregate/zip_with), the same
+    IEEE-deterministic shape the cosine/IVF family uses."""
+    m, ks, sub = codebooks.shape
+    off = b * sub
+    dists = []
+    for j in range(ks):
+        arr = ", ".join(f"{v!r}D" for v in codebooks[b, j])
+        d = (
+            f"aggregate(zip_with(transform(slice({vec_col}, {off + 1}, {sub}), "
+            f"v -> CAST(v AS DOUBLE)), array({arr}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        )
+        dists.append(f"round({d}, {round_digits})" if round_digits is not None else d)
+    return dists
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Attach ``code_col``: array<int> of m per-block argmin codes.
+    Map-only, broadcast-by-literal, whole-stage codegen — this is the
+    compression pass that turns a dim-D float vector into m small ints
+    (the 100 TB play: the encoded corpus is ~dim·4/m× smaller, scans
+    and shuffles move codes, never raw vectors). ``round_digits``
+    rounds block distances before the argmin (ties → lowest code) for
+    engine-portable assignment."""
+    m = codebooks.shape[0]
+    block_codes = []
+    for b in range(m):
+        dists = _pq_block_dists(vec_col, codebooks, b, round_digits)
+        best = " ".join(
+            f"WHEN least({', '.join(dists)}) = ({dists[j]}) THEN {j}"
+            for j in range(codebooks.shape[1])
+        )
+        block_codes.append(f"CASE {best} END")
+    return df.withColumn(code_col, F.expr(f"array({', '.join(block_codes)})"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_encoded: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over a PQ-encoded
+    corpus: each query builds one lookup table per block (its exact
+    distance to every codebook centroid — m·ks doubles), and every
+    corpus row's approximate distance is the SUM OF m TABLE LOOKUPS —
+    no vector arithmetic against the corpus at all.
+
+    Plan: the query side (with LUT array columns) broadcasts; the scan
+    side touches only (id, codes) — at 100 TB the vectors themselves
+    are never read after encoding. Final per-query top-k is the
+    WindowGroupLimit pattern. Output: (query_id, neighbor_id,
+    approx_dist, rank), rounded + id-tiebroken for engine-portable
+    ranking."""
+    m, ks, _ = codebooks.shape
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.expr(f"array({', '.join(_pq_block_dists(vec_col, codebooks, b, None))})").alias(
+                f"__lut{b}"
+            )
+            for b in range(m)
+        ],
+    )
+    total = " + ".join(
+        f"element_at(__lut{b}, element_at({code_col}, {b + 1}) + 1)" for b in range(m)
+    )
+    scored = (
+        corpus_encoded.select(F.col(id_col).alias("neighbor_id"), code_col)
+        .join(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(total), round_digits).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    corpus_encoded: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The production PQ search pipeline: ADC over codes to a
+    ``shortlist``, then EXACT squared-L2 re-rank of only the
+    shortlisted vectors — the standard recall-restoring second stage
+    (IVF-PQ+rerank shape). At 100 TB the full-precision vectors are
+    read for shortlist·|queries| rows only; everything corpus-wide
+    touches just the m-byte codes.
+
+    Recall depends on the data's intrinsic dimension: quantization
+    preserves neighbor structure on real embedding manifolds, while
+    isotropic random vectors (distance concentration) defeat any
+    code-based shortlist — benchmark on your corpus and size
+    ``shortlist`` accordingly (see tests for the planted-cluster
+    harness)."""
+    cand = pq_adc_topk(
+        queries,
+        corpus_encoded,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_col=code_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(transform(__qv, v -> CAST(v AS DOUBLE)), "
+                    "transform(__cv, v -> CAST(v AS DOUBLE)), "
+                    "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+                ),
+                round_digits,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -38,3 +38,91 @@ def test_kmeans_deterministic(spark):
     c1 = kmeans_fit(em, k=4, max_iters=2)
     c2 = kmeans_fit(em, k=4, max_iters=2)
     assert (c1 == c2).all()
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    """Codes are m ints in [0, ks); encoding is deterministic across
+    partitionings (pure map expression over literal codebooks)."""
+    from owl_etl_spark.operators.cluster import pq_codebooks_from_ids, pq_encode
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks_from_ids(em, [10, 70, 130, 190, 250, 310, 370, 430], m=4)
+    assert cbs.shape == (4, 8, 16)
+    enc = pq_encode(em, cbs, round_digits=6)
+    rows = {r.vec_id: list(r.pq_codes) for r in enc.select("vec_id", "pq_codes").collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in rows.values())
+    re_enc = pq_encode(em.repartition(7), cbs, round_digits=6)
+    rows2 = {r.vec_id: list(r.pq_codes) for r in re_enc.select("vec_id", "pq_codes").collect()}
+    assert rows == rows2
+
+
+def test_pq_adc_recovers_planted_clusters(spark):
+    """On data with real cluster structure (20 well-separated centers,
+    tight noise — the regime PQ exists for, unlike the isotropic
+    random table where distance concentration defeats ANY code-based
+    shortlist), plain ADC top-k must place same-cluster members ahead
+    of other clusters: recall@5 vs exact L2 >= 0.9."""
+    import numpy as np
+
+    from owl_etl_spark.operators.cluster import pq_codebooks_from_ids, pq_encode, pq_adc_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-10, 10, size=(20, 64))
+    rows = []
+    vid = 0
+    for ci in range(20):
+        for _ in range(25):
+            rows.append((vid, (centers[ci] + rng.normal(0, 0.05, 64)).astype("float32").tolist(), ci))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # pin one codebook row per cluster (first member): ids 0, 25, 50, ...
+    cbs = pq_codebooks_from_ids(df, [i * 25 for i in range(20)], m=4)
+    enc = pq_encode(df, cbs, round_digits=6)
+    q = df.filter(F.col("vec_id") % 25 == 3)  # one probe per cluster
+    top = pq_adc_topk(q, enc, cbs, k=5)
+    got = [(r.query_id, r.neighbor_id) for r in top.collect()]
+    # every returned neighbor must come from the query's own cluster
+    same = sum(1 for qid, nid in got if qid // 25 == nid // 25)
+    assert same / len(got) >= 0.9, f"cluster recall {same}/{len(got)}"
+
+
+def test_pq_rerank_recall_monotone_in_shortlist(spark):
+    """Exact re-rank of an ADC shortlist: recall vs exact-L2 truth
+    must not decrease as the shortlist grows (and the shortlist=|N|
+    limit IS exact search)."""
+    from pyspark.sql import Window
+
+    from owl_etl_spark.operators.cluster import (
+        pq_codebooks_from_ids,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 10)
+    j = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")).crossJoin(
+        em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    )
+    d = j.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(transform(qv, v->CAST(v AS DOUBLE)), "
+            "transform(cv, v->CAST(v AS DOUBLE)), (x,y)->(x-y)*(x-y)), 0D, (a,v)->a+v)"
+        ).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).collect()
+    }
+    cbs = pq_codebooks_from_ids(em, [10, 70, 130, 190, 250, 310, 370, 430], m=4)
+    enc = pq_encode(em, cbs, round_digits=6)
+    last = -1.0
+    for shortlist in (25, 100, 500):
+        top = pq_rerank_topk(q, em, enc, cbs, k=5, shortlist=shortlist)
+        got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= last - 1e-9, f"recall dropped: {last} -> {recall}"
+        last = recall
+    assert last == 1.0  # shortlist = whole corpus → exact
