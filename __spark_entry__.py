@@ -1413,15 +1413,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
-    "q100", "q101", "q102", "q103", "q104", "q105",
-    # q01–q45 last checked in r1 — re-green on current code (q46–q48/
+    "q100", "q101", "q102", "q103", "q104", "q105", "q106",
+    # q01–q44 last checked in r1 — re-green on current code (q45–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q105 and queue immediately after)
+    # the new q100–q106 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 46)
+        for i in range(1, 45)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q45",
     "q46",
     "q47",
     "q48",
@@ -4391,3 +4392,60 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         em.filter(F.col("vec_id") < 5), encoded, cbs, k=5, round_digits=6
     ).select("query_id", "neighbor_id", "approx_dist", "rank")
+
+
+@_register(
+    "q106_audience_overlap",
+    """
+    WITH k AS (
+      SELECT o_custkey,
+             max(o_orderpriority = '1-URGENT') AS a,
+             max(o_orderpriority = '2-HIGH')  AS b
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) FILTER (a) AS BIGINT)         AS exact_a,
+           CAST(count(*) FILTER (b) AS BIGINT)         AS exact_b,
+           CAST(count(*) FILTER (a OR b) AS BIGINT)    AS exact_union,
+           CAST(count(*) FILTER (a AND b) AS BIGINT)   AS exact_intersection,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+    FROM k
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HLL set algebra (library:
+    sketches.distinct_overlap_estimate) as a q53-style checkable
+    contract: |A∩B| = est(A) + est(B) - est(A∪B) in ONE pass over the
+    facts (two lg_k=12 sketches per map task, KBs over the wire),
+    gated against the exact flag-rollup counts with booleans the
+    oracle hash-verifies — bound 10% of |A∪B| (inclusion-exclusion
+    error scales with the union, not the intersection; measured ≤0.8%
+    at sf0.01) with an absolute floor of 5 for tiny segments."""
+    from owl_etl_spark.operators.sketches import distinct_overlap_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    ca = F.col("o_orderpriority") == "1-URGENT"
+    cb = F.col("o_orderpriority") == "2-HIGH"
+    est = distinct_overlap_estimate(o, "o_custkey", ca, cb)
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.max(ca).alias("a"), F.max(cb).alias("b"))
+        .agg(
+            F.count(F.when(F.col("a"), 1)).cast("long").alias("exact_a"),
+            F.count(F.when(F.col("b"), 1)).cast("long").alias("exact_b"),
+            F.count(F.when(F.col("a") | F.col("b"), 1)).cast("long").alias("exact_union"),
+            F.count(F.when(F.col("a") & F.col("b"), 1)).cast("long").alias("exact_intersection"),
+        )
+    )
+    bound_u = F.greatest(0.1 * F.col("exact_union"), F.lit(5.0))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        (F.abs(F.col("est_a") - F.col("exact_a"))
+         <= F.greatest(0.1 * F.col("exact_a"), F.lit(5.0))).alias("a_ok"),
+        (F.abs(F.col("est_b") - F.col("exact_b"))
+         <= F.greatest(0.1 * F.col("exact_b"), F.lit(5.0))).alias("b_ok"),
+        (F.abs(F.col("est_union") - F.col("exact_union")) <= bound_u).alias("union_ok"),
+        (F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= bound_u).alias("inter_ok"),
+    )

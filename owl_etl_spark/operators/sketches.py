@@ -42,3 +42,38 @@ def merge_sketches(df: DataFrame, keys: list[str]) -> DataFrame:
 def estimate(sketch_col: str = "sketch") -> Column:
     """Distinct-count estimate from a sketch column (BIGINT)."""
     return F.hll_sketch_estimate(sketch_col)
+
+
+def distinct_overlap_estimate(
+    df: DataFrame,
+    key_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Audience-overlap estimation via HLL set algebra, ONE pass:
+    sketch the keys satisfying ``cond_a`` and ``cond_b`` (null keys
+    are skipped by the sketch), union the sketches, and estimate
+    |A∩B| = est(A) + est(B) - est(A∪B) (inclusion–exclusion).
+
+    The 100 TB shape: one scan, two lg_k-sized sketches per map task,
+    KBs over the wire — vs the exact form's full shuffle of every
+    (key, membership) pair. The intersection estimate inherits error
+    from THREE estimates, each with rsd ≈ 1.04/√2^lg_k of its OWN
+    cardinality — so the practical error bound scales with |A∪B|, not
+    |A∩B|; small overlaps of large sets need a bigger lg_k (or exact
+    confirmation on the shortlisted segments). Sketches here are
+    mergeable like everything in this module: per-partition/day
+    sketches roll up without rescans."""
+    sa = F.hll_sketch_agg(F.when(cond_a, F.col(key_col)), F.lit(lg_k))
+    sb = F.hll_sketch_agg(F.when(cond_b, F.col(key_col)), F.lit(lg_k))
+    return df.agg(sa.alias("__sa"), sb.alias("__sb")).select(
+        F.hll_sketch_estimate("__sa").alias("est_a"),
+        F.hll_sketch_estimate("__sb").alias("est_b"),
+        F.hll_sketch_estimate(F.expr("hll_union(__sa, __sb)")).alias("est_union"),
+        (
+            F.hll_sketch_estimate("__sa")
+            + F.hll_sketch_estimate("__sb")
+            - F.hll_sketch_estimate(F.expr("hll_union(__sa, __sb)"))
+        ).alias("est_intersection"),
+    )

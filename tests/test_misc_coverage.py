@@ -194,3 +194,28 @@ def test_cli_pipeline_in_process(spark, tmp_path):
     assert set(spark.read.parquet(str(out / "gold" / "composicion_portafolio")).columns) == {
         "fic_id", "tipo_composicion", "categoria", "participacion"
     }
+
+
+def test_distinct_overlap_estimate_bounds(spark):
+    """HLL inclusion–exclusion overlap: on a constructed population
+    with known |A|=600, |B|=500, |A∩B|=300, every estimate must land
+    within 10% of the union (the operator's documented bound)."""
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.sketches import distinct_overlap_estimate
+
+    # keys 0..299 in both; 300..599 only A; 600..799 only B
+    rows = (
+        [(k, "a") for k in range(600)]
+        + [(k, "b") for k in range(300)]
+        + [(k, "b") for k in range(600, 800)]
+    )
+    df = spark.createDataFrame(rows, ["k", "g"])
+    est = distinct_overlap_estimate(
+        df, "k", F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    union = 800
+    assert abs(est.est_a - 600) <= 0.1 * union
+    assert abs(est.est_b - 500) <= 0.1 * union
+    assert abs(est.est_union - union) <= 0.1 * union
+    assert abs(est.est_intersection - 300) <= 0.1 * union
