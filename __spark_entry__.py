@@ -1413,15 +1413,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
-    "q100", "q101", "q102", "q103", "q104", "q105", "q106",
-    # q01–q44 last checked in r1 — re-green on current code (q45–q48/
+    "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107",
+    # q01–q43 last checked in r1 — re-green on current code (q44–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q106 and queue immediately after)
+    # the new q100–q107 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 45)
+        for i in range(1, 44)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q44",
     "q45",
     "q46",
     "q47",
@@ -4449,3 +4450,39 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est_union") - F.col("exact_union")) <= bound_u).alias("union_ok"),
         (F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= bound_u).alias("inter_ok"),
     )
+
+
+@_register(
+    "q107_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS minimum,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS maximum,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100, 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (library: operators.rollup)
+    driven through the gate: the events table arrives as two batches
+    (split by event_id parity — the monthly-drop analog), each reduced
+    to per-key algebraic partials, merged, finalized — and the result
+    must hash-match the oracle's DIRECT aggregate over all history.
+    That is the operator's whole contract: merge(partials) ≡ full
+    recompute, bit-exact (integer-cents domain), in any merge order —
+    so a monthly drop costs O(|new| + |state|), never a rescan of
+    100 TB of history."""
+    from owl_etl_spark.operators.rollup import finalize, merge_partial_aggs, partial_agg
+
+    e = _t(spark, sf_dir, "events")
+    b1 = e.filter(F.col("event_id") % 2 == 0)
+    b2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = merge_partial_aggs(
+        partial_agg(b1, ["event_type"], "value"),
+        partial_agg(b2, ["event_type"], "value"),
+        ["event_type"],
+    )
+    return finalize(merged)
