@@ -1413,15 +1413,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
-    "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107",
-    # q01–q43 last checked in r1 — re-green on current code (q44–q48/
+    "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107", "q108",
+    # q01–q42 last checked in r1 — re-green on current code (q43–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q107 and queue immediately after)
+    # the new q100–q108 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 44)
+        for i in range(1, 43)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q43",
     "q44",
     "q45",
     "q46",
@@ -4486,3 +4487,83 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
     )
     return finalize(merged)
+
+
+_Q108_RUNS = [0]
+
+
+@_register(
+    "q108_streaming_hourly_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driven through the batch oracle gate —
+    batch/stream unification made checkable: the library's watermarked
+    tumbling-window aggregation (streaming/windows.hourly_event_counts)
+    runs as a REAL streaming query (readStream parquet source →
+    watermark → window agg → memory sink, trigger(availableNow), the
+    Spark-native form of the reference's process-this-month's-folder
+    contract) and its final state must hash-match DuckDB's plain batch
+    GROUP BY over the same data. Complete output mode: with bounded
+    input the final state is exactly the batch answer (the watermark
+    only bounds state in continuous runs). Values ride as integer
+    cents (long sums — no float accumulation). Watermarks demand a
+    TIMESTAMP (LTZ) event-time column, whose rendering is session-TZ
+    dependent — so ts rides as the epoch INSTANT (timestamp_micros;
+    window boundaries are epoch-hour aligned regardless of session TZ)
+    and the output strings are rebuilt from unix epoch seconds through
+    TIMESTAMP_NTZ, making the emitted rows identical under any session
+    timezone (verified on the hostile-TZ vanilla session)."""
+    from owl_etl_spark.streaming.windows import hourly_event_counts
+
+    # Unlike the batch reader (which needs nanosAsLong + manual
+    # rebuild), the streaming file source COERCES the file's
+    # TIMESTAMP(NANOS) to the requested TIMESTAMP (micros, LTZ) —
+    # exactly the event-time type watermarks demand.
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        # the streaming file source lists a DIRECTORY; select just the
+        # events file from the shared sf_dir via the glob option
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("value", F.round(F.col("value") * 100).cast("long"))
+    )
+    agg = hourly_event_counts(src)
+    _Q108_RUNS[0] += 1
+    name = f"q108_sink_{_Q108_RUNS[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _utc_str(col: str):
+        ntz = F.expr(
+            f"timestampadd(SECOND, unix_timestamp({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return F.date_format(ntz, "yyyy-MM-dd HH:mm:ss")
+
+    return spark.table(name).select(
+        _utc_str("window_start").alias("window_start"),
+        _utc_str("window_end").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("long").alias("total_cents"),
+    )
