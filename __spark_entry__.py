@@ -1414,14 +1414,16 @@ _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
     "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107", "q108",
-    # q01–q42 last checked in r1 — re-green on current code (q43–q48/
+    "q109",
+    # q01–q41 last checked in r1 — re-green on current code (q42–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q108 and queue immediately after)
+    # the new q100–q109 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 43)
+        for i in range(1, 42)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q42",
     "q43",
     "q44",
     "q45",
@@ -4566,4 +4568,80 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("long").alias("total_cents"),
+    )
+
+
+_Q109_RUNS = [0]
+
+
+@_register(
+    "q109_streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(us) + 1800000000), '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows as a REAL streaming query
+    (library: streaming/windows.session_counts — session_window state
+    bounded by the watermark), gated against a batch SQL oracle: a
+    session splits where the event-time gap is >= the 30-minute gap
+    (session_window merges only OVERLAPPING [t, t+gap) intervals —
+    note the >=, vs the strictly-greater rule of the batch q16
+    sessionizer; both are pinned, the semantics difference is the
+    documented contract of each). Same availableNow → complete-mode
+    memory-sink harness and TZ-independent epoch rendering as q108;
+    session_end = last event + gap, per session_window semantics."""
+    from owl_etl_spark.streaming.windows import session_counts
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = session_counts(src, gap="30 minutes")
+    _Q109_RUNS[0] += 1
+    name = f"q109_sink_{_Q109_RUNS[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _utc_str(col: str):
+        ntz = F.expr(
+            f"timestampadd(SECOND, unix_timestamp({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return F.date_format(ntz, "yyyy-MM-dd HH:mm:ss")
+
+    return spark.table(name).select(
+        "user_id",
+        _utc_str("session_start").alias("session_start"),
+        _utc_str("session_end").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
     )
