@@ -1414,15 +1414,16 @@ _PRIORITY = [
     # stale driver rows (implementation changed after last green) / new
     "q27", "q33", "q34", "q29", "q53",
     "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107", "q108",
-    "q109",
-    # q01–q41 last checked in r1 — re-green on current code (q42–q48/
+    "q109", "q110",
+    # q01–q40 last checked in r1 — re-green on current code (q41–q48/
     # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q109 and queue immediately after)
+    # the new q100–q110 and queue immediately after)
     *[
         f"q{i:02d}"
-        for i in range(1, 42)
+        for i in range(1, 41)
         if i not in (4, 27, 29, 33, 34, 35)
     ],
+    "q41",
     "q42",
     "q43",
     "q44",
@@ -4644,4 +4645,97 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         _utc_str("session_start").alias("session_start"),
         _utc_str("session_end").alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_Q110_RUNS = [0]
+
+
+@_register(
+    "q110_streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join through the batch oracle
+    gate (library: streaming/joins.stream_stream_interval_join):
+    clicks and purchases arrive as two independent watermarked streams
+    and every purchase is attributed to the clicks it followed within
+    30 minutes. INNER stream-stream joins emit matches eagerly (the
+    watermark only bounds buffered state — sharded by user across the
+    cluster, the 100 TB-safe formulation), so the availableNow run
+    emits exactly the batch join — which the oracle recomputes as
+    plain SQL with the identical (strict >, <= +30min) micros
+    interval. Same TZ-independent rendering as q108/q109."""
+    from owl_etl_spark.streaming.joins import stream_stream_interval_join
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        _src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", max_lag="30 minutes"
+    )
+    _Q110_RUNS[0] += 1
+    name = f"q110_sink_{_Q110_RUNS[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _utc_str(col: str):
+        ntz = F.expr(
+            f"timestampadd(SECOND, unix_timestamp({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return F.date_format(ntz, "yyyy-MM-dd HH:mm:ss")
+
+    return spark.table(name).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        _utc_str("l_ts").alias("click_ts"),
+        _utc_str("r_ts").alias("purchase_ts"),
+        "purchase_cents",
     )
