@@ -3293,7 +3293,11 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     same library call the standalone queries use; the whole pipeline
     oracle-matches DuckDB end-to-end. Plan shape: the gates and split
     are per-row; shuffles are the repetition-count aggs, one dedup
-    semi-join, and the final stats agg."""
+    window (W1 keep-min-per-fingerprint — an agg + left-semi join was
+    measured ~1.5x slower here because BOTH consumers re-evaluated the
+    whole quality subtree including the repetition shuffles; the
+    window consumes it once and plans as WindowGroupLimit), and the
+    final stats agg."""
     from owl_etl_spark.functions.text import normalize_text, tokens
     from owl_etl_spark.operators.split import hash_split, weighted_mixture
 
@@ -3323,8 +3327,12 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("max_tok").cast("double") / F.col("n")) <= 0.2)
         )
     )
-    survivors = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = quality.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        quality.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     mixed = weighted_mixture(deduped, "doc_id", "lang", _MIX_RATES)
     assigned = hash_split(mixed, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
     return assigned.groupBy("split", "lang").agg(
