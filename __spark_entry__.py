@@ -4078,8 +4078,12 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH urls AS (
       SELECT doc_id, n_chars,
-             'https://www.' || source
-               || (CASE WHEN doc_id % 7 = 0 THEN '.org' ELSE '.com' END)
+             'https://www.'
+               || (CASE WHEN doc_id % 11 = 0 THEN 'shop.' ELSE '' END)
+               || source
+               || (CASE WHEN doc_id % 7 = 0 THEN '.org'
+                        WHEN doc_id % 13 = 0 THEN '.co.uk'
+                        ELSE '.com' END)
                || '/p/' || CAST(doc_id % 40 AS VARCHAR)
                || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
                || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)
@@ -4091,10 +4095,19 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
                lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''),
                '\?.*$', ''), '^www\.', ''), '/+$', '') AS curl
       FROM urls
+    ), hostp AS (
+      SELECT doc_id, n_chars, curl,
+             string_split(regexp_extract(curl, '^([^/]+)', 1), '.') AS parts
+      FROM canon
     ), dom AS (
       SELECT doc_id, n_chars, curl,
-             regexp_extract(curl, '^([^/]+)', 1) AS domain
-      FROM canon
+             CASE
+               WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+               WHEN parts[-2] IN ('co','com','org','net','ac','gov','edu','mil')
+                 THEN array_to_string(parts[-3:], '.')
+               ELSE array_to_string(parts[-2:], '.')
+             END AS domain
+      FROM hostp
     ), uniq AS (
       SELECT * FROM dom
       QUALIFY row_number() OVER (PARTITION BY curl ORDER BY doc_id) = 1
@@ -4117,8 +4130,11 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup to one doc per canonical URL (min doc_id — WindowGroupLimit),
     then cap each registered domain at 5 docs ranked by (n_chars desc,
     doc_id). Output: per-domain doc/unique/kept counts. The oracle
-    replays the identical canonicalization regexes and window rules in
-    SQL. At scale: two WindowGroupLimit shuffles (url, then domain) —
+    replays the identical canonicalization regexes, the
+    registered-domain rule (last-2 labels, cc-SLD take-3) and the
+    window rules in SQL; 'shop.'-prefixed and '.co.uk' hosts (keyed
+    off doc_id) exercise both branches of the heuristic through the
+    gate. At scale: two WindowGroupLimit shuffles (url, then domain) —
     map tasks pre-truncate groups, so skewed domains never flood a
     task; no global sort anywhere."""
     from owl_etl_spark.functions.urls import canonicalize_url, registered_domain, url_host
@@ -4127,8 +4143,11 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://www."),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("shop.")).otherwise(F.lit("")),
         F.col("source"),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".org"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(".co.uk"))
+        .otherwise(F.lit(".com")),
         F.lit("/p/"),
         (F.col("doc_id") % 40).cast("string"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
@@ -4587,7 +4606,7 @@ _Q109_RUNS = [0]
     "q109_streaming_session_windows",
     """
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -4595,7 +4614,7 @@ _Q109_RUNS = [0]
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -34,7 +34,7 @@ def _assign_expr(
     k, dim = centroids.shape
     dists = []
     for c in range(k):
-        arr = ", ".join(f"{v!r}D" for v in centroids[c])
+        arr = ", ".join(f"{float(v)!r}D" for v in centroids[c])
         d = (
             f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
             f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -150,7 +150,7 @@ def ivf_knn(
     # per-query distances to each centroid → explode top n_probes
     dist_structs = []
     for ci in range(kc):
-        arr = ", ".join(f"{v!r}D" for v in centroids[ci])
+        arr = ", ".join(f"{float(v)!r}D" for v in centroids[ci])
         d = (
             f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
             f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -210,7 +210,7 @@ def _pq_block_dists(vec_col: str, codebooks: np.ndarray, b: int, round_digits: i
     off = b * sub
     dists = []
     for j in range(ks):
-        arr = ", ".join(f"{v!r}D" for v in codebooks[b, j])
+        arr = ", ".join(f"{float(v)!r}D" for v in codebooks[b, j])
         d = (
             f"aggregate(zip_with(transform(slice({vec_col}, {off + 1}, {sub}), "
             f"v -> CAST(v AS DOUBLE)), array({arr}), "

@@ -922,8 +922,15 @@ def connected_components_star(
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-        # Converged edges are (component-min, member) stars.
+        # Converged edges are (component-min, member) stars: each node
+        # appears as `hi` exactly once. An UNCONVERGED edge set is not
+        # a star — a node can still be `hi` in several edges — so the
+        # non-strict path reduces to one (node, min root) row first;
+        # labels may still be truncated (per the warning above) but
+        # the output is well-formed (one row per node).
         mapping = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
+        if not converged:
+            mapping = mapping.groupBy("node").agg(F.min("root").alias("root"))
         result = (
             ids.select(F.col(id_col).alias("node"))
             .join(mapping, "node", "left")

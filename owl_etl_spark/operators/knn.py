@@ -64,7 +64,7 @@ def hyperplane_bucket_expr(
     planes = rng.standard_normal((num_planes, dim))
     bucket_terms = []
     for p_idx in range(num_planes):
-        arr = ", ".join(f"{v!r}D" for v in planes[p_idx])
+        arr = ", ".join(f"{float(v)!r}D" for v in planes[p_idx])
         dot = (
             f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
             f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)"

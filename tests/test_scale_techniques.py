@@ -341,6 +341,28 @@ def test_star_contraction_converges_on_deep_chain(spark):
     assert out == {i: 1 for i in range(1, n + 1)}
 
 
+def test_star_contraction_nonstrict_one_row_per_node(spark):
+    """Non-strict + unconverged: the raw edge set is NOT a star (a
+    node can be `hi` in several edges), so the non-strict path must
+    still emit exactly one row per input id — labels may be truncated,
+    but the shape contract (one component per node) holds."""
+    import warnings
+
+    from owl_etl_spark.operators.dedup import connected_components_star
+
+    n = 60
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = connected_components_star(
+            pairs, ids, max_iters=1, strict=False
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+
+
 def test_star_contraction_on_lsh_edges_matches_q98_form(spark):
     """On the real q98 edge list (LSH pairs over documents), star and
     min-label must agree — pins the strategy swap as behavior-
