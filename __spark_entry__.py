@@ -1411,32 +1411,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green rows from r02 and follow after). Exactly 50 names precede
 #: them. Every registered query appears exactly once — asserted below.
 _PRIORITY = [
-    # stale driver rows (implementation changed after last green) / new
-    "q27", "q33", "q34", "q29", "q53",
-    "q100", "q101", "q102", "q103", "q104", "q105", "q106", "q107", "q108",
-    "q109", "q110",
-    # q01–q40 last checked in r1 — re-green on current code (q41–q48/
-    # q50/q51, also unchanged since r1, yield their top-50 slots to
-    # the new q100–q110 and queue immediately after)
+    # 1) code changed since newest green driver row (r4 edits + the
+    #    r3 late edits q85/q95 flagged by VERDICT r3) — MUST be gated
+    #    this round; tests/test_gate_freshness.py enforces membership
+    #    in the first 50 for any query whose behavior hash moved after
+    #    the last verified-green manifest stamp.
+    "q85", "q95", "q101", "q109",
+    # 2) oldest evidence first: the q41–q51 band's newest rows date to
+    #    r01 (rotation policy, VERDICT r3 "Next round" #3)
+    "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
+    # 3) r02-age rows (q35, q49, q52–q99 minus the re-prioritized
+    #    q85/q95). The first ~36 of these fit the 50-row window; the
+    #    q86–q99 tail plus the r03-green band queue behind and rotate
+    #    in next round.
+    "q35", "q49",
+    *[f"q{i}" for i in range(52, 100) if i not in (85, 95)],
+    # 4) r03-green band (freshest evidence)
     *[
         f"q{i:02d}"
         for i in range(1, 41)
-        if i not in (4, 27, 29, 33, 34, 35)
+        if i not in (4, 35)
     ],
-    "q41",
-    "q42",
-    "q43",
-    "q44",
-    "q45",
-    "q46",
-    "q47",
-    "q48",
-    "q50",
-    "q51",
-    # current-green r02 rows follow (q52–q99 minus re-prioritized q53)
-    *[f"q{i}" for i in range(52, 100) if i != 53],
-    "q35",
-    "q49",
+    "q53",
+    *[f"q{i}" for i in range(100, 111) if i not in (101, 109)],
 ]
 
 

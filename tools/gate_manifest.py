@@ -1,0 +1,145 @@
+"""Gate-freshness manifest: per-query body hashes stamped at the last
+verified-green moment.
+
+Problem this closes (VERDICT r2 + r3, same gap twice): the external
+correctness gate checks only the first ~50 entries of ``queries()``
+per round, ordered by the hand-maintained ``_PRIORITY`` list in
+``__spark_entry__.py``.  When a query's implementation changes AFTER
+the priority list was finalized, its newest green driver row describes
+superseded code and nobody notices (r2: q27/q34; r3: q85/q95).
+
+Mechanism:
+
+- ``query_hash(name)`` — sha256 over everything that defines a query's
+  behavior: the registered function's source, its oracle SQL, and the
+  source of every ``owl_etl_spark`` module reachable (transitively,
+  via static ``import``/``from`` statements) from imports in the
+  function body.  A change to ``operators/profile.py`` therefore
+  changes q95's hash even though ``__spark_entry__.py`` is untouched.
+- ``tools/stamp_manifest.py`` writes ``tools/gate_manifest.json``
+  mapping query → hash.  Stamp ONLY immediately after a green
+  verification (full ``tools/verify_sweep.py`` run or a green driver
+  CORRECTNESS round) — the stamp IS the record "this hash was
+  verified".
+- ``tests/test_gate_freshness.py`` fails whenever a query whose
+  current hash differs from (or is missing from) the manifest is NOT
+  inside the first ``GATE_WINDOW`` entries of ``queries()``.  A late
+  edit without a ``_PRIORITY`` update now breaks the suite instead of
+  silently aging the evidence.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import inspect
+import json
+import os
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST_PATH = os.path.join(REPO, "tools", "gate_manifest.json")
+#: How many queries() entries the external driver gate actually checks.
+GATE_WINDOW = 50
+
+_PKG = "owl_etl_spark"
+
+
+def _module_file(modname: str) -> str | None:
+    """Map ``owl_etl_spark.a.b`` to its source file (module or package
+    ``__init__``), or None if it does not resolve inside the repo."""
+    rel = modname.split(".")
+    base = os.path.join(REPO, *rel)
+    if os.path.isfile(base + ".py"):
+        return base + ".py"
+    if os.path.isfile(os.path.join(base, "__init__.py")):
+        return os.path.join(base, "__init__.py")
+    return None
+
+
+def _imports_in(tree: ast.AST) -> set[str]:
+    """owl_etl_spark module names statically imported anywhere in *tree*."""
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == _PKG or a.name.startswith(_PKG + "."):
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            m = node.module
+            if m == _PKG or m.startswith(_PKG + "."):
+                mods.add(m)
+                # `from owl_etl_spark.operators import dedup` imports a
+                # submodule; include the candidate so its file (if any)
+                # joins the closure.
+                for a in node.names:
+                    mods.add(m + "." + a.name)
+    return mods
+
+
+def _closure_files(seed_mods: set[str]) -> list[str]:
+    """Transitive closure of repo-local module files reachable from
+    *seed_mods* through static imports."""
+    seen_files: set[str] = set()
+    todo = [f for m in seed_mods if (f := _module_file(m))]
+    while todo:
+        f = todo.pop()
+        if f in seen_files:
+            continue
+        seen_files.add(f)
+        try:
+            tree = ast.parse(open(f, encoding="utf-8").read())
+        except SyntaxError:  # pragma: no cover - repo files always parse
+            continue
+        for m in _imports_in(tree):
+            mf = _module_file(m)
+            if mf and mf not in seen_files:
+                todo.append(mf)
+    return sorted(seen_files)
+
+
+def compute_hashes(entry_module) -> dict[str, str]:
+    """Current behavior hash for every registered query.
+
+    Hash input: function source (dedented) + oracle SQL (or the marker
+    ``<no-oracle>``) + each reachable library file's path-relative name
+    and content. File contents are cached across queries.
+    """
+    registry = entry_module._REGISTRY
+    file_bytes: dict[str, bytes] = {}
+    out: dict[str, str] = {}
+    for name, (func, sql) in registry.items():
+        src = textwrap.dedent(inspect.getsource(func))
+        h = hashlib.sha256()
+        h.update(src.encode())
+        h.update(b"\x00")
+        h.update((sql if sql is not None else "<no-oracle>").encode())
+        for f in _closure_files(_imports_in(ast.parse(src))):
+            if f not in file_bytes:
+                file_bytes[f] = open(f, "rb").read()
+            h.update(b"\x00" + os.path.relpath(f, REPO).encode() + b"\x00")
+            h.update(file_bytes[f])
+        out[name] = h.hexdigest()
+    return out
+
+
+def load_manifest() -> dict[str, str]:
+    with open(MANIFEST_PATH, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def stale_gate_violations(
+    manifest: dict[str, str],
+    current: dict[str, str],
+    order: list[str],
+    window: int = GATE_WINDOW,
+) -> list[str]:
+    """Queries whose current hash is not the verified-green one AND
+    which sit outside the first *window* entries of the gate order —
+    i.e. changed code the external gate would not re-check."""
+    head = set(order[:window])
+    return sorted(
+        n
+        for n in order
+        if manifest.get(n) != current[n] and n not in head
+    )
