@@ -1416,7 +1416,7 @@ _PRIORITY = [
     #    this round; tests/test_gate_freshness.py enforces membership
     #    in the first 50 for any query whose behavior hash moved after
     #    the last verified-green manifest stamp.
-    "q85", "q95", "q101", "q109",
+    "q85", "q95", "q101", "q109", "q111",
     # 2) oldest evidence first: the q41–q51 band's newest rows date to
     #    r01 (rotation policy, VERDICT r3 "Next round" #3)
     "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
@@ -4762,4 +4762,123 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         _utc_str("l_ts").alias("click_ts"),
         _utc_str("r_ts").alias("purchase_ts"),
         "purchase_cents",
+    )
+
+
+_Q111_RUNS = [0]
+
+
+@_register(
+    "q111_streaming_cdc_apply",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_op,
+           CAST(round(value * 100) AS BIGINT) AS last_cents,
+           (event_type = 'error') AS is_delete
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply through the batch oracle gate, WITH a full
+    at-least-once replay (library: streaming/dedup_stream.
+    streaming_cdc_apply — the streaming twin of the reference's
+    upsert-by-recency load, /root/reference/src/etl/load.py:99-219,
+    and of batch q92). Two availableNow passes share one checkpoint
+    and one exactly-once parquet sink:
+
+    - pass 1 delivers the events change feed (sequence = zero-padded
+      (epoch_us, event_id) string, replicating q92's tie-broken
+      ordering); per key exactly one changelog row is emitted — the
+      winning change, tombstoned via is_delete when the last op is
+      'error' (deletes ride the changelog; they are not dropped as in
+      q92's final-table view).
+    - pass 2 re-delivers the ENTIRE feed byte-identically as a new
+      file (the at-least-once failure mode). Every row loses to the
+      per-key sequence state restored from the checkpoint — a late
+      older upsert can never un-delete a tombstoned key — so the sink
+      gains ZERO rows, and the gate hash (which reads the sink's union
+      of both passes) only matches the oracle's one-row-per-key
+      answer if replay emitted nothing. Idempotency is hash-gated,
+      not just asserted.
+
+    State per key is one scalar sequence string, sharded by the
+    groupBy hash — the 100 TB posture matches q108–q110."""
+    import shutil
+    import tempfile
+
+    from owl_etl_spark.streaming.dedup_stream import streaming_cdc_apply
+
+    _Q111_RUNS[0] += 1
+    work = tempfile.mkdtemp(prefix=f"q111_{_Q111_RUNS[0]}_")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _pass() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+        )
+        # Event time crosses the Arrow/pandas state boundary as an
+        # epoch-micros LONG: the raw ts column is only the watermark
+        # carrier. (applyInPandasWithState converts timestamps to
+        # session-local naive on the way IN but re-reads returned
+        # naive values as UTC — a round trip that shifts instants by
+        # the session offset on any non-UTC session; longs are
+        # boundary-proof.)
+        enriched = stream.withColumn("us", F.unix_micros("ts")).withColumn(
+            "seq",
+            F.format_string("%020d%012d", F.col("us"), F.col("event_id")),
+        )
+        changelog = streaming_cdc_apply(
+            enriched,
+            keys=["user_id"],
+            sequence_col="seq",
+            op_col="event_type",
+            watermark_col="ts",
+            delete_ops=("error",),
+            # bounded availableNow run: a ProcessingTimeTimeout would
+            # keep scheduling empty batches and never terminate
+            state_timeout_ms=None,
+        )
+        q = (
+            changelog.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    events_file = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(events_file, os.path.join(src_dir, "delivery1.parquet"))
+    _pass()
+    # at-least-once replay: the SAME bytes arrive again as a new file
+    shutil.copy(events_file, os.path.join(src_dir, "delivery2.parquet"))
+    _pass()
+
+    sink = spark.read.schema(
+        schema + ", us bigint, seq string, is_delete boolean"
+    ).parquet(out_dir)
+    ntz = F.expr(
+        "timestampadd(SECOND, CAST(floor(us / 1000000) AS BIGINT), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return sink.select(
+        "user_id",
+        F.date_format(ntz, "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_op"),
+        F.round(F.col("value") * 100).cast("long").alias("last_cents"),
+        "is_delete",
     )

@@ -26,6 +26,7 @@ def streaming_latest_per_key(
     recency_col: str,
     watermark_col: str,
     watermark: str = "1 day",
+    state_timeout_ms: int | None = 7 * 24 * 3600 * 1000,
 ) -> DataFrame:
     """Continuously emit the newest-seen row per key.
 
@@ -35,12 +36,20 @@ def streaming_latest_per_key(
     expired by processing-time timeout after quiet periods. At 100 TB
     of keys, state is sharded by the groupBy hash shuffle across the
     cluster; per-key state is O(bytes).
+
+    ``state_timeout_ms=None`` disables the quiet-key GC timeout — see
+    the ``streaming_cdc_apply`` docstring: required for bounded
+    ``availableNow`` runs to terminate.
     """
     schema = stream.schema
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # quiet-key GC: drop the per-key scalar and emit nothing
+            state.remove()
+            return
         best = state.get[0] if state.exists else None
         out = []
         for pdf in pdfs:
@@ -52,7 +61,8 @@ def streaming_latest_per_key(
                     out.append(row.to_frame().T)
         if best is not None:
             state.update((best,))
-            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
         if out:
             yield pd.concat(out)
 
@@ -65,7 +75,11 @@ def streaming_latest_per_key(
             outputStructType=cols,
             stateStructType="best string",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -78,6 +92,7 @@ def streaming_cdc_apply(
     watermark_col: str,
     delete_ops: tuple[str, ...] = ("delete",),
     watermark: str = "1 day",
+    state_timeout_ms: int | None = 7 * 24 * 3600 * 1000,
 ) -> DataFrame:
     """Continuous CDC apply — the streaming twin of
     ``operators.cdc.apply_changes``.
@@ -93,12 +108,24 @@ def streaming_cdc_apply(
     State per key is ONE scalar (the applied sequence) — at 100 TB of
     keys the state store shards across the cluster on the groupBy
     hash, and the processing-time timeout bounds quiet-key retention.
+
+    ``state_timeout_ms=None`` disables the quiet-key GC timeout
+    entirely. REQUIRED for bounded ``trigger(availableNow=True)``
+    replays: with ProcessingTimeTimeout registered, the engine keeps
+    scheduling no-data micro-batches to re-evaluate pending timeouts,
+    so an availableNow query never reaches termination (observed:
+    46+ empty ``{"logOffset":0}`` batches). Continuous production
+    queries should keep a timeout so quiet keys are dropped.
     """
     schema = stream.schema
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # quiet-key GC: drop the applied-sequence scalar
+            state.remove()
+            return
         best = state.get[0] if state.exists else None
         winner = None
         for pdf in pdfs:
@@ -110,7 +137,8 @@ def streaming_cdc_apply(
                 winner = top
         if winner is not None and (best is None or str(winner[sequence_col]) > best):
             state.update((str(winner[sequence_col]),))
-            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
             res = winner.to_frame().T
             res["is_delete"] = res[op_col].isin(list(delete_ops))
             yield res
@@ -125,6 +153,10 @@ def streaming_cdc_apply(
             outputStructType=cols,
             stateStructType="best string",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

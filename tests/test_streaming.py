@@ -86,7 +86,7 @@ def test_streaming_latest_per_key(spark, tmp_path):
     ]
     path = _write_events_json(tmp_path, rows)
     stream = spark.readStream.schema("k string, fecha string, val string, ts timestamp").json(path)
-    out = streaming_latest_per_key(stream, ["k"], "fecha", "ts")
+    out = streaming_latest_per_key(stream, ["k"], "fecha", "ts", state_timeout_ms=None)
     q = (
         out.writeStream.format("memory")
         .queryName("latest_test")
@@ -358,7 +358,9 @@ def test_streaming_cdc_apply_changelog(spark, tmp_path):
     stream = spark.readStream.schema(
         "k string, seq string, op string, val string, ts timestamp"
     ).json(path)
-    out = streaming_cdc_apply(stream, ["k"], "seq", "op", "ts", delete_ops=("delete",))
+    out = streaming_cdc_apply(
+        stream, ["k"], "seq", "op", "ts", delete_ops=("delete",), state_timeout_ms=None
+    )
     q = (
         out.writeStream.format("memory")
         .queryName("cdc_test")
