@@ -103,6 +103,8 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    skew = _skew_scenario(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -110,12 +112,100 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "skew_scenario": skew,
                 "sf": sf,
             }
         )
     )
     spark.stop()
     _check_regression(timings, total, sf)
+
+
+def _skew_scenario(sparksession, sf_dir: str) -> dict[str, float]:
+    """Prove the q29/q34 skew guards under actual skew, in the bench
+    record (r3 VERDICT "Next round" #5). The stock bench corpora are
+    uniform, so the guards' value previously rested on unit tests.
+
+    Corpus (synthetic, independent of sf — near-unique random shingles
+    so natural df stays ~1 and the measurement isolates the hot keys):
+
+    - q29 shape: 10% of 80k docs append ONE 3-token boilerplate -> one
+      hot shingle with df=8,000 (32M pairs). One hot key is
+      deliberate: many hot shingles would hand the unguarded join
+      accidental parallelism (one task per hot key); the guard exists
+      for the few-giant-keys shape where ONE task otherwise owns the
+      whole df^2/2 expansion.
+    - q34 shape: ~3% of docs share bit-identical text (a massive
+      exact-duplicate class) -> all its MinHash band signatures
+      collide, putting 2,500 members into each of the 4 band buckets.
+
+    "unguarded" = max_group 2^30, the pre-r2 behavior. Two numbers per
+    operator land in the bench JSON under "skew_scenario" (kept out of
+    "queries": the unguarded timings are intentionally bad and must
+    not pollute the engine-speed totals):
+
+    - wall seconds guarded vs unguarded (r4 baseline: q29 17.0s vs
+      27.8s — the factor this scenario exists to keep visible; it was
+      this scenario that exposed AQE folding the guard's tiny
+      chunk-pair exchange back into ONE partition, see
+      _chunked_pair_expansion). local[32] still COMPRESSES the ratio:
+      a lone 32M-pair task here is slow-but-survivable; on a
+      1000-executor cluster with Zipfian df ~ 10^6, the unguarded
+      form is not slow, it is DEAD — 5*10^11 pairs in one task. q34's
+      wall stays ~tail-bound either way because an exact-dup class's
+      candidate OUTPUT is itself class²/2 — its guard value is the
+      task bound below.
+    - max_task_pairs, the per-task expansion bound that decides that
+      life-or-death at scale: unguarded = max_df^2/2 (quadratic in
+      the hot class), guarded = max_group^2 (a constant picked to fit
+      executor memory). Recorded from the same corpus."""
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    n_docs = 80_000
+    body = (
+        "array_join(transform(sequence(1, 40), "
+        "i -> concat('w', pmod(xxhash64(id * 1000 + i), 50000))), ' ')"
+    )
+    base = sparksession.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.expr(body).alias("body")
+    )
+    hot29 = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(" ", F.col("body"), F.lit("zzqa zzqb zzqc")),
+        )
+        .otherwise(F.col("body"))
+        .alias("text"),
+    ).localCheckpoint()  # materialize: generation cost is not billed
+    hot34 = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 32 == 0,
+            F.lit("zzdup alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        )
+        .otherwise(F.col("body"))
+        .alias("text"),
+    ).localCheckpoint()
+
+    out: dict[str, float] = {}
+    for label, fn, df, hot_class, guard in (
+        ("q29_skew", ngram_jaccard_pairs, hot29, n_docs // 10, 1024),
+        ("q34_skew", minhash_lsh_pairs, hot34, n_docs // 32, 512),
+    ):
+        for mode, mg in (("guarded", guard), ("unguarded", 1 << 30)):
+            t0 = time.perf_counter()
+            n = fn(df, "doc_id", "text", max_group=mg).count()
+            dt = time.perf_counter() - t0
+            out[f"{label}_{mode}"] = round(dt, 3)
+            print(f"# {label}_{mode}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        out[f"{label}_max_task_pairs_unguarded"] = hot_class * hot_class // 2
+        out[f"{label}_max_task_pairs_guarded"] = guard * guard
+    hot29.unpersist()
+    hot34.unpersist()
+    return out
 
 
 def _check_regression(timings: dict[str, float], total: float, sf: float) -> None:

@@ -86,6 +86,69 @@ def with_minhash(
     )
 
 
+def _chunked_pair_expansion(
+    buckets: DataFrame, key_cols: list[str], max_group: int
+) -> DataFrame:
+    """Expand each bucket's SORTED ``ids`` array into its (id_a <
+    id_b) pair triangle with per-task fan-out bounded by
+    ``max_group``² — the shared skew guard of ``minhash_lsh_pairs``
+    and ``ngram_jaccard_pairs``.
+
+    The sorted list is sliced into ≤``max_group`` chunks; one row per
+    (ci ≤ cj) chunk combination is emitted (for a bucket within the
+    cap: exactly one (0,0) row, so the common case pays only the
+    repartition), an exchange spreads the chunk-pair rows (moving
+    ~2g²/cap ids, never g²/2 pairs into one task), and each row
+    expands through two nested generators — posexplode of chunk a,
+    then explode of (for the same-chunk triangle) the strictly-after
+    slice of chunk b. Generators and slice() run inside whole-stage
+    codegen and STREAM the pairs; the earlier higher-order-transform
+    form evaluated interpreted AND materialized the whole ≤cap² struct
+    array per row first (measured 4x slower on a df=6k hot bucket).
+    Sorted chunks keep id_a < id_b for free on both branches.
+
+    Emits one row per pair per bucket (callers dedupe/aggregate).
+    """
+    nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
+    chunk_pair_expr = F.expr(
+        f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
+        f"transform(sequence(ci, {nchunks} - 1, 1), cj -> named_struct("
+        f"'a', slice(ids, ci * {max_group} + 1, {max_group}), "
+        f"'b', slice(ids, cj * {max_group} + 1, {max_group}), "
+        f"'same', ci = cj))))"
+    )
+    # Round-robin with an EXPLICIT partition count. A hash repartition
+    # without one is an AQE coalescing target, and chunk-pair rows are
+    # tiny BEFORE expansion (~16 KB per row) precisely when they are
+    # about to expand into ≤cap² pairs — AQE sees a sub-64MB exchange
+    # and folds it back into ONE partition, silently undoing the guard
+    # (observed: the guarded df=8k run's expansion ran as a single
+    # 24 s task, identical to unguarded). An explicit count opts the
+    # exchange out of AQE coalescing, and round-robin spreads the few
+    # hot rows evenly where hashing 36 keys into 32 buckets would
+    # collide.
+    n_part = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        buckets.select(*key_cols, F.explode(chunk_pair_expr).alias("c"))
+        .repartition(n_part)
+        .select(
+            F.col("c.b").alias("b"),
+            F.col("c.same").alias("same"),
+            F.posexplode(F.col("c.a")).alias("i", "id_a"),
+        )
+        .select(
+            "id_a",
+            F.explode(
+                # same-chunk: only ids strictly after 0-based position
+                # i -> 1-based slice start i + 2
+                F.when(F.col("same"), F.expr("slice(b, i + 2, size(b))")).otherwise(
+                    F.col("b")
+                )
+            ).alias("id_b"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -200,30 +263,7 @@ def minhash_lsh_pairs(
     # A small/big two-branch union was measured and rejected: both
     # branches re-run the bucket aggregate (ReuseExchange shares only
     # the shuffle files), costing more than the repartition it saved.
-    nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
-    chunk_pair_expr = F.expr(
-        f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
-        f"transform(sequence(ci, {nchunks} - 1, 1), cj -> named_struct("
-        f"'a', slice(ids, ci * {max_group} + 1, {max_group}), "
-        f"'b', slice(ids, cj * {max_group} + 1, {max_group}), "
-        f"'same', ci = cj))))"
-    )
-    # same-chunk → triangle within a; cross-chunk → full a × b
-    expand_expr = F.expr(
-        "CASE WHEN c.same THEN "
-        "flatten(transform(sequence(1, size(c.a) - 1), "
-        "i -> transform(slice(c.a, i + 1, size(c.a) - i), "
-        "x -> named_struct('id_a', element_at(c.a, i), 'id_b', x)))) "
-        "ELSE flatten(transform(c.a, x -> transform(c.b, "
-        "y -> named_struct('id_a', x, 'id_b', y)))) END"
-    )
-    return (
-        buckets.select("band", "sig", F.explode(chunk_pair_expr).alias("c"))
-        .repartition(F.col("band"), F.col("sig"), F.col("c.a")[0], F.col("c.b")[0])
-        .select(F.explode(expand_expr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    return _chunked_pair_expansion(buckets, ["band", "sig"], max_group).distinct()
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
@@ -257,48 +297,45 @@ def ngram_jaccard_pairs(
     max_group: int = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
-    with a hot-shingle skew guard.
+    skew-guarded, single-path.
 
-    explode distinct shingles → hash each shingle string to int64
-    (xxhash64) → per-shingle document frequency → split postings:
+    explode distinct shingles -> hash each shingle string to int64
+    (xxhash64) -> ONE groupBy assembles each shingle's sorted posting
+    list -> df=1 shingles (the overwhelming majority of a real
+    vocabulary) are dropped before any expansion -> every surviving
+    posting list goes through ``_chunked_pair_expansion`` (the shared
+    guard of ``minhash_lsh_pairs``): per-task pair fan-out is bounded
+    by ``max_group``² no matter how hot a shingle is, and a bucket
+    within the cap costs one intra-row triangle. A single groupBy then
+    sums one row per (pair, shared shingle) into the common-shingle
+    count; Jaccard = common / (|A| + |B| - common), exact up to 64-bit
+    shingle-hash collisions (P ~ n²/2⁶⁵ — the tolerance every
+    MinHash-family system accepts).
 
-    - **cold shingles** (df ≤ ``max_group``, the overwhelming majority
-      of a real vocabulary): self-equi-join on the 8-byte shingle key.
-      Runs entirely in whole-stage codegen — an intra-row posting-list
-      expansion (groupBy shingle, collect_list, nested ``transform``
-      fan-out) was measured 5-6x SLOWER for these because higher-order
-      lambdas evaluate interpreted. Don't move the cold path off the
-      join.
-    - **hot shingles** (df > ``max_group``): a df=g posting list means
-      g·(g-1)/2 co-occurrence pairs landing in ONE join task — at
-      Zipfian 100 TB scale a stopword-ish shingle with df=10⁶ would
-      put ~5·10¹¹ pairs into a single task. These postings instead go
-      through the chunked triangle expansion proven in
-      ``minhash_lsh_pairs``: sort the posting list, slice into
-      ≤``max_group`` chunks, emit one row per (ci ≤ cj) chunk pair, an
-      exchange spreads the chunk-pair rows across the cluster
-      (moving ~2g²/max_group ids, never g² pairs), and each task
-      expands at most ``max_group``² pairs.
+    History (measured): v1 split cold shingles onto a self-equi-join
+    (codegen) and only hot ones onto chunk expansion, because the
+    then-interpreted higher-order-lambda expansion was 5-6x slower
+    than the join. With the expansion rewritten as nested codegen
+    generators, the split no longer pays: the join needed a separate
+    df-count aggregate plus TWO passes over the (id, shingle) relation
+    joined against it, where the single path needs ONE groupBy and
+    kills the df=1 postings (most of the corpus) before expansion.
+    At 40k docs with a df=4k hot shingle: 20.6s split-form vs 13.4s
+    single-path; uniform sf0.1 corpus: no regression (bench-guarded).
 
-    Both streams carry one row per (pair, shared shingle); a single
-    groupBy sums them into the common-shingle count, so the output is
-    bit-identical to the unguarded join (pinned by test) — Jaccard =
-    common / (|A| + |B| - common), exact up to 64-bit shingle-hash
-    collisions (P ≈ n²/2⁶⁵; the same tolerance every MinHash-family
-    system accepts).
+    Scale: the posting-list array for a df=g shingle is 8g bytes in
+    one aggregation buffer (df=10⁶ -> 8 MB, fine; df~10⁸ — a massive
+    exact-duplicate class — would not be: run exact dedup first, the
+    standing prescription for that corpus shape). Total work is still
+    Σ_shingle df², inherent to exact-Jaccard-by-inverted-index; where
+    that sum binds, use ``ngram_jaccard_pairs_prefix`` (identical
+    output, fan-out restricted to rare-shingle prefixes) or
+    ``minhash_lsh_pairs`` + candidate verification.
 
-    The exploded (id, shingle) relation feeds four consumers (sizes,
-    df counts, join sides / hot buckets), so it is persisted for the
-    duration of this call and eagerly released (localCheckpoint of the
-    small above-threshold output) — same scoping pattern as
-    ``ngram_jaccard_pairs_prefix``; nothing leaks into the session.
-
-    Scale: per-task pair fan-out is bounded by ``max_group``² on every
-    path. Total work is still Σ_shingle df(shingle)² — for corpora
-    where that sum itself is the bottleneck, use
-    ``ngram_jaccard_pairs_prefix`` (identical output, fan-out
-    restricted to rare-shingle prefixes) or ``minhash_lsh_pairs`` +
-    candidate verification.
+    The exploded (id, shingle) relation feeds two consumers (doc
+    sizes, posting lists), so it is persisted for the duration of this
+    call and eagerly released (localCheckpoint of the small
+    above-threshold output); nothing leaks into the session.
     """
     from pyspark import StorageLevel
 
@@ -324,60 +361,38 @@ def ngram_jaccard_pairs(
     )
     try:
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        shf = sh.join(freq, "shingle")
-        cold = shf.filter(F.col("__df") <= max_group).select("id", "shingle")
-        cold_raw = (
-            cold.alias("a")
-            .join(
-                cold.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-        # Hot posting lists: sorted ids → ≤max_group chunks → triangle of
-        # chunk pairs → exchange on (shingle, chunk heads) → bounded
-        # expansion. Chunking a SORTED list gives cross-chunk pairs the
-        # (a < b) invariant for free; same-chunk rows expand the triangle.
-        hot = (
-            shf.filter(F.col("__df") > max_group)
-            .groupBy("shingle")
+        buckets = (
+            sh.groupBy("shingle")
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        )
-        nchunks = f"CAST(ceil(size(ids) / {max_group}.0) AS INT)"
-        chunk_pair_expr = F.expr(
-            f"flatten(transform(sequence(0, {nchunks} - 1, 1), ci -> "
-            f"transform(sequence(ci, {nchunks} - 1, 1), cj -> named_struct("
-            f"'a', slice(ids, ci * {max_group} + 1, {max_group}), "
-            f"'b', slice(ids, cj * {max_group} + 1, {max_group}), "
-            f"'same', ci = cj))))"
-        )
-        expand_expr = F.expr(
-            "CASE WHEN c.same THEN "
-            "flatten(transform(sequence(1, size(c.a) - 1), "
-            "i -> transform(slice(c.a, i + 1, size(c.a) - i), "
-            "x -> named_struct('id_a', element_at(c.a, i), 'id_b', x)))) "
-            "ELSE flatten(transform(c.a, x -> transform(c.b, "
-            "y -> named_struct('id_a', x, 'id_b', y)))) END"
-        )
-        hot_raw = (
-            hot.select("shingle", F.explode(chunk_pair_expr).alias("c"))
-            .repartition(F.col("shingle"), F.col("c.a")[0], F.col("c.b")[0])
-            .select(F.explode(expand_expr).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .filter(F.size("ids") >= 2)
         )
         pairs = (
-            cold_raw.unionByName(hot_raw)
+            _chunked_pair_expansion(buckets, ["shingle"], max_group)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
+        # sizes is one small row per doc, but it descends from the
+        # persisted `sh` so Catalyst has no stats and would sort-merge
+        # the (potentially huge) pair stream through TWO shuffles.
+        # Broadcast it explicitly: measured 188s -> 36s on a 100k-doc
+        # corpus with a df=10k hot shingle. (At billions of docs the
+        # doc-count map no longer broadcasts — swap for a bucketed
+        # join keyed on id at that scale.)
         out = (
             pairs.join(
-                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"),
+                F.broadcast(
+                    sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                        "n_shingles", "na"
+                    )
+                ),
                 "id_a",
             )
             .join(
-                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"),
+                F.broadcast(
+                    sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                        "n_shingles", "nb"
+                    )
+                ),
                 "id_b",
             )
             .withColumn(
