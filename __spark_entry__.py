@@ -1416,7 +1416,7 @@ _PRIORITY = [
     #    this round; tests/test_gate_freshness.py enforces membership
     #    in the first 50 for any query whose behavior hash moved after
     #    the last verified-green manifest stamp.
-    "q85", "q95", "q101", "q109", "q111",
+    "q85", "q95", "q101", "q109", "q111", "q112",
     # 2) oldest evidence first: the q41–q51 band's newest rows date to
     #    r01 (rotation policy, VERDICT r3 "Next round" #3)
     "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
@@ -4881,4 +4881,109 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_op"),
         F.round(F.col("value") * 100).cast("long").alias("last_cents"),
         "is_delete",
+    )
+
+
+@_register(
+    "q112_fuzzy_scorers",
+    """
+    WITH strs AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 AS INT) AS i7,
+             CAST(doc_id % 3 AS INT) AS i3,
+             (['alpha box kit', 'beta crate set', 'gamma jar pack',
+               'delta box kit', 'epsilon tray', 'zeta crate kit',
+               'eta pack set'])[CAST(doc_id % 7 AS INT) + 1] AS x,
+             (['alpha box kits', 'crate set beta',
+               'theta jar'])[CAST(doc_id % 3 AS INT) + 1] AS y
+      FROM documents
+    ), combos AS (
+      SELECT DISTINCT i7, i3, x, y FROM strs
+    ), lcs AS (
+      SELECT i7, i3, x, y,
+             coalesce(max(CASE WHEN s.s + l.l - 1 <= length(x)
+                                AND strpos(y, substring(x, CAST(s.s AS INT),
+                                                        CAST(l.l AS INT))) > 0
+                               THEN l.l END), 0) AS lcs_len
+      FROM combos, range(1, 32) s(s), range(1, 32) l(l)
+      GROUP BY i7, i3, x, y
+    )
+    SELECT st.doc_id, st.x, st.y,
+           round(CASE WHEN greatest(length(st.x), length(st.y)) = 0 THEN 1.0
+                      ELSE 1.0 - levenshtein(st.x, st.y)
+                            / greatest(length(st.x), length(st.y)) END, 6)
+             AS lev_ratio,
+           round(2.0 * lc.lcs_len / (length(st.x) + length(st.y)), 6)
+             AS lcs_ratio,
+           CAST(CASE
+             WHEN st.i7 = 0 AND st.i3 = 0 THEN 0.962963
+             WHEN st.i7 = 0 AND st.i3 = 1 THEN 0.296296
+             WHEN st.i7 = 0 AND st.i3 = 2 THEN 0.272727
+             WHEN st.i7 = 1 AND st.i3 = 0 THEN 0.285714
+             WHEN st.i7 = 1 AND st.i3 = 1 THEN 0.642857
+             WHEN st.i7 = 1 AND st.i3 = 2 THEN 0.434783
+             WHEN st.i7 = 2 AND st.i3 = 0 THEN 0.357143
+             WHEN st.i7 = 2 AND st.i3 = 1 THEN 0.142857
+             WHEN st.i7 = 2 AND st.i3 = 2 THEN 0.434783
+             WHEN st.i7 = 3 AND st.i3 = 0 THEN 0.740741
+             WHEN st.i7 = 3 AND st.i3 = 1 THEN 0.222222
+             WHEN st.i7 = 3 AND st.i3 = 2 THEN 0.363636
+             WHEN st.i7 = 4 AND st.i3 = 0 THEN 0.153846
+             WHEN st.i7 = 4 AND st.i3 = 1 THEN 0.153846
+             WHEN st.i7 = 4 AND st.i3 = 2 THEN 0.285714
+             WHEN st.i7 = 5 AND st.i3 = 0 THEN 0.428571
+             WHEN st.i7 = 5 AND st.i3 = 1 THEN 0.5
+             WHEN st.i7 = 5 AND st.i3 = 2 THEN 0.434783
+             WHEN st.i7 = 6 AND st.i3 = 0 THEN 0.307692
+             WHEN st.i7 = 6 AND st.i3 = 1 THEN 0.384615
+             WHEN st.i7 = 6 AND st.i3 = 2 THEN 0.47619
+           END AS DOUBLE) AS difflib_ratio
+    FROM strs st JOIN lcs lc ON st.i7 = lc.i7 AND st.i3 = lc.i3
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched fuzzy scorers (functions/similarity.py —
+    reference parity: LCS ratio src/etl/transform.py:328-355, difflib
+    cutoff src/etl/transform.py:712-733) driven through the hash gate.
+    These pandas UDFs are the engine's only other declared Python
+    boundary besides multimodal decode, and were previously pinned by
+    unit tests only. Inputs are 21 deterministic string combos derived
+    from doc_id arithmetic (robust to testdata regeneration). Oracle
+    independence: lev_ratio is recomputed by DuckDB's levenshtein();
+    lcs_ratio is recomputed structurally (max substring-of-x contained
+    in y, expanded over a bounded range join — independently verified
+    against the DP implementation); difflib_ratio has no SQL analog,
+    so its 21 combo values are PRECOMPUTED GOLDEN constants — a pinned
+    expectation, not an independent recomputation (the honest label
+    for gating a Python-library scorer). At scale these scorers are
+    documented broadcast-side-only; the gate runs them over the full
+    documents table to exercise batching."""
+    from owl_etl_spark.functions.similarity import (
+        difflib_ratio,
+        lcs_ratio,
+        levenshtein_ratio,
+    )
+
+    xs = [
+        "alpha box kit", "beta crate set", "gamma jar pack", "delta box kit",
+        "epsilon tray", "zeta crate kit", "eta pack set",
+    ]
+    ys = ["alpha box kits", "crate set beta", "theta jar"]
+    d = _t(spark, sf_dir, "documents")
+    strs = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(s) for s in xs]), (F.col("doc_id") % 7 + 1).cast("int")
+        ).alias("x"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ys]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("y"),
+    )
+    return strs.select(
+        "doc_id",
+        "x",
+        "y",
+        F.round(levenshtein_ratio(F.col("x"), F.col("y")), 6).alias("lev_ratio"),
+        F.round(lcs_ratio(F.col("x"), F.col("y")), 6).alias("lcs_ratio"),
+        F.round(difflib_ratio(F.col("x"), F.col("y")), 6).alias("difflib_ratio"),
     )

@@ -202,6 +202,38 @@ def pq_codebooks_from_ids(
     return full.reshape(ks, m, sub).transpose(1, 0, 2)
 
 
+def pq_codebooks_fit(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    max_iters: int = 5,
+) -> np.ndarray:
+    """Product-quantization codebooks FITTED per block with
+    ``kmeans_fit`` — the production path (pinned
+    ``pq_codebooks_from_ids`` exists only for oracle portability).
+    Returns (m, ks, dim/m). Each block's k-means runs over a projected
+    sub-vector frame: m small driver-side fits of ks·(dim/m) doubles,
+    while the data-side work per iteration stays one scan + one
+    k-group aggregate."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for b in range(m):
+        block = df.select(
+            F.expr(
+                f"transform(slice({vec_col}, {b * sub + 1}, {sub}), "
+                f"v -> CAST(v AS DOUBLE))"
+            ).alias("__subv")
+        )
+        books.append(
+            kmeans_fit(block, vec_col="__subv", k=ks, max_iters=max_iters, dim=sub)
+        )
+    return np.stack(books)
+
+
 def _pq_block_dists(vec_col: str, codebooks: np.ndarray, b: int, round_digits: int | None):
     """Squared-L2 of block b's sub-vector against each of its ks
     centroids — fixed-order left folds (aggregate/zip_with), the same

@@ -39,9 +39,13 @@ def table_profile(
     COLUMN-PRUNED scan (columnar formats make the extra scans ~1
     column's bytes each, and map-side partial dedup shrinks each
     shuffle to the column's per-task distincts), cross-joined back as
-    1-row frames. ``approx_distinct=True`` (HLL) folds back into the
-    single pass — no expand, no extra scans — the right choice at
-    100 TB.
+    1-row frames. CAVEAT: that per-column cost model assumes columnar
+    storage (parquet/ORC); on row-oriented staging (JSON, CSV, JDBC)
+    column pruning cannot reduce IO and each exact-distinct pass
+    re-reads FULL rows — N profiled columns cost N full scans there.
+    ``approx_distinct=True`` (HLL) folds back into the single pass —
+    no expand, no extra scans — the right choice at 100 TB and on any
+    row-oriented source.
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
     for c in cols:

@@ -86,6 +86,41 @@ def test_pq_adc_recovers_planted_clusters(spark):
     assert same / len(got) >= 0.9, f"cluster recall {same}/{len(got)}"
 
 
+def test_pq_fitted_codebooks_recall(spark):
+    """The PRODUCTION codebook path (pq_codebooks_fit -> per-block
+    kmeans_fit), not the oracle-pinned one: on the planted-cluster
+    corpus, ADC top-5 with fitted codebooks must keep same-cluster
+    recall >= 0.9, and the codebooks must have the (m, ks, dim/m)
+    shape contract."""
+    import numpy as np
+
+    from owl_etl_spark.operators.cluster import (
+        pq_adc_topk,
+        pq_codebooks_fit,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-10, 10, size=(20, 64))
+    rows = []
+    vid = 0
+    for ci in range(20):
+        for _ in range(25):
+            rows.append(
+                (vid, (centers[ci] + rng.normal(0, 0.05, 64)).astype("float32").tolist())
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = pq_codebooks_fit(df, m=4, ks=20, dim=64, max_iters=3)
+    assert cbs.shape == (4, 20, 16)
+    enc = pq_encode(df, cbs, round_digits=6)
+    q = df.filter(F.col("vec_id") % 25 == 3)
+    top = pq_adc_topk(q, enc, cbs, k=5)
+    got = [(r.query_id, r.neighbor_id) for r in top.collect()]
+    same = sum(1 for qid, nid in got if qid // 25 == nid // 25)
+    assert same / len(got) >= 0.9, f"fitted-codebook recall {same}/{len(got)}"
+
+
 def test_pq_rerank_recall_monotone_in_shortlist(spark):
     """Exact re-rank of an ADC shortlist: recall vs exact-L2 truth
     must not decrease as the shortlist grows (and the shortlist=|N|

@@ -73,8 +73,12 @@ def test_q07_single_shuffle_window(spark):
 
 
 #: the ONLY queries allowed a Python boundary: multimodal decode is
-#: inherently Python (mapInPandas over binary payloads, Arrow-batched).
+#: inherently Python (mapInPandas over binary payloads, Arrow-batched),
+#: and q112 exists to gate the declared pandas-UDF fuzzy scorers
+#: (difflib/LCS reference parity — Arrow-batched, broadcast-side-only
+#: by documented contract).
 _PYTHON_ALLOWED = {"q35_multimodal_mixed_media", "q48_multimodal_features"}
+_PANDAS_ALLOWED = {"q112_fuzzy_scorers"}
 
 
 def test_no_python_udf_in_any_query(spark):
@@ -86,6 +90,10 @@ def test_no_python_udf_in_any_query(spark):
         plan = _plan(spark, name)
         if name in _PYTHON_ALLOWED:
             assert "MapInPandas" in plan, f"{name} should be mapInPandas by design"
+            continue
+        if name in _PANDAS_ALLOWED:
+            assert "ArrowEvalPython" in plan, f"{name} should use pandas UDFs by design"
+            assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
             continue
         for tag in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert tag not in plan, f"{name} has a Python boundary: {tag}"
