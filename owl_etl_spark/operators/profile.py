@@ -72,3 +72,57 @@ def table_profile(
         "__n_rows AS n_rows",
         f"stack({len(cols)}, {stack}) AS (column, n_null, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection via median / MAD (median
+    absolute deviation): a value is an outlier when
+    ``|v - median| > k_sigma * 1.4826 * MAD`` (1.4826 scales MAD to
+    σ-equivalents under normality). Mean/stddev-based z-scores are
+    poisoned by the very outliers they hunt; median/MAD have a 50%
+    breakdown point — the standard robust gate for telemetry and
+    training-data quality filters.
+
+    Returns one row per group: n, median, mad, n_outliers, outlier_pct.
+
+    Exactness & portability: ``percentile`` here is the EXACT rank
+    interpolation (same (1-d)·lo + d·hi definition as ANSI
+    percentile_cont / DuckDB quantile_cont); feed it an integer-cents
+    column and every median/MAD is exactly representable (x.0 / x.25 /
+    x.5 / x.75), so the report hash-matches across engines with no
+    float fuzz. Plan: ONE shuffle on the group keys, then two
+    percentile window passes over the co-partitioned data (median,
+    then MAD) and a final map-side-combined aggregate. At 100 TB swap
+    ``approx_percentile`` in for the exact per-group rank sort; the
+    report contract is unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    dev = df.withColumn(
+        "median", F.expr(f"percentile({value_col}, 0.5)").over(w)
+    ).withColumn("__adev", F.abs(F.col(value_col) - F.col("median")))
+    flagged = dev.withColumn("mad", F.expr("percentile(__adev, 0.5)").over(w)).withColumn(
+        "__is_out",
+        (F.col("__adev") > F.lit(k_sigma) * F.lit(1.4826) * F.col("mad")).cast("long"),
+    )
+    return (
+        flagged.groupBy(*keys, "median", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__is_out").cast("long").alias("n_outliers"),
+        )
+        .select(
+            *keys,
+            "n",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n") * 100, 6).alias("outlier_pct"),
+        )
+    )

@@ -96,3 +96,59 @@ def rolling_time_agg(
     for name, col in aggs.items():
         out = out.withColumn(name, col.over(w))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of missing (null) values on a per-key time
+    grid — the standard densify step after :func:`gap_fill` (models
+    want a value in every bucket, not a null).
+
+    For each null row, finds the nearest non-null neighbors before and
+    after (two ``last/first IGNORE NULLS`` window passes over ONE
+    shuffle on ``keys``) and fills
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``
+    with epoch-microsecond time deltas. Leading/trailing nulls (no
+    neighbor on one side) fall back to the available side
+    (nearest-value extrapolation); observed rows pass through exactly.
+
+    The fill expression is written in one fixed evaluation order so
+    IEEE double arithmetic reproduces bit-identically on any engine —
+    the interpolated report hash-matches an ANSI
+    ``last_value IGNORE NULLS`` oracle.
+    """
+    us = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, {bucket_col})")
+    base = df.withColumn("__us", us)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("__us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    marked = (
+        base.withColumn("__pv", F.last(v, ignorenulls=True).over(wb))
+        .withColumn("__pt", F.last(F.when(v.isNotNull(), F.col("__us")), ignorenulls=True).over(wb))
+        .withColumn("__nv", F.first(v, ignorenulls=True).over(wf))
+        .withColumn("__nt", F.first(F.when(v.isNotNull(), F.col("__us")), ignorenulls=True).over(wf))
+    )
+    frac = (F.col("__us") - F.col("__pt")).cast("double") / (
+        F.col("__nt") - F.col("__pt")
+    ).cast("double")
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(F.col("__pv").isNull(), F.col("__nv").cast("double"))
+        .when(F.col("__nv").isNull(), F.col("__pv").cast("double"))
+        .otherwise(interp)
+    )
+    return marked.withColumn(out_col, filled).drop("__us", "__pv", "__pt", "__nv", "__nt")

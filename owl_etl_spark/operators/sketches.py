@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from owl_etl_spark.functions.hashing import md5_long_seeded
+
 
 def distinct_sketch(
     df: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
@@ -76,4 +78,104 @@ def distinct_overlap_estimate(
             + F.hll_sketch_estimate("__sb")
             - F.hll_sketch_estimate(F.expr("hll_union(__sa, __sb)"))
         ).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+#: Seed base for the CMS hash family (md5-portable — see functions.hashing).
+_CMS_SEED_BASE = 7_000
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch over ``key_col`` as a ``(row, cell, count)``
+    table of at most ``depth × width`` rows.
+
+    The 100 TB shape: exact per-key counts of a heavy-tailed key (words,
+    URLs, user agents) shuffle one partial per DISTINCT key per map
+    task — vocabulary-sized state. The CMS caps state at depth×width
+    cells **per map task and in total**, independent of vocabulary:
+    each occurrence increments ``depth`` cells (``cell_i =
+    md5(key#seed_i) mod width``), partial aggregation collapses the
+    explode fan-out map-side, and the shuffled sketch is KBs. Sketches
+    are mergeable by cell-wise addition (same ``groupBy(row, cell).
+    sum`` that builds them merges per-day sketches), so monthly drops
+    accumulate without rescans — the same contract as the HLL family
+    above.
+
+    Estimates are biased UP only: ``est(k) = min_i cells[i][h_i(k)]``
+    over-counts by colliding mass, never under-counts — the guarantee
+    q113's gate checks exactly, plus a collision-mass bound that holds
+    with probability ≥ 1 - (1/slack)^depth per key (independent rows).
+
+    ``count_col``: pre-aggregated weights (e.g. a (word, n) table)
+    instead of one occurrence per row.
+    """
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        md5_long_seeded(
+                            F.col(key_col).cast("string"), _CMS_SEED_BASE + i
+                        ),
+                        F.lit(width),
+                    ).alias("cell"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    weight = F.lit(1) if count_col is None else F.col(count_col)
+    return (
+        df.select(cells.alias("rc"), weight.cast("long").alias("__w"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.sum("__w").alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Frequency estimates for every key in ``keys`` against a sketch
+    built by :func:`cms_build` (same depth/width/seeds). Each key probes
+    its ``depth`` cells via a join against the ≤ depth×width-row sketch
+    — broadcast, so estimation is map-only over the candidate keys. A
+    key hashing to an untouched cell estimates 0 (coalesce), so probing
+    never-seen keys is safe."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_long_seeded(
+                                F.col(key_col).cast("string"), _CMS_SEED_BASE + i
+                            ),
+                            F.lit(width),
+                        ).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
     )

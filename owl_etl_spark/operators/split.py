@@ -215,3 +215,41 @@ def temperature_mixture(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+    score_col: str = "score_nano",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items
+    (Efraimidis–Spirakis A-ES): each row draws a stable uniform
+    ``u = (md5(key|salt) + 0.5) / 2^60`` and races with priority
+    ``-ln(u) / w`` — the k SMALLEST priorities are an exact weighted
+    sample without replacement (the exponential-race formulation of
+    A-ES; u^(1/w) top-k is the same order reversed).
+
+    Determinism & scale: the draw is a pure per-row expression (no RNG
+    state, no seed-plus-partitioning dependence like ``df.sample``),
+    so the chosen set is stable under repartitioning and re-reads, and
+    identical on any engine (md5-portable). Selection is
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject: a
+    size-k heap per partition, then a k·partitions merge on the
+    driver; no global sort, no shuffle of the data. Priorities are
+    rounded to integer NANO-units for the ordering (ties broken by
+    key), so the boundary between rank k and k+1 never depends on a
+    last-ulp ``ln`` difference between engines — same trick as the
+    micro-nat costs in ranking.unigram_logprob_score.
+    """
+    u = (md5_long(F.concat(F.col(key).cast("string"), F.lit(f"|{salt}"))) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    nano = F.round(-F.log(u) / F.col(weight_col) * 1_000_000_000).cast("bigint")
+    return (
+        df.withColumn(score_col, nano)
+        .orderBy(F.col(score_col).asc(), F.col(key).asc())
+        .limit(k)
+    )

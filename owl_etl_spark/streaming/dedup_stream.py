@@ -160,3 +160,25 @@ def streaming_cdc_apply(
             ),
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-duplicate suppression in flight: first arrival per key
+    wins, re-deliveries within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    state for a key is EVICTED once the watermark passes its event
+    time + delay, so state size tracks the lateness window, not the
+    full key history — the property that lets an at-least-once
+    ingest (Kafka replays, reference re-drops of a month folder —
+    src/etl/load.py's re-run semantics) run forever without unbounded
+    state. Keys shard across the cluster on the groupBy hash; dropping
+    is per-key O(1). Downstream of this, counts and sums see
+    exactly-once rows.
+    """
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,242 @@
+"""Round-4 operator units: count-min sketch, A-ES weighted sampling,
+MAD outliers, linear interpolation, streaming exact-dedup.
+
+Gate queries q113–q117 pin each operator against the DuckDB oracle;
+these tests pin the library-level contracts the gate can't see
+(mergeability, repartition stability, weighted-sampling bias,
+interpolation edge cases, streaming state eviction semantics).
+"""
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.profile import mad_outlier_report
+from owl_etl_spark.operators.resample import interpolate_linear
+from owl_etl_spark.operators.sketches import cms_build, cms_estimate
+from owl_etl_spark.operators.split import weighted_sample_aes
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def word_df(spark):
+    words = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5 + ["delta"] * 1) * 2
+    return spark.createDataFrame([Row(word=w, half=i % 2) for i, w in enumerate(words)])
+
+
+def test_cms_never_undercounts(spark, word_df):
+    """The CMS one-sided guarantee: est(k) >= true count for EVERY key."""
+    sketch = cms_build(word_df, "word", depth=4, width=64)
+    exact = {r["word"]: r["n"] for r in word_df.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    keys = word_df.select("word").distinct()
+    est = {r["word"]: r["est"] for r in cms_estimate(sketch, keys, "word", depth=4, width=64).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], (k, est[k], exact[k])
+
+
+def test_cms_exact_when_wide(spark, word_df):
+    """With width >> distinct keys, collisions vanish and estimates
+    are exact — the regime q113 verifies hash-exactly at sf scale."""
+    sketch = cms_build(word_df, "word", depth=4, width=4096)
+    exact = {r["word"]: r["n"] for r in word_df.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    keys = word_df.select("word").distinct()
+    est = {r["word"]: r["est"] for r in cms_estimate(sketch, keys, "word", depth=4, width=4096).collect()}
+    assert est == exact
+
+
+def test_cms_merges_by_cellwise_sum(spark, word_df):
+    """Sketches over disjoint halves, merged cell-wise, must equal the
+    one-shot sketch — the monthly-drop accumulation contract."""
+    full = cms_build(word_df, "word", depth=4, width=64)
+    h0 = cms_build(word_df.filter("half = 0"), "word", depth=4, width=64)
+    h1 = cms_build(word_df.filter("half = 1"), "word", depth=4, width=64)
+    merged = (
+        h0.unionByName(h1)
+        .groupBy("row", "cell")
+        .agg(F.sum("count").alias("count"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cms_unseen_key_estimates_safely(spark, word_df):
+    """Probing a key the sketch never saw returns a finite >= 0
+    estimate (0 when its cells are untouched), never an error/null."""
+    sketch = cms_build(word_df, "word", depth=4, width=4096)
+    keys = spark.createDataFrame([Row(word="neverseen")])
+    [row] = cms_estimate(sketch, keys, "word", depth=4, width=4096).collect()
+    assert row["est"] == 0
+
+
+def test_cms_weighted_build(spark):
+    """count_col pre-aggregated weights count as that many occurrences."""
+    pre = spark.createDataFrame([Row(word="x", n=7), Row(word="y", n=3)])
+    raw = spark.createDataFrame([Row(word="x")] * 7 + [Row(word="y")] * 3)
+    a = cms_build(pre, "word", depth=2, width=32, count_col="n")
+    b = cms_build(raw, "word", depth=2, width=32)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted_df(spark):
+    # 200 heavy rows (weight 50) + 200 light rows (weight 1)
+    rows = [Row(id=i, w=50 if i < 200 else 1) for i in range(400)]
+    return spark.createDataFrame(rows)
+
+
+def test_aes_repartition_stable(spark, weighted_df):
+    """The selected set is a pure row function — identical under any
+    partitioning (df.sample's failure mode)."""
+    a = weighted_sample_aes(weighted_df, "id", "w", k=50)
+    b = weighted_sample_aes(weighted_df.repartition(13, "w"), "id", "w", k=50)
+    assert sorted(r["id"] for r in a.collect()) == sorted(r["id"] for r in b.collect())
+
+
+def test_aes_k_and_no_replacement(spark, weighted_df):
+    out = weighted_sample_aes(weighted_df, "id", "w", k=50).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == 50 and len(set(ids)) == 50
+
+
+def test_aes_biases_toward_weight(spark, weighted_df):
+    """Half the rows carry 50x the weight; the k=50 sample should be
+    overwhelmingly heavy rows (P[light row wins a slot] is tiny)."""
+    out = weighted_sample_aes(weighted_df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in out if r["w"] == 50)
+    assert heavy >= 45, heavy
+
+
+def test_aes_k_larger_than_n(spark):
+    small = spark.createDataFrame([Row(id=i, w=1) for i in range(5)])
+    assert weighted_sample_aes(small, "id", "w", k=50).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_known_values(spark):
+    """g: values 1..9 plus one gross outlier 1000.
+    median of [1..9, 1000] = 5.5; sorted adev =
+    [0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5] → MAD = 2.5;
+    threshold = 3*1.4826*2.5 ≈ 11.12 → exactly one outlier (994.5)."""
+    df = spark.createDataFrame([Row(g="a", v=v) for v in list(range(1, 10)) + [1000]])
+    [r] = mad_outlier_report(df, ["g"], "v").collect()
+    assert r["n"] == 10
+    assert r["median"] == 5.5
+    assert r["mad"] == 2.5
+    assert r["n_outliers"] == 1
+    assert abs(r["outlier_pct"] - 10.0) < 1e-9
+
+
+def test_mad_zero_mad_group(spark):
+    """A constant group has MAD 0; any deviation is an outlier, equal
+    values are not (strict >)."""
+    df = spark.createDataFrame([Row(g="c", v=7)] * 5 + [Row(g="c", v=8)])
+    [r] = mad_outlier_report(df, ["g"], "v").collect()
+    assert r["mad"] == 0.0 and r["n_outliers"] == 1
+
+
+def test_mad_multi_group_independent(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 2, 3]] + [Row(g="b", v=v) for v in [100, 200, 300]]
+    )
+    out = {r["g"]: r for r in mad_outlier_report(df, ["g"], "v").collect()}
+    assert out["a"]["median"] == 2.0 and out["b"]["median"] == 200.0
+    assert out["a"]["n_outliers"] == 0 and out["b"]["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def _series(spark, vals):
+    rows = [
+        Row(k="s", bucket=f"2024-01-01 {h:02d}:00:00", v=v)
+        for h, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows).select(
+        "k", F.col("bucket").cast("timestamp_ntz").alias("bucket"), F.col("v").cast("long").alias("v")
+    )
+
+
+def test_interp_fills_interior_gap_linearly(spark):
+    # 10, null, null, 40 → 20, 30 at the gap hours
+    df = _series(spark, [10, None, None, 40])
+    out = {r["bucket"].hour: r["value_interp"] for r in interpolate_linear(df, ["k"], "bucket", "v").collect()}
+    assert out == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+
+
+def test_interp_edges_extrapolate_nearest(spark):
+    # null, 10, null, 30, null → 10 (leading), 20, 30 (trailing)
+    df = _series(spark, [None, 10, None, 30, None])
+    out = {r["bucket"].hour: r["value_interp"] for r in interpolate_linear(df, ["k"], "bucket", "v").collect()}
+    assert out == {0: 10.0, 1: 10.0, 2: 20.0, 3: 30.0, 4: 30.0}
+
+
+def test_interp_observed_rows_pass_through(spark):
+    df = _series(spark, [5, 6, 7])
+    out = [r["value_interp"] for r in interpolate_linear(df, ["k"], "bucket", "v").orderBy("bucket").collect()]
+    assert out == [5.0, 6.0, 7.0]
+
+
+def test_interp_uneven_spacing_uses_time_ratio(spark):
+    """A 3-hour gap interpolates by time fraction, not row count."""
+    rows = [
+        Row(k="s", bucket="2024-01-01 00:00:00", v=0),
+        Row(k="s", bucket="2024-01-01 01:00:00", v=None),
+        Row(k="s", bucket="2024-01-01 04:00:00", v=40),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("bucket").cast("timestamp_ntz").alias("bucket"), F.col("v").cast("long").alias("v")
+    )
+    out = {r["bucket"].hour: r["value_interp"] for r in interpolate_linear(df, ["k"], "bucket", "v").collect()}
+    assert out[1] == 10.0  # 1h of 4h between 0 and 40
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_restores_exactly_once(spark, tmp_path):
+    from owl_etl_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src_dir = str(tmp_path / "src")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    base.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("k bigint, ts timestamp")
+        .parquet(src_dir)
+        .withColumn("__c", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .drop("__c")
+    )
+    deduped = streaming_exact_dedup(stream, ["k"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_sdedup")
+    assert got.count() == 100
+    assert got.select("k").distinct().count() == 100
