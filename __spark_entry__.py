@@ -1419,7 +1419,7 @@ _PRIORITY = [
     #    edits (q101/q111/q112), and every dependent of the r4-touched
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
-    "q113", "q114", "q115", "q116", "q117",
+    "q113", "q114", "q115", "q116", "q117", "q118",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -1432,7 +1432,7 @@ _PRIORITY = [
     #    registry queues behind in registration order and rotates in
     #    next round.
     "q52", "q54", "q55", "q56", "q57", "q58", "q59", "q60", "q61",
-    "q63", "q64", "q65",
+    "q63", "q64",
 ]
 
 
@@ -5270,3 +5270,153 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("cents_interp"), 6).alias("cents_interp"),
     )
+
+
+_Q118_CC_IDS = [20, 80, 140, 200, 260, 320, 380, 440]  # coarse centroids
+_Q118_CB_IDS = [10, 70, 130, 190, 250, 310, 370, 430]  # PQ codebook rows
+_Q118_M, _Q118_SUB, _Q118_DIM = 4, 16, 64
+
+
+def _full_dist_duck(e: str, c: str) -> str:
+    """DuckDB twin of cluster._assign_expr's 64-dim squared-L2:
+    left fold in index order; DuckDB's init-less list_reduce matches
+    Spark's 0D-seeded aggregate exactly (0 + x1 == x1)."""
+    return (
+        f"list_reduce(list_transform(range(1, {_Q118_DIM + 1}), "
+        f"i -> (CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
+        f"* (CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _resid_block_dist_duck(rv: str, c: str, b: int) -> str:
+    """Block-b squared-L2 of an (already-double) residual list against
+    a codebook row's sub-vector."""
+    off = b * _Q118_SUB
+    return (
+        f"list_reduce(list_transform(range(1, {_Q118_SUB + 1}), "
+        f"i -> ({rv}[{off} + i] - CAST({c}[{off} + i] AS DOUBLE)) "
+        f"* ({rv}[{off} + i] - CAST({c}[{off} + i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@_register(
+    "q118_ivfpq_knn",
+    f"""
+    WITH cc AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM embeddings
+      WHERE vec_id IN ({', '.join(str(i) for i in _Q118_CC_IDS)})
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bid, embedding AS bv
+      FROM embeddings
+      WHERE vec_id IN ({', '.join(str(i) for i in _Q118_CB_IDS)})
+    ), cpairs AS (
+      SELECT e.vec_id, cc.cid, round({_full_dist_duck('e.embedding', 'cc.cv')}, 6) AS d
+      FROM embeddings e CROSS JOIN cc
+    ), cmins AS (
+      SELECT vec_id, min(d) AS md FROM cpairs GROUP BY vec_id
+    ), cassign AS (
+      SELECT p.vec_id, min(CASE WHEN p.d = m.md THEN p.cid END) AS cluster_id
+      FROM cpairs p JOIN cmins m USING (vec_id) GROUP BY p.vec_id
+    ), resid AS (
+      SELECT e.vec_id, a.cluster_id,
+             list_transform(range(1, {_Q118_DIM + 1}),
+                            i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE)) AS rv
+      FROM embeddings e JOIN cassign a USING (vec_id) JOIN cc ON cc.cid = a.cluster_id
+    ), bpairs AS (
+      SELECT r.vec_id, r.cluster_id, cb.bid,
+    {','.join(
+        f"         round({_resid_block_dist_duck('r.rv', 'cb.bv', b)}, 6) AS d{b}"
+        for b in range(_Q118_M)
+    )}
+      FROM resid r CROSS JOIN cb
+    ), bmins AS (
+      SELECT vec_id,
+             {', '.join(f'min(d{b}) AS m{b}' for b in range(_Q118_M))}
+      FROM bpairs GROUP BY vec_id
+    ), codes AS (
+      SELECT p.vec_id, min(p.cluster_id) AS cluster_id,
+             {', '.join(
+                 f'min(CASE WHEN p.d{b} = m.m{b} THEN p.bid END) AS code_{b}'
+                 for b in range(_Q118_M)
+             )}
+      FROM bpairs p JOIN bmins m USING (vec_id) GROUP BY p.vec_id
+    ), qp AS (
+      SELECT q.vec_id AS query_id, cc.cid AS cluster_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_full_dist_duck('q.embedding', 'cc.cv')}, 6) ASC,
+                                         cc.cid ASC) AS rk
+      FROM embeddings q CROSS JOIN cc
+      WHERE q.vec_id < 5
+    ), qresid AS (
+      SELECT p.query_id, p.cluster_id,
+             list_transform(range(1, {_Q118_DIM + 1}),
+                            i -> CAST(q.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE)) AS rv
+      FROM qp p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN cc ON cc.cid = p.cluster_id
+      WHERE p.rk <= 2
+    ), qd AS (
+      SELECT query_id, cluster_id, cb.bid,
+    {','.join(
+        f"         {_resid_block_dist_duck('qresid.rv', 'cb.bv', b)} AS ud{b}"
+        for b in range(_Q118_M)
+    )}
+      FROM qresid CROSS JOIN cb
+    ), scored AS (
+      SELECT q0.query_id, c.vec_id AS neighbor_id,
+             round(q0.ud0 + q1.ud1 + q2.ud2 + q3.ud3, 6) AS approx_dist
+      FROM codes c
+      JOIN qd q0 ON q0.cluster_id = c.cluster_id AND q0.bid = c.code_0
+      JOIN qd q1 ON q1.cluster_id = c.cluster_id AND q1.bid = c.code_1
+                 AND q1.query_id = q0.query_id
+      JOIN qd q2 ON q2.cluster_id = c.cluster_id AND q2.bid = c.code_2
+                 AND q2.query_id = q0.query_id
+      JOIN qd q3 ON q3.cluster_id = c.cluster_id AND q3.bid = c.code_3
+                 AND q3.query_id = q0.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the two-stage architecture real billion-vector
+    engines run, end-to-end through the gate (library: cluster.
+    ivfpq_encode / ivfpq_topk): coarse-assign each vector to one of 8
+    pinned centroids (the inverted-list key), product-quantize the
+    RESIDUAL (4 blocks × 8 codes), then each query probes only its 2
+    nearest lists and scores candidates by asymmetric distance — m
+    table lookups per candidate, never vector arithmetic. Multiplies
+    q49's probe pruning (scan n_probes/k of the corpus) by q105's
+    compression (touch codes, not vectors); partitioning the encoded
+    corpus BY cluster_id turns probes into partition pruning at
+    100 TB. The oracle replays coarse assignment, residual encoding,
+    probe ranking, and ADC search entirely in SQL (pinned
+    centroids/codebooks, round-6 + index tie-breaks at every argmin —
+    the q105/q49 portability scheme; kmeans_fit / pq_codebooks_fit
+    stay the production path)."""
+    from owl_etl_spark.operators.cluster import (
+        centroids_from_ids,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_ids,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    cents = centroids_from_ids(em, _Q118_CC_IDS)
+    cbs = pq_codebooks_from_ids(em, _Q118_CB_IDS, m=_Q118_M)
+    encoded = ivfpq_encode(em, cents, cbs, round_digits=6)
+    return ivfpq_topk(
+        em.filter(F.col("vec_id") < 5),
+        encoded,
+        cents,
+        cbs,
+        k=5,
+        n_probes=2,
+        round_digits=6,
+    ).select("query_id", "neighbor_id", "approx_dist", "rank")

@@ -389,3 +389,137 @@ def pq_rerank_topk(
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + product-quantized residuals
+# ---------------------------------------------------------------------------
+
+
+def _residual_expr(
+    vec_col: str, centroids: np.ndarray, cluster_col: str = "cluster_id"
+) -> F.Column:
+    """``vec - centroid[cluster_id]`` as array<double> — a CASE over
+    the k centroid literals, element-wise subtraction in one fixed
+    order (cast first, subtract second) so both engines fold
+    identically."""
+    k = centroids.shape[0]
+    branches = " ".join(
+        f"WHEN {cluster_col} = {c} THEN zip_with(transform({vec_col}, "
+        f"v -> CAST(v AS DOUBLE)), array({', '.join(f'{float(v)!r}D' for v in centroids[c])}), "
+        f"(x, y) -> x - y)"
+        for c in range(k)
+    )
+    return F.expr(f"CASE {branches} END")
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The full IVF-PQ index build as ONE map-only pass: coarse-assign
+    each vector to its nearest centroid (the inverted-list key),
+    subtract that centroid, and product-quantize the RESIDUAL.
+
+    Residual PQ (vs q105's plain PQ) is why real ANN engines pair the
+    two stages: after subtracting the coarse centroid the remaining
+    energy is small and locally isotropic, so the same m×ks codebook
+    budget quantizes far more precisely. The output carries
+    (cluster_id, pq_codes) — at 100 TB the index is a column pair,
+    partitionable BY cluster_id so each probe reads only its inverted
+    list's files (partition pruning does the 'inverted index' for
+    free). Everything is literal-broadcast codegen'd expressions: no
+    UDF, no shuffle, no driver data."""
+    assigned = assign_clusters(df, centroids, vec_col, round_digits)
+    with_resid = assigned.withColumn(
+        "__resid", _residual_expr(vec_col, centroids, "cluster_id")
+    )
+    return pq_encode(with_resid, codebooks, vec_col="__resid", round_digits=round_digits).drop(
+        "__resid"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus_encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: each query probes its ``n_probes``
+    nearest coarse clusters and scores ONLY those inverted lists, by
+    asymmetric distance against the PQ codes of the residuals.
+
+    Per (query, probed cluster): the query's residual vs that
+    cluster's centroid feeds one LUT per block (its exact distance to
+    each of the ks codebook rows); every candidate's approximate
+    distance is m table lookups. Compared to ``pq_adc_topk`` this
+    scans corpus_fraction ≈ n_probes/k_clusters of the codes, and
+    compared to ``ivf_knn`` it never touches a corpus vector — the
+    two multiplicative savings that make billion-vector search a
+    small-join problem. Probe ranking and block argmins round at
+    ``round_digits`` with index tie-breaks; final ranking ties break
+    on neighbor id — fully engine-portable. Top-k plans as
+    WindowGroupLimit after a cluster-key equi-join whose query side
+    (n_queries × n_probes rows of m·ks-double LUTs) broadcasts."""
+    kc = centroids.shape[0]
+    m, ks, _ = codebooks.shape
+
+    # rank centroids per query, keep n_probes (ties: lower cluster id)
+    dist_structs = []
+    for ci in range(kc):
+        arr = ", ".join(f"{float(v)!r}D" for v in centroids[ci])
+        d = (
+            f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        )
+        d = f"round({d}, {round_digits})" if round_digits is not None else d
+        dist_structs.append(f"named_struct('d', {d}, 'cluster_id', {ci})")
+    probes = (
+        f"transform(slice(array_sort(array({', '.join(dist_structs)})), 1, {n_probes}), "
+        f"p -> p.cluster_id)"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.expr(probes)).alias("cluster_id"),
+    ).withColumn("__qresid", _residual_expr("__qv", centroids, "cluster_id"))
+    luts = q.select(
+        "query_id",
+        "cluster_id",
+        *[
+            F.expr(
+                f"array({', '.join(_pq_block_dists('__qresid', codebooks, b, None))})"
+            ).alias(f"__lut{b}")
+            for b in range(m)
+        ],
+    )
+    total = " + ".join(
+        f"element_at(__lut{b}, element_at({code_col}, {b + 1}) + 1)" for b in range(m)
+    )
+    scored = (
+        corpus_encoded.select(
+            F.col(id_col).alias("neighbor_id"), "cluster_id", code_col
+        )
+        .join(F.broadcast(luts), "cluster_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(total), round_digits).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
