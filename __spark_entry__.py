@@ -1419,7 +1419,8 @@ _PRIORITY = [
     #    edits (q101/q111/q112), and every dependent of the r4-touched
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
-    "q113", "q114", "q115", "q116", "q117", "q118",
+    "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
+    "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -1431,8 +1432,7 @@ _PRIORITY = [
     #    exactly 50 names above this comment's end); the rest of the
     #    registry queues behind in registration order and rotates in
     #    next round.
-    "q52", "q54", "q55", "q56", "q57", "q58", "q59", "q60", "q61",
-    "q63", "q64",
+    "q52", "q54", "q55", "q56", "q57",
 ]
 
 
@@ -5420,3 +5420,210 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probes=2,
         round_digits=6,
     ).select("query_id", "neighbor_id", "approx_dist", "rank")
+
+
+_Q119_RUNS = [0]
+
+
+@_register(
+    "q119_streaming_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+          FROM events)
+    WHERE rk = 1
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-per-key through the batch oracle gate (library:
+    streaming.dedup_stream.streaming_latest_per_key) — the reference's
+    recency upsert (src/etl/load.py:99-219, W1/F4) run as a REAL
+    applyInPandasWithState query: per-key state holds one scalar (the
+    best recency seen), the output is an append changelog of
+    improvements, and folding that changelog by key must reproduce
+    DuckDB's batch argmax-per-user exactly. Recency rides as a
+    zero-padded ``epoch_us-event_id`` string, so the winner is total-
+    ordered even under timestamp ties (the q109 advisor fragility,
+    fixed by construction) and TZ-independent (epoch, never rendered).
+    State shards on the groupBy hash — per-key O(bytes) at any key
+    cardinality; ``state_timeout_ms=None`` because bounded availableNow
+    replays must terminate (see streaming_cdc_apply)."""
+    from owl_etl_spark.streaming.dedup_stream import streaming_latest_per_key
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "recency",
+            F.concat(
+                F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 10, "0"),
+            ),
+        )
+    )
+    latest = streaming_latest_per_key(
+        src, ["user_id"], "recency", "ts", state_timeout_ms=None
+    )
+    _Q119_RUNS[0] += 1
+    name = f"q119_sink_{_Q119_RUNS[0]}"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("recency").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+
+_Q120_RUNS = [0]
+
+
+@_register(
+    "q120_streaming_static_enrich",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment through the batch oracle
+    gate (library: streaming.joins.stream_static_enrich) — the
+    continuous form of the reference's reference-table lookup (S7,
+    src/etl/transform.py's gestor/custodio URL join): the unbounded
+    event stream broadcast-joins the static customer dimension in
+    every micro-batch (map-side, zero streaming state — a static side
+    needs no watermark), then a per-nation running aggregate in
+    complete mode must hash-match DuckDB's batch join+group over the
+    same inputs. Integer cents ride pre-aggregated (long sums). The
+    100 TB shape: dimension-sized side broadcasts; the stream side
+    never shuffles for the join, only for the tiny keyed aggregate."""
+    from owl_etl_spark.streaming.joins import stream_static_enrich
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumnRenamed("user_id", "c_custkey")
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = stream_static_enrich(src, dim, ["c_custkey"], how="inner")
+    agg = enriched.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+    _Q120_RUNS[0] += 1
+    name = f"q120_sink_{_Q120_RUNS[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "nationkey",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+_Q121_RUNS = [0]
+
+
+@_register(
+    "q121_streaming_sliding_counts",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+               AS window_start,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(window_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOPPING-window aggregation through the batch oracle
+    gate (library: streaming.windows.sliding_event_counts): 1-hour
+    windows sliding every 15 minutes — each event feeds exactly 4
+    windows, and the final complete-mode state must hash-match the
+    oracle's explicit 4-way window expansion (cross join over slide
+    offsets, every window start 15-minute-aligned in epoch time, so
+    boundaries are TZ-proof by construction). Completes the streaming
+    family: tumbling (q108), session (q109), interval join (q110),
+    CDC (q111), dedup (q114), latest (q119), enrich (q120), sliding
+    (here). Same epoch-rebuilt string rendering as q108."""
+    from owl_etl_spark.streaming.windows import sliding_event_counts
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("value", F.round(F.col("value") * 100).cast("long"))
+    )
+    agg = sliding_event_counts(src)
+    _Q121_RUNS[0] += 1
+    name = f"q121_sink_{_Q121_RUNS[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _utc_str(col: str):
+        ntz = F.expr(
+            f"timestampadd(SECOND, unix_timestamp({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return F.date_format(ntz, "yyyy-MM-dd HH:mm:ss")
+
+    return spark.table(name).select(
+        _utc_str("window_start").alias("window_start"),
+        _utc_str("window_end").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("long").alias("total_cents"),
+    )

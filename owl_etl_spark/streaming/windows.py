@@ -61,3 +61,34 @@ def session_counts(
         "user_id",
         "n_events",
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """HOPPING (sliding) window counts/sums per event_type: each event
+    contributes to window/slide overlapping windows (4 with the
+    defaults) — the trailing-hour-updated-every-15-min dashboards and
+    rate limiters want. Same watermark-bounded state as the tumbling
+    form; state size scales by the overlap factor (window/slide), so
+    keep the slide a sane fraction of the window at 100 TB-scale
+    streams. Works on streaming and batch frames alike."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(F.col(ts_col), window, slide).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -240,3 +240,39 @@ def test_streaming_dedup_restores_exactly_once(spark, tmp_path):
     got = spark.table("t_sdedup")
     assert got.count() == 100
     assert got.select("k").distinct().count() == 100
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) windows
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_counts_batch_overlap_factor(spark):
+    """Batch form: one event at 00:37 lands in exactly 4 hopping
+    windows (1h window / 15min slide) whose starts step back by 15min."""
+    from owl_etl_spark.streaming.windows import sliding_event_counts
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:37:00", "click", 2.0)], ["ts", "event_type", "value"]
+    ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+    out = sliding_event_counts(df).orderBy("window_start").collect()
+    assert len(out) == 4
+    assert all(r["n_events"] == 1 and r["total_value"] == 2.0 for r in out)
+    starts = [str(r["window_start"]) for r in out]
+    assert starts == sorted(starts)
+
+
+def test_sliding_equals_tumbling_when_slide_is_window(spark):
+    from owl_etl_spark.streaming.windows import hourly_event_counts, sliding_event_counts
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "a", 1.0),
+            ("2024-01-01 00:50:00", "a", 2.0),
+            ("2024-01-01 01:10:00", "b", 3.0),
+        ],
+        ["ts", "event_type", "value"],
+    ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+    s = sorted(map(tuple, sliding_event_counts(df, window="1 hour", slide="1 hour").collect()))
+    t = sorted(map(tuple, hourly_event_counts(df).collect()))
+    assert s == t
