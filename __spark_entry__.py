@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q108", "q109",
+    "q122", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -1432,7 +1432,7 @@ _PRIORITY = [
     #    exactly 50 names above this comment's end); the rest of the
     #    registry queues behind in registration order and rotates in
     #    next round.
-    "q52", "q54", "q55", "q56", "q57",
+    "q52", "q54", "q55",
 ]
 
 
@@ -5626,4 +5626,53 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("long").alias("total_cents"),
+    )
+
+
+@_register(
+    "q122_incremental_join_view",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance through the gate (library:
+    rollup.join_view_delta/join_view_merge) — q107's monthly-drop
+    contract extended from aggregates to joins: orders and lineitem
+    each arrive as two batches (key-parity split), the orders⋈lineitem
+    view is maintained as old-view + ΔV = newL⋈oldR ∪ oldL⋈newR ∪
+    newL⋈newR, and the maintained view's per-priority revenue rollup
+    must hash-match the oracle's DIRECT join over all history. That is
+    the delta rule's whole claim: merge ≡ full recompute, exactly (bag
+    semantics, disjoint match classes), while a drop only ever joins
+    batch-sized inputs against history — never history against
+    history. Final aggregate uses integer cents (order-independent)."""
+    from owl_etl_spark.operators.rollup import join_view_merge
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # split on NON-join attributes so every delta term is non-trivial
+    # (newL⋈oldR, oldL⋈newR, and newL⋈newR all carry rows)
+    oL, nL = o.filter(F.col("o_custkey") % 2 == 0), o.filter(F.col("o_custkey") % 2 == 1)
+    oR, nR = li.filter(F.col("l_linenumber") % 2 == 0), li.filter(F.col("l_linenumber") % 2 == 1)
+    view0 = oL.withColumnRenamed("o_orderkey", "k").join(
+        oR.withColumnRenamed("l_orderkey", "k"), ["k"]
+    )
+    maintained = join_view_merge(
+        view0,
+        oL.withColumnRenamed("o_orderkey", "k"),
+        nL.withColumnRenamed("o_orderkey", "k"),
+        oR.withColumnRenamed("l_orderkey", "k"),
+        nR.withColumnRenamed("l_orderkey", "k"),
+        ["k"],
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
     )

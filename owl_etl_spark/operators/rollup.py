@@ -60,3 +60,47 @@ def finalize(df: DataFrame, scale: int = 100) -> DataFrame:
         (F.col("max").cast("double") / scale).alias("maximum"),
         F.round(F.col("sum").cast("double") / F.col("cnt") / scale, 6).alias("mean"),
     )
+
+
+def join_view_delta(
+    old_left: DataFrame,
+    new_left: DataFrame,
+    old_right: DataFrame,
+    new_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join materialized view:
+    given a batch of new rows on each side, the view's DELTA is
+
+        ΔV = (newL ⋈ oldR) ∪ (oldL ⋈ newR) ∪ (newL ⋈ newR)
+
+    — the classic delta rule: appending ΔV to the stored view yields
+    exactly ``(oldL ∪ newL) ⋈ (oldR ∪ newR)`` without rejoining
+    history against history (the quadratic term a monthly drop must
+    never pay at 100 TB). The three delta joins each have a NEW side
+    that is batch-sized; when the batch is dimension-small Spark
+    broadcasts it and the only scans of history are one pass per
+    delta term — and if the stored sides are bucketed on ``on``,
+    even those co-locate without a shuffle. Equality is EXACT (bag
+    semantics): union of disjoint match classes, no dedup needed."""
+    return (
+        new_left.join(old_right, on)
+        .unionByName(old_left.join(new_right, on))
+        .unionByName(new_left.join(new_right, on))
+    )
+
+
+def join_view_merge(
+    view: DataFrame,
+    old_left: DataFrame,
+    new_left: DataFrame,
+    old_right: DataFrame,
+    new_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Stored view + delta = the maintained view (see
+    :func:`join_view_delta`); the caller persists the result as the
+    next state (or appends the delta to a partitioned sink)."""
+    return view.unionByName(
+        join_view_delta(old_left, new_left, old_right, new_right, on)
+    )

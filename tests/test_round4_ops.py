@@ -276,3 +276,41 @@ def test_sliding_equals_tumbling_when_slide_is_window(spark):
     s = sorted(map(tuple, sliding_event_counts(df, window="1 hour", slide="1 hour").collect()))
     t = sorted(map(tuple, hourly_event_counts(df).collect()))
     assert s == t
+
+
+# ---------------------------------------------------------------------------
+# incremental join-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_join_view_delta_equals_full_recompute(spark):
+    """old+Δ must equal the full join over (old ∪ new) on both sides,
+    with exact bag semantics (duplicates preserved)."""
+    from owl_etl_spark.operators.rollup import join_view_merge
+
+    L = spark.createDataFrame(
+        [Row(k=1, a="x"), Row(k=1, a="x2"), Row(k=2, a="y"), Row(k=3, a="z")]
+    )
+    R = spark.createDataFrame(
+        [Row(k=1, b="p"), Row(k=2, b="q"), Row(k=2, b="q2"), Row(k=4, b="r")]
+    )
+    oL, nL = L.filter("k <= 2"), L.filter("k > 2")
+    oR, nR = R.filter("k != 2"), R.filter("k = 2")
+    view0 = oL.join(oR, ["k"])
+    maintained = join_view_merge(view0, oL, nL, oR, nR, ["k"])
+    full = L.join(R, ["k"])
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_join_view_delta_terms_disjoint(spark):
+    """Each joined pair appears exactly once across view0 + the three
+    delta terms (the match classes partition old/new × old/new)."""
+    from owl_etl_spark.operators.rollup import join_view_delta
+
+    L = spark.createDataFrame([Row(k=i % 3, a=i) for i in range(9)])
+    R = spark.createDataFrame([Row(k=i % 3, b=i) for i in range(9)])
+    oL, nL = L.filter("a < 5"), L.filter("a >= 5")
+    oR, nR = R.filter("b < 4"), R.filter("b >= 4")
+    delta = join_view_delta(oL, nL, oR, nR, ["k"])
+    combined = oL.join(oR, ["k"]).unionByName(delta)
+    assert combined.count() == combined.distinct().count() == L.join(R, ["k"]).count()
