@@ -50,6 +50,19 @@ HEADLINE = [
     "q98_dup_components",
     # round-3: billions-of-keys quantile bucketing (no global sort)
     "q100_quantile_buckets",
+    # round-4 operator families: PQ/IVF-PQ vector compression (ADC
+    # search), bounded-memory CMS heavy hitters, deterministic weighted
+    # sampling, series interpolation, delta-rule join-view maintenance.
+    # NOTE on q105/q118 wall time: the encode pass parallelizes by
+    # input split; sf0.1's embeddings table is ONE parquet file, so
+    # locally the codegen'd encode runs on one core — at scale the same
+    # plan fans out per file/row-group with zero shuffles.
+    "q105_pq_adc_knn",
+    "q113_cms_heavy_hitters",
+    "q115_weighted_sample",
+    "q117_interpolate_gaps",
+    "q118_ivfpq_knn",
+    "q122_incremental_join_view",
 ]
 
 
