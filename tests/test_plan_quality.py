@@ -157,3 +157,46 @@ def test_q94_constraint_row_checks_single_pass(spark):
 
     scans = re.findall(r"Scan parquet.*orders", plan)
     assert len(scans) <= 3, plan
+
+
+def test_q115_weighted_sample_no_shuffle(spark):
+    """A-ES sampling must plan as pure row expressions +
+    TakeOrderedAndProject: zero exchanges — a 100 TB corpus is never
+    globally sorted or shuffled to draw k rows."""
+    import re
+
+    plan = _plan(spark, "q115_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+
+
+def test_q113_cms_probe_broadcasts(spark):
+    """CMS estimation probes the <=depth*width-row sketch via a
+    broadcast join — the candidate side must never shuffle against it."""
+    plan = _plan(spark, "q113_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q118_ivfpq_single_exchange_group_limit(spark):
+    """IVF-PQ search: encode and LUT build are map-only (literal
+    broadcast), candidates join the broadcast query side on the
+    cluster key, and the only exchange is the final per-query top-k
+    window — which must plan as WindowGroupLimit."""
+    import re
+
+    plan = _plan(spark, "q118_ivfpq_knn")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+
+
+def test_q116_mad_single_shuffle(spark):
+    """median + MAD + flags ride ONE shuffle on the group key (two
+    percentile window passes over co-partitioned data)."""
+    import re
+
+    plan = _plan(spark, "q116_mad_outliers")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
