@@ -7,6 +7,7 @@ Usage:
     python tools/verify_sweep.py              # all queries at sf0.001
     python tools/verify_sweep.py q29 q105     # only these prefixes
     VERIFY_SF=/root/testdata/sf0.01 python tools/verify_sweep.py
+    VERIFY_TZ=Asia/Kathmandu python tools/verify_sweep.py   # other hostile TZ
 
 Exits non-zero on any mismatch. See .claude/skills/verify/SKILL.md.
 """
@@ -26,7 +27,7 @@ ONLY = [a for a in sys.argv[1:]]
 spark = (
     SparkSession.builder.master("local[8]")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "America/Bogota")
+    .config("spark.sql.session.timeZone", os.environ.get("VERIFY_TZ", "America/Bogota"))
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
