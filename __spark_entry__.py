@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -1432,7 +1432,7 @@ _PRIORITY = [
     #    exactly 50 names above this comment's end); the rest of the
     #    registry queues behind in registration order and rotates in
     #    next round.
-    "q52", "q54", "q55",
+    "q52",
 ]
 
 
@@ -5676,3 +5676,136 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum(cents).cast("long").alias("revenue_cents"),
     )
+
+
+@_register(
+    "q123_entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS id, lower(trim(p_name)) AS n FROM part
+    ), tri AS (
+      SELECT DISTINCT id, block,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT id, string_split(n, ' ')[-1] AS block,
+                   unnest(CASE WHEN length(n) < 3 THEN [n]
+                          ELSE list_transform(range(1, length(n) - 1),
+                                              i -> substring(n, i, 3)) END) AS t
+            FROM p)
+    ), sizes AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tri GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
+      FROM tri a JOIN tri b ON a.block = b.block AND a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2
+    ), edges0 AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.6
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM edges0
+      UNION
+      SELECT id_b, id_a FROM edges0
+    ), reach AS (
+      SELECT id, id AS r FROM p
+      UNION
+      SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS p_partkey, CAST(min(r) AS BIGINT) AS entity_id
+    FROM reach GROUP BY id
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage end to end (library:
+    operators.linkage.resolve_entities): blocking (last name token) →
+    distinct-char-trigram Jaccard scoring via ONE md5-hash equi-join
+    (integer intersect/union counts, no UDF) → threshold edges →
+    connected components; every part is labeled entity_id = min member
+    id, singletons label themselves, and the oracle replays blocking,
+    scoring, thresholding, AND the transitive closure (recursive CTE).
+    The general discover-the-entities form of the reference's
+    alias-table canonicalization (src/etl/transform.py gestor/
+    custodio, J1/J2 — those need a curated reference list; this
+    doesn't). Scale: pair space is Σ block² (swap in q34's LSH banding
+    + skew guards for heavy blocks — documented in the module);
+    clustering cost is on the sparse edge list, not the corpus."""
+    from owl_etl_spark.operators.linkage import resolve_entities
+
+    p = _t(spark, sf_dir, "part")
+    return resolve_entities(p, "p_partkey", "p_name", threshold=0.6)
+
+
+@_register(
+    "q124_psi_drift",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), ref AS (SELECT * FROM v WHERE event_id % 2 = 0),
+    cur AS (SELECT * FROM v WHERE event_id % 2 = 1),
+    bounds AS (
+      SELECT event_type, CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+      FROM ref GROUP BY event_type
+    ), rbin AS (
+      SELECT r.event_type,
+             least(9, greatest(0, ((r.cents - b.lo) * 10) // (b.hi - b.lo + 1))) AS bin,
+             CAST(count(*) AS BIGINT) AS n_ref
+      FROM ref r JOIN bounds b USING (event_type) GROUP BY 1, 2
+    ), cbin AS (
+      SELECT c.event_type,
+             least(9, greatest(0, ((c.cents - b.lo) * 10) // (b.hi - b.lo + 1))) AS bin,
+             CAST(count(*) AS BIGINT) AS n_cur
+      FROM cur c JOIN bounds b USING (event_type) GROUP BY 1, 2
+    ), grid AS (
+      SELECT event_type, CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM bounds
+    ), cells AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN rbin r ON r.event_type = g.event_type AND r.bin = g.bin
+      LEFT JOIN cbin c ON c.event_type = g.event_type AND c.bin = g.bin
+    ), totals AS (
+      SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+      FROM cells GROUP BY event_type
+    ), terms AS (
+      SELECT cells.event_type, cells.n_ref, cells.n_cur,
+             CAST(round(
+               ((cells.n_cur + 1) / (t.tc + 10) - (cells.n_ref + 1) / (t.tr + 10))
+               * ln(((cells.n_cur + 1) / (t.tc + 10)) / ((cells.n_ref + 1) / (t.tr + 10)))
+               * 1000000) AS BIGINT) AS term
+      FROM cells JOIN totals t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(sum(n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           CAST(sum(term) AS BIGINT) AS psi_micro_nats,
+           CASE WHEN sum(term) < 100000 THEN 'stable'
+                WHEN sum(term) < 250000 THEN 'drifting'
+                ELSE 'drifted' END AS verdict
+    FROM terms GROUP BY event_type
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via PSI (library:
+    drift.psi_report): events split into reference/current windows
+    (event_id parity — the monthly-drop analog), per-type PSI over 10
+    fixed-width integer-cents bins with add-one smoothing, each bin
+    term snapped to integer micro-nats before an exact BIGINT sum (the
+    q104 trick — the only float ops are one ln + two divisions per
+    cell in fixed order, so the oracle hash-matches, verdict string
+    included). The monitor a re-ingesting pipeline runs before
+    trusting a new drop; no counterpart in the reference (it reloads
+    blindly). Plan: two map-combined aggregates + broadcast bounds +
+    n_bins-per-group grid — no windows, no sorts, scan-bound at any
+    scale."""
+    from owl_etl_spark.operators.drift import psi_report
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ref = v.filter(F.col("event_id") % 2 == 0)
+    cur = v.filter(F.col("event_id") % 2 == 1)
+    return psi_report(ref, cur, ["event_type"], "cents", n_bins=10)

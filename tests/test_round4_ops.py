@@ -314,3 +314,107 @@ def test_join_view_delta_terms_disjoint(spark):
     delta = join_view_delta(oL, nL, oR, nR, ["k"])
     combined = oL.join(oR, ["k"]).unionByName(delta)
     assert combined.count() == combined.distinct().count() == L.join(R, ["k"]).count()
+
+
+# ---------------------------------------------------------------------------
+# entity resolution (record linkage)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_entities_links_variants_not_strangers(spark):
+    from owl_etl_spark.operators.linkage import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="Acme Holdings"),
+            Row(id=2, name="ACME holdings"),    # case variant -> same entity
+            Row(id=3, name="Acmee Holdings"),   # typo (non-block token) -> same entity
+            Row(id=4, name="Zenith Holdings"), # same block, dissimilar name
+            Row(id=5, name="Blue Rocket"),     # different block entirely
+        ]
+    )
+    out = {r["id"]: r["entity_id"] for r in resolve_entities(df, "id", "name", 0.6).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] != out[1] and out[5] != out[1]
+    assert len(out) == 5  # every record labeled, singletons included
+
+
+def test_resolve_entities_transitive(spark):
+    """A~B and B~C but A~C below threshold must still cluster together
+    (components give transitivity — the reason scoring alone is not
+    resolution)."""
+    from owl_etl_spark.operators.linkage import resolve_entities, similarity_edges
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="alpha beta gamma zzz"),
+            Row(id=2, name="alpha beta gamno zzz"),
+            Row(id=3, name="alpha bedda gamno zzz"),
+        ]
+    )
+    edges = {(r["id_a"], r["id_b"]) for r in similarity_edges(df, "id", "name", 0.6).collect()}
+    out = {r["id"]: r["entity_id"] for r in resolve_entities(df, "id", "name", 0.6).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert (1, 3) not in edges  # the chain, not a direct edge, linked them
+
+
+def test_similarity_edges_blocking_prevents_cross_block_pairs(spark):
+    from owl_etl_spark.operators.linkage import similarity_edges
+
+    df = spark.createDataFrame(
+        [Row(id=1, name="acme widget"), Row(id=2, name="acme gadget")]
+    )
+    # different last tokens -> different blocks -> no pair at any score
+    assert similarity_edges(df, "id", "name", 0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_windows_near_zero(spark):
+    from owl_etl_spark.operators.drift import psi_report
+
+    df = spark.createDataFrame([Row(g="a", v=i % 100) for i in range(1000)])
+    [r] = psi_report(df, df, ["g"], "v").collect()
+    assert r["psi_micro_nats"] == 0
+    assert r["verdict"] == "stable"
+
+
+def test_psi_shifted_window_flags_drift(spark):
+    from owl_etl_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame([Row(g="a", v=i % 100) for i in range(1000)])
+    cur = spark.createDataFrame([Row(g="a", v=400 + i % 100) for i in range(1000)])
+    [r] = psi_report(ref, cur, ["g"], "v").collect()
+    # everything lands in the clamp bin -> massive PSI
+    assert r["verdict"] == "drifted"
+    assert r["psi_micro_nats"] > 1_000_000
+
+
+def test_psi_out_of_range_values_clamp(spark):
+    from owl_etl_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame([Row(g="a", v=v) for v in range(10, 110)])
+    cur = spark.createDataFrame(
+        [Row(g="a", v=-5), Row(g="a", v=999), Row(g="a", v=50)]
+    )
+    [r] = psi_report(ref, cur, ["g"], "v").collect()
+    assert r["n_cur"] == 3  # nothing dropped; edges absorbed the outliers
+
+
+def test_psi_groups_independent(spark):
+    from owl_etl_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame(
+        [Row(g="a", v=i % 50) for i in range(500)]
+        + [Row(g="b", v=i % 50) for i in range(500)]
+    )
+    cur = spark.createDataFrame(
+        [Row(g="a", v=i % 50) for i in range(500)]
+        + [Row(g="b", v=45 + i % 5) for i in range(500)]
+    )
+    out = {r["g"]: r for r in psi_report(ref, cur, ["g"], "v").collect()}
+    assert out["a"]["verdict"] == "stable"
+    assert out["b"]["verdict"] == "drifted"
