@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -1432,8 +1432,7 @@ _PRIORITY = [
     #    exactly 50 names above this comment's end); the rest of the
     #    registry queues behind in registration order and rotates in
     #    next round.
-    "q52",
-]
+    ]
 
 
 def _ordered_names() -> list[str]:
@@ -5809,3 +5808,71 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = v.filter(F.col("event_id") % 2 == 0)
     cur = v.filter(F.col("event_id") % 2 == 1)
     return psi_report(ref, cur, ["event_type"], "cents", n_bins=10)
+
+
+def _q125_iter_sql(prev: str, cur: str) -> str:
+    """One PageRank iteration in SQL, mirroring graph.pagerank's
+    integer micro-unit recurrence exactly (round per edge, exact
+    BIGINT sum, damping re-round per node)."""
+    return f"""{cur} AS (
+      SELECT nn.n AS n,
+             150000 + CAST(round(0.85 * COALESCE(c.s, 0)) AS BIGINT) AS rank
+      FROM nodes nn LEFT JOIN (
+        SELECT e.dst, CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) / e.deg) AS BIGINT)) AS BIGINT) AS s
+        FROM {prev} r JOIN edges e ON e.src = r.n
+        GROUP BY e.dst
+      ) c ON c.dst = nn.n
+    )"""
+
+
+@_register(
+    "q125_trade_pagerank",
+    f"""
+    WITH nodes AS (
+      SELECT n_nationkey AS n FROM nation
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+      )
+    ), r0 AS (
+      SELECT n, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    ),
+    {', '.join(_q125_iter_sql(f'r{i}', f'r{i + 1}') for i in range(5))}
+    SELECT n AS nationkey, rank AS rank_micro_units FROM r5
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (library:
+    operators.graph.pagerank) — the iterative-centrality family that
+    corpus curation uses as a link-graph quality prior (host rank as a
+    keep/weight signal next to q84/q104's per-document gates). Edges:
+    one per lineitem flow, supplier nation → customer nation, so
+    parallel edges weight by trade frequency. Five fixed iterations in
+    integer MICRO-units — contribution = round(rank/outdeg) per edge,
+    exact BIGINT sums, damping re-round per node — make the vector
+    bit-identical across engines/partitionings; the oracle replays all
+    five iterations as chained CTEs. Plan per iteration: one
+    edge-to-rank join + one aggregate over the EDGE LIST (never a
+    matrix), localCheckpoint truncating lineage — O(iters) plan depth
+    like q98's components."""
+    from owl_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    return pagerank(edges, nodes, "node", "src", "dst", n_iters=5).select(
+        F.col("node").alias("nationkey"), "rank_micro_units"
+    )

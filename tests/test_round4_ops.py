@@ -418,3 +418,64 @@ def test_psi_groups_independent(spark):
     out = {r["g"]: r for r in psi_report(ref, cur, ["g"], "v").collect()}
     assert out["a"]["verdict"] == "stable"
     assert out["b"]["verdict"] == "drifted"
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_check_and_dangling(spark):
+    """a->b only: a keeps the teleport term (150000), b converges to
+    150000 + round(0.85 * round(150000/1)) = 277500. Dangling b leaks
+    its mass (documented simple variant)."""
+    from owl_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([Row(src="a", dst="b")])
+    nodes = spark.createDataFrame([Row(node="a"), Row(node="b")])
+    out = {r["node"]: r["rank_micro_units"] for r in pagerank(edges, nodes, n_iters=3).collect()}
+    assert out == {"a": 150_000, "b": 277_500}
+
+
+def test_pagerank_cycle_is_fixed_point(spark):
+    """A symmetric 2-cycle keeps every node at exactly 1.0 (1e6)."""
+    from owl_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([Row(src="a", dst="b"), Row(src="b", dst="a")])
+    nodes = spark.createDataFrame([Row(node="a"), Row(node="b")])
+    out = {r["node"]: r["rank_micro_units"] for r in pagerank(edges, nodes, n_iters=4).collect()}
+    assert out == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_pagerank_parallel_edges_weight(spark):
+    """src with 3 parallel edges to b and 1 to c splits rank 3:1."""
+    from owl_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b")] * 3 + [Row(src="a", dst="c")]
+    )
+    nodes = spark.createDataFrame([Row(node=n) for n in "abc"])
+    out = {r["node"]: r["rank_micro_units"] for r in pagerank(edges, nodes, n_iters=1).collect()}
+    # a's 1e6 splits into 4 deg shares of 250000: b gets 3, c gets 1
+    assert out["b"] == 150_000 + round(0.85 * 750_000)
+    assert out["c"] == 150_000 + round(0.85 * 250_000)
+
+
+def test_pagerank_repartition_stable(spark):
+    """Integer micro-unit arithmetic makes the vector bit-identical
+    under any partitioning (float PageRank would drift at the ulp)."""
+    from owl_etl_spark.operators.graph import pagerank
+
+    import random
+
+    rnd = random.Random(5)
+    edges = spark.createDataFrame(
+        [Row(src=rnd.randrange(30), dst=rnd.randrange(30)) for _ in range(300)]
+    )
+    nodes = spark.createDataFrame([Row(node=i) for i in range(30)])
+    a = {r["node"]: r["rank_micro_units"] for r in pagerank(edges, nodes, n_iters=4).collect()}
+    b = {
+        r["node"]: r["rank_micro_units"]
+        for r in pagerank(edges.repartition(17), nodes.repartition(3), n_iters=4).collect()
+    }
+    assert a == b
