@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -5875,4 +5875,93 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     return pagerank(edges, nodes, "node", "src", "dst", n_iters=5).select(
         F.col("node").alias("nationkey"), "rank_micro_units"
+    )
+
+
+_Q126_RUNS = [0]
+
+
+@_register(
+    "q126_streaming_stateful_sessionizer",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
+    ), flagged AS (
+      SELECT user_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+    ), sess AS (
+      SELECT user_id, ms,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ms
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), mx AS (
+      SELECT max(ms) AS m FROM e
+    )
+    SELECT user_id,
+           strftime(epoch_ms(min(ms)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(epoch_ms(max(ms)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess CROSS JOIN mx
+    GROUP BY user_id, sid, m
+    HAVING max(ms) + 1800000 < m
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionizer through the gate (library:
+    streaming.joins.sessionize_stateful) — the applyInPandasWithState
+    form of sessionization (three scalars of state per key, event-time
+    timers closing quiet sessions), complementing q109's built-in
+    session_window: this is the template for stateful operators Spark
+    has no primitive for. Bounded-run emission contract (probed
+    empirically, boundary included): non-final sessions close in-batch;
+    a user's final session fires its event-time timer only when
+    ``end + gap`` is STRICTLY below the final watermark (= max event
+    time at delay 0) — which collapses to one oracle rule, emit iff
+    ``end_ms + gap_ms < global_max_ms``, since every non-final session
+    satisfies it by construction. TZ contract: the operator takes
+    instants in (unix_micros) and emits epoch-ms longs out, after the
+    hostile-TZ gate exposed that local-wall-derived timers fire
+    offset-hours early/late (see _SESSION_OUT); verified under UTC,
+    America/Bogota, Asia/Kathmandu. State is O(active keys), sharded
+    on the groupBy hash."""
+    from owl_etl_spark.streaming.joins import sessionize_stateful
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "ts")
+    )
+    sess = sessionize_stateful(src, "user_id", "ts", gap_seconds=1800)
+    _Q126_RUNS[0] += 1
+    name = f"q126_sink_{_Q126_RUNS[0]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # session boundaries arrive as epoch-ms longs (TZ-proof by
+    # construction — see _SESSION_OUT); render via the NTZ rebuild
+    def _utc_str(col: str):
+        ntz = F.expr(
+            f"timestampadd(SECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return F.date_format(ntz, "yyyy-MM-dd HH:mm:ss")
+
+    return spark.table(name).select(
+        "user_id",
+        _utc_str("session_start_ms").alias("session_start"),
+        _utc_str("session_end_ms").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
     )

@@ -61,14 +61,19 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop(rw[key])
 
 
-# Output: one row per closed session.
+# Output: one row per closed session. Boundaries are EPOCH MILLISECOND
+# longs, not timestamps: pandas receives session-LOCAL naive walls for
+# timestamp columns, so ms derived from them would shift with the
+# session TZ — and event-time TIMERS compare against the engine
+# watermark, which is instant-based, making local-wall timers fire
+# offset-hours early or late (found via the q126 hostile-TZ gate:
+# UTC/Kathmandu sessions near the stream tail stayed open while Bogota
+# flushed everything). Instants in, instants out; render at the edge.
 _SESSION_OUT = (
-    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    "user_id bigint, session_start_ms bigint, session_end_ms bigint, n_events bigint"
 )
 # State: session under construction for this key.
 _SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
-
-_MS = 1_000_000  # pandas Timestamp.value is ns; state keeps ms
 
 
 def sessionize_stateful(
@@ -78,9 +83,10 @@ def sessionize_stateful(
     gap_seconds: int = 1800,
     watermark: str = "0 seconds",
 ) -> DataFrame:
-    """Emit ``(user_id, session_start, session_end, n_events)`` for each
-    session closed by a ``gap_seconds`` quiet period, detected by
-    event-time timeout.
+    """Emit ``(user_id, session_start_ms, session_end_ms, n_events)``
+    for each session closed by a ``gap_seconds`` quiet period, detected
+    by event-time timeout. Boundaries are true epoch-millisecond
+    instants, timezone-independent (see ``_SESSION_OUT``).
 
     A session closes when (a) the watermark passes ``last_event + gap``
     with no new event (timer fires → emit + state removed), or (b) a
@@ -98,8 +104,8 @@ def sessionize_stateful(
             return pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
                     "n_events": [n],
                 }
             )
@@ -112,10 +118,12 @@ def sessionize_stateful(
 
         start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
         closed = []
+        # __us carries unix_micros(ts): the true instant, unaffected by
+        # the session-local rendering pandas gets for timestamp columns
         ts_values = sorted(
-            int(v) // _MS
+            int(v) // 1000
             for pdf in pdfs
-            for v in pdf[ts_col].astype("int64").tolist()
+            for v in pdf["__us"].astype("int64").tolist()
         )
         for t in ts_values:
             if last_ms is None:
@@ -132,7 +140,9 @@ def sessionize_stateful(
         for c in closed:
             yield emit(*c)
 
-    df = events.withWatermark(ts_col, watermark)
+    df = events.withWatermark(ts_col, watermark).withColumn(
+        "__us", F.unix_micros(F.col(ts_col))
+    )
     return df.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=_SESSION_OUT,

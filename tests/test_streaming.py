@@ -247,15 +247,15 @@ def test_sessionize_stateful_timeout_eviction(spark, tmp_path):
     )
     q.awaitTermination(180)
     rows = spark.sql(
-        "SELECT user_id, session_start, session_end, n_events FROM sess_state_test"
+        "SELECT user_id, session_start_ms, session_end_ms, n_events FROM sess_state_test"
     ).collect()
     # Batch 1 ran with watermark = 02:00 (max ts of batch 0), so user
     # 1's timer (00:10 + 30min = 00:40) fired: one closed session.
     # Users 2/9 remain open (timers at 02:30/03:00 >= watermark).
+    # Boundaries are epoch-ms instants (2024-01-01T00:00/00:10 UTC).
     assert [
-        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
-        for r in rows
-    ] == [(1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events) for r in rows
+    ] == [(1, 1704067200000, 1704067800000, 2)]
 
 
 def test_sessionize_stateful_gap_split_in_batch(spark, tmp_path):
@@ -280,11 +280,11 @@ def test_sessionize_stateful_gap_split_in_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql(
-        "SELECT session_start, session_end, n_events FROM sess_split_test"
+        "SELECT session_start_ms, session_end_ms, n_events FROM sess_split_test"
     ).collect()
     assert [
-        (r.session_start.isoformat(), r.session_end.isoformat(), r.n_events) for r in got
-    ] == [("2024-01-01T00:00:00", "2024-01-01T00:05:00", 2)]
+        (r.session_start_ms, r.session_end_ms, r.n_events) for r in got
+    ] == [(1704067200000, 1704067500000, 2)]
 
 
 def test_rate_source_soak_multi_batch(spark):
