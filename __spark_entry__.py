@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -5965,3 +5965,55 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         _utc_str("session_end_ms").alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@_register(
+    "q127_token_pmi",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+      ) WHERE length(tok) >= 4
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 50
+    ), present AS (
+      SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM present a JOIN present b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT p.tok_a, p.tok_b, p.n_ab, va.df AS df_a, vb.df AS df_b,
+           CAST(round(ln(CAST(p.n_ab * n.n_docs AS DOUBLE)
+                         / CAST(va.df * vb.df AS DOUBLE)) * 1000000) AS BIGINT)
+             AS pmi_micro_nats
+    FROM pairs p
+    JOIN vocab va ON va.tok = p.tok_a
+    JOIN vocab vb ON vb.tok = p.tok_b
+    CROSS JOIN n
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token co-occurrence PMI (library:
+    operators.cooccur.token_pmi_pairs) — the association statistic
+    under collocation/phrase detection and word2vec-style embeddings
+    (SGNS factorizes shifted PMI), and structurally the market-basket
+    'bought together' operator. The quadratic pair step is bounded by
+    a top-50 document-frequency vocabulary BEFORE the self-join, so
+    per-document fan-out is ≤ vocab²/2 and the pair space collapses
+    map-side to the global vocab²/2 — the only way this survives a
+    100 TB corpus. Exact integer counts; PMI snapped to integer
+    micro-nats in one fixed-order double expression (q104's trick) —
+    the oracle replays vocabulary selection, pair counting, and the
+    PMI arithmetic hash-exactly. Extends the text-analysis family
+    (q57 TF-IDF, q68 top-k, q90 BM25, q104 unigram-LM)."""
+    from owl_etl_spark.operators.cooccur import token_pmi_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return token_pmi_pairs(d, "doc_id", "text", top_vocab=50, min_pair_count=5)

@@ -479,3 +479,58 @@ def test_pagerank_repartition_stable(spark):
         for r in pagerank(edges.repartition(17), nodes.repartition(3), n_iters=4).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_check(spark):
+    """4 docs; x and y always co-occur (PMI = ln(4·n/(df·df)) > 0),
+    x and z never do (pair absent)."""
+    from owl_etl_spark.operators.cooccur import token_pmi_pairs
+
+    import math
+
+    docs = [
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="alpha beta"),
+        Row(doc_id=3, text="alpha beta"),
+        Row(doc_id=4, text="gamma delta"),
+    ]
+    out = token_pmi_pairs(
+        spark.createDataFrame(docs), "doc_id", "text", top_vocab=10, min_pair_count=1
+    ).collect()
+    pairs = {(r["tok_a"], r["tok_b"]): r for r in out}
+    assert ("alpha", "beta") in pairs and ("delta", "gamma") in pairs
+    assert ("alpha", "gamma") not in pairs
+    ab = pairs[("alpha", "beta")]
+    assert ab["n_ab"] == 3 and ab["df_a"] == 3 and ab["df_b"] == 3
+    # PMI = ln(3*4/(3*3)) = ln(4/3)
+    assert ab["pmi_micro_nats"] == round(math.log(4 / 3) * 1e6)
+
+
+def test_pmi_repeated_mentions_count_once(spark):
+    from owl_etl_spark.operators.cooccur import token_pmi_pairs
+
+    docs = [Row(doc_id=1, text="echo echo echo foxtrot"), Row(doc_id=2, text="echo foxtrot")]
+    [r] = token_pmi_pairs(
+        spark.createDataFrame(docs), "doc_id", "text", top_vocab=10, min_pair_count=1
+    ).collect()
+    assert (r["tok_a"], r["tok_b"], r["n_ab"]) == ("echo", "foxtrot", 2)
+
+
+def test_pmi_vocab_bound_limits_pairs(spark):
+    """Tokens outside the top-vocab must never appear in pairs — the
+    bound that keeps the quadratic step survivable."""
+    from owl_etl_spark.operators.cooccur import token_pmi_pairs
+
+    docs = [
+        Row(doc_id=i, text="commona commonb rare%s" % ("x" * (i + 1))) for i in range(10)
+    ]
+    out = token_pmi_pairs(
+        spark.createDataFrame(docs), "doc_id", "text", top_vocab=2, min_pair_count=1
+    ).collect()
+    toks = {t for r in out for t in (r["tok_a"], r["tok_b"])}
+    assert toks == {"commona", "commonb"}
