@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -6017,3 +6017,97 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return token_pmi_pairs(d, "doc_id", "text", top_vocab=50, min_pair_count=5)
+
+
+@_register(
+    "q128_dup_cluster_survivors",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [norm]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+               AS shingle
+        FROM toks)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_Q34_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      {_Q34_BANDS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                 AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT d.doc_id, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members
+      FROM documents d JOIN comp c USING (doc_id)
+    )
+    SELECT component, doc_id AS survivor_id, CAST(n_chars AS BIGINT) AS n_chars,
+           n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection over MinHash-LSH dup clusters
+    (library: dedup.minhash_lsh_pairs → dedup.connected_components →
+    linkage.select_canonical) — the step that turns 'these documents
+    are duplicates' into 'keep THIS one': C4-style longest-member-wins
+    (n_chars desc, id tiebreak), every cluster incl. singletons
+    emitting exactly one survivor with its member count. The full
+    dedup story end to end — candidate pairs (q34's banding + skew
+    guards), clustering (q98's components), survivor choice — with the
+    oracle replaying all three stages plus the window argmax. Survivor
+    rank-1 plans as WindowGroupLimit on the cluster key: map tasks
+    forward one partial survivor per cluster, never the corpus."""
+    from owl_etl_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from owl_etl_spark.operators.linkage import select_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
+    labels = connected_components(pairs, d.select("doc_id"), "doc_id").withColumnRenamed(
+        "component", "component"
+    )
+    surv = select_canonical(
+        d.select("doc_id", "n_chars"),
+        labels,
+        "doc_id",
+        cluster_col="component",
+        order_exprs=[F.col("n_chars").desc()],
+    )
+    return surv.select(
+        "component",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_members",
+    )

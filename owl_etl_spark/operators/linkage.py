@@ -110,3 +110,45 @@ def resolve_entities(
     return connected_components(
         edges, df.select(id_col), id_col, max_iters=max_iters
     ).withColumnRenamed("component", "entity_id")
+
+
+def select_canonical(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    cluster_col: str = "entity_id",
+    order_exprs: list | None = None,
+) -> DataFrame:
+    """Pick ONE canonical record per cluster — the step every
+    dedup/linkage pipeline ends with (C4 keeps the longest member of a
+    dup cluster; master-data systems keep the most complete record).
+
+    ``order_exprs``: descending-priority ordering columns (first by
+    these, ties by ``id_col`` ascending — always total, so the
+    survivor set is deterministic under any partitioning). Returns the
+    full surviving rows plus ``cluster_col`` and ``n_members``.
+
+    Plan: one join to attach labels; the rank-1 window stands ALONE so
+    it plans as WindowGroupLimit (map-side partial top-1, the q07/W1
+    property — a count-over-cluster window in the same pass would
+    defeat it by needing every row); ``n_members`` comes from a
+    map-side-combined aggregate over the skinny labels frame instead.
+    At 100 TB the window shuffle carries one partial survivor per
+    cluster per map task, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    order_exprs = order_exprs or []
+    counts = labels.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    labeled = df.join(labels, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        *order_exprs, F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .join(counts, cluster_col)
+    )

@@ -534,3 +534,35 @@ def test_pmi_vocab_bound_limits_pairs(spark):
     ).collect()
     toks = {t for r in out for t in (r["tok_a"], r["tok_b"])}
     assert toks == {"commona", "commonb"}
+
+
+def test_select_canonical_longest_wins_with_counts(spark):
+    from owl_etl_spark.operators.linkage import select_canonical
+
+    df = spark.createDataFrame(
+        [Row(id=1, size=10), Row(id=2, size=30), Row(id=3, size=30), Row(id=4, size=5)]
+    )
+    labels = spark.createDataFrame(
+        [Row(id=1, entity_id=1), Row(id=2, entity_id=1), Row(id=3, entity_id=1),
+         Row(id=4, entity_id=4)]
+    )
+    out = {r["entity_id"]: r for r in select_canonical(
+        df, labels, "id", order_exprs=[F.col("size").desc()]
+    ).collect()}
+    # size tie between 2 and 3 -> lower id wins; singleton survives itself
+    assert out[1]["id"] == 2 and out[1]["n_members"] == 3
+    assert out[4]["id"] == 4 and out[4]["n_members"] == 1
+
+
+def test_select_canonical_plans_window_group_limit(spark):
+    import contextlib, io
+
+    from owl_etl_spark.operators.linkage import select_canonical
+
+    df = spark.createDataFrame([Row(id=i, size=i) for i in range(20)])
+    labels = spark.createDataFrame([Row(id=i, entity_id=i % 3) for i in range(20)])
+    out = select_canonical(df, labels, "id", order_exprs=[F.col("size").desc()])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
