@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q36", "q37", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -6110,4 +6110,82 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("survivor_id"),
         F.col("n_chars").cast("long").alias("n_chars"),
         "n_members",
+    )
+
+
+@_register(
+    "q129_table_checksum_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                       o_orderstatus,
+                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       CAST(epoch_us(o_orderdate) AS VARCHAR)) AS payload
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey AS k,
+             concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                       CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END,
+                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       CAST(epoch_us(o_orderdate) AS VARCHAR)) AS payload
+      FROM orders WHERE o_orderkey % 131 != 0
+    ), fa AS (
+      SELECT CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(bit_xor(CAST(('0x' || substring(md5(payload), 1, 15)) AS BIGINT)) AS BIGINT) AS xa,
+             CAST(sum(CAST(('0x' || substring(md5(payload), 1, 15)) AS BIGINT) % 2147483647) AS BIGINT) AS sa
+      FROM a GROUP BY 1
+    ), fb AS (
+      SELECT CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(bit_xor(CAST(('0x' || substring(md5(payload), 1, 15)) AS BIGINT)) AS BIGINT) AS xb,
+             CAST(sum(CAST(('0x' || substring(md5(payload), 1, 15)) AS BIGINT) % 2147483647) AS BIGINT) AS sb
+      FROM b GROUP BY 1
+    )
+    SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b,
+           (COALESCE(n_a, 0) = COALESCE(n_b, 0)
+            AND COALESCE(xa, 0) = COALESCE(xb, 0)
+            AND COALESCE(sa, 0) = COALESCE(sb, 0)) AS match
+    FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table reconciliation (library:
+    diff.bucket_checksum_diff) — 'are these two 100 TB snapshots
+    identical, and WHERE do they differ?' answered by per-bucket
+    checksums (count + XOR-fold + mod-P sum of portable md5 row
+    hashes): the shuffle carries 2·256 fingerprint rows total, never
+    either table, and mismatched buckets scope row-level drill-down to
+    1/256 of the data. Side B simulates replica drift — every 97th
+    order's status mutated, every 131st order deleted — so the gate
+    verifies both the matching buckets AND the exact mismatching set.
+    Extends the q36/q37 keyed-diff harness (the reference's golden
+    comparison, src/scripts/test_ETL.py) with the snapshot-scale form.
+    Payload columns ride as integer strings (cents, epoch micros) —
+    no float or timezone rendering in the hash."""
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        # o_orderdate is TIMESTAMP_NTZ — epoch via the NTZ diff (TZ-proof)
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).alias("us"),
+    )
+    mutated = (
+        base.filter(F.col("o_orderkey") % 131 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, "X").otherwise(F.col("o_orderstatus")),
+        )
+    )
+    return bucket_checksum_diff(
+        base, mutated, "o_orderkey", ["o_custkey", "o_orderstatus", "cents", "us"], 256
     )

@@ -117,3 +117,69 @@ def field_frequency_report(diffs: DataFrame) -> DataFrame:
     return diffs.groupBy("campo").agg(F.count(F.lit(1)).alias("ocurrencias")).orderBy(
         F.desc("ocurrencias"), F.asc("campo")
     )
+
+
+def bucket_checksum_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Merkle-style table reconciliation: compare two snapshots by
+    per-bucket CHECKSUMS instead of rows — the only way to answer "are
+    these two 100 TB copies identical, and where do they differ?"
+    without shipping either table (cross-region replicas, pre/post
+    migration, vendor hand-offs).
+
+    Each row hashes to a portable 60-bit integer over its key+payload
+    (md5 — identical in any engine); rows bucket by a hash of the key;
+    each side reduces to ``n_buckets`` fingerprint rows: count,
+    XOR-fold, and a mod-P sum of row hashes (XOR alone is blind to an
+    even number of repeats of the same row; the mod-P sum is blind to
+    reorderings XOR catches — together they make collisions
+    vanishingly unlikely). The shuffle carries 2·n_buckets fingerprint
+    rows TOTAL — bytes, not tables; mismatched buckets then scope any
+    row-level drill-down to 1/n_buckets of the data each.
+
+    Returns one row per bucket: (bucket, n_a, n_b, match) via a full
+    outer join of the two fingerprint sets (a bucket empty on one side
+    still reports). Deterministic: every aggregate is order-independent
+    (count / xor / modular sum).
+    """
+    from owl_etl_spark.functions.hashing import md5_long
+
+    # per-row terms reduce mod 2^31-1 BEFORE the sum so a bucket of up
+    # to 2^32 rows sums without BIGINT overflow in any engine
+    P = 2_147_483_647
+
+    def fingerprint(df: DataFrame, n_col: str, x_col: str, s_col: str) -> DataFrame:
+        payload = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in [key_col, *payload_cols]]
+        )
+        h = md5_long(payload)
+        bucket = F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_buckets))
+        return (
+            df.select(bucket.alias("bucket"), h.alias("__h"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.expr("bit_xor(__h)").cast("long").alias(x_col),
+                F.sum(F.pmod(F.col("__h"), F.lit(P))).cast("long").alias(s_col),
+            )
+        )
+
+    fa = fingerprint(a, "n_a", "__xa", "__sa")
+    fb = fingerprint(b, "n_b", "__xb", "__sb")
+    joined = fa.join(fb, "bucket", "full_outer")
+    match = (
+        (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+        & (F.coalesce("__xa", F.lit(0)) == F.coalesce("__xb", F.lit(0)))
+        & (F.coalesce("__sa", F.lit(0)) == F.coalesce("__sb", F.lit(0)))
+    )
+    return joined.select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        match.alias("match"),
+    )

@@ -566,3 +566,56 @@ def test_select_canonical_plans_window_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# bucket checksum reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_checksum_diff_identical_tables_all_match(spark):
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    df = spark.createDataFrame([Row(k=i, v="x%d" % i) for i in range(200)])
+    out = bucket_checksum_diff(df, df, "k", ["v"], n_buckets=16).collect()
+    assert len(out) == 16
+    assert all(r["match"] and r["n_a"] == r["n_b"] for r in out)
+
+
+def test_checksum_diff_localizes_a_single_change(spark):
+    """One mutated row flips exactly ONE bucket — the property that
+    scopes drill-down to 1/n_buckets of the data."""
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    a = spark.createDataFrame([Row(k=i, v="x") for i in range(200)])
+    b = spark.createDataFrame([Row(k=i, v="y" if i == 57 else "x") for i in range(200)])
+    out = bucket_checksum_diff(a, b, "k", ["v"], n_buckets=16).collect()
+    bad = [r for r in out if not r["match"]]
+    assert len(bad) == 1
+    assert bad[0]["n_a"] == bad[0]["n_b"]  # same count, different content — xor/sum caught it
+
+
+def test_checksum_diff_counts_catch_deletes(spark):
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    a = spark.createDataFrame([Row(k=i, v="x") for i in range(100)])
+    b = a.filter("k != 31")
+    out = bucket_checksum_diff(a, b, "k", ["v"], n_buckets=8).collect()
+    bad = [r for r in out if not r["match"]]
+    assert len(bad) == 1 and bad[0]["n_a"] == bad[0]["n_b"] + 1
+
+
+def test_checksum_diff_xor_blindspot_covered_by_sum(spark):
+    """Two copies of the same new row XOR to the old fingerprint if a
+    row is swapped for itself twice — the mod-P sum term must still
+    catch content changes XOR alone could miss. Construct a same-count
+    bucket where xor(a)=xor(b) but rows differ."""
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    # duplicate-row tables: a has {r1, r1}, b has {r2, r2} in one bucket
+    a = spark.createDataFrame([Row(k=1, v="p"), Row(k=1, v="p")])
+    b = spark.createDataFrame([Row(k=1, v="q"), Row(k=1, v="q")])
+    out = bucket_checksum_diff(a, b, "k", ["v"], n_buckets=4).collect()
+    bad = [r for r in out if not r["match"]]
+    # xor of a double row is 0 on both sides; the sum term still differs
+    assert len(bad) == 1
