@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q36", "q37", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q36", "q37", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -6188,4 +6188,67 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bucket_checksum_diff(
         base, mutated, "o_orderkey", ["o_custkey", "o_orderstatus", "cents", "us"], 256
+    )
+
+
+@_register(
+    "q130_join_size_estimate",
+    """
+    WITH rows_ AS (
+      SELECT unnest([0, 1, 2, 3]) AS row
+    ), sa AS (
+      SELECT r.row,
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(7000 + r.row AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 4096 AS cell,
+             CAST(count(*) AS BIGINT) AS a
+      FROM orders CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ), sb AS (
+      SELECT r.row,
+             CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(7000 + r.row AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 4096 AS cell,
+             CAST(count(*) AS BIGINT) AS b
+      FROM customer CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ), dots AS (
+      SELECT sa.row, sum(sa.a * sb.b) AS dot
+      FROM sa JOIN sb ON sa.row = sb.row AND sa.cell = sb.cell
+      GROUP BY sa.row
+    ), est AS (
+      SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est_join_size, exact_join_size,
+           (est_join_size >= exact_join_size) AS never_undercounts
+    FROM est CROSS JOIN exact
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two count-min sketches (library:
+    sketches.cms_build + cms_inner_product) — price an equi-join
+    BEFORE running it: est|orders ⋈ customer| = min over sketch rows
+    of Σ_cell a[cell]·b[cell], the classic CMS inner-product
+    estimator, biased up only. The sketches are one KB-sized pass per
+    table (mergeable across partitions/days), so the planner-style
+    question 'broadcast, shuffle, or veto this join?' costs no scan of
+    either table at decision time. Gate is HASH-EXACT (integer cells,
+    integer products — the oracle rebuilds both sketches and the
+    estimator) and also verifies the one-sided guarantee against the
+    true join size. Companion to q113's point-frequency CMS."""
+    from owl_etl_spark.operators.sketches import cms_build, cms_inner_product
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sa = cms_build(o.select("o_custkey"), "o_custkey", depth=4, width=4096)
+    sb = cms_build(c.select("c_custkey"), "c_custkey", depth=4, width=4096)
+    est = cms_inner_product(sa, sb, depth=4)
+    exact = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias("never_undercounts"),
     )

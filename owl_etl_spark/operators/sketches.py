@@ -179,3 +179,31 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join SIZE estimation from two count-min sketches built with
+    the same (depth, width, seeds): |A ⋈_k B| = Σ_k cntA(k)·cntB(k) is
+    estimated by min over rows of Σ_cell a[cell]·b[cell] — the classic
+    CMS inner-product estimator, biased UP only (collisions add
+    non-negative cross terms; the min over ``depth`` independent rows
+    trims them).
+
+    Why it matters at 100 TB: the estimate prices a join BEFORE running
+    it (pick broadcast vs shuffle, veto a runaway key blow-up) from two
+    KB-sized sketches built in one pass each — possibly long ago, since
+    sketches merge across partitions/days (see cms_build). Returns one
+    row: (est_join_size BIGINT). Exact arithmetic: integer cell counts,
+    integer products/sums — engine-exact for the oracle."""
+    a = sketch_a.select("row", "cell", F.col("count").alias("__a"))
+    b = sketch_b.select("row", "cell", F.col("count").alias("__b"))
+    per_row = (
+        a.join(b, ["row", "cell"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__a") * F.col("__b")).alias("__dot"))
+    )
+    return per_row.agg(F.min("__dot").cast("long").alias("est_join_size"))

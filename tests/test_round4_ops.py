@@ -619,3 +619,19 @@ def test_checksum_diff_xor_blindspot_covered_by_sum(spark):
     bad = [r for r in out if not r["match"]]
     # xor of a double row is 0 on both sides; the sum term still differs
     assert len(bad) == 1
+
+
+def test_cms_inner_product_never_undercounts_and_exact_when_wide(spark):
+    from owl_etl_spark.operators.sketches import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([Row(k=i % 7) for i in range(70)])     # 10 each
+    b = spark.createDataFrame([Row(k=i % 5) for i in range(25)])     # 5 each
+    exact = 5 * 10 * 5  # keys 0..4 shared: 10*5 each
+    wide_a = cms_build(a, "k", depth=4, width=2048)
+    wide_b = cms_build(b, "k", depth=4, width=2048)
+    [r] = cms_inner_product(wide_a, wide_b).collect()
+    assert r["est_join_size"] == exact
+    tight_a = cms_build(a, "k", depth=4, width=4)
+    tight_b = cms_build(b, "k", depth=4, width=4)
+    [r2] = cms_inner_product(tight_a, tight_b).collect()
+    assert r2["est_join_size"] >= exact  # collisions only inflate
