@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q36", "q37", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q36", "q37", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -6252,3 +6252,75 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_size",
         (F.col("est_join_size") >= F.col("exact_join_size")).alias("never_undercounts"),
     )
+
+
+@_register(
+    "q131_trend_slopes",
+    """
+    WITH v AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 - (SELECT min(epoch_us(ts) // 1000000) FROM events))
+               // 3600 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM v GROUP BY event_type
+    ), d AS (
+      SELECT event_type, n,
+             n * sxx - sx * sx AS dxx,
+             n * syy - sy * sy AS dyy,
+             n * sxy - sx * sy AS dxy,
+             sx, sy
+      FROM s
+    )
+    SELECT event_type, n,
+           CASE WHEN dxx != 0
+                THEN round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END AS slope,
+           CASE WHEN dxx != 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - (CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                              * CAST(sx AS DOUBLE)) / n, 6) END AS intercept,
+           CASE WHEN dxx != 0 AND dyy != 0
+                THEN round((CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE))
+                           / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) END AS r2
+    FROM d
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (library: profile.trend_report) —
+    the REGR_SLOPE/REGR_INTERCEPT/REGR_R2 analytic family, computed
+    from EXACT BIGINT sums in one map-side-combined pass so the result
+    is identical under any partitioning (the built-in double-
+    accumulating regr_* drift at the ulp); the only float ops are the
+    final closed-form divisions, fixed order, rounded at 6 — the
+    oracle replays them. x = hours since the corpus start (small
+    integers — the overflow-safety contract), y = integer cents.
+    Value-per-hour drift per event type: the trend monitor a telemetry
+    pipeline pairs with q124's distribution PSI."""
+    from owl_etl_spark.operators.profile import trend_report
+
+    e = _t(spark, sf_dir, "events")
+    lo = e.agg(
+        F.min(F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")).alias(
+            "__lo"
+        )
+    )
+    v = e.crossJoin(F.broadcast(lo)).select(
+        "event_type",
+        (
+            (
+                F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                - F.col("__lo")
+            )
+            / F.lit(3600)
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return trend_report(v, ["event_type"], "x", "y")

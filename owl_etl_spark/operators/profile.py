@@ -126,3 +126,67 @@ def mad_outlier_report(
             F.round(F.col("n_outliers") / F.col("n") * 100, 6).alias("outlier_pct"),
         )
     )
+
+
+def trend_report(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend (slope, intercept, r²) — the
+    REGR_SLOPE/REGR_R2 family a warehouse exposes, computed from the
+    closed form over EXACT integer sums:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Feed integer ``x``/``y`` (bucket index, cents) and every Σ is an
+    exact BIGINT accumulated in one map-side-combined aggregate pass —
+    order-independent, engine-exact — with the ONLY float ops the final
+    divisions, rounded at 6. (Built-in ``regr_slope`` accumulates
+    doubles and drifts with partitioning; this form is the
+    reproducible one.) One shuffle on the group keys; no windows.
+
+    Caller contract: scale x to small integers (e.g. hours since the
+    series start), or n·Σx² overflows BIGINT long before the data is
+    big — the docstring'd domain is |x| ≤ ~1e6, |y| ≤ ~1e9, n ≤ ~1e9.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dxx = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = agg["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dxx != 0, F.round(dxy.cast("double") / dxx.cast("double"), 6))
+    intercept = F.when(
+        dxx != 0,
+        F.round(
+            (F.col("sy").cast("double") - (dxy.cast("double") / dxx.cast("double")) * F.col("sx"))
+            / agg["n"],
+            6,
+        ),
+    )
+    # square/multiply in DOUBLE: dxy² and dxx·dyy overflow BIGINT on
+    # wide domains long before the data is big
+    r2 = F.when(
+        (dxx != 0) & (dyy != 0),
+        F.round(
+            (dxy.cast("double") * dxy.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -635,3 +635,33 @@ def test_cms_inner_product_never_undercounts_and_exact_when_wide(spark):
     tight_b = cms_build(b, "k", depth=4, width=4)
     [r2] = cms_inner_product(tight_a, tight_b).collect()
     assert r2["est_join_size"] >= exact  # collisions only inflate
+
+
+def test_trend_report_hand_check(spark):
+    """y = 3x + 10 exactly: slope 3, intercept 10, r2 1; a constant
+    group has dyy = 0 -> r2 null, slope 0."""
+    from owl_etl_spark.operators.profile import trend_report
+
+    df = spark.createDataFrame(
+        [Row(g="lin", x=x, y=3 * x + 10) for x in range(10)]
+        + [Row(g="flat", x=x, y=7) for x in range(10)]
+    )
+    out = {r["g"]: r for r in trend_report(df, ["g"], "x", "y").collect()}
+    assert out["lin"]["slope"] == 3.0 and out["lin"]["intercept"] == 10.0
+    assert out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["r2"] is None
+
+
+def test_trend_report_repartition_stable(spark):
+    """Exact integer sums: identical results under any partitioning
+    (the drift built-in regr_slope's double accumulation allows)."""
+    from owl_etl_spark.operators.profile import trend_report
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [Row(g=i % 3, x=i % 97, y=rnd.randrange(10000)) for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, trend_report(df, ["g"], "x", "y").collect()))
+    b = sorted(map(tuple, trend_report(df.repartition(23), ["g"], "x", "y").collect()))
+    assert a == b
