@@ -1420,7 +1420,7 @@ _PRIORITY = [
     #    library modules (dedup/cluster/sketches/split/profile/resample/
     #    dedup_stream — the hash covers transitive imports by design).
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q36", "q37", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q36", "q37", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
@@ -6324,3 +6324,57 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
     return trend_report(v, ["event_type"], "x", "y")
+
+
+@_register(
+    "q132_compounded_returns",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us,
+             (o_orderkey % 21 - 10) / 100.0 AS ret
+      FROM orders
+    ), logs AS (
+      SELECT o_orderkey, o_custkey, us, ret,
+             CAST(round(ln(1.0 + ret) * 1000000) AS BIGINT) AS lm
+      FROM r
+    )
+    SELECT o_orderkey, o_custkey,
+           round(ret, 6) AS period_return,
+           round(exp(CAST(sum(lm) OVER w AS DOUBLE) / 1000000) - 1.0, 6) AS compounded
+    FROM logs
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running compounded return per customer (library:
+    resample.cumulative_compound) — Π(1+r)−1 as exp of an EXACT
+    integer micro-nat prefix sum, so the running product is identical
+    under any partitioning/accumulation order (naive window products
+    of doubles are not) and the oracle replays it bit-for-bit. This is
+    the composition the reference's fund-return fields exist for
+    (SURVEY P6 normalizes per-period rentabilidad; compounding them is
+    the performance number users actually read). Deterministic
+    synthetic returns (keyed off o_orderkey, −10%..+10%) make the gate
+    self-contained. One shuffle on the key; ROWS-framed running sum;
+    WindowGroupLimit-free by design (every row emits)."""
+    from owl_etl_spark.operators.resample import cumulative_compound
+
+    o = _t(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).alias("us"),
+        ((F.col("o_orderkey") % 21 - 10) / F.lit(100.0)).alias("ret"),
+    )
+    out = cumulative_compound(
+        r, ["o_custkey"], "us", "ret", out_col="compounded", tiebreak_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("ret"), 6).alias("period_return"),
+        "compounded",
+    )

@@ -152,3 +152,45 @@ def interpolate_linear(
         .otherwise(interp)
     )
     return marked.withColumn(out_col, filled).drop("__us", "__pv", "__pt", "__nv", "__nt")
+
+
+def cumulative_compound(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    return_col: str,
+    out_col: str = "compounded",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Running COMPOUNDED return per key: ``Π (1 + r_i) − 1`` over the
+    key's rows in ``order_col`` order — the fund-performance
+    calculation behind every NAV/rentabilidad series (the reference's
+    domain: its P6 return fields are per-period percentages that only
+    mean anything compounded; src/etl/transform.py normalizes them but
+    never composes them).
+
+    Multiplicative running aggregates have no builtin; the right
+    distributed form is ``exp(Σ ln(1+r))`` — and to make the running
+    product EXACTLY reproducible (window prefix sums of doubles depend
+    on accumulation order), each term's log is snapped to integer
+    MICRO-nats first (the q104 trick): the prefix sum is then exact
+    BIGINT arithmetic, and one exp per row converts back. One shuffle
+    on ``keys``; ROWS-framed running sum; ties broken by
+    ``tiebreak_col`` for a total order. Requires ``1 + r > 0``
+    (returns below −100% are data errors upstream)."""
+    order = [F.col(order_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    log_micro = F.round(
+        F.log(F.lit(1.0) + F.col(return_col)) * 1_000_000
+    ).cast("long")
+    total = F.sum(log_micro).over(w)
+    return df.withColumn(
+        out_col,
+        F.round(F.exp(total.cast("double") / 1_000_000) - 1.0, 6),
+    )

@@ -665,3 +665,30 @@ def test_trend_report_repartition_stable(spark):
     a = sorted(map(tuple, trend_report(df, ["g"], "x", "y").collect()))
     b = sorted(map(tuple, trend_report(df.repartition(23), ["g"], "x", "y").collect()))
     assert a == b
+
+
+def test_cumulative_compound_hand_check(spark):
+    """+10% then -10% compounds to -1% (0.99), not 0 — the reason
+    returns compound multiplicatively."""
+    from owl_etl_spark.operators.resample import cumulative_compound
+
+    df = spark.createDataFrame(
+        [Row(k="f", t=1, r=0.10), Row(k="f", t=2, r=-0.10), Row(k="f", t=3, r=0.0)]
+    )
+    out = {r["t"]: r["compounded"] for r in cumulative_compound(df, ["k"], "t", "r").collect()}
+    assert out[1] == 0.1
+    assert abs(out[2] - (-0.01)) < 1e-4
+    assert out[2] == out[3]  # a 0% period changes nothing
+
+
+def test_cumulative_compound_repartition_stable(spark):
+    from owl_etl_spark.operators.resample import cumulative_compound
+
+    import random
+
+    rnd = random.Random(9)
+    rows = [Row(k=i % 5, t=i, r=rnd.uniform(-0.2, 0.2)) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, cumulative_compound(df, ["k"], "t", "r").collect()))
+    b = sorted(map(tuple, cumulative_compound(df.repartition(19), ["k"], "t", "r").collect()))
+    assert a == b
