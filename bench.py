@@ -117,6 +117,7 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     skew = _skew_scenario(spark, sf_dir)
+    ann = _ann_scenario(spark, sf_dir)
 
     print(
         json.dumps(
@@ -126,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skew_scenario": skew,
+                "ann_scenario": ann,
                 "sf": sf,
             }
         )
@@ -218,6 +220,82 @@ def _skew_scenario(sparksession, sf_dir: str) -> dict[str, float]:
         out[f"{label}_max_task_pairs_guarded"] = guard * guard
     hot29.unpersist()
     hot34.unpersist()
+    return out
+
+
+def _ann_scenario(sparksession, sf_dir: str) -> dict[str, float]:
+    """Quantify the ANN compression ladder on the benchmark corpus:
+    exact brute-force L2 top-5 for 50 queries as truth, then ADC over
+    PQ codes, ADC + exact re-rank (shortlist 100), and IVF-PQ (2 of 8
+    lists probed) — wall seconds and recall@5 for each, recorded per
+    round so a regression in either speed or quality is visible.
+
+    Caveat the numbers honestly: the synthetic embeddings table is
+    ISOTROPIC random data — the regime where distance concentration
+    defeats any code-based shortlist (see pq_rerank_topk docstring), so
+    raw ADC recall here is a FLOOR, not the structured-manifold figure
+    (the planted-cluster tests in test_cluster.py pin >= 0.9 there).
+    What this scenario tracks: the re-rank stage's recovery over raw
+    ADC, probe pruning's cost, and the relative wall times."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.cluster import (
+        centroids_from_ids,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_ids,
+        pq_encode,
+        pq_rerank_topk,
+    )
+    from owl_etl_spark.sources.readers import read_table
+
+    em = read_table(sparksession, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") < 50)
+    out: dict[str, float] = {}
+
+    # exact L2 truth (and the brute-force timing entry)
+    dist = (
+        "aggregate(zip_with(transform(__qv, v -> CAST(v AS DOUBLE)), "
+        "transform(__cv, v -> CAST(v AS DOUBLE)), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    t0 = _time.perf_counter()
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth_df = (
+        cv.join(F.broadcast(qv))
+        .select("query_id", "neighbor_id", F.round(F.expr(dist), 6).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in truth_df.collect()}
+    out["brute_s"] = round(_time.perf_counter() - t0, 3)
+
+    cents = centroids_from_ids(em, [20, 80, 140, 200, 260, 320, 380, 440])
+    cbs = pq_codebooks_from_ids(em, [10, 70, 130, 190, 250, 310, 370, 430], m=4)
+    encoded_pq = pq_encode(em, cbs, round_digits=6).localCheckpoint()
+    encoded_ivfpq = ivfpq_encode(em, cents, cbs, round_digits=6).localCheckpoint()
+
+    for label, fn in (
+        ("pq_adc", lambda: pq_adc_topk(qs, encoded_pq, cbs, k=5)),
+        ("pq_rerank", lambda: pq_rerank_topk(qs, em, encoded_pq, cbs, k=5, shortlist=100)),
+        ("ivfpq", lambda: ivfpq_topk(qs, encoded_ivfpq, cents, cbs, k=5, n_probes=2)),
+    ):
+        t0 = _time.perf_counter()
+        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        out[f"{label}_s"] = round(_time.perf_counter() - t0, 3)
+        out[f"{label}_recall_at_5"] = round(len(got & truth) / len(truth), 3)
+        print(
+            f"# ann_{label}: {out[f'{label}_s']}s recall@5={out[f'{label}_recall_at_5']}",
+            file=sys.stderr,
+        )
+    encoded_pq.unpersist()
+    encoded_ivfpq.unpersist()
     return out
 
 
