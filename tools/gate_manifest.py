@@ -98,14 +98,41 @@ def _closure_files(seed_mods: set[str]) -> list[str]:
     return sorted(seen_files)
 
 
+def _module_level_bindings(entry_module) -> dict[str, str]:
+    """Map of names bound at the ENTRY MODULE's top level by
+    ``from owl_etl_spark... import name`` (and ``import owl_etl_spark.x``
+    aliases) → the owl module that defines them. Needed because many
+    query bodies call library functions through these module-level
+    imports rather than a function-local ``from ... import`` — hashing
+    only the body's own imports would leave those dependencies
+    invisible to the freshness guard (the exact blind spot the guard
+    exists to close)."""
+    tree = ast.parse(inspect.getsource(entry_module))
+    binds: dict[str, str] = {}
+    for node in tree.body:  # top level only — function bodies hash themselves
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module == _PKG or node.module.startswith(_PKG + ".")
+        ):
+            for a in node.names:
+                binds[a.asname or a.name] = node.module
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == _PKG or a.name.startswith(_PKG + "."):
+                    binds[a.asname or a.name.split(".")[0]] = a.name
+    return binds
+
+
 def compute_hashes(entry_module) -> dict[str, str]:
     """Current behavior hash for every registered query.
 
     Hash input: function source (dedented) + oracle SQL (or the marker
     ``<no-oracle>``) + each reachable library file's path-relative name
-    and content. File contents are cached across queries.
+    and content. The import closure seeds from BOTH the function body's
+    own imports AND any module-level entry imports the body references
+    by name. File contents are cached across queries.
     """
     registry = entry_module._REGISTRY
+    binds = _module_level_bindings(entry_module)
     file_bytes: dict[str, bytes] = {}
     out: dict[str, str] = {}
     for name, (func, sql) in registry.items():
@@ -114,7 +141,12 @@ def compute_hashes(entry_module) -> dict[str, str]:
         h.update(src.encode())
         h.update(b"\x00")
         h.update((sql if sql is not None else "<no-oracle>").encode())
-        for f in _closure_files(_imports_in(ast.parse(src))):
+        tree = ast.parse(src)
+        seeds = _imports_in(tree)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and node.id in binds:
+                seeds.add(binds[node.id])
+        for f in _closure_files(seeds):
             if f not in file_bytes:
                 file_bytes[f] = open(f, "rb").read()
             h.update(b"\x00" + os.path.relpath(f, REPO).encode() + b"\x00")
