@@ -1399,40 +1399,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01(spark, "/root/testdata/sf0.001")
 
 
-#: Registry emission order. The external correctness gate snapshots a
-#: bounded prefix of this dict (rounds 1 and 2 each recorded exactly
-#: the first 50 entries), so round 3 front-loads the queries whose
-#: driver evidence is STALE or NEW (r2 VERDICT "Next round" #1):
-#: q27/q33/q34 (MinHash family + LSH skew guard changed after their r1
-#: green rows), q29 (hot-shingle guard added this round), q53 (now a
-#: checkable error-bound contract), q100 (new quantile-bucket
-#: operator) — then every remaining q01–q51 entry, none of which has
-#: been driver-checked on post-r1 code (q35/q49/q52–q99 hold current
-#: green rows from r02 and follow after). Exactly 50 names precede
-#: them. Every registered query appears exactly once — asserted below.
+#: Registry emission order. The external correctness gate snapshots
+#: only the first GATE_WINDOW (=50) entries of this dict each round, so
+#: queries whose code is NEW or changed since their last verified-green
+#: manifest stamp MUST lead (tests/test_gate_freshness.py enforces it;
+#: tools/gate_manifest.py defines the behavior hash, which covers
+#: transitively imported library modules AND module-level imports the
+#: body references). Every registered query appears exactly once across
+#: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 1) NEW this round or code changed since the newest verified-green
-    #    manifest stamp (tools/gate_manifest.json) — MUST be gated this
-    #    round; tests/test_gate_freshness.py enforces membership in the
-    #    first 50 for every such query. The r4 set: five new operators
-    #    (q113–q117), the r3 late edits (q85/q95), the r4 oracle/library
-    #    edits (q101/q111/q112), and every dependent of the r4-touched
-    #    library modules (dedup/cluster/sketches/split/profile/resample/
-    #    dedup_stream — the hash covers transitive imports by design).
+    # 1) NEW in round 4 or changed since the last verified-green stamp:
+    #    the 20 new operators (q113–q132), the r3 late edits (q85/q95),
+    #    the r4 oracle/library edits, and every dependent of the
+    #    r4-touched modules. 48 names — they fill the gate window
+    #    almost entirely this round.
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q36", "q37", "q110", "q107", "q108", "q109",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130",
+    "q131", "q132", "q36", "q37", "q110", "q107", "q108", "q109",
     "q85", "q95", "q101", "q111", "q112",
     "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
     "q91", "q93", "q98", "q102", "q103", "q105", "q106",
-    # 2) oldest evidence next (rotation policy, VERDICT r3 #3): the
-    #    q41–q51 band's newest rows date to r01, q35 to r02.
+    # 2) oldest-evidence rotation (VERDICT r3 #3) queues next: with 48
+    #    changed names above, only the first TWO of this band make the
+    #    50-slot window this round — the q43+ remainder (r01-age rows,
+    #    code unchanged and sweep-verified this round in VERIFY_r4.txt)
+    #    rotates in next round once the changed set shrinks.
     "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
     "q35",
-    # 3) r02-age rows fill the remaining gate slots (12 of them →
-    #    exactly 50 names above this comment's end); the rest of the
-    #    registry queues behind in registration order and rotates in
-    #    next round.
-    ]
+]
 
 
 def _ordered_names() -> list[str]:
@@ -5783,6 +5777,12 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN sum(term) < 250000 THEN 'drifting'
                 ELSE 'drifted' END AS verdict
     FROM terms GROUP BY event_type
+    UNION ALL
+    SELECT c.event_type, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT), 'new_segment'
+    FROM cur c LEFT JOIN bounds b USING (event_type)
+    WHERE b.event_type IS NULL
+    GROUP BY c.event_type
     """,
 )
 def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6095,9 +6095,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8)
-    labels = connected_components(pairs, d.select("doc_id"), "doc_id").withColumnRenamed(
-        "component", "component"
-    )
+    labels = connected_components(pairs, d.select("doc_id"), "doc_id")
     surv = select_canonical(
         d.select("doc_id", "n_chars"),
         labels,
@@ -6118,17 +6116,19 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT o_orderkey AS k,
-             concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                       o_orderstatus,
-                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                       CAST(epoch_us(o_orderdate) AS VARCHAR)) AS payload
+             COALESCE(md5(CAST(o_orderkey AS VARCHAR)), 'NULL')
+             || COALESCE(md5(CAST(o_custkey AS VARCHAR)), 'NULL')
+             || COALESCE(md5(o_orderstatus), 'NULL')
+             || COALESCE(md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)), 'NULL')
+             || COALESCE(md5(CAST(epoch_us(o_orderdate) AS VARCHAR)), 'NULL') AS payload
       FROM orders
     ), b AS (
       SELECT o_orderkey AS k,
-             concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                       CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END,
-                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                       CAST(epoch_us(o_orderdate) AS VARCHAR)) AS payload
+             COALESCE(md5(CAST(o_orderkey AS VARCHAR)), 'NULL')
+             || COALESCE(md5(CAST(o_custkey AS VARCHAR)), 'NULL')
+             || COALESCE(md5(CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END), 'NULL')
+             || COALESCE(md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)), 'NULL')
+             || COALESCE(md5(CAST(epoch_us(o_orderdate) AS VARCHAR)), 'NULL') AS payload
       FROM orders WHERE o_orderkey % 131 != 0
     ), fa AS (
       SELECT CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
@@ -6211,9 +6211,14 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer CROSS JOIN rows_ r
       GROUP BY 1, 2
     ), dots AS (
-      SELECT sa.row, sum(sa.a * sb.b) AS dot
-      FROM sa JOIN sb ON sa.row = sb.row AND sa.cell = sb.cell
-      GROUP BY sa.row
+      -- dense 0..3 spine: a row with zero overlapping cells has true
+      -- dot 0 and must participate in the min (mirrors the library)
+      SELECT r.row, COALESCE(d.dot, 0) AS dot
+      FROM rows_ r LEFT JOIN (
+        SELECT sa.row, sum(sa.a * sb.b) AS dot
+        FROM sa JOIN sb ON sa.row = sb.row AND sa.cell = sb.cell
+        GROUP BY sa.row
+      ) d ON d.row = r.row
     ), est AS (
       SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots
     ), exact AS (

@@ -127,7 +127,12 @@ def _chunked_pair_expansion(
     # exchange out of AQE coalescing, and round-robin spreads the few
     # hot rows evenly where hashing 36 keys into 32 buckets would
     # collide.
-    n_part = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # platforms that set the conf to a non-numeric value ("auto",
+        # Databricks auto-optimized shuffle) — fall back to cluster width
+        n_part = buckets.sparkSession.sparkContext.defaultParallelism
     return (
         buckets.select(*key_cols, F.explode(chunk_pair_expr).alias("c"))
         .repartition(n_part)

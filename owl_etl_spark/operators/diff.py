@@ -154,8 +154,17 @@ def bucket_checksum_diff(
     P = 2_147_483_647
 
     def fingerprint(df: DataFrame, n_col: str, x_col: str, s_col: str) -> DataFrame:
-        payload = F.concat_ws(
-            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in [key_col, *payload_cols]]
+        # hash each column SEPARATELY, then hash the fixed-width digest
+        # concatenation: a '|'-joined payload is ambiguous when values
+        # contain the separator ('x|y','z' ≡ 'x','y|z'), and a NULL
+        # sentinel collides with a real value equal to it — per-column
+        # 32-hex digests (NULL → the 4-char token 'NULL', which no hex
+        # digest can equal) make the serialization injective.
+        payload = F.concat(
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+                for c in [key_col, *payload_cols]
+            ]
         )
         h = md5_long(payload)
         bucket = F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_buckets))

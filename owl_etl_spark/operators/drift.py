@@ -97,4 +97,20 @@ def psi_report(
         .when(F.col("psi_micro_nats") < 250_000, "drifting")
         .otherwise("drifted")
     )
-    return psi.withColumn("verdict", verdict)
+    # Groups present ONLY in the current window have no reference bins
+    # to compare against — but silently dropping them would make the
+    # monitor report nothing for the MOST drifted case (a brand-new
+    # segment in the feed). Emit them explicitly.
+    new_groups = (
+        cur.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+        .join(bounds.select(*keys), keys, "left_anti")
+        .select(
+            *keys,
+            F.lit(0).cast("long").alias("n_ref"),
+            "n_cur",
+            F.lit(None).cast("long").alias("psi_micro_nats"),
+            F.lit("new_segment").alias("verdict"),
+        )
+    )
+    return psi.withColumn("verdict", verdict).unionByName(new_groups)

@@ -58,8 +58,14 @@ def pagerank(
     out_deg = edges.groupBy(F.col(src_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).join(
-        out_deg, "__s"
+    # checkpoint the degree-annotated edge list ONCE: every iteration
+    # joins against it, and without this each of the n_iters eager
+    # checkpoints below would re-run the caller's full edge lineage
+    # (in q125, a 4-table join) from scratch
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .join(out_deg, "__s")
+        .localCheckpoint()
     )
     ranks = nodes.select(
         F.col(node_col).alias("__n"), F.lit(MICRO).cast("long").alias("__r")

@@ -147,9 +147,14 @@ def trend_report(
     doubles and drifts with partitioning; this form is the
     reproducible one.) One shuffle on the group keys; no windows.
 
-    Caller contract: scale x to small integers (e.g. hours since the
-    series start), or n·Σx² overflows BIGINT long before the data is
-    big — the docstring'd domain is |x| ≤ ~1e6, |y| ≤ ~1e9, n ≤ ~1e9.
+    Caller contract (overflow): the internal products must fit BIGINT —
+    require ``n · max(x²) < 2^63``, ``n · max(y²) < 2^63`` and
+    ``n · max(|x·y|) < 2^63`` (e.g. n ≤ 1e6 rows/group with |x| ≤ 1e4
+    and |y| ≤ 1e6 leaves ~100x headroom). Scale x to small integers
+    (hours since the series start, bucket index) and y to the coarsest
+    integer unit that preserves meaning; Spark's non-ANSI mode WRAPS
+    silently on overflow, so out-of-domain inputs give garbage, not an
+    error.
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")

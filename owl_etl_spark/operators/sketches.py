@@ -198,7 +198,13 @@ def cms_inner_product(
     KB-sized sketches built in one pass each — possibly long ago, since
     sketches merge across partitions/days (see cms_build). Returns one
     row: (est_join_size BIGINT). Exact arithmetic: integer cell counts,
-    integer products/sums — engine-exact for the oracle."""
+    integer products/sums — engine-exact for the oracle.
+
+    A sketch row with NO overlapping cells has true dot product 0 and
+    MUST participate in the min (otherwise disjoint tables estimate
+    NULL and any zero-dot row silently inflates the estimate): the
+    per-row dots left-join a dense 0..depth-1 spine and coalesce to 0."""
+    spark = sketch_a.sparkSession
     a = sketch_a.select("row", "cell", F.col("count").alias("__a"))
     b = sketch_b.select("row", "cell", F.col("count").alias("__b"))
     per_row = (
@@ -206,4 +212,8 @@ def cms_inner_product(
         .groupBy("row")
         .agg(F.sum(F.col("__a") * F.col("__b")).alias("__dot"))
     )
-    return per_row.agg(F.min("__dot").cast("long").alias("est_join_size"))
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    dense = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("__dot"), F.lit(0)).alias("__dot")
+    )
+    return dense.agg(F.min("__dot").cast("long").alias("est_join_size"))

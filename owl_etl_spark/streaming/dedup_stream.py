@@ -17,7 +17,31 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_INTEGRALS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _ordered_str_col(stream: DataFrame, col: str, out: str) -> tuple[DataFrame, str]:
+    """State comparisons below are LEXICOGRAPHIC on strings (the state
+    store holds one string scalar). For integral columns, '9' > '10'
+    would pick the wrong winner — normalize to a zero-padded 20-digit
+    string whose lexicographic order equals numeric order (non-negative
+    values only; a negative would sort above positives). Floats/decimals
+    are rejected: no padding makes their text order numeric — pre-convert
+    to an integral or string the caller controls. String columns pass
+    through unchanged (the caller owns their ordering semantics)."""
+    dt = dict(stream.dtypes).get(col)
+    if dt in _INTEGRALS:
+        return stream.withColumn(out, F.format_string("%020d", F.col(col))), out
+    if dt in ("float", "double") or (dt or "").startswith("decimal"):
+        raise ValueError(
+            f"{col} is {dt}: float/decimal sequence columns have no "
+            "lexicographic-safe encoding — cast to an integral (epoch "
+            "micros, LSN) or a caller-ordered string first"
+        )
+    return stream, col
 
 
 def streaming_latest_per_key(
@@ -40,8 +64,15 @@ def streaming_latest_per_key(
     ``state_timeout_ms=None`` disables the quiet-key GC timeout — see
     the ``streaming_cdc_apply`` docstring: required for bounded
     ``availableNow`` runs to terminate.
+
+    Ordering contract: winners compare as STRINGS in the state store.
+    Integral ``recency_col`` values are auto-normalized to zero-padded
+    strings (numeric order == lexicographic; non-negative only);
+    string columns compare as given — zero-pad them yourself if they
+    encode numbers; float/decimal columns are rejected.
     """
     schema = stream.schema
+    work, cmp_col = _ordered_str_col(stream, recency_col, "__rec")
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -53,9 +84,9 @@ def streaming_latest_per_key(
         best = state.get[0] if state.exists else None
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(recency_col)
+            pdf = pdf.sort_values(cmp_col)
             for _, row in pdf.iterrows():
-                r = row[recency_col]
+                r = row[cmp_col]
                 if r is not None and (best is None or str(r) > str(best)):
                     best = str(r)
                     out.append(row.to_frame().T)
@@ -64,11 +95,14 @@ def streaming_latest_per_key(
             if state_timeout_ms is not None:
                 state.setTimeoutDuration(state_timeout_ms)
         if out:
-            yield pd.concat(out)
+            res = pd.concat(out)
+            if cmp_col == "__rec":
+                res = res.drop(columns=["__rec"])
+            yield res
 
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return (
-        stream.withWatermark(watermark_col, watermark)
+        work.withWatermark(watermark_col, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
             fn,
@@ -116,8 +150,15 @@ def streaming_cdc_apply(
     so an availableNow query never reaches termination (observed:
     46+ empty ``{"logOffset":0}`` batches). Continuous production
     queries should keep a timeout so quiet keys are dropped.
+
+    Ordering contract: sequences compare as STRINGS in the state
+    store. Integral ``sequence_col`` values are auto-normalized to
+    zero-padded strings (numeric order == lexicographic; non-negative
+    only); string columns compare as given — zero-pad them yourself if
+    they encode numbers; float/decimal columns are rejected.
     """
     schema = stream.schema
+    work, cmp_col = _ordered_str_col(stream, sequence_col, "__seq")
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -129,24 +170,26 @@ def streaming_cdc_apply(
         best = state.get[0] if state.exists else None
         winner = None
         for pdf in pdfs:
-            pdf = pdf[pdf[sequence_col].notna()]
+            pdf = pdf[pdf[cmp_col].notna()]
             if pdf.empty:
                 continue
-            top = pdf.loc[pdf[sequence_col].astype(str).idxmax()]
-            if winner is None or str(top[sequence_col]) > str(winner[sequence_col]):
+            top = pdf.loc[pdf[cmp_col].astype(str).idxmax()]
+            if winner is None or str(top[cmp_col]) > str(winner[cmp_col]):
                 winner = top
-        if winner is not None and (best is None or str(winner[sequence_col]) > best):
-            state.update((str(winner[sequence_col]),))
+        if winner is not None and (best is None or str(winner[cmp_col]) > best):
+            state.update((str(winner[cmp_col]),))
             if state_timeout_ms is not None:
                 state.setTimeoutDuration(state_timeout_ms)
             res = winner.to_frame().T
+            if cmp_col == "__seq":
+                res = res.drop(columns=["__seq"])
             res["is_delete"] = res[op_col].isin(list(delete_ops))
             yield res
 
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     cols += ", is_delete boolean"
     return (
-        stream.withWatermark(watermark_col, watermark)
+        work.withWatermark(watermark_col, watermark)
         .groupBy(*keys)
         .applyInPandasWithState(
             fn,

@@ -692,3 +692,92 @@ def test_cumulative_compound_repartition_stable(spark):
     a = sorted(map(tuple, cumulative_compound(df, ["k"], "t", "r").collect()))
     b = sorted(map(tuple, cumulative_compound(df.repartition(19), ["k"], "t", "r").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_cms_inner_product_disjoint_is_zero(spark):
+    """Disjoint key sets must estimate 0 (not NULL): zero-overlap
+    sketch rows participate in the min via the dense spine."""
+    from owl_etl_spark.operators.sketches import cms_build, cms_inner_product
+
+    a = cms_build(spark.createDataFrame([Row(k=i) for i in range(10)]), "k", depth=4, width=4096)
+    b = cms_build(
+        spark.createDataFrame([Row(k=i) for i in range(100000, 100010)]), "k", depth=4, width=4096
+    )
+    [r] = cms_inner_product(a, b).collect()
+    assert r["est_join_size"] == 0
+
+
+def test_psi_new_segment_reported(spark):
+    """A group present only in the current window must surface as
+    'new_segment', never be silently dropped."""
+    from owl_etl_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame([Row(g="old", v=i % 50) for i in range(100)])
+    cur = spark.createDataFrame(
+        [Row(g="old", v=i % 50) for i in range(100)]
+        + [Row(g="brand_new", v=i % 50) for i in range(40)]
+    )
+    out = {r["g"]: r for r in psi_report(ref, cur, ["g"], "v").collect()}
+    assert out["old"]["verdict"] == "stable"
+    nb = out["brand_new"]
+    assert (nb["verdict"], nb["n_ref"], nb["n_cur"], nb["psi_micro_nats"]) == (
+        "new_segment", 0, 40, None,
+    )
+
+
+def test_checksum_diff_separator_injection_detected(spark):
+    """('x|y','z') vs ('x','y|z') used to serialize identically under
+    '|'-joined payloads; per-column digests must tell them apart."""
+    from owl_etl_spark.operators.diff import bucket_checksum_diff
+
+    a = spark.createDataFrame([Row(k=1, c1="x|y", c2="z")])
+    b = spark.createDataFrame([Row(k=1, c1="x", c2="y|z")])
+    out = bucket_checksum_diff(a, b, "k", ["c1", "c2"], n_buckets=4).collect()
+    assert any(not r["match"] for r in out)
+
+
+def test_streaming_cdc_numeric_sequence_ordered(spark, tmp_path):
+    """Integer sequences 9 vs 10: numeric order must win (the string
+    comparison '9' > '10' bug). Auto zero-padding normalizes it."""
+    import json as _json
+
+    from owl_etl_spark.streaming.dedup_stream import streaming_cdc_apply
+
+    src = tmp_path / "cdc_num"; src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"k": 1, "seq": 9, "op": "upsert", "val": "old",
+                     "ts": "2024-01-01T00:00:00"}) + "\n"
+        + _json.dumps({"k": 1, "seq": 10, "op": "upsert", "val": "new",
+                       "ts": "2024-01-01T00:01:00"}) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "k bigint, seq bigint, op string, val string, ts timestamp"
+    ).json(str(src))
+    out = streaming_cdc_apply(stream, ["k"], "seq", "op", "ts", state_timeout_ms=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_num_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k, seq, val FROM cdc_num_test").collect()
+    assert [(r.k, r.seq, r.val) for r in rows] == [(1, 10, "new")]
+
+
+def test_streaming_cdc_float_sequence_rejected(spark):
+    from owl_etl_spark.streaming.dedup_stream import streaming_cdc_apply
+
+    import pytest as _pytest
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS k", "CAST(value AS DOUBLE) AS seq", "'upsert' AS op", "timestamp AS ts"
+    )
+    with _pytest.raises(ValueError, match="lexicographic"):
+        streaming_cdc_apply(stream, ["k"], "seq", "op", "ts")
