@@ -6383,3 +6383,82 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ret"), 6).alias("period_return"),
         "compounded",
     )
+
+
+@_register(
+    "q133_entity_resolution_multi",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS id, lower(trim(p_name)) AS n FROM part
+    ), tri AS (
+      SELECT DISTINCT id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT id,
+                   unnest(CASE WHEN length(n) < 3 THEN [n]
+                          ELSE list_transform(range(1, length(n) - 1),
+                                              i -> substring(n, i, 3)) END) AS t
+            FROM p)
+    ), sizes AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tri GROUP BY id
+    ), blocks AS (
+      SELECT id, 0 AS pass, string_split(n, ' ')[-1] AS bk FROM p
+      UNION ALL
+      SELECT id, 1, string_split(n, ' ')[1] FROM p
+      UNION ALL
+      SELECT id, 2, substring(replace(n, ' ', ''), 1, 4) FROM p
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM blocks a
+      JOIN blocks b ON a.pass = b.pass AND a.bk = b.bk AND a.id < b.id
+    ), inter AS (
+      SELECT pr.id_a, pr.id_b, CAST(count(*) AS BIGINT) AS i
+      FROM pairs pr
+      JOIN tri a ON a.id = pr.id_a
+      JOIN tri b ON b.id = pr.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    ), edges0 AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.6
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM edges0
+      UNION
+      SELECT id_b, id_a FROM edges0
+    ), reach AS (
+      SELECT id, id AS r FROM p
+      UNION
+      SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS p_partkey, CAST(min(r) AS BIGINT) AS entity_id
+    FROM reach GROUP BY id
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass-blocking entity resolution (library:
+    operators.linkage.similarity_edges_multi / resolve_entities with
+    ``passes``): the edges of THREE independent blocking passes — last
+    name token, first name token, squashed 4-char prefix — are
+    unioned before clustering, so a typo must corrupt every key to
+    hide a pair (recall strictly dominates q123's single pass; the
+    edge set is a superset by construction, precision unchanged since
+    every candidate clears the same trigram-Jaccard threshold). This
+    is the general form of the reference's TIERED matcher, which never
+    trusts one signal either (exact -> containment -> difflib,
+    src/etl/transform.py:358-384). The oracle replays all three
+    blocking passes, the pair union, the Jaccard scoring, and the
+    transitive closure (recursive CTE). Scale: each pass keeps its own
+    bounded sigma-block-squared pair space; the union adds ONE
+    (id_a, id_b) groupBy; scoring work is bounded by candidate pairs x
+    trigrams, never n-squared."""
+    from owl_etl_spark.operators.linkage import resolve_entities
+
+    p = _t(spark, sf_dir, "part")
+    return resolve_entities(
+        p,
+        "p_partkey",
+        "p_name",
+        threshold=0.6,
+        passes=("last_token", "first_token", "squashed_prefix"),
+    )

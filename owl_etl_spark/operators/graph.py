@@ -22,9 +22,17 @@ engines (or two partitionings) iterating this recurrence produce
 bit-identical vectors, so a fixed-iteration run is oracle-checkable
 (q125 replays it with a bounded recursive CTE).
 
-Dangling nodes (no out-edges) leak their mass — the standard simple
-variant; totals therefore need not sum to 1e6·n. Redistribute-dangling
-is a one-aggregate extension if mass conservation matters.
+Dangling nodes (no out-edges) leak their mass in the default
+``dangling="leak"`` variant — totals therefore need not sum to
+1e6·n. ``dangling="redistribute"`` conserves mass: one extra
+map-side-combined aggregate per iteration sums the dangling ranks
+into a SINGLE driver-row that broadcasts back as a uniform
+per-node share — never a shuffle of the rank vector.
+
+Weighted edges: pass ``weight_col`` and each edge contributes
+``round(rank · w / Σ_out w)`` instead of ``round(rank / outdeg)`` —
+the weight sums are exact BIGINTs (feed integer weights), so the
+determinism contract is unchanged.
 """
 
 from __future__ import annotations
@@ -44,26 +52,36 @@ def pagerank(
     dst_col: str = "dst",
     n_iters: int = 5,
     damping: float = 0.85,
+    dangling: str = "leak",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) edge list; returns
     (node, rank_micro_units BIGINT). Every node starts at 1.0; the
     update is
 
-        rank'(v) = round((1-d)·1e6) + round(d · Σ_{u→v} round(rank(u)/outdeg(u)))
+        rank'(v) = round((1-d)·1e6) + round(d · (Σ_{u→v} round(rank(u)·w(u,v)/W(u)) + dg))
 
-    with all state in integer micro-units (see module docstring).
-    Parallel edges count once per occurrence (weight by duplication);
-    nodes absent from ``edges`` keep the teleport term only.
+    with all state in integer micro-units (see module docstring),
+    where ``w/W`` is 1/outdeg unweighted (``weight_col=None``) or
+    edge-weight over the source's total out-weight, and ``dg`` is 0
+    under ``dangling="leak"`` or ``round(Σ_dangling rank / n_nodes)``
+    under ``dangling="redistribute"`` (mass-conserving: dangling
+    nodes spread their rank uniformly). Parallel edges count once per
+    occurrence (weight by duplication); nodes absent from ``edges``
+    keep the teleport (+ dangling share) only.
     """
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(f"dangling must be 'leak' or 'redistribute', got {dangling!r}")
+    w = F.col(weight_col).cast("long") if weight_col is not None else F.lit(1).cast("long")
     out_deg = edges.groupBy(F.col(src_col).alias("__s")).agg(
-        F.count(F.lit(1)).alias("__deg")
+        F.sum(w).alias("__deg")
     )
     # checkpoint the degree-annotated edge list ONCE: every iteration
     # joins against it, and without this each of the n_iters eager
     # checkpoints below would re-run the caller's full edge lineage
     # (in q125, a 4-table join) from scratch
     e = (
-        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), w.alias("__w"))
         .join(out_deg, "__s")
         .localCheckpoint()
     )
@@ -71,29 +89,62 @@ def pagerank(
         F.col(node_col).alias("__n"), F.lit(MICRO).cast("long").alias("__r")
     ).localCheckpoint()
     teleport = int(round((1.0 - damping) * MICRO))
+    n_nodes = None
+    has_out = None
+    if dangling == "redistribute":
+        n_nodes = nodes.count()
+        # skinny (node) frame of rank sources — broadcast-joined each
+        # iteration to split the vector into contributing vs dangling
+        has_out = e.select(F.col("__s").alias("__n")).distinct().localCheckpoint()
     for _ in range(n_iters):
         contrib = (
             e.join(ranks, e["__s"] == ranks["__n"])
             .select(
                 F.col("__d"),
-                F.round(F.col("__r") / F.col("__deg")).cast("long").alias("__c"),
+                F.round(F.col("__r") * F.col("__w") / F.col("__deg")).cast("long").alias("__c"),
             )
             .groupBy("__d")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            ranks.join(contrib, ranks["__n"] == contrib["__d"], "left")
-            .select(
+        if dangling == "redistribute":
+            # one map-side-combined aggregate → a single row: the total
+            # rank parked on nodes with no out-edges this iteration
+            dg = (
+                ranks.join(F.broadcast(has_out), "__n", "left_anti")
+                .agg(F.coalesce(F.sum("__r"), F.lit(0)).alias("__dsum"))
+                .select(
+                    F.round(F.col("__dsum") / F.lit(n_nodes)).cast("long").alias("__dg")
+                )
+            )
+            node_ids = ranks.select("__n")
+            contrib_full = node_ids.join(
+                contrib, node_ids["__n"] == contrib["__d"], "left"
+            ).select(
+                "__n", F.coalesce(F.col("__in"), F.lit(0)).alias("__in")
+            ).crossJoin(F.broadcast(dg))
+            ranks = contrib_full.select(
                 "__n",
                 (
                     F.lit(teleport)
-                    + F.round(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))).cast(
-                        "long"
-                    )
+                    + F.round(
+                        F.lit(damping) * (F.col("__in") + F.col("__dg"))
+                    ).cast("long")
                 ).alias("__r"),
+            ).localCheckpoint()
+        else:
+            ranks = (
+                ranks.join(contrib, ranks["__n"] == contrib["__d"], "left")
+                .select(
+                    "__n",
+                    (
+                        F.lit(teleport)
+                        + F.round(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))).cast(
+                            "long"
+                        )
+                    ).alias("__r"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
     return ranks.select(
         F.col("__n").alias(node_col), F.col("__r").alias("rank_micro_units")
     )

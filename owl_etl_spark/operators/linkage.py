@@ -12,9 +12,11 @@ dedupe.io, Splink all share it):
 1. **Blocking** — a cheap deterministic key (here: the name's last
    token) so only same-block records are compared. Pair space drops
    from n² to Σ block². Known limit of ANY single blocking key: a typo
-   in the key token hides the pair (production linkage unions edges
-   from several blocking passes — first token, soundex, LSH — before
-   clustering; ``similarity_edges`` composes with union for that). For
+   in the key token hides the pair. ``similarity_edges_multi`` ships
+   the production answer — UNION the edges of several independent
+   blocking passes (last token, first token, squashed-name prefix)
+   before clustering, so a pair is compared if ANY pass blocks it
+   together; each pass keeps the same Σ block² bound. For
    adversarial/heavy blocks swap in the LSH banding of
    ``dedup.minhash_lsh_pairs`` — same edges contract, scale guards
    included.
@@ -39,12 +41,43 @@ def _norm(name_col: str):
     return F.lower(F.trim(F.col(name_col)))
 
 
-def name_trigrams(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+#: Independent blocking passes for ``similarity_edges_multi``: each is
+#: name → a cheap deterministic key Column. A pair is scored when ANY
+#: pass puts both records in one block, so a typo must corrupt EVERY
+#: key to hide the pair (mirrors the reference's tiered matcher, which
+#: falls back exact → containment → difflib rather than trusting one
+#: signal — /root/reference/src/etl/transform.py:358-384).
+def _block_last_token(name_col: str):
+    return F.element_at(F.split(_norm(name_col), " "), -1)
+
+
+def _block_first_token(name_col: str):
+    return F.element_at(F.split(_norm(name_col), " "), 1)
+
+
+def _block_squashed_prefix(name_col: str, n: int = 4):
+    """First *n* chars of the space-stripped normalized name — robust
+    to tokenization typos (missing/extra spaces) and to a corrupted
+    LAST token when the front of the name is intact."""
+    return F.substring(F.regexp_replace(_norm(name_col), " ", ""), 1, n)
+
+
+BLOCKING_PASSES = {
+    "last_token": _block_last_token,
+    "first_token": _block_first_token,
+    "squashed_prefix": _block_squashed_prefix,
+}
+
+
+def name_trigrams(
+    df: DataFrame, id_col: str, name_col: str, block_col=None
+) -> DataFrame:
     """(id, block, h): one row per DISTINCT character trigram of the
     normalized name, hashed to a compact portable int. Names shorter
     than 3 chars contribute themselves as a single token. Intra-row →
-    zero shuffles."""
-    norm = _norm(name_col)
+    zero shuffles. ``block_col``: blocking-key Column (default: last
+    token of the normalized name)."""
+    block = _block_last_token(name_col) if block_col is None else block_col
     tri = F.expr(
         f"CASE WHEN length(lower(trim({name_col}))) < 3 "
         f"THEN array(lower(trim({name_col}))) "
@@ -53,7 +86,7 @@ def name_trigrams(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
-        F.element_at(F.split(norm, " "), -1).alias("block"),
+        block.alias("block"),
         F.explode(tri).alias("__t"),
     ).select(id_col, "block", md5_long(F.col("__t")).alias("h"))
 
@@ -63,6 +96,7 @@ def similarity_edges(
     id_col: str,
     name_col: str,
     threshold: float = 0.6,
+    block_col=None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for same-block pairs with trigram-Jaccard
     >= threshold. Intersections come from ONE self-equi-join on
@@ -70,8 +104,9 @@ def similarity_edges(
     trigram's in-block df (the q29 hot-key caveat applies; LSH
     blocking is the documented heavy-block path). Jaccard =
     inter / (|A| + |B| - inter) over exact integers, rounded at 6 for
-    engine portability."""
-    tri = name_trigrams(df, id_col, name_col)
+    engine portability. ``block_col``: blocking-key Column (default:
+    last token of the normalized name)."""
+    tri = name_trigrams(df, id_col, name_col, block_col=block_col)
     sizes = tri.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = tri.select(F.col(id_col).alias("id_a"), "block", "h")
     b = tri.select(F.col(id_col).alias("id_b"), "block", "h")
@@ -95,18 +130,67 @@ def similarity_edges(
     )
 
 
+def similarity_edges_multi(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    threshold: float = 0.6,
+    passes: tuple[str, ...] = ("last_token", "first_token", "squashed_prefix"),
+) -> DataFrame:
+    """Union of ``similarity_edges`` over several independent blocking
+    passes, deduplicated to one (id_a, id_b, jaccard) row per pair.
+
+    Closes the documented single-key miss: a typo in the LAST name
+    token hides a pair from last-token blocking, but the first token
+    or the squashed 4-char prefix still blocks it together — recall
+    strictly dominates any one pass (the edge set is a superset by
+    construction), while precision is untouched because every
+    candidate still has to clear the SAME trigram-Jaccard threshold.
+
+    Scale shape: each pass is the bounded Σ block² self-join; the
+    union adds a final (id_a, id_b) groupBy to drop pairs found by
+    more than one pass. Jaccard depends only on the two names (not
+    the pass), so any duplicate edge carries the same score and
+    ``max`` is a pure dedup.
+    """
+    unknown = [p for p in passes if p not in BLOCKING_PASSES]
+    if unknown:
+        raise ValueError(
+            f"unknown blocking pass(es) {unknown}; available: {sorted(BLOCKING_PASSES)}"
+        )
+    edge_sets = [
+        similarity_edges(
+            df, id_col, name_col, threshold, block_col=BLOCKING_PASSES[p](name_col)
+        )
+        for p in passes
+    ]
+    out = edge_sets[0]
+    for e in edge_sets[1:]:
+        out = out.unionByName(e)
+    return out.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
+
+
 def resolve_entities(
     df: DataFrame,
     id_col: str,
     name_col: str,
     threshold: float = 0.6,
     max_iters: int = 10,
+    passes: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Full entity resolution: every input row labeled with its
     ``entity_id`` (= min id in its similarity component; singletons
     label themselves). Deterministic end to end — the whole pipeline
-    is oracle-replayable in SQL (q123)."""
-    edges = similarity_edges(df, id_col, name_col, threshold)
+    is oracle-replayable in SQL (q123 single-pass, q133 multi-pass).
+
+    ``passes=None`` keeps the classic single last-token blocking;
+    a tuple of ``BLOCKING_PASSES`` names unions those passes' edges
+    before clustering (typo-robust recall — see
+    ``similarity_edges_multi``)."""
+    if passes is None:
+        edges = similarity_edges(df, id_col, name_col, threshold)
+    else:
+        edges = similarity_edges_multi(df, id_col, name_col, threshold, passes)
     return connected_components(
         edges, df.select(id_col), id_col, max_iters=max_iters
     ).withColumnRenamed("component", "entity_id")

@@ -147,14 +147,29 @@ def trend_report(
     doubles and drifts with partitioning; this form is the
     reproducible one.) One shuffle on the group keys; no windows.
 
-    Caller contract (overflow): the internal products must fit BIGINT —
-    require ``n · max(x²) < 2^63``, ``n · max(y²) < 2^63`` and
-    ``n · max(|x·y|) < 2^63`` (e.g. n ≤ 1e6 rows/group with |x| ≤ 1e4
-    and |y| ≤ 1e6 leaves ~100x headroom). Scale x to small integers
-    (hours since the series start, bucket index) and y to the coarsest
-    integer unit that preserves meaning; Spark's non-ANSI mode WRAPS
-    silently on overflow, so out-of-domain inputs give garbage, not an
-    error.
+    Caller contract (overflow): every internal product — including the
+    squared-sum terms ``(Σx)²``/``(Σy)²``/``Σx·Σy``, which are the
+    binding ones — must fit BIGINT. The sufficient (and enforced)
+    condition is
+
+        n · max(|x|) < √(2^63) ≈ 3.03e9   and   n · max(|y|) < √(2^63)
+
+    because then ``(Σx)² ≤ (n·max|x|)² < 2^63`` and every mixed term
+    (``n·Σx²``, ``n·Σxy``, ``Σx·Σy``) is bounded by products of those
+    two roots. E.g. n ≤ 1e6 rows/group supports |x| ≤ 3e3 and |y| ≤
+    3e3; n ≤ 3e3 supports |y| up to 1e6 (cents). Scale x to small
+    integers (hours since the series start, bucket index) and y to the
+    coarsest integer unit that preserves meaning.
+
+    The contract is ENFORCED, not just documented: the same aggregate
+    also collects ``max(|x|)``/``max(|y|)`` per group (free — two more
+    map-side-combined maxes in the one pass), and any group whose
+    bounds violate the headroom raises a diagnostic at evaluation time
+    — instead of a silent wrapped-BIGINT garbage slope (non-ANSI
+    sessions) or a bare ARITHMETIC_OVERFLOW without group context
+    (ANSI). The bound check itself runs in double (exact enough for a
+    guard: a ~1-ulp misclassification at the 2^31.5 boundary only
+    shifts WHERE the error fires, never lets a deep overflow through).
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
@@ -165,7 +180,33 @@ def trend_report(
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
+        F.max(F.abs(x)).cast("double").alias("__ax"),
+        F.max(F.abs(y)).cast("double").alias("__ay"),
     )
+    root = float(2**63) ** 0.5  # ≈ 3.037e9: n·max|x| and n·max|y| must stay below
+    nd = agg["n"].cast("double")
+    in_domain = (nd * F.col("__ax") < root) & (nd * F.col("__ay") < root)
+    agg = agg.withColumn(
+        "n",
+        F.when(
+            ~in_domain,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "trend_report: BIGINT overflow contract violated "
+                        f"(need n*max(|{x_col}|) and n*max(|{y_col}|) < "
+                        "sqrt(2^63) ~ 3.03e9) for group with n="
+                    ),
+                    F.col("n").cast("string"),
+                    F.lit(f", max|{x_col}|="),
+                    F.col("__ax").cast("string"),
+                    F.lit(f", max|{y_col}|="),
+                    F.col("__ay").cast("string"),
+                    F.lit(" — rescale x/y to coarser integer units"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")),
+    ).drop("__ax", "__ay")
     dxx = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
     dyy = agg["n"] * F.col("syy") - F.col("sy") * F.col("sy")
     dxy = agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")

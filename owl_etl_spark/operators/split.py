@@ -243,11 +243,32 @@ def weighted_sample_aes(
     key), so the boundary between rank k and k+1 never depends on a
     last-ulp ``ln`` difference between engines — same trick as the
     micro-nat costs in ranking.unigram_logprob_score.
+
+    Weights MUST be > 0 and non-null — enforced at runtime (the batch
+    fails), because a zero/negative/null weight would otherwise yield
+    an Inf/NaN/null priority that Spark casts SILENTLY (Inf →
+    Long.MAX_VALUE, NaN → null), quietly corrupting the sample and
+    diverging from any oracle replay instead of erroring.
     """
     u = (md5_long(F.concat(F.col(key).cast("string"), F.lit(f"|{salt}"))) + F.lit(0.5)) / F.lit(
         float(1 << 60)
     )
-    nano = F.round(-F.log(u) / F.col(weight_col) * 1_000_000_000).cast("bigint")
+    w = F.col(weight_col).cast("double")
+    w_ok = F.when(
+        w.isNull() | (w <= 0) | F.isnan(w) | (w == float("inf")),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_aes: {weight_col} must be a positive "
+                    "finite number, got "
+                ),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(" for key "),
+                F.coalesce(F.col(key).cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    nano = F.round(-F.log(u) / w_ok * 1_000_000_000).cast("bigint")
     return (
         df.withColumn(score_col, nano)
         .orderBy(F.col(score_col).asc(), F.col(key).asc())

@@ -27,14 +27,30 @@ def _ordered_str_col(stream: DataFrame, col: str, out: str) -> tuple[DataFrame, 
     """State comparisons below are LEXICOGRAPHIC on strings (the state
     store holds one string scalar). For integral columns, '9' > '10'
     would pick the wrong winner — normalize to a zero-padded 20-digit
-    string whose lexicographic order equals numeric order (non-negative
-    values only; a negative would sort above positives). Floats/decimals
-    are rejected: no padding makes their text order numeric — pre-convert
-    to an integral or string the caller controls. String columns pass
-    through unchanged (the caller owns their ordering semantics)."""
+    string whose lexicographic order equals numeric order. Non-negative
+    values ONLY, and that contract is ENFORCED at runtime (the batch
+    fails on the first negative): '-' sorts before '0' and magnitude
+    order INVERTS among negatives, so a signed sequence (a delta/LSN
+    offset) would silently pick wrong winners — bias such columns to
+    ≥ 0 before streaming them. Floats/decimals are rejected up front:
+    no padding makes their text order numeric — pre-convert to an
+    integral or a caller-ordered string. String columns pass through
+    unchanged (the caller owns their ordering semantics)."""
     dt = dict(stream.dtypes).get(col)
     if dt in _INTEGRALS:
-        return stream.withColumn(out, F.format_string("%020d", F.col(col))), out
+        padded = F.when(
+            F.col(col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{col} must be non-negative for lexicographic "
+                        "state ordering (zero-padding breaks on '-'), got "
+                    ),
+                    F.col(col).cast("string"),
+                )
+            ).cast("string"),
+        ).otherwise(F.format_string("%020d", F.col(col)))
+        return stream.withColumn(out, padded), out
     if dt in ("float", "double") or (dt or "").startswith("decimal"):
         raise ValueError(
             f"{col} is {dt}: float/decimal sequence columns have no "
@@ -84,14 +100,28 @@ def streaming_latest_per_key(
         best = state.get[0] if state.exists else None
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(cmp_col)
-            for _, row in pdf.iterrows():
-                r = row[cmp_col]
-                if r is not None and (best is None or str(r) > str(best)):
-                    best = str(r)
-                    out.append(row.to_frame().T)
+            pdf = pdf[pdf[cmp_col].notna()]
+            if pdf.empty:
+                continue
+            # vectorized improvement scan (no per-row Python loop — a
+            # hot key receiving thousands of events per micro-batch
+            # stays Arrow/numpy-speed): after a stable ascending sort
+            # on the comparison string, a row beats every earlier row
+            # iff it differs from its predecessor (sorted ⇒ cummax ==
+            # self, and ≥ predecessor always holds), and it beats the
+            # stored state iff it exceeds ``best``.
+            pdf = pdf.sort_values(cmp_col, kind="stable").reset_index(drop=True)
+            s = pdf[cmp_col].astype(str)
+            mask = s.ne(s.shift(1))
+            if best is not None:
+                mask &= s > str(best)
+            if mask.any():
+                out.append(pdf[mask])
+                top = s.iloc[-1]
+                if best is None or top > str(best):
+                    best = top
         if best is not None:
-            state.update((best,))
+            state.update((str(best),))
             if state_timeout_ms is not None:
                 state.setTimeoutDuration(state_timeout_ms)
         if out:

@@ -1,0 +1,339 @@
+"""Round-5 hardening units: enforced runtime contracts (weighted-
+sample weights, trend_report BIGINT headroom, streaming sequence
+non-negativity), vectorized streaming latest-per-key, PageRank
+dangling-mass redistribution + weighted edges, CMS ε/δ sizing, and
+multi-pass blocking recall for entity resolution (q133's library).
+
+Gate queries pin oracle parity; these pin the library-level contracts
+the gate can't see (error paths, mass conservation, recall dominance).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.graph import MICRO, pagerank
+from owl_etl_spark.operators.linkage import (
+    resolve_entities,
+    similarity_edges,
+    similarity_edges_multi,
+)
+from owl_etl_spark.operators.profile import trend_report
+from owl_etl_spark.operators.sketches import cms_params
+from owl_etl_spark.operators.split import weighted_sample_aes
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_aes: weight contract is enforced, not documented
+# ---------------------------------------------------------------------------
+
+
+def test_aes_rejects_zero_weight(spark):
+    df = spark.createDataFrame([Row(k="a", w=1.0), Row(k="b", w=0.0)])
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample_aes(df, "k", "w", k=2).collect()
+
+
+def test_aes_rejects_negative_and_null_weight(spark):
+    df = spark.createDataFrame([Row(k="a", w=-1.0)])
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample_aes(df, "k", "w", k=1).collect()
+    df2 = spark.createDataFrame(
+        [Row(k="a", w=None)], schema="k string, w double"
+    )
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample_aes(df2, "k", "w", k=1).collect()
+
+
+def test_aes_valid_weights_still_sample(spark):
+    df = spark.createDataFrame([Row(k=f"k{i}", w=float(i + 1)) for i in range(20)])
+    out = weighted_sample_aes(df, "k", "w", k=5).collect()
+    assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# trend_report: BIGINT headroom contract is enforced per group
+# ---------------------------------------------------------------------------
+
+
+def test_trend_in_domain_unchanged(spark):
+    # y = 2x + 1 exactly: slope 2, intercept 1, r² 1
+    df = spark.createDataFrame([Row(g="a", x=i, y=2 * i + 1) for i in range(10)])
+    row = trend_report(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] == 2.0 and row["intercept"] == 1.0 and row["r2"] == 1.0
+
+
+def test_trend_overflow_domain_raises(spark):
+    # per-row products and their sums all FIT BIGINT (so the aggregate
+    # itself survives even under ANSI), but n·max(y²) = 4·2^62 = 2^64
+    # exceeds the 2^63 contract: the final n·Σy² product would wrap
+    # (non-ANSI) or hard-error (ANSI) — the guard must raise its own
+    # diagnostic first, from the group's recorded bounds
+    df = spark.createDataFrame(
+        [Row(g="a", x=0, y=2**31), Row(g="a", x=1, y=1),
+         Row(g="a", x=2, y=1), Row(g="a", x=3, y=1)],
+        schema="g string, x long, y long",
+    )
+    with pytest.raises(Exception, match="overflow contract"):
+        trend_report(df, ["g"], "x", "y").collect()
+
+
+def test_trend_generous_in_domain_magnitudes_pass(spark):
+    # n=100, max|y|=9.9e5 → n·max|y| ≈ 1e8, 30× inside the √(2^63)
+    # bound: the guard must stay silent and the exact slope comes out
+    df = spark.createDataFrame(
+        [Row(g="b", x=i, y=10_000 * i) for i in range(100)]
+    )
+    rows = trend_report(df, ["g"], "x", "y").collect()
+    assert rows[0]["slope"] == 10_000.0
+
+
+# ---------------------------------------------------------------------------
+# pagerank: dangling redistribution conserves mass; weighted edges
+# ---------------------------------------------------------------------------
+
+
+def _pr(spark, edges, nodes, **kw):
+    e = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    n = spark.createDataFrame([Row(node=x) for x in nodes])
+    return {
+        r["node"]: r["rank_micro_units"]
+        for r in pagerank(e, n, n_iters=kw.pop("n_iters", 5), **kw).collect()
+    }
+
+
+def test_pagerank_redistribute_conserves_mass(spark):
+    # b is dangling: under "leak" total mass shrinks, under
+    # "redistribute" it stays ≈ n·MICRO (integer rounding only)
+    edges = [("a", "b"), ("c", "b")]
+    nodes = ["a", "b", "c"]
+    leak = _pr(spark, edges, nodes, dangling="leak")
+    redist = _pr(spark, edges, nodes, dangling="redistribute")
+    n_micro = len(nodes) * MICRO
+    assert sum(leak.values()) < n_micro * 0.95
+    assert abs(sum(redist.values()) - n_micro) <= len(nodes) * 5  # rounding slack
+    # the dangling node's mass flows back: every node gains vs leak
+    assert all(redist[k] >= leak[k] for k in nodes)
+
+
+def test_pagerank_redistribute_uniform_on_edgeless_graph(spark):
+    # no edges at all → every node is dangling → uniform fixed point
+    e = spark.createDataFrame([], schema="src string, dst string")
+    n = spark.createDataFrame([Row(node=x) for x in ["a", "b", "c", "d"]])
+    ranks = {
+        r["node"]: r["rank_micro_units"]
+        for r in pagerank(e, n, dangling="redistribute", n_iters=4).collect()
+    }
+    assert len(set(ranks.values())) == 1
+    assert abs(sum(ranks.values()) - 4 * MICRO) <= 20
+
+
+def test_pagerank_weighted_edges_shift_rank(spark):
+    # a splits 9:1 between b and c — b must outrank c
+    e = spark.createDataFrame(
+        [Row(src="a", dst="b", w=9), Row(src="a", dst="c", w=1)]
+    )
+    n = spark.createDataFrame([Row(node=x) for x in ["a", "b", "c"]])
+    ranks = {
+        r["node"]: r["rank_micro_units"]
+        for r in pagerank(e, n, weight_col="w", n_iters=3).collect()
+    }
+    assert ranks["b"] > ranks["c"]
+    # both get the same teleport base, so the entire gap is the 9:1
+    # weighted contribution split of a's (decaying) rank — a material
+    # gap, not a rounding artifact
+    assert ranks["b"] - ranks["c"] > MICRO // 20
+
+
+def test_pagerank_unweighted_equals_weight_one(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e0 = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    e1 = e0.withColumn("w", F.lit(1))
+    n = spark.createDataFrame([Row(node=x) for x in ["a", "b", "c"]])
+    r0 = sorted(pagerank(e0, n, n_iters=4).collect())
+    r1 = sorted(pagerank(e1, n, n_iters=4, weight_col="w").collect())
+    assert r0 == r1
+
+
+def test_pagerank_rejects_unknown_dangling_mode(spark):
+    e = spark.createDataFrame([Row(src="a", dst="b")])
+    n = spark.createDataFrame([Row(node="a")])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(e, n, dangling="teleport")
+
+
+# ---------------------------------------------------------------------------
+# cms_params: ε/δ → (depth, width)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_params_textbook_values():
+    assert cms_params(0.001, 0.01) == (5, 2719)
+    assert cms_params(0.01, 0.05) == (3, 272)
+
+
+def test_cms_params_tighter_tolerance_never_shrinks():
+    d1, w1 = cms_params(0.01, 0.01)
+    d2, w2 = cms_params(0.001, 0.001)
+    assert d2 >= d1 and w2 > w1
+
+
+def test_cms_params_rejects_out_of_range():
+    for eps, delta in [(0.0, 0.1), (1.0, 0.1), (0.1, 0.0), (0.1, 1.0), (-1, 0.5)]:
+        with pytest.raises(ValueError):
+            cms_params(eps, delta)
+
+
+# ---------------------------------------------------------------------------
+# multi-pass blocking: recall dominates single-key, precision holds
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def typo_entities(spark):
+    """Labeled variant clusters where the LAST token carries a typo —
+    invisible to last-token blocking, caught by first-token or
+    squashed-prefix blocking."""
+    rows = [
+        # cluster 1: last-token typo ("banco santander" vs "banco santandre")
+        Row(id=1, name="banco santander central"),
+        Row(id=2, name="banco santander centrall"),
+        # cluster 2: clean last token (single-pass already links these)
+        Row(id=3, name="fondo patrimonial global"),
+        Row(id=4, name="fondos patrimonial global"),
+        # strangers
+        Row(id=5, name="zurich insurance group"),
+        Row(id=6, name="tokio marine holdings"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_multi_pass_edges_superset_of_single(spark, typo_entities):
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_edges(typo_entities, "id", "name", 0.6).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_edges_multi(typo_entities, "id", "name", 0.6).collect()
+    }
+    assert single <= multi
+
+
+def test_multi_pass_recovers_last_token_typo(spark, typo_entities):
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_edges(typo_entities, "id", "name", 0.6).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_edges_multi(typo_entities, "id", "name", 0.6).collect()
+    }
+    assert (1, 2) not in single  # the documented single-key miss
+    assert (1, 2) in multi  # first-token / squashed-prefix pass blocks it
+    assert (3, 4) in multi  # clean pairs still found
+
+
+def test_multi_pass_keeps_strangers_apart(spark, typo_entities):
+    labels = resolve_entities(
+        typo_entities,
+        "id",
+        "name",
+        threshold=0.6,
+        passes=("last_token", "first_token", "squashed_prefix"),
+    ).collect()
+    ent = {r["id"]: r["entity_id"] for r in labels}
+    assert ent[1] == ent[2]
+    assert ent[3] == ent[4]
+    assert len({ent[5], ent[6], ent[1], ent[3]}) == 4
+
+
+def test_multi_pass_rejects_unknown_pass(spark, typo_entities):
+    with pytest.raises(ValueError, match="unknown blocking pass"):
+        similarity_edges_multi(typo_entities, "id", "name", passes=("soundex",))
+
+
+def test_multi_pass_jaccard_identical_across_passes(spark, typo_entities):
+    # the score is a property of the two names, so dedup-by-max never
+    # changes a value: every multi edge that single finds has the same
+    # jaccard in both
+    single = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in similarity_edges(typo_entities, "id", "name", 0.6).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in similarity_edges_multi(typo_entities, "id", "name", 0.6).collect()
+    }
+    for pair, j in single.items():
+        assert multi[pair] == j
+
+
+# ---------------------------------------------------------------------------
+# streaming latest-per-key: vectorized scan + enforced sequence contract
+# ---------------------------------------------------------------------------
+
+
+def _write_stream_json(tmp_path, rows, sub="r5_stream_in"):
+    p = tmp_path / sub
+    p.mkdir()
+    with open(p / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_latest_per_key_hot_key_batch(spark, tmp_path):
+    """A hot key with hundreds of shuffled events in ONE micro-batch:
+    the vectorized scan must emit exactly the strictly-increasing
+    prefix-max improvements of the sorted sequence (duplicates
+    suppressed), same as the old per-row loop."""
+    from owl_etl_spark.streaming.dedup_stream import streaming_latest_per_key
+
+    seqs = [((i * 37) % 200) for i in range(400)]  # dups + out-of-order
+    rows = [
+        {"k": "hot", "seq": s, "ts": "2024-01-01T00:00:00", "i": i}
+        for i, s in enumerate(seqs)
+    ] + [{"k": "cold", "seq": 7, "ts": "2024-01-01T00:00:01", "i": 9999}]
+    path = _write_stream_json(tmp_path, rows)
+    stream = spark.readStream.schema("k string, seq long, ts timestamp, i long").json(path)
+    out = streaming_latest_per_key(stream, ["k"], "seq", "ts", state_timeout_ms=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("r5_hot_latest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT k, seq FROM r5_hot_latest ORDER BY k, seq").collect()
+    hot = [r["seq"] for r in got if r["k"] == "hot"]
+    # emitted set = distinct values in ascending order (each beats all
+    # earlier ones after the sort), one row per value
+    assert hot == sorted(set(seqs))
+    assert [r["seq"] for r in got if r["k"] == "cold"] == [7]
+
+
+def test_latest_per_key_negative_sequence_fails_batch(spark, tmp_path):
+    from owl_etl_spark.streaming.dedup_stream import streaming_latest_per_key
+
+    rows = [{"k": "a", "seq": -5, "ts": "2024-01-01T00:00:00"}]
+    path = _write_stream_json(tmp_path, rows, sub="r5_neg_in")
+    stream = spark.readStream.schema("k string, seq long, ts timestamp").json(path)
+    out = streaming_latest_per_key(stream, ["k"], "seq", "ts", state_timeout_ms=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("r5_neg_latest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()

@@ -98,27 +98,35 @@ def _closure_files(seed_mods: set[str]) -> list[str]:
     return sorted(seen_files)
 
 
-def _module_level_bindings(entry_module) -> dict[str, str]:
+def _module_level_bindings(entry_module) -> dict[str, set[str]]:
     """Map of names bound at the ENTRY MODULE's top level by
     ``from owl_etl_spark... import name`` (and ``import owl_etl_spark.x``
-    aliases) → the owl module that defines them. Needed because many
+    aliases) → the owl module(s) that define them. Needed because many
     query bodies call library functions through these module-level
     imports rather than a function-local ``from ... import`` — hashing
     only the body's own imports would leave those dependencies
     invisible to the freshness guard (the exact blind spot the guard
-    exists to close)."""
+    exists to close).
+
+    Values are SETS: several plain ``import owl_etl_spark.a`` /
+    ``import owl_etl_spark.b`` statements all bind the same top-level
+    name (``owl_etl_spark``), so a body reference to that name must
+    seed EVERY such module — a single-string map would keep only the
+    last import and silently drop the rest from the hash."""
     tree = ast.parse(inspect.getsource(entry_module))
-    binds: dict[str, str] = {}
+    binds: dict[str, set[str]] = {}
     for node in tree.body:  # top level only — function bodies hash themselves
         if isinstance(node, ast.ImportFrom) and node.module and (
             node.module == _PKG or node.module.startswith(_PKG + ".")
         ):
             for a in node.names:
-                binds[a.asname or a.name] = node.module
+                binds.setdefault(a.asname or a.name, set()).add(node.module)
         elif isinstance(node, ast.Import):
             for a in node.names:
                 if a.name == _PKG or a.name.startswith(_PKG + "."):
-                    binds[a.asname or a.name.split(".")[0]] = a.name
+                    binds.setdefault(
+                        a.asname or a.name.split(".")[0], set()
+                    ).add(a.name)
     return binds
 
 
@@ -145,7 +153,7 @@ def compute_hashes(entry_module) -> dict[str, str]:
         seeds = _imports_in(tree)
         for node in ast.walk(tree):
             if isinstance(node, ast.Name) and node.id in binds:
-                seeds.add(binds[node.id])
+                seeds.update(binds[node.id])
         for f in _closure_files(seeds):
             if f not in file_bytes:
                 file_bytes[f] = open(f, "rb").read()
