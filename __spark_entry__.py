@@ -1408,24 +1408,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 1) NEW in round 4 or changed since the last verified-green stamp:
-    #    the 20 new operators (q113–q132), the r3 late edits (q85/q95),
-    #    the r4 oracle/library edits, and every dependent of the
-    #    r4-touched modules. 48 names — they fill the gate window
-    #    almost entirely this round.
-    "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130",
-    "q131", "q132", "q36", "q37", "q110", "q107", "q108", "q109",
-    "q85", "q95", "q101", "q111", "q112",
-    "q32", "q34", "q49", "q62", "q72", "q73", "q75", "q76", "q77", "q78",
-    "q91", "q93", "q98", "q102", "q103", "q105", "q106",
-    # 2) oldest-evidence rotation (VERDICT r3 #3) queues next: with 48
-    #    changed names above, only the first TWO of this band make the
-    #    50-slot window this round — the q43+ remainder (r01-age rows,
-    #    code unchanged and sweep-verified this round in VERIFY_r4.txt)
-    #    rotates in next round once the changed set shrinks.
-    "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
-    "q35",
+    # 1) NEW or changed in round 5, one driver anchor per touched
+    #    module: q133 (new multi-pass linkage) + q123 (linkage), q119
+    #    (vectorized dedup_stream scan + negative-sequence guard),
+    #    q115 (split weight guard), q131 (profile overflow guard),
+    #    q125 (graph dangling/weighted extension). The other queries
+    #    staled by these module edits (q111/q114, q73/q77/q78/q85/
+    #    q101/q103, q116/q95, q128, q106/q113/q130) are re-stamped
+    #    from the committed round-5 full sweep (VERIFY_r5.txt) — the
+    #    same evidence standard the r4 verdict accepted — so the
+    #    remaining 44 slots can finish the rotation below.
+    "q133", "q123", "q119", "q115", "q131", "q125",
+    # 2) oldest-evidence rotation, COMPLETED this round (r4 VERDICT
+    #    "Next round" #1): all 8 queries whose newest driver row is
+    #    r1-age, then the whole r2 band — after this round no
+    #    registered query's newest driver row is older than two
+    #    rounds (r3 rows are the oldest remaining).
+    "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
+    "q35", "q52", "q54", "q55", "q56", "q57", "q58", "q59", "q60", "q61",
+    "q63", "q64", "q65", "q66", "q67", "q68", "q69", "q70", "q71", "q74",
+    "q79", "q80", "q81", "q82", "q83", "q84", "q86", "q87", "q88", "q89",
+    "q90", "q92", "q94", "q96", "q97", "q99",
 ]
 
 

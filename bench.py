@@ -118,6 +118,8 @@ def main() -> None:
 
     skew = _skew_scenario(spark, sf_dir)
     ann = _ann_scenario(spark, sf_dir)
+    ann_clustered = _ann_clustered_scenario(spark)
+    streaming = _streaming_scenario(spark, sf_dir)
 
     print(
         json.dumps(
@@ -128,6 +130,8 @@ def main() -> None:
                 "queries": timings,
                 "skew_scenario": skew,
                 "ann_scenario": ann,
+                "ann_clustered_scenario": ann_clustered,
+                "streaming_scenario": streaming,
                 "sf": sf,
             }
         )
@@ -296,6 +300,242 @@ def _ann_scenario(sparksession, sf_dir: str) -> dict[str, float]:
         )
     encoded_pq.unpersist()
     encoded_ivfpq.unpersist()
+    return out
+
+
+def _ann_clustered_scenario(sparksession) -> dict[str, float]:
+    """The ANN ladder on a PLANTED-CLUSTER corpus — the regime vector
+    compression exists for (r4 VERDICT "Next round" #3): the isotropic
+    ladder above is the worst-case floor (distance concentration
+    defeats any code-based shortlist there — recall ~0.2 is EXPECTED),
+    so it cannot catch a real recall regression. This corpus has
+    well-separated centers with tight noise, and the quality signal is
+    ``*_same_cluster_at_5`` — the fraction of returned neighbors from
+    the query's own cluster, the operator contract the unit tests pin
+    at >= 0.9. (Exact top-5 recall is ALSO recorded but is ~floor here
+    BY DESIGN: all 1,000 members of a cluster share one PQ code, so
+    ADC ties across them and the tie-break — not distance — picks the
+    5; no code-based method can resolve within-cluster order. A
+    same-cluster drop IS a bug; an exact-recall drop is not.)
+
+    Also times the PRODUCTION fitted path (kmeans_fit +
+    pq_codebooks_fit — the oracle-pinned *_from_ids constructors exist
+    only for gate portability), so the fit cost has a per-round record
+    too (r4 VERDICT optional 7c). Fit work per iteration is one scan +
+    one k-group aggregate; driver state is k*dim doubles.
+
+    Corpus: 20,000 x 64f32 (20 clusters x 1,000 members, uniform(-10,10)
+    centers, N(0, 0.05) noise — the cluster count the fitted-codebook
+    recall contract is validated for in test_cluster.py: with m=4
+    blocks of ks=16 codes, 20 sub-centers per block fit the code
+    budget; 50+ clusters would alias codes by construction and measure
+    the corpus, not the operator), seeded numpy -> Arrow
+    createDataFrame, localCheckpoint'd so generation isn't billed.
+    20 probe queries, one per cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.cluster import (
+        ivfpq_encode,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_codebooks_fit,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    n_clusters, per_cluster, dim = 20, 1000, 64
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-10, 10, size=(n_clusters, dim))
+    noise = rng.normal(0, 0.05, size=(n_clusters * per_cluster, dim))
+    vecs = (np.repeat(centers, per_cluster, axis=0) + noise).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype="int64"), "embedding": list(map(list, vecs))}
+    )
+    em = sparksession.createDataFrame(pdf).localCheckpoint()
+    qs = em.filter(F.col("vec_id") % per_cluster == 3)  # one probe per cluster
+
+    out: dict[str, float] = {}
+
+    # exact L2 truth (and the brute-force timing entry)
+    dist = (
+        "aggregate(zip_with(transform(__qv, v -> CAST(v AS DOUBLE)), "
+        "transform(__cv, v -> CAST(v AS DOUBLE)), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    t0 = time.perf_counter()
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth_df = (
+        cv.join(F.broadcast(qv))
+        .select("query_id", "neighbor_id", F.round(F.expr(dist), 6).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in truth_df.collect()}
+    out["brute_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cents = kmeans_fit(em, k=8, dim=dim)
+    out["kmeans_fit_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cbs = pq_codebooks_fit(em, m=4, ks=16, dim=dim)
+    out["pq_fit_s"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# ann_clustered fits: kmeans {out['kmeans_fit_s']}s, pq {out['pq_fit_s']}s",
+        file=sys.stderr,
+    )
+
+    encoded_pq = pq_encode(em, cbs, round_digits=6).localCheckpoint()
+    encoded_ivfpq = ivfpq_encode(em, cents, cbs, round_digits=6).localCheckpoint()
+
+    for label, fn in (
+        ("pq_adc", lambda: pq_adc_topk(qs, encoded_pq, cbs, k=5)),
+        ("pq_rerank", lambda: pq_rerank_topk(qs, em, encoded_pq, cbs, k=5, shortlist=100)),
+        ("ivfpq", lambda: ivfpq_topk(qs, encoded_ivfpq, cents, cbs, k=5, n_probes=2)),
+    ):
+        t0 = time.perf_counter()
+        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        out[f"{label}_s"] = round(time.perf_counter() - t0, 3)
+        out[f"{label}_recall_at_5"] = round(len(got & truth) / len(truth), 3)
+        same = sum(1 for qid, nid in got if qid // per_cluster == nid // per_cluster)
+        out[f"{label}_same_cluster_at_5"] = round(same / max(1, len(got)), 3)
+        print(
+            f"# ann_clustered_{label}: {out[f'{label}_s']}s "
+            f"recall@5={out[f'{label}_recall_at_5']} "
+            f"same_cluster@5={out[f'{label}_same_cluster_at_5']}",
+            file=sys.stderr,
+        )
+    em.unpersist()
+    encoded_pq.unpersist()
+    encoded_ivfpq.unpersist()
+    return out
+
+
+def _streaming_scenario(sparksession, sf_dir: str) -> dict[str, float]:
+    """Per-round throughput + state-size record for the streaming
+    family (r4 VERDICT "Next round" #2): the nine gated streaming
+    queries were correctness-only — their sweep timings conflate
+    stream startup with ORACLE time, so there was no recorded answer
+    to a user's first questions (events/sec? state bytes?).
+
+    Each operator runs as a real readStream(parquet events drop) ->
+    trigger(availableNow) -> memory-sink query — ENGINE time only, no
+    oracle, no output re-normalization. Recorded per operator:
+
+    - wall seconds (plan + all micro-batches + sink commit),
+    - events/sec = input rows / wall (the sf0.1 drop is 100k events),
+    - peak state rows / bytes from the progress metrics' state
+      operators — the number that decides cluster sizing, since state
+      (not throughput) is what grows with key cardinality.
+
+    Operators: tumbling-window counts (built-in agg state),
+    CDC apply and latest-per-key (one scalar of applyInPandasWithState
+    state per key; latest-per-key is the r5-vectorized scan), and the
+    custom stateful sessionizer (three scalars + event-time timer per
+    key). ~1,500 distinct user_ids at sf0.1."""
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.streaming.dedup_stream import (
+        streaming_cdc_apply,
+        streaming_latest_per_key,
+    )
+    from owl_etl_spark.streaming.joins import sessionize_stateful
+    from owl_etl_spark.streaming.windows import hourly_event_counts
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _src():
+        return (
+            sparksession.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    n_events = sparksession.read.schema(schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir).count()
+
+    out: dict[str, float] = {"input_events": n_events}
+
+    def _run(label: str, stream_df, output_mode: str) -> None:
+        t0 = time.perf_counter()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(f"bench_{label}")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        state_rows = 0
+        state_bytes = 0
+        for prog in q.recentProgress:
+            for op in prog.get("stateOperators") or []:
+                state_rows = max(state_rows, op.get("numRowsTotal") or 0)
+                state_bytes = max(state_bytes, op.get("memoryUsedBytes") or 0)
+        out[f"{label}_s"] = round(dt, 3)
+        out[f"{label}_events_per_s"] = round(n_events / dt)
+        out[f"{label}_state_rows"] = state_rows
+        out[f"{label}_state_bytes"] = state_bytes
+        sparksession.catalog.dropTempView(f"bench_{label}")
+        print(
+            f"# streaming_{label}: {dt:.3f}s "
+            f"({out[f'{label}_events_per_s']} ev/s, "
+            f"state {state_rows} rows / {state_bytes} B)",
+            file=sys.stderr,
+        )
+
+    _run(
+        "hourly_counts",
+        hourly_event_counts(
+            _src().withColumn("value", F.round(F.col("value") * 100).cast("long"))
+        ),
+        "complete",
+    )
+    cdc_in = _src().withColumn("us", F.unix_micros("ts")).withColumn(
+        "seq", F.format_string("%020d%012d", F.col("us"), F.col("event_id"))
+    )
+    _run(
+        "cdc_apply",
+        streaming_cdc_apply(
+            cdc_in,
+            keys=["user_id"],
+            sequence_col="seq",
+            op_col="event_type",
+            watermark_col="ts",
+            delete_ops=("error",),
+            state_timeout_ms=None,  # bounded availableNow run
+        ),
+        "append",
+    )
+    _run(
+        "latest_per_key",
+        streaming_latest_per_key(
+            _src().withColumn("us", F.unix_micros("ts")),
+            keys=["user_id"],
+            recency_col="us",
+            watermark_col="ts",
+            state_timeout_ms=None,
+        ),
+        "append",
+    )
+    _run(
+        "sessionize",
+        sessionize_stateful(
+            _src().select("user_id", "ts"), "user_id", "ts", gap_seconds=1800
+        ),
+        "append",
+    )
     return out
 
 
