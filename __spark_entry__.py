@@ -6465,3 +6465,217 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         passes=("last_token", "first_token", "squashed_prefix"),
     )
+
+
+@_register(
+    "q134_bloom_prune_join",
+    """
+    WITH qual AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    ), build_pos AS (
+      SELECT CAST(('0x' || substring(md5(CAST(q.k AS VARCHAR) || '#'
+                   || CAST(9000 + t.i AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS pos
+      FROM qual q CROSS JOIN range(4) t(i)
+    ), words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM build_pos GROUP BY 1
+    ), probe AS (
+      SELECT c.c_custkey,
+             CAST(('0x' || substring(md5(CAST(c.c_custkey AS VARCHAR) || '#'
+                   || CAST(9000 + t.i AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS pos
+      FROM customer c CROSS JOIN range(4) t(i)
+    ), hits AS (
+      SELECT p.c_custkey,
+             count(*) FILTER (WHERE w.word IS NOT NULL
+               AND (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) != 0)
+               AS n_hit
+      FROM probe p LEFT JOIN words w ON w.word = p.pos // 32
+      GROUP BY 1
+    ), marked AS (
+      SELECT h.c_custkey, h.n_hit = 4 AS kept, q.k IS NOT NULL AS is_true
+      FROM hits h LEFT JOIN qual q ON q.k = h.c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matches,
+           CAST(sum(CASE WHEN kept AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           (sum(CASE WHEN is_true AND NOT kept THEN 1 ELSE 0 END) = 0)
+             AS no_false_negatives
+    FROM marked
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (library: operators.bloomjoin):
+    the high-value-order custkeys build an 8192-bit / 4-hash bitmap
+    (md5-portable positions, 32 bits per BIGINT word so no sign-bit
+    engine disagreement), and the customer table is pruned by a
+    LITERAL-bitmap map expression — k md5s + k array lookups per row,
+    zero joins, zero shuffles, plan-tested join/exchange-free. The
+    oracle rebuilds the identical bitmap and membership test, so the
+    gate is hash-exact INCLUDING which false positives survive; the
+    output row also asserts the two contracts (no_false_negatives
+    always true; n_false_positives is the recorded fp count at the
+    standard ~2-3% rate for m/n~8, k=4). At 100 TB this is what
+    replaces the skip-list broadcast anti-filter (F1) when the key set
+    outgrows a broadcast list: the bitmap is KBs regardless of key
+    cardinality, reusable across queries, mergeable cell-wise by
+    bit_or (daily drops)."""
+    from owl_etl_spark.operators.bloomjoin import bloom_build, bloom_prune, bloom_words
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qual = (
+        o.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    words = bloom_words(bloom_build(qual, "k", n_bits=8192, k=4), 8192)
+    marked = bloom_prune(c, "c_custkey", words, 8192, 4, keep_col="kept")
+    truth = qual.select(F.col("k").alias("c_custkey"), F.lit(True).alias("is_true"))
+    j = marked.join(F.broadcast(truth), "c_custkey", "left").withColumn(
+        "is_true", F.coalesce(F.col("is_true"), F.lit(False))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_true_matches"),
+        F.sum(F.when(F.col("kept") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        (F.sum(F.when(F.col("is_true") & ~F.col("kept"), 1).otherwise(0)) == 0).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+@_register(
+    "q135_kmv_distinct_estimate",
+    """
+    WITH sk AS (
+      SELECT h FROM (
+        SELECT DISTINCT
+               CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM orders
+      ) ORDER BY h LIMIT 256
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_in_sketch, max(h) AS hk FROM sk
+    ), ex AS (
+      SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders
+    )
+    SELECT agg.n_in_sketch,
+           CASE WHEN agg.n_in_sketch < 256 THEN agg.n_in_sketch
+                ELSE CAST(round(255.0 * 1152921504606846976.0 / agg.hk) AS BIGINT)
+           END AS est_distinct,
+           ex.exact_distinct,
+           (abs(CASE WHEN agg.n_in_sketch < 256 THEN agg.n_in_sketch
+                     ELSE CAST(round(255.0 * 1152921504606846976.0 / agg.hk) AS BIGINT)
+                END - ex.exact_distinct) <= ex.exact_distinct * 0.19) AS within_bound
+    FROM agg CROSS JOIN ex
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count estimation driven through its
+    MERGE path (library: operators.kmv): the sketch the gate checks is
+    the kmv_merge of two order-parity half-sketches — the semilattice
+    property (bottom-k of a union == bottom-k of the halves' bottom-ks)
+    is what makes daily-drop rollups rescan-free, so that equivalence
+    is the thing gated: the oracle computes the DIRECT bottom-256 over
+    all orders and the estimates must hash-match. est = (k-1)*2^60 /
+    h_(k) (exact when fewer than k distinct keys exist — the sf0.001
+    case), with the recorded within_bound contract at 3/sqrt(k) ~ 19%.
+    Unlike HLL (q53/q106) the sketch rows carry the actual member
+    keys — the uniform distinct-key sample q136 builds on."""
+    from owl_etl_spark.operators.kmv import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    h1 = kmv_sketch(o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", k=256)
+    h2 = kmv_sketch(o.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", k=256)
+    sk = kmv_merge(h1, h2, k=256)
+    est = kmv_distinct_estimate(sk, k=256)
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_in_sketch",
+        "est_distinct",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.19
+        ).alias("within_bound"),
+    )
+
+
+@_register(
+    "q136_kmv_sample_quantiles",
+    """
+    WITH base AS (
+      SELECT CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ), sk AS (
+      SELECT h, v FROM base ORDER BY h LIMIT 256
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sk),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM sk
+    ), probs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS prob),
+    pick AS (
+      SELECT p.prob, r.v AS q
+      FROM probs p CROSS JOIN n
+      JOIN ranked r ON r.r = greatest(1, least(n.n, CAST(ceil(p.prob * n.n) AS BIGINT)))
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM customer)
+    SELECT pick.prob, pick.q,
+           round(CAST((SELECT count(*) FROM base b WHERE b.v <= pick.q) AS DOUBLE)
+                 / tot.nt, 6) AS rank_frac,
+           (abs(round(CAST((SELECT count(*) FROM base b WHERE b.v <= pick.q) AS DOUBLE)
+                      / tot.nt, 6) - pick.prob) <= 0.19) AS within_bound
+    FROM pick CROSS JOIN tot
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from the KMV uniform sample (library:
+    operators.kmv.kmv_value_quantiles): the bottom-256 customers BY
+    HASH are a uniform sample of the distinct population, so the
+    type-1 sample quantile of their integer-cents balance (index
+    ceil(p*n), deterministic — no interpolation, ties broken by hash)
+    approximates the population quantile with O(1/sqrt(k)) rank error.
+    The gate replays the identical sample, picks, and the TRUE rank of
+    each picked value (count(v <= q)/N, rounded at 6) plus the 19%
+    rank-error contract — hash-exact end to end. Probs are binary
+    fractions (0.25/0.5/0.75) so ceil(p*n) computes identically in
+    Python, Spark, and DuckDB. The 100 TB story: one bounded sketch
+    (256 rows) answers any later quantile/statistic question without
+    rescanning — the complement of q65/q100's exact quantile passes."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.kmv import kmv_value_quantiles
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        md5_long(F.col("c_custkey").cast("string")).alias("h"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    sk = base.orderBy(F.col("h").asc()).limit(256)
+    qs = kmv_value_quantiles(sk, "v", [0.25, 0.5, 0.75])
+    hits = (
+        qs.crossJoin(base.select(F.col("v").alias("__bv")))
+        .groupBy("prob", "q")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__bv") <= F.col("q"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rank_frac")
+        )
+    )
+    return hits.select(
+        "prob",
+        "q",
+        "rank_frac",
+        (F.abs(F.col("rank_frac") - F.col("prob")) <= 0.19).alias("within_bound"),
+    )

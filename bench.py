@@ -63,6 +63,11 @@ HEADLINE = [
     "q117_interpolate_gaps",
     "q118_ivfpq_knn",
     "q122_incremental_join_view",
+    # round-5 operator families: literal-bitmap Bloom semi-join pruning
+    # (zero-shuffle probe-side filter) and the KMV bottom-k sketch
+    # (mergeable distinct count via TakeOrderedAndProject).
+    "q134_bloom_prune_join",
+    "q135_kmv_distinct_estimate",
 ]
 
 
@@ -536,6 +541,58 @@ def _streaming_scenario(sparksession, sf_dir: str) -> dict[str, float]:
         ),
         "append",
     )
+
+    # hot-key micro-bench: ONE key receiving 100k events in a single
+    # micro-batch — the shape that used to pay a per-row Python loop in
+    # streaming_latest_per_key's state function and is now a vectorized
+    # sorted prefix-max scan (r4 VERDICT "Next round" #4). The recorded
+    # events/sec is the per-hot-key ceiling, since a single group is
+    # necessarily one task.
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_hotkey_")
+    try:
+        n_hot = 100_000
+        (
+            sparksession.range(n_hot)
+            .select(
+                F.lit("hot").alias("k"),
+                # LCG-shuffled, duplicate-bearing sequence values
+                F.pmod(F.col("id") * 48271, F.lit(65_537)).alias("seq"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(work)
+        )
+        hot_stream = sparksession.readStream.schema(
+            "k string, seq bigint, ts timestamp"
+        ).parquet(work)
+        t0 = time.perf_counter()
+        q = (
+            streaming_latest_per_key(
+                hot_stream, keys=["k"], recency_col="seq",
+                watermark_col="ts", state_timeout_ms=None,
+            )
+            .writeStream.format("memory")
+            .queryName("bench_latest_hot")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        out["latest_hot_key_s"] = round(dt, 3)
+        out["latest_hot_key_events_per_s"] = round(n_hot / dt)
+        sparksession.catalog.dropTempView("bench_latest_hot")
+        print(
+            f"# streaming_latest_hot_key: {dt:.3f}s "
+            f"({out['latest_hot_key_events_per_s']} ev/s, 1 key x {n_hot})",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 
