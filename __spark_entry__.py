@@ -6679,3 +6679,159 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_frac",
         (F.abs(F.col("rank_frac") - F.col("prob")) <= 0.19).alias("within_bound"),
     )
+
+
+@_register(
+    "q137_incremental_distinct_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group INCREMENTAL distinct-count maintenance (library:
+    operators.sketches.distinct_sketch / merge_sketches) — the
+    distinct-metric twin of q107's algebraic rollup: the events table
+    arrives as two drops (event_id parity, the monthly-drop analog),
+    each drop is reduced to one HLL sketch PER (event_type, drop) —
+    KBs per group, partial aggregation applies — and the per-group
+    union of sketch bytes answers "distinct users per type over all
+    history" without rescanning any drop. Sketch estimates are
+    engine-specific (DataSketches), so the gate uses the q53 contract:
+    emit the EXACT per-group distinct plus a boolean asserting the
+    MERGED estimate landed within 0.15 of exact (lg_k=12 rsd ~1.6%,
+    composite-estimator slack included); the oracle recomputes exact
+    and asserts TRUE — a merge regression flips the boolean and fails
+    the hash. At 100 TB only the sketch side runs; exact here exists
+    to power the bound check at test scale."""
+    from owl_etl_spark.operators.sketches import distinct_sketch, merge_sketches
+
+    e = _t(spark, sf_dir, "events")
+    per_drop = distinct_sketch(
+        e.withColumn("drop", F.col("event_id") % 2),
+        ["event_type", "drop"],
+        "user_id",
+        lg_k=12,
+    )
+    merged = merge_sketches(per_drop, ["event_type"])
+    est = merged.select("event_type", F.hll_sketch_estimate("sketch").alias("__est"))
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("__est") - F.col("exact_users")) <= 0.15 * F.col("exact_users")).alias(
+            "merged_within_bound"
+        ),
+    )
+
+
+# weight literals shared by q138's Spark expression and SQL oracle —
+# regenerated from the library so the two can never drift
+from owl_etl_spark.operators.resample import ewma_weights as _ewma_weights
+
+_W138 = _ewma_weights(0.25, 16)
+_Q138_NUM = " + ".join(
+    f"{w} * cents" if j == 0 else f"{w} * coalesce(lag(cents, {j}) OVER w, 0)"
+    for j, w in enumerate(_W138)
+)
+_Q138_DEN = " + ".join(
+    f"{w}"
+    if j == 0
+    else f"CASE WHEN lag(cents, {j}) OVER w IS NULL THEN 0 ELSE {w} END"
+    for j, w in enumerate(_W138)
+)
+
+
+@_register(
+    "q138_ewma_smoothing",
+    f"""
+    WITH v AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, cents,
+           round(CAST(({_Q138_NUM}) AS DOUBLE)
+                 / CAST(({_Q138_DEN}) AS DOUBLE), 6) AS ewma
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event type (library:
+    resample.ewma) — the reproducible TRUNCATED form of the recursive
+    EWMA: the classic recursion is inherently sequential (engine- and
+    partitioning-hostile), so the operator is a 16-lag weighted sum
+    with INTEGER micro-unit weight literals (regenerated from
+    ewma_weights on both the Spark and oracle side — the ANN
+    pinned-literal trick) and head renormalization over the lags
+    actually present. α=0.25: the dropped tail is ~1% of the mass.
+    Exact integer products/sums; the single final division is double,
+    rounded at 6 — hash-identical under any partitioning and engine.
+    One window pass, one shuffle on event_type."""
+    from owl_etl_spark.operators.resample import ewma
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ewma(
+        v, ["event_type"], "us", "cents", alpha=0.25, lags=16,
+        out_col="ewma", tiebreak_col="event_id",
+    )
+    return out.select("event_id", "event_type", "cents", "ewma")
+
+
+@_register(
+    "q139_time_weighted_avg",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 1000000 AS s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), d AS (
+      SELECT event_type, cents,
+             lead(s) OVER (PARTITION BY event_type ORDER BY us, event_id) - s AS dt
+      FROM v
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_s,
+           CASE WHEN coalesce(sum(dt), 0) > 0
+                THEN round(CAST(sum(cents * coalesce(dt, 0)) AS DOUBLE)
+                           / CAST(sum(dt) AS DOUBLE), 6)
+           END AS twap
+    FROM d GROUP BY event_type
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value per event type (library:
+    resample.time_weighted_avg): each observation HOLDS until the next
+    one, so irregular sampling doesn't bias the mean toward chatty
+    periods — the quantity a plain AVG silently gets wrong on event
+    data, and the standard observability/finance aggregate (TWAP).
+    Hold intervals in whole seconds; products are cents x seconds in
+    exact BIGINT; ordering is total (ts, then event_id) so the
+    interval pairing is deterministic; the only double is the final
+    division, rounded at 6. Plan: one lead() window + one aggregate,
+    single shuffle on the group keys."""
+    from owl_etl_spark.operators.resample import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return time_weighted_avg(v, ["event_type"], "ts", "cents", tiebreak_col="event_id")

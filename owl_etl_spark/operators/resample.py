@@ -194,3 +194,127 @@ def cumulative_compound(
         out_col,
         F.round(F.exp(total.cast("double") / 1_000_000) - 1.0, 6),
     )
+
+
+def ewma_weights(alpha: float, lags: int, unit: int = 1_000_000) -> list[int]:
+    """The truncated-EWMA weight ladder as INTEGER micro-unit
+    literals: ``w_j = round(alpha·(1-alpha)^j · unit)`` for j = 0..
+    lags-1. Both the Spark expression and any SQL oracle bake in the
+    same literals, so the smoothing is engine-exact by construction —
+    the same pinning trick as the ANN centroids/codebooks."""
+    if not (0 < alpha <= 1):
+        raise ValueError(f"ewma_weights: need 0 < alpha <= 1, got {alpha!r}")
+    if lags < 1:
+        raise ValueError(f"ewma_weights: need lags >= 1, got {lags!r}")
+    return [int(round(alpha * (1 - alpha) ** j * unit)) for j in range(lags)]
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    lags: int = 16,
+    out_col: str = "ewma",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Truncated exponentially weighted moving average per key, in
+    EXACT integer arithmetic — the reproducible form of the classic
+    recursive EWMA.
+
+    The recursion ``e_t = α·x_t + (1-α)·e_(t-1)`` is inherently
+    sequential (engine- and partitioning-hostile); truncating at
+    ``lags`` terms makes it a windowed weighted sum,
+
+        e_t = Σ_{j<lags} w_j · x_(t-j) / Σ_{j<lags, present} w_j ,
+
+    with the integer ``ewma_weights`` ladder and renormalization over
+    the lags actually present (series heads use the partial ladder —
+    no warm-up bias, no sentinel initialization). With α=0.25, 16 lags
+    the dropped tail carries (1-α)^16 ≈ 1% of the mass — below the
+    noise of any downstream use; raise ``lags`` to taste (cost is one
+    more ``lag()`` column each, still ONE window pass, one shuffle on
+    the keys).
+
+    Feed integer units (cents): every product is w_j (≤ 1e6) times a
+    value, summed over ≤ lags terms — BIGINT-safe for |value| up to
+    ~5.7e11 at 16 lags. Only the final division is double, rounded at
+    6. ``tiebreak_col`` makes the ordering total under ``order_col``
+    ties (same contract as ``cumulative_compound``)."""
+    from pyspark.sql import Window
+
+    ws = ewma_weights(alpha, lags)
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    v = F.col(value_col).cast("long")
+    num = None
+    den = None
+    for j, wt in enumerate(ws):
+        xj = v if j == 0 else F.lag(v, j).over(w)
+        term = F.when(xj.isNotNull(), xj * F.lit(wt)).otherwise(F.lit(0))
+        mass = F.when(xj.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return df.withColumn(
+        out_col, F.round(num.cast("double") / den.cast("double"), 6)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation HOLDS
+    until the next one, so irregular sampling doesn't bias the mean
+    toward chatty periods (the plain AVG failure mode on event data):
+
+        twap = Σ v_i · (t_(i+1) − t_i)  /  (t_last − t_first)
+
+    over hold intervals in whole SECONDS (the final observation holds
+    nothing). Exact shape: one ``lead()`` window (shuffle on the keys)
+    + one aggregate; products are cents × seconds in BIGINT — safe for
+    |v| ≤ 1e6 cents over a ~30-year span per key. The division is the
+    only double, rounded at 6.
+
+    Output: one row per key group — ``n_obs``, ``span_s``, ``twap``
+    (null when a key has < 2 observations: zero holding time)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        # NTZ has no cast-to-long and no unix_timestamp: rebuild the
+        # epoch via timestampdiff (TZ-independent — the q108 trick)
+        secs = F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    elif dt == "timestamp":
+        secs = F.unix_timestamp(F.col(ts_col))
+    else:
+        # numeric columns are taken as epoch SECONDS as-is
+        secs = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("long")
+    work = df.withColumn("__s", secs).withColumn(
+        "__dt", F.lead(F.col("__s")).over(w) - F.col("__s")
+    )
+    return work.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.coalesce(F.sum("__dt"), F.lit(0)).cast("long").alias("span_s"),
+        F.when(
+            F.coalesce(F.sum("__dt"), F.lit(0)) > 0,
+            F.round(
+                F.sum(v * F.coalesce(F.col("__dt"), F.lit(0))).cast("double")
+                / F.sum("__dt").cast("double"),
+                6,
+            ),
+        ).alias("twap"),
+    )

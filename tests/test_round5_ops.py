@@ -337,3 +337,84 @@ def test_latest_per_key_negative_sequence_fails_batch(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+# ---------------------------------------------------------------------------
+# EWMA (truncated, integer-exact) + time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_constant_series_is_identity(spark):
+    from owl_etl_spark.operators.resample import ewma
+
+    df = spark.createDataFrame([Row(g="a", t=i, v=500) for i in range(40)])
+    out = ewma(df, ["g"], "t", "v", alpha=0.25, lags=16)
+    # renormalization over present lags makes a constant series exact
+    # at EVERY position, including the head
+    assert all(r["ewma"] == 500.0 for r in out.collect())
+
+
+def test_ewma_two_point_hand_check(spark):
+    from owl_etl_spark.operators.resample import ewma
+
+    df = spark.createDataFrame([Row(g="a", t=0, v=100), Row(g="a", t=1, v=200)])
+    rows = {r["t"]: r["ewma"] for r in ewma(df, ["g"], "t", "v", alpha=0.5, lags=2).collect()}
+    # weights [500000, 250000]: t0 = 100 (head renorm);
+    # t1 = (200·5e5 + 100·2.5e5) / 7.5e5 = 166.666667
+    assert rows[0] == 100.0
+    assert rows[1] == 166.666667
+
+
+def test_ewma_repartition_stable(spark):
+    from owl_etl_spark.operators.resample import ewma
+
+    df = spark.createDataFrame(
+        [Row(g=f"g{i % 3}", t=i, v=(i * 37) % 500) for i in range(300)]
+    )
+    a = sorted(map(tuple, ewma(df, ["g"], "t", "v").collect()))
+    b = sorted(map(tuple, ewma(df.repartition(13), ["g"], "t", "v").collect()))
+    assert a == b
+
+
+def test_ewma_weights_validation():
+    from owl_etl_spark.operators.resample import ewma_weights
+
+    assert ewma_weights(0.25, 16)[0] == 250000
+    with pytest.raises(ValueError):
+        ewma_weights(0.0, 16)
+    with pytest.raises(ValueError):
+        ewma_weights(0.25, 0)
+
+
+def test_twap_hand_check_irregular_holds(spark):
+    from owl_etl_spark.operators.resample import time_weighted_avg
+
+    rows = [
+        Row(g="a", s=0, v=100),    # holds 10 s
+        Row(g="a", s=10, v=200),   # holds 30 s
+        Row(g="a", s=40, v=999),   # final: holds nothing
+    ]
+    df = spark.createDataFrame(rows)
+    r = time_weighted_avg(df, ["g"], "s", "v").collect()[0]
+    # (100·10 + 200·30) / 40 = 175 — plain AVG would say 433
+    assert r["twap"] == 175.0 and r["span_s"] == 40 and r["n_obs"] == 3
+
+
+def test_twap_single_observation_is_null(spark):
+    from owl_etl_spark.operators.resample import time_weighted_avg
+
+    df = spark.createDataFrame([Row(g="a", s=5, v=123)])
+    r = time_weighted_avg(df, ["g"], "s", "v").collect()[0]
+    assert r["twap"] is None and r["span_s"] == 0 and r["n_obs"] == 1
+
+
+def test_twap_groups_independent(spark):
+    from owl_etl_spark.operators.resample import time_weighted_avg
+
+    rows = [
+        Row(g="a", s=0, v=100), Row(g="a", s=10, v=100),
+        Row(g="b", s=0, v=50), Row(g="b", s=100, v=950),
+    ]
+    out = {r["g"]: r["twap"] for r in time_weighted_avg(
+        spark.createDataFrame(rows), ["g"], "s", "v").collect()}
+    assert out["a"] == 100.0 and out["b"] == 50.0  # b: 50 held all 100 s
