@@ -200,3 +200,34 @@ def test_q116_mad_single_shuffle(spark):
     plan = _plan(spark, "q116_mad_outliers")
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) <= 1, plan
+
+
+def test_q138_ewma_single_window_no_joins(spark):
+    """The truncated EWMA is ONE window pass over ONE key shuffle —
+    16 lag columns must not multiply windows, joins, or exchanges."""
+    import re
+
+    plan = _plan(spark, "q138_ewma_smoothing")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q139_twap_window_and_agg_share_partitioning(spark):
+    """TWAP's lead() window and the final per-key aggregate must reuse
+    ONE hash partitioning on the group keys — two exchanges would mean
+    the co-partitioning was lost between the window and the groupBy."""
+    import re
+
+    plan = _plan(spark, "q139_time_weighted_avg")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q135_kmv_bottom_k_take_ordered(spark):
+    """Both KMV half-sketches and their merge must plan bottom-k as
+    TakeOrderedAndProject (size-k heap per partition), never a global
+    Sort of the hash column."""
+    plan = _plan(spark, "q135_kmv_distinct_estimate")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan, plan
