@@ -6835,3 +6835,59 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return time_weighted_avg(v, ["event_type"], "ts", "cents", tiebreak_col="event_id")
+
+
+@_register(
+    "q140_seasonal_anomalies",
+    """
+    WITH v AS (
+      SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), prof AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2
+      FROM v GROUP BY 1, 2
+    ), scored AS (
+      SELECT v.event_id, v.event_type, v.hr, v.c,
+             CASE WHEN p.n >= 2 AND (p.s2 - p.s1 * p.s1 / p.n) > 0
+                  THEN round((v.c - p.s1 / p.n)
+                             / sqrt((p.s2 - p.s1 * p.s1 / p.n) / (p.n - 1)), 6)
+             END AS z
+      FROM v JOIN prof p ON p.event_type = v.event_type AND p.hr = v.hr
+    )
+    SELECT event_id, event_type, hr, c AS cents, z,
+           coalesce(abs(z) >= 3.0, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection (library: operators.anomaly.
+    seasonal_zscore): every event scored against the exact mean/std of
+    its OWN (event_type, hour-of-day) cell — the monitoring pattern
+    where a flat baseline would flag every rush hour. Baselines use
+    q59's exact-variance discipline: per-cell sums of cents and cents-
+    squared are exact BIGINTs (order-independent, engine-identical;
+    built-in stddev is neither), and the profile is mergeable across
+    drops by adding n/s1/s2 (the q107 algebraic-rollup contract), so
+    history's baseline maintains incrementally and new drops score
+    against it without a rescan. Plan: ONE shuffle builds the keys x
+    24-row profile (map-side partials), which broadcast-joins back —
+    the event table itself is never shuffled row-wise at 100 TB; z is
+    a map expression after the broadcast. hour() on a TIMESTAMP_NTZ
+    column is session-TZ-independent on both engines."""
+    from owl_etl_spark.operators.anomaly import seasonal_zscore
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    out = seasonal_zscore(v, ["event_type"], "hr", "c", z_threshold=3.0)
+    return out.select(
+        "event_id", "event_type", "hr", F.col("c").alias("cents"), "z", "is_anomaly"
+    )

@@ -418,3 +418,75 @@ def test_twap_groups_independent(spark):
     out = {r["g"]: r["twap"] for r in time_weighted_avg(
         spark.createDataFrame(rows), ["g"], "s", "v").collect()}
     assert out["a"] == 100.0 and out["b"] == 50.0  # b: 50 held all 100 s
+
+
+# ---------------------------------------------------------------------------
+# seasonal-baseline anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_spike_flagged_rush_hour_not(spark):
+    """The reason the baseline is SEASONAL: a daily rush-hour level is
+    normal for its own hour (z=0 within the cell), while one genuine
+    spike inside an otherwise steady cell must flag."""
+    from owl_etl_spark.operators.anomaly import seasonal_zscore
+
+    rows = []
+    for day in range(20):
+        rows.append(Row(g="t", hr=8, v=900 + (day % 2)))   # rush hour, steady-ish
+        rows.append(Row(g="t", hr=3, v=100 + (day % 2)))   # quiet hour, steady-ish
+    rows.append(Row(g="t", hr=3, v=800))                    # spike in the quiet cell
+    out = seasonal_zscore(spark.createDataFrame(rows), ["g"], "hr", "v")
+    flagged = [(r["hr"], r["v"]) for r in out.collect() if r["is_anomaly"]]
+    assert (3, 800) in flagged
+    assert all(hr != 8 for hr, _ in flagged)  # rush hour never flags
+
+
+def test_seasonal_degenerate_cells_null_not_anomalous(spark):
+    from owl_etl_spark.operators.anomaly import seasonal_zscore
+
+    rows = [
+        Row(g="t", hr=1, v=5),                  # n=1
+        Row(g="t", hr=2, v=7), Row(g="t", hr=2, v=7),  # zero variance
+    ]
+    out = seasonal_zscore(spark.createDataFrame(rows), ["g"], "hr", "v").collect()
+    assert all(r["z"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_seasonal_profile_merges_like_q107(spark):
+    """Adding n/s1/s2 of two drops must equal the one-shot profile —
+    the incremental-baseline contract."""
+    from owl_etl_spark.operators.anomaly import seasonal_profile
+
+    df = spark.createDataFrame(
+        [Row(g="t", hr=i % 4, v=(i * 13) % 100, half=i % 2) for i in range(200)]
+    )
+    halves = [
+        seasonal_profile(df.filter(F.col("half") == i), ["g"], "hr", "v")
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("g", "hr")
+        .agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2"))
+    )
+    direct = seasonal_profile(df, ["g"], "hr", "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_seasonal_score_new_drop_against_history(spark):
+    """The profile= parameter: a new drop scores against HISTORY's
+    baseline, so a value normal in history stays unflagged even if the
+    new drop alone is too small to judge."""
+    from owl_etl_spark.operators.anomaly import seasonal_profile, seasonal_zscore
+
+    history = spark.createDataFrame(
+        [Row(g="t", hr=1, v=100 + (i % 5)) for i in range(50)]
+    )
+    prof = seasonal_profile(history, ["g"], "hr", "v")
+    new_drop = spark.createDataFrame(
+        [Row(g="t", hr=1, v=102), Row(g="t", hr=1, v=500)]
+    )
+    out = {r["v"]: r["is_anomaly"] for r in seasonal_zscore(
+        new_drop, ["g"], "hr", "v", profile=prof).collect()}
+    assert out[102] is False and out[500] is True
