@@ -6891,3 +6891,64 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "hr", F.col("c").alias("cents"), "z", "is_anomaly"
     )
+
+
+# Benford expected-share literals shared by q141's oracle (the Spark
+# side computes the same floats inside benford_screen; repr() of a
+# Python float round-trips exactly, so both engines subtract
+# bit-identical constants)
+import math as _math
+
+_BENFORD_EXP = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_Q141_MAD = " + ".join(
+    f"abs(coalesce(sum(CASE WHEN d = {d} THEN cnt END), 0) / CAST(sum(cnt) AS DOUBLE)"
+    f" - {_BENFORD_EXP[d]!r})"
+    for d in range(1, 10)
+)
+
+
+@_register(
+    "q141_benford_screen",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), digits AS (
+      SELECT g, CAST(substring(CAST(abs(c) AS VARCHAR), 1, 1) AS INT) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v WHERE c != 0 GROUP BY 1, 2
+    ), agg AS (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(round(({_Q141_MAD}) / 9 * 1000000) AS BIGINT) AS mad_micro
+      FROM digits GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n, mad_micro,
+           (mad_micro > 15000 AND n >= 100) AS flag
+    FROM agg
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen per order priority (library:
+    operators.anomaly.benford_screen) — the financial-forensics test
+    the reference's FIC domain gets audited with: observed leading-
+    digit shares of the order amounts vs log10(1+1/d), summarized as
+    Nigrini's MAD statistic in integer micro-units, flagging groups
+    over the 0.015 nonconformity line. Leading digits come from the
+    decimal STRING of the integer cents (exact on every engine; the
+    float floor(log10) idiom misclassifies powers of ten), counts are
+    exact BIGINTs, and the expected shares are repr()-round-tripped
+    literals shared with the oracle — the whole statistic replays
+    hash-exactly. (TPC-H-style uniform prices are NOT Benford, so
+    flags firing here is the screen working, not noise.) Plan: map
+    digit extraction, one bounded shuffle of ≤ 9 rows per group per
+    task, one intra-group pivot aggregate."""
+    from owl_etl_spark.operators.anomaly import benford_screen
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    out = benford_screen(v, ["o_orderpriority"], "c", min_n=100)
+    return out.select("o_orderpriority", "n", "mad_micro", "flag")

@@ -84,3 +84,72 @@ def seasonal_zscore(
         )
         .drop("n", "s1", "s2")
     )
+
+
+def benford_screen(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_n: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit screen per key group — the classic
+    financial-forensics test (fabricated or systematically rounded
+    amounts drift from the log-curve; the reference's FIC domain is
+    exactly where auditors run this).
+
+    Per group: observed share of each leading digit 1–9 of |value|
+    (zeros excluded — no leading digit), expected share
+    ``log10(1 + 1/d)``, and the mean absolute deviation (MAD of the
+    distribution, the Nigrini screening statistic) in integer
+    MICRO-units: ``mad_micro = round(Σ_d |obs_d − exp_d| / 9 · 1e6)``.
+    Counts are exact BIGINTs; expected shares are 9 shared literals;
+    the only doubles are the division per digit and the final MAD —
+    identical arithmetic on any engine. ``flag`` marks groups over the
+    Nigrini "nonconformity" line (MAD > 0.015) with at least ``min_n``
+    values (below that the statistic is noise, flag stays false).
+
+    Feed INTEGER units (cents): the leading digit comes from the
+    decimal string of ``abs(value)`` — exact on every engine, unlike
+    the float ``floor(log10)`` idiom, where libm rounding can turn
+    log10(1000) into 2.999…96 and misclassify every power of ten.
+
+    Scale: first-digit extraction is a map expression, the per-(group,
+    digit) count is one map-side-combined shuffle of ≤ 9 rows per
+    group per task, and the 9-row-per-group pivot is an intra-group
+    aggregate. Output: one row per group (n, mad_micro, flag) plus the
+    9 observed counts as a map for drill-down.
+    """
+    import math
+
+    v = F.col(value_col).cast("long")
+    digit = F.substring(F.abs(v).cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v != 0)
+        .groupBy(*keys, digit.alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    # per-group totals + per-digit deviation, one intra-group aggregate
+    dev_terms = [
+        F.abs(
+            F.coalesce(F.sum(F.when(F.col("d") == d, F.col("c"))), F.lit(0)).cast("double")
+            / F.sum("c").cast("double")
+            - F.lit(exp[d])
+        )
+        for d in range(1, 10)
+    ]
+    mad = F.round(sum(dev_terms[1:], dev_terms[0]) / 9 * 1_000_000).cast("long")
+    return counts.groupBy(*keys).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.map_from_arrays(
+            F.array(*[F.lit(d) for d in range(1, 10)]),
+            F.array(
+                *[
+                    F.coalesce(F.sum(F.when(F.col("d") == d, F.col("c"))), F.lit(0)).cast("long")
+                    for d in range(1, 10)
+                ]
+            ),
+        ).alias("digit_counts"),
+        mad.alias("mad_micro"),
+        ((mad > 15_000) & (F.sum("c") >= min_n)).alias("flag"),
+    )

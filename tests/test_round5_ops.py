@@ -490,3 +490,47 @@ def test_seasonal_score_new_drop_against_history(spark):
     out = {r["v"]: r["is_anomaly"] for r in seasonal_zscore(
         new_drop, ["g"], "hr", "v", profile=prof).collect()}
     assert out[102] is False and out[500] is True
+
+
+def test_benford_conforming_data_not_flagged(spark):
+    """Data SAMPLED from Benford (first digit d with prob log10(1+1/d),
+    magnitudes spread over 4 decades) must screen clean; uniform data
+    must flag — the statistic separates the two regimes."""
+    import math
+    import random
+
+    from owl_etl_spark.operators.anomaly import benford_screen
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):
+        # inverse-CDF draw of the leading digit, then a uniform mantissa
+        u, d, acc = rng.random(), 1, math.log10(2)
+        while u > acc and d < 9:
+            d += 1
+            acc += math.log10(1 + 1 / d)
+        mag = 10 ** rng.randint(1, 4)
+        rows.append(Row(g="benford", v=int(d * mag + rng.randint(0, mag - 1))))
+    rows += [Row(g="uniform", v=100_000 + i * 97) for i in range(3000)]
+    out = {r["g"]: (r["flag"], r["mad_micro"]) for r in benford_screen(
+        spark.createDataFrame(rows), ["g"], "v").collect()}
+    assert out["benford"][0] is False, out
+    assert out["uniform"][0] is True, out  # digits pile on 1 (100k-390k range)
+
+
+def test_benford_zeros_excluded_and_min_n(spark):
+    from owl_etl_spark.operators.anomaly import benford_screen
+
+    rows = [Row(g="a", v=0)] * 50 + [Row(g="a", v=900)] * 30
+    r = benford_screen(spark.createDataFrame(rows), ["g"], "v", min_n=100).collect()[0]
+    assert r["n"] == 30  # zeros carry no leading digit
+    assert r["flag"] is False  # nonconforming but under min_n — stays quiet
+    assert r["digit_counts"][9] == 30
+
+
+def test_benford_negative_values_use_abs(spark):
+    from owl_etl_spark.operators.anomaly import benford_screen
+
+    rows = [Row(g="a", v=-234), Row(g="a", v=234)]
+    r = benford_screen(spark.createDataFrame(rows), ["g"], "v").collect()[0]
+    assert r["digit_counts"][2] == 2
