@@ -6952,3 +6952,137 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = benford_screen(v, ["o_orderpriority"], "c", min_n=100)
     return out.select("o_orderpriority", "n", "mad_micro", "flag")
+
+
+@_register(
+    "q142_linear_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_id AS touch_id, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+      SELECT user_id, event_id AS cid, ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT t.user_id, t.touch_id, c.cid, c.v,
+             row_number() OVER (PARTITION BY c.cid
+                                ORDER BY t.ts, t.touch_id) AS r,
+             count(*) OVER (PARTITION BY c.cid) AS n
+      FROM t JOIN c ON t.user_id = c.user_id
+       AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+    )
+    SELECT user_id, touch_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(v // n + CASE WHEN r <= v % n THEN 1 ELSE 0 END) AS BIGINT)
+             AS attributed_value
+    FROM matched GROUP BY 1, 2
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (library: operators.attribution.
+    linear_attribution): every purchase's cents are split EXACTLY
+    across the same user's clicks/views in the preceding 7 days —
+    floor(v/n) each plus the remainder distributed +1 to the first
+    v mod n touches in (ts, touch_id) order, so credit conserves to
+    the cent per conversion and the remainder lands deterministically
+    under any partitioning (a double split does neither). Single-touch
+    first/last rules are q50's as-of join; this is the rule that needs
+    the conservation discipline. Plan: equi-join on user with a time-
+    range filter (never a cross join), one per-conversion window over
+    the matched pairs, one aggregate per touch. Oracle replays the
+    join, ranking, and integer split hash-exactly."""
+    from owl_etl_spark.operators.attribution import linear_attribution
+
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), "ts"
+    )
+    convs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return linear_attribution(
+        touches,
+        convs,
+        key_col="user_id",
+        touch_id_col="touch_id",
+        touch_ts_col="ts",
+        conv_id_col="cid",
+        conv_ts_col="ts",
+        value_col="v",
+        lookback_seconds=7 * 24 * 3600,
+    )
+
+
+@_register(
+    "q143_trade_triangles",
+    """
+    WITH e0 AS (
+      SELECT s.s_nationkey AS src, cu.c_nationkey AS dst
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+      JOIN customer cu ON o2.o_custkey = cu.c_custkey
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src != dst
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS dg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ), o AS (
+      SELECT CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.a ELSE und.b END AS u,
+             CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.b ELSE und.a END AS w
+      FROM und
+      JOIN deg da ON da.v = und.a
+      JOIN deg db ON db.v = und.b
+    ), tri AS (
+      SELECT w1.u, w1.w AS v1, w2.w AS v2
+      FROM o w1
+      JOIN o w2 ON w1.u = w2.u AND w1.w < w2.w
+      JOIN und t ON t.a = least(w1.w, w2.w) AND t.b = greatest(w1.w, w2.w)
+    ), corners AS (
+      SELECT v AS n, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT u AS v FROM tri
+            UNION ALL SELECT v1 FROM tri
+            UNION ALL SELECT v2 FROM tri)
+      GROUP BY v
+    )
+    SELECT na.n_nationkey AS nationkey,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_triangles
+    FROM nation na LEFT JOIN corners c ON c.n = na.n_nationkey
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the trade graph (library:
+    operators.graph.triangle_count) — exact triangle counting via
+    DEGREE-ORDERED ORIENTATION: edges orient from the lower-(degree,
+    id) endpoint, wedges build only from oriented out-edges (bounded
+    O(sqrt m) per node on ANY graph, so the wedge join survives
+    power-law skew by construction — the q29/q34 few-giant-keys
+    problem solved without chunking), and a wedge closes iff its far
+    endpoints are an edge. Each triangle is generated exactly once
+    from its lowest-ordered corner; counts are exact BIGINTs; the
+    oracle replays the orientation (row-value comparison == Spark
+    struct comparison), the wedge join, and the closure check. Uses
+    q125's 4-table nation trade graph so the two graph operators share
+    one edge definition. Two bounded shuffles + one aggregate, no
+    iteration."""
+    from owl_etl_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    return triangle_count(edges, nodes, "node", "src", "dst").select(
+        F.col("node").alias("nationkey"), "n_triangles"
+    )

@@ -1,0 +1,101 @@
+"""Multi-touch marketing attribution: split each conversion's value
+across the touches that preceded it, deterministically, in integer
+units.
+
+The analytics-warehouse staple the events table exists for: "which
+clicks/views get credit for this purchase?" Single-touch rules
+(first/last) are an as-of join (q50's operator); the LINEAR rule
+credits every touch in the lookback window equally — and doing that
+reproducibly at scale needs two things hand-rolled SQL usually gets
+wrong:
+
+- **Exact value conservation.** Credit is integer cents split as
+  ``floor(v/n)`` with the remainder distributed +1 to the FIRST
+  ``v mod n`` touches in time order — Σ credits == v exactly, per
+  conversion, with no float leakage, on any engine (a ``v/n`` double
+  split neither conserves nor replays).
+- **Deterministic tie handling.** Touch order is (ts, touch id) —
+  total, so the remainder lands on the same touches under any
+  partitioning.
+
+Scale shape: the touch↔conversion match is an EQUI-join on the user
+key with a range predicate on time — Spark plans the hash/sort-merge
+join on the key and filters the window, never a cross join. Per-
+conversion ranking is one window over the matched pairs (bounded by
+touches-per-user × conversions-per-user, the same per-key fan-out
+every sessionize/funnel op has). One final aggregate per touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def linear_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    touch_id_col: str,
+    touch_ts_col: str,
+    conv_id_col: str,
+    conv_ts_col: str,
+    value_col: str,
+    lookback_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Per-touch attributed value under the linear rule.
+
+    A touch matches a conversion when it belongs to the same
+    ``key_col`` (user) and happened in ``[conv_ts - lookback,
+    conv_ts)`` — strictly before the conversion. Returns one row per
+    touch that earned any credit: ``(key, touch_id, n_conversions,
+    attributed_value)`` with exact integer conservation per
+    conversion (feed integer cents). Conversions with zero matching
+    touches receive no attribution rows (track them separately if
+    unattributed volume matters).
+
+    Timestamps may be TIMESTAMP/TIMESTAMP_NTZ (compared directly —
+    same type on both sides) or numeric epoch seconds.
+    """
+    t = touches.select(
+        F.col(key_col).alias("__k"),
+        F.col(touch_id_col).alias("touch_id"),
+        F.col(touch_ts_col).alias("__tts"),
+    )
+    c = conversions.select(
+        F.col(key_col).alias("__k"),
+        F.col(conv_id_col).alias("__cid"),
+        F.col(conv_ts_col).alias("__cts"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    lb = F.expr(f"INTERVAL {int(lookback_seconds)} SECOND")
+    ts_type = dict(t.dtypes)["__tts"]
+    if ts_type.startswith("timestamp"):
+        window_pred = (F.col("__tts") < F.col("__cts")) & (
+            F.col("__tts") >= F.col("__cts") - lb
+        )
+    else:
+        window_pred = (F.col("__tts") < F.col("__cts")) & (
+            F.col("__tts") >= F.col("__cts") - F.lit(int(lookback_seconds))
+        )
+    matched = t.join(c, "__k").filter(window_pred)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__tts").asc(), F.col("touch_id").asc()
+    )
+    ranked = matched.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__cid"))
+    )
+    credit = F.expr("__v div __n") + F.when(
+        F.col("__r") <= F.col("__v") % F.col("__n"), 1
+    ).otherwise(0)
+    return (
+        ranked.withColumn("__credit", credit)
+        .groupBy(F.col("__k").alias(key_col), "touch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("__credit").cast("long").alias("attributed_value"),
+        )
+    )

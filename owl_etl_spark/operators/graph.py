@@ -148,3 +148,75 @@ def pagerank(
     return ranks.select(
         F.col("__n").alias(node_col), F.col("__r").alias("rank_micro_units")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected simple graph
+    (self-loops dropped, parallel/reverse edges collapsed) — the
+    clustering/cohesion primitive behind community strength, spam-farm
+    detection, and graph-quality priors.
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the node-iterator++ / Cohen
+    map-reduce form). Every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one; wedges are built
+    only from each node's ORIENTED out-edges; a wedge (u→v, u→w)
+    closes iff {v, w} is an edge. Why this scales where the naive
+    3-way self-join dies: oriented out-degree is bounded by O(√m) on
+    any graph (a node of degree d only keeps out-edges to
+    higher-degree nodes, and there can be at most 2√m of those), so
+    the wedge fan-out per task is bounded even under power-law skew —
+    the same few-giant-keys argument as the q29/q34 guards, solved
+    here by construction instead of chunking. Total wedge work is
+    O(m^1.5) worst case, the known optimum for exact counting.
+
+    Determinism: orientation ties break by node id; every triangle is
+    generated exactly once (from its lowest-ordered corner); counts
+    are exact BIGINTs. Plan: two bounded shuffles (degree, wedge join)
+    + one aggregate; no iteration, no checkpoint.
+
+    Returns (node, n_triangles) for EVERY node in *nodes* (zero when
+    in no triangle).
+    """
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    und = (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("dg").alias("__da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("dg").alias("__db")), "b")
+    )
+    lower_first = F.struct(F.col("__da"), F.col("a")) < F.struct(F.col("__db"), F.col("b"))
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = w1.join(w2, "u").filter(F.col("v1") < F.col("v2"))
+    closed = wedges.join(
+        und,
+        (F.least("v1", "v2") == F.col("a")) & (F.greatest("v1", "v2") == F.col("b")),
+    ).select("u", "v1", "v2")
+    corners = closed.select(F.explode(F.array("u", "v1", "v2")).alias("__n")).groupBy(
+        "__n"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        nodes.select(F.col(node_col).alias("__n"))
+        .join(corners, "__n", "left")
+        .select(
+            F.col("__n").alias(node_col),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

@@ -534,3 +534,98 @@ def test_benford_negative_values_use_abs(spark):
     rows = [Row(g="a", v=-234), Row(g="a", v=234)]
     r = benford_screen(spark.createDataFrame(rows), ["g"], "v").collect()[0]
     assert r["digit_counts"][2] == 2
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + linear attribution
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, edge_list, node_list):
+    from owl_etl_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame([Row(src=a, dst=b) for a, b in edge_list])
+    n = spark.createDataFrame([Row(node=x) for x in node_list])
+    return {r["node"]: r["n_triangles"] for r in triangle_count(e, n).collect()}
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    nodes = [1, 2, 3, 4]
+    edges = [(a, b) for a in nodes for b in nodes if a < b]
+    out = _tri(spark, edges, nodes)
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_path_has_none_and_isolated_zero(spark):
+    out = _tri(spark, [(1, 2), (2, 3), (3, 4)], [1, 2, 3, 4, 99])
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0, 99: 0}
+
+
+def test_triangles_parallel_reverse_self_edges_collapse(spark):
+    # one triangle, with every edge duplicated, reversed, plus a self-loop
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    out = _tri(spark, edges, [1, 2, 3])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_hub_star_one_closure(spark):
+    # hub 0 connects to 1..6; only (1,2) closes → exactly one triangle
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    out = _tri(spark, edges, list(range(7)))
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1
+    assert all(out[i] == 0 for i in range(3, 7))
+
+
+def _attr(spark, touches, convs, lookback=100):
+    from owl_etl_spark.operators.attribution import linear_attribution
+
+    t = spark.createDataFrame([Row(u=u, tid=tid, s=s) for u, tid, s in touches])
+    c = spark.createDataFrame([Row(u=u, cid=cid, s=s, v=v) for u, cid, s, v in convs])
+    return {
+        r["touch_id"]: (r["n_conversions"], r["attributed_value"])
+        for r in linear_attribution(
+            t, c, "u", "tid", "s", "cid", "s", "v", lookback_seconds=lookback
+        ).collect()
+    }
+
+
+def test_attribution_conserves_to_the_cent(spark):
+    # v=5 across 3 touches: 2+2+1 in time order — Σ == 5 exactly
+    out = _attr(
+        spark,
+        [("a", 10, 1), ("a", 11, 2), ("a", 12, 3)],
+        [("a", 90, 50, 5)],
+    )
+    assert out[10] == (1, 2) and out[11] == (1, 2) and out[12] == (1, 1)
+    assert sum(v for _, v in out.values()) == 5
+
+
+def test_attribution_window_strict_and_bounded(spark):
+    # touch AT the conversion instant and one beyond lookback both miss
+    out = _attr(
+        spark,
+        [("a", 1, 50), ("a", 2, 949), ("a", 3, 1000)],
+        [("a", 90, 1000, 100)],
+        lookback=100,
+    )
+    assert 3 not in out  # same instant: strictly before required
+    assert 1 not in out  # 950s old > 100s lookback
+    assert out[2] == (1, 100)
+
+
+def test_attribution_touch_credits_accumulate_across_conversions(spark):
+    out = _attr(
+        spark,
+        [("a", 1, 10)],
+        [("a", 90, 20, 7), ("a", 91, 30, 9)],
+    )
+    assert out[1] == (2, 16)
+
+
+def test_attribution_users_isolated(spark):
+    out = _attr(
+        spark,
+        [("a", 1, 10), ("b", 2, 10)],
+        [("a", 90, 20, 100)],
+    )
+    assert out[1] == (1, 100) and 2 not in out
