@@ -7086,3 +7086,79 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, nodes, "node", "src", "dst").select(
         F.col("node").alias("nationkey"), "n_triangles"
     )
+
+
+@_register(
+    "q144_ab_test_report",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), s AS (
+      SELECT event_type, grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM v GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             a.grp AS group_a, b.grp AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             CASE WHEN a.n >= 2 AND b.n >= 2 AND
+                  ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE)
+                    / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1)
+                   + (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                      / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1)) > 0
+             THEN CAST(round(
+               (CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+               / sqrt(
+                   ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE)
+                     / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1))
+                   / CAST(a.n AS DOUBLE)
+                   + ((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                       / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1))
+                   / CAST(b.n AS DOUBLE)
+                 )
+               * 1000000) AS BIGINT)
+             END AS t_micro
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND a.grp < b.grp
+    )
+    SELECT event_type, group_a, group_b, n_a, n_b, t_micro,
+           coalesce(abs(t_micro) >= 1960000, FALSE) AS significant
+    FROM pairs
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (library: operators.profile.
+    ab_test_report) composed with the engine's own deterministic
+    assignment: users split into variants by the portable md5 hash
+    (q73's splitter — stable under repartitioning, re-reads, and
+    engine changes, unlike seeded RNG), and each event_type's cents
+    compare via the Welch (unpooled-variance) statistic computed from
+    exact BIGINT sums — only the final divisions are double, emitted
+    as integer micro-units with an integer-micro significance
+    threshold (1.96 is not binary-exact; a float threshold sits an ulp
+    off 1960000). The variance uses explicit s1*s1, not pow(s1, 2) —
+    libm pow is not ulp-identical to the product the oracle computes.
+    ONE aggregate over the data + a self-join of the tiny per-(key,
+    variant) stats frame; generalizes to the full pairwise matrix for
+    k variants. (A null-hypothesis split like this one flags nothing —
+    the honest expected readout.)"""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.profile import ab_test_report
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.when(F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return ab_test_report(v, ["event_type"], "grp", "c", z_crit=1.96)

@@ -236,3 +236,86 @@ def trend_report(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    keys: list[str],
+    group_col: str,
+    value_col: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Pairwise two-sample comparison report per key — the A/B-test
+    readout every experimentation pipeline computes, in the exact
+    integer discipline of ``trend_report``/q59: per (key, group) the
+    aggregate keeps exact BIGINT Σv and Σv² (feed integer cents), so
+    means and sample variances are order-independent and
+    engine-identical; the Welch (unpooled) statistic
+
+        t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+
+    is computed from those sums with the only doubles being the final
+    divisions, emitted as integer micro-units (``t_micro``).
+    ``significant`` uses the normal threshold ``|t| ≥ z_crit`` —
+    the large-sample Welch z-test (no small-sample df correction; at
+    warehouse n the distinction is noise, and a df-free rule is what
+    replays exactly on any engine).
+
+    One row per (key, unordered group pair), group_a < group_b
+    lexicographically — with two variants that is one row per key;
+    with k variants it is the full pairwise matrix. Degenerate cells
+    (n < 2 or zero variance on either side) yield null t and a false
+    flag. Plan: ONE aggregate over the data (map-side combined), then
+    a self-join of the tiny per-(key, group) stats frame.
+    """
+    v = F.col(value_col).cast("long")
+    stats = df.groupBy(*keys, group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+    )
+    a = stats.select(
+        *keys,
+        F.col(group_col).alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("__s1a"),
+        F.col("s2").alias("__s2a"),
+    )
+    b = stats.select(
+        *keys,
+        F.col(group_col).alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("__s1b"),
+        F.col("s2").alias("__s2b"),
+    )
+    pairs = a.join(b, keys).filter(F.col("group_a") < F.col("group_b"))
+
+    def _mean(s1, n):
+        return F.col(s1).cast("double") / F.col(n).cast("double")
+
+    def _var(s2, s1, n):
+        # s1·s1 as explicit self-multiplication, NOT pow(s1, 2): libm
+        # pow is not guaranteed ulp-identical to the product, and the
+        # oracle replays a product
+        nn = F.col(n).cast("double")
+        s1d = F.col(s1).cast("double")
+        return (F.col(s2).cast("double") - s1d * s1d / nn) / (nn - 1)
+
+    va = _var("__s2a", "__s1a", "n_a")
+    vb = _var("__s2b", "__s1b", "n_b")
+    se = F.sqrt(va / F.col("n_a").cast("double") + vb / F.col("n_b").cast("double"))
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (va + vb > 0)
+    t = F.when(ok, F.round((_mean("__s1a", "n_a") - _mean("__s1b", "n_b")) / se * 1_000_000).cast("long"))
+    # integer micro threshold: 1.96 is not binary-exact, so a float
+    # z_crit·1e6 sits an ulp off 1960000 and could flip a boundary row
+    # vs an engine comparing integers
+    crit_micro = int(round(float(z_crit) * 1_000_000))
+    return pairs.select(
+        *keys,
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        t.alias("t_micro"),
+        F.coalesce(F.abs(t) >= F.lit(crit_micro), F.lit(False)).alias("significant"),
+    )

@@ -629,3 +629,51 @@ def test_attribution_users_isolated(spark):
         [("a", 90, 20, 100)],
     )
     assert out[1] == (1, 100) and 2 not in out
+
+
+# ---------------------------------------------------------------------------
+# A/B test report (Welch from exact sums)
+# ---------------------------------------------------------------------------
+
+
+def test_ab_large_shift_significant_null_split_not(spark):
+    from owl_etl_spark.operators.profile import ab_test_report
+
+    rows = []
+    for i in range(500):
+        rows.append(Row(m="shifted", g="A", v=1000 + (i % 21)))
+        rows.append(Row(m="shifted", g="B", v=1200 + (i % 21)))  # +200 >> noise
+        rows.append(Row(m="null", g="A", v=1000 + (i % 21)))
+        rows.append(Row(m="null", g="B", v=1000 + ((i + 7) % 21)))  # same dist
+    out = {r["m"]: r for r in ab_test_report(
+        spark.createDataFrame(rows), ["m"], "g", "v").collect()}
+    assert out["shifted"]["significant"] is True
+    assert out["null"]["significant"] is False
+    # A - B: shifted mean diff is negative → t negative
+    assert out["shifted"]["t_micro"] < 0
+    assert out["shifted"]["group_a"] == "A" and out["shifted"]["group_b"] == "B"
+
+
+def test_ab_degenerate_cells_null(spark):
+    from owl_etl_spark.operators.profile import ab_test_report
+
+    rows = [
+        Row(m="x", g="A", v=5),                      # n=1
+        Row(m="x", g="B", v=7), Row(m="x", g="B", v=9),
+        Row(m="y", g="A", v=4), Row(m="y", g="A", v=4),  # zero variance both
+        Row(m="y", g="B", v=4), Row(m="y", g="B", v=4),
+    ]
+    out = {r["m"]: r for r in ab_test_report(
+        spark.createDataFrame(rows), ["m"], "g", "v").collect()}
+    assert out["x"]["t_micro"] is None and out["x"]["significant"] is False
+    assert out["y"]["t_micro"] is None and out["y"]["significant"] is False
+
+
+def test_ab_three_variants_pairwise_matrix(spark):
+    from owl_etl_spark.operators.profile import ab_test_report
+
+    rows = [Row(m="x", g=g, v=v + i) for g, v in (("A", 10), ("B", 20), ("C", 30))
+            for i in range(10)]
+    out = ab_test_report(spark.createDataFrame(rows), ["m"], "g", "v").collect()
+    pairs = {(r["group_a"], r["group_b"]) for r in out}
+    assert pairs == {("A", "B"), ("A", "C"), ("B", "C")}
