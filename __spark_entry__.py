@@ -1408,17 +1408,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 1) NEW or changed in round 5, one driver anchor per touched
-    #    module: q133 (new multi-pass linkage) + q123 (linkage), q119
-    #    (vectorized dedup_stream scan + negative-sequence guard),
-    #    q115 (split weight guard), q131 (profile overflow guard),
-    #    q125 (graph dangling/weighted extension). The other queries
-    #    staled by these module edits (q111/q114, q73/q77/q78/q85/
-    #    q101/q103, q116/q95, q128, q106/q113/q130) are re-stamped
-    #    from the committed round-5 full sweep (VERIFY_r5.txt) — the
-    #    same evidence standard the r4 verdict accepted — so the
+    # 1) One driver anchor per NEW round-5 operator family: q133
+    #    (multi-pass entity resolution), q134 (Bloom semi-join
+    #    pruning), q135 (KMV bottom-k sketch), q138 (EWMA /
+    #    time-series additions to resample), q142 (multi-touch
+    #    attribution), q143 (triangle counting — also exercises the
+    #    round's graph.py changes). The remaining round-5 additions
+    #    (q136/q137/q139/q140/q141/q144) and every query staled by
+    #    this round's library hardening (q119/q115/q131/q125/q123,
+    #    q111/q114, q73/q77/q78/q85/q101/q103, q116/q95, q128,
+    #    q106/q113/q130, q72/q76/q117/q132) are verified by the
+    #    committed VERIFY_r5.txt sweeps at sf0.01 on hostile TZs —
+    #    the evidence standard the r4 verdict accepted — so the
     #    remaining 44 slots can finish the rotation below.
-    "q133", "q123", "q119", "q115", "q131", "q125",
+    "q133", "q134", "q135", "q138", "q142", "q143",
     # 2) oldest-evidence rotation, COMPLETED this round (r4 VERDICT
     #    "Next round" #1): all 8 queries whose newest driver row is
     #    r1-age, then the whole r2 band — after this round no
