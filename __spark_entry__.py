@@ -7165,3 +7165,101 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
     return ab_test_report(v, ["event_type"], "grp", "c", z_crit=1.96)
+
+
+@_register(
+    "q145_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS to_state
+      FROM events
+    ), pairs AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_state, sum(n) AS t FROM pairs GROUP BY 1
+    )
+    SELECT p.from_state, p.to_state, p.n,
+           CAST(round(CAST(p.n AS DOUBLE) / t * 1000000) AS BIGINT) AS prob_micro
+    FROM pairs p JOIN tot USING (from_state)
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (library: operators.
+    sequence.transition_matrix) — the Markov 'where do users go next'
+    view of the event log that powers flow sankeys and loop detection:
+    each user's events pair with their successor via ONE lead() window
+    over a total (ts, event_id) order, (from, to) counts are exact
+    BIGINTs, and row probabilities ride as integer micro-units. q60's
+    funnel counts step presence; this is the order-aware complement.
+    Plan: one shuffle on user_id for the pairing window, one bounded
+    aggregate (state-vocabulary-sized), a broadcast of per-source
+    totals. The oracle replays the pairing, counts, and normalization
+    hash-exactly."""
+    from owl_etl_spark.operators.sequence import transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+@_register(
+    "q146_ordered_funnel",
+    """
+    WITH v AS (
+      SELECT user_id AS k, event_type AS e, epoch_us(ts) // 1000000 AS s
+      FROM events
+    ), c0 AS (
+      SELECT k, min(CASE WHEN e = 'view' THEN s END) AS t0 FROM v GROUP BY k
+    ), c1 AS (
+      SELECT v.k,
+             min(CASE WHEN v.e = 'click' AND c0.t0 IS NOT NULL AND v.s > c0.t0
+                      THEN v.s END) AS t1
+      FROM v JOIN c0 ON c0.k = v.k GROUP BY v.k
+    ), c2 AS (
+      SELECT v.k,
+             min(CASE WHEN v.e = 'purchase' AND c1.t1 IS NOT NULL AND v.s > c1.t1
+                      THEN v.s END) AS t2
+      FROM v JOIN c1 ON c1.k = v.k GROUP BY v.k
+    ), chain AS (
+      SELECT c0.k, c0.t0, c1.t1, c2.t2
+      FROM c0 JOIN c1 ON c1.k = c0.k JOIN c2 ON c2.k = c0.k
+    )
+    SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+           CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keys
+    FROM chain
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click',
+           CAST(sum(CASE WHEN t1 IS NOT NULL AND t1 - t0 <= 86400 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM chain
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase',
+           CAST(sum(CASE WHEN t2 IS NOT NULL AND t2 - t0 <= 86400 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM chain
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ordered funnel with a conversion window (library:
+    operators.sequence.ordered_funnel): users counted at step i only
+    if their EARLIEST chain view -> click -> purchase reaches it in
+    order (each step strictly after the previous — a purchase before
+    the first view does not count) and within 1 day of step 1. q60
+    counts presence inside a session; this is the order- and
+    window-aware funnel product analytics actually reports. Plan: one
+    shuffle on user_id, then k chained min-over windows on the SAME
+    partitioning (one exchange, k Window nodes — never a per-step
+    self-join); the oracle replays the greedy chain as chained CTE
+    aggregates."""
+    from owl_etl_spark.operators.sequence import ordered_funnel
+
+    e = _t(spark, sf_dir, "events")
+    return ordered_funnel(
+        e, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+        within_seconds=86400,
+    )

@@ -1,0 +1,140 @@
+"""Event-sequence analytics: first-order transitions (user flow) and
+strictly ordered funnels with a conversion window.
+
+q60's session funnel counts step PRESENCE inside a session; the two
+operators here are the order-aware complements every product-
+analytics warehouse ships:
+
+- ``transition_matrix`` — "where do users go next": per-key event
+  streams pair each event with its successor (one ``lead()`` window),
+  and (from, to) counts normalize to probabilities. The Markov-chain
+  view of the event log; top destinations per source, loop detection,
+  and flow sankeys all read straight off it.
+- ``ordered_funnel`` — "how many users did A then B then C, in that
+  order, within T": each step's timestamp is the EARLIEST occurrence
+  strictly after the previous step's (the standard strict-funnel
+  semantics — re-orderings and pre-existing later steps don't count),
+  with an optional overall conversion window from step 1.
+
+Determinism: ordering is total via (ts, tiebreak); probabilities ride
+as integer micro-units (round at the end of exact BIGINT count
+ratios); the funnel emits exact user counts.
+
+Scale shape: both are one shuffle on the key. The transition pairing
+is a single lead() window; the funnel is k chained min-over windows
+across the SAME partitioning (Catalyst plans one exchange, k Window
+nodes) — never a self-join per step, never a row explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(from_state, to_state, n, prob_micro): successor counts over
+    per-key event order and row-normalized probabilities. Terminal
+    events (a key's last) have no successor and contribute to no row;
+    Σ prob over a from_state is 1e6 ± rounding."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            F.round(F.col("n") / F.col("__tot") * 1_000_000).cast("long").alias("prob_micro"),
+        )
+    )
+
+
+def ordered_funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """One row per funnel step: (step_index, step, n_keys) where
+    ``n_keys`` counts keys whose EARLIEST strictly-ordered chain
+    reaches that step — step i's timestamp is the minimum occurrence
+    strictly after step i-1's — and, when ``within_seconds`` is set,
+    whose step-i timestamp falls within that window of step 1.
+
+    Strict-order semantics: a purchase BEFORE the first view does not
+    complete view→purchase; a re-view after the purchase doesn't
+    either. Greedy-earliest chaining is the standard funnel rule;
+    without a window it maximizes completion (any valid chain implies
+    the greedy one). WITH a window the greedy chain is still what gets
+    measured — a user whose earliest chain overruns the window is not
+    re-tried from a later step-1 (the common product-analytics
+    convention; restart-per-anchor is a different, costlier operator).
+
+    Timestamps may be TIMESTAMP/TIMESTAMP_NTZ or numeric epoch
+    seconds; the window arithmetic runs on epoch seconds either way.
+    """
+    if not steps:
+        raise ValueError("ordered_funnel: steps must be non-empty")
+    from pyspark.sql import Window
+
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        secs = F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    elif dt == "timestamp":
+        secs = F.unix_timestamp(F.col(ts_col))
+    else:
+        secs = F.col(ts_col).cast("long")
+    w = Window.partitionBy("__k")
+    work = df.select(F.col(key_col).alias("__k"), F.col(state_col).alias("__e"), secs.alias("__s"))
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col("__e") == step
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col("__s") > F.col(prev))
+        col = f"__t{i}"
+        work = work.withColumn(col, F.min(F.when(cond, F.col("__s"))).over(w))
+        prev = col
+    per_key = work.groupBy("__k").agg(
+        *[F.min(f"__t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    rows = []
+    for i, step in enumerate(steps):
+        reached = F.col(f"t{i}").isNotNull()
+        if within_seconds is not None and i > 0:
+            reached = reached & (F.col(f"t{i}") - F.col("t0") <= int(within_seconds))
+        rows.append(
+            per_key.agg(
+                F.lit(i + 1).cast("int").alias("step_index"),
+                F.lit(step).alias("step"),
+                F.sum(F.when(reached, 1).otherwise(0)).cast("long").alias("n_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -677,3 +677,81 @@ def test_ab_three_variants_pairwise_matrix(spark):
     out = ab_test_report(spark.createDataFrame(rows), ["m"], "g", "v").collect()
     pairs = {(r["group_a"], r["group_b"]) for r in out}
     assert pairs == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+# ---------------------------------------------------------------------------
+# sequence analytics: transition matrix + ordered funnel
+# ---------------------------------------------------------------------------
+
+
+def test_transitions_hand_check_and_row_normalization(spark):
+    from owl_etl_spark.operators.sequence import transition_matrix
+
+    rows = [
+        Row(u="a", s=1, e="x"), Row(u="a", s=2, e="y"), Row(u="a", s=3, e="x"),
+        Row(u="b", s=1, e="x"), Row(u="b", s=2, e="x"),
+    ]
+    out = {(r["from_state"], r["to_state"]): (r["n"], r["prob_micro"])
+           for r in transition_matrix(spark.createDataFrame(rows), "u", "s", "e").collect()}
+    # from x: x→y (a), x→x (b); from y: y→x (a); a's last x is terminal
+    assert out[("x", "y")] == (1, 500000) and out[("x", "x")] == (1, 500000)
+    assert out[("y", "x")] == (1, 1000000)
+
+
+def test_transitions_terminal_events_excluded(spark):
+    from owl_etl_spark.operators.sequence import transition_matrix
+
+    rows = [Row(u="a", s=1, e="only")]
+    assert transition_matrix(spark.createDataFrame(rows), "u", "s", "e").count() == 0
+
+
+def test_funnel_strict_order_rejects_pre_existing_step(spark):
+    from owl_etl_spark.operators.sequence import ordered_funnel
+
+    rows = [
+        # u1: proper order
+        Row(u="u1", s=10, e="A"), Row(u="u1", s=20, e="B"),
+        # u2: B happened BEFORE A — must not complete
+        Row(u="u2", s=10, e="B"), Row(u="u2", s=20, e="A"),
+    ]
+    out = {r["step"]: r["n_keys"] for r in ordered_funnel(
+        spark.createDataFrame(rows), "u", "s", "e", ["A", "B"]).collect()}
+    assert out == {"A": 2, "B": 1}
+
+
+def test_funnel_conversion_window_cuts_slow_chains(spark):
+    from owl_etl_spark.operators.sequence import ordered_funnel
+
+    rows = [
+        Row(u="fast", s=0, e="A"), Row(u="fast", s=50, e="B"),
+        Row(u="slow", s=0, e="A"), Row(u="slow", s=500, e="B"),
+    ]
+    out = {r["step"]: r["n_keys"] for r in ordered_funnel(
+        spark.createDataFrame(rows), "u", "s", "e", ["A", "B"],
+        within_seconds=100).collect()}
+    assert out == {"A": 2, "B": 1}
+
+
+def test_funnel_greedy_earliest_chain(spark):
+    from owl_etl_spark.operators.sequence import ordered_funnel
+
+    # A at 0 and 10; B at 5: greedy chains from A(0) → B(5) completes
+    rows = [Row(u="g", s=0, e="A"), Row(u="g", s=10, e="A"), Row(u="g", s=5, e="B")]
+    out = {r["step"]: r["n_keys"] for r in ordered_funnel(
+        spark.createDataFrame(rows), "u", "s", "e", ["A", "B"]).collect()}
+    assert out == {"A": 1, "B": 1}
+
+
+def test_funnel_three_steps_monotone_counts(spark):
+    from owl_etl_spark.operators.sequence import ordered_funnel
+
+    rows = []
+    for u in range(30):
+        rows.append(Row(u=f"u{u}", s=0, e="A"))
+        if u < 20:
+            rows.append(Row(u=f"u{u}", s=1, e="B"))
+        if u < 5:
+            rows.append(Row(u=f"u{u}", s=2, e="C"))
+    out = {r["step_index"]: r["n_keys"] for r in ordered_funnel(
+        spark.createDataFrame(rows), "u", "s", "e", ["A", "B", "C"]).collect()}
+    assert out == {1: 30, 2: 20, 3: 5}
