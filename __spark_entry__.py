@@ -7263,3 +7263,97 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=["view", "click", "purchase"],
         within_seconds=86400,
     )
+
+
+@_register(
+    "q147_cusum_drift_alarms",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), walks AS (
+      SELECT event_type, event_id, c,
+             sum(c - 5000 - 500) OVER w AS p,
+             sum(c - 5000 + 500) OVER w AS n
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ext AS (
+      SELECT event_type, event_id, c, p, n,
+             least(0, min(p) OVER w2) AS pmin,
+             greatest(0, max(n) OVER w2) AS nmax
+      FROM walks
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, c AS cents,
+           CAST(p - pmin AS BIGINT) AS s_plus,
+           CAST(nmax - n AS BIGINT) AS s_minus,
+           (p - pmin > 50000) AS alarm_up,
+           (nmax - n > 50000) AS alarm_down
+    FROM ext
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per event type (library: operators.
+    drift.cusum_report) — the sequential monitor that catches small
+    SUSTAINED drifts a per-point z-score never sees (q140's
+    complement; q124's PSI compares whole windows — CUSUM localizes
+    WHEN the mean moved). The inherently sequential clamp-at-zero
+    recursion is re-expressed exactly through the prefix-extremum
+    identity: s+ = P - min(0, running min P), s- = max(0, running max
+    N) - N over drift-adjusted prefix sums — plain ROWS UNBOUNDED
+    PRECEDING windows, so the whole detector is ONE key shuffle of
+    exact BIGINTs, order-independent, replayed verbatim by the oracle.
+    Constants (target 5000 cents, slack 500, threshold 50000) are
+    shared literals. NOTE the oracle's second window orders by
+    event_id only: within a partition the first window's output is
+    already (us, event_id)-ordered and event_id alone is total here —
+    both engines agree because the running sum column is identical."""
+    from owl_etl_spark.operators.drift import cusum_report
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    out = cusum_report(
+        v, ["event_type"], "us", "c",
+        target=5000, slack_k=500, threshold_h=50000,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", F.col("c").alias("cents"),
+        "s_plus", "s_minus", "alarm_up", "alarm_down",
+    )
+
+
+@_register(
+    "q148_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           (count(*) < 30) AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity measurement over quasi-identifiers (library:
+    operators.privacy.k_anonymity_report) — the release gate that
+    bounds re-identification through jointly-linkable columns, the
+    complement of q61's direct-identifier redaction: every
+    (nation, market segment) combination's EXACT member count, flagged
+    when below k=30. Exactness is the point — an undercounted group
+    would leak rows, so this gate never rides a sketch. One map-side-
+    combined groupBy bounded by the quasi-value cross product; the
+    companion k_anonymity_suppress (unit-tested) semi-joins the safe
+    combos back for the minimal-distortion release."""
+    from owl_etl_spark.operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=30)

@@ -114,3 +114,66 @@ def psi_report(
         )
     )
     return psi.withColumn("verdict", verdict).unionByName(new_groups)
+
+
+def cusum_report(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    target: int,
+    slack_k: int,
+    threshold_h: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key, in EXACT integer
+    arithmetic — the sequential mean-shift monitor (Page 1954) that
+    catches small sustained drifts a per-point z-score never sees
+    (q140's complement: seasonal z flags single outliers; CUSUM flags
+    a process whose MEAN moved).
+
+    The textbook recursion ``s_t = max(0, s_(t-1) + (v_t - target -
+    k))`` is sequential and engine-hostile; this uses the exact
+    prefix-extremum identity instead:
+
+        s⁺_t = P_t − min(0, min_{j ≤ t} P_j) ,  P_t = Σ_{i≤t} (v_i − target − k)
+        s⁻_t = max(0, max_{j ≤ t} N_j) − N_t ,  N_t = Σ_{i≤t} (v_i − target + k)
+
+    (the 0 terms are the EMPTY prefix P_0 = N_0 = 0 — dropping them
+    would zero out any series that alarms from its very first rows)
+
+    (the clamp-at-zero walk equals the walk's distance from its
+    running minimum/maximum — both running aggregates are plain ROWS
+    UNBOUNDED PRECEDING windows, so the whole detector is ONE key
+    shuffle + windowed prefix sums, order-independent and
+    oracle-replayable). Feed integer units (cents) for ``value_col``,
+    ``target``, ``slack_k`` and ``threshold_h``; every column below is
+    an exact BIGINT. Alarm columns flag ``s > threshold_h`` per side;
+    after an alarm the statistic keeps accumulating (no reset — the
+    bounded-memory streaming convention; resets are a downstream
+    choice).
+
+    Overflow headroom: |P_t| ≤ n · max(|v| + target + k) — BIGINT-safe
+    for any realistic per-key series (1e12 rows × 1e6 units).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col).cast("long")
+    p = F.sum(v - F.lit(int(target)) - F.lit(int(slack_k))).over(w)
+    n = F.sum(v - F.lit(int(target)) + F.lit(int(slack_k))).over(w)
+    work = df.withColumn("__p", p).withColumn("__n", n)
+    run_min = F.least(F.lit(0).cast("long"), F.min("__p").over(w))
+    run_max = F.greatest(F.lit(0).cast("long"), F.max("__n").over(w))
+    return (
+        work.withColumn("s_plus", (F.col("__p") - run_min).cast("long"))
+        .withColumn("s_minus", (run_max - F.col("__n")).cast("long"))
+        .withColumn("alarm_up", F.col("s_plus") > F.lit(int(threshold_h)))
+        .withColumn("alarm_down", F.col("s_minus") > F.lit(int(threshold_h)))
+        .drop("__p", "__n")
+    )

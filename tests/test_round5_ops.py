@@ -755,3 +755,72 @@ def test_funnel_three_steps_monotone_counts(spark):
     out = {r["step_index"]: r["n_keys"] for r in ordered_funnel(
         spark.createDataFrame(rows), "u", "s", "e", ["A", "B", "C"]).collect()}
     assert out == {1: 30, 2: 20, 3: 5}
+
+
+# ---------------------------------------------------------------------------
+# CUSUM + k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from owl_etl_spark.operators.drift import cusum_report
+
+    vals = [10, 12, 9, 30, 35, 40, 8, 9, 50, 55, 60, 5]
+    target, k, h = 10, 2, 25
+    df = spark.createDataFrame([Row(g="a", t=i, v=v) for i, v in enumerate(vals)])
+    got = {r["t"]: (r["s_plus"], r["s_minus"], r["alarm_up"]) for r in cusum_report(
+        df, ["g"], "t", "v", target=target, slack_k=k, threshold_h=h).collect()}
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - target - k))
+        sn = max(0, sn - (v - target + k))
+        assert got[i][0] == sp, (i, got[i][0], sp)
+        assert got[i][1] == sn, (i, got[i][1], sn)
+        assert got[i][2] is (sp > h)
+
+
+def test_cusum_alarms_from_first_rows(spark):
+    # immediate sustained shift: the empty-prefix 0 seed matters here
+    from owl_etl_spark.operators.drift import cusum_report
+
+    df = spark.createDataFrame([Row(g="a", t=i, v=100) for i in range(3)])
+    rows = {r["t"]: r["s_plus"] for r in cusum_report(
+        df, ["g"], "t", "v", target=10, slack_k=0, threshold_h=150).collect()}
+    assert rows == {0: 90, 1: 180, 2: 270}
+
+
+def test_cusum_downward_shift_flags_minus_side(spark):
+    from owl_etl_spark.operators.drift import cusum_report
+
+    vals = [100] * 5 + [10] * 5
+    df = spark.createDataFrame([Row(g="a", t=i, v=v) for i, v in enumerate(vals)])
+    out = cusum_report(df, ["g"], "t", "v", target=100, slack_k=5, threshold_h=150).collect()
+    assert any(r["alarm_down"] for r in out)
+    assert not any(r["alarm_up"] for r in out)
+
+
+def test_k_anonymity_report_and_suppress(spark):
+    from owl_etl_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_suppress,
+    )
+
+    rows = [Row(nation="x", seg="a", id=i) for i in range(10)] + [
+        Row(nation="x", seg="b", id=100),  # singleton combo — at risk
+        Row(nation=None, seg="a", id=200), Row(nation=None, seg="a", id=201),
+    ]
+    df = spark.createDataFrame(rows)
+    rep = {(r["nation"], r["seg"]): (r["n"], r["at_risk"]) for r in
+           k_anonymity_report(df, ["nation", "seg"], k=2).collect()}
+    assert rep[("x", "a")] == (10, False)
+    assert rep[("x", "b")] == (1, True)
+    assert rep[(None, "a")] == (2, False)  # nulls group and count
+    kept = k_anonymity_suppress(df, ["nation", "seg"], k=2)
+    assert kept.count() == 12 and kept.filter(F.col("id") == 100).count() == 0
+
+
+def test_k_anonymity_rejects_k_below_two(spark):
+    from owl_etl_spark.operators.privacy import k_anonymity_report
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        k_anonymity_report(spark.range(5), ["id"], k=1)
