@@ -7357,3 +7357,127 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=30)
+
+
+@_register(
+    "q149_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 300 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ), grp AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS n,
+             min(s) AS lo, max(e) AS hi
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(greatest(hi - lo, 0)) AS BIGINT) AS covered
+    FROM grp GROUP BY user_id
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage via interval union (library:
+    operators.intervals.interval_union_length): each event opens a
+    5-minute activity span; overlapping/touching spans merge into
+    islands (a span is NEW iff its start exceeds the running max end
+    of every earlier span — two windows on one key shuffle) and the
+    union length is the user's total distinct active time — the
+    uptime/SLA/effective-engagement number a plain sum of durations
+    double-counts. Exact integer seconds end to end; the oracle
+    replays the island construction verbatim over the same TOTAL
+    (s, e, event_id) order — the tiebreak matters in the island-id
+    running sum too, because a tied pair where one row opens an island
+    would otherwise group differently under tie reordering."""
+    from owl_etl_spark.operators.intervals import interval_union_length
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("s"),
+        (
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            + 300
+        ).alias("e"),
+    )
+    return interval_union_length(iv, ["user_id"], "s", "e", tiebreak_col="event_id")
+
+
+@_register(
+    "q150_fifo_allocation",
+    """
+    WITH b AS (
+      SELECT l_partkey, l_orderkey * 10 + l_linenumber AS id,
+             CAST(l_quantity AS BIGINT) AS q, epoch_us(l_shipdate) AS o
+      FROM lineitem WHERE l_suppkey % 2 = 0
+    ), s AS (
+      SELECT l_partkey, l_orderkey * 10 + l_linenumber AS id,
+             CAST(l_quantity AS BIGINT) AS q, epoch_us(l_shipdate) AS o
+      FROM lineitem WHERE l_suppkey % 2 = 1
+    ), bc AS (
+      SELECT l_partkey, id AS buy_id,
+             sum(q) OVER w - q AS blo, sum(q) OVER w AS bhi
+      FROM b WINDOW w AS (PARTITION BY l_partkey ORDER BY o, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), sc AS (
+      SELECT l_partkey, id AS sell_id,
+             sum(q) OVER w - q AS slo, sum(q) OVER w AS shi
+      FROM s WINDOW w AS (PARTITION BY l_partkey ORDER BY o, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bc.l_partkey, bc.buy_id, sc.sell_id,
+           CAST(least(bhi, shi) - greatest(blo, slo) AS BIGINT) AS qty_allocated
+    FROM bc JOIN sc ON bc.l_partkey = sc.l_partkey
+     AND blo < shi AND slo < bhi
+    WHERE least(bhi, shi) - greatest(blo, slo) > 0
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO stream matching (library: operators.intervals.
+    fifo_allocate) — first-in-first-out allocation of supply lineitems
+    to demand lineitems per part (split by supplier parity), the
+    inventory-aging / cost-basis operation that is a row-at-a-time
+    loop in most warehouses. Here it is EXACT windowed arithmetic: buy
+    i owns units (cumB_(i-1), cumB_i] of its part's supply line, sell
+    j consumes (cumS_(j-1), cumS_j], and FIFO is precisely their
+    intersection — so the match is an equi-join on part plus a range
+    predicate over consecutive unit intervals, producing at most
+    n_buys + n_sells pairs per key, never a cross product. Integer
+    quantities, exact BIGINT cumulative sums, total (date, id) order;
+    the oracle replays the identity verbatim."""
+    from owl_etl_spark.operators.intervals import fifo_allocate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+        ).alias("o"),
+        "l_suppkey",
+    )
+    buys = li.filter(F.col("l_suppkey") % 2 == 0)
+    sells = li.filter(F.col("l_suppkey") % 2 == 1)
+    return fifo_allocate(
+        buys, sells, ["l_partkey"], "id", "q", "o"
+    )

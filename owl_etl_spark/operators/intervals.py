@@ -1,0 +1,138 @@
+"""Interval algebra per key: union/coverage of overlapping spans and
+FIFO stream matching — two classically "procedural" operations
+re-expressed as exact windowed arithmetic.
+
+- ``interval_union_length`` — merge overlapping/touching spans into
+  islands and measure covered time: uptime/SLA coverage, deduped
+  listening time, effective session span. The island trick: after a
+  total (start, end, id) order, a span starts a NEW island iff its
+  start exceeds the running max end of everything before it; the
+  island id is then a running sum of those flags. Two windows, one
+  key shuffle, exact integers.
+
+- ``fifo_allocate`` — match two ordered streams (buys→sells, supply→
+  demand, produced→consumed) under first-in-first-out and emit per-
+  pair allocated quantities: FIFO cost basis, inventory aging, queue
+  accounting. The usually-imperative matching loop is EXACTLY the
+  overlap of cumulative-quantity intervals: buy i owns units
+  (cumB_(i-1), cumB_i] of the key's supply line, sell j consumes
+  (cumS_(j-1), cumS_j], and FIFO allocates their intersection —
+  ``max(0, min(hiB, hiS) − max(loB, loS))``. The pair join is an
+  equi-join on the key plus a range predicate on unit intervals;
+  because both interval chains are consecutive, each buy overlaps
+  amortized O(1) sells, so matched pairs number ≤ n_buys + n_sells
+  per key — never the cross product.
+
+Both operators take integer units (whole seconds, whole quantities)
+and produce exact BIGINTs — order-independent, oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_union_length(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per key: ``n_intervals``, ``n_islands`` (merged groups —
+    overlapping OR touching spans coalesce), ``covered`` (total union
+    length, Σ island (max end − min start)). Zero/negative-length
+    spans count as points: they join islands but add no length.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    work = (
+        df.withColumn("__pmax", F.max(e).over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(F.col("__pmax").isNull() | (s > F.col("__pmax")), 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w_run))
+    )
+    islands = work.groupBy(*keys, "__island").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min(s).alias("__lo"),
+        F.max(e).alias("__hi"),
+    )
+    return islands.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.greatest(F.col("__hi") - F.col("__lo"), F.lit(0)))
+        .cast("long")
+        .alias("covered"),
+    )
+
+
+def fifo_allocate(
+    buys: DataFrame,
+    sells: DataFrame,
+    keys: list[str],
+    id_col: str,
+    qty_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """FIFO matching of two per-key ordered streams. Returns one row
+    per (buy, sell) pair with a POSITIVE allocation:
+    ``(keys..., buy_id, sell_id, qty_allocated)`` — Σ per sell equals
+    its quantity while supply lasts; surplus buys/sells simply stop
+    appearing (compute shortfalls from the sums). Quantities must be
+    positive integers (enforced contract of the cumulative identity:
+    a zero/negative quantity would create an empty or inverted unit
+    interval).
+    """
+    from pyspark.sql import Window
+
+    def cum(side: DataFrame, tag: str) -> DataFrame:
+        order = [F.col(order_col).asc()]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col).asc())
+        order.append(F.col(id_col).asc())
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        q = F.col(qty_col).cast("long")
+        return side.select(
+            *keys,
+            F.col(id_col).alias(f"{tag}_id"),
+            (F.sum(q).over(w) - q).alias(f"__{tag}lo"),
+            F.sum(q).over(w).alias(f"__{tag}hi"),
+        )
+
+    b = cum(buys, "buy")
+    s = cum(sells, "sell")
+    pair = b.join(s, keys).filter(
+        (F.col("__buylo") < F.col("__sellhi")) & (F.col("__selllo") < F.col("__buyhi"))
+    )
+    alloc = F.least(F.col("__buyhi"), F.col("__sellhi")) - F.greatest(
+        F.col("__buylo"), F.col("__selllo")
+    )
+    return pair.select(
+        *keys,
+        "buy_id",
+        "sell_id",
+        alloc.cast("long").alias("qty_allocated"),
+    ).filter(F.col("qty_allocated") > 0)

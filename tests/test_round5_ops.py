@@ -824,3 +824,78 @@ def test_k_anonymity_rejects_k_below_two(spark):
 
     with pytest.raises(ValueError, match="k >= 2"):
         k_anonymity_report(spark.range(5), ["id"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# interval union + FIFO allocation
+# ---------------------------------------------------------------------------
+
+
+def test_interval_union_merges_overlaps_and_touching(spark):
+    from owl_etl_spark.operators.intervals import interval_union_length
+
+    rows = [
+        Row(k="a", s=0, e=10), Row(k="a", s=5, e=20),    # overlap → one island
+        Row(k="a", s=20, e=30),                           # touching → same island
+        Row(k="a", s=100, e=110),                         # separate island
+    ]
+    r = interval_union_length(spark.createDataFrame(rows), ["k"], "s", "e").collect()[0]
+    assert r["n_intervals"] == 4 and r["n_islands"] == 2 and r["covered"] == 40
+
+
+def test_interval_union_contained_span_adds_nothing(spark):
+    from owl_etl_spark.operators.intervals import interval_union_length
+
+    rows = [Row(k="a", s=0, e=100), Row(k="a", s=10, e=20)]
+    r = interval_union_length(spark.createDataFrame(rows), ["k"], "s", "e").collect()[0]
+    assert r["n_islands"] == 1 and r["covered"] == 100
+
+
+def test_interval_union_keys_independent(spark):
+    from owl_etl_spark.operators.intervals import interval_union_length
+
+    rows = [Row(k="a", s=0, e=10), Row(k="b", s=0, e=10)]
+    out = {r["k"]: r["covered"] for r in interval_union_length(
+        spark.createDataFrame(rows), ["k"], "s", "e").collect()}
+    assert out == {"a": 10, "b": 10}
+
+
+def _fifo(spark, buys, sells):
+    from owl_etl_spark.operators.intervals import fifo_allocate
+
+    b = spark.createDataFrame([Row(k=k, id=i, q=q, o=o) for k, i, q, o in buys])
+    s = spark.createDataFrame([Row(k=k, id=i, q=q, o=o) for k, i, q, o in sells])
+    return {
+        (r["buy_id"], r["sell_id"]): r["qty_allocated"]
+        for r in fifo_allocate(b, s, ["k"], "id", "q", "o").collect()
+    }
+
+
+def test_fifo_hand_check_split_across_buys(spark):
+    # buys: 10 then 5; sells: 8 then 7 → FIFO: s1←b1:8; s2←b1:2,b2:5
+    out = _fifo(spark, [("p", 1, 10, 1), ("p", 2, 5, 2)],
+                [("p", 91, 8, 1), ("p", 92, 7, 2)])
+    assert out == {(1, 91): 8, (1, 92): 2, (2, 92): 5}
+
+
+def test_fifo_conserves_sell_quantities_when_supply_suffices(spark):
+    buys = [("p", i, 7, i) for i in range(10)]          # 70 units
+    sells = [("p", 100 + j, 9, j) for j in range(7)]    # 63 units
+    out = _fifo(spark, buys, sells)
+    per_sell = {}
+    for (bid, sid), q in out.items():
+        per_sell[sid] = per_sell.get(sid, 0) + q
+    assert all(v == 9 for v in per_sell.values()) and len(per_sell) == 7
+
+
+def test_fifo_surplus_demand_truncated_at_supply(spark):
+    out = _fifo(spark, [("p", 1, 5, 1)], [("p", 91, 8, 1)])
+    assert out == {(1, 91): 5}  # only 5 units existed
+
+
+def test_fifo_pair_count_linear_not_quadratic(spark):
+    # interleaved equal quantities: every sell matches exactly one buy
+    buys = [("p", i, 10, i) for i in range(50)]
+    sells = [("p", 100 + i, 10, i) for i in range(50)]
+    out = _fifo(spark, buys, sells)
+    assert len(out) == 50  # n pairs, not n^2
