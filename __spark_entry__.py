@@ -7481,3 +7481,113 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fifo_allocate(
         buys, sells, ["l_partkey"], "id", "q", "o"
     )
+
+
+@_register(
+    "q151_weighted_quantiles",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS id
+      FROM lineitem
+    ), cw AS (
+      SELECT g, c, w,
+             sum(w) OVER (PARTITION BY g ORDER BY c, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER (PARTITION BY g) AS tw
+      FROM v
+    ), probs AS (
+      SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS prob,
+             unnest([250000, 500000, 750000, 900000]) AS pm
+    )
+    SELECT cw.g AS l_returnflag, p.prob, CAST(min(c) AS BIGINT) AS q
+    FROM cw CROSS JOIN probs p
+    WHERE cumw * 1000000 >= p.pm * tw
+    GROUP BY 1, 2
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles per return flag (library: operators.
+    quantiles.weighted_quantiles): each lineitem's price counts
+    l_quantity times, so the quantiles describe the distribution over
+    UNITS rather than rows — the fair-aggregation form (per-request
+    latency percentiles weighted by call volume, per-dollar exposure)
+    that one-row-one-vote quantiles bias. Inverse-CDF rule: smallest
+    value whose cumulative weight reaches p·W, with the boundary
+    compared in pure integer math (cumw·1e6 >= p_micro·W — no float
+    ever touches it). Exact BIGINT running sums over a total (value,
+    id) order; one key shuffle; per-prob pick is a min-aggregate, not
+    a second sort. The oracle replays the integer comparison
+    verbatim."""
+    from owl_etl_spark.operators.quantiles import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+    )
+    return weighted_quantiles(
+        v, ["l_returnflag"], "c", "w", [0.25, 0.5, 0.75, 0.9], tiebreak_col="id"
+    )
+
+
+@_register(
+    "q152_trimmed_means",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey AS id
+      FROM orders
+    ), r AS (
+      SELECT g, c,
+             row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ), t AS (
+      SELECT g, c, rn, n, (n * 50000) // 1000000 AS tr FROM r
+    ), b AS (
+      SELECT g, c, rn, n, tr,
+             max(CASE WHEN rn = tr + 1 THEN c END) OVER (PARTITION BY g) AS lo,
+             max(CASE WHEN rn = n - tr THEN c END) OVER (PARTITION BY g) AS hi
+      FROM t
+    )
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN rn > tr AND rn <= n - tr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(sum(CASE WHEN rn > tr AND rn <= n - tr THEN c END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN rn > tr AND rn <= n - tr THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS trimmed_mean,
+           round(CAST(sum(CASE WHEN rn <= tr THEN lo
+                          WHEN rn > n - tr THEN hi ELSE c END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
+    FROM b GROUP BY g
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means per order priority (library:
+    operators.quantiles.trimmed_mean_report) — the robust location
+    estimates between the outlier-poisoned mean and the
+    efficiency-wasting median: drop (trimmed) or clamp (winsorized)
+    the extreme floor(5%·n) ranks per side, where the rank cut is
+    computed in integer micro math over a total (value, id) order so
+    no float boundary and no tie ambiguity exists. Exact BIGINT sums
+    of cents; one rank window + one aggregate on one key shuffle. The
+    oracle replays ranks, cuts, boundary values, and both means
+    hash-exactly."""
+    from owl_etl_spark.operators.quantiles import trimmed_mean_report
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.col("o_orderkey").alias("id"),
+    )
+    return trimmed_mean_report(
+        v, ["o_orderpriority"], "c", trim_pct=0.05, tiebreak_col="id"
+    )

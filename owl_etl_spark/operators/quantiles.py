@@ -110,3 +110,120 @@ def assign_buckets(
     for c in cutpoints:
         expr = expr + F.when(F.lit(c) < F.col(value_col), 1).otherwise(0)
     return df.withColumn(bucket_col, expr.cast("long"))
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    probs: list[float],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles per key: the smallest value whose
+    cumulative weight reaches ``p · W`` (weighted type-1 / inverse-CDF
+    rule) — the fair-aggregation form where each row represents
+    ``weight`` underlying units (requests, dollars, population), so a
+    hot row counts as many and plain quantiles' one-row-one-vote bias
+    disappears. With all weights 1 this reduces exactly to the
+    unweighted type-1 quantile.
+
+    Determinism: integer weights, exact BIGINT running sums, total
+    (value, tiebreak) order, and the threshold ``p·W`` compared as
+    an integer ceiling (``cumw · 1 ≥ ceil(p·W)`` via cumw*1e6 ≥
+    round-free integer math: we compare ``cumw * 1000000 >= p_micro *
+    W`` with ``p_micro`` an integer micro-probability — no float ever
+    touches the boundary). One key shuffle; the per-prob pick is a
+    min-aggregate over the flagged rows, not a second sort.
+
+    Returns one row per (key, prob): ``(keys..., prob, q)``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    wt = F.col(weight_col).cast("long")
+    work = df.withColumn("__cw", F.sum(wt).over(w_run)).withColumn(
+        "__tw", F.sum(wt).over(w_all)
+    )
+    frames = []
+    for p in probs:
+        p_micro = int(round(p * 1_000_000))
+        reached = F.col("__cw") * 1_000_000 >= F.lit(p_micro) * F.col("__tw")
+        frames.append(
+            work.filter(reached)
+            .groupBy(*keys)
+            .agg(F.min(F.col(value_col)).alias("q"))
+            .select(*keys, F.lit(float(p)).alias("prob"), "q")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(*keys, "prob", "q")
+
+
+def trimmed_mean_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    trim_pct: float = 0.05,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key trimmed AND winsorized means over integer units — the
+    robust location estimates between the mean (outlier-poisoned) and
+    the median (throws away efficiency):
+
+    - trimmed: drop the lowest and highest ``floor(trim_pct · n)``
+      rows (by rank in a total order) and average the rest — exact
+      integer sum over the kept rows, one division at the end.
+    - winsorized: CLAMP instead of drop — the trimmed-away ranks
+      contribute the boundary values, preserving n.
+
+    Rank-based trimming (not value thresholds) is deterministic under
+    ties via the (value, tiebreak) total order; counts/sums are exact
+    BIGINTs; output means are round(·, 6) doubles. One key shuffle,
+    one rank window, one aggregate.
+    """
+    from pyspark.sql import Window
+
+    if not (0 <= trim_pct < 0.5):
+        raise ValueError(f"trimmed_mean_report: need 0 <= trim_pct < 0.5, got {trim_pct}")
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    w_all = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("long")
+    trim_micro = int(round(trim_pct * 1_000_000))
+    work = (
+        df.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        # floor(trim_pct·n) in integer micro math — no float boundary
+        .withColumn("__t", F.expr(f"(__n * {trim_micro}) div 1000000"))
+    )
+    kept = (F.col("__r") > F.col("__t")) & (F.col("__r") <= F.col("__n") - F.col("__t"))
+    lo_val = F.max(F.when(F.col("__r") == F.col("__t") + 1, v)).over(w_all)
+    hi_val = F.max(F.when(F.col("__r") == F.col("__n") - F.col("__t"), v)).over(w_all)
+    wins_v = F.when(F.col("__r") <= F.col("__t"), lo_val).when(
+        F.col("__r") > F.col("__n") - F.col("__t"), hi_val
+    ).otherwise(v)
+    marked = work.withColumn("__keep", kept).withColumn("__wv", wins_v)
+    return marked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("__keep"), v)).cast("double")
+            / F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.sum("__wv").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "winsorized_mean"
+        ),
+    )

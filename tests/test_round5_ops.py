@@ -899,3 +899,65 @@ def test_fifo_pair_count_linear_not_quadratic(spark):
     sells = [("p", 100 + i, 10, i) for i in range(50)]
     out = _fifo(spark, buys, sells)
     assert len(out) == 50  # n pairs, not n^2
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles + trimmed/winsorized means
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_quantiles_hand_check(spark):
+    from owl_etl_spark.operators.quantiles import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 → total 10: p=0.5 lands in the
+    # heavy value 4 (cum 3 < 5 ≤ 10); p=0.3 → value 3 (cum 3 ≥ 3)
+    rows = [Row(g="a", v=1, w=1), Row(g="a", v=2, w=1),
+            Row(g="a", v=3, w=1), Row(g="a", v=4, w=7)]
+    out = {r["prob"]: r["q"] for r in weighted_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", "w", [0.3, 0.5, 1.0]).collect()}
+    assert out == {0.3: 3, 0.5: 4, 1.0: 4}
+
+
+def test_weighted_quantiles_unit_weights_match_type1(spark):
+    from owl_etl_spark.operators.quantiles import weighted_quantiles
+
+    vals = sorted((i * 37) % 100 for i in range(40))
+    rows = [Row(g="a", v=v, w=1, id=i) for i, v in enumerate(vals)]
+    out = {r["prob"]: r["q"] for r in weighted_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", "w", [0.25, 0.5, 0.75],
+        tiebreak_col="id").collect()}
+    import math
+    for p in (0.25, 0.5, 0.75):
+        assert out[p] == vals[max(1, math.ceil(p * 40)) - 1]
+
+
+def test_trimmed_means_hand_check(spark):
+    from owl_etl_spark.operators.quantiles import trimmed_mean_report
+
+    # 10 values incl. wild outliers at both ends; trim 10% → drop 1/side
+    vals = [-1000, 10, 11, 12, 13, 14, 15, 16, 17, 5000]
+    rows = [Row(g="a", v=v, id=i) for i, v in enumerate(vals)]
+    r = trimmed_mean_report(
+        spark.createDataFrame(rows), ["g"], "v", trim_pct=0.1, tiebreak_col="id"
+    ).collect()[0]
+    assert r["n"] == 10 and r["n_kept"] == 8
+    assert r["trimmed_mean"] == 13.5                     # mean of 10..17
+    # winsorized: outliers clamp to 10 and 17 → (10+10..17+17)/10
+    assert r["winsorized_mean"] == (10 + sum(range(10, 18)) + 17) / 10
+
+
+def test_trimmed_zero_pct_equals_plain_mean(spark):
+    from owl_etl_spark.operators.quantiles import trimmed_mean_report
+
+    rows = [Row(g="a", v=v, id=i) for i, v in enumerate([1, 2, 3, 4])]
+    r = trimmed_mean_report(
+        spark.createDataFrame(rows), ["g"], "v", trim_pct=0.0, tiebreak_col="id"
+    ).collect()[0]
+    assert r["trimmed_mean"] == r["winsorized_mean"] == 2.5 and r["n_kept"] == 4
+
+
+def test_trimmed_rejects_half_or_more(spark):
+    from owl_etl_spark.operators.quantiles import trimmed_mean_report
+
+    with pytest.raises(ValueError, match="trim_pct"):
+        trimmed_mean_report(spark.range(5), ["id"], "id", trim_pct=0.5)
