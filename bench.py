@@ -64,10 +64,15 @@ HEADLINE = [
     "q118_ivfpq_knn",
     "q122_incremental_join_view",
     # round-5 operator families: literal-bitmap Bloom semi-join pruning
-    # (zero-shuffle probe-side filter) and the KMV bottom-k sketch
-    # (mergeable distinct count via TakeOrderedAndProject).
+    # (zero-shuffle probe-side filter), the KMV bottom-k sketch
+    # (mergeable distinct count via TakeOrderedAndProject), the
+    # event-transition matrix (lead-window pairing over 100k events),
+    # and bucketed FIFO allocation (the constant-fan-out interval join
+    # — 600k lineitems to ~480k allocation pairs).
     "q134_bloom_prune_join",
     "q135_kmv_distinct_estimate",
+    "q145_transition_matrix",
+    "q150_fifo_allocation",
 ]
 
 

@@ -92,6 +92,7 @@ def fifo_allocate(
     qty_col: str,
     order_col: str,
     tiebreak_col: str | None = None,
+    bucket_units: int = 256,
 ) -> DataFrame:
     """FIFO matching of two per-key ordered streams. Returns one row
     per (buy, sell) pair with a POSITIVE allocation:
@@ -101,8 +102,27 @@ def fifo_allocate(
     positive integers (enforced contract of the cumulative identity:
     a zero/negative quantity would create an empty or inverted unit
     interval).
+
+    Join shape — why the bucketing: a bare equi-join on the key plus
+    the overlap predicate would materialize each key's FULL buy×sell
+    cross product before filtering (the q29 hot-key death at scale:
+    one part with 10^6 fills per side is 10^12 candidate pairs in one
+    task). Instead both interval chains bucket by UNIT RANGE — an
+    interval joins every bucket of ``bucket_units`` cumulative units
+    it touches — and the join key is (keys, bucket). Each pair is
+    emitted exactly once WITHOUT a distinct: only the bucket that owns
+    the intersection's first unit (``greatest(lo_b, lo_s) div B``)
+    counts it. Per (key, bucket) each side holds at most
+    ``B/min_qty + 1`` intervals, so per-task candidate fan-out is
+    capped by a CONSTANT of the operator, not by key popularity —
+    the same bounded-expansion contract as the LSH chunk guards, built
+    in by construction.
     """
     from pyspark.sql import Window
+
+    B = int(bucket_units)
+    if B < 1:
+        raise ValueError(f"fifo_allocate: bucket_units must be >= 1, got {bucket_units}")
 
     def cum(side: DataFrame, tag: str) -> DataFrame:
         order = [F.col(order_col).asc()]
@@ -115,17 +135,24 @@ def fifo_allocate(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         q = F.col(qty_col).cast("long")
+        lo = (F.sum(q).over(w) - q).alias(f"__{tag}lo")
+        hi = F.sum(q).over(w).alias(f"__{tag}hi")
         return side.select(
-            *keys,
-            F.col(id_col).alias(f"{tag}_id"),
-            (F.sum(q).over(w) - q).alias(f"__{tag}lo"),
-            F.sum(q).over(w).alias(f"__{tag}hi"),
+            *keys, F.col(id_col).alias(f"{tag}_id"), lo, hi
+        ).withColumn(
+            "__bk",
+            F.explode(
+                F.expr(f"sequence(__{tag}lo div {B}, (__{tag}hi - 1) div {B})")
+            ),
         )
 
     b = cum(buys, "buy")
     s = cum(sells, "sell")
-    pair = b.join(s, keys).filter(
-        (F.col("__buylo") < F.col("__sellhi")) & (F.col("__selllo") < F.col("__buyhi"))
+    pair = b.join(s, [*keys, "__bk"]).filter(
+        (F.col("__buylo") < F.col("__sellhi"))
+        & (F.col("__selllo") < F.col("__buyhi"))
+        # ownership dedup: only the intersection's first bucket emits
+        & (F.col("__bk") == F.expr(f"greatest(__buylo, __selllo) div {B}"))
     )
     alloc = F.least(F.col("__buyhi"), F.col("__sellhi")) - F.greatest(
         F.col("__buylo"), F.col("__selllo")
