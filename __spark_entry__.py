@@ -7591,3 +7591,96 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_mean_report(
         v, ["o_orderpriority"], "c", trim_pct=0.05, tiebreak_col="id"
     )
+
+
+@_register(
+    "q153_kmv_jaccard",
+    """
+    WITH a AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM events WHERE event_type = 'click'
+      ) ORDER BY h LIMIT 256
+    ), b AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+      ) ORDER BY h LIMIT 256
+    ), u AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      ) ORDER BY h LIMIT 256
+    ), m AS (
+      SELECT u.h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+      FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+             CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM m
+    ), ex AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase')) AS inter,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM events WHERE event_type = 'click'
+           UNION
+           SELECT user_id FROM events WHERE event_type = 'purchase')) AS uni
+    )
+    SELECT agg.n_union_sketch, agg.n_both,
+           CAST(round(CAST(agg.n_both AS DOUBLE) / agg.n_union_sketch * 1000000)
+                AS BIGINT) AS jaccard_micro,
+           CAST(round(CAST(ex.inter AS DOUBLE) / ex.uni * 1000000) AS BIGINT)
+             AS exact_jaccard_micro,
+           (abs(CAST(round(CAST(agg.n_both AS DOUBLE) / agg.n_union_sketch * 1000000)
+                     AS BIGINT)
+                - CAST(round(CAST(ex.inter AS DOUBLE) / ex.uni * 1000000) AS BIGINT))
+            <= 190000) AS within_bound
+    FROM agg CROSS JOIN ex
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience Jaccard from KMV sketches (library: operators.kmv.
+    kmv_jaccard_estimate) — Broder min-wise resemblance generalized to
+    bottom-k: clickers' and purchasers' sketches alone (no rescan of
+    either audience) yield J = |U_k intersect A intersect B| / |U_k|,
+    valid because any union-sketch hash belonging to a set is
+    necessarily in that set's own bottom-k. The DIRECT-ratio contrast
+    to q106's HLL inclusion-exclusion, whose error scales with the
+    union: here the union sketch IS a uniform sample of the union.
+    Deterministic end to end (md5 sketches, exact counts, one final
+    division mirrored by the oracle), with the exact Jaccard and a
+    3/sqrt(k) bound recorded in-row. Sketch-side cost: two bottom-256
+    TakeOrderedAndProject passes + joins of 256-row frames."""
+    from owl_etl_spark.operators.kmv import kmv_jaccard_estimate, kmv_sketch
+
+    e = _t(spark, sf_dir, "events")
+    ska = kmv_sketch(e.filter(F.col("event_type") == "click"), "user_id", k=256)
+    skb = kmv_sketch(e.filter(F.col("event_type") == "purchase"), "user_id", k=256)
+    est = kmv_jaccard_estimate(ska, skb, k=256)
+    au = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    bu = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    ex = (
+        au.intersect(bu)
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .crossJoin(
+            au.unionByName(bu)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("uni"))
+        )
+    )
+    exact_micro = F.round(F.col("inter").cast("double") / F.col("uni") * 1_000_000).cast(
+        "long"
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_union_sketch",
+        "n_both",
+        "jaccard_micro",
+        exact_micro.alias("exact_jaccard_micro"),
+        (
+            F.abs(F.col("jaccard_micro") - exact_micro) <= 190000
+        ).alias("within_bound"),
+    )

@@ -131,3 +131,49 @@ def kmv_value_quantiles(
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+def kmv_jaccard_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Jaccard similarity of two key sets from their KMV sketches —
+    the set-resemblance estimator the bottom-k family is known for
+    (Broder's min-wise resemblance, generalized to k mins): take the
+    bottom-k of the UNION of both sketches; every union-sketch hash
+    that belongs to a set is guaranteed to be in that set's own
+    bottom-k (it is among the k smallest of the union, hence among the
+    k smallest of the subset), so
+
+        Ĵ = |U_k ∩ A ∩ B| / |U_k|
+
+    is computable from the two sketches ALONE — no rescan, no access
+    to the full sets — with error ~ 1/sqrt(k). Contrast q106's HLL
+    inclusion–exclusion: that estimates |A∩B| by SUBTRACTING three
+    estimates, so its error scales with |A∪B| and small overlaps
+    drown; the KMV ratio is a direct unbiased sample of the union.
+
+    Returns one row: (n_union_sketch, n_both, jaccard_micro) — the
+    ratio in integer micro-units, deterministic on any engine (the
+    sketches are deterministic and the count arithmetic is exact).
+    Both inputs must be built with the same k and hash (kmv_sketch).
+    """
+    union_k = kmv_merge(sketch_a, sketch_b, k=k).select("h")
+    in_a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("__a"))
+    in_b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("__b"))
+    marked = (
+        union_k.join(in_a, "h", "left").join(in_b, "h", "left")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    ).select(
+        "n_union_sketch",
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_union_sketch") * 1_000_000)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )

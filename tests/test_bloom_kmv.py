@@ -189,3 +189,41 @@ def test_kmv_value_quantiles_rank_error(spark):
     for r in qs.collect():
         true_rank = r["q"] / 10_000  # v is uniform 0..9999
         assert abs(true_rank - r["prob"]) < 0.19, (r["prob"], r["q"])
+
+
+def test_kmv_jaccard_exact_on_small_sets(spark):
+    """Below k distinct keys the sketches are the exact sets, so the
+    estimate IS the exact Jaccard."""
+    from owl_etl_spark.operators.kmv import kmv_jaccard_estimate, kmv_sketch
+
+    a = spark.createDataFrame([Row(k=f"x{i}") for i in range(40)])          # x0..x39
+    b = spark.createDataFrame([Row(k=f"x{i}") for i in range(20, 60)])      # x20..x59
+    r = kmv_jaccard_estimate(
+        kmv_sketch(a, "k", 256), kmv_sketch(b, "k", 256), 256
+    ).collect()[0]
+    # |A∩B| = 20, |A∪B| = 60 → 1/3
+    assert r["n_union_sketch"] == 60 and r["n_both"] == 20
+    assert r["jaccard_micro"] == 333333
+
+
+def test_kmv_jaccard_estimator_within_band(spark):
+    from owl_etl_spark.operators.kmv import kmv_jaccard_estimate, kmv_sketch
+
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").cast("string").alias("k"))
+    r = kmv_jaccard_estimate(
+        kmv_sketch(a, "k", 256), kmv_sketch(b, "k", 256), 256
+    ).collect()[0]
+    # true J = 3000/9000 = 1/3; band 3/sqrt(256) ≈ 0.19
+    assert abs(r["jaccard_micro"] / 1e6 - 1 / 3) < 0.19
+
+
+def test_kmv_jaccard_disjoint_sets_zero(spark):
+    from owl_etl_spark.operators.kmv import kmv_jaccard_estimate, kmv_sketch
+
+    a = spark.range(0, 5000).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(0, 5000).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    r = kmv_jaccard_estimate(
+        kmv_sketch(a, "k", 256), kmv_sketch(b, "k", 256), 256
+    ).collect()[0]
+    assert r["n_both"] == 0 and r["jaccard_micro"] == 0
