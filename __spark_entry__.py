@@ -7684,3 +7684,81 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard_micro") - exact_micro) <= 190000
         ).alias("within_bound"),
     )
+
+
+@_register(
+    "q154_state_durations",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us, epoch_us(ts) // 1000000 AS s
+      FROM events
+    ), h AS (
+      SELECT user_id, event_type,
+             lead(s) OVER (PARTITION BY user_id ORDER BY us, event_id) - s AS hold
+      FROM v
+    )
+    SELECT user_id, event_type AS state,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(hold), 0) AS BIGINT) AS total_s
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting per user (library: operators.
+    intervals.state_durations) — each event's type HOLDS until the
+    user's next event, so the per-(user, state) second totals answer
+    'how long was this ticket open / this stream in low quality /
+    this user in checkout' — the categorical twin of q139's TWAP
+    (same hold-until-next convention, category instead of value).
+    One lead() window over a total (ts, event_id) order + one
+    map-side-combined aggregate on a single key shuffle; exact BIGINT
+    seconds; the oracle replays the pairing verbatim."""
+    from owl_etl_spark.operators.intervals import state_durations
+
+    e = _t(spark, sf_dir, "events")
+    return state_durations(
+        e, ["user_id"], "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+@_register(
+    "q155_entropy_profile",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d
+      FROM counts GROUP BY 1
+    ), terms AS (
+      SELECT counts.event_type, totals.n, totals.d,
+             CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                        * 1000000) AS BIGINT) AS t
+      FROM counts JOIN totals USING (event_type)
+    )
+    SELECT event_type, max(n) AS n, max(d) AS n_distinct,
+           CAST(sum(t) AS BIGINT) AS entropy_micro_nats,
+           CAST(round(ln(CAST(max(d) AS DOUBLE)) * 1000000) AS BIGINT)
+             AS max_entropy_micro_nats
+    FROM terms GROUP BY event_type
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-concentration entropy per event type (library:
+    operators.profile.entropy_report): Shannon entropy of each type's
+    user distribution in micro-nats, with ln(n_distinct) alongside so
+    normalized 0..1 diversity is one division away — the feature-
+    quality/label-balance profile a training pipeline publishes per
+    column. Determinism is the q124 PSI discipline: a float sum of
+    p*ln(p) terms is partitioning-dependent, so each VALUE's term
+    rounds to an integer micro-nat first (identical doubles from exact
+    BIGINT counts on any engine) and the total is an exact integer sum
+    in any order (residual rounding <= n_distinct/2 micro-nats,
+    documented). One (key, value) count, one per-key aggregate, one
+    broadcast join."""
+    from owl_etl_spark.operators.profile import entropy_report
+
+    e = _t(spark, sf_dir, "events")
+    return entropy_report(e, ["event_type"], "user_id")

@@ -163,3 +163,45 @@ def fifo_allocate(
         "sell_id",
         alloc.cast("long").alias("qty_allocated"),
     ).filter(F.col("qty_allocated") > 0)
+
+
+def state_durations(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-in-state report: per (key, state), the total seconds the
+    key SPENT in that state — each event holds its state until the
+    key's next event (the final event holds nothing, same convention
+    as ``resample.time_weighted_avg``, whose category-valued twin this
+    is). The SLA/status-accounting op (time in 'open' per ticket,
+    minutes per playback quality, dwell per page type).
+
+    One lead() window over a total (ts, tiebreak) order + one
+    aggregate — single key shuffle, exact BIGINT seconds. Returns
+    ``(keys..., state, n_events, total_s)``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        secs = F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    elif dt == "timestamp":
+        secs = F.unix_timestamp(F.col(ts_col))
+    else:
+        secs = F.col(ts_col).cast("long")
+    work = df.withColumn("__s", secs).withColumn(
+        "__hold", F.lead(F.col("__s")).over(w) - F.col("__s")
+    )
+    return work.groupBy(*keys, F.col(state_col).alias("state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(F.sum("__hold"), F.lit(0)).cast("long").alias("total_s"),
+    )

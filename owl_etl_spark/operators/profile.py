@@ -319,3 +319,52 @@ def ab_test_report(
         t.alias("t_micro"),
         F.coalesce(F.abs(t) >= F.lit(crit_micro), F.lit(False)).alias("significant"),
     )
+
+
+def entropy_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Shannon entropy of a categorical column's distribution
+    — the concentration/diversity profile a feature store publishes
+    (audience concentration, label balance, cardinality quality):
+    H = −Σ_v p_v·ln(p_v) over the value frequencies, in NATS.
+
+    Determinism (the q124 PSI discipline): a float Σ of p·ln p terms
+    is partitioning-dependent (addition order), so each VALUE's term
+    is rounded to integer MICRO-nats first — round(−(c/n)·ln(c/n)·1e6)
+    from exact BIGINT counts, identical doubles on any engine — and
+    the per-key total is an exact integer sum in any order. The
+    reported entropy carries ≤ n_distinct/2 micro-nats of rounding,
+    noise for any monitoring use.
+
+    Plan: one (keys, value) count (map-side combined), one per-key
+    aggregate of the ≤ n_distinct term rows, one broadcast-able join
+    of per-key totals. Returns (keys..., n, n_distinct,
+    entropy_micro_nats, max_entropy_micro_nats) — the max column
+    (ln n_distinct) turns it into a normalized 0..1 diversity with one
+    division downstream.
+    """
+    counts = df.groupBy(*keys, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__d"),
+    )
+    joined = counts.join(F.broadcast(totals), keys)
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = F.round(-(p * F.log(p)) * 1_000_000).cast("long")
+    return (
+        joined.withColumn("__t", term)
+        .groupBy(*keys)
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__d").alias("n_distinct"),
+            F.sum("__t").cast("long").alias("entropy_micro_nats"),
+            F.round(F.log(F.max("__d").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("max_entropy_micro_nats"),
+        )
+    )

@@ -961,3 +961,69 @@ def test_trimmed_rejects_half_or_more(spark):
 
     with pytest.raises(ValueError, match="trim_pct"):
         trimmed_mean_report(spark.range(5), ["id"], "id", trim_pct=0.5)
+
+
+# ---------------------------------------------------------------------------
+# state durations + entropy profile
+# ---------------------------------------------------------------------------
+
+
+def test_state_durations_hand_check(spark):
+    from owl_etl_spark.operators.intervals import state_durations
+
+    rows = [
+        Row(u="a", s=0, e="open"),      # holds 10
+        Row(u="a", s=10, e="pending"),  # holds 5
+        Row(u="a", s=15, e="open"),     # holds 25
+        Row(u="a", s=40, e="closed"),   # final: holds 0
+    ]
+    out = {r["state"]: (r["n_events"], r["total_s"]) for r in state_durations(
+        spark.createDataFrame(rows), ["u"], "s", "e").collect()}
+    assert out["open"] == (2, 35) and out["pending"] == (1, 5)
+    assert out["closed"] == (1, 0)
+
+
+def test_state_durations_total_equals_span(spark):
+    from owl_etl_spark.operators.intervals import state_durations
+
+    rows = [Row(u="a", s=i * 7, e=f"s{i % 3}") for i in range(20)]
+    out = state_durations(spark.createDataFrame(rows), ["u"], "s", "e")
+    total = out.agg(F.sum("total_s")).collect()[0][0]
+    assert total == 19 * 7  # last event holds nothing
+
+
+def test_entropy_uniform_vs_concentrated(spark):
+    from owl_etl_spark.operators.profile import entropy_report
+
+    import math
+
+    rows = [Row(g="uniform", v=f"u{i % 8}") for i in range(800)] + [
+        Row(g="skewed", v="hot") for _ in range(792)
+    ] + [Row(g="skewed", v=f"u{i}") for i in range(8)]
+    out = {r["g"]: r for r in entropy_report(
+        spark.createDataFrame(rows), ["g"], "v").collect()}
+    # uniform over 8 values: H = ln 8 exactly (micro-rounded per term)
+    assert abs(out["uniform"]["entropy_micro_nats"] - round(math.log(8) * 1e6)) <= 8
+    assert out["uniform"]["max_entropy_micro_nats"] == round(math.log(8) * 1e6)
+    # heavy concentration → far below max
+    assert out["skewed"]["entropy_micro_nats"] < out["skewed"]["max_entropy_micro_nats"] // 3
+
+
+def test_entropy_single_value_zero(spark):
+    from owl_etl_spark.operators.profile import entropy_report
+
+    rows = [Row(g="a", v="only")] * 50
+    r = entropy_report(spark.createDataFrame(rows), ["g"], "v").collect()[0]
+    assert r["entropy_micro_nats"] == 0 and r["n_distinct"] == 1
+    assert r["max_entropy_micro_nats"] == 0
+
+
+def test_entropy_repartition_stable(spark):
+    from owl_etl_spark.operators.profile import entropy_report
+
+    df = spark.createDataFrame(
+        [Row(g="g", v=f"v{(i * 13) % 97}") for i in range(2000)]
+    )
+    a = entropy_report(df, ["g"], "v").collect()[0]["entropy_micro_nats"]
+    b = entropy_report(df.repartition(17), ["g"], "v").collect()[0]["entropy_micro_nats"]
+    assert a == b
