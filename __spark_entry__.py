@@ -7762,3 +7762,127 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return entropy_report(e, ["event_type"], "user_id")
+
+
+@_register(
+    "q156_rolling_band_flags",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), roll AS (
+      SELECT event_type, event_id, c,
+             CAST(count(*) OVER w AS DOUBLE) AS nw,
+             CAST(sum(c) OVER w AS DOUBLE) AS s1,
+             CAST(sum(c * c) OVER w AS DOUBLE) AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, c AS cents,
+           CASE WHEN nw >= 2 AND (s2 - s1 * s1 / nw) > 0
+                THEN round(s1 / nw, 6) END AS roll_mean,
+           coalesce(
+             CASE WHEN nw >= 2 AND (s2 - s1 * s1 / nw) > 0
+                  THEN abs(CAST(c AS DOUBLE) - s1 / nw)
+                       > 2.0 * sqrt((s2 - s1 * s1 / nw) / (nw - 1))
+             END, FALSE) AS outside_band
+    FROM roll
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Bollinger-band outlier flags per event type (library:
+    resample.rolling_band_flags) — 'unusual versus the last 24
+    observations', the LOCAL-context member of the anomaly family
+    (q140 seasonal baseline = cell context; q147 CUSUM = sustained
+    shift; q116 MAD = whole-group robust). The 24-row window carries
+    exact BIGINT sums of cents and cents-squared; mean/std come from
+    the closed form with identical double operand order on both
+    engines, so every flag replays bit-for-bit. Warm-up and
+    zero-variance windows emit null bands and false flags. One key
+    shuffle, one window pass."""
+    from owl_etl_spark.operators.resample import rolling_band_flags
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    out = rolling_band_flags(
+        v, ["event_type"], "us", "c", window_rows=24, k_sigma=2.0,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", F.col("c").alias("cents"),
+        "roll_mean", "outside_band",
+    )
+
+
+@_register(
+    "q157_autocorrelation",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value) AS BIGINT) AS d
+      FROM events
+    ), lagged AS (
+      SELECT event_type, d AS x,
+             lag(d, 1) OVER w AS y1,
+             lag(d, 2) OVER w AS y2,
+             lag(d, 3) OVER w AS y3
+      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), stats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM (
+        SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+      ) GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+           END AS autocorr
+    FROM stats
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at lags 1-3 per event type (library:
+    resample.autocorrelation_report) — the persistence/seasonality
+    detector: Pearson correlation of (v_t, v_(t-k)) over the
+    overlapping support, from exact BIGINT sums in the q66 discipline
+    (order-independent; only the final division is double, rounded at
+    6). Values ride as whole DOLLARS, not cents, honoring the
+    sqrt(2^63) overflow contract at 100TB row counts (n*max|v| =
+    2e5 * 490 ~ 1e8 at sf0.1, 30x headroom). One window pass
+    materializes all three lag columns on one key shuffle; synthetic
+    event values are ~white noise, so near-zero autocorr IS the
+    correct readout, replayed hash-exactly."""
+    from owl_etl_spark.operators.resample import autocorrelation_report
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.round(F.col("value")).cast("long").alias("d"),
+    )
+    return autocorrelation_report(
+        v, ["event_type"], "us", "d", max_lag=3, tiebreak_col="event_id"
+    )

@@ -318,3 +318,123 @@ def time_weighted_avg(
             ),
         ).alias("twap"),
     )
+
+
+def rolling_band_flags(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    k_sigma: float = 2.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Rolling mean ± k·σ bands over the last ``window_rows`` rows per
+    key (Bollinger bands / rolling z-flag) — the local-context
+    complement to q140's seasonal baseline and q147's CUSUM: "is this
+    point unusual versus its own RECENT neighborhood".
+
+    Exactness: the window carries exact BIGINT Σv and Σv² (feed
+    integer cents), mean/variance come from the sum-of-squares closed
+    form with the only doubles the final divisions — identical
+    arithmetic on any engine, so flags replay bit-for-bit. Warm-up
+    rows (window count < 2) and zero-variance windows emit null bands
+    and a false flag. One key shuffle, one window pass.
+
+    Output: input columns + ``roll_mean`` (round 6), ``outside_band``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("long")
+    nw = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    var_num = s2 - s1 * s1 / nw
+    ok = (nw >= 2) & (var_num > 0)
+    std = F.sqrt(var_num / (nw - 1))
+    dev = F.abs(v.cast("double") - s1 / nw)
+    return df.withColumn(
+        "roll_mean", F.when(ok, F.round(s1 / nw, 6))
+    ).withColumn(
+        "outside_band",
+        F.coalesce(F.when(ok, dev > F.lit(float(k_sigma)) * std), F.lit(False)),
+    )
+
+
+def autocorrelation_report(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Sample autocorrelation per key at lags 1..max_lag — the
+    seasonality/persistence detector (a daily-cycled series shows a
+    spike at its period; white noise hovers near 0): the Pearson
+    correlation of (v_t, v_(t-k)) over the overlapping support,
+    computed q66-style from exact BIGINT sums (n', Σx, Σy, Σx², Σy²,
+    Σxy — order-independent, engine-exact) with only the final
+    divisions in double, rounded at 6.
+
+    Overflow contract (same √(2^63) rule as ``trend_report``): require
+    ``n·max(|v|) < 3.03e9`` — feed coarse integer units (whole
+    dollars, not cents, for 10^5+-row series).
+
+    Plan: ONE window pass materializes all max_lag lag columns on one
+    key shuffle, then one aggregate per lag over the same frame.
+    Output: (keys..., lag, n_pairs, autocorr).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    v = F.col(value_col).cast("long")
+    carry = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    work = df.select(*keys, *carry, v.alias("__x"))
+    for k in range(1, int(max_lag) + 1):
+        work = work.withColumn(f"__y{k}", F.lag(F.col("__x"), k).over(w))
+    frames = []
+    for k in range(1, int(max_lag) + 1):
+        x = F.col("__x")
+        y = F.col(f"__y{k}")
+        pairs = work.filter(y.isNotNull())
+        agg = pairs.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+        n = F.col("n_pairs")
+        dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+        dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+        dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+        r = F.when(
+            (dxx > 0) & (dyy > 0),
+            F.round(
+                dxy.cast("double")
+                / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+                6,
+            ),
+        )
+        frames.append(
+            agg.select(*keys, F.lit(k).cast("int").alias("lag"), "n_pairs", r.alias("autocorr"))
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

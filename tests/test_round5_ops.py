@@ -1027,3 +1027,54 @@ def test_entropy_repartition_stable(spark):
     a = entropy_report(df, ["g"], "v").collect()[0]["entropy_micro_nats"]
     b = entropy_report(df.repartition(17), ["g"], "v").collect()[0]["entropy_micro_nats"]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# rolling bands + autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_band_flags_spike_in_steady_window(spark):
+    from owl_etl_spark.operators.resample import rolling_band_flags
+
+    vals = [100, 101, 100, 99, 100, 101, 100, 99, 100, 500, 100, 101]
+    rows = [Row(g="a", t=i, v=v) for i, v in enumerate(vals)]
+    out = {r["t"]: r["outside_band"] for r in rolling_band_flags(
+        spark.createDataFrame(rows), ["g"], "t", "v", window_rows=8).collect()}
+    assert out[9] is True                      # the 500 spike
+    assert sum(out.values()) <= 2              # steady rows stay quiet
+
+
+def test_rolling_band_warmup_and_zero_variance_safe(spark):
+    from owl_etl_spark.operators.resample import rolling_band_flags
+
+    rows = [Row(g="a", t=i, v=7) for i in range(5)]
+    out = rolling_band_flags(spark.createDataFrame(rows), ["g"], "t", "v").collect()
+    assert all(r["outside_band"] is False and r["roll_mean"] is None for r in out)
+
+
+def test_autocorr_periodic_signal_spikes_at_period(spark):
+    from owl_etl_spark.operators.resample import autocorrelation_report
+
+    # period-2 alternation: strong NEGATIVE lag-1, strong POSITIVE lag-2
+    rows = [Row(g="a", t=i, v=100 if i % 2 == 0 else -100) for i in range(200)]
+    out = {r["lag"]: r["autocorr"] for r in autocorrelation_report(
+        spark.createDataFrame(rows), ["g"], "t", "v", max_lag=2).collect()}
+    assert out[1] < -0.99 and out[2] > 0.99
+
+
+def test_autocorr_constant_series_null(spark):
+    from owl_etl_spark.operators.resample import autocorrelation_report
+
+    rows = [Row(g="a", t=i, v=5) for i in range(50)]
+    out = autocorrelation_report(spark.createDataFrame(rows), ["g"], "t", "v", 2).collect()
+    assert all(r["autocorr"] is None for r in out)
+
+
+def test_autocorr_pair_counts_shrink_with_lag(spark):
+    from owl_etl_spark.operators.resample import autocorrelation_report
+
+    rows = [Row(g="a", t=i, v=(i * 31) % 17) for i in range(40)]
+    out = {r["lag"]: r["n_pairs"] for r in autocorrelation_report(
+        spark.createDataFrame(rows), ["g"], "t", "v", 3).collect()}
+    assert out == {1: 39, 2: 38, 3: 37}
