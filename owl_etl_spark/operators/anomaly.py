@@ -44,7 +44,10 @@ def seasonal_profile(
     q107 algebraic-rollup contract), so the baseline can be maintained
     incrementally."""
     v = F.col(value_col).cast("long")
-    return df.groupBy(*keys, season_col).agg(
+    # null values must not enter n (sums skip them — counting them
+    # would deflate the variance); null-valued rows still pass through
+    # seasonal_zscore with a null z and a false flag
+    return df.filter(v.isNotNull()).groupBy(*keys, season_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).cast("long").alias("s1"),
         F.sum(v * v).cast("long").alias("s2"),

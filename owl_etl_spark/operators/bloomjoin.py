@@ -89,7 +89,11 @@ def bloom_build(df: DataFrame, key_col: str, n_bits: int = 8192, k: int = 4) -> 
     """
     pos = F.explode(F.array(*_positions(F.col(key_col), n_bits, k))).alias("pos")
     return (
-        df.select(pos)
+        # null keys carry no membership information (they can never
+        # equi-join) and would emit a null word row that crashes the
+        # dense bloom_words materialization — drop them here
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / BITS_PER_WORD).cast("int").alias("word"),
             F.expr(

@@ -134,7 +134,25 @@ def fifo_allocate(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        q = F.col(qty_col).cast("long")
+        q0 = F.col(qty_col).cast("long")
+        # the cumulative identity REQUIRES positive quantities (a
+        # zero/negative/null qty makes an empty or inverted unit
+        # interval and silently corrupts every later allocation in the
+        # key) — fail the batch instead, q115-style
+        q = F.when(
+            q0.isNull() | (q0 <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fifo_allocate: {qty_col} must be a positive "
+                        "integer, got "
+                    ),
+                    F.coalesce(q0.cast("string"), F.lit("NULL")),
+                    F.lit(f" for {tag} id "),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(q0)
         lo = (F.sum(q).over(w) - q).alias(f"__{tag}lo")
         hi = F.sum(q).over(w).alias(f"__{tag}hi")
         return side.select(

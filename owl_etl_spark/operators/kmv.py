@@ -50,7 +50,11 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     if k < 3:
         raise ValueError(f"kmv_sketch: need k >= 3 for the estimator, got {k}")
     return (
-        df.select(
+        # a null key hashes to a null h, which sorts FIRST under asc
+        # and would silently occupy a bottom-k slot while max(h)
+        # ignores it — nulls are not distinct-count members; drop them
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             md5_long(F.col(key_col).cast("string")).alias("h"),
             F.col(key_col).alias("key"),
         )

@@ -269,7 +269,9 @@ def ab_test_report(
     a self-join of the tiny per-(key, group) stats frame.
     """
     v = F.col(value_col).cast("long")
-    stats = df.groupBy(*keys, group_col).agg(
+    # null values must not enter n: sums skip them, so counting them
+    # would silently deflate the variance (n inconsistent with Σ)
+    stats = df.filter(v.isNotNull()).groupBy(*keys, group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).cast("long").alias("s1"),
         F.sum(v * v).cast("long").alias("s2"),

@@ -149,7 +149,22 @@ def weighted_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*keys)
-    wt = F.col(weight_col).cast("long")
+    wt0 = F.col(weight_col).cast("long")
+    # positive-weight contract enforced at runtime (q115-style): a
+    # zero/negative/null weight silently shifts every cumulative
+    # threshold after it instead of erroring
+    wt = F.when(
+        wt0.isNull() | (wt0 <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_quantiles: {weight_col} must be a positive "
+                    "integer, got "
+                ),
+                F.coalesce(wt0.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(wt0)
     work = df.withColumn("__cw", F.sum(wt).over(w_run)).withColumn(
         "__tw", F.sum(wt).over(w_all)
     )

@@ -410,7 +410,9 @@ def autocorrelation_report(
     for k in range(1, int(max_lag) + 1):
         x = F.col("__x")
         y = F.col(f"__y{k}")
-        pairs = work.filter(y.isNotNull())
+        # BOTH ends must be present: an x-null row would enter n_pairs
+        # while the sums skip it, corrupting the closed form
+        pairs = work.filter(x.isNotNull() & y.isNotNull())
         agg = pairs.groupBy(*keys).agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum(x).alias("sx"),

@@ -1078,3 +1078,83 @@ def test_autocorr_pair_counts_shrink_with_lag(spark):
     out = {r["lag"]: r["n_pairs"] for r in autocorrelation_report(
         spark.createDataFrame(rows), ["g"], "t", "v", 3).collect()}
     assert out == {1: 39, 2: 38, 3: 37}
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review hardening: null handling + enforced contracts
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_null_keys_dropped_not_crashing(spark):
+    from owl_etl_spark.operators.bloomjoin import bloom_build, bloom_prune, bloom_words
+
+    df = spark.createDataFrame(
+        [Row(k=1), Row(k=None), Row(k=2)], schema="k bigint"
+    )
+    words = bloom_words(bloom_build(df, "k", 1024, 3), 1024)  # no TypeError
+    kept = bloom_prune(spark.createDataFrame([Row(k=1), Row(k=2)]), "k", words, 1024, 3)
+    assert kept.count() == 2
+
+
+def test_kmv_null_keys_excluded(spark):
+    from owl_etl_spark.operators.kmv import kmv_distinct_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [Row(k="a"), Row(k=None), Row(k="b")], schema="k string"
+    )
+    sk = kmv_sketch(df, "k", k=16)
+    assert sk.count() == 2
+    assert kmv_distinct_estimate(sk, 16).collect()[0]["est_distinct"] == 2
+
+
+def test_ab_null_values_not_counted(spark):
+    from owl_etl_spark.operators.profile import ab_test_report
+
+    rows = [Row(m="x", g="A", v=10), Row(m="x", g="A", v=12),
+            Row(m="x", g="A", v=None),
+            Row(m="x", g="B", v=20), Row(m="x", g="B", v=22)]
+    r = ab_test_report(
+        spark.createDataFrame(rows, schema="m string, g string, v long"),
+        ["m"], "g", "v",
+    ).collect()[0]
+    assert r["n_a"] == 2  # the null row is not a sample
+
+
+def test_seasonal_profile_null_values_not_counted(spark):
+    from owl_etl_spark.operators.anomaly import seasonal_profile
+
+    rows = [Row(g="t", hr=1, v=10), Row(g="t", hr=1, v=None), Row(g="t", hr=1, v=12)]
+    r = seasonal_profile(
+        spark.createDataFrame(rows, schema="g string, hr long, v long"),
+        ["g"], "hr", "v",
+    ).collect()[0]
+    assert r["n"] == 2 and r["s1"] == 22
+
+
+def test_autocorr_null_values_drop_the_pair(spark):
+    from owl_etl_spark.operators.resample import autocorrelation_report
+
+    rows = [Row(g="a", t=0, v=1), Row(g="a", t=1, v=None),
+            Row(g="a", t=2, v=3), Row(g="a", t=3, v=4)]
+    out = {r["lag"]: r["n_pairs"] for r in autocorrelation_report(
+        spark.createDataFrame(rows, schema="g string, t long, v long"),
+        ["g"], "t", "v", 1).collect()}
+    # pairs (t1,t0) and (t2,t1) involve the null → only (t3,t2) counts
+    assert out[1] == 1
+
+
+def test_fifo_rejects_nonpositive_quantity(spark):
+    from owl_etl_spark.operators.intervals import fifo_allocate
+
+    b = spark.createDataFrame([Row(k="p", id=1, q=0, o=1)])
+    s = spark.createDataFrame([Row(k="p", id=9, q=5, o=1)])
+    with pytest.raises(Exception, match="positive"):
+        fifo_allocate(b, s, ["k"], "id", "q", "o").collect()
+
+
+def test_weighted_quantiles_rejects_nonpositive_weight(spark):
+    from owl_etl_spark.operators.quantiles import weighted_quantiles
+
+    df = spark.createDataFrame([Row(g="a", v=1, w=1), Row(g="a", v=2, w=-3)])
+    with pytest.raises(Exception, match="positive"):
+        weighted_quantiles(df, ["g"], "v", "w", [0.5]).collect()
