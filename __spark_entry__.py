@@ -7273,7 +7273,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS c
       FROM events
     ), walks AS (
-      SELECT event_type, event_id, c,
+      SELECT event_type, event_id, us, c,
              sum(c - 5000 - 500) OVER w AS p,
              sum(c - 5000 + 500) OVER w AS n
       FROM v
@@ -7284,7 +7284,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
              least(0, min(p) OVER w2) AS pmin,
              greatest(0, max(n) OVER w2) AS nmax
       FROM walks
-      WINDOW w2 AS (PARTITION BY event_type ORDER BY event_id
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, event_id, c AS cents,
@@ -7307,10 +7307,10 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECEDING windows, so the whole detector is ONE key shuffle of
     exact BIGINTs, order-independent, replayed verbatim by the oracle.
     Constants (target 5000 cents, slack 500, threshold 50000) are
-    shared literals. NOTE the oracle's second window orders by
-    event_id only: within a partition the first window's output is
-    already (us, event_id)-ordered and event_id alone is total here —
-    both engines agree because the running sum column is identical."""
+    shared literals. Both oracle windows order by (us, event_id) —
+    identical to the library's ordering BY CONSTRUCTION, so parity
+    cannot silently depend on the generator assigning event_ids in
+    time order (r5 ADVICE finding)."""
     from owl_etl_spark.operators.drift import cusum_report
 
     e = _t(spark, sf_dir, "events")
@@ -7886,3 +7886,145 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation_report(
         v, ["event_type"], "us", "d", max_lag=3, tiebreak_col="event_id"
     )
+
+
+@_register(
+    "q158_funnel_restart",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s FROM events
+    ), arr AS (
+      SELECT user_id,
+        coalesce(list(s ORDER BY s) FILTER (WHERE event_type = 'view'), []) AS a0,
+        coalesce(list(s ORDER BY s) FILTER (WHERE event_type = 'click'), []) AS a1,
+        coalesce(list(s ORDER BY s) FILTER (WHERE event_type = 'purchase'), []) AS a2
+      FROM ev GROUP BY user_id
+    )
+    SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+           CAST(sum(CASE WHEN len(a0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys
+    FROM arr
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click',
+           CAST(sum(CASE WHEN len(list_filter(a0, a ->
+                 (list_min(list_filter(a1, x1 -> x1 > (a)))) IS NOT NULL
+             AND (list_min(list_filter(a1, x1 -> x1 > (a)))) - a <= 3600)) > 0
+             THEN 1 ELSE 0 END) AS BIGINT)
+    FROM arr
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase',
+           CAST(sum(CASE WHEN len(list_filter(a0, a ->
+                 (list_min(list_filter(a2, x2 -> x2 >
+                    (list_min(list_filter(a1, x1 -> x1 > (a))))))) IS NOT NULL
+             AND (list_min(list_filter(a2, x2 -> x2 >
+                    (list_min(list_filter(a1, x1 -> x1 > (a))))))) - a <= 3600))
+             > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM arr
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-per-anchor strict funnel (library: operators.sequence.
+    ordered_funnel_restart) — the OTHER funnel convention q146's
+    docstring promises: a user whose earliest view→click→purchase
+    chain overruns the 1-hour window is re-tried from every later
+    view, so an abandoned Monday visit doesn't disqualify Friday's
+    conversion (q146's single-chain rule undercounts exactly these).
+    Greedy-from-each-anchor is exhaustive (earliest-candidate choice
+    dominates), so per anchor only one chain is tested. Plan: ONE
+    shuffle builds per-user sorted step arrays; the anchor sweep is
+    nested filter/array_min higher-order functions in whole-stage
+    codegen — no per-step joins, no row explosion; the oracle replays
+    the identical lambdas with DuckDB list functions."""
+    from owl_etl_spark.operators.sequence import ordered_funnel_restart
+
+    e = _t(spark, sf_dir, "events")
+    return ordered_funnel_restart(
+        e, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+        within_seconds=3600,
+    )
+
+
+@_register(
+    "q159_k_anonymity_generalize",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS co,
+             c_nationkey, c_mktsegment
+      FROM customer
+    ),
+    l0 AS (SELECT c_custkey, co // 100000 AS bal_b,
+                  CAST(c_nationkey AS BIGINT) AS n_key, c_mktsegment AS seg
+           FROM base),
+    l1 AS (SELECT c_custkey, co // 1000000 AS bal_b,
+                  CAST(c_nationkey // 5 AS BIGINT) AS n_key, c_mktsegment AS seg
+           FROM base),
+    l2 AS (SELECT c_custkey, co // 10000000 AS bal_b,
+                  CAST(0 AS BIGINT) AS n_key, '*' AS seg
+           FROM base),
+    s0 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+           (SELECT count(*) AS n FROM l0 GROUP BY bal_b, n_key, seg) WHERE n < 5),
+    s1 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+           (SELECT count(*) AS n FROM l1 GROUP BY bal_b, n_key, seg) WHERE n < 5),
+    s2 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+           (SELECT count(*) AS n FROM l2 GROUP BY bal_b, n_key, seg) WHERE n < 5),
+    pick AS (SELECT CASE WHEN (SELECT sup FROM s0) <= 50 THEN 0
+                         WHEN (SELECT sup FROM s1) <= 50 THEN 1
+                         ELSE 2 END AS lvl),
+    chosen AS (
+      SELECT * FROM l0 WHERE (SELECT lvl FROM pick) = 0
+      UNION ALL SELECT * FROM l1 WHERE (SELECT lvl FROM pick) = 1
+      UNION ALL SELECT * FROM l2 WHERE (SELECT lvl FROM pick) = 2
+    ),
+    safe AS (SELECT bal_b, n_key, seg FROM chosen
+             GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+    SELECT c.c_custkey, c.bal_b, c.n_key, c.seg,
+           CAST((SELECT lvl FROM pick) AS INT) AS gen_level
+    FROM chosen c JOIN safe USING (bal_b, n_key, seg)
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalize-then-suppress k-anonymous release (library:
+    operators.privacy.k_anonymity_generalize) — the ladder q148's
+    suppression-only gate sits below: quasi identifiers (nation,
+    segment, $1000 balance bucket) coarsen rung by rung (nation
+    pentads + $10k buckets, then full collapse) until residual
+    suppression fits a 50-row loss budget, then the leftover at-risk
+    rows are suppressed — less data loss than suppressing at the
+    finest grain. Balance cents ride with a +100000 offset so integer
+    division is floor division on BOTH engines (negative acctbal would
+    otherwise split Spark's toward-zero `div` from DuckDB's floor
+    `//`). Plan: L tiny per-level aggregates pick the level
+    driver-side (config-sized, like cutpoints), then ONE groupBy +
+    broadcast ANTI join at the chosen level; the oracle replays the
+    pick with scalar subqueries."""
+    from owl_etl_spark.operators.privacy import k_anonymity_generalize
+
+    c = _t(spark, sf_dir, "customer")
+    ladders = [
+        {
+            "bal_b": F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+            ),
+            "n_key": F.col("c_nationkey").cast("long"),
+            "seg": F.col("c_mktsegment"),
+        },
+        {
+            "bal_b": F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 1000000"
+            ),
+            "n_key": F.expr("CAST(c_nationkey AS BIGINT) div 5"),
+            "seg": F.col("c_mktsegment"),
+        },
+        {
+            "bal_b": F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000000"
+            ),
+            "n_key": F.lit(0).cast("long"),
+            "seg": F.lit("*"),
+        },
+    ]
+    out = k_anonymity_generalize(
+        c, ladders, k=5, max_suppressed_rows=50, keep_cols=["c_custkey"]
+    )
+    return out.select("c_custkey", "bal_b", "n_key", "seg", "gen_level")

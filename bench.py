@@ -131,21 +131,38 @@ def main() -> None:
     ann_clustered = _ann_clustered_scenario(spark)
     streaming = _streaming_scenario(spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "skew_scenario": skew,
-                "ann_scenario": ann,
-                "ann_clustered_scenario": ann_clustered,
-                "streaming_scenario": streaming,
-                "sf": sf,
-            }
-        )
+    # Scenario blocks (skew / ann / clustered-ann / streaming) made the
+    # single output line outgrow the round driver's tail-capture window in
+    # round 5 (BENCH_r05.json recorded "parsed": null). They now go to a
+    # sidecar file (committed per round) plus stderr; the FINAL stdout
+    # line stays a compact {metric, value, unit, queries, sf} object well
+    # under 2 KB so the driver can always parse it.
+    scenarios = {
+        "skew_scenario": skew,
+        "ann_scenario": ann,
+        "ann_clustered_scenario": ann_clustered,
+        "streaming_scenario": streaming,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_scenarios.json"), "w") as f:
+            json.dump(scenarios, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print("# scenarios: " + json.dumps(scenarios), file=sys.stderr)
+
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_time_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        }
     )
+    assert len(line) < 1900, f"bench output line too long ({len(line)} bytes)"
+    print(line)
     spark.stop()
     _check_regression(timings, total, sf)
 
@@ -234,6 +251,86 @@ def _skew_scenario(sparksession, sf_dir: str) -> dict[str, float]:
         out[f"{label}_max_task_pairs_guarded"] = guard * guard
     hot29.unpersist()
     hot34.unpersist()
+
+    # q142 shape (r5 VERDICT finding #2): ONE bot user owning n_t
+    # touches and n_c conversions. The naive key join materializes
+    # n_t*n_c candidate pairs inside a single task before the time
+    # filter runs; the shipped operator joins on (user, lookback-width
+    # time bucket), so per-task candidates are bucket-occupancy
+    # products. Both paths produce identical attributions (unit-tested
+    # against a Python reference); only the timings and the per-task
+    # pair bounds are recorded here.
+    from pyspark.sql import Window
+
+    from owl_etl_spark.operators.attribution import linear_attribution
+
+    n_t, n_c, lb = 50_000, 2_000, 3600
+    span = 2_000_000  # ~23 days of activity at one-second grain
+    t_hot = sparksession.range(n_t).select(
+        F.lit("bot").alias("k"),
+        F.col("id").alias("tid"),
+        (F.col("id") * 37 % span).alias("tts"),
+    ).localCheckpoint()
+    c_hot = sparksession.range(n_c).select(
+        F.lit("bot").alias("k"),
+        (F.col("id") + 10_000_000).alias("cid"),
+        (F.col("id") * 193 % span).alias("cts"),
+        F.lit(1000).alias("v"),
+    ).localCheckpoint()
+
+    t0 = time.perf_counter()
+    n = linear_attribution(
+        t_hot, c_hot, "k", "tid", "tts", "cid", "cts", "v", lookback_seconds=lb
+    ).count()
+    dt = time.perf_counter() - t0
+    out["q142_skew_guarded"] = round(dt, 3)
+    print(f"# q142_skew_guarded: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # the pre-fix shape, inlined: bare-key join, filter afterwards
+    t0 = time.perf_counter()
+    matched = t_hot.join(c_hot, "k").filter(
+        (F.col("tts") < F.col("cts")) & (F.col("tts") >= F.col("cts") - lb)
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    ranked = matched.withColumn("r", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+    )
+    credit = F.expr("v div nn") + F.when(F.col("r") <= F.col("v") % F.col("nn"), 1).otherwise(0)
+    n_u = (
+        ranked.withColumn("credit", credit)
+        .groupBy("k", "tid")
+        .agg(F.count(F.lit(1)).alias("n_conversions"), F.sum("credit").alias("attributed_value"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    out["q142_skew_unguarded"] = round(dt, 3)
+    print(f"# q142_skew_unguarded: {dt:.3f}s ({n_u} rows)", file=sys.stderr)
+
+    out["q142_skew_max_task_pairs_unguarded"] = n_t * n_c
+    # guarded bound: the largest (touch-bucket occupancy) x (probes
+    # into that bucket) product actually present in this corpus
+    tb = t_hot.groupBy((F.col("tts") - F.pmod("tts", F.lit(lb))).alias("bk")).count()
+    cb = (
+        c_hot.select(
+            F.explode(
+                F.array(
+                    F.col("cts") - F.pmod("cts", F.lit(lb)) - lb,
+                    F.col("cts") - F.pmod("cts", F.lit(lb)),
+                )
+            ).alias("bk")
+        )
+        .groupBy("bk")
+        .count()
+    )
+    mx = (
+        tb.withColumnRenamed("count", "nt")
+        .join(cb.withColumnRenamed("count", "nc"), "bk")
+        .agg(F.max(F.col("nt") * F.col("nc")).alias("m"))
+        .collect()[0]["m"]
+    )
+    out["q142_skew_max_task_pairs_guarded"] = int(mx)
+    t_hot.unpersist()
+    c_hot.unpersist()
     return out
 
 
@@ -615,16 +712,24 @@ def _check_regression(timings: dict[str, float], total: float, sf: float) -> Non
         return
     here = os.path.dirname(os.path.abspath(__file__))
     prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior_files:
-        return
-    try:
-        with open(prior_files[-1]) as f:
-            prior = json.load(f)
-        # the round driver wraps the JSON line under "parsed"
-        prior = prior.get("parsed", prior)
-    except (OSError, json.JSONDecodeError):
-        return
-    if prior.get("sf") != sf:
+    # Walk newest-first to the most recent PARSEABLE prior: the driver
+    # wraps the JSON line under "parsed", which can be null when its tail
+    # capture missed the line (BENCH_r05.json) — such rounds are skipped
+    # rather than crashing the gate (round-5 finding, bench.py:627).
+    prior = None
+    prior_name = None
+    for pf in reversed(prior_files):
+        try:
+            with open(pf) as f:
+                cand = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(cand, dict):
+            cand = cand.get("parsed") or cand
+        if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
+            prior, prior_name = cand, os.path.basename(pf)
+            break
+    if prior is None or prior.get("sf") != sf:
         return
     regressions = []
     common_old = common_new = 0.0
@@ -643,7 +748,7 @@ def _check_regression(timings: dict[str, float], total: float, sf: float) -> Non
         regressions.append(f"COMMON TOTAL: {common_old:.3f}s -> {common_new:.3f}s")
     if regressions:
         print(
-            "BENCH REGRESSION vs " + os.path.basename(prior_files[-1]) + ": "
+            "BENCH REGRESSION vs " + prior_name + ": "
             + "; ".join(regressions),
             file=sys.stderr,
         )

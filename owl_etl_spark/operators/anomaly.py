@@ -78,8 +78,12 @@ def seasonal_zscore(
     var_num = s2 - s1 * s1 / n
     z_raw = (F.col(value_col).cast("double") - s1 / n) / F.sqrt(var_num / (n - 1))
     z = F.when((F.col("n") >= 2) & (var_num > 0), F.round(z_raw, 6))
+    # LEFT join: a row whose (key, season) cell is absent from the
+    # profile (new drop scored against history, all-null cell, or null
+    # key/season) must still come through — with null z and false flag,
+    # which the n>=2 guard and the coalesce below already produce.
     return (
-        df.join(F.broadcast(prof), [*keys, season_col])
+        df.join(F.broadcast(prof), [*keys, season_col], "left")
         .withColumn("z", z)
         .withColumn(
             "is_anomaly",

@@ -18,12 +18,21 @@ wrong:
   total, so the remainder lands on the same touches under any
   partitioning.
 
-Scale shape: the touch↔conversion match is an EQUI-join on the user
-key with a range predicate on time — Spark plans the hash/sort-merge
-join on the key and filters the window, never a cross join. Per-
-conversion ranking is one window over the matched pairs (bounded by
-touches-per-user × conversions-per-user, the same per-key fan-out
-every sessionize/funnel op has). One final aggregate per touch.
+Scale shape: the touch↔conversion match is an equi-join on (user,
+TIME BUCKET of width ``lookback_seconds``), not on the bare user key.
+A bare key join evaluates the time-window predicate AFTER the
+equi-match, so one hot user with 10^5 touches and 10^4 conversions
+materializes 10^9 candidate pairs inside a single task before any
+filtering — the same per-key-quadratic shape ``fifo_allocate``
+buckets away (intervals.py). Here the lookback window is exactly one
+bucket wide, so each conversion probes precisely its own bucket and
+the previous one (2 probe rows), each touch carries one bucket, and
+every true pair appears exactly once with NO dedup pass. Per-task
+candidates become O(events per (user, bucket))² at worst — bounded by
+activity RATE, not lifetime volume. The exact window predicate still
+runs after the bucket join, so results are identical to the naive
+join for any clock. Per-conversion ranking is one window over the
+matched pairs; one final aggregate per touch.
 """
 
 from __future__ import annotations
@@ -78,7 +87,37 @@ def linear_attribution(
         window_pred = (F.col("__tts") < F.col("__cts")) & (
             F.col("__tts") >= F.col("__cts") - F.lit(int(lookback_seconds))
         )
-    matched = t.join(c, "__k").filter(window_pred)
+
+    # Bucketing (plan-side only; see module docstring). Work in exact
+    # integer MICROSECONDS so bucket assignment has no truncation edge:
+    # the lookback window [cts - L, cts) is exactly one bucket wide, so
+    # a matching touch's bucket is fdiv(cts_us, L_us) or that minus 1 —
+    # the two buckets each conversion probes. fdiv is true FLOOR
+    # division via pmod (a - pmod(a, m) is exactly divisible by m), so
+    # pre-epoch negatives bucket consistently too.
+    def _us(name: str, ty: str) -> F.Column:
+        if ty == "timestamp_ntz":
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+            )
+        if ty.startswith("timestamp"):
+            return F.unix_micros(F.col(name))
+        return F.col(name).cast("long") * F.lit(1_000_000)
+
+    l_us = F.lit(int(lookback_seconds) * 1_000_000)
+
+    def _fdiv(a: F.Column) -> F.Column:
+        return ((a - F.pmod(a, l_us)) / l_us).cast("long")
+
+    t_us = _us("__tts", dict(t.dtypes)["__tts"])
+    c_us = _us("__cts", dict(c.dtypes)["__cts"])
+
+    t2 = t.withColumn("__bk", _fdiv(t_us))
+    c2 = c.withColumn(
+        "__bk", F.explode(F.array(_fdiv(c_us) - 1, _fdiv(c_us)))
+    )
+    matched = t2.join(c2, ["__k", "__bk"]).filter(window_pred).drop("__bk")
 
     from pyspark.sql import Window
 

@@ -209,28 +209,68 @@ def pq_codebooks_fit(
     dim: int = 64,
     vec_col: str = "embedding",
     max_iters: int = 5,
+    sample_rows: int | None = 10_000,
 ) -> np.ndarray:
-    """Product-quantization codebooks FITTED per block with
-    ``kmeans_fit`` — the production path (pinned
-    ``pq_codebooks_from_ids`` exists only for oracle portability).
-    Returns (m, ks, dim/m). Each block's k-means runs over a projected
-    sub-vector frame: m small driver-side fits of ks·(dim/m) doubles,
-    while the data-side work per iteration stays one scan + one
-    k-group aggregate."""
+    """Product-quantization codebooks FITTED per block — the
+    production path (pinned ``pq_codebooks_from_ids`` exists only for
+    oracle portability). Returns (m, ks, dim/m).
+
+    Fitting runs per-block Lloyd's over a HASH-DETERMINISTIC SAMPLE of
+    ``sample_rows`` vectors collected to the driver (one
+    TakeOrderedAndProject job; ~5 MB at 10k × 64 doubles), then pure
+    numpy — standard PQ practice: codebook quality saturates around
+    ~1k samples per centroid, while a full-corpus fit re-scans the
+    data m × max_iters times for no quality gain (the r5 bench showed
+    23–28 s of the clustered-ANN scenario was exactly this). The
+    sample order is md5-of-content (seed-free,
+    partition-order-independent), so the fit is deterministic for a
+    given corpus. ``sample_rows=None`` keeps the old distributed
+    per-block ``kmeans_fit`` path (every iteration scans the corpus)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    if sample_rows is None:
+        books = []
+        for b in range(m):
+            block = df.select(
+                F.expr(
+                    f"transform(slice({vec_col}, {b * sub + 1}, {sub}), "
+                    f"v -> CAST(v AS DOUBLE))"
+                ).alias("__subv")
+            )
+            books.append(
+                kmeans_fit(block, vec_col="__subv", k=ks, max_iters=max_iters, dim=sub)
+            )
+        return np.stack(books)
+
+    rows = (
+        df.select(
+            F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("v")
+        )
+        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .limit(int(sample_rows))
+        .collect()
+    )
+    X = np.array([list(r.v) for r in rows], dtype=float)
+    if X.shape[0] < ks:
+        raise ValueError(f"need at least ks={ks} vectors, got {X.shape[0]}")
     books = []
     for b in range(m):
-        block = df.select(
-            F.expr(
-                f"transform(slice({vec_col}, {b * sub + 1}, {sub}), "
-                f"v -> CAST(v AS DOUBLE))"
-            ).alias("__subv")
-        )
-        books.append(
-            kmeans_fit(block, vec_col="__subv", k=ks, max_iters=max_iters, dim=sub)
-        )
+        S = X[:, b * sub : (b + 1) * sub]
+        C = S[:ks].copy()  # same init rule as kmeans_fit: first ks by hash
+        for _ in range(max_iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # ties -> lowest code, like _assign_expr
+            new = C.copy()
+            for j in range(ks):
+                mask = a == j
+                if mask.any():
+                    new[j] = S[mask].mean(axis=0)  # empty keeps previous
+            done = np.allclose(new, C, atol=1e-9)
+            C = new
+            if done:
+                break
+        books.append(C)
     return np.stack(books)
 
 

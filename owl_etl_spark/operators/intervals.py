@@ -92,7 +92,7 @@ def fifo_allocate(
     qty_col: str,
     order_col: str,
     tiebreak_col: str | None = None,
-    bucket_units: int = 256,
+    bucket_units: int | None = None,
 ) -> DataFrame:
     """FIFO matching of two per-key ordered streams. Returns one row
     per (buy, sell) pair with a POSITIVE allocation:
@@ -117,10 +117,34 @@ def fifo_allocate(
     capped by a CONSTANT of the operator, not by key popularity —
     the same bounded-expansion contract as the LSH chunk guards, built
     in by construction.
+
+    Choosing ``bucket_units`` (B): the explode emits one row per
+    bucket an interval TOUCHES, i.e. per-row fan-out ≈ qty/B + 1 and
+    total exploded rows ≈ Σqty/B — so B must SCALE WITH the typical
+    quantity magnitude (B=256 against 10^9-unit orders would explode a
+    single row into ~4M). The default ``bucket_units=None`` therefore
+    derives B from the data as the mean quantity across both sides
+    (one tiny aggregate, a driver round-trip like ``cutpoints``):
+    mean-sized buckets make the average interval touch ~2 buckets
+    while a bucket holds O(1) intervals of each side. B is PLAN-SIDE
+    ONLY — the ownership rule emits each pair exactly once for any B,
+    so results are identical whatever value is picked (pinned by
+    test); pass an explicit int to skip the derivation job.
     """
     from pyspark.sql import Window
 
-    B = int(bucket_units)
+    if bucket_units is None:
+        both = buys.select(F.col(qty_col).cast("long").alias("__q")).unionByName(
+            sells.select(F.col(qty_col).cast("long").alias("__q"))
+        )
+        row = both.agg(
+            F.sum("__q").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()[0]
+        # integer mean (div) keeps the derivation engine-deterministic
+        has_data = row["c"] and row["s"] is not None
+        B = max(1, int(row["s"]) // int(row["c"])) if has_data else 1
+    else:
+        B = int(bucket_units)
     if B < 1:
         raise ValueError(f"fifo_allocate: bucket_units must be >= 1, got {bucket_units}")
 

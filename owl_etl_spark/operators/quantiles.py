@@ -136,10 +136,18 @@ def weighted_quantiles(
     touches the boundary). One key shuffle; the per-prob pick is a
     min-aggregate over the flagged rows, not a second sort.
 
+    Null handling: rows with a null ``value_col`` are EXCLUDED up front
+    (they can never be picked as a quantile, and under the asc order
+    they would otherwise consume cumulative weight at the front and
+    shift every threshold). Null/non-positive WEIGHTS still raise — a
+    weight is a claim about magnitude and silently dropping it corrupts
+    the CDF, whereas a null value is simply not a sample.
+
     Returns one row per (key, prob): ``(keys..., prob, q)``.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(value_col).isNotNull())
     order = [F.col(value_col).asc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
@@ -205,11 +213,18 @@ def trimmed_mean_report(
     ties via the (value, tiebreak) total order; counts/sums are exact
     BIGINTs; output means are round(·, 6) doubles. One key shuffle,
     one rank window, one aggregate.
+
+    Null handling: rows with a null ``value_col`` are EXCLUDED up front
+    and do not count toward ``n`` — otherwise they sort first, occupy
+    trim/kept rank slots, and inflate the denominators while F.sum
+    skips them, silently deflating both means (same discipline as
+    ``ab_test_report``/``seasonal_profile``).
     """
     from pyspark.sql import Window
 
     if not (0 <= trim_pct < 0.5):
         raise ValueError(f"trimmed_mean_report: need 0 <= trim_pct < 0.5, got {trim_pct}")
+    df = df.filter(F.col(value_col).isNotNull())
     order = [F.col(value_col).asc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())

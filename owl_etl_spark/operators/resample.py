@@ -258,8 +258,12 @@ def ewma(
         mass = F.when(xj.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
         num = term if num is None else num + term
         den = mass if den is None else den + mass
+    # den == 0 (current value AND all in-window lags null) must yield
+    # NULL, not the NaN that 0.0/0.0 would produce — NaN is a different
+    # value from null to every consumer (and to the oracle hash).
     return df.withColumn(
-        out_col, F.round(num.cast("double") / den.cast("double"), 6)
+        out_col,
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)),
     )
 
 
