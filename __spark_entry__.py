@@ -8028,3 +8028,569 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ladders, k=5, max_suppressed_rows=50, keep_cols=["c_custkey"]
     )
     return out.select("c_custkey", "bal_b", "n_key", "seg", "gen_level")
+
+
+@_register(
+    "q160_association_rules",
+    """
+    WITH txn AS (
+      SELECT DISTINCT l_orderkey AS t, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    ntx AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n FROM txn),
+    ni AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM txn GROUP BY 1
+      HAVING count(*) >= 5
+    ),
+    ft AS (SELECT t, item FROM txn WHERE item IN (SELECT item FROM ni)),
+    pr AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS nab
+      FROM ft a JOIN ft b ON a.t = b.t AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    directed AS (
+      SELECT ia AS antecedent, ib AS consequent, nab,
+             (SELECT n FROM ni WHERE item = ia) AS n_antecedent,
+             (SELECT n FROM ni WHERE item = ib) AS n_consequent
+      FROM pr
+      UNION ALL
+      SELECT ib, ia, nab,
+             (SELECT n FROM ni WHERE item = ib),
+             (SELECT n FROM ni WHERE item = ia)
+      FROM pr
+    )
+    SELECT antecedent, consequent, nab AS n_pair, n_antecedent,
+           n_consequent, (SELECT n FROM ntx) AS n_txn,
+           nab * 1000000 // (SELECT n FROM ntx) AS support_micro,
+           nab * 1000000 // n_antecedent AS confidence_micro,
+           round(CAST(nab AS DOUBLE) * (SELECT n FROM ntx)
+                 / (CAST(n_antecedent AS DOUBLE) * n_consequent), 6) AS lift
+    FROM directed
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order/brand baskets
+    (library: operators.basket.association_rules): which part brands
+    are co-ordered beyond what independence predicts — support,
+    confidence and lift per directed rule, counts exact, ratios as
+    integer micro-units (non-negative, so truncating div == floor on
+    both engines) and lift the lone round-6 double. The library
+    never self-joins transactions: baskets collapse to ONE sorted
+    array each (bounded by max_basket_items — an oversized basket
+    raises instead of detonating a task), i<j pairs explode map-side
+    from the array, and apriori's monotonicity prunes infrequent
+    items BEFORE the quadratic step. The oracle replays with the
+    naive self-join, which is exactly the shape the operator exists
+    to avoid at scale."""
+    from owl_etl_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    txn = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("t"), F.col("p_brand").alias("item")
+    )
+    return association_rules(
+        txn, "t", "item", min_item_count=5, min_pair_count=5
+    )
+
+
+@_register(
+    "q161_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id AS k,
+             CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) AS pm
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    fc AS (SELECT k, min(pm) AS cm FROM e GROUP BY 1),
+    cs AS (SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size FROM fc GROUP BY 1),
+    cells AS (
+      SELECT cm, pm, CAST(count(*) AS BIGINT) AS n_active
+      FROM (SELECT DISTINCT e.k, fc.cm, e.pm FROM e JOIN fc USING (k))
+      GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', CAST(1970 + cm // 12 AS INT),
+                  CAST(cm % 12 + 1 AS INT)) AS cohort_month,
+           CAST(pm - cm AS INT) AS age_months,
+           n_active, cohort_size,
+           n_active * 1000000 // cohort_size AS retention_micro
+    FROM cells JOIN cs USING (cm)
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (library: operators.cohort.
+    cohort_retention): users grouped by first-activity month, exact
+    distinct actives per (cohort, month-age) cell, retention as
+    integer micro-units — the growth decay-curve readout. Month
+    indexes come from TIMESTAMP_NTZ calendar parts ((y-1970)*12+m-1),
+    never epoch division, so no timezone can shift a cohort boundary.
+    Plan: one groupBy(user) min for cohorts, one user-keyed equi-join
+    back (user-cardinality map — shuffled, NOT broadcast, the honest
+    choice at 100 TB), one distinct + cell count bounded by months²,
+    cohort sizes broadcast."""
+    from owl_etl_spark.operators.cohort import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts")
+
+
+@_register(
+    "q162_scd2_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS pe, lag(ts) OVER w AS pt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), v AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE pt IS NULL OR event_type IS DISTINCT FROM pe
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) // 1000000 AS valid_from_s,
+           epoch_us(lead(ts) OVER w2) // 1000000 AS valid_to_s,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (library: operators.scd.scd2_build) —
+    the keep-all-history complement of q92's CDC latest-state apply:
+    each user's event_type observations collapse into versions
+    (consecutive duplicates are NOT new versions, null-safe), each
+    version carrying [valid_from, valid_to) and is_current. Validity
+    bounds emit as epoch SECONDS (longs, NTZ-derived) for
+    engine-neutral hashing. Plan: one shuffle on user_id — the
+    change-flag lag() and the valid_to lead() share the partitioning
+    (one exchange, two Window nodes), output never exceeds input."""
+    from owl_etl_spark.operators.scd import scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    out = scd2_build(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', valid_from)"
+        ).alias("valid_from_s"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', valid_to)"
+        ).alias("valid_to_s"),
+        "is_current",
+    )
+
+
+@_register(
+    "q163_revenue_concentration",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), ranked AS (
+      SELECT g, c,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY c, id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM v
+    ), staged AS (
+      SELECT g, c, r, n, (n + 9) // 10 AS topn FROM ranked
+    )
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS total,
+           CASE WHEN sum(c) > 0 THEN
+             round(CAST(2 * sum(r * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+                   / CAST(count(*) * sum(c) AS DOUBLE), 6)
+           END AS gini,
+           CASE WHEN sum(c) > 0 THEN
+             coalesce(sum(CASE WHEN r > n - topn THEN c END), 0)
+             * 1000000 // sum(c)
+           END AS top_decile_share_micro
+    FROM staged GROUP BY g
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per order priority (library: operators.
+    inequality.gini_report) — exact rank-formula Gini plus top-decile
+    share over integer cents: Σ i·x and Σ x are exact BIGINTs (the
+    n²·max(x) < 2^63 contract is enforced by the domain: 1.5e5 orders
+    x $50k cents at sf0.1 is ~1e17, 90x headroom), the Gini division
+    is the lone double, the decile share is integer micro-division.
+    Tie-invariant by algebra (equal values swap ranks without moving
+    Σ i·x), so the id tiebreak only pins the rank column. Plan: ONE
+    shuffle per group key — rank window, count window, and final
+    aggregate share the partitioning."""
+    from owl_etl_spark.operators.inequality import gini_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = gini_report(
+        o, ["o_orderpriority"], "cents", tiebreak_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderpriority", "n", "total", "gini", "top_decile_share_micro"
+    )
+
+
+@_register(
+    "q164_churn_risk_table",
+    """
+    WITH span AS (
+      SELECT user_id,
+             min(epoch_us(ts)) // 1000000 AS fs,
+             max(epoch_us(ts)) // 1000000 AS ls
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ls) AS gmax FROM span),
+    subj AS (
+      SELECT (ls - fs) // 86400 AS t,
+             CASE WHEN ls < (SELECT gmax FROM mx) - 30 * 86400
+                  THEN 1 ELSE 0 END AS e
+      FROM span
+    ), grouped AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM subj GROUP BY t
+    ), risk AS (
+      SELECT t, n_events, n_censored,
+             CAST(sum(m) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM grouped
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           n_events * 1000000 // n_risk AS hazard_micro,
+           CAST(sum(n_events * 1000000 // n_risk) OVER (ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumhaz_micro
+    FROM risk
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-aware churn risk table (library: operators.survival.
+    km_risk_table) — subjects are users, duration is whole days
+    between first and last activity, and a user is an observed churn
+    EVENT only if silent for 30+ days before the corpus's last
+    timestamp (otherwise censored: still alive when we looked — the
+    bias a plain lifetime mean can't avoid). Emits n_risk / events /
+    censored per distinct duration plus the Nelson-Aalen cumulative
+    hazard in integer micro-units — a SUM of exact per-time terms,
+    chosen over the KM product precisely because a float product
+    can't cross engines. Plan: one groupBy(user) for spans, one
+    groupBy(t) (rows = distinct durations), two windows on the same
+    tiny frame."""
+    from owl_etl_spark.operators.survival import km_risk_table
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    span = e.select("user_id", us.alias("s")).groupBy("user_id").agg(
+        F.min("s").alias("fs"), F.max("s").alias("ls")
+    )
+    gmax = span.agg(F.max("ls").alias("gmax"))
+    subj = span.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(ls - fs) div 86400").alias("t"),
+        F.when(F.col("ls") < F.col("gmax") - 30 * 86400, 1)
+        .otherwise(0)
+        .alias("e"),
+    )
+    return km_risk_table(subj, "t", "e")
+
+
+@_register(
+    "q165_rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey AS k,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), pk AS (
+      SELECT k, max(d) AS last, CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(c) AS BIGINT) AS monetary
+      FROM base GROUP BY k
+    ), g AS (SELECT max(last) AS gmax FROM pk),
+    rfmb AS (
+      SELECT k, CAST((SELECT gmax FROM g) - last AS BIGINT) AS recency,
+             frequency, monetary
+      FROM pk
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfmb),
+    rcum AS (SELECT recency AS v, CAST(sum(count(*)) OVER (ORDER BY recency) AS BIGINT) AS cum
+             FROM rfmb GROUP BY recency),
+    rcuts AS (SELECT d, min(v) AS cut FROM rcum CROSS JOIN nn CROSS JOIN range(1, 5) ds(d)
+              WHERE cum >= (d * n + 4) // 5 GROUP BY d),
+    fcum AS (SELECT frequency AS v, CAST(sum(count(*)) OVER (ORDER BY frequency) AS BIGINT) AS cum
+             FROM rfmb GROUP BY frequency),
+    fcuts AS (SELECT d, min(v) AS cut FROM fcum CROSS JOIN nn CROSS JOIN range(1, 5) ds(d)
+              WHERE cum >= (d * n + 4) // 5 GROUP BY d),
+    mcum AS (SELECT monetary AS v, CAST(sum(count(*)) OVER (ORDER BY monetary) AS BIGINT) AS cum
+             FROM rfmb GROUP BY monetary),
+    mcuts AS (SELECT d, min(v) AS cut FROM mcum CROSS JOIN nn CROSS JOIN range(1, 5) ds(d)
+              WHERE cum >= (d * n + 4) // 5 GROUP BY d),
+    sc AS (
+      SELECT k AS o_custkey, recency, frequency, monetary,
+             CAST(6 - (1 + (SELECT count(*) FROM rcuts WHERE cut < recency)) AS BIGINT) AS r_score,
+             CAST(1 + (SELECT count(*) FROM fcuts WHERE cut < frequency) AS BIGINT) AS f_score,
+             CAST(1 + (SELECT count(*) FROM mcuts WHERE cut < monetary) AS BIGINT) AS m_score
+      FROM rfmb
+    )
+    SELECT o_custkey, recency, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM sc
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (library: operators.scoring.
+    rfm_scores) — recency/frequency/monetary quintiles per customer
+    over their orders, scored 1..5 with recency FLIPPED (5 = most
+    recent) and composed into the classic 3-digit RFM code. Every
+    dimension rides the q100 billions-of-keys quantile path: exact
+    nearest-rank cutpoints over DISTINCT values (integer ceil
+    arithmetic), assignment as a broadcast literal chain — three tiny
+    cutpoint jobs and zero global sorts over the keys, where the
+    textbook ntile() version pays three. Dates become epoch DAYS
+    before arithmetic (date minus date on both engines — no timezone,
+    no seconds). Heavy frequency ties collapsing bands into one
+    bucket is correct nearest-rank semantics, pinned by the oracle."""
+    from owl_etl_spark.operators.scoring import rfm_scores
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    return rfm_scores(o, "o_custkey", "d", "c", k=5)
+
+
+@_register(
+    "q166_zorder_locality",
+    """
+    WITH cells AS (
+      SELECT l_orderkey, l_partkey % 1024 AS x1, l_suppkey % 1024 AS x2
+      FROM lineitem
+    ), z AS (
+      SELECT l_orderkey, x1, x2,
+             (((x1 >> 0) & 1) * 1) + (((x2 >> 0) & 1) * 2)
+           + (((x1 >> 1) & 1) * 4) + (((x2 >> 1) & 1) * 8)
+           + (((x1 >> 2) & 1) * 16) + (((x2 >> 2) & 1) * 32)
+           + (((x1 >> 3) & 1) * 64) + (((x2 >> 3) & 1) * 128)
+           + (((x1 >> 4) & 1) * 256) + (((x2 >> 4) & 1) * 512)
+           + (((x1 >> 5) & 1) * 1024) + (((x2 >> 5) & 1) * 2048)
+           + (((x1 >> 6) & 1) * 4096) + (((x2 >> 6) & 1) * 8192)
+           + (((x1 >> 7) & 1) * 16384) + (((x2 >> 7) & 1) * 32768)
+           + (((x1 >> 8) & 1) * 65536) + (((x2 >> 8) & 1) * 131072)
+           + (((x1 >> 9) & 1) * 262144) + (((x2 >> 9) & 1) * 524288)
+             AS zvalue
+      FROM cells
+    )
+    SELECT CAST(zvalue // 4096 AS BIGINT) AS zrange,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT x1) AS BIGINT) AS n_x1,
+           CAST(count(DISTINCT x2) AS BIGINT) AS n_x2,
+           CAST(min(x1) AS BIGINT) AS min_x1, CAST(max(x1) AS BIGINT) AS max_x1,
+           CAST(min(x2) AS BIGINT) AS min_x2, CAST(max(x2) AS BIGINT) AS max_x2
+    FROM z GROUP BY 1
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality index (library: operators.zorder) —
+    the multi-dimensional layout key behind OPTIMIZE ZORDER: part and
+    supplier coordinates interleave bit-by-bit into one BIGINT whose
+    RANGES are tight rectangles in BOTH dimensions, which is exactly
+    why min/max file statistics can prune a scan filtered on either
+    column after zorder_repartition's single range exchange. The
+    readout aggregates per 4096-wide z-range: its x1/x2 min-max
+    envelopes stay ~64-wide (vs 1024 for a single-column sort),
+    making the pruning power measurable in the result itself.
+    Interleaving is a sum of disjoint bit terms — pure whole-stage
+    codegen, zero shuffle, engine-exact."""
+    from owl_etl_spark.operators.zorder import zorder_index
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.pmod("l_partkey", F.lit(1024)).cast("long").alias("x1"),
+        F.pmod("l_suppkey", F.lit(1024)).cast("long").alias("x2"),
+    )
+    z = zorder_index(li, ["x1", "x2"], bits=10)
+    return z.groupBy(F.expr("zvalue div 4096").alias("zrange")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("x1").cast("long").alias("n_x1"),
+        F.countDistinct("x2").cast("long").alias("n_x2"),
+        F.min("x1").alias("min_x1"),
+        F.max("x1").alias("max_x1"),
+        F.min("x2").alias("min_x2"),
+        F.max("x2").alias("max_x2"),
+    )
+
+
+@_register(
+    "q167_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206835000 - (1015000 * n_words // n_sentences)
+                       - (84600000 * n_syllables // n_words)
+           END AS flesch_micro
+    FROM c
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (library: operators.textstat.
+    readability_report) — the readability quality signal beside the
+    Gopher gates (q84): words / vowel-group syllables / sentence runs
+    counted by regexp (sentences clamped to ≥1 on unpunctuated text),
+    the two ratio terms scaled to micro-units with integer division —
+    no doubles anywhere, so both engines agree bit-for-bit. Map-only:
+    zero shuffles, runs at scan speed — the per-row shape that
+    matters over 100 TB of documents."""
+    from owl_etl_spark.operators.textstat import readability_report
+
+    d = _t(spark, sf_dir, "documents")
+    return readability_report(d, "doc_id", "text")
+
+
+@_register(
+    "q168_position_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_id AS touch_id, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+      SELECT user_id, event_id AS cid, ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT t.user_id, t.touch_id, c.cid, c.v,
+             row_number() OVER (PARTITION BY c.cid
+                                ORDER BY t.ts, t.touch_id) AS r,
+             count(*) OVER (PARTITION BY c.cid) AS n
+      FROM t JOIN c ON t.user_id = c.user_id
+       AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT user_id, touch_id,
+        CASE
+          WHEN n = 1 THEN v
+          WHEN n = 2 AND r = 1 THEN
+            v * 40 // 100 + (v - v * 40 // 100 - v * 40 // 100)
+                          - (v - v * 40 // 100 - v * 40 // 100) // 2
+          WHEN n = 2 THEN
+            v * 40 // 100 + (v - v * 40 // 100 - v * 40 // 100) // 2
+          WHEN r = 1 THEN v * 40 // 100
+          WHEN r = n THEN v * 40 // 100
+          ELSE (v - v * 40 // 100 - v * 40 // 100) // (n - 2)
+               + CASE WHEN r - 1 <=
+                   (v - v * 40 // 100 - v * 40 // 100) % (n - 2)
+                 THEN 1 ELSE 0 END
+        END AS credit
+      FROM matched
+    )
+    SELECT user_id, touch_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(credit) AS BIGINT) AS attributed_value
+    FROM credited GROUP BY 1, 2
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution (library:
+    operators.attribution.position_attribution): first and last
+    touches take 40% each of every purchase's cents, middle touches
+    split the rest evenly — same cent-exact conservation discipline
+    as q142's linear rule (integer percent shares, remainder to the
+    earliest touches, two-touch rest splits first-heavy), and the
+    SAME bucketed (user, lookback-window) join whose per-task
+    candidate bound the r6 bench records — one matcher, two credit
+    rules. Oracle replays the CASE arithmetic verbatim (all
+    divisions on non-negative integers: // == div)."""
+    from owl_etl_spark.operators.attribution import position_attribution
+
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), "ts"
+    )
+    convs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return position_attribution(
+        touches, convs,
+        key_col="user_id", touch_id_col="touch_id", touch_ts_col="ts",
+        conv_id_col="cid", conv_ts_col="ts", value_col="v",
+        lookback_seconds=7 * 24 * 3600,
+    )
+
+
+@_register(
+    "q169_rolling_median",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), st AS (
+      SELECT event_type, event_id, c,
+             list_sort(list(c) OVER w) AS arr
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    ), idx AS (
+      SELECT event_type, event_id, c, arr, len(arr) AS nw FROM st
+    )
+    SELECT event_type, event_id, c AS cents,
+           CAST(nw AS BIGINT) AS n_window,
+           arr[CAST((nw + 3) // 4 AS INT)] AS p25,
+           arr[CAST((3 * nw + 3) // 4 AS INT)] AS p75,
+           (arr[CAST((nw + 1) // 2 AS INT)]
+            + arr[CAST(nw // 2 + 1 AS INT)]) / 2.0 AS rolling_median
+    FROM idx
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-25-row rolling median and quartiles per event
+    type (library: operators.window_stats.rolling_median_report) —
+    the robust complement of q156's Bollinger mean/σ bands: one
+    spiked reading drags a trailing mean for 25 rows but moves the
+    median not at all. Order statistics have no algebraic partials,
+    so each row's window materializes as a sorted O(25) array
+    (bounded by contract — a 10⁶-row window belongs to the sketch
+    family and raises) and ranks read out by pure indexing; the only
+    interpolation is the even-count median's half-sum, a division by
+    2 that is exact in binary on both engines. ONE shuffle on the
+    key, one window pass."""
+    from owl_etl_spark.operators.window_stats import rolling_median_report
+
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_median_report(
+        v, ["event_type"], "us", "cents",
+        window_rows=25, tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", "cents", "n_window",
+        "p25", "p75", "rolling_median",
+    )

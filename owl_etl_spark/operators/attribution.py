@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def linear_attribution(
+def _ranked_pairs(
     touches: DataFrame,
     conversions: DataFrame,
     key_col: str,
@@ -50,22 +50,14 @@ def linear_attribution(
     conv_id_col: str,
     conv_ts_col: str,
     value_col: str,
-    lookback_seconds: int = 7 * 24 * 3600,
+    lookback_seconds: int,
 ) -> DataFrame:
-    """Per-touch attributed value under the linear rule.
+    """Shared matcher for the attribution rules: bucketed join +
+    per-conversion (ts, touch_id) ranking. Returns one row per
+    (touch, conversion) match with ``__k, touch_id, __cid, __v, __r``
+    (1-based time rank within the conversion) and ``__n`` (match
+    count)."""
 
-    A touch matches a conversion when it belongs to the same
-    ``key_col`` (user) and happened in ``[conv_ts - lookback,
-    conv_ts)`` — strictly before the conversion. Returns one row per
-    touch that earned any credit: ``(key, touch_id, n_conversions,
-    attributed_value)`` with exact integer conservation per
-    conversion (feed integer cents). Conversions with zero matching
-    touches receive no attribution rows (track them separately if
-    unattributed volume matters).
-
-    Timestamps may be TIMESTAMP/TIMESTAMP_NTZ (compared directly —
-    same type on both sides) or numeric epoch seconds.
-    """
     t = touches.select(
         F.col(key_col).alias("__k"),
         F.col(touch_id_col).alias("touch_id"),
@@ -124,12 +116,12 @@ def linear_attribution(
     w = Window.partitionBy("__cid").orderBy(
         F.col("__tts").asc(), F.col("touch_id").asc()
     )
-    ranked = matched.withColumn("__r", F.row_number().over(w)).withColumn(
+    return matched.withColumn("__r", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("__cid"))
     )
-    credit = F.expr("__v div __n") + F.when(
-        F.col("__r") <= F.col("__v") % F.col("__n"), 1
-    ).otherwise(0)
+
+
+def _credit_rollup(ranked: DataFrame, key_col: str, credit: F.Column) -> DataFrame:
     return (
         ranked.withColumn("__credit", credit)
         .groupBy(F.col("__k").alias(key_col), "touch_id")
@@ -138,3 +130,100 @@ def linear_attribution(
             F.sum("__credit").cast("long").alias("attributed_value"),
         )
     )
+
+
+def linear_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    touch_id_col: str,
+    touch_ts_col: str,
+    conv_id_col: str,
+    conv_ts_col: str,
+    value_col: str,
+    lookback_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Per-touch attributed value under the linear rule.
+
+    A touch matches a conversion when it belongs to the same
+    ``key_col`` (user) and happened in ``[conv_ts - lookback,
+    conv_ts)`` — strictly before the conversion. Returns one row per
+    touch that earned any credit: ``(key, touch_id, n_conversions,
+    attributed_value)`` with exact integer conservation per
+    conversion (feed integer cents): floor(v/n) each, remainder +1 to
+    the first v mod n touches in time order. Conversions with zero
+    matching touches receive no attribution rows (track them
+    separately if unattributed volume matters).
+
+    Timestamps may be TIMESTAMP/TIMESTAMP_NTZ (compared directly —
+    same type on both sides) or numeric epoch seconds.
+    """
+    ranked = _ranked_pairs(
+        touches, conversions, key_col, touch_id_col, touch_ts_col,
+        conv_id_col, conv_ts_col, value_col, lookback_seconds,
+    )
+    credit = F.expr("__v div __n") + F.when(
+        F.col("__r") <= F.col("__v") % F.col("__n"), 1
+    ).otherwise(0)
+    return _credit_rollup(ranked, key_col, credit)
+
+
+def position_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    touch_id_col: str,
+    touch_ts_col: str,
+    conv_id_col: str,
+    conv_ts_col: str,
+    value_col: str,
+    lookback_seconds: int = 7 * 24 * 3600,
+    first_pct: int = 40,
+    last_pct: int = 40,
+) -> DataFrame:
+    """Position-based (U-shaped) attribution: the first and last
+    matching touches take ``first_pct`` / ``last_pct`` percent of each
+    conversion's value, the middle touches split the rest evenly —
+    the model marketers use when discovery and closing matter more
+    than the nurturing in between (linear_attribution's equal split
+    is the other convention; single-touch first/last are as-of
+    joins).
+
+    Exact integer conservation per conversion, cent by cent:
+    f = v·first_pct div 100 and l = v·last_pct div 100; with middle
+    touches, each gets rest div m and the EARLIEST rest mod m of them
+    +1; with exactly two touches the rest splits first-heavy
+    (rest − rest div 2 / rest div 2); a lone touch takes everything.
+    Same matcher, bucketing, and per-task bounds as
+    ``linear_attribution``.
+    """
+    if not (0 <= int(first_pct) and 0 <= int(last_pct)
+            and int(first_pct) + int(last_pct) <= 100):
+        raise ValueError(
+            f"position_attribution: first_pct={first_pct} last_pct={last_pct} "
+            "must be non-negative and sum to <= 100"
+        )
+    ranked = _ranked_pairs(
+        touches, conversions, key_col, touch_id_col, touch_ts_col,
+        conv_id_col, conv_ts_col, value_col, lookback_seconds,
+    )
+    fp, lp = int(first_pct), int(last_pct)
+    credit = F.expr(
+        f"""CASE
+          WHEN __n = 1 THEN __v
+          WHEN __n = 2 AND __r = 1 THEN
+            __v * {fp} div 100
+            + (__v - __v * {fp} div 100 - __v * {lp} div 100)
+            - (__v - __v * {fp} div 100 - __v * {lp} div 100) div 2
+          WHEN __n = 2 THEN
+            __v * {lp} div 100
+            + (__v - __v * {fp} div 100 - __v * {lp} div 100) div 2
+          WHEN __r = 1 THEN __v * {fp} div 100
+          WHEN __r = __n THEN __v * {lp} div 100
+          ELSE (__v - __v * {fp} div 100 - __v * {lp} div 100) div (__n - 2)
+               + CASE WHEN __r - 1 <=
+                   (__v - __v * {fp} div 100 - __v * {lp} div 100) % (__n - 2)
+                 THEN 1 ELSE 0 END
+        END"""
+    )
+    return _credit_rollup(ranked, key_col, credit)

@@ -1,0 +1,91 @@
+"""Concentration / inequality measures: exact Gini and top-decile
+share per group.
+
+The revenue-concentration readout every commercial warehouse wants
+("how dependent are we on the top accounts"), computed EXACTLY: the
+rank-formula Gini
+
+    G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)
+
+over ascending-ranked non-negative integer units, plus the share held
+by the top ⌈n/10⌉ rows. All accumulations are BIGINT sums of integer
+products; the single double is the final Gini division, round(·, 6).
+The formula is tie-invariant (equal values swap ranks without moving
+Σ i·x), so no tiebreak can change the answer — one is still taken for
+a total order, keeping the rank column itself deterministic.
+
+Caller contract: values must be NON-NEGATIVE integers (a negative
+value makes the Lorenz curve non-monotone and the measure
+meaningless — it raises); Σ i·x needs n·max_rank·max(x) headroom:
+n²·max(x) < 2^63, i.e. ~3e6 rows per group at $10k cents — rescale
+units above that.
+
+Scale shape: ONE shuffle on the keys; the rank window and the final
+aggregate share the partitioning (one exchange, Window + HashAggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gini_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per key group: ``(keys..., n, total, gini,
+    top_decile_share_micro)`` — ``gini`` in [0, 1] rounded at 6,
+    ``top_decile_share_micro`` = (Σ of the largest ⌈n/10⌉ values)·10⁶
+    div total. Groups with zero total emit null gini/share."""
+    from pyspark.sql import Window
+
+    v0 = F.col(value_col).cast("long")
+    v = F.when(
+        v0.isNull() | (v0 < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"gini_report: {value_col} must be a non-negative "
+                    "integer, got "
+                ),
+                F.coalesce(v0.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v0)
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = df.select(
+        *keys, v.alias("__v"), F.row_number().over(w).cast("long").alias("__r")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum("__v").cast("long")
+    six = F.sum(F.col("__r") * F.col("__v")).cast("long")
+    # two-phase: the per-group n is needed inside the top-decile
+    # predicate, so attach it via the same window (no second shuffle)
+    w_all = Window.partitionBy(*keys)
+    staged = ranked.withColumn("__n", F.count(F.lit(1)).over(w_all)).withColumn(
+        "__topn", F.expr("(__n + 9) div 10")
+    )
+    return staged.groupBy(*keys).agg(
+        n.alias("n"),
+        sx.alias("total"),
+        F.when(
+            sx > 0,
+            F.round(
+                (F.lit(2) * six - (n + 1) * sx).cast("double") / (n * sx).cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+        F.when(
+            sx > 0,
+            F.expr(
+                "coalesce(sum(CASE WHEN __r > __n - __topn THEN __v END), 0) "
+                "* 1000000 div sum(__v)"
+            ),
+        ).alias("top_decile_share_micro"),
+    )

@@ -138,3 +138,103 @@ def ordered_funnel(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _ts_to_secs(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch-seconds column for TIMESTAMP / TIMESTAMP_NTZ / numeric
+    (shared by both funnel variants)."""
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    if dt == "timestamp":
+        return F.unix_timestamp(F.col(ts_col))
+    return F.col(ts_col).cast("long")
+
+
+def ordered_funnel_restart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Restart-per-anchor strict funnel: one row per step —
+    (step_index, step, n_keys) where ``n_keys`` counts keys for which
+    ANY step-1 occurrence (anchor) starts a strictly-increasing greedy
+    chain that reaches the step within ``within_seconds`` of that
+    anchor.
+
+    This is the other standard funnel convention (``ordered_funnel``
+    documents the single-chain one): a user whose earliest chain
+    overruns the window is RE-TRIED from every later anchor, so a
+    Monday visit that went nowhere doesn't disqualify Friday's
+    conversion. Greedy-from-each-anchor is exhaustive: if any valid
+    chain exists from an anchor, the greedy chain from it is valid too
+    (each greedy step takes the earliest candidate, which can only
+    leave more room for later steps), so per anchor only the greedy
+    chain needs testing — never a combinatorial search.
+
+    Plan shape: ONE shuffle — per-key sorted timestamp arrays per step
+    (k array-aggregates over the same groupBy), then the whole
+    anchor × chain evaluation is nested higher-order array functions
+    (filter / array_min) inside whole-stage codegen: no second
+    shuffle, no per-anchor join, no Python. Per-key cost is
+    O(anchors · Σ_j |step_j events|) array scanning inside one task —
+    the same events-per-key bound every sessionizer carries; the
+    window bound keeps real chains short.
+
+    ``within_seconds`` is REQUIRED here (restart semantics without a
+    window collapse to ``ordered_funnel``: greedy-from-first-anchor is
+    then already exhaustive).
+    """
+    if not steps:
+        raise ValueError("ordered_funnel_restart: steps must be non-empty")
+    if within_seconds is None or int(within_seconds) <= 0:
+        raise ValueError(
+            "ordered_funnel_restart: within_seconds must be a positive int "
+            f"(got {within_seconds!r}); use ordered_funnel for the unwindowed form"
+        )
+    secs = _ts_to_secs(df, ts_col)
+    work = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(state_col).alias("__e"),
+        secs.alias("__s"),
+    )
+    per_key = work.groupBy("__k").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("__e") == s, F.col("__s")))
+            ).alias(f"__a{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    W = int(within_seconds)
+    # chain expression from anchor variable `a`: c_0 = a,
+    # c_j = array_min(filter(__a_j, x_j -> x_j > c_{j-1}))
+    chains = ["a"]
+    for j in range(1, len(steps)):
+        chains.append(
+            f"array_min(filter(__a{j}, x{j} -> x{j} > ({chains[j - 1]})))"
+        )
+    rows = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            reached = F.size(F.col("__a0")) > 0
+        else:
+            # exists an anchor whose greedy chain reaches step i in window
+            pred = f"({chains[i]}) IS NOT NULL AND ({chains[i]}) - a <= {W}"
+            reached = F.expr(f"size(filter(__a0, a -> {pred})) > 0")
+        rows.append(
+            per_key.agg(
+                F.lit(i + 1).cast("int").alias("step_index"),
+                F.lit(step).alias("step"),
+                F.sum(F.when(reached, 1).otherwise(0)).cast("long").alias("n_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

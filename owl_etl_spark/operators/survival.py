@@ -1,0 +1,100 @@
+"""Survival / time-to-event analysis: the Kaplan-Meier risk table and
+the Nelson-Aalen cumulative hazard, exactly.
+
+The churn question ("how long do subjects last, given many are still
+alive when we look") needs censoring-aware estimators — a plain mean
+of observed lifetimes is biased by exactly the subjects who haven't
+churned yet. This operator emits the classic risk table: for each
+distinct event time, how many were still at risk and how many
+churned, the discrete hazard, and the Nelson-Aalen cumulative hazard
+H(t) = Σ_{t_i ≤ t} d_i/n_i.
+
+Why Nelson-Aalen and not the KM survival product: Π(1 − d_i/n_i) is a
+sequential float product — not reproducible across engines without an
+ordered recurrence. H(t) is a SUM of per-time terms, each computed as
+integer micro-units (d_i·10⁶ div n_i, non-negative so truncate ==
+floor everywhere), so the cumulative hazard is an exact windowed
+BIGINT sum — order-independent and engine-identical. S(t) = exp(−H)
+for consumers who want the curve (one monotone map, no extra data).
+
+Scale shape: ONE shuffle on the keys — per-(key, time) counts
+(map-side combined), then the at-risk reverse-cumulative count and
+the hazard running sum are two windows over the SAME partitioning on
+the grouped frame (one row per distinct time, not per subject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def km_risk_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """One row per (keys..., t) where t is a duration with ≥1 subject
+    ending (event or censor): ``(keys..., t, n_risk, n_events,
+    n_censored, hazard_micro, cumhaz_micro)``.
+
+    ``duration_col``: non-negative integer time units (days, hours —
+    caller's grain; negatives raise). ``event_col``: 1 = event
+    observed (churned), 0 = censored (still alive at last sight).
+    ``n_risk`` counts subjects with duration ≥ t (standard
+    convention: subjects censored AT t are still at risk at t);
+    ``hazard_micro`` = n_events·10⁶ div n_risk;
+    ``cumhaz_micro`` = running sum of hazard terms up to and
+    including t (Nelson-Aalen in micro-units).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    d0 = F.col(duration_col).cast("long")
+    d = F.when(
+        d0.isNull() | (d0 < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"km_risk_table: {duration_col} must be a non-negative "
+                    "integer, got "
+                ),
+                F.coalesce(d0.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(d0)
+    ev = F.col(event_col).cast("long")
+    grouped = (
+        df.select(*keys, d.alias("t"), ev.alias("__e"))
+        .groupBy(*keys, "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__m"),
+            F.sum(F.when(F.col("__e") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_events"),
+            F.sum(F.when(F.col("__e") == 1, 0).otherwise(1))
+            .cast("long")
+            .alias("n_censored"),
+        )
+    )
+    w_rev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = grouped.withColumn("n_risk", F.sum("__m").over(w_rev))
+    hz = F.expr("n_events * 1000000 div n_risk")
+    return (
+        at_risk.withColumn("hazard_micro", hz)
+        .withColumn("cumhaz_micro", F.sum(hz).over(w_fwd))
+        .select(
+            *keys, "t", "n_risk", "n_events", "n_censored",
+            "hazard_micro", "cumhaz_micro",
+        )
+    )

@@ -1,0 +1,79 @@
+"""Rolling order statistics: exact trailing-window median / quartiles
+per key.
+
+The robust cousin of the rolling mean/Bollinger family
+(resample.py): a single spiked reading drags a trailing mean for the
+whole window, while the rolling median shrugs it off — the form
+monitoring dashboards actually want for latency/price series. Means
+have algebraic partial aggregates; order statistics don't, so the
+exact small-window form materializes each row's trailing window as a
+sorted array (collect_list over a ROWS frame, bounded by
+``window_rows``) and reads the ranks straight out of it.
+
+Determinism: values are integer units; p25/median-halves/p75 are
+nearest-rank ORDER STATISTICS of the sorted window (pure indexing,
+no interpolation except the even-count median, whose half-sum
+(a+b)/2.0 is a division by a power of two — exact in binary, so both
+engines emit the identical double).
+
+Scale shape: ONE shuffle on the keys, one window pass; per-row state
+is the O(window_rows) array — memory is rows·window, which is why
+``window_rows`` is capped (a 10⁶-row window belongs to the sketch
+family, not this operator; it raises here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: beyond this, per-row array state stops being "small constant"
+MAX_WINDOW_ROWS = 4096
+
+
+def rolling_median_report(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 25,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Attach ``n_window`` (rows actually present — series heads have
+    fewer), ``p25`` / ``p75`` (nearest-rank order statistics, exact
+    longs), and ``rolling_median`` (even-count windows average the two
+    central ranks — an exact double) over the trailing
+    ``window_rows`` rows per key in (order, tiebreak) order. Null
+    values are excluded from the window (they carry no rank)."""
+    if not (1 <= int(window_rows) <= MAX_WINDOW_ROWS):
+        raise ValueError(
+            f"rolling_median_report: window_rows must be in "
+            f"[1, {MAX_WINDOW_ROWS}], got {window_rows}"
+        )
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("long")
+    arr = F.sort_array(F.collect_list(v).over(w))
+    staged = df.withColumn("__arr", arr).withColumn("__nw", F.size("__arr"))
+    lo = F.element_at("__arr", F.expr("(__nw + 1) div 2").cast("int"))
+    hi = F.element_at("__arr", F.expr("__nw div 2 + 1").cast("int"))
+    p25 = F.element_at("__arr", F.expr("(__nw + 3) div 4").cast("int"))
+    p75 = F.element_at("__arr", F.expr("(3 * __nw + 3) div 4").cast("int"))
+    return (
+        staged.withColumn(
+            "rolling_median",
+            F.when(F.col("__nw") > 0, (lo + hi) / F.lit(2.0)),
+        )
+        .withColumn("p25", F.when(F.col("__nw") > 0, p25))
+        .withColumn("p75", F.when(F.col("__nw") > 0, p75))
+        .withColumn("n_window", F.col("__nw").cast("long"))
+        .drop("__arr", "__nw")
+    )

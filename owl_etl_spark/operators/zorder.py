@@ -1,0 +1,85 @@
+"""Z-order (Morton) curve indexing: multi-dimensional locality in one
+sort key.
+
+The 100 TB layout operator: range-partitioning by a bit-interleaved
+key keeps rows close in EVERY indexed dimension close on disk, so a
+scan filtered on any subset of the dimensions prunes most files —
+what Delta/Iceberg OPTIMIZE ZORDER does, expressed as plain columnar
+arithmetic. Interleaving is pure per-row bit math (whole-stage
+codegen, zero shuffle); the payoff step is ``zorder_repartition``,
+whose range exchange is the ONE shuffle a re-layout inherently costs.
+
+Determinism: inputs must already be non-negative ints < 2^bits
+(callers normalize via pmod/bucketing/rank — value-to-cell mapping is
+the caller's semantic choice, not hidden here); out-of-range values
+RAISE rather than silently aliasing distant cells together. The
+z-value is a sum of disjoint bit terms — identical on any engine with
+integer shifts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_expr(cols: list[str], bits: int) -> F.Column:
+    """The interleaved Morton code of ``cols`` (low dimension index =
+    low interleave position): Σ_b Σ_i ((x_i >> b) & 1) << (b·k + i),
+    built from disjoint terms so `+` is bit-OR."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_expr: need at least 2 columns")
+    if bits * k > 62:
+        raise ValueError(f"zorder_expr: {bits} bits x {k} cols exceeds BIGINT")
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(
+                f"(shiftleft((shiftright(CAST({c} AS BIGINT), {b}) & 1), {b * k + i}))"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def zorder_index(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zvalue"
+) -> DataFrame:
+    """Attach ``out_col``: the Morton code of ``cols``. Each input
+    must be a non-negative integer < 2^bits (raises otherwise)."""
+    checked = df
+    limit = 1 << bits
+    for c in cols:
+        x = F.col(c).cast("long")
+        checked = checked.withColumn(
+            c,
+            F.when(
+                x.isNull() | (x < 0) | (x >= limit),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"zorder_index: {c} must be in [0, {limit}), got "
+                        ),
+                        F.coalesce(x.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            ).otherwise(x),
+        )
+    return checked.withColumn(out_col, zorder_expr(cols, bits).cast("long"))
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-repartition by the Morton code (and drop it): the
+    re-layout that makes per-dimension min/max file statistics prune
+    scans on ANY of ``cols``. One range exchange — the cost a
+    re-layout inherently pays once, amortized over every later scan."""
+    z = zorder_index(df, cols, bits, out_col="__z")
+    if num_partitions is not None:
+        out = z.repartitionByRange(num_partitions, F.col("__z"))
+    else:
+        out = z.repartitionByRange(F.col("__z"))
+    return out.drop("__z")

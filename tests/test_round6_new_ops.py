@@ -1,0 +1,394 @@
+"""Round-6 new operator families: basket rules, cohort retention,
+SCD2, Gini, survival risk table, RFM, z-order, readability,
+position attribution, restart funnel, rolling median, k-anonymity
+generalization. Gate queries q158-q169 pin oracle parity; these pin
+the library-level contracts (error paths, conservation, invariants).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_counts_and_lift(spark):
+    from owl_etl_spark.operators.basket import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+        (4, "a"), (4, "a"),  # duplicate item in txn collapses
+    ]
+    df = spark.createDataFrame(rows, "t int, item string")
+    out = association_rules(df, "t", "item", min_item_count=1, min_pair_count=1)
+    got = {(r.antecedent, r.consequent): r for r in out.collect()}
+    ab = got[("a", "b")]
+    assert ab.n_pair == 2 and ab.n_antecedent == 4 and ab.n_consequent == 2
+    assert ab.n_txn == 4
+    assert ab.support_micro == 500000
+    assert ab.confidence_micro == 500000  # 2/4
+    assert ab.lift == pytest.approx(2 * 4 / (4 * 2))
+    ba = got[("b", "a")]
+    assert ba.confidence_micro == 1000000  # 2/2
+    # c appears once; with min_item_count=2 it is pruned pre-pair
+    out2 = association_rules(df, "t", "item", min_item_count=2, min_pair_count=1)
+    pairs2 = {(r.antecedent, r.consequent) for r in out2.collect()}
+    assert ("a", "c") not in pairs2 and ("c", "a") not in pairs2
+
+
+def test_association_rules_oversized_basket_raises(spark):
+    from owl_etl_spark.operators.basket import association_rules
+
+    rows = [(1, f"i{j}") for j in range(10)]
+    df = spark.createDataFrame(rows, "t int, item string")
+    with pytest.raises(Exception, match="max_basket_items"):
+        association_rules(
+            df, "t", "item", min_item_count=1, min_pair_count=1,
+            max_basket_items=5,
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_matrix(spark):
+    from owl_etl_spark.operators.cohort import cohort_retention
+
+    rows = [
+        ("u1", "2024-01-05"), ("u1", "2024-02-10"), ("u1", "2024-02-11"),
+        ("u2", "2024-01-20"),
+        ("u3", "2024-02-01"), ("u3", "2024-04-01"),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string").select(
+        "k", F.col("d").cast("timestamp_ntz").alias("ts")
+    )
+    out = {
+        (r.cohort_month, r.age_months): r
+        for r in cohort_retention(df, "k", "ts").collect()
+    }
+    jan0 = out[("2024-01", 0)]
+    assert jan0.n_active == 2 and jan0.cohort_size == 2
+    assert jan0.retention_micro == 1000000
+    jan1 = out[("2024-01", 1)]
+    assert jan1.n_active == 1 and jan1.retention_micro == 500000
+    feb2 = out[("2024-02", 2)]
+    assert feb2.n_active == 1 and feb2.cohort_size == 1
+    assert ("2024-02", 1) not in out  # no March activity
+
+
+# ---------------------------------------------------------------------------
+# scd2_build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_consecutive_dups_null_safe(spark):
+    from owl_etl_spark.operators.scd import scd2_build
+
+    rows = [
+        ("k", 1, "a"), ("k", 2, "a"),        # dup -> no new version
+        ("k", 3, None), ("k", 4, None),      # a->NULL is a change; NULL dup isn't
+        ("k", 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v string")
+    out = sorted(
+        scd2_build(df, ["k"], "t", ["v"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.v, r.valid_from, r.valid_to, r.is_current) for r in out] == [
+        ("a", 1, 3, False), (None, 3, 5, False), ("b", 5, None, True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# gini_report
+# ---------------------------------------------------------------------------
+
+
+def test_gini_known_values(spark):
+    from owl_etl_spark.operators.inequality import gini_report
+
+    eq = spark.createDataFrame([("g", i, 100) for i in range(10)], "g string, id int, v int")
+    r = gini_report(eq, ["g"], "v", tiebreak_col="id").collect()[0]
+    assert r.gini == 0.0
+    assert r.top_decile_share_micro == 100000  # top 1 of 10 equal rows
+
+    onehas = spark.createDataFrame(
+        [("g", i, 0) for i in range(9)] + [("g", 9, 100)], "g string, id int, v int"
+    )
+    r2 = gini_report(onehas, ["g"], "v", tiebreak_col="id").collect()[0]
+    # rank formula: (2*10*100 - 11*100) / (10*100) = 0.9
+    assert r2.gini == pytest.approx(0.9)
+    assert r2.top_decile_share_micro == 1000000
+
+
+def test_gini_negative_raises(spark):
+    from owl_etl_spark.operators.inequality import gini_report
+
+    df = spark.createDataFrame([("g", 1, -5)], "g string, id int, v int")
+    with pytest.raises(Exception, match="non-negative"):
+        gini_report(df, ["g"], "v").collect()
+
+
+# ---------------------------------------------------------------------------
+# km_risk_table
+# ---------------------------------------------------------------------------
+
+
+def test_km_risk_table_hand_computed(spark):
+    from owl_etl_spark.operators.survival import km_risk_table
+
+    # durations: events at t=1 (2 of 5 at risk), censor at 2, event at 3
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    out = {r.t: r for r in km_risk_table(df, "t", "e").collect()}
+    assert out[1].n_risk == 5 and out[1].n_events == 2 and out[1].n_censored == 0
+    assert out[2].n_risk == 3 and out[2].n_events == 0 and out[2].n_censored == 1
+    assert out[3].n_risk == 2 and out[3].n_events == 1 and out[3].n_censored == 1
+    assert out[1].hazard_micro == 400000
+    assert out[3].cumhaz_micro == 400000 + 0 + 500000
+
+
+def test_km_negative_duration_raises(spark):
+    from owl_etl_spark.operators.survival import km_risk_table
+
+    df = spark.createDataFrame([(-1, 1)], "t int, e int")
+    with pytest.raises(Exception, match="non-negative"):
+        km_risk_table(df, "t", "e").collect()
+
+
+# ---------------------------------------------------------------------------
+# rfm_scores
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_flip_and_code(spark):
+    from owl_etl_spark.operators.scoring import rfm_scores
+
+    # 5 customers with strictly increasing recency, frequency, monetary
+    rows = []
+    for i in range(5):
+        for j in range(i + 1):  # frequency = i+1
+            rows.append((f"c{i}", 100 + i * 10, (i + 1) * 1000))
+    df = spark.createDataFrame(rows, "k string, d long, v long")
+    out = {r.k: r for r in rfm_scores(df, "k", "d", "v", k=5).collect()}
+    # c4 has the LATEST activity (d=140) -> recency 0 -> r_score 5;
+    # highest frequency and monetary -> 5/5
+    assert out["c4"].r_score == 5 and out["c4"].f_score == 5 and out["c4"].m_score == 5
+    assert out["c4"].rfm == 555
+    assert out["c0"].r_score == 1 and out["c0"].f_score == 1 and out["c0"].m_score == 1
+    assert out["c0"].recency == 40
+
+
+# ---------------------------------------------------------------------------
+# zorder
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_known_bits(spark):
+    from owl_etl_spark.operators.zorder import zorder_index
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.zvalue for r in zorder_index(df, ["x", "y"], bits=4).collect()}
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1       # x occupies even bit positions
+    assert out[(0, 1)] == 2       # y occupies odd positions
+    # x=3 (011), y=5 (101): z = interleave -> y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+    assert out[(3, 5)] == 0b100111
+
+
+def test_zorder_out_of_range_raises(spark):
+    from owl_etl_spark.operators.zorder import zorder_index
+
+    df = spark.createDataFrame([(16, 0)], "x long, y long")
+    with pytest.raises(Exception, match="must be in"):
+        zorder_index(df, ["x", "y"], bits=4).collect()
+
+
+def test_zorder_locality_envelope(spark):
+    """The point of the curve: a contiguous z-range spans a bounded
+    rectangle, not a full-width slab."""
+    from owl_etl_spark.operators.zorder import zorder_index
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = zorder_index(grid, ["x", "y"], bits=6)
+    env = (
+        z.groupBy(F.expr("zvalue div 64").alias("blk"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .agg(F.max("wx").alias("mx"), F.max("wy").alias("my"))
+        .collect()[0]
+    )
+    # 64-cell z-blocks are 8x8 tiles: both envelopes stay 7, vs 63 for
+    # a row-major layout's x-envelope
+    assert env.mx == 7 and env.my == 7
+
+
+# ---------------------------------------------------------------------------
+# readability_report
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    from owl_etl_spark.operators.textstat import readability_report
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_report(df, "doc_id", "text").collect()}
+    r = out[1]
+    assert r.n_words == 6 and r.n_sentences == 2
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r.n_syllables == 6
+    assert r.flesch_micro == 206835000 - (1015000 * 6) // 2 - (84600000 * 6) // 6
+    assert out[2].n_words == 0 and out[2].flesch_micro is None
+    assert out[3].n_words == 0 and out[3].flesch_micro is None
+
+
+# ---------------------------------------------------------------------------
+# position_attribution
+# ---------------------------------------------------------------------------
+
+
+def test_position_attribution_u_shape_conservation(spark):
+    from owl_etl_spark.operators.attribution import position_attribution
+
+    t = spark.createDataFrame(
+        [("u", i, 100 + i) for i in range(5)], "k string, tid int, tts long"
+    )
+    c = spark.createDataFrame(
+        [("u", 9, 200, 1003)], "k string, cid int, cts long, v long"
+    )
+    out = {r.touch_id: r.attributed_value for r in position_attribution(
+        t, c, "k", "tid", "tts", "cid", "cts", "v", lookback_seconds=1000
+    ).collect()}
+    v = 1003
+    f = v * 40 // 100          # 401 first
+    l = v * 40 // 100          # 401 last
+    rest = v - f - l           # 201 over 3 middles: 67 each
+    assert out[0] == f and out[4] == l
+    assert out[1] == 67 and out[2] == 67 and out[3] == 67
+    assert sum(out.values()) == v
+
+
+def test_position_attribution_small_n_and_validation(spark):
+    from owl_etl_spark.operators.attribution import position_attribution
+
+    t = spark.createDataFrame([("u", 1, 10), ("u", 2, 20)], "k string, tid int, tts long")
+    c = spark.createDataFrame([("u", 9, 30, 101)], "k string, cid int, cts long, v long")
+    out = {r.touch_id: r.attributed_value for r in position_attribution(
+        t, c, "k", "tid", "tts", "cid", "cts", "v", lookback_seconds=100
+    ).collect()}
+    # n=2: f=40, l=40, rest=21 -> first-heavy split 11/10
+    assert out[1] == 40 + 11 and out[2] == 40 + 10
+    assert sum(out.values()) == 101
+    with pytest.raises(ValueError, match="sum to"):
+        position_attribution(
+            t, c, "k", "tid", "tts", "cid", "cts", "v",
+            first_pct=60, last_pct=60,
+        )
+
+
+# ---------------------------------------------------------------------------
+# ordered_funnel_restart
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_restart_recovers_later_anchor(spark):
+    from owl_etl_spark.operators.sequence import (
+        ordered_funnel,
+        ordered_funnel_restart,
+    )
+
+    rows = [
+        ("u1", 0, "view"), ("u1", 100, "view"),
+        ("u1", 110, "click"), ("u1", 115, "purchase"),
+        ("u2", 0, "view"), ("u2", 5, "click"), ("u2", 9, "purchase"),
+        ("u3", 50, "purchase"), ("u3", 60, "view"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, e string")
+    steps = ["view", "click", "purchase"]
+    single = {r.step_index: r.n_keys for r in ordered_funnel(df, "k", "t", "e", steps, 20).collect()}
+    restart = {r.step_index: r.n_keys for r in ordered_funnel_restart(df, "k", "t", "e", steps, 20).collect()}
+    assert single == {1: 3, 2: 1, 3: 1}       # u1's earliest chain overruns
+    assert restart == {1: 3, 2: 2, 3: 2}      # u1 recovered from anchor t=100
+    with pytest.raises(ValueError, match="within_seconds"):
+        ordered_funnel_restart(df, "k", "t", "e", steps, None)
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_report
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_hand_computed(spark):
+    from owl_etl_spark.operators.window_stats import rolling_median_report
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate([10, 20, 1000, 30, 40])],
+        "k string, t int, v int",
+    )
+    out = {r.t: r for r in rolling_median_report(df, ["k"], "t", "v", window_rows=3).collect()}
+    assert out[0].rolling_median == 10.0 and out[0].n_window == 1
+    assert out[1].rolling_median == 15.0  # (10+20)/2
+    assert out[2].rolling_median == 20.0  # spike doesn't move the median
+    assert out[3].rolling_median == 30.0
+    assert out[4].p25 == 30 and out[4].p75 == 1000
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_median_report(df, ["k"], "t", "v", window_rows=0)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_generalize
+# ---------------------------------------------------------------------------
+
+
+def test_generalize_prefers_finest_fitting_level(spark):
+    from owl_etl_spark.operators.privacy import (
+        generalization_report,
+        k_anonymity_generalize,
+    )
+
+    # 30 rows over 3 cities; city level keeps every combo >= 5 except
+    # one 2-row city; country level is fully safe
+    rows = (
+        [Row(id=i, city="aa") for i in range(14)]
+        + [Row(id=100 + i, city="ab") for i in range(14)]
+        + [Row(id=200 + i, city="zz") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows)
+    ladders = [
+        {"region": F.col("city")},
+        {"region": F.substring("city", 1, 1)},
+        {"region": F.lit("*")},
+    ]
+    rep = {r.gen_level: r for r in generalization_report(df, ladders, k=5).collect()}
+    assert rep[0].n_rows_suppressed == 2
+    assert rep[1].n_rows_suppressed == 2   # 'z' group still has 2
+    assert rep[2].n_rows_suppressed == 0
+    # budget 0 -> must climb to level 2, nothing suppressed
+    out = k_anonymity_generalize(df, ladders, k=5, max_suppressed_rows=0, keep_cols=["id"])
+    rows_out = out.collect()
+    assert len(rows_out) == 30 and all(r.gen_level == 2 for r in rows_out)
+    # budget 2 -> level 0 fits, the 2 zz rows suppressed
+    out0 = k_anonymity_generalize(df, ladders, k=5, max_suppressed_rows=2, keep_cols=["id"])
+    rows0 = out0.collect()
+    assert len(rows0) == 28 and all(r.gen_level == 0 for r in rows0)
+    with pytest.raises(ValueError, match="same columns"):
+        generalization_report(df, [{"region": F.col("city")}, {"other": F.lit(1)}], k=5)
