@@ -8594,3 +8594,139 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "cents", "n_window",
         "p25", "p75", "rolling_median",
     )
+
+
+@_register(
+    "q170_embedding_gram",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS s
+    FROM q CROSS JOIN range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)
+    WHERE j >= i
+    GROUP BY 1, 2
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix of the embedding corpus (library: operators.
+    linalg.gram_matrix) — the one-pass Σ x·xᵀ input PCA/covariance
+    needs, in milli-quantized BIGINT arithmetic so all 2080
+    upper-triangle cells are order-independent and engine-identical
+    (the eigen-solve stays consumer-side on the 64x64 result:
+    eigenvector sign/order is solver-dependent and can't be
+    oracle-gated; the Gram matrix can). Plan: ONE posexplode (the
+    honest dim-fold row layout), a 64-group aggregate whose shuffle
+    carries 64 rows x 64-wide arrays — never the corpus — then an
+    upper-triangle explode. The oracle replays via list_transform +
+    an index cross join."""
+    from owl_etl_spark.operators.linalg import gram_matrix
+
+    em = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(em, "embedding", dim=64, scale=1000)
+
+
+@_register(
+    "q171_trade_reach",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT s.s_nationkey AS src, cu.c_nationkey AS dst
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+      JOIN customer cu ON o2.o_custkey = cu.c_custkey
+      WHERE s.s_nationkey != cu.c_nationkey
+    ), und AS (
+      SELECT src AS s, dst AS d FROM e0
+      UNION
+      SELECT dst, src FROM e0
+    ), walk(node, hop) AS (
+      SELECT CAST(0 AS INT), 0
+      UNION
+      SELECT und.d, walk.hop + 1
+      FROM walk JOIN und ON walk.node = und.s
+      WHERE walk.hop < 5
+    )
+    SELECT CAST(node AS INT) AS node, CAST(min(hop) AS INT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from nation 0 across the trade graph
+    (library: operators.graph.bfs_hops) — the reachability/radius
+    primitive over q143's supplier→customer nation edges, undirected.
+    Iterative frontier expansion in the q98/q125 discipline: each
+    round joins only the FRONTIER against the edges, anti-joins
+    already-reached nodes, localCheckpoints to keep lineage flat, and
+    exits at the first empty frontier (diameter rounds, not max_hops
+    rounds). Hop counts are exact ints — no tie-break can change a
+    minimum — and the oracle replays the same closure as a bounded
+    recursive CTE with UNION dedup."""
+    from owl_etl_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e0 = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    return bfs_hops(e0, "src", "dst", sources=[0], max_hops=5, undirected=True)
+
+
+@_register(
+    "q172_key_skew_report",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_count
+      FROM c
+    ), cum AS (
+      SELECT n, CAST(sum(count(*)) OVER (ORDER BY n) AS BIGINT) AS cum
+      FROM c GROUP BY n
+    ), p AS (
+      SELECT
+        (SELECT min(n) FROM cum WHERE cum >= (50 * (SELECT n_keys FROM st) + 99) // 100) AS p50,
+        (SELECT min(n) FROM cum WHERE cum >= (90 * (SELECT n_keys FROM st) + 99) // 100) AS p90,
+        (SELECT min(n) FROM cum WHERE cum >= (99 * (SELECT n_keys FROM st) + 99) // 100) AS p99
+    ), tp AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t
+      FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10)
+    )
+    SELECT n_keys, n_rows, max_count,
+           n_rows * 1000000 // n_keys AS mean_micro,
+           p50, p90, p99,
+           (SELECT t FROM tp) * 1000000 // n_rows AS top_share_micro
+    FROM st CROSS JOIN p
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for user_id over events (library:
+    operators.skew.key_skew_report) — the pre-flight check the salting
+    and bounded-expansion machinery in this repo exists to answer:
+    exact per-key counts, nearest-rank p50/p90/p99 of the count
+    distribution (q100's integer ceil rule over distinct values), the
+    hottest key (= the largest task a keyed shuffle would build) and
+    the top-10 row share. The top-N sum is tie-proof by construction
+    (boundary ties share a count value). One keyed groupBy + a tiny
+    distinct-value window + a TakeOrderedAndProject heap — no global
+    sort over the keys."""
+    from owl_etl_spark.operators.skew import key_skew_report
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_report(e, ["user_id"], top_n=10)

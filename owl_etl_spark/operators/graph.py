@@ -220,3 +220,56 @@ def triangle_count(
             F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    sources: list,
+    max_hops: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from a SOURCE SET to every reachable node
+    within ``max_hops``: one row per reached node — ``(node, hop)``,
+    sources at hop 0. The reachability/radius primitive under
+    "how far is every supplier from this region" questions, and the
+    BFS core of any unweighted shortest-path readout.
+
+    Iterative frontier expansion, the q98/q125 discipline: each round
+    joins the CURRENT FRONTIER (not the full distance set) against the
+    edges, anti-joins already-reached nodes, and localCheckpoints —
+    per-round cost is |frontier neighborhood|, lineage stays flat, and
+    the loop exits as soon as a frontier comes back empty (diameter
+    rounds, not max_hops rounds, on most graphs). Hops are exact
+    integers; no tie can affect min-hop, so the result is
+    deterministic regardless of traversal order.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = e.distinct()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], schema=["node", "hop"]
+    ).select(F.col("node").cast(dict(e.dtypes)["__s"]), F.col("hop").cast("int"))
+    dist = dist.localCheckpoint()
+    frontier = dist.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.__s)
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

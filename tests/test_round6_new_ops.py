@@ -392,3 +392,81 @@ def test_generalize_prefers_finest_fitting_level(spark):
     assert len(rows0) == 28 and all(r.gen_level == 0 for r in rows0)
     with pytest.raises(ValueError, match="same columns"):
         generalization_report(df, [{"region": F.col("city")}, {"other": F.lit(1)}], k=5)
+
+
+# ---------------------------------------------------------------------------
+# gram_matrix / column_sums
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matrix_hand_computed(spark):
+    from owl_etl_spark.operators.linalg import column_sums, gram_matrix
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, -1.0],)], "v array<double>"
+    )
+    out = {(r.i, r.j): r for r in gram_matrix(df, "v", dim=2, scale=1).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 2)}
+    assert out[(1, 1)].s == 1 + 9
+    assert out[(1, 2)].s == 2 - 3
+    assert out[(2, 2)].s == 4 + 1
+    assert all(r.n == 2 for r in out.values())
+    cs = column_sums(df, "v", dim=2, scale=1).collect()[0]
+    assert cs.n == 2 and list(cs.sums) == [4, 1]
+
+
+def test_gram_matrix_bad_vector_raises(spark):
+    from owl_etl_spark.operators.linalg import gram_matrix
+
+    df = spark.createDataFrame([([1.0],)], "v array<double>")
+    with pytest.raises(Exception, match="length 2"):
+        gram_matrix(df, "v", dim=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    from owl_etl_spark.operators.graph import bfs_hops
+
+    # 0-1-2-3 path plus isolated 9; undirected
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (9, 9)], "s int, d int")
+    out = {r.node: r.hop for r in bfs_hops(e, "s", "d", sources=[0], max_hops=10).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+    # max_hops truncates
+    out2 = {r.node: r.hop for r in bfs_hops(e, "s", "d", sources=[0], max_hops=2).collect()}
+    assert out2 == {0: 0, 1: 1, 2: 2}
+    # directed: 3 unreachable from 0 through reversed edge
+    e2 = spark.createDataFrame([(0, 1), (3, 1)], "s int, d int")
+    out3 = {r.node: r.hop for r in bfs_hops(e2, "s", "d", sources=[0], max_hops=5, undirected=False).collect()}
+    assert out3 == {0: 0, 1: 1}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    from owl_etl_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (5, 2)], "s int, d int")
+    out = {r.node: r.hop for r in bfs_hops(e, "s", "d", sources=[0, 5], max_hops=5).collect()}
+    assert out[2] == 1  # closer via source 5 than via 0 (2 hops)
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_report_hand_computed(spark):
+    from owl_etl_spark.operators.skew import key_skew_report
+
+    rows = (
+        [("hot",)] * 90 + [("k1",)] * 5 + [("k2",)] * 3 + [("k3",)] * 1 + [("k4",)] * 1
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, ["k"], top_n=2).collect()[0]
+    assert r.n_keys == 5 and r.n_rows == 100 and r.max_count == 90
+    assert r.mean_micro == 20 * 1000000
+    # counts sorted: [1,1,3,5,90]; ceil ranks over 5 keys
+    assert r.p50 == 3 and r.p90 == 90 and r.p99 == 90
+    assert r.top_share_micro == 950000  # (90+5)/100
