@@ -1408,30 +1408,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 1) One driver anchor per NEW round-5 operator family: q133
-    #    (multi-pass entity resolution), q134 (Bloom semi-join
-    #    pruning), q135 (KMV bottom-k sketch), q138 (EWMA /
-    #    time-series additions to resample), q142 (multi-touch
-    #    attribution), q143 (triangle counting — also exercises the
-    #    round's graph.py changes). The remaining round-5 additions
-    #    (q136/q137/q139/q140/q141/q144) and every query staled by
-    #    this round's library hardening (q119/q115/q131/q125/q123,
-    #    q111/q114, q73/q77/q78/q85/q101/q103, q116/q95, q128,
-    #    q106/q113/q130, q72/q76/q117/q132) are verified by the
-    #    committed VERIFY_r5.txt sweeps at sf0.01 on hostile TZs —
-    #    the evidence standard the r4 verdict accepted — so the
-    #    remaining 44 slots can finish the rotation below.
-    "q133", "q134", "q135", "q138", "q142", "q143",
-    # 2) oldest-evidence rotation, COMPLETED this round (r4 VERDICT
-    #    "Next round" #1): all 8 queries whose newest driver row is
-    #    r1-age, then the whole r2 band — after this round no
-    #    registered query's newest driver row is older than two
-    #    rounds (r3 rows are the oldest remaining).
-    "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
-    "q35", "q52", "q54", "q55", "q56", "q57", "q58", "q59", "q60", "q61",
-    "q63", "q64", "q65", "q66", "q67", "q68", "q69", "q70", "q71", "q74",
-    "q79", "q80", "q81", "q82", "q83", "q84", "q86", "q87", "q88", "q89",
-    "q90", "q92", "q94", "q96", "q97", "q99",
+    # 1) The 15 NEW round-6 operator families, all never driver-
+    #    checked: q158 (restart funnel), q159 (k-anonymity
+    #    generalization), q160 (association rules), q161 (cohort
+    #    retention), q162 (SCD2), q163 (Gini), q164 (survival risk
+    #    table), q165 (RFM), q166 (z-order), q167 (readability),
+    #    q168 (position attribution), q169 (rolling median), q170
+    #    (Gram matrix), q171 (BFS reach), q172 (key-skew report).
+    "q158", "q159", "q160", "q161", "q162", "q163", "q164", "q165",
+    "q166", "q167", "q168", "q169", "q170", "q171", "q172",
+    # 2) The 19 round-5 queries the r5 VERDICT flagged as never
+    #    driver-checked (17 with zero driver rows + q145/q150, whose
+    #    only external exposure was bench timings) — "never-driven
+    #    beats stale-driven" (r5 VERDICT Next-round #2).
+    "q136", "q137", "q139", "q140", "q141", "q144", "q145", "q146",
+    "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154",
+    "q155", "q156", "q157",
+    # 3) Oldest-evidence rotation: 16 of the 37 queries whose newest
+    #    driver row dates to r3, lowest numbers first (q01–q17 band).
+    #    The 21 remaining r3-age queries (q18–q40 band, q100, q104,
+    #    q53) ride the committed VERIFY_r6 sweep this round and lead
+    #    the r7 window.
+    "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17",
 ]
 
 

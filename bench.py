@@ -73,6 +73,14 @@ HEADLINE = [
     "q135_kmv_distinct_estimate",
     "q145_transition_matrix",
     "q150_fifo_allocation",
+    # round-6 operator families: market-basket rules (array-expanded
+    # pair mining with apriori pruning — 600k lineitems through the
+    # basket collapse), rank-formula Gini over 150k orders, and the
+    # exact rolling median (25-row sorted-array windows over 200k
+    # events).
+    "q160_association_rules",
+    "q163_revenue_concentration",
+    "q169_rolling_median",
 ]
 
 

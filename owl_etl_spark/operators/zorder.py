@@ -15,6 +15,14 @@ the caller's semantic choice, not hidden here); out-of-range values
 RAISE rather than silently aliasing distant cells together. The
 z-value is a sum of disjoint bit terms — identical on any engine with
 integer shifts.
+
+Relation to ``functions/zorder.py``: that module is the WRITE-path
+special case (two min-max-scaled columns feeding
+``write_sorted_parquet``); this one is the general k-column operator
+surface — explicit range contract instead of silent scaling, any
+number of dimensions, a repartition form, and an oracle-gated query
+(q166). Bit layout differs only by argument order (here dimension i
+owns positions ≡ i mod k).
 """
 
 from __future__ import annotations

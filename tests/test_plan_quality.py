@@ -231,3 +231,47 @@ def test_q135_kmv_bottom_k_take_ordered(spark):
     plan = _plan(spark, "q135_kmv_distinct_estimate")
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan, plan
+
+
+def test_q160_basket_no_cross_or_nested_loop_join(spark):
+    """Association rules must never plan the transactions self-join:
+    pair expansion is an array explode, and the only joins are
+    broadcast hash joins against the frequent-item dimension."""
+    plan = _plan(spark, "q160_association_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, plan  # item dims must broadcast
+
+
+def test_q169_rolling_median_single_window_shuffle(spark):
+    """The rolling-order-statistics pass is ONE window over ONE key
+    exchange — the sorted-array trick must not add joins or extra
+    shuffles."""
+    import re
+
+    plan = _plan(spark, "q169_rolling_median")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q163_gini_window_and_agg_share_partitioning(spark):
+    """Rank window, count window, and the final aggregate all ride ONE
+    hash partitioning on the group key."""
+    import re
+
+    plan = _plan(spark, "q163_revenue_concentration")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_q166_zorder_interleave_is_map_side(spark):
+    """The Morton interleave adds NO exchange of its own: the query's
+    only shuffles are the per-z-range aggregate's (the distinct-count
+    rewrite makes that two hash exchanges; the interleave would add a
+    third if it ever stopped being a map expression)."""
+    import re
+
+    plan = _plan(spark, "q166_zorder_locality")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
