@@ -8729,3 +8729,144 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return key_skew_report(e, ["user_id"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# coverage batch (round 6, second wave): activity, model eval,
+# pro-rata allocation, k-core, spatial grid join, distinctive terms
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q173_rolling_weekly_actives",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), days AS (
+      SELECT DISTINCT d AS epoch_day FROM ud
+    ), contrib AS (
+      SELECT u, unnest(generate_series(d, d + 6)) AS epoch_day FROM ud
+    )
+    SELECT c.epoch_day,
+           strftime(DATE '1970-01-01' + CAST(c.epoch_day AS INTEGER), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u) AS BIGINT) AS active_users
+    FROM contrib c JOIN days USING (epoch_day)
+    GROUP BY c.epoch_day
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day (library:
+    operators.activity.rolling_distinct_actives) — rolling WAU, the
+    COUNT(DISTINCT) the window API cannot express over a RANGE frame.
+    Bounded-explode shape: each distinct (user, epoch-day) pair fans
+    out to exactly the 7 report days it covers (constant fan-out,
+    independent of corpus size), then ONE count-distinct shuffle —
+    no per-day range join, no rescan per report day. Day arithmetic
+    is pure BIGINT epoch-days; the calendar string is rebuilt from
+    the integer, never rendered from a session-zone instant."""
+    from owl_etl_spark.operators.activity import rolling_distinct_actives
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_distinct_actives(e, "user_id", "ts", window_days=7)
+
+
+@_register(
+    "q174_binary_eval_report",
+    """
+    WITH d AS (
+      SELECT value AS s,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), vals AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS n
+      FROM d GROUP BY s
+    ), cum AS (
+      SELECT s, p, n,
+             CAST(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumneg
+      FROM vals
+    ), agg AS (
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * cumneg - n)) AS BIGINT) AS u2,
+             CAST(sum(CASE WHEN s >= 50.0 THEN p ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= 50.0 THEN n ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < 50.0 THEN n ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN s < 50.0 THEN p ELSE 0 END) AS BIGINT) AS fn
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+           tp, fp, tn, fn,
+           CASE WHEN tp + fp > 0 THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS prec,
+           CASE WHEN tp + fn > 0 THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+           round((tp + tn) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS acc
+    FROM agg
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-classifier evaluation (library:
+    operators.evalmetrics.binary_eval_report): treating event value as
+    a score and purchase/signup as the positive class, one row with
+    Mann-Whitney AUC (average-rank tie handling, exact BIGINT U2 over
+    DISTINCT score values — the cumulative window runs on the small
+    per-value table, never the raw rows) plus the confusion counts and
+    precision/recall/F1/accuracy at threshold 50.0. All counts exact;
+    doubles appear only in the final single divisions."""
+    from owl_etl_spark.operators.evalmetrics import binary_eval_report
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(F.col("event_type").isNotNull()).withColumn(
+        "label", F.col("event_type").isin("purchase", "signup").cast("int")
+    )
+    return binary_eval_report(d, "value", "label", threshold=50.0)
+
+
+@_register(
+    "q175_prorata_allocation",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS weight_cents
+      FROM orders GROUP BY o_orderpriority
+    ), st AS (
+      SELECT CAST(sum(weight_cents) AS BIGINT) AS W FROM g
+    ), f AS (
+      SELECT priority, weight_cents,
+             (1000000 * weight_cents) // W AS fl,
+             (1000000 * weight_cents) % W AS rem
+      FROM g CROSS JOIN st
+    ), rk AS (
+      SELECT priority, weight_cents, fl,
+             row_number() OVER (ORDER BY rem DESC, priority ASC) AS r,
+             (SELECT 1000000 - sum(fl) FROM f) AS leftover
+      FROM f
+    )
+    SELECT priority, weight_cents,
+           CAST(fl + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM rk
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder pro-rata allocation (library:
+    operators.prorate.largest_remainder_allocate): split a 1,000,000-
+    unit budget across order priorities proportional to exact revenue
+    cents, with Hamilton rounding so Σ alloc == 1,000,000 EXACTLY —
+    the conservation guarantee float shares cannot give. Pure BIGINT
+    ladder (floor = total·w div W, remainders ranked desc with key
+    tiebreak); runtime raise on null/negative weights and on the
+    total·W < 2^63 exactness bound. The group table is
+    post-aggregation (5 rows here; at 100 TB still fact-table-
+    compressed), so the remainder window is never over raw facts."""
+    from owl_etl_spark.operators.prorate import largest_remainder_allocate
+
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("weight_cents")
+    )
+    return largest_remainder_allocate(g, ["priority"], "weight_cents", total=1_000_000)
