@@ -8870,3 +8870,183 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("weight_cents")
     )
     return largest_remainder_allocate(g, ["priority"], "weight_cents", total=1_000_000)
+
+
+def _kcore_oracle(rounds: int, k: int, pct: int) -> str:
+    """Unrolled peel oracle for q176: the iterative library loop is
+    replayed as `rounds` chained CTE stages. Extra stages past the
+    fixpoint are no-ops (the filter keeps everything), so `rounds`
+    only needs to be >= the convergence depth — measured 2 at both
+    sf0.001 and sf0.01; 6 leaves a 3x margin."""
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      WHERE CAST(('0x' || substring(md5(a.l_partkey || '|' || b.l_partkey), 1, 15)) AS BIGINT) % 100 < {pct}
+    ), e0 AS MATERIALIZED (
+      SELECT p1 AS a, p2 AS b FROM pairs
+      UNION
+      SELECT p2 AS a, p1 AS b FROM pairs
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", k{i} AS MATERIALIZED (
+      SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      WHERE e.a IN (SELECT a FROM k{i}) AND e.b IN (SELECT a FROM k{i})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY a"""
+    )
+    return "".join(parts)
+
+
+@_register("q176_part_kcore", _kcore_oracle(rounds=6, k=5, pct=10))
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the part co-purchase graph (library:
+    operators.kcore.k_core) — iterative peeling of nodes with degree
+    < 5, degrees recomputed over survivors each round, to the maximal
+    subgraph where every part co-occurs with >= 5 others. Edges are
+    distinct same-order part pairs (per-order fan-out bounded by
+    lines-per-order, a small constant) hash-sampled to 10% by the
+    portable md5-prefix integer so the degree distribution has an
+    actual sub-k tail to peel. The library loop runs degree-agg +
+    two semi-joins per round with localCheckpoint lineage truncation
+    and an edge-count fixpoint test (raises rather than returning a
+    partial peel); the oracle replays it as unrolled CTE stages —
+    stages past the fixpoint are no-ops, so oracle depth just needs
+    to cover the measured convergence (2 rounds) with margin."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.kcore import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .where(
+            md5_long(
+                F.concat(
+                    F.col("p1").cast("string"), F.lit("|"), F.col("p2").cast("string")
+                )
+            )
+            % 100
+            < 10
+        )
+        .distinct()
+    )
+    return k_core(pairs, "p1", "p2", k=5, max_rounds=8)
+
+
+@_register(
+    "q177_grid_radius_pairs",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substring(md5('x|' || c_custkey), 1, 15)) AS BIGINT) % 1000000 AS x,
+             CAST(('0x' || substring(md5('y|' || c_custkey), 1, 15)) AS BIGINT) % 1000000 AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000 * 10000
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within radius 10,000 on a synthetic
+    1M x 1M integer plane (library: operators.geo.grid_radius_join)
+    — the spatial near-neighbor join done scale-safe: points bucket
+    into radius-sized grid cells, ONE side explodes into its 3x3
+    neighborhood (constant x9 fan-out), the join runs on the cell
+    key, and the exact BIGINT squared-distance predicate filters
+    candidates — per-task pairs bounded by cell occupancy, never a
+    cross join. Pair uniqueness is by construction (probe side sits
+    in one cell + id_a < id_b), no distinct pass. Coordinates derive
+    from the portable md5-prefix integer so Spark and the oracle
+    agree bit-for-bit; the oracle replays the semantics as the brute
+    all-pairs filter (the grid is plan-side only)."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.geo import grid_radius_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (md5_long(F.concat(F.lit("x|"), F.col("c_custkey").cast("string"))) % 1_000_000).alias("x"),
+        (md5_long(F.concat(F.lit("y|"), F.col("c_custkey").cast("string"))) % 1_000_000).alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", radius=10_000)
+
+
+@_register(
+    "q178_distinctive_terms",
+    """
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS a
+      FROM words WHERE length(word) >= 4 GROUP BY source, word
+    ), tt AS (
+      SELECT word, CAST(sum(a) AS BIGINT) AS ct FROM counts GROUP BY word
+    ), gt AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS cg FROM counts GROUP BY source
+    ), nt AS (
+      SELECT CAST(sum(a) AS BIGINT) AS N FROM counts
+    ), j AS (
+      SELECT c.source, c.word, c.a,
+             ct - c.a AS b, cg - c.a AS cc, N - ct - cg + c.a AS d,
+             ct, cg, N
+      FROM counts c JOIN tt USING (word) JOIN gt USING (source) CROSS JOIN nt
+    ), s AS (
+      SELECT source, word, a, b,
+             CAST(round((2.0 * (
+               (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * (ln(CAST(a AS DOUBLE)) + ln(CAST(N AS DOUBLE)) - ln(CAST(cg AS DOUBLE)) - ln(CAST(ct AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * (ln(CAST(b AS DOUBLE)) + ln(CAST(N AS DOUBLE)) - ln(CAST(N - cg AS DOUBLE)) - ln(CAST(ct AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN cc > 0 THEN CAST(cc AS DOUBLE) * (ln(CAST(cc AS DOUBLE)) + ln(CAST(N AS DOUBLE)) - ln(CAST(cg AS DOUBLE)) - ln(CAST(N - ct AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN d > 0 THEN CAST(d AS DOUBLE) * (ln(CAST(d AS DOUBLE)) + ln(CAST(N AS DOUBLE)) - ln(CAST(N - cg AS DOUBLE)) - ln(CAST(N - ct AS DOUBLE))) ELSE 0.0 END)
+             )) * 1000000) AS BIGINT) AS g2_micro
+      FROM j
+      WHERE CAST(a AS HUGEINT) * N > CAST(ct AS HUGEINT) * cg
+    ), ranked AS (
+      SELECT source, word, a AS n_term_group, b AS n_term_rest, g2_micro,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY g2_micro DESC, word ASC) AS BIGINT) AS rk
+      FROM s
+    )
+    SELECT source, word, n_term_group, n_term_rest, g2_micro, rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive words per document source by Dunning's G²
+    log-likelihood ratio (library: operators.termstats.
+    distinctive_terms) — the corpus-contrast keyword extraction that
+    is robust where chi-square's normal approximation fails (rare
+    terms). Token counts shuffle once at vocabulary (not corpus)
+    size; the 2x2 contingency cells are exact BIGINTs; each row's G²
+    is a single per-row double expression over those integers rounded
+    to integer micro-units before ranking (the q124/q155 discipline);
+    the over-representation gate a·N > ct·cg runs in exact decimal so
+    no corpus size can overflow it. Ranking ties break on the word."""
+    from owl_etl_spark.operators.termstats import distinctive_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 4)
+    counts = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return distinctive_terms(counts, "source", "word", "n", top_k=10)
