@@ -1417,6 +1417,11 @@ _PRIORITY = [
     #    (Gram matrix), q171 (BFS reach), q172 (key-skew report).
     "q158", "q159", "q160", "q161", "q162", "q163", "q164", "q165",
     "q166", "q167", "q168", "q169", "q170", "q171", "q172",
+    #    ...plus the 6 second-wave round-6 families (also never
+    #    driver-checked): q173 (rolling actives), q174 (binary eval /
+    #    AUC), q175 (pro-rata allocation), q176 (k-core), q177 (grid
+    #    radius join), q178 (G² distinctive terms).
+    "q173", "q174", "q175", "q176", "q177", "q178",
     # 2) The 19 round-5 queries the r5 VERDICT flagged as never
     #    driver-checked (17 with zero driver rows + q145/q150, whose
     #    only external exposure was bench timings) — "never-driven
@@ -1424,13 +1429,13 @@ _PRIORITY = [
     "q136", "q137", "q139", "q140", "q141", "q144", "q145", "q146",
     "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154",
     "q155", "q156", "q157",
-    # 3) Oldest-evidence rotation: 16 of the 37 queries whose newest
-    #    driver row dates to r3, lowest numbers first (q01–q17 band).
-    #    The 21 remaining r3-age queries (q18–q40 band, q100, q104,
+    # 3) Oldest-evidence rotation: 10 of the 37 queries whose newest
+    #    driver row dates to r3, lowest numbers first (q01–q11 band).
+    #    The 27 remaining r3-age queries (q12–q40 band, q100, q104,
     #    q53) ride the committed VERIFY_r6 sweep this round and lead
     #    the r7 window.
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
-    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17",
+    "q10", "q11",
 ]
 
 
