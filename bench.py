@@ -81,6 +81,13 @@ HEADLINE = [
     "q160_association_rules",
     "q163_revenue_concentration",
     "q169_rolling_median",
+    # round-6 second wave: the bounded-explode rolling-WAU distinct
+    # (600k events -> user-day dedupe -> x7 fan-out -> one
+    # count-distinct) and the grid-bucketed radius self-join (15k
+    # points, x9 neighbor explode, candidates bounded by cell
+    # occupancy instead of the n^2 cross join).
+    "q173_rolling_weekly_actives",
+    "q177_grid_radius_pairs",
 ]
 
 
