@@ -1408,6 +1408,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
+    # 0) Wave-3 round-6 families (unstamped until their sweep lands —
+    #    the freshness guard requires them here).
+    "q179", "q180", "q181", "q182",
     # 1) The 15 NEW round-6 operator families, all never driver-
     #    checked: q158 (restart funnel), q159 (k-anonymity
     #    generalization), q160 (association rules), q161 (cohort
@@ -9055,3 +9058,207 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     return distinctive_terms(counts, "source", "word", "n", top_k=10)
+
+
+@_register(
+    "q179_calibration_bins",
+    """
+    WITH d AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), binned AS (
+      SELECT least(9, greatest(0, CAST(floor(c / 1000.0) AS BIGINT))) AS bin, c, y
+      FROM d
+    ), g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(c) AS BIGINT) AS sc
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           round(sc / (100.0 * n), 6) AS mean_score,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           abs(sc * 1000000 - n_pos * 10000 * 1000000) // (n * 10000) AS gap_micro
+    FROM g
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration report (library: operators.
+    evalmetrics.calibration_report): event value as a [0,100) score,
+    purchase/signup as the positive class, 10 equal-width bins; per
+    bin the count, positives, mean score, observed positive rate and
+    the calibration gap in integer micro-units (n-weighted sum = ECE).
+    Scores fix to integer cents before any accumulation so every sum
+    is an exact BIGINT under any partition order; the gap is pure
+    integer cross-multiplication over a common denominator — the two
+    doubles are the final display divisions. One ≤10-group map-side
+    combined aggregate; companion to q174's AUC readout."""
+    from owl_etl_spark.operators.evalmetrics import calibration_report
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(F.col("value").isNotNull() & F.col("event_type").isNotNull()).select(
+        "value",
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("y"),
+    )
+    return calibration_report(d, "value", "y", n_bins=10, lo=0.0, hi=100.0)
+
+
+@_register(
+    "q180_abc_classification",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, o.o_custkey AS id,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, id, value,
+             CAST(row_number() OVER w AS BIGINT) AS rank,
+             CAST(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_value,
+             CAST(sum(value) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total
+      FROM rev
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY value DESC, id ASC)
+    )
+    SELECT c_mktsegment, id, value, rank, cum_value,
+           CASE WHEN cum_value * 100 <= total * 70 THEN 'A'
+                WHEN cum_value * 100 <= total * 90 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC account tiering (library: operators.inequality.
+    abc_classes): customers ranked by revenue within their market
+    segment, classed A while the running cumulative share is <= 70%,
+    B while <= 90%, else C. The boundary test is exact BIGINT
+    cross-multiplication (cum*100 <= total*pct) — no share division,
+    so no float boundary can flip a class; ties break on the customer
+    key. Plan: one revenue groupBy, one shuffle on the segment; rank,
+    running sum and group total ride the same exchange."""
+    from owl_etl_spark.operators.inequality import abc_classes
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return abc_classes(rev, ["c_mktsegment"], "o_custkey", "cents")
+
+
+@_register(
+    "q181_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT c.c_mktsegment, CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, c.c_custkey, 2
+    )
+    SELECT c_mktsegment, x, y
+    FROM pts p
+    WHERE x IS NOT NULL AND NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.c_mktsegment = p.c_mktsegment
+        AND q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+    )
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / 2-D skyline per market segment (library:
+    operators.skyline.pareto_frontier): customers maximizing both
+    account balance and lifetime revenue, keeping exactly the
+    non-dominated set. The library plan is window-only — dominance
+    against strictly-greater-x points is a value-RANGE frame max, and
+    against equal-x points a plain partition max: ONE shuffle on the
+    segment, zero joins, no quadratic anywhere. The oracle
+    deliberately uses the naive NOT EXISTS definition so the two
+    derivations are independent. Exact BIGINT cent coordinates."""
+    from owl_etl_spark.operators.skyline import pareto_frontier
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pts = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+            "rev",
+        )
+    )
+    return pareto_frontier(pts, ["c_mktsegment"], "bal", "rev")
+
+
+@_register(
+    "q182_period_over_period",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS period,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+      FROM orders GROUP BY 1, 2
+    ), looked AS (
+      SELECT o_orderpriority, period, value,
+             max(value) OVER (PARTITION BY o_orderpriority ORDER BY period
+                              RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+               AS prev_value,
+             max(value) OVER (PARTITION BY o_orderpriority ORDER BY period
+                              RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
+               AS cycle_ago_value
+      FROM m
+    )
+    SELECT o_orderpriority, period, value, prev_value, cycle_ago_value,
+           CASE WHEN prev_value > 0
+                THEN round((value - prev_value) / CAST(prev_value AS DOUBLE), 6)
+           END AS pop_pct,
+           CASE WHEN cycle_ago_value > 0
+                THEN round((value - cycle_ago_value)
+                           / CAST(cycle_ago_value AS DOUBLE), 6)
+           END AS cycle_pct
+    FROM looked
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue comparison per
+    order priority (library: operators.resample.period_over_period):
+    monthly revenue on an integer month index, with each row's
+    comparisons fetched by exact-offset RANGE frames (1 and 12
+    periods back) — a missing month yields NULL, never a silent
+    compare against whatever row sorts adjacent (the classic lag()
+    bug on sparse series). Month indexes come from TIMESTAMP_NTZ
+    calendar parts, the q161 discipline, so no timezone shifts a
+    bucket. One groupBy + one keys-shuffle; both frames share one
+    sort."""
+    from owl_etl_spark.operators.resample import period_over_period
+
+    o = _t(spark, sf_dir, "orders")
+    month_idx = (
+        (F.year(F.col("o_orderdate")) - 1970) * 12
+        + F.month(F.col("o_orderdate"))
+        - 1
+    ).cast("long")
+    m = o.groupBy(
+        "o_orderpriority", month_idx.alias("period")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return period_over_period(m, ["o_orderpriority"], "period", "cents")

@@ -30,6 +30,76 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Reliability-diagram data: bucket scores into ``n_bins``
+    equal-width bins over [lo, hi) (scores outside the range clamp to
+    the edge bins) and report, per non-empty bin, ``(bin, n, n_pos,
+    mean_score, frac_pos, gap_micro)`` where ``gap_micro`` is
+    |mean_score − frac_pos| in integer micro-units — the per-bin
+    calibration error whose n-weighted sum is ECE.
+
+    ``mean_score`` is on the raw score scale; the gap normalizes the
+    mean to the [lo, hi) range first (p̂ = (s − lo)/(hi − lo)) so both
+    sides of the subtraction are probabilities.
+
+    Determinism discipline: scores are fixed to integer cents before
+    any accumulation (Σ cents is an exact BIGINT regardless of
+    partition order); the two doubles are the final single divisions,
+    rounded at 6. ``gap_micro`` is pure BIGINT arithmetic over a
+    common denominator — no float subtraction can wobble the hash.
+    (BIGINT headroom: needs n·range_cents·10⁶ < 2^63, i.e. ~9·10⁸
+    rows per bin at a 10⁴-cent range — aggregate upstream or shrink
+    the range above that.)
+
+    Scale shape: one groupBy on the bin id (≤ n_bins groups, map-side
+    combined), nothing else. Rows with a null score or label are
+    excluded, same contract as binary_eval_report.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report: n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"calibration_report: need hi > lo, got [{lo}, {hi})")
+    width_cents = int(round((hi - lo) * 100)) // n_bins
+    lo_cents = int(round(lo * 100))
+    d = df.select(
+        F.round(F.col(score_col) * 100).cast("long").alias("__c"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    raw_bin = (F.col("__c") - F.lit(lo_cents)).cast("long") / F.lit(width_cents)
+    bin_id = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor(raw_bin).cast("long")),
+    )
+    g = d.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__c").cast("long").alias("__sc"),
+    )
+    n, npos, sc = F.col("n"), F.col("n_pos"), F.col("__sc")
+    range_cents = int(round(hi * 100)) - lo_cents
+    # |p̂_mean − frac_pos|·10⁶ over the common denominator n·range:
+    # p̂_mean = (sc − n·lo)/( n·range), frac_pos = n_pos/n.
+    gap = (
+        f"abs((__sc - n * {lo_cents}) * 1000000 "
+        f"- n_pos * {range_cents} * 1000000) div (n * {range_cents})"
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(sc / (100.0 * n), 6).alias("mean_score"),
+        F.round(npos / n.cast("double"), 6).alias("frac_pos"),
+        F.expr(gap).alias("gap_micro"),
+    )
+
+
 def binary_eval_report(
     df: DataFrame,
     score_col: str,

@@ -30,6 +30,83 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def abc_classes(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    a_pct: int = 70,
+    b_pct: int = 90,
+) -> DataFrame:
+    """Pareto/ABC classification: rank rows within each key group by
+    value descending and label each row A while the group's running
+    cumulative share is ≤ ``a_pct``%, B while ≤ ``b_pct``%, else C —
+    the inventory/account-tiering readout that pairs with
+    ``gini_report``. Output: ``(keys..., id, value, rank, cum_value,
+    abc_class)``.
+
+    The boundary test is exact integer cross-multiplication
+    (``cum·100 <= total·pct`` in BIGINT) — no share division ever
+    happens, so no float boundary can flip a class. The row that
+    crosses a boundary keeps the lower class (its cum includes
+    itself), the textbook convention. Values must be non-negative
+    integers (cents/units) — negatives raise, same contract as
+    gini_report. Ties order by ``id_col`` ascending for a total order.
+
+    Scale shape: ONE shuffle on the keys; rank, running sum, and the
+    group total all ride the same partitioning (two window specs, one
+    exchange). BIGINT headroom: cum·100 needs Σvalue < 9·10¹⁶ per
+    group.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < a_pct < b_pct <= 100):
+        raise ValueError(
+            f"abc_classes: need 0 < a_pct < b_pct <= 100, got {a_pct}, {b_pct}"
+        )
+    v0 = F.col(value_col).cast("long")
+    v = F.when(
+        v0.isNull() | (v0 < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"abc_classes: {value_col} must be a non-negative "
+                    "integer, got "
+                ),
+                F.coalesce(v0.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v0)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("value").desc(), F.col("id").asc()
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*keys)
+    staged = df.select(
+        *keys,
+        F.col(id_col).alias("id"),
+        v.alias("value"),
+    ).select(
+        *keys,
+        "id",
+        "value",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).select(
+        *keys,
+        "id",
+        "value",
+        "rank",
+        F.sum("value").over(w_run).cast("long").alias("cum_value"),
+        F.sum("value").over(w_all).cast("long").alias("__total"),
+    )
+    cls = (
+        F.when(F.col("cum_value") * 100 <= F.col("__total") * a_pct, F.lit("A"))
+        .when(F.col("cum_value") * 100 <= F.col("__total") * b_pct, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return staged.select(*keys, "id", "value", "rank", "cum_value", cls.alias("abc_class"))
+
+
 def gini_report(
     df: DataFrame,
     keys: list[str],

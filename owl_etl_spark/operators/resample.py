@@ -444,3 +444,69 @@ def autocorrelation_report(
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+def period_over_period(
+    df: DataFrame,
+    keys: list[str],
+    period_col: str,
+    value_col: str,
+    cycle: int = 12,
+) -> DataFrame:
+    """Month-over-month and year-over-year comparison on a contiguous
+    integer period index (e.g. ``year*12 + month``): per row,
+    ``(keys..., period, value, prev_value, cycle_ago_value,
+    pop_pct, cycle_pct)`` where ``prev_value`` is the value at
+    ``period − 1`` and ``cycle_ago_value`` at ``period − cycle``
+    (default 12 → YoY on a monthly index).
+
+    Missing periods yield NULL comparisons rather than silently
+    comparing against whatever period happens to sort adjacent — the
+    lookback is a RANGE frame pinned to the exact index offset
+    (``RANGE BETWEEN k PRECEDING AND k PRECEDING``), not ``lag()``,
+    which is the classic period-over-period bug with sparse series.
+
+    Caller contract: at most one row per (keys, period) — aggregate
+    upstream (the frame's max() would otherwise pick the larger of
+    duplicate rows). Percentages are single double divisions rounded
+    at 6, null when the base period is missing or non-positive.
+
+    Scale shape: ONE shuffle on the keys; both lookback frames share
+    the same window ordering (one exchange, one sort).
+    """
+    if cycle < 2:
+        raise ValueError(f"period_over_period: cycle must be >= 2, got {cycle}")
+    d = df.select(
+        *keys,
+        F.col(period_col).cast("long").alias("period"),
+        F.col(value_col).cast("long").alias("value"),
+    ).where(F.col(period_col).isNotNull())
+    w1 = (
+        Window.partitionBy(*keys).orderBy("period").rangeBetween(-1, -1)
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("period")
+        .rangeBetween(-int(cycle), -int(cycle))
+    )
+    staged = d.select(
+        *keys,
+        "period",
+        "value",
+        F.max("value").over(w1).alias("prev_value"),
+        F.max("value").over(wc).alias("cycle_ago_value"),
+    )
+    def _pct(base: Column) -> Column:
+        return F.when(
+            base > 0,
+            F.round((F.col("value") - base) / base.cast("double"), 6),
+        )
+    return staged.select(
+        *keys,
+        "period",
+        "value",
+        "prev_value",
+        "cycle_ago_value",
+        _pct(F.col("prev_value")).alias("pop_pct"),
+        _pct(F.col("cycle_ago_value")).alias("cycle_pct"),
+    )

@@ -1,0 +1,206 @@
+"""Round-6 wave-3 operator families: calibration report, ABC
+classification, Pareto frontier, period-over-period. Gate queries
+q179+ pin oracle parity; these pin library contracts (clamping,
+boundary exactness, dominance edge cases, sparse-series nulls).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# calibration_report
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_hand_case(spark):
+    from owl_etl_spark.operators.evalmetrics import calibration_report
+
+    # bin width 10 over [0, 100): scores 5, 15, 15, 95
+    df = spark.createDataFrame(
+        [(5.0, 1), (15.0, 0), (15.0, 1), (95.0, 0)], "s double, y int"
+    )
+    out = {
+        r["bin"]: r
+        for r in calibration_report(df, "s", "y", n_bins=10).collect()
+    }
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n"] == 1 and out[0]["n_pos"] == 1
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 1
+    assert out[1]["mean_score"] == 15.0 and out[1]["frac_pos"] == 0.5
+    # bin 1: p̂ = 0.15, observed 0.5 → gap 350000 micro
+    assert out[1]["gap_micro"] == 350000
+    # bin 9: p̂ = 0.95, observed 0 → gap 950000 micro
+    assert out[9]["gap_micro"] == 950000
+
+
+def test_calibration_clamps_out_of_range_scores(spark):
+    from owl_etl_spark.operators.evalmetrics import calibration_report
+
+    df = spark.createDataFrame(
+        [(-7.0, 0), (250.0, 1)], "s double, y int"
+    )
+    out = {r["bin"]: r for r in calibration_report(df, "s", "y").collect()}
+    assert set(out) == {0, 9}
+
+
+def test_calibration_excludes_nulls_and_validates_params(spark):
+    from owl_etl_spark.operators.evalmetrics import calibration_report
+
+    df = spark.createDataFrame(
+        [(None, 1), (50.0, None), (50.0, 1)], "s double, y int"
+    )
+    rows = calibration_report(df, "s", "y").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1
+    with pytest.raises(ValueError):
+        calibration_report(df, "s", "y", n_bins=0)
+    with pytest.raises(ValueError):
+        calibration_report(df, "s", "y", lo=10.0, hi=10.0)
+
+
+# ---------------------------------------------------------------------------
+# abc_classes
+# ---------------------------------------------------------------------------
+
+
+def test_abc_boundary_is_exact(spark):
+    from owl_etl_spark.operators.inequality import abc_classes
+
+    # total = 100; cum after first row = 70 → exactly 70% stays A;
+    # cum 90 → exactly 90% stays B; rest C.
+    df = spark.createDataFrame(
+        [("g", 1, 70), ("g", 2, 20), ("g", 3, 10)], "g string, id int, v long"
+    )
+    out = {r["id"]: r["abc_class"] for r in abc_classes(df, ["g"], "id", "v").collect()}
+    assert out == {1: "A", 2: "B", 3: "C"}
+
+
+def test_abc_ties_break_on_id_and_rank_is_dense_order(spark):
+    from owl_etl_spark.operators.inequality import abc_classes
+
+    df = spark.createDataFrame(
+        [("g", 2, 50), ("g", 1, 50)], "g string, id int, v long"
+    )
+    rows = {r["id"]: r for r in abc_classes(df, ["g"], "id", "v").collect()}
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    assert rows[1]["abc_class"] == "A"  # cum 50/100 ≤ 70%
+    assert rows[2]["abc_class"] == "C"  # cum 100/100 > 90%
+
+
+def test_abc_negative_value_raises(spark):
+    from owl_etl_spark.operators.inequality import abc_classes
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([("g", 1, -5)], "g string, id int, v long")
+    with pytest.raises(Exception) as e:
+        abc_classes(df, ["g"], "id", "v").collect()
+    assert "non-negative" in str(e.value)
+
+
+def test_abc_param_validation(spark):
+    from owl_etl_spark.operators.inequality import abc_classes
+
+    df = spark.createDataFrame([("g", 1, 5)], "g string, id int, v long")
+    with pytest.raises(ValueError):
+        abc_classes(df, ["g"], "id", "v", a_pct=90, b_pct=70)
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_hand_case(spark):
+    from owl_etl_spark.operators.skyline import pareto_frontier
+
+    # (3,1) and (1,3) are the frontier; (1,1) dominated by both;
+    # (3,0) dominated by (3,1) via the equal-x rule.
+    df = spark.createDataFrame(
+        [("g", 3, 1), ("g", 1, 3), ("g", 1, 1), ("g", 3, 0)],
+        "g string, x long, y long",
+    )
+    got = {(r["x"], r["y"]) for r in pareto_frontier(df, ["g"], "x", "y").collect()}
+    assert got == {(3, 1), (1, 3)}
+
+
+def test_pareto_equal_points_both_survive(spark):
+    from owl_etl_spark.operators.skyline import pareto_frontier
+
+    df = spark.createDataFrame(
+        [("g", 2, 2), ("g", 2, 2)], "g string, x long, y long"
+    )
+    rows = pareto_frontier(df, ["g"], "x", "y").collect()
+    assert len(rows) == 2  # equal points do not dominate each other
+
+
+def test_pareto_matches_naive_definition(spark):
+    from owl_etl_spark.operators.skyline import pareto_frontier
+
+    # pseudo-random small cloud, checked against the O(n²) definition
+    pts = [(i * 7919 % 13, i * 104729 % 11) for i in range(60)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+    got = sorted(
+        (r["x"], r["y"]) for r in pareto_frontier(df, ["g"], "x", "y").collect()
+    )
+    naive = sorted(
+        (px, py)
+        for (px, py) in pts
+        if not any(
+            qx >= px and qy >= py and (qx > px or qy > py) for (qx, qy) in pts
+        )
+    )
+    # the operator returns every non-dominated ROW; dedupe for the set check
+    assert sorted(set(got)) == naive
+
+
+def test_pareto_null_coordinates_excluded(spark):
+    from owl_etl_spark.operators.skyline import pareto_frontier
+
+    df = spark.createDataFrame(
+        [("g", None, 9), ("g", 1, 1)], "g string, x long, y long"
+    )
+    rows = pareto_frontier(df, ["g"], "x", "y").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# period_over_period
+# ---------------------------------------------------------------------------
+
+
+def test_pop_sparse_series_yields_nulls(spark):
+    from owl_etl_spark.operators.resample import period_over_period
+
+    # periods 0, 1, 3 — period 3 has no period-2 neighbor: prev NULL
+    df = spark.createDataFrame(
+        [("k", 0, 100), ("k", 1, 110), ("k", 3, 200)], "k string, p long, v long"
+    )
+    out = {r["period"]: r for r in period_over_period(df, ["k"], "p", "v").collect()}
+    assert out[1]["prev_value"] == 100 and out[1]["pop_pct"] == 0.1
+    assert out[3]["prev_value"] is None and out[3]["pop_pct"] is None
+
+
+def test_pop_cycle_lookback(spark):
+    from owl_etl_spark.operators.resample import period_over_period
+
+    rows = [("k", p, 100 + p) for p in range(13)]
+    df = spark.createDataFrame(rows, "k string, p long, v long")
+    out = {r["period"]: r for r in period_over_period(df, ["k"], "p", "v").collect()}
+    assert out[12]["cycle_ago_value"] == 100
+    assert out[12]["cycle_pct"] == 0.12
+    assert out[11]["cycle_ago_value"] is None
+
+
+def test_pop_zero_base_yields_null_pct(spark):
+    from owl_etl_spark.operators.resample import period_over_period
+
+    df = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 50)], "k string, p long, v long"
+    )
+    out = {r["period"]: r for r in period_over_period(df, ["k"], "p", "v").collect()}
+    assert out[1]["prev_value"] == 0 and out[1]["pop_pct"] is None
+    with pytest.raises(ValueError):
+        period_over_period(df, ["k"], "p", "v", cycle=1)
