@@ -1410,7 +1410,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # 0) Wave-3 round-6 families (unstamped until their sweep lands —
     #    the freshness guard requires them here).
-    "q179", "q180", "q181", "q182",
+    "q179", "q180", "q181", "q182", "q183", "q184", "q185",
     # 1) The 15 NEW round-6 operator families, all never driver-
     #    checked: q158 (restart funnel), q159 (k-anonymity
     #    generalization), q160 (association rules), q161 (cohort
@@ -9262,3 +9262,181 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return period_over_period(m, ["o_orderpriority"], "period", "cents")
+
+
+@_register(
+    "q183_hits_scores",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d FROM lineitem
+    ), nodes AS MATERIALIZED (
+      SELECT s AS n FROM e UNION SELECT d FROM e
+    ), h0 AS MATERIALIZED (
+      SELECT n, CAST(1000000 AS BIGINT) AS h FROM nodes
+    ),
+    ar1 AS MATERIALIZED (
+      SELECT d, CAST(sum(h) AS BIGINT) AS raw FROM e JOIN h0 ON e.s = h0.n GROUP BY d),
+    a1 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM ar1) AS a
+      FROM nodes LEFT JOIN ar1 ON n = d),
+    hr1 AS MATERIALIZED (
+      SELECT s, CAST(sum(a) AS BIGINT) AS raw FROM e JOIN a1 ON e.d = a1.n GROUP BY s),
+    h1 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM hr1) AS h
+      FROM nodes LEFT JOIN hr1 ON n = s),
+    ar2 AS MATERIALIZED (
+      SELECT d, CAST(sum(h) AS BIGINT) AS raw FROM e JOIN h1 ON e.s = h1.n GROUP BY d),
+    a2 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM ar2) AS a
+      FROM nodes LEFT JOIN ar2 ON n = d),
+    hr2 AS MATERIALIZED (
+      SELECT s, CAST(sum(a) AS BIGINT) AS raw FROM e JOIN a2 ON e.d = a2.n GROUP BY s),
+    h2 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM hr2) AS h
+      FROM nodes LEFT JOIN hr2 ON n = s),
+    ar3 AS MATERIALIZED (
+      SELECT d, CAST(sum(h) AS BIGINT) AS raw FROM e JOIN h2 ON e.s = h2.n GROUP BY d),
+    a3 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM ar3) AS a
+      FROM nodes LEFT JOIN ar3 ON n = d),
+    hr3 AS MATERIALIZED (
+      SELECT s, CAST(sum(a) AS BIGINT) AS raw FROM e JOIN a3 ON e.d = a3.n GROUP BY s),
+    h3 AS MATERIALIZED (
+      SELECT n, coalesce(raw, 0) * 1000000 // (SELECT max(raw) FROM hr3) AS h
+      FROM nodes LEFT JOIN hr3 ON n = s)
+    SELECT h3.n AS node, CAST(h3.h AS BIGINT) AS hub_micro,
+           CAST(a3.a AS BIGINT) AS auth_micro
+    FROM h3 JOIN a3 ON h3.n = a3.n
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the supplier→part supply graph
+    (library: operators.graph.hits_scores): three mutual-reinforcement
+    rounds in integer micro-units — exact BIGINT contribution sums,
+    max-normalization by INTEGER division instead of the float L2
+    norm — so two engines iterating the recurrence are bit-identical
+    and the oracle replays all rounds as chained MATERIALIZED CTEs
+    (the q176 unrolled-loop discipline). Plan per half-round: one
+    edges⋈scores join + one aggregate over the EDGE list, a broadcast
+    scalar max, localCheckpoint keeping plan depth O(iters) — the
+    q125 pagerank shape with a second score vector."""
+    from owl_etl_spark.operators.graph import hits_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return hits_scores(edges, "src", "dst", n_iters=3)
+
+
+@_register(
+    "q184_grid_density_clusters",
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substring(md5('x|' || c_custkey), 1, 15)) AS BIGINT) % 100000 AS x,
+             CAST(('0x' || substring(md5('y|' || c_custkey), 1, 15)) AS BIGINT) % 100000 AS y
+      FROM customer
+    ), dense AS MATERIALIZED (
+      SELECT x // 5000 AS cx, y // 5000 AS cy, CAST(count(*) AS BIGINT) AS n_points,
+             (x // 5000 + 1048576) * 4398046511104 + (y // 5000 + 1048576) AS cell_id
+      FROM pts GROUP BY 1, 2 HAVING count(*) >= 3
+    ), edges AS MATERIALIZED (
+      SELECT a.cell_id AS ea, b.cell_id AS eb
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cell_id <> b.cell_id
+    ), reach AS MATERIALIZED (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT cell_id, cell_id FROM dense
+        UNION
+        SELECT r.src, e.eb FROM r JOIN edges e ON r.dst = e.ea
+      )
+      SELECT src, dst FROM r
+    ), comp AS MATERIALIZED (
+      SELECT src AS cell_id, min(dst) AS cluster FROM reach GROUP BY src
+    )
+    SELECT d.cx AS cell_x, d.cy AS cell_y, CAST(c.cluster AS BIGINT) AS cluster,
+           d.n_points
+    FROM dense d JOIN comp c ON d.cell_id = c.cell_id
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering, DBSCAN's grid approximation
+    (library: operators.geo.grid_density_clusters): customers on a
+    deterministic md5 plane, cells of 5000 units, cells with >= 3
+    points are dense, 8-neighbor-adjacent dense cells merge into
+    clusters labeled by minimum cell id. The per-point work is ONE
+    groupBy into cells; adjacency and components run on the
+    dense-CELL table (>= min_pts x smaller than the points, usually
+    orders of magnitude), adjacency via the x9 constant-fan-out
+    neighborhood join (the q177 trick), components via
+    dedup.connected_components_star (alternating star contraction,
+    O(log^2 n) rounds — dense-cell corridors are the deep graph shape
+    where min-label's diameter-many rounds lose). The oracle replays the closure as a recursive CTE
+    over the same dense-cell edges."""
+    from owl_etl_spark.operators.geo import grid_density_clusters
+    from owl_etl_spark.functions.hashing import md5_long
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (md5_long(F.concat(F.lit("x|"), F.col("c_custkey").cast("string"))) % 100000).alias("x"),
+        (md5_long(F.concat(F.lit("y|"), F.col("c_custkey").cast("string"))) % 100000).alias("y"),
+    )
+    return grid_density_clusters(pts, "id", "x", "y", cell_size=5000, min_pts=3)
+
+
+@_register(
+    "q185_nearest_center",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substring(md5('x|' || c_custkey), 1, 15)) AS BIGINT) % 100000 AS x,
+             CAST(('0x' || substring(md5('y|' || c_custkey), 1, 15)) AS BIGINT) % 100000 AS y
+      FROM customer
+    ), ctr AS (
+      SELECT n_nationkey AS cid,
+             CAST(('0x' || substring(md5('cx|' || n_nationkey), 1, 15)) AS BIGINT) % 100000 AS cx,
+             CAST(('0x' || substring(md5('cy|' || n_nationkey), 1, 15)) AS BIGINT) % 100000 AS cy
+      FROM nation
+    ), cand AS (
+      SELECT p.id, c.cid,
+             CAST((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+                  AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY p.id ORDER BY
+               (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rk
+      FROM pts p CROSS JOIN ctr c
+    )
+    SELECT id, CAST(cid AS BIGINT) AS center_id, d2 AS dist2
+    FROM cand WHERE rk = 1
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment (library: operators.geo.
+    nearest_center_assign): every customer point snaps to the closest
+    of 25 nation-derived centers, exact BIGINT squared distances, ties
+    to the lowest center id. Plan: broadcast cross join against the
+    tiny center table (map-side ONLY — zero shuffles of the points)
+    then a groupBy min on the packed (dist2, center_id) struct — the
+    argmin never sorts and never windows the point set. This is the
+    assignment step of k-means/IVF expressed as a first-class
+    operator; the oracle takes the naive window-over-candidates
+    route."""
+    from owl_etl_spark.operators.geo import nearest_center_assign
+    from owl_etl_spark.functions.hashing import md5_long
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (md5_long(F.concat(F.lit("x|"), F.col("c_custkey").cast("string"))) % 100000).alias("x"),
+        (md5_long(F.concat(F.lit("y|"), F.col("c_custkey").cast("string"))) % 100000).alias("y"),
+    )
+    ctr = n.select(
+        F.col("n_nationkey").cast("long").alias("center_id"),
+        (md5_long(F.concat(F.lit("cx|"), F.col("n_nationkey").cast("string"))) % 100000).alias("center_x"),
+        (md5_long(F.concat(F.lit("cy|"), F.col("n_nationkey").cast("string"))) % 100000).alias("center_y"),
+    )
+    return nearest_center_assign(pts, ctr, "id", "x", "y")

@@ -204,3 +204,119 @@ def test_pop_zero_base_yields_null_pct(spark):
     assert out[1]["prev_value"] == 0 and out[1]["pop_pct"] is None
     with pytest.raises(ValueError):
         period_over_period(df, ["k"], "p", "v", cycle=1)
+
+
+# ---------------------------------------------------------------------------
+# hits_scores
+# ---------------------------------------------------------------------------
+
+
+def test_hits_bipartite_hand_case(spark):
+    from owl_etl_spark.operators.graph import hits_scores
+
+    # s1 links both parts, s2 links one: s1 is the stronger hub;
+    # p1 has both suppliers, p2 only s1: p1 the stronger authority.
+    df = spark.createDataFrame(
+        [("s1", "p1"), ("s1", "p2"), ("s2", "p1")], "src string, dst string"
+    )
+    out = {r["node"]: r for r in hits_scores(df, n_iters=3).collect()}
+    assert out["s1"]["hub_micro"] == 1_000_000  # max hub normalizes to 1e6
+    assert out["p1"]["auth_micro"] == 1_000_000
+    assert out["s2"]["hub_micro"] < out["s1"]["hub_micro"]
+    assert out["p2"]["auth_micro"] < out["p1"]["auth_micro"]
+    # pure sinks have zero hub, pure sources zero authority
+    assert out["p1"]["hub_micro"] == 0 and out["s1"]["auth_micro"] == 0
+
+
+def test_hits_parallel_edges_collapse(spark):
+    from owl_etl_spark.operators.graph import hits_scores
+
+    once = spark.createDataFrame([("a", "b")], "src string, dst string")
+    dup = spark.createDataFrame([("a", "b"), ("a", "b")], "src string, dst string")
+    assert sorted(map(tuple, hits_scores(once).collect())) == sorted(
+        map(tuple, hits_scores(dup).collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hits_scores(once, n_iters=0)
+
+
+# ---------------------------------------------------------------------------
+# grid_density_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_grid_density_two_clusters_and_sparse_noise(spark):
+    from owl_etl_spark.operators.geo import grid_density_clusters
+
+    rows = []
+    # cluster A: two adjacent dense cells (0,0) and (1,0), 3 pts each
+    for i in range(3):
+        rows.append((100 + i, 5 + i, 5))
+        rows.append((200 + i, 15 + i, 5))
+    # cluster B: one dense cell far away at (9,9)
+    for i in range(3):
+        rows.append((300 + i, 95 + i, 95))
+    # noise: a lone point (cell below min_pts)
+    rows.append((999, 55, 55))
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = grid_density_clusters(df, "id", "x", "y", cell_size=10, min_pts=3).collect()
+    by_cell = {(r["cell_x"], r["cell_y"]): r for r in out}
+    assert set(by_cell) == {(0, 0), (1, 0), (9, 9)}
+    assert by_cell[(0, 0)]["cluster"] == by_cell[(1, 0)]["cluster"]
+    assert by_cell[(9, 9)]["cluster"] != by_cell[(0, 0)]["cluster"]
+    assert all(r["n_points"] == 3 for r in out)
+
+
+def test_grid_density_diagonal_adjacency_connects(spark):
+    from owl_etl_spark.operators.geo import grid_density_clusters
+
+    rows = [(i, 5, 5) for i in range(3)] + [(10 + i, 15, 15) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = grid_density_clusters(df, "id", "x", "y", cell_size=10, min_pts=3).collect()
+    assert len({r["cluster"] for r in out}) == 1  # (0,0) and (1,1) touch diagonally
+
+
+def test_grid_density_param_validation(spark):
+    from owl_etl_spark.operators.geo import grid_density_clusters
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grid_density_clusters(df, "id", "x", "y", cell_size=0, min_pts=1)
+    with _pytest.raises(ValueError):
+        grid_density_clusters(df, "id", "x", "y", cell_size=1, min_pts=0)
+
+
+# ---------------------------------------------------------------------------
+# nearest_center_assign
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_center_hand_case_and_tie(spark):
+    from owl_etl_spark.operators.geo import nearest_center_assign
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 0), (3, 5, 0)], "id long, x long, y long"
+    )
+    ctr = spark.createDataFrame(
+        [(7, 0, 0), (9, 10, 0)], "center_id long, center_x long, center_y long"
+    )
+    out = {r["id"]: r for r in nearest_center_assign(pts, ctr, "id", "x", "y").collect()}
+    assert out[1]["center_id"] == 7 and out[1]["dist2"] == 0
+    assert out[2]["center_id"] == 9 and out[2]["dist2"] == 0
+    # point 3 is equidistant (25 vs 25): tie goes to the LOWER center id
+    assert out[3]["center_id"] == 7 and out[3]["dist2"] == 25
+
+
+def test_nearest_center_null_points_excluded(spark):
+    from owl_etl_spark.operators.geo import nearest_center_assign
+
+    pts = spark.createDataFrame([(1, None, 0), (2, 3, 4)], "id long, x long, y long")
+    ctr = spark.createDataFrame(
+        [(1, 0, 0)], "center_id long, center_x long, center_y long"
+    )
+    rows = nearest_center_assign(pts, ctr, "id", "x", "y").collect()
+    assert [(r["id"], r["dist2"]) for r in rows] == [(2, 25)]
