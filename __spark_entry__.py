@@ -1411,6 +1411,7 @@ _PRIORITY = [
     # 0) Wave-3 round-6 families (unstamped until their sweep lands —
     #    the freshness guard requires them here).
     "q179", "q180", "q181", "q182", "q183", "q184", "q185",
+    "q186", "q187", "q188",
     # 1) The 15 NEW round-6 operator families, all never driver-
     #    checked: q158 (restart funnel), q159 (k-anonymity
     #    generalization), q160 (association rules), q161 (cohort
@@ -9440,3 +9441,147 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.concat(F.lit("cy|"), F.col("n_nationkey").cast("string"))) % 100000).alias("center_y"),
     )
     return nearest_center_assign(pts, ctr, "id", "x", "y")
+
+
+@_register(
+    "q186_follows_within",
+    """
+    WITH f AS (
+      SELECT user_id AS k, event_type AS s, min(epoch_us(ts) // 1000000) AS t0
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT count(DISTINCT k) AS n FROM f
+    ), p AS (
+      SELECT a.s AS state_a, b.s AS state_b, CAST(count(*) AS BIGINT) AS n_keys
+      FROM f a JOIN f b
+        ON a.k = b.k AND a.s <> b.s AND b.t0 > a.t0 AND b.t0 - a.t0 <= 604800
+      GROUP BY 1, 2
+    )
+    SELECT state_a, state_b, n_keys,
+           n_keys * 1000000 // (SELECT n FROM tot) AS support_micro
+    FROM p
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support mining (library: operators.sequence.
+    follows_within): for every ordered pair of event types, how many
+    users saw their first B within 7 days after their first A, with
+    support in integer micro-units. First-occurrence collapse makes
+    the self-join bounded BY CONSTRUCTION — one row per (user, type)
+    before pairing, so per-user fan-out is |types|² (a constant),
+    never events² (the q142 bot-account hazard). Plan: one
+    groupBy(user, type) min, one user-keyed self-join of the
+    collapsed table, one pair-level count."""
+    from owl_etl_spark.operators.sequence import follows_within
+
+    e = _t(spark, sf_dir, "events")
+    return follows_within(e, "user_id", "ts", "event_type", gap_seconds=604800)
+
+
+@_register(
+    "q187_segment_overlap",
+    """
+    WITH m AS (
+      SELECT DISTINCT event_type AS seg, user_id AS uid
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), sizes AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+    ), common AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM m a JOIN m b ON a.uid = b.uid AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_micro
+    FROM common
+    JOIN sizes sa ON sa.seg = seg_a
+    JOIN sizes sb ON sb.seg = seg_b
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix via bitmap indexes (library:
+    operators.bitmap.segment_overlap): event types as segments, users
+    as members, pairwise intersection sizes and Jaccard in integer
+    micro-units. Members pack into 32-bit words per segment (the q134
+    sign-bit-safe packing) so the intersection join runs on WORD rows
+    — 32x smaller than member lists, fan-out per word bounded by the
+    segment count — with bit_count(a & b) giving exact
+    distinct-member semantics. The oracle takes the naive
+    member-self-join route, so the two derivations are independent."""
+    from owl_etl_spark.operators.bitmap import segment_overlap
+
+    e = _t(spark, sf_dir, "events")
+    return segment_overlap(e, "event_type", "user_id")
+
+
+@_register(
+    "q188_seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 10000 AS vm
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, day, day % 7 AS phase, vm,
+             CASE WHEN count(vm) OVER w = 7
+                  THEN (sum(vm) OVER w + 100000000000000000 * 7) // 7
+                       - 100000000000000000
+             END AS trend_micro
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), ph AS (
+      SELECT event_type, day, phase, vm AS value_micro, trend_micro,
+             sum(vm - trend_micro) OVER p AS ds,
+             count(vm - trend_micro) OVER p AS dn
+      FROM tr
+      WINDOW p AS (PARTITION BY event_type, phase)
+    )
+    SELECT event_type, day, phase, value_micro, trend_micro,
+           CASE WHEN dn > 0
+                THEN (ds + 100000000000000000 * dn) // dn - 100000000000000000
+           END AS seasonal_micro,
+           value_micro - trend_micro
+             - (CASE WHEN dn > 0
+                     THEN (ds + 100000000000000000 * dn) // dn
+                          - 100000000000000000 END) AS residual_micro
+    FROM ph
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue per
+    event type (library: operators.decompose.seasonal_decompose):
+    centered 7-day moving-average trend (emitted only when the full
+    period is present — a RANGE frame over the integer day, so gaps
+    DISABLE rather than corrupt the trend), per-weekday seasonal
+    index as the mean detrended value, residual as the exact
+    difference. Every mean is an integer division with the +OFFSET·n
+    shift (the q159 trick) so no float — and no engine floor/truncate
+    disagreement — can wobble a value. Two window passes, no joins,
+    no iteration."""
+    from owl_etl_spark.operators.decompose import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "cents", period=7)

@@ -1,0 +1,109 @@
+"""Classical seasonal decomposition (trend + seasonal + residual) on
+a regular integer time grid.
+
+The STL-family readout ("is Tuesday always low, or is this drop
+real?") decomposed the moving-average way — the textbook additive
+method, chosen over loess because every step is expressible as exact
+integer window arithmetic and therefore oracle-checkable:
+
+  trend(t)    = centered moving average over one full period
+                (emitted only when ALL period points are present — a
+                partial window would alias trend into seasonality)
+  seasonal(s) = mean of the detrended values at phase s within key
+  residual    = value − trend − seasonal
+
+Determinism discipline: values enter as integer cents and every mean
+is an integer division with a +OFFSET·n shift so the numerator stays
+non-negative (Spark ``div`` truncates toward zero while other
+engines' ``//`` floors — identical only on non-negative operands,
+the q159 offset trick). Doubles never appear.
+
+Scale shape: the trend pass is ONE shuffle on the keys (a RANGE
+window over the integer day, so gaps disable — never corrupt — the
+trend); the seasonal pass is a window over (keys, phase) — a second
+exchange whose width is bounded by keys×period. No joins, no
+iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: shift making integer-division numerators non-negative; bounds
+#: |Σ detrended_micro| per group at 10^17 (≈ 10^11 cents of drift)
+_OFFSET = 10**17
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: list[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive decomposition of a per-key daily integer series:
+    ``(keys..., day, phase, value_micro, trend_micro, seasonal_micro,
+    residual_micro)``.
+
+    ``day_col`` is an integer grid index (epoch-day); ``value_col``
+    integer cents, at most ONE row per (keys, day) — aggregate
+    upstream. ``period`` must be odd (a centered window needs a
+    middle). Trend/residual are null at series edges and around gaps
+    (fewer than ``period`` grid points in the centered RANGE window);
+    seasonal is null for phases whose every occurrence lacks a trend.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"seasonal_decompose: period must be an odd integer >= 3, got {period}"
+        )
+    half = (period - 1) // 2
+    d = df.select(
+        *keys,
+        F.col(day_col).cast("long").alias("day"),
+        (F.col(value_col).cast("long") * 10000).alias("__vm"),
+    ).where(F.col(day_col).isNotNull())
+    w_tr = (
+        Window.partitionBy(*keys).orderBy("day").rangeBetween(-half, half)
+    )
+    staged = d.select(
+        *keys,
+        "day",
+        (F.col("day") % period).alias("phase"),
+        "__vm",
+        F.when(
+            F.count("__vm").over(w_tr) == period,
+            F.expr(
+                f"(sum(__vm) OVER (PARTITION BY {', '.join(keys)} ORDER BY day "
+                f"RANGE BETWEEN {half} PRECEDING AND {half} FOLLOWING) "
+                f"+ {_OFFSET} * {period}) div {period} - {_OFFSET}"
+            ),
+        ).alias("trend_micro"),
+    )
+    detr = staged.withColumn(
+        "__detr", F.col("__vm") - F.col("trend_micro")
+    )
+    w_ph = Window.partitionBy(*keys, "phase")
+    out = detr.select(
+        *keys,
+        "day",
+        "phase",
+        F.col("__vm").alias("value_micro"),
+        "trend_micro",
+        F.sum("__detr").over(w_ph).alias("__ds"),
+        F.count("__detr").over(w_ph).alias("__dn"),
+    ).withColumn(
+        "seasonal_micro",
+        F.expr(f"CASE WHEN __dn > 0 THEN (__ds + {_OFFSET} * __dn) div __dn - {_OFFSET} END"),
+    )
+    return out.select(
+        *keys,
+        "day",
+        "phase",
+        "value_micro",
+        "trend_micro",
+        "seasonal_micro",
+        (
+            F.col("value_micro") - F.col("trend_micro") - F.col("seasonal_micro")
+        ).alias("residual_micro"),
+    )

@@ -238,3 +238,67 @@ def ordered_funnel_restart(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def follows_within(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Sequential-pattern support: for every ordered pair of distinct
+    states (a → b), how many keys saw their FIRST ``b`` within
+    ``gap_seconds`` AFTER their first ``a`` — the "what do users do
+    next" miner behind onboarding and journey analysis. Output:
+    ``(state_a, state_b, n_keys, support_micro)`` with support =
+    n_keys·10⁶ div total keys observed, rows only for pairs some key
+    exhibited.
+
+    First-occurrence semantics make this scale-safe BY CONSTRUCTION:
+    the input collapses to one row per (key, state) — a min()
+    aggregate — before any pairing, so the per-key self-join fans out
+    at most |states|² candidates per key, a CONSTANT for real state
+    alphabets (the q142/q150 bounded-fan-out contract), never the
+    events-per-key quadratic of a raw event self-join. Plan: one
+    groupBy(key, state), one key-equi self-join of that collapsed
+    table, one pair-level count.
+
+    Determinism: timestamps compare as integer epoch seconds; counts
+    are exact; the single division is integer micro-units.
+    """
+    if gap_seconds < 1:
+        raise ValueError(f"follows_within: gap_seconds must be >= 1, got {gap_seconds}")
+    d = df.where(
+        F.col(key_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(state_col).alias("__s"),
+        _ts_to_secs(df, ts_col).alias("__t"),
+    )
+    firsts = d.groupBy("__k", "__s").agg(F.min("__t").alias("__t0"))
+    total = firsts.select("__k").distinct().count()
+    a = firsts.select(
+        F.col("__k"), F.col("__s").alias("state_a"), F.col("__t0").alias("__ta")
+    )
+    b = firsts.select(
+        F.col("__k").alias("__kb"),
+        F.col("__s").alias("state_b"),
+        F.col("__t0").alias("__tb"),
+    )
+    pairs = (
+        a.join(b, a.__k == b.__kb)
+        .where(
+            (F.col("state_a") != F.col("state_b"))
+            & (F.col("__tb") > F.col("__ta"))
+            & (F.col("__tb") - F.col("__ta") <= F.lit(int(gap_seconds)))
+        )
+        .groupBy("state_a", "state_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    return pairs.select(
+        "state_a",
+        "state_b",
+        "n_keys",
+        F.expr(f"n_keys * 1000000 div {max(total, 1)}").alias("support_micro"),
+    )

@@ -320,3 +320,147 @@ def test_nearest_center_null_points_excluded(spark):
     )
     rows = nearest_center_assign(pts, ctr, "id", "x", "y").collect()
     assert [(r["id"], r["dist2"]) for r in rows] == [(2, 25)]
+
+
+# ---------------------------------------------------------------------------
+# follows_within
+# ---------------------------------------------------------------------------
+
+
+def test_follows_within_hand_case(spark):
+    from owl_etl_spark.operators.sequence import follows_within
+
+    rows = [
+        # u1: a@0, b@50 → (a,b) within 100
+        (1, 0, "a"), (1, 50, "b"),
+        # u2: a@0, b@500 → outside the gap
+        (2, 0, "a"), (2, 500, "b"),
+        # u3: b@0, a@10 → (b,a) only
+        (3, 0, "b"), (3, 10, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    out = {
+        (r["state_a"], r["state_b"]): r
+        for r in follows_within(df, "k", "t", "s", gap_seconds=100).collect()
+    }
+    assert out[("a", "b")]["n_keys"] == 1
+    assert out[("b", "a")]["n_keys"] == 1
+    # support over 3 observed keys
+    assert out[("a", "b")]["support_micro"] == 333333
+
+
+def test_follows_within_uses_first_occurrences_only(spark):
+    from owl_etl_spark.operators.sequence import follows_within
+
+    # u1 repeats a — only the FIRST a (t=0) anchors; first b at 200 > gap
+    rows = [(1, 0, "a"), (1, 150, "a"), (1, 200, "b")]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    out = follows_within(df, "k", "t", "s", gap_seconds=100).collect()
+    assert out == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        follows_within(df, "k", "t", "s", gap_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# segment_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_segment_overlap_exact_counts(spark):
+    from owl_etl_spark.operators.bitmap import segment_overlap
+
+    rows = [("A", m) for m in [1, 2, 3, 64]] + [("B", m) for m in [2, 3, 99]] + [
+        ("C", 1000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = {(r["seg_a"], r["seg_b"]): r for r in segment_overlap(df, "seg", "uid").collect()}
+    assert set(out) == {("A", "B")}  # C shares nobody
+    r = out[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (4, 3, 2)
+    assert r["jaccard_micro"] == 2 * 1_000_000 // 5
+
+
+def test_segment_overlap_dedups_members_and_rejects_negative(spark):
+    from owl_etl_spark.operators.bitmap import segment_overlap, segment_bitmaps
+
+    dup = spark.createDataFrame(
+        [("A", 7), ("A", 7), ("B", 7)], "seg string, uid long"
+    )
+    r = segment_overlap(dup, "seg", "uid").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (1, 1, 1)
+    import pytest as _pytest
+
+    neg = spark.createDataFrame([("A", -1)], "seg string, uid long")
+    with _pytest.raises(Exception) as e:
+        segment_bitmaps(neg, "seg", "uid").collect()
+    assert "non-negative" in str(e.value)
+
+
+def test_segment_bitmaps_word_packing(spark):
+    from owl_etl_spark.operators.bitmap import segment_bitmaps
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 31), ("A", 32)], "seg string, uid long"
+    )
+    out = {r["word"]: r["bits"] for r in segment_bitmaps(df, "seg", "uid").collect()}
+    assert out[0] == (1 | (1 << 31))  # bits 0 and 31 of word 0
+    assert out[1] == 1  # bit 0 of word 1
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    from owl_etl_spark.operators.decompose import seasonal_decompose
+
+    # constant level 1000 cents + deterministic weekly bump of +700 on
+    # phase 0 days: trend should be flat at the weekly mean, seasonal
+    # should isolate the bump.
+    rows = [("k", d, 1000 + (700 if d % 7 == 0 else 0)) for d in range(28)]
+    df = spark.createDataFrame(rows, "k string, day long, cents long")
+    out = {r["day"]: r for r in seasonal_decompose(df, ["k"], "day", "cents").collect()}
+    # edges (< half window) have null trend
+    assert out[0]["trend_micro"] is None and out[27]["trend_micro"] is None
+    # interior trend = weekly mean = 1100 cents = 11_000_000 micro
+    assert out[10]["trend_micro"] == 11_000_000
+    # seasonal on the bump phase ≈ +600 cents (700 − mean uplift 100)
+    assert out[7]["seasonal_micro"] == 6_000_000
+    assert out[10]["seasonal_micro"] == -1_000_000
+    # decomposition identity where all parts exist
+    for d in range(4, 24):
+        r = out[d]
+        if r["trend_micro"] is not None and r["seasonal_micro"] is not None:
+            assert (
+                r["trend_micro"] + r["seasonal_micro"] + r["residual_micro"]
+                == r["value_micro"]
+            )
+
+
+def test_seasonal_decompose_gap_disables_trend(spark):
+    from owl_etl_spark.operators.decompose import seasonal_decompose
+
+    days = [d for d in range(21) if d != 10]
+    df = spark.createDataFrame(
+        [("k", d, 100) for d in days], "k string, day long, cents long"
+    )
+    out = {r["day"]: r for r in seasonal_decompose(df, ["k"], "day", "cents").collect()}
+    # every centered window touching the missing day 10 must be null
+    for d in range(7, 14):
+        if d in out:
+            assert out[d]["trend_micro"] is None, d
+    assert out[5]["trend_micro"] == 1_000_000
+
+
+def test_seasonal_decompose_validates_period(spark):
+    from owl_etl_spark.operators.decompose import seasonal_decompose
+
+    df = spark.createDataFrame([("k", 0, 1)], "k string, day long, cents long")
+    import pytest as _pytest
+
+    for bad in (2, 4, 1):
+        with _pytest.raises(ValueError):
+            seasonal_decompose(df, ["k"], "day", "cents", period=bad)
