@@ -1411,7 +1411,7 @@ _PRIORITY = [
     # 0) Wave-3 round-6 families (unstamped until their sweep lands —
     #    the freshness guard requires them here).
     "q179", "q180", "q181", "q182", "q183", "q184", "q185",
-    "q186", "q187", "q188",
+    "q186", "q187", "q188", "q189", "q190",
     # 1) The 15 NEW round-6 operator families, all never driver-
     #    checked: q158 (restart funnel), q159 (k-anonymity
     #    generalization), q160 (association rules), q161 (cohort
@@ -9585,3 +9585,100 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(daily, ["event_type"], "day", "cents", period=7)
+
+
+@_register(
+    "q189_theil_sen_trend",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS k,
+             CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS t,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ), n AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM m GROUP BY 1
+    ), p AS (
+      SELECT a.k, (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope,
+             a.t AS ta, b.t AS tb
+      FROM m a JOIN m b ON a.k = b.k AND b.t > a.t
+    ), r AS (
+      SELECT k, slope,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY slope, ta, tb)
+                  AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS np
+      FROM p
+    ), med AS (
+      SELECT k, max(np) AS n_pairs, round(avg(slope), 6) AS ts_slope
+      FROM r WHERE rk = (np + 1) // 2 OR rk = (np + 2) // 2 GROUP BY k
+    )
+    SELECT med.k AS o_orderpriority, n.n_points, med.n_pairs, med.ts_slope
+    FROM med JOIN n ON n.k = med.k
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue per order priority
+    (library: operators.robust.theil_sen_slopes) — the
+    outlier-immune alternative to q131's OLS slopes (~29% breakdown
+    point vs zero). The estimator is pairwise by definition, so the
+    operator enforces its bound at RUNTIME: any key series longer
+    than max_points raises instead of detonating a quadratic task —
+    the q142/q29 hot-key discipline applied to an algorithm that is
+    O(n²) by construction. Slopes are single IEEE divisions of exact
+    BIGINTs; the median picks rank-⌈n/2⌉/⌈(n+1)/2⌉ under a total
+    order, so value ties cannot move it."""
+    from owl_etl_spark.operators.robust import theil_sen_slopes
+
+    o = _t(spark, sf_dir, "orders")
+    month_idx = (
+        (F.year(F.col("o_orderdate")) - 1970) * 12
+        + F.month(F.col("o_orderdate"))
+        - 1
+    ).cast("long")
+    m = o.groupBy("o_orderpriority", month_idx.alias("t")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return theil_sen_slopes(m, ["o_orderpriority"], "t", "cents", max_points=1000)
+
+
+@_register(
+    "q190_zone_map_report",
+    """
+    WITH g AS (
+      SELECT l_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE))) AS BIGINT) AS min_v,
+             CAST(max(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE))) AS BIGINT) AS max_v
+      FROM lineitem GROUP BY 1
+    )
+    SELECT bucket, n_rows, min_v, max_v,
+           CASE WHEN min_v IS NULL THEN TRUE
+                ELSE min_v <= 9495 AND max_v >= 9131 END AS would_scan
+    FROM g
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping diagnosis (library: operators.zorder.
+    zone_map_report): per 1000-order storage bucket of lineitem, the
+    ship-date zone (exact min/max epoch-days) and whether a
+    ship-date-1995 range probe could skip the bucket —
+    sum(n_rows where would_scan) is exactly the I/O a
+    zone-map-aware scan pays, the number that decides whether a
+    re-layout (sort, q166 z-order) earns its shuffle before
+    rewriting 100 TB. One map-side-combinable groupBy; null zones
+    (all-null values) count as must-scan — the zone-map soundness
+    trap. Epoch-days via calendar parts, TZ-proof."""
+    from owl_etl_spark.operators.zorder import zone_map_report
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_day",
+        F.datediff(
+            F.to_date(F.col("l_shipdate")), F.lit("1970-01-01").cast("date")
+        ).cast("long"),
+    )
+    return zone_map_report(
+        li, "l_orderkey div 1000", "ship_day", probe_lo=9131, probe_hi=9495
+    )

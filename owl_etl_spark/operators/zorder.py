@@ -91,3 +91,47 @@ def zorder_repartition(
     else:
         out = z.repartitionByRange(F.col("__z"))
     return out.drop("__z")
+
+
+def zone_map_report(
+    df: DataFrame,
+    bucket_col: F.Column | str,
+    value_col: str,
+    probe_lo: int,
+    probe_hi: int,
+) -> DataFrame:
+    """Data-skipping diagnosis: per storage bucket, the zone-map
+    (min/max) of ``value_col`` and whether a range probe
+    ``[probe_lo, probe_hi]`` could SKIP the bucket entirely —
+    ``(bucket, n_rows, min_v, max_v, would_scan)``. The aggregate
+    ``sum(n_rows) where would_scan`` over this report is exactly the
+    I/O a zone-map-aware scan pays, which is how you quantify whether
+    a layout (natural order, sort, ``zorder_repartition``) actually
+    earns its shuffle before rewriting 100 TB.
+
+    One map-side-combinable groupBy on the bucket id; min/max are
+    exact BIGINTs; a bucket whose value column is entirely null has a
+    null zone and must be scanned (nulls are invisible to min/max —
+    the classic zone-map soundness trap, handled here by treating a
+    null zone as overlapping).
+    """
+    if probe_hi < probe_lo:
+        raise ValueError(
+            f"zone_map_report: need probe_lo <= probe_hi, got [{probe_lo}, {probe_hi}]"
+        )
+    b = F.expr(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.col(value_col).cast("long")).alias("min_v"),
+        F.max(F.col(value_col).cast("long")).alias("max_v"),
+    )
+    overlaps = (F.col("min_v") <= probe_hi) & (F.col("max_v") >= probe_lo)
+    return g.select(
+        "bucket",
+        "n_rows",
+        "min_v",
+        "max_v",
+        F.when(F.col("min_v").isNull(), F.lit(True)).otherwise(overlaps).alias(
+            "would_scan"
+        ),
+    )

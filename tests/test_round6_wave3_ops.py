@@ -464,3 +464,96 @@ def test_seasonal_decompose_validates_period(spark):
     for bad in (2, 4, 1):
         with _pytest.raises(ValueError):
             seasonal_decompose(df, ["k"], "day", "cents", period=bad)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_slopes
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_resists_outlier(spark):
+    from owl_etl_spark.operators.robust import theil_sen_slopes
+
+    # perfect slope 2 with one wild outlier: Theil-Sen stays at 2
+    rows = [("k", t, 2 * t) for t in range(9)] + [("k", 9, 1_000_000)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    r = theil_sen_slopes(df, ["k"], "t", "v").collect()[0]
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert r["ts_slope"] == 2.0
+
+
+def test_theil_sen_even_pair_count_averages_middle(spark):
+    from owl_etl_spark.operators.robust import theil_sen_slopes
+
+    # 4 points → 6 pairs (even): median = mean of ranks 3 and 4
+    rows = [("k", 0, 0), ("k", 1, 1), ("k", 2, 4), ("k", 3, 9)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    r = theil_sen_slopes(df, ["k"], "t", "v").collect()[0]
+    # pairwise slopes: 1,2,3,3,4,5 → median (3+3)/2 = 3
+    assert r["n_pairs"] == 6 and r["ts_slope"] == 3.0
+
+
+def test_theil_sen_singleton_and_guards(spark):
+    from owl_etl_spark.operators.robust import theil_sen_slopes
+
+    one = spark.createDataFrame([("k", 0, 5)], "k string, t long, v long")
+    r = theil_sen_slopes(one, ["k"], "t", "v").collect()[0]
+    assert r["n_points"] == 1 and r["n_pairs"] == 0 and r["ts_slope"] is None
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [("k", t, t) for t in range(5)], "k string, t long, v long"
+    )
+    with _pytest.raises(Exception) as e:
+        theil_sen_slopes(big, ["k"], "t", "v", max_points=4).collect()
+    assert "max_points" in str(e.value)
+
+    dup = spark.createDataFrame(
+        [("k", 1, 1), ("k", 1, 2)], "k string, t long, v long"
+    )
+    with _pytest.raises(Exception) as e:
+        theil_sen_slopes(dup, ["k"], "t", "v").collect()
+    assert "duplicate" in str(e.value)
+    with _pytest.raises(ValueError):
+        theil_sen_slopes(dup, ["k"], "t", "v", max_points=1)
+
+
+# ---------------------------------------------------------------------------
+# zone_map_report
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_prunes_and_null_zone_scans(spark):
+    from owl_etl_spark.operators.zorder import zone_map_report
+
+    rows = [
+        (0, 10), (0, 20),      # bucket 0: zone [10, 20] — outside probe
+        (1000, 50), (1000, 80),  # bucket 1: zone [50, 80] — overlaps
+        (2000, None), (2000, None),  # bucket 2: all-null zone — must scan
+    ]
+    df = spark.createDataFrame(rows, "key long, v long")
+    out = {
+        r["bucket"]: r
+        for r in zone_map_report(df, "key div 1000", "v", 40, 60).collect()
+    }
+    assert out[0]["would_scan"] is False
+    assert out[1]["would_scan"] is True
+    assert out[2]["would_scan"] is True and out[2]["min_v"] is None
+    assert out[0]["n_rows"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zone_map_report(df, "key div 1000", "v", 60, 40)
+
+
+def test_zone_map_boundary_inclusive(spark):
+    from owl_etl_spark.operators.zorder import zone_map_report
+
+    df = spark.createDataFrame([(0, 100)], "key long, v long")
+    # probe hi == zone min: still overlaps (inclusive)
+    r = zone_map_report(df, "key div 1000", "v", 0, 100).collect()[0]
+    assert r["would_scan"] is True
+    r2 = zone_map_report(df, "key div 1000", "v", 0, 99).collect()[0]
+    assert r2["would_scan"] is False
