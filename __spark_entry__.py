@@ -1408,10 +1408,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 0) Wave-3 round-6 families (unstamped until their sweep lands —
-    #    the freshness guard requires them here).
+    # 0) Ten of the twelve wave-3 round-6 families (never
+    #    driver-checked; all twelve are sweep-verified at two scales
+    #    and stamped — q189/q190 ride that committed evidence from
+    #    below the window because the 19 round-5 anchors in block 2
+    #    are the r5 VERDICT's explicit ask and the window holds 50).
     "q179", "q180", "q181", "q182", "q183", "q184", "q185",
-    "q186", "q187", "q188", "q189", "q190",
+    "q186", "q187", "q188",
     # 1) The 15 NEW round-6 operator families, all never driver-
     #    checked: q158 (restart funnel), q159 (k-anonymity
     #    generalization), q160 (association rules), q161 (cohort
@@ -1433,11 +1436,12 @@ _PRIORITY = [
     "q136", "q137", "q139", "q140", "q141", "q144", "q145", "q146",
     "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154",
     "q155", "q156", "q157",
-    # 3) Oldest-evidence rotation: 10 of the 37 queries whose newest
-    #    driver row dates to r3, lowest numbers first (q01–q11 band).
-    #    The 27 remaining r3-age queries (q12–q40 band, q100, q104,
-    #    q53) ride the committed VERIFY_r6 sweep this round and lead
-    #    the r7 window.
+    # --- 50-slot window boundary: everything below rides committed
+    #     two-scale sweep evidence + manifest stamps this round. ---
+    # 3) The two wave-3 families that didn't fit (sweep-verified at
+    #    sf0.001 + sf0.01, stamped; lead the r7 window with the
+    #    r3-age rotation band q01–q40/q53/q100/q104).
+    "q189", "q190",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]

@@ -88,6 +88,13 @@ HEADLINE = [
     # occupancy instead of the n^2 cross join).
     "q173_rolling_weekly_actives",
     "q177_grid_radius_pairs",
+    # round-6 third wave: the iterative two-vector centrality (3 HITS
+    # rounds over ~60k supplier->part edges, joins + scalar-max
+    # normalizations) and the dense-cell clustering (per-point work is
+    # ONE groupBy; star-contraction components on the dense-CELL
+    # table).
+    "q183_hits_scores",
+    "q184_grid_density_clusters",
 ]
 
 
