@@ -1438,10 +1438,10 @@ _PRIORITY = [
     "q155", "q156", "q157",
     # --- 50-slot window boundary: everything below rides committed
     #     two-scale sweep evidence + manifest stamps this round. ---
-    # 3) The two wave-3 families that didn't fit (sweep-verified at
+    # 3) The six wave-3/4 families that didn't fit (sweep-verified at
     #    sf0.001 + sf0.01, stamped; lead the r7 window with the
     #    r3-age rotation band q01–q40/q53/q100/q104).
-    "q189", "q190",
+    "q189", "q190", "q191", "q192", "q193", "q194",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]
@@ -9685,4 +9685,282 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zone_map_report(
         li, "l_orderkey div 1000", "ship_day", probe_lo=9131, probe_hi=9495
+    )
+
+
+@_register(
+    "q191_top_paths",
+    """
+    WITH v AS (
+      SELECT user_id AS k, epoch_us(ts) // 1000000 AS t, event_id AS o,
+             event_type AS s
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), w3 AS (
+      SELECT s, lead(s, 1) OVER w AS s1, lead(s, 2) OVER w AS s2
+      FROM v WINDOW w AS (PARTITION BY k ORDER BY t, o)
+    ), p AS (
+      SELECT s || '>' || s1 || '>' || s2 AS path, CAST(count(*) AS BIGINT) AS n
+      FROM w3 WHERE s2 IS NOT NULL GROUP BY 1
+    ), r AS (
+      SELECT path, n,
+             CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rk
+      FROM p
+    )
+    SELECT path, n, rk FROM r WHERE rk <= 20
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (library: operators.sequence.
+    top_paths) — the sankey/flow readout. Two lead() columns over ONE
+    (user, time)-ordered window give every sliding path position with
+    CONSTANT per-row fan-out — no self-join, no per-user explosion no
+    matter how long a user's history — then one count per distinct
+    path and a top-k sized by k, ties on the path string. The
+    event_id order column makes same-timestamp ordering total
+    (determinism is otherwise partition luck)."""
+    from owl_etl_spark.operators.sequence import top_paths
+
+    e = _t(spark, sf_dir, "events")
+    return top_paths(
+        e, "user_id", "ts", "event_id", "event_type", depth=3, top_k=20
+    )
+
+
+@_register(
+    "q192_funnel_latency_quantiles",
+    """
+    WITH v AS (
+      SELECT user_id AS k, event_type AS e, epoch_us(ts) // 1000000 AS t
+      FROM events WHERE user_id IS NOT NULL
+    ), s0 AS (
+      SELECT k, min(CASE WHEN e = 'view' THEN t END) AS t0 FROM v GROUP BY k
+    ), s1 AS (
+      SELECT v.k,
+             min(CASE WHEN v.e = 'click' AND s0.t0 IS NOT NULL AND v.t > s0.t0
+                      THEN v.t END) AS t1
+      FROM v JOIN s0 ON s0.k = v.k GROUP BY v.k
+    ), d AS (
+      SELECT s0.k, s1.t1 - s0.t0 AS delta
+      FROM s0 JOIN s1 ON s1.k = s0.k
+      WHERE s0.t0 IS NOT NULL AND s1.t1 IS NOT NULL
+    ), r AS (
+      SELECT delta,
+             CAST(row_number() OVER (ORDER BY delta, k) AS BIGINT) AS cw,
+             CAST(count(*) OVER () AS BIGINT) AS tw
+      FROM d
+    )
+    SELECT 'all' AS scope, CAST(0.5 AS DOUBLE) AS prob, min(delta) AS q
+    FROM r WHERE cw * 1000000 >= 500000 * tw
+    UNION ALL
+    SELECT 'all', CAST(0.9 AS DOUBLE), min(delta)
+    FROM r WHERE cw * 1000000 >= 900000 * tw
+    UNION ALL
+    SELECT 'all', CAST(0.99 AS DOUBLE), min(delta)
+    FROM r WHERE cw * 1000000 >= 990000 * tw
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-latency percentiles (composition: the q146 funnel
+    chain feeding operators.quantiles.weighted_quantiles) — "how long
+    does view→click take at p50/p90/p99", the SLA readout product
+    teams put on dashboards. First-occurrence chain per user (two
+    groupBy-min passes, the q146 shape), exact deltas in integer
+    seconds, then the exact-rank quantile rule (smallest value whose
+    cumulative weight·10⁶ reaches p·total) — no interpolation, no
+    float rank. Composition of two already-gated operators into a new
+    readout, which is the point of a library."""
+    from owl_etl_spark.operators.quantiles import weighted_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    v = e.where(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("e"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+    )
+    t0 = v.groupBy("k").agg(
+        F.min(F.when(F.col("e") == "view", F.col("t"))).alias("t0")
+    )
+    t1 = (
+        v.join(t0, "k")
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("e") == "click")
+                    & F.col("t0").isNotNull()
+                    & (F.col("t") > F.col("t0")),
+                    F.col("t"),
+                )
+            ).alias("t1")
+        )
+    )
+    d = (
+        t0.join(t1, "k")
+        .where(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .select(
+            "k",
+            F.lit("all").alias("scope"),
+            (F.col("t1") - F.col("t0")).alias("delta"),
+            F.lit(1).cast("long").alias("w"),
+        )
+    )
+    return weighted_quantiles(
+        d, ["scope"], "delta", "w", probs=[0.5, 0.9, 0.99], tiebreak_col="k"
+    )
+
+
+@_register(
+    "q193_fk_orphan_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS orphan_micro
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+      ON c.l_orderkey = p.__pk
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part.p_partkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS __pk FROM part) p
+      ON c.l_partkey = p.__pk
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS __pk FROM supplier) p
+      ON c.l_suppkey = p.__pk
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+      ON c.o_custkey = p.__pk
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation.n_nationkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS __pk FROM nation) p
+      ON c.c_nationkey = p.__pk
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation.n_nationkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS __pk FROM nation) p
+      ON c.s_nationkey = p.__pk
+    UNION ALL
+    SELECT 'nation.n_regionkey->region.r_regionkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS __pk FROM region) p
+      ON c.n_regionkey = p.__pk
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema
+    (library: operators.validate.fk_orphan_report): seven FK
+    relationships, each ONE left join against the parent's distinct
+    keys feeding a two-counter aggregate, all LAZY and unioned into a
+    single job — the "can I trust these joins?" onboarding readout,
+    with null child keys counted as orphans (an unset FK is a missing
+    reference; anti-join semantics would silently bless it). Small
+    parent key sets broadcast; the big ones (orders/part/supplier
+    keys under lineitem) shuffle honestly."""
+    from owl_etl_spark.operators.validate import fk_orphan_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return fk_orphan_report(
+        [
+            ("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.l_partkey->part.p_partkey", li, "l_partkey", p, "p_partkey"),
+            ("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey", s, "s_suppkey"),
+            ("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey"),
+            ("customer.c_nationkey->nation.n_nationkey", c, "c_nationkey", n, "n_nationkey"),
+            ("supplier.s_nationkey->nation.n_nationkey", s, "s_nationkey", n, "n_nationkey"),
+            ("nation.n_regionkey->region.r_regionkey", n, "n_regionkey", r, "r_regionkey"),
+        ]
+    )
+
+
+@_register(
+    "q194_histogram_quantiles",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), h AS (
+      SELECT event_type,
+             least(99, greatest(0, c // 100)) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ), s2 AS (
+      SELECT *, cum - cnt AS cumb FROM s
+    ), picks AS (
+      SELECT event_type, prob, n, bin, cumb, cnt, need,
+             row_number() OVER (PARTITION BY event_type, prob ORDER BY bin) AS rn
+      FROM (
+        SELECT s2.*,
+               p.prob, (n * p.pm + 999999) // 1000000 AS need
+        FROM s2 CROSS JOIN (
+          SELECT CAST(0.5 AS DOUBLE) AS prob, 500000 AS pm
+          UNION ALL SELECT CAST(0.9 AS DOUBLE), 900000
+          UNION ALL SELECT CAST(0.99 AS DOUBLE), 990000
+        ) p
+      ) WHERE cum >= need
+    )
+    SELECT event_type, prob, n,
+           CAST(bin * 100 * 1000000
+                + ((need - cumb) * 1000000 // cnt) * 100 AS BIGINT) AS q_est_micro
+    FROM picks WHERE rn = 1
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (library: operators.histo.
+    histogram_sketch + histogram_quantile): event values in cents over
+    100 equi-width bins per event type, p50/p90/p99 estimated by
+    integer linear interpolation inside the owning bin. Unlike the
+    exact-sort quantiles (q151), the sketch is ONE map-side-combinable
+    groupBy whose output is keys×bins rows — mergeable across
+    partitions, drops, and streaming state by adding counts (pinned by
+    a merge≡direct test) — error bounded by one bin width. Every
+    rank, cumulative, and interpolation term stays BIGINT."""
+    from owl_etl_spark.operators.histo import histogram_quantile, histogram_sketch
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    sk = histogram_sketch(d, ["event_type"], "cents", lo=0, hi=10000, n_bins=100)
+    return histogram_quantile(
+        sk, ["event_type"], lo=0, hi=10000, n_bins=100, probs=[0.5, 0.9, 0.99]
     )

@@ -302,3 +302,60 @@ def follows_within(
         "n_keys",
         F.expr(f"n_keys * 1000000 div {max(total, 1)}").alias("support_micro"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+    depth: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Most common length-``depth`` event paths across all keys:
+    ``(path, n, rk)`` with ``path`` = '>'-joined consecutive states
+    per key in (ts, order_col) order, counted over every sliding
+    position, top ``top_k`` by count with ties broken on the path
+    string. The "what journeys dominate" readout behind sankey/flow
+    charts.
+
+    Scale shape: ``depth−1`` lead() columns over ONE (key-partitioned,
+    time-ordered) window — constant per-row fan-out, no self-join, no
+    per-key explosion regardless of how long a key's history is — then
+    one count per distinct path and a TakeOrderedAndProject-sized
+    top-k. ``order_col`` makes same-timestamp ordering total
+    (determinism would otherwise be partition luck).
+    """
+    from pyspark.sql import Window
+
+    if depth < 2:
+        raise ValueError(f"top_paths: depth must be >= 2, got {depth}")
+    if top_k < 1:
+        raise ValueError(f"top_paths: top_k must be >= 1, got {top_k}")
+    d = df.where(
+        F.col(key_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        _ts_to_secs(df, ts_col).alias("__t"),
+        F.col(order_col).alias("__o"),
+        F.col(state_col).alias("__s"),
+    )
+    w = Window.partitionBy("__k").orderBy("__t", "__o")
+    steps = [F.col("__s")] + [
+        F.lead("__s", i).over(w) for i in range(1, depth)
+    ]
+    paths = d.select(F.concat_ws(">", *steps).alias("path"), *[
+        s.alias(f"__s{i}") for i, s in enumerate(steps)
+    ])
+    complete = paths.where(
+        F.lit(True) & F.col(f"__s{depth-1}").isNotNull()
+    )
+    counts = complete.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_rk = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .where(F.col("rk") <= top_k)
+    )

@@ -114,3 +114,53 @@ def fail_on_violations(report: DataFrame) -> None:
     if bad:
         detail = ", ".join(f"{r.constraint}={r.n_violations}" for r in bad)
         raise ValueError(f"data-quality constraints violated: {detail}")
+
+
+def fk_orphan_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over many FK relationships at once:
+    for each ``(label, child_df, child_col, parent_df, parent_col)``,
+    one row ``(relation, n_child, n_orphans, orphan_micro)`` counting
+    child rows whose key has no parent (NULL child keys count as
+    orphans — an unset FK is a missing reference, and anti-join
+    semantics would otherwise silently bless them).
+
+    The warehouse onboarding question ("can I trust these joins?")
+    answered without assuming constraints the storage layer never
+    enforced. Each relation is ONE left join against the parent's
+    distinct keys (Spark broadcasts small dimension key sets and
+    falls back to a shuffled join honestly when not) feeding one
+    two-counter aggregate; the relations stay LAZY and union into a
+    single plan — no per-relation driver actions, the whole audit is
+    one job.
+    """
+    if not relations:
+        raise ValueError("fk_orphan_report: need at least one relation")
+    frames = []
+    for label, child, child_col, parent, parent_col in relations:
+        keys = parent.select(F.col(parent_col).alias("__pk")).where(
+            F.col(parent_col).isNotNull()
+        ).distinct()
+        joined = child.select(F.col(child_col).alias("__ck")).join(
+            keys, F.col("__ck") == F.col("__pk"), "left"
+        )
+        frames.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(F.lit(label).alias("relation"), "n_child", "n_orphans")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.expr(
+            "CASE WHEN n_child > 0 THEN n_orphans * 1000000 div n_child END"
+        ).alias("orphan_micro"),
+    )

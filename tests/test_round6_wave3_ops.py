@@ -557,3 +557,129 @@ def test_zone_map_boundary_inclusive(spark):
     assert r["would_scan"] is True
     r2 = zone_map_report(df, "key div 1000", "v", 0, 99).collect()[0]
     assert r2["would_scan"] is False
+
+
+# ---------------------------------------------------------------------------
+# top_paths
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_hand_case(spark):
+    from owl_etl_spark.operators.sequence import top_paths
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"), (1, 40, 4, "d"),
+        (2, 10, 5, "a"), (2, 20, 6, "b"), (2, 30, 7, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, o long, s string")
+    out = {r["path"]: r for r in top_paths(df, "k", "t", "o", "s").collect()}
+    # u1 contributes a>b>c and b>c>d; u2 contributes a>b>c
+    assert out["a>b>c"]["n"] == 2 and out["a>b>c"]["rk"] == 1
+    assert out["b>c>d"]["n"] == 1
+    assert len(out) == 2  # incomplete tails never emit
+
+
+def test_top_paths_same_ts_ordered_by_order_col(spark):
+    from owl_etl_spark.operators.sequence import top_paths
+
+    # both events at t=10: order_col must break the tie deterministically
+    rows = [(1, 10, 1, "x"), (1, 10, 2, "y"), (1, 20, 3, "z")]
+    df = spark.createDataFrame(rows, "k long, t long, o long, s string")
+    out = top_paths(df, "k", "t", "o", "s", depth=3).collect()
+    assert [r["path"] for r in out] == ["x>y>z"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_paths(df, "k", "t", "o", "s", depth=1)
+    with _pytest.raises(ValueError):
+        top_paths(df, "k", "t", "o", "s", top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# fk_orphan_report
+# ---------------------------------------------------------------------------
+
+
+def test_fk_orphan_counts_and_null_keys(spark):
+    from owl_etl_spark.operators.validate import fk_orphan_report
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_orphan_report([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    # orphans: 99 (no parent) + NULL (unset FK)
+    assert (r["n_child"], r["n_orphans"]) == (5, 2)
+    assert r["orphan_micro"] == 400000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fk_orphan_report([])
+
+
+def test_fk_orphan_duplicate_parent_keys_do_not_multiply(spark):
+    from owl_etl_spark.operators.validate import fk_orphan_report
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
+    r = fk_orphan_report([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r["n_child"], r["n_orphans"]) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch + quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_exact_at_boundaries(spark):
+    from owl_etl_spark.operators.histo import histogram_quantile, histogram_sketch
+
+    # 100 values 0..99 in 10 bins of width 10 over [0, 100)
+    df = spark.createDataFrame([("k", v) for v in range(100)], "k string, v long")
+    sk = histogram_sketch(df, ["k"], "v", lo=0, hi=100, n_bins=10)
+    out = {
+        r["prob"]: r
+        for r in histogram_quantile(sk, ["k"], 0, 100, 10, [0.5, 1.0]).collect()
+    }
+    assert out[0.5]["n"] == 100
+    # need = 50 → bin 4 (cum 50), offset = (50-40)/10 within the bin → 40 + 10 = 50
+    assert out[0.5]["q_est_micro"] == 50_000_000
+    assert out[1.0]["q_est_micro"] == 100_000_000
+
+
+def test_histogram_sketch_merge_equals_direct(spark):
+    from owl_etl_spark.operators.histo import histogram_sketch
+    from pyspark.sql import functions as F
+
+    rows = [("k", i, i % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    direct = histogram_sketch(df, ["k"], "v", 0, 100, 10)
+    h1 = histogram_sketch(df.where("i < 90"), ["k"], "v", 0, 100, 10)
+    h2 = histogram_sketch(df.where("i >= 90"), ["k"], "v", 0, 100, 10)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("k", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_histogram_sketch_validates_params_and_clamps(spark):
+    from owl_etl_spark.operators.histo import histogram_quantile, histogram_sketch
+
+    df = spark.createDataFrame([("k", -50), ("k", 500)], "k string, v long")
+    sk = histogram_sketch(df, ["k"], "v", 0, 100, 10)
+    bins = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert bins == {0: 1, 9: 1}  # clamped into edge bins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_sketch(df, ["k"], "v", 0, 100, 7)  # ragged width
+    with _pytest.raises(ValueError):
+        histogram_sketch(df, ["k"], "v", 100, 100, 10)
+    with _pytest.raises(ValueError):
+        histogram_quantile(sk, ["k"], 0, 100, 10, [])
+    with _pytest.raises(ValueError):
+        histogram_quantile(sk, ["k"], 0, 100, 10, [0.0])
