@@ -1442,6 +1442,7 @@ _PRIORITY = [
     #    sf0.001 + sf0.01, stamped; lead the r7 window with the
     #    r3-age rotation band q01–q40/q53/q100/q104).
     "q189", "q190", "q191", "q192", "q193", "q194",
+    "q195", "q196", "q197", "q198",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]
@@ -9963,4 +9964,213 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = histogram_sketch(d, ["event_type"], "cents", lo=0, hi=10000, n_bins=100)
     return histogram_quantile(
         sk, ["event_type"], lo=0, hi=10000, n_bins=100, probs=[0.5, 0.9, 0.99]
+    )
+
+
+@_register(
+    "q195_lift_table",
+    """
+    WITH d AS (
+      SELECT value AS s,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), vals AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      FROM d GROUP BY s
+    ), st AS (
+      SELECT s, c, p,
+             CAST(sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - c AS BIGINT) AS bef,
+             CAST(sum(c) OVER () AS BIGINT) AS tn,
+             CAST(sum(p) OVER () AS BIGINT) AS tp
+      FROM vals
+    ), g AS (
+      SELECT bef * 10 // tn AS bucket, CAST(sum(c) AS BIGINT) AS bn,
+             CAST(sum(p) AS BIGINT) AS bp, max(tn) AS tn, max(tp) AS tp
+      FROM st GROUP BY 1
+    ), cu AS (
+      SELECT bucket, bn, bp, tn, tp,
+             CAST(sum(bn) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(sum(bp) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cp
+      FROM g
+    )
+    SELECT bucket, bn AS n, bp AS n_pos, bp * 1000000 // bn AS response_micro,
+           cn AS cum_n, cp AS cum_pos,
+           CASE WHEN tp > 0 THEN cp * 1000000 // tp END AS gain_micro,
+           CASE WHEN tp > 0 THEN (cp * 1000000 // tp) * tn // cn END AS lift_micro
+    FROM cu
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / decile-lift table (library: operators.
+    evalmetrics.lift_table): event value as score, purchase/signup
+    positive, ten value-grouped buckets. NO global row sort — rows
+    collapse to DISTINCT scores first (the q174 AUC shape), the
+    cumulative walk runs on the small value table, and a value group
+    lands wholly in the bucket where it starts (ties never split: same
+    prediction, same treatment). All counts exact; ratios are integer
+    micro divisions with lift in two documented truncation steps for
+    BIGINT headroom."""
+    from owl_etl_spark.operators.evalmetrics import lift_table
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(F.col("value").isNotNull() & F.col("event_type").isNotNull()).select(
+        "value",
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("y"),
+    )
+    return lift_table(d, "value", "y", n_buckets=10)
+
+
+@_register(
+    "q196_seq_rules",
+    """
+    WITH f AS (
+      SELECT user_id AS k, event_type AS s, min(epoch_us(ts) // 1000000) AS t0
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT count(DISTINCT k) AS n FROM f
+    ), na AS (
+      SELECT s AS state_a, CAST(count(*) AS BIGINT) AS n_a FROM f GROUP BY 1
+    ), p AS (
+      SELECT a.s AS state_a, b.s AS state_b, CAST(count(*) AS BIGINT) AS n_keys
+      FROM f a JOIN f b
+        ON a.k = b.k AND a.s <> b.s AND b.t0 > a.t0 AND b.t0 - a.t0 <= 86400
+      GROUP BY 1, 2
+    )
+    SELECT p.state_a, p.state_b, p.n_keys,
+           n_keys * 1000000 // (SELECT n FROM tot) AS support_micro,
+           n_keys * 1000000 // na.n_a AS confidence_micro
+    FROM p JOIN na ON na.state_a = p.state_a
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules with confidence (library:
+    operators.sequence.seq_rules): q186's first-B-after-first-A
+    support at a 1-day gap, plus confidence = rule keys over keys
+    whose history contains the antecedent at all — "given they did A,
+    how likely is B within a day". Same bounded-by-construction
+    fan-out (first-occurrence collapse, |types|² per user); the
+    antecedent counts are one extra map-side aggregate broadcast onto
+    the rule list."""
+    from owl_etl_spark.operators.sequence import seq_rules
+
+    e = _t(spark, sf_dir, "events")
+    return seq_rules(e, "user_id", "ts", "event_type", gap_seconds=86400)
+
+
+@_register(
+    "q197_grouped_auc",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS g, o_totalprice AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), vals AS (
+      SELECT g, s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS n
+      FROM d GROUP BY g, s
+    ), cum AS (
+      SELECT g, s, p, n,
+             CAST(sum(n) OVER (PARTITION BY g ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumneg
+      FROM vals
+    )
+    SELECT g AS o_orderpriority,
+           CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+           CASE WHEN sum(p) > 0 AND sum(n) > 0
+                THEN round(sum(p * (2 * cumneg - n)) / (2.0 * sum(p) * sum(n)), 6)
+           END AS auc,
+           CAST(sum(CASE WHEN s >= 150000.0 THEN p ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= 150000.0 THEN n ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s < 150000.0 THEN n ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN s < 150000.0 THEN p ELSE 0 END) AS BIGINT) AS fn
+    FROM cum GROUP BY g
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model evaluation (library: operators.evalmetrics.
+    binary_eval_by_group): exact Mann-Whitney AUC + threshold
+    confusion per order priority — does price predict fulfillment,
+    and does it predict it EQUALLY WELL across segments (the
+    fairness/debugging slice every eval pass needs). Identical
+    integer discipline to q174; the cumulative window runs on the
+    per-group DISTINCT-score table in ONE keys exchange."""
+    from owl_etl_spark.operators.evalmetrics import binary_eval_by_group
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return binary_eval_by_group(
+        d, ["o_orderpriority"], "o_totalprice", "y", threshold=150000.0
+    )
+
+
+@_register(
+    "q198_hierarchy_shares",
+    """
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name, cents,
+           cents * 1000000 // CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS share_in_region_micro,
+           CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) * 1000000
+             // CAST(sum(cents) OVER () AS BIGINT) AS region_share_micro
+    FROM rev
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent rollup (query-layer composition):
+    nation revenue share within its region AND the region's share of
+    the world, in one pass — the drill-down BI readout. The fact
+    table aggregates ONCE to the (region, nation) grain (25 rows);
+    both share levels are windows over that tiny rollup —
+    Window.partitionBy(lit(1)) for the global total, never a
+    crossJoin against an aggregate (deferred-resolution hazard) and
+    never a second pass over the facts. Exact cent sums; shares are
+    integer micro divisions."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.partitionBy(F.lit(1))
+    staged = rev.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.sum("cents").over(w_r).cast("long").alias("__rsum"),
+        F.sum("cents").over(w_all).cast("long").alias("__tsum"),
+    )
+    return staged.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.expr("cents * 1000000 div __rsum").alias("share_in_region_micro"),
+        F.expr("__rsum * 1000000 div __tsum").alias("region_share_micro"),
     )

@@ -156,3 +156,139 @@ def binary_eval_report(
             6,
         ).alias("acc"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / decile-lift table: bucket rows by descending
+    score into ``n_buckets`` value-grouped quantile buckets and report
+    per bucket ``(bucket, n, n_pos, response_micro, cum_n, cum_pos,
+    gain_micro, lift_micro)`` — gain = share of all positives captured
+    down to this bucket, lift = that share over the share of rows.
+
+    Scale design — NO global row sort: the naive decile (ntile over
+    all rows) is a single-task total ranking at 100 TB. Instead rows
+    group by DISTINCT score once (the q174 AUC shape), the cumulative
+    walk runs on the small value table, and every row of a value gets
+    the bucket where its value group STARTS — ties never split across
+    buckets (same prediction → same treatment), so bucket sizes wobble
+    by tie-group size while everything stays two map-side aggregates
+    + one value-table window. Determinism: all counts exact BIGINTs;
+    the micro ratios are integer divisions (lift in two documented
+    truncation steps to keep headroom: (gain·cum-share-denominator)
+    rather than a four-factor product).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"lift_table: n_buckets must be >= 1, got {n_buckets}")
+    d = df.select(
+        F.col(score_col).alias("__s"), F.col(label_col).cast("long").alias("__y")
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    vals = d.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("__y").cast("long").alias("__p"),
+    )
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    staged = vals.select(
+        "__s",
+        "__c",
+        "__p",
+        (F.sum("__c").over(w) - F.col("__c")).alias("__before"),
+        F.sum("__c").over(w_all).cast("long").alias("__n"),
+        F.sum("__p").over(w_all).cast("long").alias("__np"),
+    ).withColumn(
+        "bucket", F.expr(f"__before * {n_buckets} div __n").cast("long")
+    )
+    g = staged.groupBy("bucket").agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.max("__n").alias("__n"),
+        F.max("__np").alias("__np"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000 div n").alias("response_micro"),
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+        "__n",
+        "__np",
+    )
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "response_micro",
+        "cum_n",
+        "cum_pos",
+        F.expr("CASE WHEN __np > 0 THEN cum_pos * 1000000 div __np END").alias(
+            "gain_micro"
+        ),
+        F.expr(
+            "CASE WHEN __np > 0 THEN "
+            "(cum_pos * 1000000 div __np) * __n div cum_n END"
+        ).alias("lift_micro"),
+    )
+
+
+def binary_eval_by_group(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Per-group ``binary_eval_report``: one row per key group with
+    the same exact Mann-Whitney AUC + threshold confusion columns —
+    the per-segment model-eval every fairness/debugging pass needs.
+    Identical integer discipline; the cumulative window runs on the
+    per-group DISTINCT-score table, partitioned by the keys (one
+    exchange)."""
+    d = df.select(
+        *keys,
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    vals = d.groupBy(*keys, "__s").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__n"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.withColumn("__cumneg", F.sum("__n").over(w))
+    thr = F.lit(float(threshold))
+    agg = cum.groupBy(*keys).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(F.col("__p") * (2 * F.col("__cumneg") - F.col("__n"))).cast("long").alias("__u2"),
+        F.sum(F.when(F.col("__s") >= thr, F.col("__p")).otherwise(F.lit(0))).cast("long").alias("tp"),
+        F.sum(F.when(F.col("__s") >= thr, F.col("__n")).otherwise(F.lit(0))).cast("long").alias("fp"),
+        F.sum(F.when(F.col("__s") < thr, F.col("__n")).otherwise(F.lit(0))).cast("long").alias("tn"),
+        F.sum(F.when(F.col("__s") < thr, F.col("__p")).otherwise(F.lit(0))).cast("long").alias("fn"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.col("__u2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6),
+        ).alias("auc"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+    )

@@ -359,3 +359,64 @@ def top_paths(
         counts.withColumn("rk", F.row_number().over(w_rk).cast("long"))
         .where(F.col("rk") <= top_k)
     )
+
+
+def seq_rules(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Sequential association rules: ``follows_within`` support plus
+    rule CONFIDENCE — for each ordered pair (a → b),
+    ``confidence_micro`` = keys that did a→b within the gap ·10⁶ div
+    keys whose history contains a at all. The "given they did A, how
+    likely is B next" readout that turns journey counts into
+    recommendations.
+
+    Same bounded-by-construction shape as ``follows_within`` (one
+    (key, state) first-occurrence collapse, |states|² max fan-out per
+    key); the antecedent counts are one extra map-side-combined
+    aggregate of the collapsed table, broadcast back onto the
+    |states|²-sized rule list.
+    """
+    if gap_seconds < 1:
+        raise ValueError(f"seq_rules: gap_seconds must be >= 1, got {gap_seconds}")
+    d = df.where(
+        F.col(key_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(state_col).alias("__s"),
+        _ts_to_secs(df, ts_col).alias("__t"),
+    )
+    firsts = d.groupBy("__k", "__s").agg(F.min("__t").alias("__t0"))
+    total = firsts.select("__k").distinct().count()
+    n_a = firsts.groupBy(F.col("__s").alias("state_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    a = firsts.select(
+        F.col("__k"), F.col("__s").alias("state_a"), F.col("__t0").alias("__ta")
+    )
+    b = firsts.select(
+        F.col("__k").alias("__kb"),
+        F.col("__s").alias("state_b"),
+        F.col("__t0").alias("__tb"),
+    )
+    pairs = (
+        a.join(b, a.__k == b.__kb)
+        .where(
+            (F.col("state_a") != F.col("state_b"))
+            & (F.col("__tb") > F.col("__ta"))
+            & (F.col("__tb") - F.col("__ta") <= F.lit(int(gap_seconds)))
+        )
+        .groupBy("state_a", "state_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    return pairs.join(F.broadcast(n_a), "state_a").select(
+        "state_a",
+        "state_b",
+        "n_keys",
+        F.expr(f"n_keys * 1000000 div {max(total, 1)}").alias("support_micro"),
+        F.expr("n_keys * 1000000 div __na").alias("confidence_micro"),
+    )

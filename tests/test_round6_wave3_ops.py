@@ -683,3 +683,91 @@ def test_histogram_sketch_validates_params_and_clamps(spark):
         histogram_quantile(sk, ["k"], 0, 100, 10, [])
     with _pytest.raises(ValueError):
         histogram_quantile(sk, ["k"], 0, 100, 10, [0.0])
+
+
+# ---------------------------------------------------------------------------
+# lift_table
+# ---------------------------------------------------------------------------
+
+
+def test_lift_table_perfect_ranker(spark):
+    from owl_etl_spark.operators.evalmetrics import lift_table
+
+    # scores 0..99, positives are exactly the top 10 scores → bucket 0
+    # captures every positive: gain 100%, lift 10×.
+    rows = [(float(v), 1 if v >= 90 else 0) for v in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bucket"]: r for r in lift_table(df, "s", "y", n_buckets=10).collect()}
+    assert out[0]["n"] == 10 and out[0]["n_pos"] == 10
+    assert out[0]["gain_micro"] == 1_000_000
+    assert out[0]["lift_micro"] == 10_000_000
+    assert out[9]["gain_micro"] == 1_000_000 and out[9]["lift_micro"] == 1_000_000
+
+
+def test_lift_table_ties_stay_in_one_bucket(spark):
+    from owl_etl_spark.operators.evalmetrics import lift_table
+
+    # 15 rows of one score + 5 of another, 2 buckets: the 15-tie group
+    # starts at position 0 → all land in bucket 0 (never split).
+    rows = [(5.0, 1)] * 15 + [(1.0, 0)] * 5
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bucket"]: r for r in lift_table(df, "s", "y", n_buckets=2).collect()}
+    assert out[0]["n"] == 15 and out[1]["n"] == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lift_table(df, "s", "y", n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# binary_eval_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_auc_matches_single_group_report(spark):
+    from owl_etl_spark.operators.evalmetrics import (
+        binary_eval_by_group,
+        binary_eval_report,
+    )
+
+    rows = [("g", float(v % 17), 1 if (v * 7) % 3 == 0 else 0) for v in range(60)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    whole = binary_eval_report(df, "s", "y", threshold=8.0).collect()[0]
+    grouped = binary_eval_by_group(df, ["g"], "s", "y", threshold=8.0).collect()[0]
+    for c in ["n_pos", "n_neg", "auc", "tp", "fp", "tn", "fn"]:
+        assert grouped[c] == whole[c], c
+
+
+def test_grouped_auc_separates_groups(spark):
+    from owl_etl_spark.operators.evalmetrics import binary_eval_by_group
+
+    # group A: perfect ranker (auc 1); group B: inverted (auc 0)
+    rows = [("A", 1.0, 0), ("A", 2.0, 1), ("B", 1.0, 1), ("B", 2.0, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r["g"]: r for r in binary_eval_by_group(df, ["g"], "s", "y", 1.5).collect()}
+    assert out["A"]["auc"] == 1.0 and out["B"]["auc"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# seq_rules
+# ---------------------------------------------------------------------------
+
+
+def test_seq_rules_confidence(spark):
+    from owl_etl_spark.operators.sequence import seq_rules
+
+    rows = [
+        (1, 0, "a"), (1, 10, "b"),   # a→b inside gap
+        (2, 0, "a"),                  # a alone
+        (3, 0, "a"), (3, 999, "b"),  # a→b outside gap
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    out = {
+        (r["state_a"], r["state_b"]): r
+        for r in seq_rules(df, "k", "t", "s", gap_seconds=100).collect()
+    }
+    r = out[("a", "b")]
+    assert r["n_keys"] == 1
+    # 3 keys hold 'a' → confidence 1/3
+    assert r["confidence_micro"] == 333333
+    assert r["support_micro"] == 333333
