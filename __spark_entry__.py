@@ -1442,7 +1442,7 @@ _PRIORITY = [
     #    sf0.001 + sf0.01, stamped; lead the r7 window with the
     #    r3-age rotation band q01–q40/q53/q100/q104).
     "q189", "q190", "q191", "q192", "q193", "q194",
-    "q195", "q196", "q197", "q198",
+    "q195", "q196", "q197", "q198", "q199", "q200", "q201",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]
@@ -10173,4 +10173,230 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.expr("cents * 1000000 div __rsum").alias("share_in_region_micro"),
         F.expr("__rsum * 1000000 div __tsum").alias("region_share_micro"),
+    )
+
+
+_Q199_RUNS = [0]
+
+
+@_register(
+    "q199_streaming_histogram_quantiles",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), h AS (
+      SELECT event_type,
+             least(49, greatest(0, c // 200)) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ), s2 AS (
+      SELECT *, cum - cnt AS cumb FROM s
+    ), picks AS (
+      SELECT event_type, prob, n, bin, cumb, cnt, need,
+             row_number() OVER (PARTITION BY event_type, prob ORDER BY bin) AS rn
+      FROM (
+        SELECT s2.*,
+               p.prob, (n * p.pm + 999999) // 1000000 AS need
+        FROM s2 CROSS JOIN (
+          SELECT CAST(0.5 AS DOUBLE) AS prob, 500000 AS pm
+          UNION ALL SELECT CAST(0.95 AS DOUBLE), 950000
+        ) p
+      ) WHERE cum >= need
+    )
+    SELECT event_type, prob, n,
+           CAST(bin * 200 * 1000000
+                + ((need - cumb) * 1000000 // cnt) * 200 AS BIGINT) AS q_est_micro
+    FROM picks WHERE rn = 1
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance, gated against the batch answer
+    (library: streaming.sketch_stream.streaming_histogram +
+    operators.histo.histogram_quantile): the event stream
+    continuously maintains a per-type 50-bin histogram — the
+    aggregation state IS the mergeable sketch, keys×bins rows and
+    CONSTANT in stream length (a 100 TB replay holds the same state
+    as a 1 GB one; exact streaming quantiles would retain every
+    distinct value) — then p50/p95 extract from the final state and
+    must hash-match DuckDB's batch computation over the same data.
+    readStream parquet → groupBy state → memory sink,
+    trigger(availableNow), complete mode: bounded input makes the
+    final state exactly the batch sketch (the q108 discipline applied
+    to the q194 sketch family)."""
+    from owl_etl_spark.operators.histo import histogram_quantile
+    from owl_etl_spark.streaming.sketch_stream import streaming_histogram
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    sk = streaming_histogram(src, ["event_type"], "cents", lo=0, hi=10000, n_bins=50)
+    _Q199_RUNS[0] += 1
+    name = f"q199_sink_{_Q199_RUNS[0]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(name).select(
+        "event_type", "bin", F.col("cnt").cast("long").alias("cnt")
+    )
+    return histogram_quantile(
+        final, ["event_type"], lo=0, hi=10000, n_bins=50, probs=[0.5, 0.95]
+    )
+
+
+@_register(
+    "q200_iqr_outlier_fences",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), ranked AS (
+      SELECT g, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM d
+    ), quart AS (
+      SELECT g, v, r, n,
+             min(CASE WHEN r * 4 >= n THEN v END) OVER (PARTITION BY g) AS q1,
+             min(CASE WHEN r * 4 >= 3 * n THEN v END) OVER (PARTITION BY g) AS q3
+      FROM ranked
+    ), flagged AS (
+      SELECT g, r, n, q1, q3,
+             q1 * 1000000 - 1500000 * (q3 - q1) AS fence_lo_micro,
+             q3 * 1000000 + 1500000 * (q3 - q1) AS fence_hi_micro,
+             CAST(sum(CASE WHEN v * 1000000 < q1 * 1000000 - 1500000 * (q3 - q1)
+                             OR v * 1000000 > q3 * 1000000 + 1500000 * (q3 - q1)
+                           THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS BIGINT)
+               AS n_outliers
+      FROM quart
+    )
+    SELECT g AS o_orderpriority, n, q1, q3, fence_lo_micro, fence_hi_micro,
+           n_outliers
+    FROM flagged WHERE r = 1
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot outlier fences per order priority (library:
+    operators.quantiles.iqr_fences): exact-rank quartiles (the
+    weighted_quantiles integer rule at weight 1), fences q1 ± 1.5·IQR
+    in integer micro-units, and the outlier count against them — the
+    robust-screening sibling of q140's seasonal-z and the q152
+    trimmed means. ONE shuffle: rank, count, both conditional-min
+    quartiles, and the outlier sum are four window passes over the
+    same partitioning, one row per group via rank==1 — no joins, no
+    second scan."""
+    from owl_etl_spark.operators.quantiles import iqr_fences
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice").isNotNull()).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return iqr_fences(
+        d, ["o_orderpriority"], "cents", tiebreak_col="o_orderkey"
+    )
+
+
+@_register(
+    "q201_cohort_ltv",
+    """
+    WITH e AS (
+      SELECT user_id AS k,
+             CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) AS pm,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), fc AS (
+      SELECT k, min(pm) AS cm FROM e GROUP BY 1
+    ), cs AS (
+      SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size FROM fc GROUP BY 1
+    ), cells AS (
+      SELECT fc.cm, e.pm - fc.cm AS age_months, CAST(sum(e.c) AS BIGINT) AS cents
+      FROM e JOIN fc USING (k) GROUP BY 1, 2
+    ), cum AS (
+      SELECT cm, age_months, cents,
+             CAST(sum(cents) OVER (PARTITION BY cm ORDER BY age_months
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+      FROM cells
+    )
+    SELECT printf('%04d-%02d', CAST(1970 + cm // 12 AS INT),
+                  CAST(cm % 12 + 1 AS INT)) AS cohort_month,
+           CAST(age_months AS INT) AS age_months,
+           cohort_size, cum_cents,
+           cum_cents * 1000000 // cohort_size AS ltv_micro
+    FROM cum JOIN cs USING (cm)
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (query-layer composition over the
+    q161 cohort machinery): users grouped by first-activity month,
+    per-(cohort, month-age) revenue cells, running cumulative revenue
+    per cohort, and LTV = cumulative cents per cohort member in
+    integer micro-units — the payback-period readout growth teams put
+    next to the q161 retention matrix. Month indexes from
+    TIMESTAMP_NTZ calendar parts (no TZ can shift a cohort); plan =
+    one groupBy(user) min, one user-keyed join back, one (cohort,
+    age) aggregate bounded by months², one window over that tiny
+    table, cohort sizes broadcast."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    month_idx = (
+        (F.year(F.col("ts")) - 1970) * 12 + F.month(F.col("ts")) - 1
+    ).cast("long")
+    ev = e.where(F.col("user_id").isNotNull() & F.col("value").isNotNull()).select(
+        F.col("user_id").alias("k"),
+        month_idx.alias("pm"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    fc = ev.groupBy("k").agg(F.min("pm").alias("cm"))
+    cs = fc.groupBy("cm").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    cells = (
+        ev.join(fc, "k")
+        .groupBy("cm", (F.col("pm") - F.col("cm")).alias("age_months"))
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+    return (
+        cum.join(F.broadcast(cs), "cm")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                (F.lit(1970) + F.expr("cm div 12")).cast("int"),
+                (F.col("cm") % 12 + 1).cast("int"),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "cohort_size",
+            "cum_cents",
+            F.expr("cum_cents * 1000000 div cohort_size").alias("ltv_micro"),
+        )
     )

@@ -257,3 +257,81 @@ def trimmed_mean_report(
             "winsorized_mean"
         ),
     )
+
+
+def iqr_fences(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tiebreak_col: str | None = None,
+    k_micro: int = 1_500_000,
+) -> DataFrame:
+    """Tukey box-plot outlier fences per key group: ``(keys..., n,
+    q1, q3, fence_lo_micro, fence_hi_micro, n_outliers)`` with
+    q1/q3 the exact-rank quartiles (smallest value whose rank·4
+    reaches n / 3n — the weighted_quantiles rule at weight 1) and
+    fences q1 − k·IQR / q3 + k·IQR in integer micro-units
+    (default k = 1.5).
+
+    Everything is BIGINT: the quartile tests are integer
+    cross-multiplications, the fences are integer arithmetic on the
+    exact quartiles, the outlier test compares value·10⁶ against the
+    fences. Values must be integers (cents/units); nulls are excluded
+    like every quantile operator here.
+
+    Scale shape: ONE shuffle on the keys; rank, group count, the two
+    conditional-min quartiles, and the outlier count are four window
+    passes over the SAME partitioning (one exchange, one sort), then
+    a rank==1 filter emits one row per group — no joins, no second
+    scan of the data.
+    """
+    from pyspark.sql import Window
+
+    if k_micro < 0:
+        raise ValueError(f"iqr_fences: k_micro must be >= 0, got {k_micro}")
+    order = [F.col("__v").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    d = df.select(
+        *keys,
+        *( [F.col(tiebreak_col)] if tiebreak_col is not None else [] ),
+        F.col(value_col).cast("long").alias("__v"),
+    ).where(F.col(value_col).isNotNull())
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_all = Window.partitionBy(*keys)
+    ranked = d.select(
+        *keys,
+        "__v",
+        F.row_number().over(w_rank).cast("long").alias("__r"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    quart = ranked.select(
+        *keys,
+        "__v",
+        "__r",
+        "n",
+        F.min(F.when(F.col("__r") * 4 >= F.col("n"), F.col("__v"))).over(w_all).alias("q1"),
+        F.min(F.when(F.col("__r") * 4 >= 3 * F.col("n"), F.col("__v"))).over(w_all).alias("q3"),
+    )
+    lo = F.col("q1") * 1_000_000 - F.lit(int(k_micro)) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") * 1_000_000 + F.lit(int(k_micro)) * (F.col("q3") - F.col("q1"))
+    flagged = quart.select(
+        *keys,
+        "__r",
+        "n",
+        "q1",
+        "q3",
+        lo.alias("fence_lo_micro"),
+        hi.alias("fence_hi_micro"),
+        F.sum(
+            F.when(
+                (F.col("__v") * 1_000_000 < lo) | (F.col("__v") * 1_000_000 > hi), 1
+            ).otherwise(0)
+        )
+        .over(w_all)
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return flagged.where(F.col("__r") == 1).select(
+        *keys, "n", "q1", "q3", "fence_lo_micro", "fence_hi_micro", "n_outliers"
+    )

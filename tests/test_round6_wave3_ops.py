@@ -771,3 +771,84 @@ def test_seq_rules_confidence(spark):
     # 3 keys hold 'a' → confidence 1/3
     assert r["confidence_micro"] == 333333
     assert r["support_micro"] == 333333
+
+
+# ---------------------------------------------------------------------------
+# iqr_fences
+# ---------------------------------------------------------------------------
+
+
+def test_iqr_fences_hand_case(spark):
+    from owl_etl_spark.operators.quantiles import iqr_fences
+
+    # values 1..8: q1 = rank-2 value (2·4 ≥ 8) = 2, q3 = rank-6 (6·4 ≥ 24) = 6
+    rows = [("g", i, i) for i in range(1, 9)] + [("g", 99, 1000)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = iqr_fences(df, ["g"], "v", tiebreak_col="id").collect()[0]
+    assert r["n"] == 9
+    # with the outlier included: n=9 → q1 at rank 3 (3·4 ≥ 9) = 3, q3 at rank 7 (7·4 ≥ 27) = 7
+    assert (r["q1"], r["q3"]) == (3, 7)
+    assert r["fence_lo_micro"] == 3 * 1_000_000 - 1_500_000 * 4
+    assert r["fence_hi_micro"] == 7 * 1_000_000 + 1_500_000 * 4
+    assert r["n_outliers"] == 1  # the planted 1000
+
+
+def test_iqr_fences_zero_iqr_and_param(spark):
+    from owl_etl_spark.operators.quantiles import iqr_fences
+
+    df = spark.createDataFrame(
+        [("g", i, 5) for i in range(4)] + [("g", 9, 50)],
+        "g string, id long, v long",
+    )
+    r = iqr_fences(df, ["g"], "v", tiebreak_col="id").collect()[0]
+    # constant bulk: q1 = q3 = 5, IQR 0 → fences collapse to the value
+    assert (r["q1"], r["q3"]) == (5, 5)
+    assert r["n_outliers"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        iqr_fences(df, ["g"], "v", k_micro=-1)
+
+
+# ---------------------------------------------------------------------------
+# streaming_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
+    from owl_etl_spark.operators.histo import histogram_sketch
+    from owl_etl_spark.streaming.sketch_stream import streaming_histogram
+
+    rows = [("a", (i * 37) % 100) for i in range(300)] + [
+        ("b", (i * 11) % 100) for i in range(100)
+    ]
+    batch = spark.createDataFrame(rows, "k string, v long")
+    path = str(tmp_path / "events_hist")
+    batch.write.parquet(path)
+    src = spark.readStream.schema("k string, v long").parquet(path)
+    agg = streaming_histogram(src, ["k"], "v", lo=0, hi=100, n_bins=10)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("hist_stream_test").collect()))
+    want = sorted(
+        map(tuple, histogram_sketch(batch, ["k"], "v", 0, 100, 10).collect())
+    )
+    assert got == want
+
+
+def test_streaming_histogram_validates_params(spark):
+    from owl_etl_spark.streaming.sketch_stream import streaming_histogram
+
+    df = spark.createDataFrame([("k", 1)], "k string, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_histogram(df, ["k"], "v", 0, 100, 7)
+    with _pytest.raises(ValueError):
+        streaming_histogram(df, ["k"], "v", 100, 0, 10)
