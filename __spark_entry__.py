@@ -1442,7 +1442,7 @@ _PRIORITY = [
     #    sf0.001 + sf0.01, stamped; lead the r7 window with the
     #    r3-age rotation band q01–q40/q53/q100/q104).
     "q189", "q190", "q191", "q192", "q193", "q194",
-    "q195", "q196", "q197", "q198", "q199", "q200", "q201",
+    "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]
@@ -10400,3 +10400,99 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_cents * 1000000 div cohort_size").alias("ltv_micro"),
         )
     )
+
+
+@_register(
+    "q202_embedding_centroid_drift",
+    """
+    WITH v AS (
+      SELECT label,
+             CAST(('0x' || substring(md5('h|' || vec_id), 1, 15)) AS BIGINT) % 2 AS h,
+             embedding AS e
+      FROM embeddings
+    ), ex AS (
+      SELECT label, h, r.range AS d,
+             CAST(round(CAST(e[CAST(r.range AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS m
+      FROM v CROSS JOIN range(1, 65) r
+    ), sums AS (
+      SELECT label, d,
+             CAST(sum(CASE WHEN h = 0 THEN m END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN h = 1 THEN m END) AS BIGINT) AS s1
+      FROM ex GROUP BY 1, 2
+    ), cnts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM v GROUP BY 1
+    ), num AS (
+      SELECT s.label,
+             sum(CAST(coalesce(s0, 0) * n1 - coalesce(s1, 0) * n0 AS HUGEINT)
+                 * (coalesce(s0, 0) * n1 - coalesce(s1, 0) * n0)) AS num
+      FROM sums s JOIN cnts c ON s.label = c.label GROUP BY 1
+    )
+    SELECT c.label, n0, n1,
+           CASE WHEN n0 > 0 AND n1 > 0
+                THEN round(sqrt(CAST(num AS DOUBLE)) / (n0 * n1) / 1000000.0, 6)
+           END AS centroid_dist
+    FROM num JOIN cnts c USING (label)
+    """,
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift per label (library: operators.
+    embdrift.centroid_drift): split each label's vectors into two
+    deterministic md5 halves and measure the distance between the
+    half centroids — the "did my embedding distribution move between
+    drops" monitor (here the halves are a null experiment; in
+    production split_col is old-vs-new). The classic float-sum
+    nondeterminism is engineered out: components fix to integer
+    micro-units BEFORE any cross-row sum, the distance is computed
+    from the exact sums with cross-multiplied arithmetic in
+    DECIMAL(38,0)/HUGEINT, and the only doubles are the final
+    sqrt-and-divide. One corpus×dim explode into a map-side
+    combinable groupBy — never a vector shuffle."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.embdrift import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        "embedding",
+        (
+            md5_long(F.concat(F.lit("h|"), F.col("vec_id").cast("string"))) % 2
+        ).alias("half"),
+    )
+    return centroid_drift(d, ["label"], "embedding", "half")
+
+
+@_register(
+    "q203_similarity_histogram",
+    f"""
+    WITH s AS (
+      SELECT vec_id AS id, embedding AS v
+      FROM embeddings
+      WHERE CAST(('0x' || substring(md5('s|' || vec_id), 1, 15)) AS BIGINT) % 5 = 0
+    ), sims AS (
+      SELECT CAST(round(({_cosine_duck('a.v', 'b.v')}) * 1000000) AS BIGINT)
+               AS sim_micro
+      FROM s a JOIN s b ON a.id < b.id
+    )
+    SELECT least(39, greatest(0, (sim_micro - -1000000) // 50000)) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM sims GROUP BY 1
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry health histogram (library: operators.embdrift.
+    similarity_histogram): pairwise cosine similarities over a
+    deterministic md5 sample (1-in-5 of the corpus), bucketed into 40
+    bins of [-1, 1] — the "are my embeddings collapsing / is there
+    cluster structure" diagnostic. The sample bound keeps pairs at
+    (n/5)²/2, a dial the caller owns (an all-pairs join over the
+    corpus is never acceptable); the cosine is the q30 intra-row
+    left-fold, IEEE-identical across engines; the histogram is the
+    q194 mergeable sketch."""
+    from owl_etl_spark.operators.embdrift import similarity_histogram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity_histogram(emb, "vec_id", "embedding", sample_mod=5, n_bins=40)

@@ -1,0 +1,134 @@
+"""Embedding-space diagnostics: centroid drift and similarity
+geometry, with cross-engine-exact arithmetic.
+
+Float vector aggregates are the classic determinism trap: a
+cross-row SUM of doubles depends on partition order. Both operators
+here avoid it:
+
+- ``centroid_drift`` fixes each component to integer micro-units
+  BEFORE any cross-row accumulation (the per-row rounding is
+  intra-row and deterministic; the sums are exact BIGINTs), then
+  computes the between-centroid distance from the SUMS with
+  cross-multiplied exact arithmetic — the squared terms run in
+  DECIMAL(38,0) (HUGEINT on other engines), so no n₁·n₂ denominator
+  ever divides early and nothing overflows below ~10³⁸.
+- ``similarity_histogram`` buckets pairwise cosines over a
+  DETERMINISTIC md5 sample of the corpus (seed-free, partition-order
+  independent) — the corpus-geometry health check ("are my
+  embeddings collapsing?") that must never be an all-pairs join:
+  the sample bound makes the pair count a constant the caller picks,
+  and the cosine itself is the library's intra-row left-fold
+  (array-order IEEE, the q30 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def centroid_drift(
+    df: DataFrame,
+    keys: list[str],
+    vec_col: str,
+    split_col: str,
+) -> DataFrame:
+    """Per key group: the Euclidean distance between the centroids of
+    the two halves named by ``split_col`` (values 0/1 — e.g. old drop
+    vs new drop, or an md5 parity) — ``(keys..., n0, n1,
+    centroid_dist)`` with the distance on the original component
+    scale, rounded at 6. Groups missing either half emit null.
+
+    Exactness: components fix to round(v·10⁶) BIGINTs; the distance
+    is √(Σ_d (s0_d·n1 − s1_d·n0)²) / (n0·n1·10⁶) where the s are
+    exact per-dimension micro sums and the squared terms accumulate
+    in DECIMAL(38,0). Headroom: |s·n| < ~3·10¹⁸ wants n·|v|·10⁶·n
+    within 10¹⁸ — fine to ~10⁵ rows per half at unit-scale
+    embeddings; rescale above that.
+
+    Plan: one explode to (keys, half, dim) — corpus×dim rows into a
+    map-side-combinable groupBy — one tiny per-half count aggregate
+    broadcast back, one dim-level combine. Never a vector shuffle.
+    """
+    posexpl = F.posexplode(
+        F.expr(
+            f"transform({vec_col}, "
+            "v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        )
+    )
+    d = df.select(
+        *keys, F.col(split_col).cast("int").alias("__h"), posexpl.alias("__d", "__m")
+    )
+    sums = d.groupBy(*keys, "__d").agg(
+        F.sum(F.when(F.col("__h") == 0, F.col("__m"))).cast("long").alias("__s0"),
+        F.sum(F.when(F.col("__h") == 1, F.col("__m"))).cast("long").alias("__s1"),
+    )
+    counts = (
+        df.select(*keys, F.col(split_col).cast("int").alias("__h"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col("__h") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        )
+    )
+    joined = sums.join(F.broadcast(counts), keys)
+    diff = F.coalesce(F.col("__s0"), F.lit(0)) * F.col("n1") - F.coalesce(
+        F.col("__s1"), F.lit(0)
+    ) * F.col("n0")
+    term = (diff.cast("decimal(38,0)") * diff).alias("__t")
+    agg = joined.select(*keys, "n0", "n1", term).groupBy(*keys).agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.sum("__t").alias("__num"),
+    )
+    dist = F.round(
+        F.sqrt(F.col("__num").cast("double"))
+        / (F.col("n0") * F.col("n1"))
+        / 1_000_000.0,
+        6,
+    )
+    return agg.select(
+        *keys,
+        "n0",
+        "n1",
+        F.when((F.col("n0") > 0) & (F.col("n1") > 0), dist).alias("centroid_dist"),
+    )
+
+
+def similarity_histogram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int,
+    n_bins: int = 40,
+) -> DataFrame:
+    """Histogram of pairwise cosine similarities over the
+    deterministic sample ``md5('s|' || id) % sample_mod == 0``:
+    ``(bin, cnt)`` over ``n_bins`` equal bins of [−1, 1] in micro
+    units. The sample keeps the pair count at (n/sample_mod)²/2 — a
+    dial the caller owns — because an all-pairs join over the corpus
+    is never acceptable; the cosine is the intra-row left-fold
+    (array-order IEEE, identical across engines)."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.functions.similarity import cosine_sql
+    from owl_etl_spark.operators.histo import histogram_sketch
+
+    if sample_mod < 1:
+        raise ValueError(
+            f"similarity_histogram: sample_mod must be >= 1, got {sample_mod}"
+        )
+    s = df.where(
+        md5_long(F.concat(F.lit("s|"), F.col(id_col).cast("string"))) % sample_mod
+        == 0
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a = s.select(F.col("__id").alias("__ia"), F.col("__v").alias("__va"))
+    b = s.select(F.col("__id").alias("__ib"), F.col("__v").alias("__vb"))
+    pairs = a.crossJoin(b).where(F.col("__ia") < F.col("__ib"))
+    sims = pairs.select(
+        F.round(cosine_sql("__va", "__vb") * 1_000_000)
+        .cast("long")
+        .alias("sim_micro")
+    )
+    return histogram_sketch(
+        sims, [], "sim_micro", lo=-1_000_000, hi=1_000_000, n_bins=n_bins
+    )

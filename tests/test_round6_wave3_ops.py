@@ -852,3 +852,58 @@ def test_streaming_histogram_validates_params(spark):
         streaming_histogram(df, ["k"], "v", 0, 100, 7)
     with _pytest.raises(ValueError):
         streaming_histogram(df, ["k"], "v", 100, 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# centroid_drift / similarity_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_drift_hand_case(spark):
+    from owl_etl_spark.operators.embdrift import centroid_drift
+
+    # half 0 centered at (0,0), half 1 at (3,4) → distance 5
+    rows = [
+        ("l", 0, [0.0, 0.0]), ("l", 0, [0.0, 0.0]),
+        ("l", 1, [3.0, 4.0]), ("l", 1, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, half int, embedding array<float>")
+    r = centroid_drift(df, ["label"], "embedding", "half").collect()[0]
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert r["centroid_dist"] == 5.0
+
+
+def test_centroid_drift_missing_half_is_null(spark):
+    from owl_etl_spark.operators.embdrift import centroid_drift
+
+    df = spark.createDataFrame(
+        [("l", 0, [1.0, 1.0])], "label string, half int, embedding array<float>"
+    )
+    r = centroid_drift(df, ["label"], "embedding", "half").collect()[0]
+    assert r["n1"] == 0 and r["centroid_dist"] is None
+
+
+def test_centroid_drift_identical_halves_zero(spark):
+    from owl_etl_spark.operators.embdrift import centroid_drift
+
+    rows = [("l", h, [0.25, -0.5, 0.125]) for h in (0, 1) for _ in range(3)]
+    df = spark.createDataFrame(rows, "label string, half int, embedding array<float>")
+    r = centroid_drift(df, ["label"], "embedding", "half").collect()[0]
+    assert r["centroid_dist"] == 0.0
+
+
+def test_similarity_histogram_counts_pairs(spark):
+    from owl_etl_spark.operators.embdrift import similarity_histogram
+
+    # sample_mod=1 keeps everything: 3 vectors → 3 pairs; two identical
+    # vectors give cosine 1 (top bin), orthogonal pairs give 0.
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["bin"]: r["cnt"] for r in similarity_histogram(df, "vec_id", "embedding", 1, n_bins=40).collect()}
+    assert sum(out.values()) == 3
+    assert out[39] == 1  # the cosine-1 pair clamps into the top bin
+    assert out[20] == 2  # the two orthogonal pairs at 0 → bin (0+1e6)//50000 = 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity_histogram(df, "vec_id", "embedding", 0)
