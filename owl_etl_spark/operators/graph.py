@@ -325,43 +325,47 @@ def hits_scores(
         .distinct()
         .localCheckpoint()
     )
-    hub = nodes.select("__n", F.lit(MICRO).cast("long").alias("__h"))
+    # Iterate ONLY over edge-endpoint score tables: a node that is
+    # never a dst has authority exactly 0 (and contributes nothing to
+    # any hub sum), and symmetrically for sources — so the per-round
+    # nodes left-join of the textbook formulation is pure overhead.
+    # Zero-fill happens once at the end. Each raw table is
+    # localCheckpoint-ed BEFORE its max is collected, so the edge join
+    # runs once per half-round (collect + downstream reuse both read
+    # the checkpoint), not 2-3x.
+    hub = e.select(F.col("__s").alias("__n")).distinct().select(
+        "__n", F.lit(MICRO).cast("long").alias("__h")
+    ).localCheckpoint()
     auth = None
     for _ in range(n_iters):
         araw = (
             e.join(hub, e.__s == hub.__n)
             .groupBy("__d")
             .agg(F.sum("__h").cast("long").alias("__raw"))
+            .localCheckpoint()
         )
         amax = araw.agg(F.max("__raw")).collect()[0][0] or 1
-        auth = (
-            nodes.join(araw, nodes.__n == araw.__d, "left")
-            .select(
-                "__n",
-                F.expr(f"coalesce(__raw, 0) * {MICRO} div {amax}")
-                .cast("long")
-                .alias("__a"),
-            )
-            .localCheckpoint()
+        auth = araw.select(
+            F.col("__d").alias("__n"),
+            F.expr(f"__raw * {MICRO} div {amax}").cast("long").alias("__a"),
         )
         hraw = (
             e.join(auth, e.__d == auth.__n)
             .groupBy("__s")
             .agg(F.sum("__a").cast("long").alias("__raw"))
-        )
-        hmax = hraw.agg(F.max("__raw")).collect()[0][0] or 1
-        hub = (
-            nodes.join(hraw, nodes.__n == hraw.__s, "left")
-            .select(
-                "__n",
-                F.expr(f"coalesce(__raw, 0) * {MICRO} div {hmax}")
-                .cast("long")
-                .alias("__h"),
-            )
             .localCheckpoint()
         )
-    return hub.join(auth, "__n").select(
-        F.col("__n").alias("node"),
-        F.col("__h").alias("hub_micro"),
-        F.col("__a").alias("auth_micro"),
+        hmax = hraw.agg(F.max("__raw")).collect()[0][0] or 1
+        hub = hraw.select(
+            F.col("__s").alias("__n"),
+            F.expr(f"__raw * {MICRO} div {hmax}").cast("long").alias("__h"),
+        )
+    return (
+        nodes.join(hub, "__n", "left")
+        .join(auth, "__n", "left")
+        .select(
+            F.col("__n").alias("node"),
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("hub_micro"),
+            F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("auth_micro"),
+        )
     )
