@@ -10496,3 +10496,402 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return similarity_histogram(emb, "vec_id", "embedding", sample_mod=5, n_bins=40)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 8 (round 6): weighted shortest paths, label propagation,
+# Spearman correlation, co-purchase affinity, edit-distance pairs,
+# MAD outlier report
+# ---------------------------------------------------------------------------
+
+
+def _wsp_oracle(rounds: int) -> str:
+    """Unrolled Bellman-Ford oracle for q204: seed + `rounds` chained
+    relax stages over the min-symmetrized weighted nation trade
+    graph. Stages past the fixpoint are no-ops (min of an unchanged
+    union), so `rounds` is the hop bound, exactly the library
+    contract."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT src, dst, 1 + 1000000 // cnt AS w FROM (
+        SELECT s.s_nationkey AS src, cu.c_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        JOIN customer cu ON o2.o_custkey = cu.c_custkey
+        WHERE s.s_nationkey != cu.c_nationkey
+        GROUP BY 1, 2
+      )
+    ), und AS MATERIALIZED (
+      SELECT s, d, min(w) AS w FROM (
+        SELECT src AS s, dst AS d, w FROM e0
+        UNION ALL
+        SELECT dst, src, w FROM e0
+      ) GROUP BY 1, 2
+    ), d0 AS MATERIALIZED (
+      SELECT CAST(0 AS INT) AS node, CAST(0 AS BIGINT) AS cost
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d{i - 1}
+        UNION ALL
+        SELECT und.d AS node, d{i - 1}.cost + und.w AS cost
+        FROM d{i - 1} JOIN und ON d{i - 1}.node = und.s
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS INT) AS node, CAST(cost AS BIGINT) AS cost FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@_register("q204_trade_cheapest_routes", _wsp_oracle(rounds=4))
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade route cost from nation 0 to every nation within
+    4 legs (library: operators.paths.weighted_shortest_paths) —
+    hop-bounded Bellman-Ford over q171's nation trade graph with an
+    inverse-intensity integer edge cost (1 + 1,000,000 div lineitem
+    count: heavily-traded lanes are cheap). Per round ONE keyed
+    shuffle (dist ⋈ edges + min per node), localCheckpoint lineage
+    truncation, and an exact (count, Σcost) fixpoint test so the loop
+    exits early while matching the unrolled-oracle hop-bound
+    semantics; a null/negative weight raises via a guard woven into
+    the cost column. Costs are exact BIGINT sums — no tie-break can
+    change a minimum."""
+    from owl_etl_spark.operators.paths import weighted_shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e0 = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "src", "dst", (F.lit(1) + F.expr("1000000 div cnt")).alias("w")
+        )
+    )
+    return weighted_shortest_paths(
+        e0, "src", "dst", "w", sources=[0], max_hops=4, undirected=True
+    )
+
+
+def _lpa_oracle(rounds: int, pct: int) -> str:
+    """Unrolled synchronous label-propagation oracle for q205 over
+    the q176 md5-sampled part co-purchase graph: per round, count
+    neighbor labels and keep the (count desc, label asc) winner per
+    node — the library's min(struct(-count, label)) replayed as a
+    row_number pick."""
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      WHERE CAST(('0x' || substring(md5(a.l_partkey || '|' || b.l_partkey), 1, 15)) AS BIGINT) % 100 < {pct}
+    ), und AS MATERIALIZED (
+      SELECT p1 AS s, p2 AS d FROM pairs
+      UNION
+      SELECT p2, p1 FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT s AS node, s AS label FROM und
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+      SELECT und.d AS node, l.label, count(*) AS c
+      FROM l{i - 1} l JOIN und ON l.node = und.s
+      GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS r
+        FROM c{i}
+      ) WHERE r = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l{rounds}"""
+    )
+    return "".join(parts)
+
+
+@_register("q205_part_communities", _lpa_oracle(rounds=3, pct=10))
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase communities by synchronous label propagation, 3
+    rounds (library: operators.paths.label_propagation) over the q176
+    md5-sampled part co-purchase graph — the near-linear community
+    detector for when connected components over-merges: a node adopts
+    its PLURALITY neighbor label (ties toward the smallest label — a
+    total order, so the fixed-round result is deterministic and
+    replays as an unrolled CTE ladder). Per round: one join of the
+    label table against the symmetrized edges + a two-key count + a
+    min(struct(-count, label)) argmax — two keyed shuffles, per-task
+    work bounded by node degree."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.paths import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .where(
+            md5_long(
+                F.concat(
+                    F.col("p1").cast("string"), F.lit("|"), F.col("p2").cast("string")
+                )
+            )
+            % 100
+            < 10
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, "p1", "p2", rounds=3)
+
+
+@_register(
+    "q206_balance_spend_spearman",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             coalesce(o.y, 0) AS y
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+      ) o ON c.c_custkey = o.o_custkey
+    ), rk AS (
+      SELECT c_nationkey,
+             rank() OVER (PARTITION BY c_nationkey ORDER BY x ASC)
+           - rank() OVER (PARTITION BY c_nationkey ORDER BY x DESC)
+           + count(*) OVER (PARTITION BY c_nationkey) + 1 AS rx,
+             rank() OVER (PARTITION BY c_nationkey ORDER BY y ASC)
+           - rank() OVER (PARTITION BY c_nationkey ORDER BY y DESC)
+           + count(*) OVER (PARTITION BY c_nationkey) + 1 AS ry
+      FROM cust
+    ), m AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM rk GROUP BY 1
+    )
+    SELECT c_nationkey, n,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+                THEN round(
+                  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                  6)
+           END AS spearman_rho
+    FROM m
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between customer account
+    balance and lifetime spend (library: operators.correlation.
+    spearman_by_group) — the monotone-association screen, robust to
+    outliers and rescaling. Tie-averaged doubled ranks come from the
+    exact-integer identity 2·avg_rank = rank_asc − rank_desc + n + 1
+    (two RANK() passes on ONE group shuffle, no join), moments are
+    exact BIGINT sums, the closed-form products run in
+    DECIMAL(38,0)/HUGEINT, and only the final divide is double,
+    rounded at 6 — the autocorrelation_report discipline applied to
+    ranks. A >10^6-row group raises (BIGINT rank-moment bound) via a
+    guard woven into the rank column."""
+    from owl_etl_spark.operators.correlation import spearman_by_group
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0).cast("long")))
+        .select("c_nationkey", "x", "y")
+    )
+    return spearman_by_group(j, ["c_nationkey"], "x", "y")
+
+
+@_register(
+    "q207_brand_affinity_topk",
+    """
+    WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS e, p.p_brand AS i
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ), kept AS MATERIALIZED (
+      SELECT e, i FROM baskets
+      WHERE e IN (SELECT e FROM baskets GROUP BY e HAVING count(*) <= 200)
+    ), ic AS (
+      SELECT i AS item, CAST(count(*) AS BIGINT) AS c_item FROM kept GROUP BY 1
+    ), pc AS (
+      SELECT a.i AS i1, b.i AS i2, CAST(count(*) AS BIGINT) AS c_both
+      FROM kept a JOIN kept b ON a.e = b.e AND a.i < b.i
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT i1 AS item, i2 AS neighbor, c_both FROM pc
+      UNION ALL
+      SELECT i2, i1, c_both FROM pc
+    ), scored AS (
+      SELECT s.item, s.neighbor, ci.c_item, cn.c_item AS c_nbr, s.c_both,
+             CAST(CAST(s.c_both AS HUGEINT) * s.c_both * 1000000000000
+                  // (CAST(ci.c_item AS HUGEINT) * cn.c_item) AS BIGINT)
+               AS cosine2_micro
+      FROM sym s
+      JOIN ic ci ON s.item = ci.item
+      JOIN ic cn ON s.neighbor = cn.item
+    )
+    SELECT item, neighbor, c_item, c_nbr, c_both, cosine2_micro,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY item ORDER BY cosine2_micro DESC, neighbor ASC
+             ) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-purchase brand affinities per brand (library:
+    operators.affinity.cooccurrence_similarity_topk) — the "customers
+    who buy X also buy Y" neighborhood model: binary cosine
+    c_ab/√(c_a·c_b) over customer incidence, reported as the exact
+    integer cosine2_micro = c_ab²·10¹² div (c_a·c_b) in
+    DECIMAL(38,0)/HUGEINT so no float sqrt ever orders a top-k.
+    Plan: distinct baskets → per-customer ordered pairs (fan-out
+    bounded by the max_basket=200 cap, the documented power-user
+    exclusion) → pair-count aggregate → two broadcast joins of the
+    tiny post-agg item-count table → WindowGroupLimit top-5 with
+    (score desc, neighbor asc) total order."""
+    from owl_etl_spark.operators.affinity import cooccurrence_similarity_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    inc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("e"), F.col("p_brand").alias("i"))
+    )
+    return cooccurrence_similarity_topk(inc, "e", "i", k=5, max_basket=200)
+
+
+@_register(
+    "q208_part_name_typo_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part-name pair within Levenshtein distance 2 (library:
+    operators.editsim.edit_distance_pairs) — the symmetric fuzzy
+    self-join the broadcast fuzzy_join family cannot do. Exact length
+    blocking implied by the metric (|len diff| ≤ d ⇒ same or adjacent
+    width-(d+1) length bucket; lower bucket probes up, same-bucket
+    pairs dedupe by id order — each pair generated exactly once, no
+    distinct pass), then Spark's three-arg levenshtein threshold
+    verify, O(d·len) per candidate. The oracle is the brute-force
+    definition over the same rows."""
+    from owl_etl_spark.operators.editsim import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return edit_distance_pairs(p, "p_partkey", "p_name", max_dist=2).select(
+        "id_a", "id_b", "dist"
+    )
+
+
+@_register(
+    "q209_event_value_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ), rk AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc ASC) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r = (n + 1) // 2 THEN vc ELSE 0 END)
+                + sum(CASE WHEN r = (n + 2) // 2 THEN vc ELSE 0 END) AS BIGINT) AS med2
+      FROM rk GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, abs(2 * vc - med2) AS dev2, med2
+      FROM v JOIN med ON v.event_type = med.event_type
+    ), drk AS (
+      SELECT event_type, dev2,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2 ASC) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN r = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                + sum(CASE WHEN r = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT) AS mad2
+      FROM drk GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           max(d.med2) / 2.0 AS median_units,
+           max(m.mad2) / 4.0 AS mad_units,
+           CAST(sum(CASE WHEN 2 * dev2 > 3 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD dispersion + robust outlier counts per event type
+    (library: operators.robust.mad_outlier_report) — the 50%-
+    breakdown robust sibling of the Tukey fences (q200): a row is an
+    outlier iff |v − median| > 3·MAD, decided ENTIRELY in BIGINT
+    (doubled-sum exact medians: median = med2/2.0 and MAD = mad2/4.0
+    are exact binary halvings/quarterings, and the flag compares
+    2·dev2 > 3·mad2 — no float threshold, cf. the ulp-trap note in
+    profile.ab_test_report). Values quantized to cents up front;
+    null values excluded (documented discipline). Three aggregates on
+    one key shuffle; per-key state is two BIGINTs."""
+    from owl_etl_spark.operators.robust import mad_outlier_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    return mad_outlier_report(ev, ["event_type"], "vc", k_num=3, k_den=1)

@@ -1,5 +1,5 @@
-"""Robust (Theil-Sen) trend estimation: the median of pairwise
-slopes.
+"""Robust statistics: Theil-Sen trend estimation and MAD outlier
+reports.
 
 OLS slopes (``profile.trend_report``) break under a single wild
 outlier; Theil-Sen's breakdown point is ~29%. The estimator is
@@ -122,3 +122,97 @@ def theil_sen_slopes(
         )
     )
     return med.unionByName(singletons)
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median / MAD dispersion report with robust outlier counts, per
+    key group: ``(keys..., n, median_units, mad_units, n_outliers)``
+    where a row is an outlier iff ``|v - median| > (k_num/k_den) * MAD``
+    (MAD = median absolute deviation from the median). The robust
+    sibling of the Tukey IQR fences (operators/quantiles.iqr_fences):
+    MAD's 50% breakdown point survives corpora where even the
+    quartiles are contaminated, and the k·MAD rule is the standard
+    robust z-test with the 1.4826 consistency constant folded into the
+    caller's choice of k_num/k_den (e.g. 3.5σ ≈ k_num=236, k_den=100,
+    since 3.5·1/1.4826 ≈ 2.36... — the ratio is exact integers, never
+    a float threshold; cf. the ulp-trap note in the A/B readout,
+    operators/profile.py).
+
+    ``value_col`` must be integer-valued (cast to BIGINT; pre-quantize
+    floats to cents upstream). Rows with a null value are EXCLUDED up
+    front — the documented null discipline shared with
+    ``ab_test_report``. All decisions are exact-integer: medians use
+    the doubled-sum trick (med2 = v_lo + v_hi over the two middle
+    ranks, so median = med2/2.0 — an exact binary halving, safe to
+    hash), deviations are dev2 = |2v − med2| (integer), the MAD's
+    doubled-sum mad2 gives MAD = mad2/4.0 (exact quartering), and the
+    outlier test compares ``2·k_den·dev2 > k_num·mad2`` in BIGINT —
+    no float enters any comparison.
+
+    Plan: three aggregates on the SAME key shuffle (median pass, MAD
+    pass over deviations, outlier-count pass) with the tiny post-agg
+    per-key tables joined back — no window over raw rows except the
+    two rank passes that exact order statistics require, no driver
+    data. At 100 TB the per-key state is two BIGINTs; the rank
+    windows are the cost of exactness (the approximate path is
+    ``histo.histogram_quantiles`` when rank precision can be traded).
+    """
+    if k_num < 0 or k_den <= 0:
+        raise ValueError(
+            f"mad_outlier_report: need k_num >= 0 and k_den > 0, got {k_num}/{k_den}"
+        )
+    work = df.select(
+        *keys, F.col(value_col).cast("long").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    w_rank = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    w_all = Window.partitionBy(*keys)
+    ranked = work.select(
+        *keys,
+        "__v",
+        F.row_number().over(w_rank).cast("long").alias("__r"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+    )
+    lo = F.expr("(__n + 1) div 2")
+    hi = F.expr("(__n + 2) div 2")
+    med = ranked.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        (
+            F.sum(F.when(F.col("__r") == lo, F.col("__v")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("__r") == hi, F.col("__v")).otherwise(F.lit(0)))
+        ).alias("__med2"),
+    )
+    dev = work.join(med.select(*keys, "__med2"), keys).withColumn(
+        "__dev2", F.abs(F.lit(2) * F.col("__v") - F.col("__med2"))
+    )
+    wd_rank = Window.partitionBy(*keys).orderBy(F.col("__dev2").asc())
+    dranked = dev.select(
+        *keys,
+        "__dev2",
+        F.row_number().over(wd_rank).cast("long").alias("__r"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+    )
+    mad = dranked.groupBy(*keys).agg(
+        (
+            F.sum(F.when(F.col("__r") == lo, F.col("__dev2")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("__r") == hi, F.col("__dev2")).otherwise(F.lit(0)))
+        ).alias("__mad2")
+    )
+    flagged = dev.join(mad, keys).withColumn(
+        "__is_out",
+        (F.lit(2 * int(k_den)) * F.col("__dev2") > F.lit(int(k_num)) * F.col("__mad2")).cast(
+            "long"
+        ),
+    )
+    out = flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("__med2") / F.lit(2.0)).alias("median_units"),
+        (F.max("__mad2") / F.lit(4.0)).alias("mad_units"),
+        F.sum("__is_out").cast("long").alias("n_outliers"),
+    )
+    return out
