@@ -10895,3 +10895,340 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
     )
     return mad_outlier_report(ev, ["event_type"], "vc", k_num=3, k_den=1)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 9 (round 6): change-point detection, cross-correlation,
+# reciprocal-rank fusion, Cohen's kappa, Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q210_event_value_changepoint",
+    """
+    WITH v AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_type, us,
+             row_number() OVER w AS t,
+             CAST(sum(vc) OVER (PARTITION BY event_type ORDER BY us, event_id) AS BIGINT) AS sl,
+             CAST(sum(vc) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), cand AS (
+      SELECT event_type, us, t, sl, s, n,
+             CAST((CAST(sl AS HUGEINT) * sl * (n - t)
+                   + CAST(s - sl AS HUGEINT) * (s - sl) * t)
+                  // (CAST(t AS HUGEINT) * (n - t)) AS BIGINT) AS gk
+      FROM r WHERE t < n
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gk DESC, t ASC) AS rk
+      FROM cand
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_pos,
+           CAST(us AS BIGINT) AS split_at,
+           round(CAST(sl AS DOUBLE) / t, 6) AS left_mean,
+           round(CAST(s - sl AS DOUBLE) / (n - t), 6) AS right_mean,
+           CAST(gk - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT) AS BIGINT) AS gain_units2
+    FROM best WHERE rk = 1
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single mean-shift split of each event type's value series
+    (library: operators.changepoint.mean_changepoint) — binary
+    segmentation's first step, the "where exactly did this metric
+    shift" sibling of q147's CUSUM "did it drift". The argmax runs on
+    the EXACT floored integer gain_key = (S_l²(n−t) + S_r²t) div
+    (t(n−t)) in DECIMAL(38,0)/HUGEINT (verified div/`//` parity),
+    ties to the earliest split — no float near the decision. ONE
+    window pass (running sum + row number on one keyed sort) + one
+    min(struct) aggregate; n·max|v| < 3.03e9 overflow contract."""
+    from owl_etl_spark.operators.changepoint import mean_changepoint
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return mean_changepoint(ev, ["event_type"], "us", "vc", tiebreak_col="event_id")
+
+
+def _xcorr_oracle(max_lag: int) -> str:
+    """Per-lag moment blocks over the hourly purchase-cents /
+    click-count grid, replaying cross_correlation's closed form."""
+    blocks = []
+    selects = []
+    for idx, k in enumerate(range(-max_lag, max_lag + 1)):
+        shift = f"lead(y, {k})" if k >= 0 else f"lag(y, {-k})"
+        blocks.append(
+            f"""b{idx} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(yk) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(yk * yk) AS BIGINT) AS syy, CAST(sum(x * yk) AS BIGINT) AS sxy
+      FROM (SELECT x, {shift} OVER (ORDER BY h) AS yk FROM hourly)
+      WHERE x IS NOT NULL AND yk IS NOT NULL
+    )"""
+        )
+        selects.append(
+            f"""SELECT 'all' AS series, CAST({k} AS INT) AS lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS xcorr
+    FROM b{idx}"""
+        )
+    return (
+        """
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), """
+        + ", ".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@_register("q211_purchase_click_xcorr", _xcorr_oracle(max_lag=3))
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of hourly purchase revenue against hourly
+    click counts at lags −3..+3 hours (library: operators.xcorr.
+    cross_correlation) — the "does A lead B" detector; positive lag =
+    revenue leads clicks. Pre-aggregated to an hourly integer grid
+    (money via the cents pattern), then ONE window pass materializes
+    all 7 shifted columns on one sort and one aggregate per lag
+    computes the exact-BIGINT moment closed form — the
+    autocorrelation_report discipline with a second channel."""
+    from owl_etl_spark.operators.xcorr import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 3600"
+            ).alias("h"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vc")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("series", F.lit("all"))
+    )
+    return cross_correlation(hourly, ["series"], "h", "x", "y", max_lag=3)
+
+
+@_register(
+    "q212_doc_rank_fusion",
+    f"""
+    WITH r1 AS (
+      SELECT doc_id AS item,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ), r2 AS (
+      SELECT doc_id AS item,
+             row_number() OVER (ORDER BY len(string_split({_NORM_DUCK}, ' ')) DESC,
+                                doc_id ASC) AS rnk
+      FROM documents
+    ), u AS (
+      SELECT item, rnk FROM r1 WHERE rnk <= 100
+      UNION ALL
+      SELECT item, rnk FROM r2 WHERE rnk <= 100
+    ), f AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(min(rnk) AS BIGINT) AS best_rank,
+             CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano
+      FROM u GROUP BY 1
+    )
+    SELECT item, n_lists, best_rank, rrf_nano, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf_nano DESC, item ASC) AS INT)
+                  AS fused_rank
+      FROM f
+    ) WHERE fused_rank <= 50
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid document ranking by reciprocal-rank fusion (library:
+    operators.fusion.rrf_fuse): top-100 by raw length and top-100 by
+    token count fused into one top-50 — the standard multi-signal
+    combiner (same shape as BM25 + ANN hybrid search). Contributions
+    are the exact integer 10⁹ div (60 + rank) summed in BIGINT — no
+    float sums, order-independent, rank<1/null raises via a woven
+    guard. One map-side-combinable groupBy on the item key + a single
+    window over the post-agg item table."""
+    from owl_etl_spark.functions.text import normalize_text
+    from owl_etl_spark.operators.fusion import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    r1 = d.select(
+        F.lit("by_chars").alias("list_id"),
+        F.col("doc_id").alias("item"),
+        F.row_number().over(w1).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= 100)
+    ntok = F.size(F.split(normalize_text(F.col("text")), " "))
+    w2 = Window.orderBy(ntok.desc(), F.col("doc_id").asc())
+    r2 = d.select(
+        F.lit("by_tokens").alias("list_id"),
+        F.col("doc_id").alias("item"),
+        F.row_number().over(w2).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= 100)
+    return rrf_fuse(r1.unionByName(r2), "list_id", "item", "rnk", k=60, top_n=50)
+
+
+@_register(
+    "q213_priority_price_kappa",
+    """
+    WITH w AS (
+      SELECT o_orderstatus AS g,
+             CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2') THEN 'high'
+                  WHEN substring(o_orderpriority, 1, 1) = '3' THEN 'med'
+                  ELSE 'low' END AS a,
+             CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 20000000 THEN 'high'
+                  WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 10000000 THEN 'med'
+                  ELSE 'low' END AS b
+      FROM orders
+    ), t AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM w GROUP BY 1
+    ), ra AS (
+      SELECT g, a AS lbl, CAST(count(*) AS BIGINT) AS ca FROM w GROUP BY 1, 2
+    ), rb AS (
+      SELECT g, b AS lbl, CAST(count(*) AS BIGINT) AS cb FROM w GROUP BY 1, 2
+    ), m AS (
+      SELECT g, sum(CAST(coalesce(ca, 0) AS HUGEINT) * coalesce(cb, 0)) AS mm
+      FROM ra FULL JOIN rb USING (g, lbl)
+      GROUP BY 1
+    )
+    SELECT t.g AS o_orderstatus, n,
+           round(CAST(d AS DOUBLE) / n, 6) AS po,
+           CASE WHEN CAST(n AS HUGEINT) * n - mm > 0
+                THEN round(CAST(CAST(n AS HUGEINT) * d - mm AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * n - mm AS DOUBLE), 6)
+           END AS kappa
+    FROM t JOIN m ON t.g = m.g
+    """,
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two order 'raters' — the priority class
+    (urgent/high → high) and the price bucket (> $200k → high,
+    > $100k → med) — per order status (library: operators.
+    evalmetrics.cohen_kappa): the chance-corrected inter-rater
+    agreement standard for double-annotation QA. kappa =
+    (n·d − Σ r·c)/(n² − Σ r·c) with every product exact in
+    DECIMAL(38,0)/HUGEINT and a single final double divide rounded
+    at 6 (pe = 1 → null). Marginal tables are label-cardinality —
+    never fact-cardinality — joined on the label key."""
+    from owl_etl_spark.operators.evalmetrics import cohen_kappa
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    df = o.select(
+        "o_orderstatus",
+        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), "high")
+        .when(F.substring("o_orderpriority", 1, 1) == "3", "med")
+        .otherwise("low")
+        .alias("a"),
+        F.when(cents > 20000000, "high")
+        .when(cents > 10000000, "med")
+        .otherwise("low")
+        .alias("b"),
+    )
+    return cohen_kappa(df, "a", "b", ["o_orderstatus"])
+
+
+@_register(
+    "q214_balance_spend_kendall",
+    """
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             coalesce(o.y, 0) AS y
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+      ) o ON c.c_custkey = o.o_custkey
+    ), p AS (
+      SELECT a.c_nationkey AS g,
+             CAST(sum(CASE WHEN (a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y) THEN 1
+                           WHEN (a.x > b.x AND a.y < b.y) OR (a.x < b.x AND a.y > b.y) THEN -1
+                           ELSE 0 END) AS BIGINT) AS cd
+      FROM cust a JOIN cust b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      GROUP BY 1
+    ), tx AS (
+      SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n1 FROM (
+        SELECT c_nationkey AS g, x, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1, 2
+      ) GROUP BY 1
+    ), ty AS (
+      SELECT g, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n2 FROM (
+        SELECT c_nationkey AS g, y, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1, 2
+      ) GROUP BY 1
+    ), nt AS (
+      SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS n FROM cust GROUP BY 1
+    )
+    SELECT g AS c_nationkey, n, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           CASE WHEN n * (n - 1) // 2 - n1 > 0 AND n * (n - 1) // 2 - n2 > 0
+                THEN round(CAST(coalesce(cd, 0) AS DOUBLE)
+                     / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                          * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM nt LEFT JOIN p USING (g) JOIN tx USING (g) JOIN ty USING (g)
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Kendall tau-b between customer account balance and
+    lifetime spend (library: operators.correlation.kendall_tau_b) —
+    q206's Spearman asks "is the relation monotone", tau-b asks "how
+    often does a bigger balance come with bigger spend", with both
+    marginal tie corrections. Pairwise by definition, so the operator
+    ENFORCES its bound (theil_sen discipline: a >5000-row group
+    raises via a woven guard) — per-task fan-out is a compile-time
+    constant. C − D is an exact BIGINT sum of {−1,0,1}; the √ product
+    stays under 2^53 at the cap so the single double is exact before
+    rounding at 6."""
+    from owl_etl_spark.operators.correlation import kendall_tau_b
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0).cast("long")))
+        .select("c_nationkey", "x", "y")
+    )
+    return kendall_tau_b(j, ["c_nationkey"], "x", "y", max_group_rows=5000)

@@ -102,3 +102,97 @@ def spearman_by_group(
         ),
     )
     return agg.select(*group_cols, F.col("n"), rho.alias("spearman_rho"))
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_group_rows: int = 5000,
+) -> DataFrame:
+    """Per-group Kendall tau-b between ``x_col`` and ``y_col`` (both
+    cast to BIGINT; null-on-either rows excluded up front) — the
+    concordance-based rank correlation, preferred over Spearman when
+    the question is "how often does a larger x come with a larger y"
+    and under heavy ties (tau-b's denominator corrects for both
+    marginals). Returns ``(*group_cols, n, n_pairs, tau_b)`` rounded
+    at 6; null when either axis is wholly tied.
+
+    Kendall is inherently pairwise — Σ over i<j of
+    sign(Δx)·sign(Δy) — so like ``theil_sen_slopes``
+    (operators/robust.py) this operator embraces the O(n²) on a
+    BOUNDED group and ENFORCES the bound at runtime: a group beyond
+    ``max_group_rows`` raises (woven guard) rather than detonating a
+    quadratic task. tau-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with
+    n₀ = n(n−1)/2 and n₁/n₂ the marginal tie-pair counts — all exact
+    BIGINT (C − D is a sum of {−1,0,1}); the √ product stays below
+    2^53 for n ≤ max_group_rows, so the one final double is exact
+    before its rounding.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    work = df.select(*group_cols, x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    w_all = Window.partitionBy(*group_cols)
+    guard_n = F.count(F.lit(1)).over(w_all)
+    w_rn = Window.partitionBy(*group_cols).orderBy("__x", "__y")
+    d = work.select(
+        *group_cols,
+        "__x",
+        "__y",
+        F.when(
+            guard_n > int(max_group_rows),
+            F.raise_error(
+                F.lit(
+                    f"kendall_tau_b: a group exceeds max_group_rows="
+                    f"{max_group_rows}; pairwise concordance is O(n²) — "
+                    "aggregate or sample upstream"
+                )
+            ).cast("long"),
+        ).otherwise(F.row_number().over(w_rn).cast("long")).alias("__rn"),
+    )
+    a = d.select(*group_cols, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"), F.col("__rn").alias("__ra"))
+    b = d.select(
+        *[F.col(k).alias(f"__k_{k}") for k in group_cols],
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__rn").alias("__rb"),
+    )
+    cond = [a[k] == b[f"__k_{k}"] for k in group_cols]
+    cd = (
+        a.join(b, cond)
+        .where(F.col("__rb") > F.col("__ra"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.signum((F.col("__xb") - F.col("__xa")).cast("double")).cast("long")
+                * F.signum((F.col("__yb") - F.col("__ya")).cast("double")).cast("long")
+            )
+            .cast("long")
+            .alias("__cd")
+        )
+    )
+    n_tbl = work.groupBy(*group_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        work.groupBy(*group_cols, "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.expr("__c * (__c - 1) div 2")).cast("long").alias("__n1"))
+    )
+    ty = (
+        work.groupBy(*group_cols, "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.expr("__c * (__c - 1) div 2")).cast("long").alias("__n2"))
+    )
+    j = n_tbl.join(cd, group_cols, "left").join(tx, group_cols).join(ty, group_cols)
+    n0 = F.expr("n * (n - 1) div 2")
+    fx = (n0 - F.col("__n1")).cast("double")
+    fy = (n0 - F.col("__n2")).cast("double")
+    tau = F.when(
+        (n0 - F.col("__n1") > 0) & (n0 - F.col("__n2") > 0),
+        F.round(F.coalesce(F.col("__cd"), F.lit(0)).cast("double") / F.sqrt(fx * fy), 6),
+    )
+    return j.select(*group_cols, F.col("n"), n0.cast("long").alias("n_pairs"), tau.alias("tau_b"))

@@ -292,3 +292,72 @@ def binary_eval_by_group(
         "tn",
         "fn",
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two
+    categorical labelers, per group — the inter-rater reliability
+    standard for "do my two annotation passes / model generations
+    agree beyond luck" (kappa = 1 perfect, 0 chance-level, < 0 worse
+    than chance). Rows with a null on either side are excluded up
+    front (documented discipline).
+
+    Closed form over exact integers: with n rows, d = #agreements,
+    and M = Σ_label rowmarginal·colmarginal,
+
+        kappa = (n·d − M) / (n² − M)
+
+    — numerator and denominator are exact DECIMAL(38,0) products of
+    BIGINT counts (portable to HUGEINT), only the final division is
+    double, rounded at 6; the degenerate pe = 1 case (n² == M, e.g.
+    both raters constant) yields null. Observed agreement
+    ``po`` = d/n rides along rounded at 6.
+
+    Plan: one count aggregate per marginal (map-side combinable) +
+    one agreement aggregate, joined on the LABEL key — the joined
+    tables are label-cardinality, never fact-cardinality; no window,
+    no driver data.
+    """
+    g = list(group_cols or [])
+    work = df.select(
+        *g, F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    totals = work.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).cast("long").alias("__d"),
+    )
+    ra = work.groupBy(*g, F.col("__a").alias("__lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ra")
+    )
+    rb = work.groupBy(*g, F.col("__b").alias("__lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("__rb")
+    )
+    join_keys = [*g, "__lbl"]
+    marg = (
+        ra.join(rb, join_keys, "full")
+        .withColumn("__ra", F.coalesce(F.col("__ra"), F.lit(0)))
+        .withColumn("__rb", F.coalesce(F.col("__rb"), F.lit(0)))
+        .groupBy(*g)
+        .agg(
+            F.sum(
+                F.col("__ra").cast("decimal(38,0)") * F.col("__rb").cast("decimal(38,0)")
+            ).alias("__m")
+        )
+    )
+    dec = "decimal(38,0)"
+    j = totals.join(marg, g) if g else totals.crossJoin(marg)
+    num = F.col("n").cast(dec) * F.col("__d").cast(dec) - F.col("__m")
+    den = F.col("n").cast(dec) * F.col("n").cast(dec) - F.col("__m")
+    return j.select(
+        *g,
+        F.col("n"),
+        F.round(F.col("__d").cast("double") / F.col("n").cast("double"), 6).alias("po"),
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "kappa"
+        ),
+    )
