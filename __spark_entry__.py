@@ -11232,3 +11232,172 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "x", "y")
     )
     return kendall_tau_b(j, ["c_nationkey"], "x", "y", max_group_rows=5000)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 10 (round 6): time-decay attribution, clamped running
+# balance, business-day arithmetic
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q215_time_decay_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_id AS touch_id, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+      SELECT user_id, event_id AS cid, ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT t.user_id, t.touch_id, c.cid, c.v,
+             row_number() OVER (PARTITION BY c.cid
+                                ORDER BY t.ts, t.touch_id) AS r,
+             greatest(1, 1000000 >> CAST(least(
+               date_diff('microsecond', t.ts, c.ts) // 1000000 // 86400, 62) AS INT))
+               AS w
+      FROM t JOIN c ON t.user_id = c.user_id
+       AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+    ), sh AS (
+      SELECT *, CAST(sum(w) OVER (PARTITION BY cid) AS BIGINT) AS wtot
+      FROM matched
+    ), fl AS (
+      SELECT *, (v * w) // wtot AS f, (v * w) % wtot AS rem FROM sh
+    ), rk AS (
+      SELECT *, CAST(sum(f) OVER (PARTITION BY cid) AS BIGINT) AS sfl,
+             row_number() OVER (PARTITION BY cid ORDER BY rem DESC, r ASC) AS wr
+      FROM fl
+    )
+    SELECT user_id, touch_id, CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(f + CASE WHEN wr <= v - sfl THEN 1 ELSE 0 END) AS BIGINT)
+             AS attributed_value
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (library: operators.
+    attribution.time_decay_attribution): purchases credit the same
+    user's clicks/views in the prior 7 days with geometrically more
+    weight the closer they are — weight = max(1, 10⁶ >> days-ago), an
+    exact power-of-two half-life ladder (never float pow), and the
+    cents split by largest remainder over weights so Σ credits == v
+    EXACTLY per conversion. Same (user, lookback-bucket) join and
+    per-task bounds as q142's linear rule; two extra windows on the
+    matched pairs. q142 = equal split, q168 = U-shaped, this = the
+    recency-biased third convention."""
+    from owl_etl_spark.operators.attribution import time_decay_attribution
+
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), "ts"
+    )
+    convs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return time_decay_attribution(
+        touches,
+        convs,
+        key_col="user_id",
+        touch_id_col="touch_id",
+        touch_ts_col="ts",
+        conv_id_col="cid",
+        conv_ts_col="ts",
+        value_col="v",
+        lookback_seconds=7 * 24 * 3600,
+        half_life_seconds=24 * 3600,
+    )
+
+
+@_register(
+    "q216_wallet_running_balance",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT user_id, us, event_id, delta,
+             CAST(sum(delta) OVER w AS BIGINT) AS run
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s2 AS (
+      SELECT *, CAST(min(run) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS BIGINT) AS runmin
+      FROM s
+    )
+    SELECT user_id, us, event_id, delta,
+           CAST(run - least(0, runmin) AS BIGINT) AS balance
+    FROM s2
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user prepaid-wallet balance floored at zero (library:
+    operators.window_stats.clamped_running_balance): purchases/signups
+    credit cents, other events debit them, and a debit can never take
+    the balance negative (the deficit is forfeited). The sequential
+    recurrence b_t = max(0, b_{t−1} + d_t) is computed with its exact
+    one-pass closed form b_t = S_t − min(0, runmin(S)) — ONE window
+    pass (running sum + running min on the same keyed sort), no
+    iteration, no UDF, exact BIGINT; null deltas raise via a woven
+    guard."""
+    from owl_etl_spark.operators.window_stats import clamped_running_balance
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    return clamped_running_balance(d, ["user_id"], "us", "delta", tiebreak_col="event_id")
+
+
+@_register(
+    "q217_order_business_day_aging",
+    """
+    WITH b AS (
+      SELECT o_orderpriority AS priority,
+             CAST((((date_diff('day', DATE '1970-01-01', DATE '1998-12-31')) // 7) * 5 + (CASE ((((date_diff('day', DATE '1970-01-01', DATE '1998-12-31')) % 7) + 7) % 7) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)) - (((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) // 7) * 5 + (CASE ((((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) % 7) + 7) % 7) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)) AS BIGINT) AS bd
+      FROM orders
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(bd) AS BIGINT) AS min_bd, CAST(max(bd) AS BIGINT) AS max_bd,
+           round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_bd
+    FROM b GROUP BY priority
+    """,
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day order aging per priority class (library:
+    functions.dates.business_days_between): weekdays between each
+    order date and the 1998-12-31 bookkeeping cutoff, min/max/avg per
+    priority. The weekday count is a pure closed form on epoch days —
+    g(e) = (e div 7)*5 + W[pmod(e,7)] with the Thursday-anchored walk
+    table, exact for pre-1970 dates too (floor-div + pmod) — no
+    calendar dim, no sequence explode, no UDF, so it composes into
+    fact-scale aggregates for free; brute-force parity is unit-tested
+    across 60 random intervals. Holidays are policy: join a holiday
+    dim and subtract."""
+    from owl_etl_spark.functions.dates import business_days_between
+
+    o = _t(spark, sf_dir, "orders")
+    bd = business_days_between(F.col("o_orderdate"), F.lit("1998-12-31").cast("date"))
+    return (
+        o.select(F.col("o_orderpriority").alias("priority"), bd.alias("bd"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("bd").cast("long").alias("min_bd"),
+            F.max("bd").cast("long").alias("max_bd"),
+            F.round(F.sum("bd").cast("double") / F.count(F.lit(1)), 6).alias("avg_bd"),
+        )
+    )

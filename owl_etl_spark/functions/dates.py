@@ -86,3 +86,37 @@ def parse_fecha_robusta_iso(col: Column) -> Column:
     (dates are stored as strings and compared lexicographically —
     src/config/db.py:55, src/etl/load.py:107)."""
     return F.date_format(parse_fecha_robusta(col), "yyyy-MM-dd")
+
+
+def business_days_between(start: Column, end: Column) -> Column:
+    """Weekday (Mon-Fri) count in the half-open interval
+    ``[start, end)`` — the SLA/aging arithmetic behind
+    "how many working days old is this order". Negative when
+    ``end < start`` (the reversed interval, negated); null if either
+    side is null. No calendar table, no UDF, no sequence-explode:
+    pure integer arithmetic on epoch days, so it composes into any
+    aggregate at fact-table scale.
+
+    Closed form: with e = days-since-1970-01-01 (a Thursday),
+    g(e) = weekdays in [1970-01-01, day e) = (e div 7)·5 + W[pmod(e,7)]
+    where W = [0,1,2,2,2,3,4] walks Thu,Fri,Sat,Sun,Mon,Tue,Wed;
+    answer = g(end) − g(start). Floor-div + pmod keep pre-1970 dates
+    exact too. (Holidays are locale policy — join a holiday dim and
+    subtract; this function is the invariant weekday core.)
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def g(d: Column) -> Column:
+        e = F.datediff(d.cast("date"), epoch).cast("long")
+        wk = F.pmod(e, F.lit(7))
+        # W[r] for r = 0..6 = 0,1,2,2,2,3,4
+        w = (
+            F.when(wk == 0, 0)
+            .when(wk == 1, 1)
+            .when(wk.isin(2, 3, 4), 2)
+            .when(wk == 5, 3)
+            .otherwise(4)
+        )
+        return ((e - F.pmod(e, F.lit(7))) / 7).cast("long") * 5 + w
+
+    return (g(end) - g(start)).cast("long")

@@ -227,3 +227,91 @@ def position_attribution(
         END"""
     )
     return _credit_rollup(ranked, key_col, credit)
+
+
+def time_decay_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    touch_id_col: str,
+    touch_ts_col: str,
+    conv_id_col: str,
+    conv_ts_col: str,
+    value_col: str,
+    lookback_seconds: int = 7 * 24 * 3600,
+    half_life_seconds: int = 24 * 3600,
+) -> DataFrame:
+    """Time-decay attribution: recent touches earn geometrically more
+    credit. Each matched touch carries the integer weight
+
+        w = max(1, 1_000_000 >> min(Δt div half_life, 62))
+
+    (Δt = whole seconds from touch to conversion) — an exact
+    power-of-two half-life ladder, never a float pow; the max(1,·)
+    floor keeps every in-window touch weighted so the per-conversion
+    weight total is always positive. Credit is the largest-remainder
+    split of the conversion's integer value over the weights:
+    floor(v·w/W) each, then +1 by (remainder desc, time order) until
+    the total reaches v — Σ credits == v EXACTLY per conversion (the
+    prorate.largest_remainder_allocate discipline applied inside a
+    per-conversion window), deterministic under any partitioning.
+
+    Same matcher, (user, time-bucket) join, and per-task bounds as
+    ``linear_attribution``; adds two windows over the matched pairs
+    (weight total + remainder rank), still one key shuffle. Value
+    bound: v·1_000_000 must stay in BIGINT — integer cents to
+    ~9·10^12 are safe.
+    """
+    from pyspark.sql import Window
+
+    ranked = _ranked_pairs(
+        touches, conversions, key_col, touch_id_col, touch_ts_col,
+        conv_id_col, conv_ts_col, value_col, lookback_seconds,
+    )
+
+    def _us(name: str, ty: str) -> F.Column:
+        if ty == "timestamp_ntz":
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+            )
+        if ty.startswith("timestamp"):
+            return F.unix_micros(F.col(name))
+        return F.col(name).cast("long") * F.lit(1_000_000)
+
+    types = dict(ranked.dtypes)
+    d = ranked.withColumn(
+        "__dus", _us("__cts", types["__cts"]) - _us("__tts", types["__tts"])
+    ).withColumn("__dsec", F.expr("__dus div 1000000"))
+    hl = int(half_life_seconds)
+    if hl <= 0:
+        raise ValueError(f"time_decay_attribution: half_life_seconds must be > 0, got {hl}")
+    d = d.withColumn(
+        "__w",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"shiftright(CAST(1000000 AS BIGINT), "
+                f"CAST(least(__dsec div {hl}, 62) AS INT))"
+            ),
+        ),
+    )
+    w_cid = Window.partitionBy("__cid")
+    d = (
+        d.withColumn("__wtot", F.sum("__w").over(w_cid))
+        .withColumn("__fl", F.expr("(__v * __w) div __wtot"))
+        .withColumn("__rem", F.expr("(__v * __w) % __wtot"))
+        .withColumn("__sfl", F.sum("__fl").over(w_cid))
+        .withColumn(
+            "__wr",
+            F.row_number().over(
+                Window.partitionBy("__cid").orderBy(
+                    F.col("__rem").desc(), F.col("__r").asc()
+                )
+            ),
+        )
+    )
+    credit = F.col("__fl") + F.when(
+        F.col("__wr") <= F.col("__v") - F.col("__sfl"), 1
+    ).otherwise(0)
+    return _credit_rollup(d, key_col, credit)

@@ -77,3 +77,57 @@ def rolling_median_report(
         .withColumn("n_window", F.col("__nw").cast("long"))
         .drop("__arr", "__nw")
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    delta_col: str,
+    tiebreak_col: str | None = None,
+    floor: int = 0,
+) -> DataFrame:
+    """Running balance per key with a hard floor — the
+    inventory/prepaid-wallet recurrence b_t = max(floor, b_{t−1} + d_t)
+    (withdrawals can't take the balance below the floor; the deficit
+    is forfeited, not carried). The recurrence looks inherently
+    sequential, but has an exact one-pass closed form:
+
+        b_t = floor + S_t − min(0, min_{j<=t} S_j)
+
+    (S = running sum of deltas, both shifted by −floor) — so the
+    operator is ONE window pass (running sum + running min on the
+    same keyed sort), no iteration, no UDF, no state. All arithmetic
+    is exact BIGINT; the result is deterministic for any
+    partitioning because (order_col, tiebreak_col) must order rows
+    totally within a key (same contract as every windowed operator
+    here).
+
+    Returns the input key/order/delta columns plus ``balance``. Null
+    deltas raise (a silent 0 would hide upstream corruption) via a
+    guard woven into the balance column.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = F.col(delta_col).cast("long")
+    guarded = F.when(
+        d.isNull(),
+        F.raise_error(
+            F.lit("clamped_running_balance: null delta — fill or filter upstream")
+        ).cast("long"),
+    ).otherwise(d)
+    cols = [*keys, F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    staged = df.select(*cols, d.alias("delta"), F.sum(guarded).over(w).alias("__run"))
+    runmin = F.min("__run").over(w)
+    return staged.select(
+        *[c for c in staged.columns if c != "__run"],
+        (F.lit(int(floor)) + F.col("__run") - F.least(F.lit(0).cast("long"), runmin))
+        .cast("long")
+        .alias("balance"),
+    )
