@@ -11401,3 +11401,339 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bd").cast("double") / F.count(F.lit(1)), 6).alias("avg_bd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 11 (round 6): OLS regression, Adamic-Adar link prediction,
+# leave-one-out target encoding, seasonal-naive backtest, inter-arrival
+# burstiness, Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q218_ols_price_on_qty",
+    """
+    WITH w AS (
+      SELECT l_suppkey AS suppkey, CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT suppkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM w GROUP BY suppkey
+    ), t AS (
+      SELECT suppkey, n,
+             CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS dxy,
+             CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS dxx,
+             CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS dyy,
+             CAST(sx AS DECIMAL(38,0)) AS sxd, CAST(sy AS DECIMAL(38,0)) AS syd
+      FROM m
+    )
+    SELECT suppkey, n,
+      CASE WHEN dxx > 0
+           THEN round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END AS slope,
+      CASE WHEN dxx > 0
+           THEN round(CAST(syd * dxx - dxy * sxd AS DOUBLE)
+                      / CAST(CAST(n AS DECIMAL(38,0)) * dxx AS DOUBLE), 6)
+      END AS intercept,
+      CASE WHEN dxx > 0 AND dyy > 0
+           THEN round((CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE))
+                      / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+      END AS r2
+    FROM t
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier least-squares fit of line value on quantity
+    (library: operators.correlation.ols_report) — slope ≈ the
+    supplier's effective unit price, intercept ≈ fixed component, r²
+    the linearity readout. All six moments are exact BIGINT sums
+    (one shuffle, map-side combined), cross terms widen to
+    DECIMAL(38,0) exactly as spearman_by_group, and only the final
+    divisions run in double (rounded at 6) — order-independent,
+    engine-portable, reference-style regression-on-facts at any
+    group count."""
+    from owl_etl_spark.operators.correlation import ols_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    return ols_report(li, ["suppkey"], "x", "y")
+
+
+@_register(
+    "q219_copurchase_link_prediction",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pc AS (
+      SELECT x.pk AS a, y.pk AS b, count(*) AS c
+      FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT a, b FROM pc WHERE c >= 2
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS dg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ), centers AS (
+      SELECT v AS z,
+             CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT) AS w
+      FROM deg WHERE dg >= 2 AND dg <= 500
+    ), adj AS (
+      SELECT a AS z, b AS nb FROM und
+      UNION ALL SELECT b AS z, a AS nb FROM und
+    ), wz AS (
+      SELECT adj.z, adj.nb, centers.w FROM adj JOIN centers USING (z)
+    ), pairs AS (
+      SELECT n1.nb AS a, n2.nb AS b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(n1.w) AS BIGINT) AS aa_score_micro
+      FROM wz n1 JOIN wz n2 ON n1.z = n2.z AND n1.nb < n2.nb
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_common, aa_score_micro
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = p.a AND e.b = p.b)
+      AND n_common >= 2
+    ORDER BY aa_score_micro DESC, a, b
+    LIMIT 100
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 'bought together, but not yet' part pairs (library:
+    operators.graph.adamic_adar_topk): the co-purchase graph keeps
+    part pairs seen in ≥2 baskets (support pruning — co-occurrence
+    noise dies, and the edge count then grows LINEARLY with corpus
+    scale instead of with pair cardinality), then scores non-adjacent
+    pairs by Adamic-Adar with integer micro-nat terms
+    floor(10⁶/ln(deg)) per common neighbor (exact BIGINT sum, no
+    float accumulation) and hub centers above deg 500 excluded — the
+    declared hub-suppression semantics that bound wedge fan-out at
+    hub_cap² per task. Top-k runs as TakeOrderedAndProject (heap per
+    partition, no global sort)."""
+    from owl_etl_spark.operators.graph import adamic_adar_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = baskets.select(F.col("ok"), F.col("pk").alias("pa"))
+    y = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return adamic_adar_topk(edges, "src", "dst", k=100, hub_cap=500, min_common=2)
+
+
+@_register(
+    "q220_loo_target_encoding",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT orderkey, priority, ym, cents,
+           CASE WHEN count(*) OVER w > 1 THEN
+             round(CAST(sum(cents) OVER w - cents AS DOUBLE)
+                   / CAST(count(*) OVER w - 1 AS DOUBLE), 6)
+           END AS loo_mean
+    FROM o WINDOW w AS (PARTITION BY priority, ym)
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of (priority, order-month) by order
+    value (library: operators.encoding.loo_target_encode): each order
+    gets the mean cents of the OTHER orders in its cell —
+    (Σ − y)/(n − 1) from one window pass (exact BIGINT cell sums, one
+    IEEE division per row, round 6), NULL for singleton cells. ONE
+    shuffle total (window partitioned by the cell), strictly cheaper
+    than groupBy + rejoin at 100 TB; null labels raise (woven guard)
+    because a skipped label would silently shift every sibling's
+    encoding."""
+    from owl_etl_spark.operators.encoding import loo_target_encode
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return loo_target_encode(o, ["priority", "ym"], "cents", "loo_mean")
+
+
+@_register(
+    "q221_seasonal_naive_backtest",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT a.event_type, a.cents AS av, f.cents AS fv
+      FROM d a JOIN d f ON a.event_type = f.event_type AND a.day = f.day + 7
+    ), t AS (
+      SELECT event_type, av - fv AS err, abs(av - fv) AS aerr,
+             CASE WHEN abs(av) + abs(fv) > 0
+                  THEN 2000000 * abs(av - fv) // (abs(av) + abs(fv))
+                  ELSE 0 END AS sm
+      FROM m
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(aerr) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS bias,
+           round(CAST(sum(sm) AS DOUBLE) / count(*) / 1000000.0, 6) AS smape
+    FROM t GROUP BY 1
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on daily revenue per event
+    type (library: operators.forecast.seasonal_naive_backtest):
+    forecast(day) = actual(day − 7), matched by an exact equi-join on
+    the shifted integer day (NOT a lag window — gaps would silently
+    misalign), scored with MAE/bias (exact BIGINT numerators) and
+    sMAPE whose per-row ratio is floored to integer micro-units
+    before summing (order-independent, engine-identical — the
+    module-family rule). This is the baseline every forecasting model
+    must beat, and MASE's denominator. Days are epoch_us div 86400e6
+    — pure integer, timezone-proof."""
+    from owl_etl_spark.operators.forecast import seasonal_naive_backtest
+
+    e = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    daily = e.groupBy(
+        "event_type", day.alias("day")
+    ).agg(
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    return seasonal_naive_backtest(daily, ["event_type"], "day", "cents", season=7)
+
+
+@_register(
+    "q222_interarrival_burstiness",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS pus
+      FROM events
+    ), g AS (
+      SELECT user_id, (us - pus) // 1000000 AS g FROM s WHERE pus IS NOT NULL
+    ), a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+      FROM g GROUP BY user_id HAVING count(*) >= 4
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+           CASE WHEN sg > 0 THEN
+             round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE))
+                   / CAST(sg AS DOUBLE), 6) END AS cv,
+           CASE WHEN sg > 0 THEN
+             round((sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                    - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                      + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+           END AS burstiness
+    FROM a
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness over the event stream
+    (library: operators.activity.interarrival_report): whole-second
+    gaps between consecutive events (total order (ts, event_id); gaps
+    via exact integer floor-division of NTZ-epoch micros), then
+    CV = σ/μ and the Goh-Barabási burstiness (σ−μ)/(σ+μ) from exact
+    BIGINT moment sums — bots pin near −1, Poisson traffic near 0,
+    batchy humans above. One window + one groupBy on the SAME key =
+    a single shuffle; users with < 5 events are excluded."""
+    from owl_etl_spark.operators.activity import interarrival_report
+
+    e = _t(spark, sf_dir, "events")
+    return interarrival_report(e, ["user_id"], "ts", "event_id", min_events=5)
+
+
+@_register(
+    "q223_km_survival_curve",
+    """
+    WITH u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS t,
+             CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM u GROUP BY t
+    ), r AS (
+      SELECT g.*, CAST(sum(m) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk FROM g
+    ), h AS (
+      SELECT t, n_risk, n_events, n_censored,
+             n_events * 1000000 // n_risk AS hazard_micro,
+             CASE WHEN n_risk > n_events
+                  THEN CAST(floor(1000000.0
+                       * ln(CAST(n_risk - n_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE))) AS BIGINT)
+             END AS lt
+      FROM r
+    ), s AS (
+      SELECT h.*, CAST(sum(hazard_micro) OVER w AS BIGINT) AS cumhaz_micro,
+             sum(lt) OVER w AS ls,
+             max(CASE WHEN lt IS NULL THEN 1 ELSE 0 END) OVER w AS ext
+      FROM h WINDOW w AS (ORDER BY t ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t, n_risk, n_events, n_censored, hazard_micro, cumhaz_micro,
+           CASE WHEN ext = 0 THEN CAST(ls AS BIGINT) END AS logsurv_micro,
+           CASE WHEN ext = 1 THEN 0.0
+                ELSE round(exp(CAST(ls AS DOUBLE) / 1000000.0), 6)
+           END AS km_survival
+    FROM s
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve over user lifetimes (library:
+    operators.survival.km_survival): duration = whole days between a
+    user's first and last event, churn = the user ever hit an
+    'error' (others censored). Extends q164's Nelson-Aalen risk table
+    with the TRUE KM product Π(1 − d/n), made exact and
+    order-independent via integer micro-nat log terms
+    floor(10⁶·ln((n−d)/n)) summed as BIGINT, exp'd once at the end
+    (round 6); extinction (d = n) forces S = 0 thereafter via a
+    running flag instead of ln(0). Same single shuffle as the risk
+    table + one window."""
+    from owl_etl_spark.operators.survival import km_survival
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "(max(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            " - min(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)))"
+            " div 86400000000"
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("ev"),
+    )
+    return km_survival(per_user, "dur", "ev", keys=[])

@@ -196,3 +196,98 @@ def kendall_tau_b(
         F.round(F.coalesce(F.col("__cd"), F.lit(0)).cast("double") / F.sqrt(fx * fy), 6),
     )
     return j.select(*group_cols, F.col("n"), n0.cast("long").alias("n_pairs"), tau.alias("tau_b"))
+
+
+def ols_report(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_group_rows: int = 1_000_000,
+) -> DataFrame:
+    """Per-group simple least-squares fit of ``y_col`` on ``x_col``
+    (both cast to BIGINT; rows with a null on either axis are
+    excluded up front — the module's null discipline). Returns
+    ``(*group_cols, n, slope, intercept, r2)`` with all three
+    statistics rounded at 6; slope/intercept/r2 are null when the
+    x axis is constant (zero variance ⇒ no fit), r2 additionally
+    null when y is constant.
+
+    The closed form runs entirely on exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy² as BIGINT sums — order-independent,
+    engine-portable), with the covariance/variance cross terms
+    (n·Σxy − Σx·Σy etc.) widened to DECIMAL(38,0) exactly as
+    ``spearman_by_group`` does:
+
+        slope     = Sxy / Sxx
+        intercept = (Σy·Sxx − Sxy·Σx) / (n·Sxx)
+        r2        = Sxy² / (Sxx·Syy)
+
+    where Sxy = n·Σxy − ΣxΣy, Sxx = n·Σx² − (Σx)², Syy = n·Σy² − (Σy)².
+    Only the final divisions (and r2's squaring, which can exceed
+    DECIMAL(38,0)) are done in double — each a single IEEE operation
+    on exactly-known integers, identical across engines, then rounded.
+
+    Overflow contract: with |x| ≤ X and |y| ≤ Y per row, the decimal
+    cross terms are ≤ n²·max(X², Y², XY) and the intercept numerator
+    ≤ n²·X·Y·max(X, Y)·… — callers keep n ≤ ``max_group_rows``
+    (runtime-enforced via a woven guard) and pre-scale values to
+    ≤ ~10⁶ magnitude (e.g. whole currency units, not micro-cents)
+    to stay far inside 38 digits.
+
+    Plan shape: ONE shuffle (groupBy on the keys, map-side partial
+    aggregation of all six moments), then pure projection. No window,
+    no join — this is the cheapest per-group statistic in the module
+    and safe at any group count.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    work = df.select(*group_cols, x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = work.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    guard = F.when(
+        F.col("n") > int(max_group_rows),
+        F.raise_error(
+            F.concat(
+                F.lit("ols_report: group exceeds max_group_rows="),
+                F.lit(str(int(max_group_rows))),
+                F.lit(" (DECIMAL(38,0) moment bound); pre-aggregate or sample"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    agg = agg.withColumn("n", guard)
+    dec = "decimal(38,0)"
+    n = F.col("n").cast(dec)
+    sx = F.col("__sx").cast(dec)
+    sy = F.col("__sy").cast(dec)
+    sxy_t = n * F.col("__sxy").cast(dec) - sx * sy
+    sxx_t = n * F.col("__sxx").cast(dec) - sx * sx
+    syy_t = n * F.col("__syy").cast(dec) - sy * sy
+    slope = F.when(sxx_t > 0, F.round(sxy_t.cast("double") / sxx_t.cast("double"), 6))
+    icept_num = sy * sxx_t - sxy_t * sx
+    icept = F.when(
+        sxx_t > 0, F.round(icept_num.cast("double") / (n * sxx_t).cast("double"), 6)
+    )
+    r2 = F.when(
+        (sxx_t > 0) & (syy_t > 0),
+        F.round(
+            (sxy_t.cast("double") * sxy_t.cast("double"))
+            / (sxx_t.cast("double") * syy_t.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        slope.alias("slope"),
+        icept.alias("intercept"),
+        r2.alias("r2"),
+    )

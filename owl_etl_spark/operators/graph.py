@@ -369,3 +369,84 @@ def hits_scores(
             F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("auth_micro"),
         )
     )
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 100,
+    hub_cap: int = 1000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Top-k link predictions over an undirected simple graph by the
+    Adamic-Adar index: for each NON-adjacent pair (a, b), score
+    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) — common neighbors,
+    discounted so that promiscuous hubs (everyone's neighbor) count
+    for less than selective ones. The classic "people you may know" /
+    "frequently bought together, but not yet" primitive.
+
+    Returns ``(a, b, n_common, aa_score_micro)`` with a < b,
+    ordered by (aa_score_micro DESC, a, b), LIMIT k. The score is an
+    exact BIGINT in micro-units: each common-neighbor term is
+    floor(10⁶ / ln(deg(z))) — one deterministic double ln + one
+    floor per DISTINCT node (not per pair), then an exact integer
+    SUM, so the score is order-independent and engine-identical
+    (the module's no-float-accumulation rule). deg(z) ≥ 2 for any
+    wedge center, so ln > 0 always.
+
+    Scale shape: wedge generation fans out deg(z)² per center z —
+    unboundable on power-law graphs, and UNLIKE triangle_count the
+    degree-ordered trick does not apply (we need *all* common
+    neighbors of a pair, not one canonical wedge). The principled
+    bound used everywhere else in this library (q29 hot-shingle,
+    q34 band-chunk) is here a semantic cap: centers with
+    deg > ``hub_cap`` are EXCLUDED from wedge generation. This is
+    the standard Adamic-Adar hub suppression — a hub's term
+    1/ln(deg) is the smallest possible contribution, so dropping
+    ultra-hubs changes scores by ≤ n_hubs/ln(hub_cap) micro while
+    capping per-task fan-out at hub_cap². The cap is part of the
+    operator's declared semantics (scores are "AA over sub-hub
+    common neighbors"), not a silent approximation.
+
+    Plan: distinct undirected edges (1 shuffle) → degree agg
+    (1 shuffle) → wedge self-join on the center (1 shuffle, bounded
+    by hub_cap²) → pair agg → broadcast-anti vs existing edges →
+    TakeOrderedAndProject (per-partition top-k heap, no global
+    sort).
+    """
+    if k < 1:
+        raise ValueError(f"adamic_adar_topk: k must be >= 1, got {k}")
+    if hub_cap < 2:
+        raise ValueError(f"adamic_adar_topk: hub_cap must be >= 2, got {hub_cap}")
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    )
+    centers = deg.filter((F.col("dg") >= 2) & (F.col("dg") <= int(hub_cap))).select(
+        "v", F.floor(F.lit(1_000_000.0) / F.log(F.col("dg").cast("double"))).alias("__w")
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("nb"))
+    )
+    wz = adj.join(centers.select(F.col("v").alias("z"), "__w"), "z")
+    n1 = wz.select("z", "__w", F.col("nb").alias("pa"))
+    n2 = wz.select("z", F.col("nb").alias("pb"))
+    pairs = (
+        n1.join(n2, "z")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("__w").cast("long").alias("aa_score_micro"),
+        )
+        .filter(F.col("n_common") >= int(min_common))
+    )
+    fresh = pairs.join(und, ["a", "b"], "left_anti")
+    return fresh.orderBy(
+        F.col("aa_score_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(int(k))

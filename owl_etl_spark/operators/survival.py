@@ -98,3 +98,65 @@ def km_risk_table(
             "hazard_micro", "cumhaz_micro",
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve on top of
+    ``km_risk_table``: adds ``logsurv_micro`` (exact BIGINT) and
+    ``km_survival`` (double, rounded at 6) to the risk table —
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+
+    The docheader rejects the naive sequential float product; the KM
+    curve still earns an exact form via LOG-SPACE INTEGER terms (the
+    same micro-nat device as the entropy and Adamic-Adar operators):
+    each time point contributes floor(10⁶ · ln((n_i − d_i)/n_i)) — one
+    deterministic double ln on an exactly-known rational, floored to
+    BIGINT — and the curve is the running SUM of those integers,
+    order-independent and engine-identical; S = exp(sum/10⁶) is one
+    monotone map at the end, rounded at 6. Flooring under-counts each
+    log term by < 1e-6 nat, so the reported S is exact to ~1e-6·#terms
+    relative — and bitwise-reproducible, which the float product is
+    not.
+
+    The t where everyone remaining exits (d = n) has S = 0 from there
+    on: ln(0) is dodged with a running had-extinction flag
+    (max-over-window of d = n) that forces survival 0 and
+    logsurv_micro NULL at and after extinction.
+
+    Plan: km_risk_table's single shuffle + one extra window over the
+    SAME (keys, t) ordering — no join, no new shuffle.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    rt = km_risk_table(df, duration_col, event_col, keys)
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    alive = F.col("n_risk") - F.col("n_events")
+    term = F.when(
+        alive > 0,
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.log(alive.cast("double") / F.col("n_risk").cast("double"))
+        ),
+    ).otherwise(F.lit(None).cast("long"))
+    with_term = rt.withColumn("__lt", term)
+    extinct = F.max(F.when(F.col("__lt").isNull(), 1).otherwise(0)).over(w_fwd)
+    logsurv = F.sum("__lt").over(w_fwd)
+    surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(logsurv.cast("double") / 1_000_000.0), 6)
+    )
+    return with_term.select(
+        *keys, "t", "n_risk", "n_events", "n_censored",
+        "hazard_micro", "cumhaz_micro",
+        F.when(extinct == 0, logsurv).alias("logsurv_micro"),
+        surv.alias("km_survival"),
+    )
