@@ -11737,3 +11737,352 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ev"),
     )
     return km_survival(per_user, "dur", "ev", keys=[])
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 12 (round 6): modularity, mutual information, bigram LM,
+# DTW, isotonic calibration, max drawdown
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q224_brand_modularity",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pc AS (
+      SELECT x.pk AS a, y.pk AS b, count(*) AS c
+      FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT a, b FROM pc WHERE c >= 2
+    ), lab AS (
+      SELECT p_partkey AS v, p_brand AS com FROM part
+    ), tagged AS (
+      SELECT und.a, und.b, la.com AS ca, lb.com AS cb
+      FROM und JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM und
+    ), e_in AS (
+      SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+      FROM tagged WHERE ca = cb GROUP BY 1
+    ), deg_c AS (
+      SELECT community, CAST(count(*) AS BIGINT) AS deg_sum
+      FROM (SELECT ca AS community FROM tagged
+            UNION ALL SELECT cb FROM tagged) GROUP BY 1
+    ), nodes_c AS (
+      SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM (SELECT DISTINCT a AS v, ca AS community FROM tagged
+            UNION SELECT DISTINCT b, cb FROM tagged) GROUP BY 1
+    )
+    SELECT d.community, n.n_nodes, CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+           d.deg_sum,
+           CAST(4 * m.m * coalesce(e.e_in, 0) - d.deg_sum * d.deg_sum
+                AS BIGINT) AS q_num,
+           round(CAST(4 * m.m * coalesce(e.e_in, 0) - d.deg_sum * d.deg_sum
+                      AS DOUBLE) / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_contrib
+    FROM deg_c d
+    JOIN nodes_c n USING (community)
+    LEFT JOIN e_in e USING (community)
+    CROSS JOIN m
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph (library: operators.graph.modularity_report) — "do parts of
+    the same brand actually get bought together?" Per community the
+    exact integer modularity NUMERATOR q_num = 4·m·e_c − d_c² over
+    the common denominator 4m² (graph Q = Σ q_num / 4m² — one
+    downstream division, no float accumulation), plus the rounded
+    per-community contribution. Same support-≥2 edge prep as q219 so
+    the two graph analyses share one edge definition; unlabeled
+    endpoints raise (woven guard — a dropped node misstates every
+    d_c)."""
+    from owl_etl_spark.operators.graph import modularity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = baskets.select(F.col("ok"), F.col("pk").alias("pa"))
+    y = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    labels = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return modularity_report(edges, labels, "p_partkey", "p_brand")
+
+
+@_register(
+    "q225_priority_status_mi",
+    """
+    WITH w AS (
+      SELECT c.c_nationkey AS nationkey, o.o_orderpriority AS x,
+             o.o_orderstatus AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), joint AS (
+      SELECT nationkey, x, y, CAST(count(*) AS BIGINT) AS cxy
+      FROM w GROUP BY 1, 2, 3
+    ), mx AS (
+      SELECT nationkey, x, CAST(sum(cxy) AS BIGINT) AS cx
+      FROM joint GROUP BY 1, 2
+    ), my AS (
+      SELECT nationkey, y, CAST(sum(cxy) AS BIGINT) AS cy
+      FROM joint GROUP BY 1, 2
+    ), tot AS (
+      SELECT nationkey, CAST(sum(cxy) AS BIGINT) AS n FROM joint GROUP BY 1
+    ), nx AS (
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_x FROM mx GROUP BY 1
+    ), ny AS (
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_y FROM my GROUP BY 1
+    ), terms AS (
+      SELECT j.nationkey,
+             CAST(round((CAST(j.cxy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln((CAST(t.n AS DOUBLE) * CAST(j.cxy AS DOUBLE))
+                       / (CAST(m1.cx AS DOUBLE) * CAST(m2.cy AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS term,
+             t.n
+      FROM joint j
+      JOIN mx m1 ON m1.nationkey = j.nationkey AND m1.x = j.x
+      JOIN my m2 ON m2.nationkey = j.nationkey AND m2.y = j.y
+      JOIN tot t ON t.nationkey = j.nationkey
+    )
+    SELECT terms.nationkey, CAST(max(terms.n) AS BIGINT) AS n,
+           CAST(max(nx.n_x) AS BIGINT) AS n_x,
+           CAST(max(ny.n_y) AS BIGINT) AS n_y,
+           CAST(sum(term) AS BIGINT) AS mi_micro_nats
+    FROM terms
+    JOIN nx ON nx.nationkey = terms.nationkey
+    JOIN ny ON ny.nationkey = terms.nationkey
+    GROUP BY 1
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation mutual information between order priority and order
+    status (library: operators.profile.mutual_information_report) —
+    the feature-redundancy screen: I(X;Y) in integer micro-nats, each
+    joint cell's term snapped from exact BIGINT counts before the
+    integer sum (entropy_report's discipline — no float
+    accumulation), with marginal cardinalities emitted so
+    ln(min(n_x, n_y)) normalizes downstream. All post-aggregate
+    volumes are bounded by distinct-cell counts, never rows."""
+    from owl_etl_spark.operators.profile import mutual_information_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    )
+    return mutual_information_report(w, ["nationkey"], "x", "y")
+
+
+@_register(
+    "q226_bigram_logprob_quality",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_DUCK} AS a FROM documents
+    ), bigrams AS (
+      SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM toked
+      )
+    ), bgc AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bigrams GROUP BY bg
+    ), ctx AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bigrams GROUP BY w1
+    ), voc AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest({_TOKS_DUCK}) AS tok FROM documents)
+    ), costed AS (
+      SELECT bigrams.doc_id,
+             CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS cost
+      FROM bigrams JOIN bgc USING (bg) JOIN ctx USING (w1) CROSS JOIN voc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_bigrams,
+           CAST(sum(cost) AS BIGINT) AS cost_micro_nats,
+           CAST(round(CAST(sum(cost) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_cost_micro_nats
+    FROM costed GROUP BY doc_id
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with add-one smoothing (library:
+    ranking.bigram_logprob_score) — q104's unigram gate upgraded to
+    word order: cost per bigram = ln((c(w1·)+V)/(c(w1w2)+1)) in
+    integer micro-nats (exact ratio, one ln, snapped before the
+    BIGINT sum). Bigram construction is a pure map over the token
+    array (transform(sequence...)) — no window, no posexplode join —
+    then vocabulary-sized aggregates and joins that AQE broadcasts.
+    Same tokenizer as q104/q46 so all text-quality gates share one
+    normalization."""
+    from owl_etl_spark.operators.ranking import bigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(d, "doc_id", "text")
+
+
+@_register("q227_event_series_dtw", None)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between every pair of event-type daily-revenue
+    series (library: operators.dtw.dtw_pairs) — elastic shape
+    similarity Spark lacks natively: the per-pair DP recurrence is
+    inherently sequential, so it runs as the library's documented
+    Arrow-batched applyInPandas boundary (pair-level parallelism is
+    Spark's; the banded int64 DP is numpy's). All values are exact
+    integer cents and every DP cell is int64, so distances are exact
+    BIGINTs — deterministic under any partitioning. NOT
+    SQL-expressible: gated by the driver's rows-only check and pinned
+    in tests against an independent pure-Python reference
+    implementation."""
+    from owl_etl_spark.operators.dtw import dtw_pairs
+
+    e = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    types = daily.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.select(F.col("t").alias("id_a"))
+        .join(types.select(F.col("t").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return dtw_pairs(
+        daily, pairs, "event_type", "day", "cents", band=16, max_len=10_000
+    ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "q228_isotonic_calibration",
+    """
+    WITH d AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), bins AS (
+      SELECT least(49, greatest(0, CAST(floor(c / 200.0) AS BIGINT))) AS pos,
+             CAST(sum(y) AS BIGINT) AS num, CAST(count(*) AS BIGINT) AS den
+      FROM d GROUP BY 1
+    ), pre AS (
+      SELECT pos, num, den,
+             CAST(sum(num) OVER w AS BIGINT) AS sn,
+             CAST(sum(den) OVER w AS BIGINT) AS sd
+      FROM bins WINDOW w AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+    ), intervals AS (
+      SELECT j.pos AS jp, k.pos AS kp,
+             CAST(k.sn - (j.sn - j.num) AS DOUBLE)
+               / CAST(k.sd - (j.sd - j.den) AS DOUBLE) AS avgv
+      FROM pre j JOIN pre k ON k.pos >= j.pos
+    ), inner_min AS (
+      SELECT i.pos AS ip, intervals.jp, min(avgv) AS mn
+      FROM intervals JOIN pre i
+        ON i.pos >= intervals.jp AND i.pos <= intervals.kp
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT ip AS pos, max(mn) AS f FROM inner_min GROUP BY 1
+    )
+    SELECT bins.pos, bins.num, bins.den,
+           round(CAST(bins.num AS DOUBLE) / CAST(bins.den AS DOUBLE), 6) AS rate,
+           round(f, 6) AS fitted
+    FROM bins JOIN fit USING (pos)
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the event-score reliability
+    curve (library: operators.evalmetrics.isotonic_fit) — q179's
+    reliability diagram at 50 bins, fitted to the best monotone
+    score→probability map via PAV's exact max-min CLOSED FORM
+    fitted_i = max_{j≤i} min_{k≥i} wavg(j..k) over exact BIGINT
+    prefix sums — no sequential pooling loop, no UDF, deterministic:
+    each candidate average is one double division of exact integers.
+    O(n³) membership rows on the BOUNDED bin count (50 → 125k rows),
+    runtime-guarded, the Kendall/Theil-Sen bounded-group trade."""
+    from owl_etl_spark.operators.evalmetrics import isotonic_fit
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(F.col("value").isNotNull() & F.col("event_type").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    bins = d.select(
+        F.least(F.lit(49), F.greatest(F.lit(0), F.floor(F.col("c") / 200.0)))
+        .cast("long")
+        .alias("pos"),
+        "y",
+    ).groupBy("pos").agg(
+        F.sum("y").cast("long").alias("num"),
+        F.count(F.lit(1)).cast("long").alias("den"),
+    )
+    return isotonic_fit(bins, [], "pos", "num", "den").select(
+        "pos", "num", "den", "rate", "fitted"
+    )
+
+
+@_register(
+    "q229_wallet_max_drawdown",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE value IS NOT NULL
+    ), s0 AS (
+      SELECT user_id, us, event_id, delta,
+             CAST(sum(delta) OVER w AS BIGINT) AS run
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT user_id, delta, run,
+             CAST(max(run) OVER w AS BIGINT) AS peak
+      FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta) AS BIGINT) AS final_balance,
+           CAST(max(run) AS BIGINT) AS peak_balance,
+           CAST(max(peak - run) AS BIGINT) AS max_drawdown
+    FROM s GROUP BY user_id
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the q216 wallet series (library:
+    operators.window_stats.max_drawdown_report): how far each
+    account fell from its running peak — drawdown_t = peak_t − S_t,
+    reported with the peak and final levels, all exact BIGINT from
+    ONE window pass (running sum + running max on the same
+    (us, event_id) total order) and a per-key aggregate on the same
+    keys = a single shuffle."""
+    from owl_etl_spark.operators.window_stats import max_drawdown_report
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    return max_drawdown_report(d, ["user_id"], "us", "delta", tiebreak_col="event_id")

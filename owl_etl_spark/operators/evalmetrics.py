@@ -361,3 +361,121 @@ def cohen_kappa(
             "kappa"
         ),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    keys: list[str],
+    pos_col: str,
+    num_col: str,
+    den_col: str,
+    max_group_rows: int = 200,
+) -> DataFrame:
+    """Per-group isotonic (monotone non-decreasing) weighted
+    regression of the rate ``num/den`` over the integer order
+    ``pos_col`` — the PAV calibrator that turns a reliability diagram
+    (q179) into a monotone score→probability map, and the standard
+    post-hoc classifier calibration (Zadrozny-Elkan).
+
+    NOT the sequential pool-adjacent-violators loop: this uses PAV's
+    exact MAX-MIN CLOSED FORM —
+
+        fitted_i = max_{j ≤ i} min_{k ≥ i} wavg(j..k)
+
+    where wavg(j..k) = (ΣN_k − ΣN_{j−1})/(ΣD_k − ΣD_{j−1}) from
+    exact BIGINT prefix sums. Every candidate average is ONE double
+    division of two exact integers (identical on any engine), and
+    max/min over a finite set of such doubles is order-independent —
+    so the fit is deterministic without any iteration or UDF, the
+    same declarative-closed-form trade the library makes for
+    Kendall's tau and Theil-Sen: O(n³) membership rows on a BOUNDED
+    group, with ``max_group_rows`` (default 200: ≤ 8M rows/group)
+    enforced by a woven runtime guard. Calibration inputs are binned
+    (n = #bins, typically ≤ 100), so the bound is generous.
+
+    Requires distinct ``pos_col`` per group (it IS the x order) and
+    positive ``den_col``; violations raise. Returns
+    ``(*keys, pos, num, den, rate, fitted)`` with rate/fitted rounded
+    at 6; fitted is non-decreasing in pos and minimizes the weighted
+    SSE among monotone fits (PAV optimality).
+    """
+    from pyspark.sql import Window
+
+    if not keys:
+        # global fit: inject a literal grouping key so every window /
+        # join below has a real column to hang on, drop it at the end
+        df = df.withColumn("__grp", F.lit(0))
+        out = isotonic_fit(df, ["__grp"], pos_col, num_col, den_col, max_group_rows)
+        return out.drop("__grp")
+
+    p = F.col(pos_col).cast("long")
+    nm = F.col(num_col).cast("long")
+    dn0 = F.col(den_col).cast("long")
+    dn = F.when(
+        dn0.isNull() | (dn0 <= 0) | nm.isNull() | p.isNull(),
+        F.raise_error(
+            F.lit(
+                "isotonic_fit: pos/num must be non-null and den > 0 — "
+                "aggregate to clean bins first"
+            )
+        ).cast("long"),
+    ).otherwise(dn0)
+    w_ord = Window.partitionBy(*keys).orderBy(F.col("__p").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(*keys)
+    base = (
+        df.select(*keys, p.alias("__p"), nm.alias("__num"), dn.alias("__den"))
+        .withColumn("__sn", F.sum("__num").over(w_ord))
+        .withColumn("__sd", F.sum("__den").over(w_ord))
+        .withColumn("__gn", F.count(F.lit(1)).over(w_all))
+        .withColumn("__dup", F.count(F.lit(1)).over(Window.partitionBy(*keys, "__p")))
+    )
+    guard = F.when(
+        (F.col("__gn") > int(max_group_rows)) | (F.col("__dup") > 1),
+        F.raise_error(
+            F.concat(
+                F.lit("isotonic_fit: group exceeds max_group_rows="),
+                F.lit(str(int(max_group_rows))),
+                F.lit(" or duplicate pos values (pos must be a distinct order)"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sn"))
+    base = base.withColumn("__sn", guard).drop("__gn", "__dup")
+    jj = base.select(
+        *keys,
+        F.col("__p").alias("__j"),
+        (F.col("__sn") - F.col("__num")).alias("__snj"),
+        (F.col("__sd") - F.col("__den")).alias("__sdj"),
+    )
+    kk = base.select(
+        *keys, F.col("__p").alias("__k"), F.col("__sn").alias("__snk"),
+        F.col("__sd").alias("__sdk"),
+    )
+    ii = base.select(*keys, F.col("__p").alias("__i"))
+    intervals = jj.join(kk, keys).filter(F.col("__k") >= F.col("__j")).select(
+        *keys, "__j", "__k",
+        (
+            (F.col("__snk") - F.col("__snj")).cast("double")
+            / (F.col("__sdk") - F.col("__sdj")).cast("double")
+        ).alias("__avg"),
+    )
+    member = intervals.join(ii, keys).filter(
+        (F.col("__i") >= F.col("__j")) & (F.col("__i") <= F.col("__k"))
+    )
+    inner = member.groupBy(*keys, "__i", "__j").agg(F.min("__avg").alias("__mn"))
+    outer = inner.groupBy(*keys, "__i").agg(F.max("__mn").alias("__fit"))
+    return (
+        base.join(
+            outer.select(*keys, F.col("__i").alias("__p"), "__fit"), [*keys, "__p"]
+        )
+        .select(
+            *keys,
+            F.col("__p").alias("pos"),
+            F.col("__num").alias("num"),
+            F.col("__den").alias("den"),
+            F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6)
+            .alias("rate"),
+            F.round(F.col("__fit"), 6).alias("fitted"),
+        )
+    )

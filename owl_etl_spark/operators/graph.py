@@ -450,3 +450,105 @@ def adamic_adar_topk(
     return fresh.orderBy(
         F.col("aa_score_micro").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(int(k))
+
+
+def modularity_report(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str,
+    label_col: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected simple
+    graph — the standard "is this community structure real" readout
+    for any labeling (label_propagation output, a brand/category
+    partition, a clustering): Q = Σ_c [ e_c/m − (d_c/2m)² ], where m
+    is the edge count, e_c the edges with both endpoints in community
+    c, and d_c the total degree of c's nodes. Q ≈ 0 ⇒ no better than
+    random wiring; Q ≳ 0.3 ⇒ meaningful structure.
+
+    Exactness: everything up to the last step is integer — m, e_c,
+    d_c are exact BIGINT counts and each community's contribution is
+    emitted as the exact integer NUMERATOR over the common
+    denominator 4m²:  q_num_c = 4·m·e_c − d_c², so the graph-level
+    Q = Σ q_num_c / (4m²) is reconstructible exactly downstream (sum
+    the BIGINTs, one division). The rounded double ``q_contrib`` is
+    also emitted per community for direct reading. Overflow contract:
+    d_c ≤ 2m and the products are ≤ 4m², exact in BIGINT for
+    m ≤ ~10⁹ edges — beyond that, pre-coarsen.
+
+    Nodes missing from ``labels`` raise (woven guard): silently
+    dropping a labeled node's edges would misstate every community's
+    d_c, the same discipline as loo_target_encode's null labels.
+
+    Plan: canonical distinct edges (1 shuffle) → two label joins
+    (broadcast when the label table is dim-sized) → one groupBy
+    community for e_c and one for d_c, joined on the label — all
+    bounded by community count, no quadratic anything.
+    """
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    lab = labels.select(
+        F.col(node_col).alias("__v"), F.col(label_col).alias("__c")
+    ).distinct()
+    la = lab.select(F.col("__v").alias("a"), F.col("__c").alias("__ca"))
+    lb = lab.select(F.col("__v").alias("b"), F.col("__c").alias("__cb"))
+    tagged = (
+        und.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            "a",
+            "b",
+            F.when(
+                F.col("__ca").isNull() | F.col("__cb").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "modularity_report: edge endpoint missing from labels "
+                        "— every node must be labeled (else d_c is wrong)"
+                    )
+                ).cast("string"),
+            )
+            .otherwise(F.col("__ca").cast("string"))
+            .alias("__ca"),
+            F.col("__cb").cast("string").alias("__cb"),
+        )
+    )
+    m_tbl = und.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    e_in = (
+        tagged.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg_c = (
+        tagged.select(F.col("__ca").alias("community"))
+        .unionAll(tagged.select(F.col("__cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_sum"))
+    )
+    nodes_c = (
+        tagged.select(F.col("a").alias("__v"), F.col("__ca").alias("community"))
+        .unionAll(tagged.select(F.col("b").alias("__v"), F.col("__cb").alias("community")))
+        .distinct()
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    out = (
+        deg_c.join(e_in, "community", "left")
+        .join(nodes_c, "community")
+        .crossJoin(F.broadcast(m_tbl))
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)).cast("long"))
+    )
+    q_num = (
+        F.lit(4) * F.col("__m") * F.col("e_in") - F.col("deg_sum") * F.col("deg_sum")
+    ).cast("long")
+    denom = (F.lit(4) * F.col("__m") * F.col("__m")).cast("double")
+    return out.select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "deg_sum",
+        q_num.alias("q_num"),
+        F.round(q_num.cast("double") / denom, 6).alias("q_contrib"),
+    )

@@ -370,3 +370,66 @@ def entropy_report(
             .alias("max_entropy_micro_nats"),
         )
     )
+
+
+def mutual_information_report(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key mutual information between two categorical columns —
+    the feature-selection / redundancy-screening staple ("does
+    priority tell you anything about status"): I(X;Y) =
+    Σ_xy p_xy · ln(p_xy / (p_x·p_y)), in NATS. I = 0 ⇔ independent;
+    I = min(H(X), H(Y)) ⇔ one determines the other.
+
+    Determinism (entropy_report's micro-nat discipline): each joint
+    CELL's term is computed from exact BIGINT counts —
+    round((c_xy/n) · ln(n·c_xy/(c_x·c_y)) · 1e6) — and the per-key
+    total is an exact integer sum in any order; rounding error is
+    ≤ #cells/2 micro-nats. Rows with a null in either column are
+    excluded up front (documented null discipline — "null" is absence
+    here, not a category; wrap with coalesce upstream to opt nulls in
+    as a level).
+
+    Returns (keys..., n, n_x, n_y, mi_micro_nats) with n_x/n_y the
+    marginal cardinalities — ln(min(n_x, n_y)) bounds MI, turning the
+    readout into a normalized 0..1 association with one division.
+
+    Plan: one (keys, x, y) joint count (map-side combined), two
+    marginal rollups OF THE JOINT (cells, not rows — cheap), joins
+    back on (keys, x)/(keys, y) (broadcast-able at dim cardinality),
+    one per-key aggregate. All volumes after the first aggregate are
+    bounded by distinct-cell counts, never row counts.
+    """
+    work = df.select(
+        *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    joint = work.groupBy(*keys, "__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__cxy")
+    )
+    mx = joint.groupBy(*keys, "__x").agg(F.sum("__cxy").cast("long").alias("__cx"))
+    my = joint.groupBy(*keys, "__y").agg(F.sum("__cxy").cast("long").alias("__cy"))
+    tot = joint.groupBy(*keys).agg(
+        F.sum("__cxy").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__cells"),
+    )
+    nx = mx.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    ny = my.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    j = joint.join(mx, [*keys, "__x"]).join(my, [*keys, "__y"])
+    j = j.join(F.broadcast(tot), keys) if keys else j.crossJoin(F.broadcast(tot))
+    p = F.col("__cxy").cast("double") / F.col("__n").cast("double")
+    ratio = (F.col("__n").cast("double") * F.col("__cxy").cast("double")) / (
+        F.col("__cx").cast("double") * F.col("__cy").cast("double")
+    )
+    term = F.round(p * F.log(ratio) * 1_000_000).cast("long")
+    agg = j.withColumn("__t", term).groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.sum("__t").cast("long").alias("mi_micro_nats"),
+    )
+    if keys:
+        agg = agg.join(F.broadcast(nx), keys).join(F.broadcast(ny), keys)
+    else:
+        agg = agg.crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(ny))
+    return agg.select(*keys, "n", "n_x", "n_y", "mi_micro_nats")

@@ -158,3 +158,90 @@ def unigram_logprob_score(
         .cast("long")
         .alias("avg_cost_micro_nats"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy against the corpus's own
+    add-one-smoothed bigram model — one rung up the perplexity ladder
+    from ``unigram_logprob_score``: fluent word ORDER now matters, so
+    shuffled/boilerplate/keyword-stuffed text that sails past a
+    unigram gate scores high here. The cost of each bigram (w1, w2)
+    is −ln P(w2 | w1) with Laplace smoothing:
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+
+    where c(w1·) counts bigrams with left context w1 and V is the
+    corpus unigram vocabulary size — the textbook add-one estimator,
+    never zero, so every bigram has a finite cost.
+
+    Exactness contract (the module's no-float-accumulation rule):
+    each bigram's cost is snapped to integer micro-nats —
+    round(ln((c1 + V)/(c12 + 1)) · 1e6), a single ln of an exact
+    integer ratio — the per-doc sum is BIGINT, and the mean is one
+    final rounded division. Output: (id, n_bigrams,
+    cost_micro_nats, avg_cost_micro_nats); documents with fewer than
+    2 tokens emit no row (no bigrams to score — callers union a
+    default if they gate on coverage).
+
+    Plan at 100 TB: bigram construction is a pure map
+    (transform(sequence(...)) over the token array — no window, no
+    posexplode join); one groupBy bigram (vocab of bigrams), one
+    groupBy context, one scalar vocab count, then joins mirroring
+    the unigram operator (bigram/context tables are vocabulary-sized
+    — AQE broadcasts them) and one per-doc aggregate.
+    """
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    toked = df.select(
+        F.col(id_col).alias("__id"), tokens(normalize_text(F.col(text_col))).alias("__a")
+    )
+    bigrams = toked.select(
+        "__id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__a) >= 2 THEN "
+                "transform(sequence(1, size(__a) - 1), "
+                "i -> concat(element_at(__a, i), ' ', element_at(__a, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bigrams = bigrams.select(
+        "__id", "bg", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("__w1")
+    )
+    bg_cnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("__c12"))
+    ctx_cnt = bigrams.groupBy("__w1").agg(F.count(F.lit(1)).cast("long").alias("__c1"))
+    vocab = (
+        toked.select(F.explode("__a").alias("tok"))
+        .agg(F.count_distinct("tok").cast("long").alias("__v"))
+    )
+    cost = F.round(
+        F.log(
+            (F.col("__c1") + F.col("__v")).cast("double")
+            / (F.col("__c12") + F.lit(1)).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        bigrams.join(bg_cnt, "bg")
+        .join(ctx_cnt, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", cost.alias("__cost"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__cost").cast("long").alias("cost_micro_nats"),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        "cost_micro_nats",
+        F.round(F.col("cost_micro_nats").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_cost_micro_nats"),
+    )

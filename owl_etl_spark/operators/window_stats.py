@@ -131,3 +131,62 @@ def clamped_running_balance(
         .cast("long")
         .alias("balance"),
     )
+
+
+def max_drawdown_report(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    delta_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key maximum drawdown of the running balance — the risk
+    readout behind "how far under water did this account/strategy/
+    inventory get from its best point": with S_t the running sum of
+    deltas, drawdown_t = max_{j≤t} S_j − S_t, and the report gives
+    its maximum along with the peak and final levels.
+
+    Like ``clamped_running_balance``, the 'peak so far' recurrence is
+    a window closed form, not a loop: ONE window pass (running sum +
+    running max over the same keyed (order, tiebreak) total-order
+    sort) followed by a per-key aggregate ON THE SAME KEYS — Catalyst
+    plans a single shuffle. All arithmetic is exact BIGINT; null
+    deltas raise (woven), the sibling contract.
+
+    Returns ``(*keys, n, final_balance, peak_balance, max_drawdown)``
+    — max_drawdown ≥ 0, 0 for monotone-rising series.
+    """
+    from pyspark.sql import Window
+
+    d0 = F.col(delta_col).cast("long")
+    d = F.when(
+        d0.isNull(),
+        F.raise_error(
+            F.lit(
+                f"max_drawdown_report: {delta_col} is NULL — filter or impute "
+                "deltas first (a silent 0 would hide upstream corruption)"
+            )
+        ).cast("long"),
+    ).otherwise(d0)
+    order = [F.col(order_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("__d").over(w)
+    staged = (
+        df.select(*keys, F.col(order_col), *( [F.col(tiebreak_col)] if tiebreak_col else [] ), d.alias("__d"))
+        .withColumn("__s", run)
+        .withColumn("__peak", F.max("__s").over(w))
+    )
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # final = Σ deltas (order-independent), peak = max running sum,
+        # drawdown = max(peak_so_far − S) — all exact BIGINT
+        F.sum("__d").cast("long").alias("final_balance"),
+        F.max("__s").cast("long").alias("peak_balance"),
+        F.max(F.col("__peak") - F.col("__s")).cast("long").alias("max_drawdown"),
+    )
