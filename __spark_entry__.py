@@ -12086,3 +12086,202 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
     )
     return max_drawdown_report(d, ["user_id"], "us", "delta", tiebreak_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 13 (round 6): nonparametric / categorical test statistics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q230_price_ks_test",
+    """
+    WITH w AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS s
+      FROM orders
+    ), per_v AS (
+      SELECT status, v,
+             CAST(sum(CASE WHEN s = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN s = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM w GROUP BY 1, 2
+    ), staged AS (
+      SELECT status,
+             CAST(sum(ca) OVER r AS BIGINT) AS ra,
+             CAST(sum(cb) OVER r AS BIGINT) AS rb,
+             CAST(sum(ca) OVER a AS BIGINT) AS na,
+             CAST(sum(cb) OVER a AS BIGINT) AS nb
+      FROM per_v
+      WINDOW r AS (PARTITION BY status ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             a AS (PARTITION BY status)
+    )
+    SELECT status, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(ra * nb - rb * na)) AS BIGINT) AS d_num,
+           CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+             round(CAST(max(abs(ra * nb - rb * na)) AS DOUBLE)
+                   / CAST(max(na) * max(nb) AS DOUBLE), 6) END AS ks_d
+    FROM staged GROUP BY status
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per order status (library:
+    operators.stats_tests.ks_test_report): does the order-value
+    distribution of urgent/high-priority orders differ from the rest?
+    The CDF gap at each value compares exact integer cross products
+    |r_hi·n_lo − r_lo·n_hi| — zero per-row floats; D is ONE final
+    division. Distribution-free drift companion to q124's binned PSI
+    (KS needs no bins and catches tail moves PSI's bins smear). One
+    key shuffle end-to-end; post-aggregate volume = distinct values."""
+    from owl_etl_spark.operators.stats_tests import ks_test_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+        ).otherwise("lo").alias("s"),
+    )
+    return ks_test_report(o, ["status"], "v", "s", "hi", "lo")
+
+
+@_register(
+    "q231_nation_mannwhitney",
+    """
+    WITH w AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+             o.o_orderstatus AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus IN ('F', 'O')
+    ), ranked AS (
+      SELECT nationkey, s,
+             CAST(rank() OVER (PARTITION BY nationkey ORDER BY v ASC)
+                  - rank() OVER (PARTITION BY nationkey ORDER BY v DESC)
+                  + count(*) OVER (PARTITION BY nationkey) + 1 AS BIGINT) AS r2,
+             v
+      FROM w
+    ), agg AS (
+      SELECT nationkey,
+             CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN s = 'F' THEN r2 ELSE 0 END) AS BIGINT) AS r2a
+      FROM ranked GROUP BY 1
+    ), ties AS (
+      SELECT nationkey, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT nationkey, v, CAST(count(*) AS BIGINT) AS t
+            FROM w GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT a.nationkey, a.n_a, a.n_b,
+           CAST(a.r2a - a.n_a * (a.n_a + 1) AS BIGINT) AS u2_a,
+           CASE WHEN a.n_a > 0 AND a.n_b > 0 AND
+                     (CAST(a.n_a AS DOUBLE) * CAST(a.n_b AS DOUBLE) / 12.0)
+                     * ((CAST(a.n_a + a.n_b AS DOUBLE) + 1.0)
+                        - CAST(t.tie3 AS DOUBLE)
+                          / (CAST(a.n_a + a.n_b AS DOUBLE)
+                             * (CAST(a.n_a + a.n_b AS DOUBLE) - 1.0))) > 0
+           THEN round(CAST(a.r2a - a.n_a * (a.n_a + 1) - a.n_a * a.n_b AS DOUBLE)
+                 / (2.0 * sqrt((CAST(a.n_a AS DOUBLE) * CAST(a.n_b AS DOUBLE) / 12.0)
+                     * ((CAST(a.n_a + a.n_b AS DOUBLE) + 1.0)
+                        - CAST(t.tie3 AS DOUBLE)
+                          / (CAST(a.n_a + a.n_b AS DOUBLE)
+                             * (CAST(a.n_a + a.n_b AS DOUBLE) - 1.0))))), 6)
+           END AS z
+    FROM agg a JOIN ties t ON t.nationkey = a.nationkey
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Mann-Whitney U: are finished ('F') orders
+    stochastically larger than open ('O') ones? (library:
+    operators.stats_tests.mann_whitney_u). Doubled combined ranks are
+    exact BIGINTs via 2·avgrank = rank_asc − rank_desc + n + 1 (the
+    spearman device); 2U_a is pure integer; the tie-corrected z uses
+    exact Σ(t³−t) with double only in the final σ assembly. The
+    robust nonparametric companion to q144's Welch readout."""
+    from owl_etl_spark.operators.stats_tests import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    return mann_whitney_u(w, ["nationkey"], "v", "s", "F", "O")
+
+
+@_register(
+    "q232_region_chi_square",
+    """
+    WITH w AS (
+      SELECT n.n_regionkey AS regionkey, o.o_orderpriority AS x,
+             o.o_orderstatus AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), joint AS (
+      SELECT regionkey, x, y, CAST(count(*) AS BIGINT) AS o
+      FROM w GROUP BY 1, 2, 3
+    ), mx AS (
+      SELECT regionkey, x, CAST(sum(o) AS BIGINT) AS cx FROM joint GROUP BY 1, 2
+    ), my AS (
+      SELECT regionkey, y, CAST(sum(o) AS BIGINT) AS cy FROM joint GROUP BY 1, 2
+    ), tot AS (
+      SELECT regionkey, CAST(sum(o) AS BIGINT) AS n FROM joint GROUP BY 1
+    ), grid AS (
+      SELECT mx.regionkey, mx.x, my.y, mx.cx, my.cy,
+             CAST(coalesce(j.o, 0) AS BIGINT) AS o
+      FROM mx JOIN my ON mx.regionkey = my.regionkey
+      LEFT JOIN joint j ON j.regionkey = mx.regionkey
+                       AND j.x = mx.x AND j.y = my.y
+    ), terms AS (
+      SELECT g.regionkey, t.n, g.x, g.y,
+             CAST(round(1000000.0
+                  * CAST(g.o * t.n - g.cx * g.cy AS DOUBLE)
+                  * CAST(g.o * t.n - g.cx * g.cy AS DOUBLE)
+                  / CAST(t.n * g.cx * g.cy AS DOUBLE)) AS BIGINT) AS term
+      FROM grid g JOIN tot t ON t.regionkey = g.regionkey
+    ), agg AS (
+      SELECT regionkey, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+             CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+             CAST(sum(term) AS BIGINT) AS chi2_micro
+      FROM terms GROUP BY 1
+    )
+    SELECT regionkey, n, n_x, n_y,
+           CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof, chi2_micro,
+           CASE WHEN least(n_x - 1, n_y - 1) > 0 THEN
+             round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                   / (CAST(n AS DOUBLE)
+                      * CAST(least(n_x - 1, n_y - 1) AS DOUBLE))), 6)
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region χ² of independence between order priority and
+    status, with Cramér's V (library: operators.stats_tests.
+    chi_square_report) — the scale-free 0..1 categorical association
+    that complements q225's mutual information. Terms come from the
+    FULL 5×3 grid (empty cells included — joint-only sums understate
+    χ²), each snapped to integer micro-units from exact integer cross
+    products before the BIGINT sum. Grid volume is category-bounded,
+    never row-bounded."""
+    from owl_etl_spark.operators.stats_tests import chi_square_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    w = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+    )
+    return chi_square_report(w, ["regionkey"], "x", "y")

@@ -1,0 +1,288 @@
+"""Distribution-comparison test statistics, exactly.
+
+Three classical nonparametric/categorical tests as per-group
+aggregates — the drift/AB toolkit beyond PSI (operators/drift.py) and
+Welch (operators/profile.py::ab_test_report):
+
+- ``ks_test_report``: two-sample Kolmogorov-Smirnov D — the maximum
+  CDF gap. Distribution-free, sensitive anywhere (PSI needs bins and
+  misses tail moves; KS doesn't).
+- ``mann_whitney_u``: the rank-sum U statistic + tie-corrected normal
+  z — "is one group stochastically larger", robust where Welch's t
+  assumes near-normality.
+- ``chi_square_report``: Pearson χ² over the FULL contingency grid
+  (including empty cells) + Cramér's V — categorical association
+  strength, the readout MI (profile.mutual_information_report) does
+  not give a scale-free 0..1 for.
+
+Exactness discipline (the library's no-float-accumulation rule):
+- KS: the CDF gap at value v compares exact integer cross products —
+  d_num(v) = |r₁(v)·n₂ − r₂(v)·n₁| — and D = max(d_num)/(n₁·n₂) is
+  ONE final double division. No per-row floats at all.
+- U: built on DOUBLED average ranks via the rank identity
+  2·avgrank = rank_asc − rank_desc + n + 1 (exact BIGINT — the
+  spearman_by_group device); 2U₁ = 2R₁ − n₁(n₁+1) is exact, and only
+  the z-score's σ (with the standard tie correction using exact
+  Σ(t³−t)) is double, rounded at 6.
+- χ²: each cell's term is snapped to integer micro-units from exact
+  integers — round(1e6·(O·n − cx·cy)²/(n·cx·cy)) — then summed as
+  BIGINT in any order.
+
+Overflow contracts are enforced with woven runtime guards
+(max_group_rows), sized per statistic in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _guarded(col, limit: int, what: str):
+    return F.when(
+        col > int(limit),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: group exceeds max_group_rows="),
+                F.lit(str(int(limit))),
+                F.lit(" (integer-exactness bound); pre-aggregate or sample"),
+            )
+        ).cast("long"),
+    ).otherwise(col)
+
+
+def ks_test_report(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    max_group_rows: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-key two-sample KS statistic between the ``value_col``
+    distributions of rows where ``side_col`` equals ``side_a`` vs
+    ``side_b`` (other rows and null values/sides are excluded —
+    documented discipline). Returns ``(*keys, n_a, n_b, d_num,
+    ks_d)``: d_num = max over distinct values of
+    |r_a·n_b − r_b·n_a| (exact BIGINT; r = running ≤-count), and
+    ks_d = d_num/(n_a·n_b) rounded at 6.
+
+    The guard binds at n_a·n_b ≤ 2^63 — max_group_rows defaults to
+    10⁹ per side, effectively unbounded.
+
+    Plan: one (keys, value) aggregate with conditional side counts
+    (map-side combined), one window pass (running sums + max) on the
+    keys sort, one final per-key aggregate — a single key shuffle
+    end-to-end, volumes bounded by distinct values after the first
+    aggregate.
+    """
+    v = F.col(value_col).cast("long")
+    s = F.col(side_col)
+    work = df.select(*keys, v.alias("__v"), s.alias("__s")).filter(
+        F.col("__v").isNotNull() & F.col("__s").isin([side_a, side_b])
+    )
+    per_v = work.groupBy(*keys, "__v").agg(
+        F.sum(F.when(F.col("__s") == side_a, 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(F.col("__s") == side_b, 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    staged = (
+        per_v.withColumn("__ra", F.sum("__ca").over(w_run))
+        .withColumn("__rb", F.sum("__cb").over(w_run))
+        .withColumn("__na", F.sum("__ca").over(w_all))
+        .withColumn("__nb", F.sum("__cb").over(w_all))
+    )
+    staged = staged.withColumn(
+        "__na", _guarded(F.col("__na"), max_group_rows, "ks_test_report")
+    )
+    d_num = F.abs(F.col("__ra") * F.col("__nb") - F.col("__rb") * F.col("__na"))
+    agg = staged.groupBy(*keys).agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(d_num).cast("long").alias("d_num"),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ),
+        ).alias("ks_d"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    max_group_rows: int = 100_000,
+) -> DataFrame:
+    """Per-key Mann-Whitney U between ``side_a`` and ``side_b`` rows
+    of ``value_col`` (others/nulls excluded). Returns ``(*keys, n_a,
+    n_b, u2_a, z)``: u2_a = 2·U_a exactly (doubled to stay integer
+    under half-ranks; U_a = u2_a/2), and z the tie-corrected normal
+    approximation (null when the variance degenerates — all values
+    tied), rounded at 6.
+
+    Doubled combined ranks are exact BIGINTs via
+    2·avgrank = rank_asc − rank_desc + n + 1; 2R_a sums them over
+    side a, and 2U_a = 2R_a − n_a(n_a+1). Tie correction uses the
+    exact Σ(t³ − t) over tie-block sizes; σ² = (n_a·n_b/12)·((n+1) −
+    Σ(t³−t)/(n(n−1))) is assembled in double from those exact
+    integers (each a single IEEE op), so z is engine-identical before
+    its rounding. The t³ sum binds the guard: max_group_rows defaults
+    to 10⁵ (t³ ≤ 10¹⁵).
+
+    Plan: two rank windows + per-key aggregate on one key shuffle,
+    plus a tie-size aggregate riding the same keys — no join of row
+    volumes.
+    """
+    v = F.col(value_col).cast("long")
+    s = F.col(side_col)
+    work = df.select(*keys, v.alias("__v"), s.alias("__s")).filter(
+        F.col("__v").isNotNull() & F.col("__s").isin([side_a, side_b])
+    )
+    wa = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    wd = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+    w_all = Window.partitionBy(*keys)
+    n_w = F.count(F.lit(1)).over(w_all)
+    ranked = work.select(
+        *keys,
+        "__s",
+        "__v",
+        (F.rank().over(wa) - F.rank().over(wd) + n_w + 1).alias("__r2"),
+        n_w.alias("__n"),
+    )
+    # weave the guard into __r2 (a column the aggregate actually
+    # consumes — guarding __n alone would be pruned by Catalyst)
+    ranked = ranked.withColumn(
+        "__r2",
+        F.when(
+            F.col("__n") > int(max_group_rows),
+            F.raise_error(
+                F.concat(
+                    F.lit("mann_whitney_u: group exceeds max_group_rows="),
+                    F.lit(str(int(max_group_rows))),
+                    F.lit(" (tie-cube integer bound); pre-aggregate or sample"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__r2")),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("__s") == side_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__s") == side_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__s") == side_a, F.col("__r2")).otherwise(0))
+        .cast("long")
+        .alias("__r2a"),
+    )
+    ties = (
+        work.groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            .cast("long")
+            .alias("__tie3")
+        )
+    )
+    j = agg.join(ties, keys)
+    n = (F.col("n_a") + F.col("n_b")).cast("long")
+    u2a = (F.col("__r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("long")
+    nd = n.cast("double")
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    var = (
+        (na_d * nb_d / F.lit(12.0))
+        * ((nd + F.lit(1.0)) - F.col("__tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    # z uses U_a = u2a/2 and mean n_a·n_b/2: z = (u2a − n_a·n_b)/(2σ)
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        F.round(
+            (u2a - F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ),
+    )
+    return j.select(*keys, "n_a", "n_b", u2a.alias("u2_a"), z.alias("z"))
+
+
+def chi_square_report(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    max_group_rows: int = 1_000_000,
+) -> DataFrame:
+    """Per-key Pearson χ² of independence between two categoricals,
+    over the FULL n_x×n_y grid — empty cells included, where naive
+    joint-only sums silently understate the statistic. Returns
+    ``(*keys, n, n_x, n_y, dof, chi2_micro, cramers_v)``:
+    chi2_micro = Σ_cells round(1e6·(O·n − cx·cy)²/(n·cx·cy)) as exact
+    BIGINT (each term one double division of exact integers, snapped
+    — the entropy/PSI micro discipline), dof = (n_x−1)(n_y−1), and
+    Cramér's V = √(χ²/(n·min(n_x−1, n_y−1))) rounded at 6 (null for
+    degenerate 1×k grids). Null x/y rows are excluded up front.
+
+    The O·n product binds the guard (must stay ≤ 2^63):
+    max_group_rows defaults to 10⁶ rows per group.
+
+    Plan: one joint-cell aggregate, marginal rollups OF CELLS, a grid
+    build by joining the two marginal lists per key (n_x·n_y rows —
+    category-cardinality-bounded), left join of the joint counts, one
+    per-key aggregate.
+    """
+    work = df.select(
+        *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    joint = work.groupBy(*keys, "__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    mx = joint.groupBy(*keys, "__x").agg(F.sum("__o").cast("long").alias("__cx"))
+    my = joint.groupBy(*keys, "__y").agg(F.sum("__o").cast("long").alias("__cy"))
+    tot = joint.groupBy(*keys).agg(F.sum("__o").cast("long").alias("__n"))
+    tot = tot.withColumn("__n", _guarded(F.col("__n"), max_group_rows, "chi_square_report"))
+    grid = mx.join(my, keys) if keys else mx.crossJoin(my)
+    grid = grid.join(joint, [*keys, "__x", "__y"], "left").withColumn(
+        "__o", F.coalesce(F.col("__o"), F.lit(0)).cast("long")
+    )
+    grid = grid.join(F.broadcast(tot), keys) if keys else grid.crossJoin(F.broadcast(tot))
+    diff = (F.col("__o") * F.col("__n") - F.col("__cx") * F.col("__cy")).cast("double")
+    denom = (F.col("__n") * F.col("__cx") * F.col("__cy")).cast("double")
+    term = F.round(F.lit(1_000_000.0) * diff * diff / denom).cast("long")
+    agg = grid.withColumn("__t", term).groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.count_distinct("__x").cast("long").alias("n_x"),
+        F.count_distinct("__y").cast("long").alias("n_y"),
+        F.sum("__t").cast("long").alias("chi2_micro"),
+    )
+    dof = ((F.col("n_x") - 1) * (F.col("n_y") - 1)).cast("long")
+    mink = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    v = F.when(
+        mink > 0,
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / (F.col("n").cast("double") * mink.cast("double"))
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        *keys, "n", "n_x", "n_y", dof.alias("dof"), "chi2_micro", v.alias("cramers_v")
+    )
