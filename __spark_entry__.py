@@ -12285,3 +12285,194 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chi_square_report(w, ["regionkey"], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 14 (round 6): engine-exact logistic regression
+# ---------------------------------------------------------------------------
+
+_Q233_ITERS, _Q233_LR = 12, 0.5
+_Q233_X = ["x0", "x1", "x2"]  # bias, value-bucket, hour
+
+
+def _q233_oracle() -> str:
+    """Generate the unrolled-iteration DuckDB replay of the exact
+    training trajectory: each iteration is one gradient aggregate CTE
+    (per-row micro-snapped terms) + one weight-update CTE, mirroring
+    operators/logreg.py arithmetic op-for-op."""
+    d = len(_Q233_X)
+
+    def z_expr(walias: str) -> str:
+        terms = " + ".join(
+            f"CAST({walias}.w{j} * r.x{j} AS DOUBLE)" for j in range(d)
+        )
+        return f"(({terms}) / 1000000.0)"
+
+    def sigma(walias: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-{z_expr(walias)})), 9)"
+
+    parts = [
+        """rows_f AS (
+      SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS x1,
+             CAST(hour(ts) AS BIGINT) AS x2
+      FROM events WHERE value IS NOT NULL
+    )""",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
+        + ")",
+    ]
+    for t in range(1, _Q233_ITERS + 1):
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round((({sigma('w')}) - r.y) * CAST(r.x{j} AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"g{t} AS (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} "
+            f"FROM rows_f r CROSS JOIN w{t - 1} w)"
+        )
+        wexprs = ", ".join(
+            f"CAST(w.w{j} - round({_Q233_LR} * round(CAST(g.g{j} AS DOUBLE) / g.n))"
+            f" AS BIGINT) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(f"w{t} AS (SELECT {wexprs} FROM w{t - 1} w CROSS JOIN g{t} g)")
+    wf = f"w{_Q233_ITERS}"
+    loss_p = (
+        f"least(greatest({sigma('w')}, 0.000000001), 0.999999999)"
+    )
+    final = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        + ", ".join(
+            f"CAST(max(w.w{j}) AS BIGINT) AS w_{_Q233_X[j]}" for j in range(d)
+        )
+        + ", CAST(sum(CAST(round(-(CAST(r.y AS DOUBLE) * ln({p})"
+        " + (1.0 - CAST(r.y AS DOUBLE)) * ln(1.0 - {p})) * 1000000.0)"
+        " AS BIGINT)) AS BIGINT) AS logloss_micro_nats"
+        f" FROM rows_f r CROSS JOIN {wf} w"
+    ).replace("{p}", loss_p)
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@_register("q233_logistic_regression", None)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact distributed logistic regression (library:
+    operators.logreg): predict whether an event is revenue-positive
+    (purchase/signup) from a bias, the value bucket, and the hour of
+    day, by 12 full-batch GD iterations. Each iteration is ONE
+    map-side tree-reduced aggregate (no shuffle of row volumes) whose
+    per-row gradient terms are snapped to integer micro-units — the
+    whole trajectory is an exact-BIGINT recurrence, bit-reproducible
+    under any partitioning, and the DuckDB oracle REPLAYS all 12
+    iterations CTE-by-CTE (generated by _q233_oracle) and must match
+    the final weights and micro-nat log-loss exactly. σ is quantized
+    at 9 decimals on both engines to collapse libm exp's 1-ulp
+    wobble. The iterative-ML pattern: driver holds d scalars, data
+    never leaves the cluster."""
+    from owl_etl_spark.operators.logreg import logistic_fit_report
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    feats = e.select(
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 1000").alias("x1"),
+        F.hour("ts").cast("long").alias("x2"),
+    )
+    return logistic_fit_report(
+        feats, "y", _Q233_X, iterations=_Q233_ITERS, lr=_Q233_LR
+    )
+
+
+_REGISTRY["q233_logistic_regression"] = (
+    _REGISTRY["q233_logistic_regression"][0],
+    _q233_oracle(),
+)
+
+
+@_register(
+    "q234_quantile_normalize_segments",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, c_custkey AS ck,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ), ranked AS (
+      SELECT seg, ck, v,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY v, ck)
+                  AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM base
+    ), ref AS (
+      SELECT r AS ri, v AS rv FROM ranked WHERE seg = 'BUILDING'
+    ), m AS (
+      SELECT CAST(max(ri) AS BIGINT) AS m FROM ref
+    ), staged AS (
+      SELECT ranked.*, m.m,
+             CASE WHEN n > 1 THEN ((r - 1) * (m - 1)) // (n - 1) END AS lo,
+             CASE WHEN n > 1 THEN ((r - 1) * (m - 1)) % (n - 1) END AS rem
+      FROM ranked CROSS JOIN m
+    )
+    SELECT seg, ck AS c_custkey, v, r AS rank,
+           CASE WHEN lo IS NOT NULL THEN
+             round(CAST(l.rv AS DOUBLE)
+                   + CASE WHEN rem > 0
+                          THEN CAST(h.rv - l.rv AS DOUBLE)
+                               * CAST(rem AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                          ELSE 0.0 END, 6)
+           END AS mapped
+    FROM staged
+    LEFT JOIN ref l ON staged.lo + 1 = l.ri
+    LEFT JOIN ref h ON staged.lo + 2 = h.ri
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the account-balance distribution of every
+    market segment onto the BUILDING segment's scale (library:
+    operators.quantiles.quantile_normalize) — the batch-effect /
+    cross-shard score aligner: rank positions are exact integer
+    arithmetic (lo = ((r−1)(m−1)) div (n−1) + exact remainder), the
+    reference group's order statistics broadcast by construction, and
+    the one interpolation is a single rounded double. One rank-window
+    shuffle + two broadcast integer-rank joins; nothing quadratic."""
+    from owl_etl_spark.operators.quantiles import quantile_normalize
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    return quantile_normalize(c, "seg", "v", "c_custkey", "BUILDING")
+
+
+@_register(
+    "q235_hashed_features",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+             CASE WHEN (CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                        & 65536) = 0 THEN 1 ELSE -1 END AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(s) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2 HAVING sum(s) != 0
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing featurizer over the document corpus (library:
+    functions.hashing.hashed_features): tokens → 64 signed hash
+    buckets (md5-prefix bucket, independent bit-16 sign so collisions
+    cancel in expectation) — the vocabulary-free fixed-width vector
+    builder that needs NO dictionary state at any scale. Exact BIGINT
+    weights; sparse output (zero-sum buckets dropped). Tokenize +
+    explode (map-side) then one (doc, bucket) aggregate; same
+    tokenizer and '0x'||md5 device as every hash oracle here."""
+    from owl_etl_spark.functions.hashing import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_features(d, "doc_id", "text", num_buckets=64)

@@ -106,3 +106,52 @@ def simhash_sql(tokens_sql: str, bits: int = 16) -> Column:
 def xxhash_bucket(col: Column, num_buckets: int) -> Column:
     """Spark-native fast bucket id (not oracle-portable): xxhash64 mod n."""
     return F.pmod(F.xxhash64(col), F.lit(num_buckets))
+
+
+def hashed_features(
+    df,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 64,
+):
+    """The feature-hashing trick (Weinberger et al.): tokens →
+    ``num_buckets`` signed counts, the fixed-width featurizer that
+    turns unbounded vocabularies into model-ready vectors with NO
+    vocabulary state to build, ship, or keep consistent — the
+    property that matters at 100 TB (a vocab dim is a bottleneck; a
+    hash function is free and identical on every executor forever).
+
+    Per token: bucket = md5_long(tok) pmod k; sign = +1/−1 from an
+    independent hash bit (bit 16 — disjoint from the pmod bits for
+    any k ≤ 2^16, so sign and bucket are independent, the unbiasedness
+    trick that makes collisions cancel in expectation). Output: one
+    row per (id, bucket) with the exact BIGINT signed count; zero-sum
+    buckets are dropped (sparse form — union a dense spine downstream
+    if needed).
+
+    Plan: tokenize+explode (map-side) → one (id, bucket) groupBy.
+    Exact integers end-to-end; the SQL twin uses the same
+    '0x'||md5-prefix device as every hash oracle in the repo.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (module-local alias)
+
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    if num_buckets < 1 or num_buckets > 65536:
+        raise ValueError(
+            f"hashed_features: num_buckets must be in [1, 65536], got {num_buckets}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    h = md5_long(F.col("tok"))
+    bucket = F.pmod(h, F.lit(int(num_buckets))).cast("long")
+    sign = F.when((h.bitwiseAND(F.lit(1 << 16))) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("__id", bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy("__id", "bucket")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select(F.col("__id").alias(id_col), "bucket", "weight")
+    )

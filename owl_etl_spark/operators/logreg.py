@@ -1,0 +1,171 @@
+"""Distributed logistic regression — engine-exact full-batch gradient
+descent on DataFrame aggregates.
+
+The training loop every ML library hides is, per iteration, ONE
+map-side-combined aggregate: the full-batch gradient
+g_j = Σ_i (σ(w·x_i) − y_i)·x_ij. That makes logistic regression a
+natural fit for the engine's declarative model — each iteration is a
+groupBy-free global aggregate over the feature rows (a single
+partial-agg reduce, no shuffle of row volumes), the driver folds the
+K fixed iterations, and weights stay driver-side scalars (the same
+driver-iteration shape as pagerank/bfs, with far less data motion:
+only d numbers cross the wire per iteration).
+
+Why it's REPRODUCIBLE (most distributed LR is not): float gradient
+sums depend on partition order. Here every per-row gradient
+contribution is snapped to integer MICRO-units —
+round((σ(z_i) − y_i)·x_ij·1e6) — so the per-iteration sum is an exact
+BIGINT in any order; weights live as integer micro-units; the weight
+update w ← w − round(lr·mean_gradient) uses an exactly-representable
+lr (power of two — 0.5 by default: the product is exact in binary,
+the round deterministic). The entire K-iteration trajectory is
+therefore BIT-IDENTICAL on any engine that computes the same
+per-row doubles — which the DuckDB oracle for q233 replays iteration
+by iteration (unrolled CTEs) and hash-matches.
+
+Feature contract: integer-valued, BOUNDED features (the caller scales
+— e.g. cents div 1000, hour-of-day), first feature is the bias 1.
+|x| ≤ ~10³ keeps per-row micro terms ≤ 10⁹ and the global sums exact
+BIGINT to ~10⁹ rows. Standardize/clip upstream; this operator's job
+is the exact loop, not feature hygiene.
+
+At 100 TB: per iteration one scan + partial aggregate (no shuffle —
+Spark's global agg tree-reduces); K iterations = K scans, so cache
+the (y, x…) projection before fitting. d (feature count) numbers of
+driver state; no collect of anything row-sized.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sigma(z):
+    # quantized to 9 decimals: exp() is only 1-ulp-reproducible across
+    # libm implementations; snapping σ collapses any such ulp wobble
+    # before it can flip a downstream micro-unit round
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+
+
+def logistic_regression_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iterations: int = 15,
+    lr: float = 0.5,
+) -> list[int]:
+    """Fit by full-batch GD; returns the weight vector as integer
+    MICRO-units (list of len(x_cols) ints), starting from zeros.
+    ``lr`` must be exactly representable in binary (default 0.5) so
+    the update arithmetic is reproducible; a non-dyadic lr raises.
+    ``y_col`` must be 0/1 integers; nulls raise (woven guard —
+    silently dropping a labeled row changes the gradient).
+    """
+    num, den = float(lr).as_integer_ratio()
+    # lr must be a power of two (1, 0.5, 0.25, …): then lr·gmean is an
+    # exact mantissa shift, never a rounding — any other float "is
+    # dyadic" trivially but its products round
+    if num != 1 or den & (den - 1):
+        raise ValueError(
+            f"logistic_regression_fit: lr={lr} must be a power of two "
+            "(1, 0.5, 0.25, ...) for exact update arithmetic"
+        )
+    y0 = F.col(y_col).cast("long")
+    y = F.when(
+        y0.isNull() | ~y0.isin(0, 1),
+        F.raise_error(
+            F.lit(
+                f"logistic_regression_fit: {y_col} must be 0/1 and non-null "
+                "— clean labels before fitting"
+            )
+        ).cast("long"),
+    ).otherwise(y0)
+    work = df.select(
+        y.alias("__y"),
+        *[F.col(c).cast("long").alias(f"__x{j}") for j, c in enumerate(x_cols)],
+    )
+    d = len(x_cols)
+    w = [0] * d  # micro-units
+    n = None
+    for _ in range(int(iterations)):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"__x{j}")).cast("double") for j in range(d)
+        ) / F.lit(1_000_000.0)
+        resid = _sigma(z) - F.col("__y").cast("double")
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+            F.sum(F.round(resid * F.col(f"__x{j}").cast("double") * 1_000_000.0).cast("long"))
+            .cast("long")
+            .alias(f"__g{j}")
+            for j in range(d)
+        ]
+        row = work.agg(*aggs).collect()[0]
+        n = row["__n"]
+        if not n:
+            raise ValueError("logistic_regression_fit: empty input")
+        for j in range(d):
+            gmean = _round_half_away(row[f"__g{j}"] / n)
+            w[j] = w[j] - _round_half_away(lr * gmean)
+    return w
+
+
+def _round_half_away(x: float) -> int:
+    """round() with HALF_UP (away from zero) — the SQL round both
+    engines use; Python's builtin banker-rounds and would diverge."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def logistic_score(
+    df: DataFrame,
+    x_cols: list[str],
+    weights_micro: list[int],
+    out_col: str = "p_hat",
+) -> DataFrame:
+    """Append σ(w·x) as ``out_col`` (double, rounded at 6) using a
+    fitted micro-unit weight vector."""
+    if len(x_cols) != len(weights_micro):
+        raise ValueError("logistic_score: weights/features length mismatch")
+    z = sum(
+        (F.lit(int(weights_micro[j])) * F.col(x_cols[j]).cast("long")).cast("double")
+        for j in range(len(x_cols))
+    ) / F.lit(1_000_000.0)
+    return df.withColumn(out_col, F.round(_sigma(z), 6))
+
+
+def logistic_fit_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iterations: int = 15,
+    lr: float = 0.5,
+) -> DataFrame:
+    """One-row DataFrame report of a fit: n, the final weights (micro
+    BIGINTs, one column per feature: w_<name>), and the final
+    training log-loss in integer micro-nats (per-row loss snapped to
+    micro before the exact BIGINT sum — the engine's reproducible-sum
+    rule; natural-log loss, lower is better)."""
+    w = logistic_regression_fit(df, y_col, x_cols, iterations=iterations, lr=lr)
+    yl = F.col(y_col).cast("long")
+    z = sum(
+        (F.lit(w[j]) * F.col(x_cols[j]).cast("long")).cast("double")
+        for j in range(len(x_cols))
+    ) / F.lit(1_000_000.0)
+    # clamp away exact 0/1 (σ quantization could saturate) so the logs
+    # stay finite; 1e-9 matches the σ quantum
+    p = F.least(F.greatest(_sigma(z), F.lit(1e-9)), F.lit(1.0 - 1e-9))
+    loss_term = F.round(
+        -(
+            yl.cast("double") * F.log(p)
+            + (F.lit(1.0) - yl.cast("double")) * F.log(F.lit(1.0) - p)
+        )
+        * 1_000_000.0
+    ).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(loss_term).cast("long").alias("logloss_micro_nats"),
+    )
+    for j, c in enumerate(x_cols):
+        agg = agg.withColumn(f"w_{c}", F.lit(int(w[j])).cast("long"))
+    return agg.select("n", *[f"w_{c}" for c in x_cols], "logloss_micro_nats")

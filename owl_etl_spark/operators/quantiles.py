@@ -335,3 +335,106 @@ def iqr_fences(
     return flagged.where(F.col("__r") == 1).select(
         *keys, "n", "q1", "q3", "fence_lo_micro", "fence_hi_micro", "n_outliers"
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    ref_group,
+) -> DataFrame:
+    """Quantile mapping onto a reference group's empirical
+    distribution — the batch-effect / score-alignment normalizer
+    ("shard B's scores on shard A's scale", microarray-style quantile
+    normalization): each row's value is replaced by the reference
+    group's value at the same quantile position, with linear
+    interpolation between the two straddling reference order
+    statistics.
+
+    Positions are EXACT integer arithmetic: a row of rank r (of n,
+    total order by (value, tiebreak)) maps to reference position
+    p = (r−1)·(m−1)/(n−1), split as lo = ((r−1)(m−1)) div (n−1) and
+    an exact remainder — so the two reference ranks probed are
+    integers computed without floats, and the single interpolation
+    mapped = v_lo + (v_hi − v_lo)·rem/(n−1) is one rounded double
+    (at 6). Groups with n = 1 have no defined position and get NULL
+    (documented); an empty reference group raises (woven guard).
+
+    Plan: one rank window per group (one key shuffle), the reference
+    group's (rank → value) table extracted once (it is ONE group —
+    broadcast by construction), two broadcast equi-joins on the
+    integer lo/hi ranks. Nothing quadratic, no range join.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("__v").asc(), F.col(tiebreak_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    base = (
+        df.select(group_col, tiebreak_col, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .withColumn("__r", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all).cast("long"))
+    )
+    ref = (
+        base.filter(F.col(group_col) == F.lit(ref_group))
+        .select(F.col("__r").alias("__ri"), F.col("__v").alias("__rv"), "__n")
+    )
+    m_row = ref.groupBy().agg(
+        F.when(
+            F.max("__ri").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"quantile_normalize: reference group {ref_group!r} is "
+                    "empty — nothing to map onto"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.max("__ri"))
+        .cast("long")
+        .alias("__m")
+    )
+    staged = base.crossJoin(F.broadcast(m_row))
+    den = F.col("__n") - 1
+    lo = F.when(den > 0, F.expr(
+        "((__r - 1) * (__m - 1)) div (__n - 1)"
+    )).cast("long")
+    rem = F.when(den > 0, F.expr(
+        "((__r - 1) * (__m - 1)) % (__n - 1)"
+    )).cast("long")
+    staged = staged.withColumn("__lo", lo).withColumn("__rem", rem)
+    rlo = ref.select(F.col("__ri").alias("__lo_r"), F.col("__rv").alias("__vlo"))
+    rhi = ref.select(F.col("__ri").alias("__hi_r"), F.col("__rv").alias("__vhi"))
+    out = (
+        staged.join(
+            F.broadcast(rlo), staged["__lo"] + 1 == rlo["__lo_r"], "left"
+        )
+        .join(
+            F.broadcast(rhi),
+            staged["__lo"] + 2 == rhi["__hi_r"],
+            "left",
+        )
+    )
+    mapped = F.when(
+        F.col("__lo").isNotNull(),
+        F.round(
+            F.col("__vlo").cast("double")
+            + F.when(
+                F.col("__rem") > 0,
+                (F.col("__vhi") - F.col("__vlo")).cast("double")
+                * F.col("__rem").cast("double")
+                / (F.col("__n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    return out.select(
+        group_col,
+        tiebreak_col,
+        F.col("__v").alias(value_col),
+        F.col("__r").alias("rank"),
+        mapped.alias("mapped"),
+    )
