@@ -12476,3 +12476,173 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return hashed_features(d, "doc_id", "text", num_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 15 (round 6): SPRT sequential test, haversine radius join,
+# l-diversity
+# ---------------------------------------------------------------------------
+
+_Q237_SPRT = {"p0": 0.5, "p1": 0.55, "alpha": 0.05, "beta": 0.2}
+
+
+def _q237_oracle() -> str:
+    from owl_etl_spark.operators.sprt import sprt_constants
+
+    c = sprt_constants(**_Q237_SPRT)
+    big = 2**62
+    return f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(CASE WHEN y = 1 THEN {c['inc1']} ELSE {c['inc0']} END)
+                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS llr
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             min(CASE WHEN llr >= {c['upper']} THEN i END) AS hi_at,
+             min(CASE WHEN llr <= {c['lower']} THEN i END) AS lo_at
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n, n_pos,
+           CAST(n_pos * {c['inc1']} + (n - n_pos) * {c['inc0']} AS BIGINT)
+             AS llr_micro,
+           CASE WHEN hi_at IS NULL AND lo_at IS NULL THEN 'continue'
+                WHEN coalesce(hi_at, {big}) <= coalesce(lo_at, {big})
+                THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+           CAST(CASE WHEN hi_at IS NOT NULL OR lo_at IS NOT NULL
+                THEN least(coalesce(hi_at, {big}), coalesce(lo_at, {big}))
+                END AS BIGINT) AS n_at_decision
+    FROM a
+    """
+
+
+@_register(
+    "q236_customer_geo_pairs",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 7919) % 12000 AS BIGINT) * 10000
+               - 60000000 AS latu,
+             CAST((c_custkey * 104729) % 36000 AS BIGINT) * 10000
+               - 180000000 AS lonu
+      FROM customer
+    ), cells AS (
+      SELECT id, latu, lonu,
+             latu // 1348982 AS cla, lonu // 3316599 AS clo
+      FROM pts
+    ), probe AS (
+      SELECT id AS ida, latu AS lata, lonu AS lona,
+             cla + o1.da AS pcla, clo + o2.dlo AS pclo
+      FROM cells
+      CROSS JOIN (VALUES (-1), (0), (1)) AS o1(da)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS o2(dlo)
+    ), cand AS (
+      SELECT p.ida, p.lata, p.lona, h.id AS idb, h.latu AS latb, h.lonu AS lonb
+      FROM probe p JOIN cells h ON p.pcla = h.cla AND p.pclo = h.clo
+                               AND p.ida < h.id
+    ), d AS (
+      SELECT ida AS id_a, idb AS id_b,
+             round(12742.0176 * asin(least(1.0, sqrt(round(
+               power(sin(((CAST(latb AS DOUBLE) / 1000000.0
+                           - CAST(lata AS DOUBLE) / 1000000.0)
+                          * 0.017453292519943295) / 2), 2)
+               + cos((CAST(lata AS DOUBLE) / 1000000.0) * 0.017453292519943295)
+                 * cos((CAST(latb AS DOUBLE) / 1000000.0) * 0.017453292519943295)
+                 * power(sin(((CAST(lonb AS DOUBLE) / 1000000.0
+                               - CAST(lona AS DOUBLE) / 1000000.0)
+                              * 0.017453292519943295) / 2), 2)
+             , 12)))), 6) AS dist_km
+      FROM cand
+    )
+    SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 150.0
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle neighbor pairs among pseudo-located customers
+    (library: operators.spherical.haversine_radius_join): lat/lon are
+    derived deterministically from the key (a stand-in for real GPS
+    columns), blocked into latitude-band cells with the
+    longitude-compensated width (1/cos(max_abs_lat) — the production
+    spherical-blocking pattern the planar q177 grid gets wrong at
+    high latitude), then exact-sequence haversine with the kernel
+    quantized at 12 decimals (libm sin/cos ulp discipline) and the
+    distance at 6. Cell ids are exact micro-degree integer floors;
+    per-task candidates are 9× cell occupancy, never n²."""
+    from owl_etl_spark.operators.spherical import haversine_radius_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 12000).cast("double") / 100.0 - 60.0).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    return haversine_radius_join(c, "id", "lat", "lon", radius_km=150.0)
+
+
+@_register("q237_sprt_monitor", None)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT early-stopping monitor per event type (library:
+    operators.sprt.sprt_monitor): is the rate of high-value events
+    (≥ $50) still p0 = 0.5 or has it moved to p1 = 0.55
+    (α = .05, β = .2)? Both per-observation LLR increments and both
+    boundaries are integer micro-nat LITERALS computed once
+    driver-side (the seeded-coefficients trick), so the walk is an
+    exact BIGINT running sum and the decision is the FIRST exit —
+    a conditional min on the same single-shuffle window pass, no
+    loop, no state. The sequential companion to q144's fixed-horizon
+    Welch test."""
+    from owl_etl_spark.operators.sprt import sprt_monitor
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") >= 5000)
+        .cast("long")
+        .alias("y"),
+    )
+    return sprt_monitor(
+        d, ["event_type"], "y", "ts", "event_id", **_Q237_SPRT
+    )
+
+
+_REGISTRY["q237_sprt_monitor"] = (_REGISTRY["q237_sprt_monitor"][0], _q237_oracle())
+
+
+@_register(
+    "q238_event_l_diversity",
+    """
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+           count(DISTINCT user_id) < 5 AS at_risk
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the (event_type, hour) quasi-identifier
+    release against the user id as the sensitive attribute (library:
+    operators.privacy.l_diversity_report): k-anonymity (q148) bounds
+    who you might be; this bounds what a narrowed group DISCLOSES —
+    a cell whose events all belong to < 5 distinct users is flagged
+    for the same broadcast anti-join suppression / generalization
+    ladder as q148/q159. ONE exact distinct-count aggregate (sketches
+    would leak), volumes bounded by quasi×sensitive cardinality."""
+    from owl_etl_spark.operators.privacy import l_diversity_report
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr"), "user_id"
+    )
+    return l_diversity_report(e, ["event_type", "hr"], "user_id", l=5)

@@ -95,6 +95,13 @@ HEADLINE = [
     # table).
     "q183_hits_scores",
     "q184_grid_density_clusters",
+    # round-6 waves 11-13: Adamic-Adar link prediction (support-pruned
+    # co-purchase graph from 600k lineitems -> degree-bounded wedge
+    # join -> heap top-k, hub_cap² task bound) and the binless KS
+    # two-sample statistic (150k orders through one value-ordered
+    # window pass).
+    "q219_copurchase_link_prediction",
+    "q230_price_ks_test",
 ]
 
 

@@ -156,3 +156,41 @@ def k_anonymity_generalize(
     )
     released = k_anonymity_suppress(gen, names, k)
     return released.withColumn("gen_level", F.lit(chosen).cast("int"))
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """One row per quasi-identifier combination with its SENSITIVE
+    diversity: k-anonymity bounds who you might be; l-diversity bounds
+    what an attacker LEARNS once they've narrowed you to a group — a
+    100-member group (k-safe) whose members all share one diagnosis
+    still discloses the diagnosis. A release is l-diverse when every
+    quasi group contains ≥ l distinct sensitive values.
+
+    Returns ``(quasi..., n, n_sensitive, at_risk)`` — n_sensitive the
+    EXACT distinct count of non-null sensitive values (sketches would
+    leak, the module's rule; sensitive nulls don't count toward
+    diversity — an absent value discloses nothing) and
+    at_risk = n_sensitive < l. Feed at-risk combos to the same
+    broadcast ANTI-join suppression as ``k_anonymity_suppress`` (or
+    coarsen via the generalization ladder).
+
+    Plan: ONE exact groupBy on the quasi columns with a distinct-count
+    aggregate — Catalyst expands to the standard two-phase
+    partial-distinct plan, still bounded by quasi×sensitive
+    cardinality, never rows.
+    """
+    if l < 2:
+        raise ValueError(f"l_diversity_report: need l >= 2, got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < l)
+    )
