@@ -12646,3 +12646,217 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").cast("long").alias("hr"), "user_id"
     )
     return l_diversity_report(e, ["event_type", "hr"], "user_id", l=5)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 16 (round 6): TextRank keywords, c-TF-IDF, Brier decomposition
+# ---------------------------------------------------------------------------
+
+_Q239_ITERS, _Q239_TOPK = 4, 5
+
+
+def _q239_oracle() -> str:
+    """Unrolled-iteration DuckDB replay of integer TextRank (the q233
+    trajectory-replay pattern applied to a per-group graph)."""
+    parts = [
+        f"toked AS (SELECT doc_id, {_TOKS_DUCK} AS a FROM documents)",
+        """pairs AS (
+      SELECT doc_id, least(p.w1, p.w2) AS pa, greatest(p.w1, p.w2) AS pb
+      FROM (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(range(1, len(a)),
+                         i -> {'w1': a[i], 'w2': a[i + 1]}),
+          list_transform(range(1, len(a) - 1),
+                         i -> {'w1': a[i], 'w2': a[i + 2]})
+        )) AS p
+        FROM toked)
+      WHERE p.w1 != p.w2
+    )""",
+        "und AS (SELECT DISTINCT doc_id, pa, pb FROM pairs)",
+        """adj AS (
+      SELECT doc_id, pa AS src, pb AS dst FROM und
+      UNION ALL SELECT doc_id, pb, pa FROM und
+    )""",
+        """deg AS (
+      SELECT doc_id, src, CAST(count(*) AS BIGINT) AS dg
+      FROM adj GROUP BY 1, 2
+    )""",
+        "s0 AS (SELECT doc_id, src AS tok, CAST(1000000 AS BIGINT) AS s FROM deg)",
+    ]
+    for t in range(1, _Q239_ITERS + 1):
+        parts.append(
+            f"""c{t} AS (
+      SELECT a.doc_id, a.dst AS tok, CAST(sum(s.s // d.dg) AS BIGINT) AS i
+      FROM adj a
+      JOIN s{t - 1} s ON s.doc_id = a.doc_id AND s.tok = a.src
+      JOIN deg d ON d.doc_id = a.doc_id AND d.src = a.src
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""s{t} AS (
+      SELECT n.doc_id, n.tok,
+             CAST(150000 + (85 * coalesce(c.i, 0)) // 100 AS BIGINT) AS s
+      FROM s0 n LEFT JOIN c{t} c ON c.doc_id = n.doc_id AND c.tok = n.tok
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, token, score_micro, rank FROM (
+      SELECT doc_id, tok AS token, s AS score_micro,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, tok ASC) AS BIGINT) AS rank
+      FROM s{_Q239_ITERS}
+    ) WHERE rank <= {_Q239_TOPK}
+    """
+    )
+
+
+@_register("q239_textrank_keywords", None)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction over the whole corpus (library:
+    operators.textrank.textrank_keywords): per-document PageRank on
+    the window-2 word co-occurrence graph, run for EVERY document
+    simultaneously (node/edge tables keyed by (doc, token); each of
+    the 4 iterations is two hash joins + one aggregate on the same
+    key prefix — a million docs iterate together in the same passes).
+    INTEGER power iteration: s ← 150000 + (85·Σ floor(s/deg)) div 100
+    — exact BIGINT end-to-end, bit-reproducible, and the DuckDB
+    oracle replays all 4 iterations as unrolled CTEs (the q233
+    trajectory-replay pattern applied to a per-group graph). Top-5
+    per doc by (score, token) total order."""
+    from owl_etl_spark.operators.textrank import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(
+        d, "doc_id", "text", iterations=_Q239_ITERS, top_k=_Q239_TOPK
+    )
+
+
+_REGISTRY["q239_textrank_keywords"] = (
+    _REGISTRY["q239_textrank_keywords"][0],
+    _q239_oracle(),
+)
+
+
+@_register(
+    "q240_ctfidf_class_terms",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), counts AS (
+      SELECT lang AS g, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), ft AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS ftot FROM counts GROUP BY tok
+    ), mass AS (
+      SELECT g, CAST(sum(tf) AS BIGINT) AS m FROM counts GROUP BY g
+    ), am AS (
+      SELECT CAST(sum(m) AS DOUBLE) / count(*) AS a FROM mass
+    ), scored AS (
+      SELECT c.g, c.tok, c.tf,
+             CAST(c.tf * CAST(round(ln(1.0 + am.a / CAST(ft.ftot AS DOUBLE))
+                                    * 1000000) AS BIGINT) AS BIGINT) AS score
+      FROM counts c JOIN ft USING (tok) CROSS JOIN am
+    )
+    SELECT g AS lang, tok AS term, tf, score AS score_micro, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY g
+                     ORDER BY score DESC, tok ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF labeling of each language slice of the
+    corpus (library: operators.termstats.ctfidf_terms) — the BERTopic
+    topic-labeler: score = tf · ln(1 + A/f_t) with the idf factor
+    snapped to micro-nats PER TERM so every score is an exact BIGINT
+    product and the per-class top-10 rank is total. Complements
+    q178's Dunning G² (surprise) with descriptive class labeling; nothing
+    scales past the vocabulary after the first count."""
+    from owl_etl_spark.operators.termstats import ctfidf_terms
+    from owl_etl_spark.functions.text import normalize_text, tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.col("lang"), F.explode(_tokens(normalize_text(F.col("text")))).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return ctfidf_terms(counts, "lang", "term", "tf", top_k=10)
+
+
+@_register(
+    "q241_brier_decomposition",
+    """
+    WITH d AS (
+      SELECT least(1000000, CAST(round(value * 100) AS BIGINT) * 100) AS p,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), w AS (
+      SELECT p, y, least(9, p * 10 // 1000000) AS bin,
+             CAST(round((CAST(p AS DOUBLE) / 1000000.0 - y)
+                        * (CAST(p AS DOUBLE) / 1000000.0 - y)
+                        * 1000000.0) AS BIGINT) AS bt
+      FROM d
+    ), binned AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(bt) AS BIGINT) AS sbt
+      FROM w GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS sytot,
+             CAST(sum(sbt) AS BIGINT) AS sbtot
+      FROM binned
+    ), terms AS (
+      SELECT b.nk, t.n, t.sytot, t.sbtot,
+             CAST(round(CAST(b.nk AS DOUBLE)
+                  * (CAST(b.sp AS DOUBLE) / CAST(b.nk AS DOUBLE) / 1000000.0
+                     - CAST(b.sy AS DOUBLE) / CAST(b.nk AS DOUBLE))
+                  * (CAST(b.sp AS DOUBLE) / CAST(b.nk AS DOUBLE) / 1000000.0
+                     - CAST(b.sy AS DOUBLE) / CAST(b.nk AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS rel_t,
+             CAST(round(CAST(b.nk AS DOUBLE)
+                  * (CAST(b.sy AS DOUBLE) / CAST(b.nk AS DOUBLE)
+                     - CAST(t.sytot AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(b.sy AS DOUBLE) / CAST(b.nk AS DOUBLE)
+                     - CAST(t.sytot AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS res_t
+      FROM binned b CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(round(CAST(max(sbtot) AS DOUBLE) / max(n)) AS BIGINT)
+             AS brier_micro,
+           CAST(round(CAST(sum(rel_t) AS DOUBLE) / max(n)) AS BIGINT)
+             AS reliability_micro,
+           CAST(round(CAST(sum(res_t) AS DOUBLE) / max(n)) AS BIGINT)
+             AS resolution_micro,
+           CAST(round((CAST(max(sytot) AS DOUBLE) / max(n))
+                * (1.0 - CAST(max(sytot) AS DOUBLE) / max(n))
+                * 1000000.0) AS BIGINT) AS uncertainty_micro
+    FROM terms
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the event-value
+    pseudo-forecast (library: operators.evalmetrics.
+    brier_decomposition): value∈[0,100] (clamped) as a micro-unit probability
+    of a revenue event, decomposed into reliability (miscalibration)
+    − resolution (discrimination) + uncertainty over 10 bins. Every
+    component term is snapped to micro from exact integer bin sums
+    before its BIGINT total; scores q179's reliability diagram and
+    complements q228's isotonic repair. One ≤10-group aggregate + one
+    scalar aggregate."""
+    from owl_etl_spark.operators.evalmetrics import brier_decomposition
+
+    e = _t(spark, sf_dir, "events")
+    d = e.where(F.col("value").isNotNull() & F.col("event_type").isNotNull()).select(
+        F.least(F.lit(1_000_000), F.round(F.col("value") * 100).cast("long") * 100)
+        .alias("p"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    return brier_decomposition(d, "p", "y", n_bins=10)

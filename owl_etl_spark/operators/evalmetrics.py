@@ -479,3 +479,92 @@ def isotonic_fit(
             F.round(F.col("__fit"), 6).alias("fitted"),
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_micro_col: str,
+    y_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — the forecast-quality
+    readout that splits squared error into WHY: Brier ≈ REL − RES +
+    UNC, where reliability (miscalibration, lower better) and
+    resolution (discrimination, higher better) are binned components
+    and uncertainty is the outcome's own variance. Complements q179's
+    reliability diagram (which shows the curve; this scores it) and
+    q228's isotonic fit (which repairs it).
+
+    Contract: probabilities arrive as exact integer MICRO-units
+    (p·1e6 — the caller's quantization, same spirit as cents);
+    ``y_col`` is 0/1, nulls raise (woven). Exactness: the exact
+    per-row Brier term round((p − y)²·1e6) and every binned component
+    term are snapped to micro from exact integer sums before their
+    BIGINT totals — order-independent, engine-identical.
+
+    Returns ONE row: (n, brier_micro, reliability_micro,
+    resolution_micro, uncertainty_micro) — all ·1e6, with the binned
+    identity brier ≈ rel − res + unc holding up to binning (exact
+    when bins are homogeneous). Plan: one bin aggregate (≤ n_bins
+    groups, map-side combined) + one scalar aggregate; no window, no
+    join of row volumes.
+    """
+    if n_bins < 2:
+        raise ValueError(f"brier_decomposition: n_bins must be >= 2, got {n_bins}")
+    p0 = F.col(prob_micro_col).cast("long")
+    y0 = F.col(y_col).cast("long")
+    bad = p0.isNull() | (p0 < 0) | (p0 > 1_000_000) | y0.isNull() | ~y0.isin(0, 1)
+    p = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "brier_decomposition: prob_micro must be in [0, 1e6] and y "
+                "0/1, non-null — clean inputs first"
+            )
+        ).cast("long"),
+    ).otherwise(p0)
+    work = df.select(p.alias("__p"), y0.alias("__y")).withColumn(
+        "__bin",
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.expr(f"__p * {int(n_bins)} div 1000000"),
+        ).cast("long"),
+    )
+    pd_ = F.col("__p").cast("double") / 1_000_000.0
+    brier_term = F.round(
+        (pd_ - F.col("__y").cast("double")) * (pd_ - F.col("__y").cast("double")) * 1_000_000.0
+    ).cast("long")
+    binned = work.withColumn("__bt", brier_term).groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.sum("__p").cast("long").alias("__sp"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum("__bt").cast("long").alias("__sbt"),
+    )
+    tot = binned.groupBy().agg(
+        F.sum("__nk").cast("long").alias("__n"),
+        F.sum("__sy").cast("long").alias("__sytot"),
+        F.sum("__sbt").cast("long").alias("__sbtot"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    nk = F.col("__nk").cast("double")
+    pbar = F.col("__sp").cast("double") / nk / 1_000_000.0
+    obar_k = F.col("__sy").cast("double") / nk
+    obar = F.col("__sytot").cast("double") / F.col("__n").cast("double")
+    rel_term = F.round(nk * (pbar - obar_k) * (pbar - obar_k) * 1_000_000.0).cast("long")
+    res_term = F.round(nk * (obar_k - obar) * (obar_k - obar) * 1_000_000.0).cast("long")
+    agg = j.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.max("__sbtot").alias("__sb"),
+        F.max("__sytot").alias("__sy"),
+        F.sum(rel_term).cast("long").alias("__rel"),
+        F.sum(res_term).cast("long").alias("__res"),
+    )
+    nd = F.col("n").cast("double")
+    ob = F.col("__sy").cast("double") / nd
+    return agg.select(
+        F.col("n"),
+        F.round(F.col("__sb").cast("double") / nd).cast("long").alias("brier_micro"),
+        F.round(F.col("__rel").cast("double") / nd).cast("long").alias("reliability_micro"),
+        F.round(F.col("__res").cast("double") / nd).cast("long").alias("resolution_micro"),
+        F.round(ob * (F.lit(1.0) - ob) * 1_000_000.0).cast("long").alias("uncertainty_micro"),
+    )

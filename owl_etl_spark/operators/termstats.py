@@ -114,3 +114,68 @@ def distinctive_terms(
             "rk",
         )
     )
+
+
+def ctfidf_terms(
+    counts: DataFrame,
+    group_col: str,
+    term_col: str,
+    count_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic labeling formula): score each
+    (class, term) by tf_{t,c} · ln(1 + A/f_t), where f_t is the
+    term's corpus frequency and A the average class token mass — the
+    topic/cluster LABELER, complementing ``distinctive_terms``: G²
+    asks "is this term statistically surprising here", c-TF-IDF asks
+    "does this term describe this class", which tolerates terms that
+    are common in several large classes.
+
+    Input is pre-aggregated (class, term, count) rows (same contract
+    as ``distinctive_terms`` — tokenize upstream). Determinism: tf is
+    exact BIGINT; the idf factor round(1e6·ln(1 + A/f_t)) is snapped
+    PER TERM (one double ln of exact-integer-derived values — the
+    module's micro discipline), so score_micro = tf · idf_micro is an
+    exact BIGINT product and ranking (score DESC, term ASC) is total.
+
+    Returns ``(group, term, tf, score_micro, rank)`` with
+    rank ≤ ``top_k``. Plan: one term-margin aggregate (vocabulary-
+    sized) joined back, one top-k window per class — nothing scales
+    with corpus rows past the input counts.
+    """
+    if top_k < 1:
+        raise ValueError(f"ctfidf_terms: top_k must be >= 1, got {top_k}")
+    tf = F.col(count_col).cast("long")
+    base = counts.select(
+        F.col(group_col).alias("__g"), F.col(term_col).alias("__t"), tf.alias("__tf")
+    ).filter(F.col("__tf") > 0)
+    f_t = base.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__ft"))
+    mass = base.groupBy("__g").agg(F.sum("__tf").cast("long").alias("__m"))
+    a_row = mass.groupBy().agg(
+        (F.sum("__m").cast("double") / F.count(F.lit(1)).cast("double")).alias("__A")
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0) + F.col("__A") / F.col("__ft").cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        base.join(f_t, "__t")
+        .crossJoin(F.broadcast(a_row))
+        .select(
+            "__g", "__t", "__tf", (F.col("__tf") * idf).cast("long").alias("__score")
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__score").desc(), F.col("__t").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(term_col),
+            F.col("__tf").alias("tf"),
+            F.col("__score").alias("score_micro"),
+            "rank",
+        )
+    )
