@@ -12860,3 +12860,181 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
     )
     return brier_decomposition(d, "p", "y", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 17 (round 6): Fellegi-Sunter linkage, phrase search,
+# bounded next-greater
+# ---------------------------------------------------------------------------
+
+_Q242_M = [0.9, 0.8, 0.95]
+_Q242_U = [0.2, 0.002, 0.55]
+_Q242_UP, _Q242_LO = 2_000_000, -1_000_000
+
+
+def _q242_oracle() -> str:
+    from owl_etl_spark.operators.linkage import fs_weights
+
+    w = fs_weights(_Q242_M, _Q242_U)
+    case = " + ".join(
+        f"CASE WHEN a{j + 1} = 1 THEN {w[j]['agree']} ELSE {w[j]['disagree']} END"
+        for j in range(3)
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), pairs AS (
+      SELECT x.ck AS ck_a, y.ck AS ck_b,
+             CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END AS a1,
+             CASE WHEN abs(x.bal - y.bal) <= 1000 THEN 1 ELSE 0 END AS a2,
+             CASE WHEN (x.bal >= 0) = (y.bal >= 0) THEN 1 ELSE 0 END AS a3
+      FROM c x JOIN c y ON x.nk = y.nk AND x.ck < y.ck
+    ), scored AS (
+      SELECT ck_a, ck_b, a1, a2, a3,
+             CAST({case} AS BIGINT) AS fs_score_micro
+      FROM pairs
+    )
+    SELECT ck_a, ck_b, CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+           CAST(a3 AS BIGINT) AS a3, fs_score_micro,
+           CASE WHEN fs_score_micro >= {_Q242_UP} THEN 'match'
+                WHEN fs_score_micro <= {_Q242_LO} THEN 'non_match'
+                ELSE 'review' END AS decision
+    FROM scored WHERE fs_score_micro >= {_Q242_UP}
+    """
+
+
+@_register("q242_fellegi_sunter_linkage", None)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage à la Fellegi-Sunter (library:
+    operators.linkage.fellegi_sunter_score): nation-blocked customer
+    pairs compared on (segment, balance-within-$10, balance-sign),
+    each field contributing its own micro-nat evidence weight
+    ln(m/u) / ln((1−m)/(1−u)) — integer literals computed once
+    driver-side (the sprt_constants trick), summed exactly per pair,
+    landed in match / review / non-match decision regions. The
+    principled upgrade from q123's single fuzzy score: rare-field
+    agreement is worth more than common-field agreement. Only the
+    'match' region is emitted (the candidate set itself is
+    block-bounded). Zero shuffles beyond the blocking join."""
+    from owl_etl_spark.operators.linkage import fellegi_sunter_score
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    x = c.select(
+        F.col("ck").alias("ck_a"), F.col("nk"), F.col("seg").alias("__sa"),
+        F.col("bal").alias("__ba"),
+    )
+    y = c.select(
+        F.col("ck").alias("ck_b"), F.col("nk"), F.col("seg").alias("__sb"),
+        F.col("bal").alias("__bb"),
+    )
+    pairs = (
+        x.join(y, "nk")
+        .filter(F.col("ck_a") < F.col("ck_b"))
+        .select(
+            "ck_a",
+            "ck_b",
+            (F.col("__sa") == F.col("__sb")).cast("long").alias("a1"),
+            (F.abs(F.col("__ba") - F.col("__bb")) <= 1000).cast("long").alias("a2"),
+            ((F.col("__ba") >= 0) == (F.col("__bb") >= 0)).cast("long").alias("a3"),
+        )
+    )
+    scored = fellegi_sunter_score(
+        pairs, ["a1", "a2", "a3"], _Q242_M, _Q242_U, _Q242_UP, _Q242_LO
+    )
+    return scored.filter(F.col("fs_score_micro") >= _Q242_UP)
+
+
+_REGISTRY["q242_fellegi_sunter_linkage"] = (
+    _REGISTRY["q242_fellegi_sunter_linkage"][0],
+    _q242_oracle(),
+)
+
+
+@_register(
+    "q243_phrase_search",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(a) AS tok,
+             CAST(unnest(range(1, len(a) + 1)) AS BIGINT) AS p
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS a
+            FROM documents)
+    ), votes AS (
+      SELECT doc_id, p - 0 AS anchor, 0 AS j FROM pos WHERE tok = 'table'
+      UNION ALL
+      SELECT doc_id, p - 1 AS anchor, 1 AS j FROM pos WHERE tok = 'scan'
+    ), hits AS (
+      SELECT doc_id, anchor FROM votes
+      GROUP BY doc_id, anchor
+      HAVING count(DISTINCT j) = 2 AND anchor >= 1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(anchor) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search for "table scan" (library:
+    operators.phrase.phrase_search): the search-engine primitive BM25
+    (q90) can't express — exact token adjacency — planned as the
+    ANCHOR aggregate instead of the textbook k-way positional
+    self-join: each phrase-word occurrence votes for anchor
+    pos − word_index, an occurrence is an anchor holding all k
+    distinct votes. ONE shuffle, volume bounded by the phrase words'
+    own postings, no join at all; same shared tokenizer as every
+    text gate."""
+    from owl_etl_spark.operators.phrase import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, "doc_id", "text", "table scan")
+
+
+@_register(
+    "q244_days_to_better_order",
+    """
+    WITH d AS (
+      SELECT o_custkey AS custkey, o_orderdate AS odate, o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS value
+      FROM orders
+    )
+    SELECT custkey, odate, okey, value,
+           CAST(least(
+             CASE WHEN lead(value, 1) OVER w > value THEN 1 END,
+             CASE WHEN lead(value, 2) OVER w > value THEN 2 END,
+             CASE WHEN lead(value, 3) OVER w > value THEN 3 END,
+             CASE WHEN lead(value, 4) OVER w > value THEN 4 END,
+             CASE WHEN lead(value, 5) OVER w > value THEN 5 END,
+             CASE WHEN lead(value, 6) OVER w > value THEN 6 END,
+             CASE WHEN lead(value, 7) OVER w > value THEN 7 END,
+             CASE WHEN lead(value, 8) OVER w > value THEN 8 END,
+             CASE WHEN lead(value, 9) OVER w > value THEN 9 END,
+             CASE WHEN lead(value, 10) OVER w > value THEN 10 END
+           ) AS BIGINT) AS steps_to_greater
+    FROM d WINDOW w AS (PARTITION BY custkey ORDER BY odate, okey)
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders until each customer next places a BIGGER order, looking
+    10 orders ahead (library: operators.window_stats.
+    next_greater_steps) — the stock-span / time-to-better primitive:
+    the unbounded form is a quadratic future scan, the bounded form
+    is max_look lead() columns Catalyst evaluates in ONE window pass
+    (one shuffle + one sort regardless of the horizon). Exact BIGINT
+    comparisons; null = not beaten within the declared window."""
+    from owl_etl_spark.operators.window_stats import next_greater_steps
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    return next_greater_steps(
+        o, ["custkey"], "odate", "v", tiebreak_col="okey", max_look=10
+    )

@@ -190,3 +190,56 @@ def max_drawdown_report(
         F.max("__s").cast("long").alias("peak_balance"),
         F.max(F.col("__peak") - F.col("__s")).cast("long").alias("max_drawdown"),
     )
+
+
+def next_greater_steps(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    max_look: int = 10,
+) -> DataFrame:
+    """Per row, the number of steps until the next STRICTLY GREATER
+    value in the key's sequence, looking at most ``max_look`` rows
+    ahead — the stock-span / days-to-better-price primitive ("how
+    long until this price is beaten"), and the monotone-stack
+    interview classic recast as a window expression.
+
+    The unbounded version needs a future scan (a per-row subquery —
+    quadratic); the BOUNDED form is exactly ``max_look`` lead()
+    columns over ONE keyed sort: steps = least over j ∈ 1..max_look
+    of (lead(value, j) > value ? j : null), null when nothing greater
+    appears within the horizon (indistinguishable from "series ended"
+    — by design, both mean 'not beaten within the declared window').
+    Catalyst evaluates all leads in a single Window pass, so the cost
+    is one shuffle + one sort regardless of max_look.
+
+    All comparisons are exact BIGINT. Returns the input key/order
+    columns plus ``value`` and ``steps_to_greater``.
+    """
+    if not 1 <= int(max_look) <= 100:
+        raise ValueError(
+            f"next_greater_steps: max_look must be in [1, 100], got {max_look}"
+        )
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    order = [F.col(order_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    base = df.select(
+        *keys,
+        F.col(order_col),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        v.alias("__v"),
+    )
+    candidates = [
+        F.when(F.lead("__v", j).over(w) > F.col("__v"), F.lit(j).cast("long"))
+        for j in range(1, int(max_look) + 1)
+    ]
+    steps = F.least(*candidates) if len(candidates) > 1 else candidates[0]
+    return base.withColumn("steps_to_greater", steps).withColumnRenamed(
+        "__v", "value"
+    )
