@@ -13038,3 +13038,210 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_greater_steps(
         o, ["custkey"], "odate", "v", tiebreak_col="okey", max_look=10
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 18 (round 6): Naive Bayes, diff-in-diff, CUPED
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q245_naive_bayes_lang",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang AS y, {_TOKS_DUCK} AS a FROM documents
+    ), toks AS (
+      SELECT doc_id, y, unnest(a) AS tok FROM docs
+    ), dc AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS dcnt FROM docs GROUP BY y
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS ndocs FROM docs
+    ), tc AS (
+      SELECT y, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ), mass AS (
+      SELECT y, CAST(sum(c) AS BIGINT) AS m FROM tc GROUP BY y
+    ), voc AS (
+      SELECT DISTINCT tok FROM tc
+    ), vc AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM voc
+    ), prior AS (
+      SELECT y, CAST(round(ln(CAST(dcnt AS DOUBLE) / CAST(ndocs AS DOUBLE))
+                           * 1000000) AS BIGINT) AS pr
+      FROM dc CROSS JOIN nd
+    ), grid AS (
+      SELECT voc.tok, mass.y,
+             CAST(round(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+                           / CAST(mass.m + vc.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w
+      FROM voc CROSS JOIN mass
+      LEFT JOIN tc ON tc.tok = voc.tok AND tc.y = mass.y
+      CROSS JOIN vc
+    ), dtok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS nt
+      FROM toks GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.doc_id, g.y, CAST(sum(d.nt * g.w) AS BIGINT) AS dot
+      FROM dtok d JOIN grid g USING (tok) GROUP BY 1, 2
+    ), fullsc AS (
+      SELECT docs.doc_id, p.y,
+             CAST(coalesce(s.dot, 0) + p.pr AS BIGINT) AS score
+      FROM docs CROSS JOIN prior p
+      LEFT JOIN scored s ON s.doc_id = docs.doc_id AND s.y = p.y
+    ), best AS (
+      SELECT doc_id, y, score FROM (
+        SELECT doc_id, y, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, y ASC) AS rn
+        FROM fullsc
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id, d2.lang AS label, b.y AS predicted,
+           b.score AS score_micro, b.y = d2.lang AS correct
+    FROM best b JOIN documents d2 ON d2.doc_id = b.doc_id
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language routing over the corpus
+    (library: operators.nbayes.nb_train_predict) — classification as
+    PURE AGGREGATES: training is two counting groupBys (priors +
+    (class, token) counts), scoring one join + one sum; the one-pass
+    baseline q233's iterative logreg must beat. Every smoothed log
+    factor is snapped to integer micro-nats per (token, class) —
+    including the UNSEEN pairs via the vocabulary×class grid
+    (dropping them is the classic NB bug that favors classes that
+    have seen a token) — so each doc score is an exact BIGINT dot
+    product and the argmax is total-ordered. Training-accuracy
+    readout; hold out upstream for generalization."""
+    from owl_etl_spark.operators.nbayes import nb_train_predict
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_train_predict(d, "doc_id", "text", "lang")
+
+
+@_register(
+    "q246_did_report",
+    """
+    WITH w AS (
+      SELECT user_id % 2 AS g,
+             CASE WHEN epoch_us(ts) // 86400000000 - 19723 >= 14
+                  THEN 1 ELSE 0 END AS p,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), a AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        CAST(sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        CAST(sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        CAST(sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        CAST(sum(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c0,
+        CAST(sum(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s_c1,
+        CAST(sum(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s_t0,
+        CAST(sum(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t1
+      FROM w
+    )
+    SELECT n_c0, n_c1, n_t0, n_t1,
+           round(CAST(s_c0 AS DOUBLE) / n_c0, 6) AS mean_c0,
+           round(CAST(s_c1 AS DOUBLE) / n_c1, 6) AS mean_c1,
+           round(CAST(s_t0 AS DOUBLE) / n_t0, 6) AS mean_t0,
+           round(CAST(s_t1 AS DOUBLE) / n_t1, 6) AS mean_t1,
+           round((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+                 - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0),
+                 6) AS did
+    FROM a
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the event month (library:
+    operators.experiment.did_report): odd users as the 'treated'
+    cohort, the month's second half as 'post' — the 2×2 cell means
+    and the DiD estimate that cancels group- and time-level
+    confounds. Cell sums are exact BIGINT cents, the four means and
+    the estimate the only doubles (rounded 6); nulls/out-of-domain
+    raise. Day split is integer epoch-day arithmetic (day 19723 =
+    2024-01-01), timezone-proof."""
+    from owl_etl_spark.operators.experiment import did_report
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    d = e.select(
+        (F.col("user_id") % 2).alias("g"),
+        (day - 19723 >= 14).cast("long").alias("p"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return did_report(d, "g", "p", "v")
+
+
+@_register(
+    "q247_cuped_readout",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN epoch_us(ts) // 86400000000 - 19723 < 14
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN epoch_us(ts) // 86400000000 - 19723 >= 14
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u
+    ), t AS (
+      SELECT n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy
+      FROM m
+    )
+    SELECT n,
+           CASE WHEN cxx > 0
+                THEN round(CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE), 6)
+           END AS theta,
+           round(CAST(cyy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS var_y,
+           CASE WHEN cxx > 0 AND cyy > 0
+                THEN round(CAST(cyy AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                           * (1.0 - (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                              / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE))), 6)
+           END AS var_adj,
+           CASE WHEN cxx > 0 AND cyy > 0
+                THEN round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                           / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) * 100.0, 6)
+           END AS var_reduction_pct
+    FROM t
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction readout (library: operators.
+    experiment.cuped_report): each user's first-half spend as the
+    pre-experiment covariate X, second-half spend as the metric Y;
+    θ = cov/var from exact BIGINT moments (DECIMAL(38,0)/HUGEINT
+    cross terms — the spearman/ols device), var(Y_adj) =
+    var(Y)·(1−ρ²) and the ~ρ² percent CI shrinkage every experiment
+    platform quotes. One unit-level aggregate + one scalar aggregate;
+    the variance-side companion to q144 (Welch), q237 (SPRT) and
+    q246 (DiD)."""
+    from owl_etl_spark.operators.experiment import cuped_report
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(day - 19723 < 14, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(day - 19723 >= 14, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    return cuped_report(u, "x", "y")
