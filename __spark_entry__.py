@@ -2655,7 +2655,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
       FROM documents
-    ), counts AS (
+    ), counts AS MATERIALIZED (
       SELECT lang, word, CAST(count(*) AS BIGINT) AS n
       FROM words WHERE length(word) >= 4 GROUP BY lang, word
     ), ranked AS (
@@ -8712,7 +8712,7 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cum AS (
       SELECT n, CAST(sum(count(*)) OVER (ORDER BY n) AS BIGINT) AS cum
       FROM c GROUP BY n
-    ), p AS (
+    ), p AS MATERIALIZED (
       SELECT
         (SELECT min(n) FROM cum WHERE cum >= (50 * (SELECT n_keys FROM st) + 99) // 100) AS p50,
         (SELECT min(n) FROM cum WHERE cum >= (90 * (SELECT n_keys FROM st) + 99) // 100) AS p90,
@@ -13245,3 +13245,228 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return cuped_report(u, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# coverage wave 19 (round 6): NDCG/MRR, Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_Q249_STEPS = 24
+
+
+def _q249_oracle() -> str:
+    """Replay both phases of the Markov removal model in SQL: the
+    distributed transition counting AND the bounded-steps integer
+    recurrence, unrolled with a 'removed' dimension (NULL = base
+    chain) — the q233/q239 trajectory-replay pattern, extended to a
+    per-variant matrix."""
+    head = """
+    WITH fp AS MATERIALIZED (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN (epoch_us(ts) // 1000000) * 1000000 + event_id END) AS pkey
+      FROM events GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type AS ch,
+             (epoch_us(e.ts) // 1000000) * 1000000 + e.event_id AS okey,
+             CASE WHEN fp.pkey IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type != 'purchase'
+        AND (fp.pkey IS NULL
+             OR (epoch_us(e.ts) // 1000000) * 1000000 + e.event_id < fp.pkey)
+    ), staged AS (
+      SELECT user_id, ch, conv,
+             lag(ch) OVER w AS prev,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM touches WINDOW w AS (PARTITION BY user_id ORDER BY okey)
+    ), counts AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT coalesce(prev, '__start__') AS src, ch AS dst FROM staged
+        UNION ALL
+        SELECT ch AS src,
+               CASE WHEN conv = 1 THEN '__conv__' ELSE '__null__' END AS dst
+        FROM staged WHERE rn = n
+      ) GROUP BY 1, 2
+    ), rs AS (
+      SELECT src, CAST(sum(cnt) AS BIGINT) AS rowsum FROM counts GROUP BY src
+    ), p AS (
+      SELECT c.src, c.dst, (1000000 * c.cnt) // r.rowsum AS pp
+      FROM counts c JOIN rs r USING (src)
+    ), states AS (
+      SELECT DISTINCT src FROM counts
+    ), chans AS (
+      SELECT DISTINCT src AS ch FROM counts WHERE src != '__start__'
+    ), rem AS (
+      SELECT ch FROM chans UNION ALL SELECT NULL
+    ), a0 AS MATERIALIZED (
+      SELECT s.src AS state, r.ch AS rm, CAST(0 AS BIGINT) AS a
+      FROM states s CROSS JOIN rem r
+    )"""
+    iters = []
+    for t in range(1, _Q249_STEPS + 1):
+        iters.append(
+            f""", a{t} AS MATERIALIZED (
+      SELECT s.state, s.rm,
+             CASE WHEN s.rm IS NOT NULL AND s.state = s.rm THEN CAST(0 AS BIGINT)
+                  ELSE CAST(coalesce(sum(
+                    CASE WHEN p.dst = '__conv__' THEN p.pp
+                         WHEN p.dst = '__null__' THEN 0
+                         ELSE (p.pp * coalesce(a.a, 0)) // 1000000 END), 0)
+                  AS BIGINT) END AS a
+      FROM (SELECT DISTINCT state, rm FROM a0) s
+      LEFT JOIN p ON p.src = s.state
+      LEFT JOIN a{t - 1} a ON a.state = p.dst
+                          AND (a.rm IS NOT DISTINCT FROM s.rm)
+      GROUP BY s.state, s.rm
+    )"""
+        )
+    tail = f"""
+    , eff AS (
+      SELECT c.ch,
+             CAST(b.a AS BIGINT) AS base_conv_micro,
+             CAST(r.a AS BIGINT) AS removed_conv_micro,
+             CAST(greatest(0, b.a - r.a) AS BIGINT) AS e
+      FROM chans c
+      JOIN a{_Q249_STEPS} b ON b.state = '__start__' AND b.rm IS NULL
+      JOIN a{_Q249_STEPS} r ON r.state = '__start__' AND r.rm = c.ch
+    ), tot AS (
+      SELECT CAST(sum(e) AS BIGINT) AS te FROM eff
+    ), shr AS (
+      SELECT eff.*, tot.te,
+             CASE WHEN te > 0 THEN (1000000 * e) // te END AS fl,
+             CASE WHEN te > 0 THEN (1000000 * e) % te END AS rmd
+      FROM eff CROSS JOIN tot
+    ), rk AS (
+      SELECT *, row_number() OVER (ORDER BY rmd DESC, ch ASC) AS rn,
+             CAST(sum(fl) OVER () AS BIGINT) AS sfl
+      FROM shr WHERE fl IS NOT NULL
+    )
+    SELECT ch AS channel, base_conv_micro, removed_conv_micro,
+           e AS removal_effect_micro,
+           CAST(fl + CASE WHEN rn <= 1000000 - sfl THEN 1 ELSE 0 END
+                AS BIGINT) AS share_micro
+    FROM rk
+    UNION ALL
+    SELECT ch, base_conv_micro, removed_conv_micro, e,
+           CAST(NULL AS BIGINT)
+    FROM shr WHERE fl IS NULL
+    """
+    return head + "".join(iters) + tail
+
+
+@_register("q249_markov_attribution", None)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the DATA-DRIVEN fourth
+    convention beside q142/q168/q215's positional rules (library:
+    operators.markov.markov_removal_attribution): journeys run from
+    each user's first event to their first purchase (or null end),
+    channels are the non-purchase event types, and a channel's credit
+    is how much P(start→conversion within 24 steps) DROPS when paths
+    through it are cut. Transition counting is fully distributed (one
+    lead window + one groupBy); the (states+2)² recurrence runs
+    driver-side in exact Python integers (the centroids/codebooks
+    driver-sized precedent) with micro-unit floors, and the oracle
+    replays BOTH phases — counts in SQL, all 24 iterations unrolled
+    with a 'removed' dimension. Shares split by largest remainder to
+    sum to exactly 1e6."""
+    from owl_etl_spark.operators.markov import markov_removal_attribution
+
+    e = _t(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # second-grain order key with the globally-unique event_id as the
+    # within-second tiebreak: a total order that fits BIGINT (µs·10⁴
+    # would overflow)
+    keyed = e.select(
+        "user_id", "event_type", (sec * 1_000_000 + F.col("event_id")).alias("okey")
+    )
+    fp = keyed.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("okey").alias("pkey")
+    )
+    touches = (
+        keyed.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("pkey").isNull() | (F.col("okey") < F.col("pkey")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            "okey",
+            F.col("pkey").isNotNull().cast("long").alias("conv"),
+        )
+    )
+    return markov_removal_attribution(
+        touches, "user_id", "ch", "okey", "okey", "conv", max_steps=_Q249_STEPS
+    )
+
+
+_REGISTRY["q249_markov_attribution"] = (
+    _REGISTRY["q249_markov_attribution"][0],
+    _q249_oracle(),
+)
+
+
+@_register(
+    "q248_value_ranking_ndcg",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+      FROM events WHERE value IS NOT NULL
+    ), staged AS (
+      SELECT user_id, rel,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY v DESC, event_id ASC) AS BIGINT) AS pos,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY rel DESC, v DESC, event_id ASC) AS BIGINT) AS ipos
+      FROM d
+    ), terms AS (
+      SELECT user_id, rel, pos, ipos,
+             CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+                      WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+                      WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+                      WHEN 10 THEN 289065 ELSE 0 END AS dpos,
+             CASE ipos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+                      WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+                      WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+                      WHEN 10 THEN 289065 ELSE 0 END AS dipos
+      FROM staged
+    ), agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN rel = 1 THEN dpos ELSE 0 END) AS BIGINT) AS dcg_micro,
+             CAST(sum(CASE WHEN rel = 1 THEN dipos ELSE 0 END) AS BIGINT) AS idcg_micro,
+             CAST(max(CASE WHEN rel = 1 AND pos <= 10
+                      THEN 1000000 // pos ELSE 0 END) AS BIGINT) AS brr
+      FROM terms GROUP BY user_id
+    )
+    SELECT user_id, n, n_rel, dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro > 0
+                THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+           END AS ndcg,
+           CASE WHEN n_rel > 0
+                THEN round(CAST(brr AS DOUBLE) / 1000000.0, 6) END AS mrr
+    FROM agg
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user NDCG@10 and MRR@10 of "rank events by value, hope the
+    purchases float to the top" (library: operators.ranking_eval.
+    ndcg_report) — the ranking scorecard beside q174's AUC and q195's
+    lift: position discounts 1/log₂(i+1) are integer micro LITERALS
+    computed once driver-side (no runtime logs, no float
+    accumulation), DCG/IDCG exact BIGINT sums over the given and
+    ideal orders (two windows on ONE key shuffle), NDCG/MRR the only
+    doubles. Null metrics for users with no relevant item (undefined,
+    not zero)."""
+    from owl_etl_spark.operators.ranking_eval import ndcg_report
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("rel"),
+    )
+    return ndcg_report(d, ["user_id"], "v", "event_id", "rel", k=10)

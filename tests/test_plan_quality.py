@@ -79,6 +79,10 @@ def test_q07_single_shuffle_window(spark):
 #: by documented contract).
 _PYTHON_ALLOWED = {"q35_multimodal_mixed_media", "q48_multimodal_features"}
 _PANDAS_ALLOWED = {"q112_fuzzy_scorers"}
+#: applyInPandas by design: the DTW dynamic program is inherently
+#: sequential per pair (operators/dtw.py docheader) — the declared
+#: Arrow-batched Python boundary, rows-gated + reference-pinned
+_GROUPED_PANDAS_ALLOWED = {"q227_event_series_dtw"}
 
 
 def test_no_python_udf_in_any_query(spark):
@@ -93,6 +97,12 @@ def test_no_python_udf_in_any_query(spark):
             continue
         if name in _PANDAS_ALLOWED:
             assert "ArrowEvalPython" in plan, f"{name} should use pandas UDFs by design"
+            assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+            continue
+        if name in _GROUPED_PANDAS_ALLOWED:
+            assert "FlatMapGroupsInPandas" in plan, (
+                f"{name} should be applyInPandas by design"
+            )
             assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
             continue
         for tag in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
