@@ -1408,40 +1408,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # 0) Ten of the twelve wave-3 round-6 families (never
-    #    driver-checked; all twelve are sweep-verified at two scales
-    #    and stamped — q189/q190 ride that committed evidence from
-    #    below the window because the 19 round-5 anchors in block 2
-    #    are the r5 VERDICT's explicit ask and the window holds 50).
-    "q179", "q180", "q181", "q182", "q183", "q184", "q185",
-    "q186", "q187", "q188",
-    # 1) The 15 NEW round-6 operator families, all never driver-
-    #    checked: q158 (restart funnel), q159 (k-anonymity
-    #    generalization), q160 (association rules), q161 (cohort
-    #    retention), q162 (SCD2), q163 (Gini), q164 (survival risk
-    #    table), q165 (RFM), q166 (z-order), q167 (readability),
-    #    q168 (position attribution), q169 (rolling median), q170
-    #    (Gram matrix), q171 (BFS reach), q172 (key-skew report).
-    "q158", "q159", "q160", "q161", "q162", "q163", "q164", "q165",
-    "q166", "q167", "q168", "q169", "q170", "q171", "q172",
-    #    ...plus the 6 second-wave round-6 families (also never
-    #    driver-checked): q173 (rolling actives), q174 (binary eval /
-    #    AUC), q175 (pro-rata allocation), q176 (k-core), q177 (grid
-    #    radius join), q178 (G² distinctive terms).
-    "q173", "q174", "q175", "q176", "q177", "q178",
-    # 2) The 19 round-5 queries the r5 VERDICT flagged as never
-    #    driver-checked (17 with zero driver rows + q145/q150, whose
-    #    only external exposure was bench timings) — "never-driven
-    #    beats stale-driven" (r5 VERDICT Next-round #2).
-    "q136", "q137", "q139", "q140", "q141", "q144", "q145", "q146",
-    "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154",
-    "q155", "q156", "q157",
+    # r7 window (VERDICT r6 Next-round #1 + #3):
+    # 0) The two r6 driver hash failures — oracle-side HUGEINT leaks,
+    #    now CAST(... AS BIGINT) (engine output was proven
+    #    bit-identical) — kept inside the window so CORRECTNESS_r07
+    #    records the green rows.
+    "q163", "q188",
+    # 1) The 46 round-6 wave-8..18 families (q204–q249): exactly the
+    #    set with no driver row AND no committed sweep evidence
+    #    (VERIFY_r6 predates them).
+    "q204", "q205", "q206", "q207", "q208", "q209", "q210", "q211",
+    "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
+    "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227",
+    "q228", "q229", "q230", "q231", "q232", "q233", "q234", "q235",
+    "q236", "q237", "q238", "q239", "q240", "q241", "q242", "q243",
+    "q244", "q245", "q246", "q247", "q248", "q249",
+    # 2) Two oldest never-driven from the r6 below-window band
+    #    (q189–q203 backfill continues in r8 per VERDICT r6 #3).
+    "q189", "q190",
     # --- 50-slot window boundary: everything below rides committed
-    #     two-scale sweep evidence + manifest stamps this round. ---
-    # 3) The six wave-3/4 families that didn't fit (sweep-verified at
-    #    sf0.001 + sf0.01, stamped; lead the r7 window with the
-    #    r3-age rotation band q01–q40/q53/q100/q104).
-    "q189", "q190", "q191", "q192", "q193", "q194",
+    #     sweep evidence (VERIFY_r7 full-registry) + manifest stamps. ---
+    # 3) Remainder of the q189–q203 backfill band, then the r3-age
+    #    rotation band.
+    "q191", "q192", "q193", "q194",
     "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
@@ -8218,8 +8207,8 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(count(*) * sum(c) AS DOUBLE), 6)
            END AS gini,
            CASE WHEN sum(c) > 0 THEN
-             coalesce(sum(CASE WHEN r > n - topn THEN c END), 0)
-             * 1000000 // sum(c)
+             CAST(coalesce(sum(CASE WHEN r > n - topn THEN c END), 0)
+                  * 1000000 // sum(c) AS BIGINT)
            END AS top_decile_share_micro
     FROM staged GROUP BY g
     """,
@@ -9533,8 +9522,8 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tr AS (
       SELECT event_type, day, day % 7 AS phase, vm,
              CASE WHEN count(vm) OVER w = 7
-                  THEN (sum(vm) OVER w + 100000000000000000 * 7) // 7
-                       - 100000000000000000
+                  THEN CAST((sum(vm) OVER w + 100000000000000000 * 7) // 7
+                            - 100000000000000000 AS BIGINT)
              END AS trend_micro
       FROM d
       WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -9548,12 +9537,13 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, phase, value_micro, trend_micro,
            CASE WHEN dn > 0
-                THEN (ds + 100000000000000000 * dn) // dn - 100000000000000000
+                THEN CAST((ds + 100000000000000000 * dn) // dn
+                          - 100000000000000000 AS BIGINT)
            END AS seasonal_micro,
-           value_micro - trend_micro
+           CAST(value_micro - trend_micro
              - (CASE WHEN dn > 0
                      THEN (ds + 100000000000000000 * dn) // dn
-                          - 100000000000000000 END) AS residual_micro
+                          - 100000000000000000 END) AS BIGINT) AS residual_micro
     FROM ph
     """,
 )
@@ -12963,7 +12953,7 @@ _REGISTRY["q242_fellegi_sunter_linkage"] = (
     WITH pos AS (
       SELECT doc_id, unnest(a) AS tok,
              CAST(unnest(range(1, len(a) + 1)) AS BIGINT) AS p
-      FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS a
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS a
             FROM documents)
     ), votes AS (
       SELECT doc_id, p - 0 AS anchor, 0 AS j FROM pos WHERE tok = 'table'
