@@ -80,9 +80,16 @@ def kmeans_fit(
     is one Spark job: assignment (map) + per-cluster mean (shuffle of
     k·dim partials via Summarizer-style agg on array columns).
     """
+    # Hash is MATERIALIZED as a column before the orderBy+limit:
+    # TakeOrderedAndProject evaluates its ordering expressions inside
+    # the heap comparator (interpreted, once per comparison), so
+    # sorting directly by the md5 EXPRESSION re-ran the whole
+    # cast-to-strings+md5 chain O(n log k) times — 17x slower at 20k
+    # rows (r6 bench: this was most of pq_fit_s/kmeans_fit_s).
     sample = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .withColumn("__h", F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .orderBy("__h")
         .limit(k)
         .collect()
     )
@@ -243,11 +250,15 @@ def pq_codebooks_fit(
             )
         return np.stack(books)
 
+    # Materialized hash column before orderBy+limit — see kmeans_fit:
+    # sorting by the raw expression re-evaluates it per heap
+    # comparison inside TakeOrderedAndProject (17x at 20k rows).
     rows = (
         df.select(
             F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("v")
         )
-        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .withColumn("__h", F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .orderBy("__h")
         .limit(int(sample_rows))
         .collect()
     )
