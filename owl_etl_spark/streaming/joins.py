@@ -113,12 +113,16 @@ def sessionize_stateful(
         import numpy as np
 
         def emit(starts, lasts, counts) -> pd.DataFrame:
+            # int64 numpy columns straight into the frame — list()
+            # materialization per emitted row was ~20% of the state
+            # function's budget at bench scale (r6 ask #4)
+            n = len(starts)
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(starts),
-                    "session_start_ms": list(starts),
-                    "session_end_ms": list(lasts),
-                    "n_events": list(counts),
+                    "user_id": np.full(n, key[0], dtype=np.int64),
+                    "session_start_ms": np.asarray(starts, dtype=np.int64),
+                    "session_end_ms": np.asarray(lasts, dtype=np.int64),
+                    "n_events": np.asarray(counts, dtype=np.int64),
                 }
             )
 
@@ -157,19 +161,29 @@ def sessionize_stateful(
         starts = ts[seg_first].copy()
         lasts = ts[seg_last].copy()
         counts = (seg_last - seg_first + 1).astype("int64")
-        pre = []
+        pre = None
         if attached:
             starts[0] = carried[0]
             lasts[0] = max(carried[1], lasts[0])
             counts[0] += carried[2]
         elif carried is not None:
-            pre = [carried]  # closed by the gap to this batch's events
+            pre = carried  # closed by the gap to this batch's events
         state.update((int(starts[-1]), int(lasts[-1]), int(counts[-1])))
         state.setTimeoutTimestamp(int(lasts[-1]) + gap_ms)
-        c_starts = [p[0] for p in pre] + list(starts[:-1])
-        c_lasts = [p[1] for p in pre] + list(lasts[:-1])
-        c_counts = [p[2] for p in pre] + list(counts[:-1])
-        if c_starts:
+        n_closed = starts.size - 1 + (1 if pre is not None else 0)
+        if n_closed:
+            # assemble closed sessions in preallocated int64 arrays —
+            # no Python-list round trip
+            c_starts = np.empty(n_closed, dtype=np.int64)
+            c_lasts = np.empty(n_closed, dtype=np.int64)
+            c_counts = np.empty(n_closed, dtype=np.int64)
+            off = 0
+            if pre is not None:
+                c_starts[0], c_lasts[0], c_counts[0] = pre
+                off = 1
+            c_starts[off:] = starts[:-1]
+            c_lasts[off:] = lasts[:-1]
+            c_counts[off:] = counts[:-1]
             yield emit(c_starts, c_lasts, c_counts)
 
     df = events.withWatermark(ts_col, watermark).withColumn(
