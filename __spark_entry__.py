@@ -13460,3 +13460,92 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("rel"),
     )
     return ndcg_report(d, ["user_id"], "v", "event_id", "rel", k=10)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 1: sequence alignment (NW/SW), KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@_register("q250_sequence_alignment", None)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch global + Smith-Waterman local alignment scores
+    between every pair of event-type daily-direction sequences
+    (library: operators.align.align_pairs) — the edit-based sequence
+    similarity beside q227's time-warping DTW: each event type becomes
+    its ordered series of day-over-day revenue DIRECTIONS (-1/0/+1
+    tokens, exact integer comparisons on integer cents), and the
+    banded int64 DP scores how well two types' movement patterns align
+    under substitutions and gaps. Same declared Arrow-batched
+    applyInPandas boundary, band guard, and max_len refusal as DTW;
+    all scores exact BIGINTs. NOT SQL-expressible: gated by the
+    driver's rows-only check and pinned in tests against an
+    independent full-matrix pure-Python reference
+    (tests/test_round7_wave1_ops.py)."""
+    from pyspark.sql import Window
+
+    from owl_etl_spark.operators.align import align_pairs
+
+    e = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    tok = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.signum(F.col("cents") - F.col("prev")).cast("long").alias("dirn"),
+        )
+    )
+    types = tok.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.select(F.col("t").alias("id_a"))
+        .join(types.select(F.col("t").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return align_pairs(
+        tok, pairs, "event_type", "day", "dirn", band=1024, max_len=100_000
+    ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "q251_kll_quantile_sketch",
+    """
+    SELECT CAST(p_bp AS BIGINT) AS p_bp,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_extendedprice IS NOT NULL) AS n,
+           TRUE AS within_bound
+    FROM (VALUES (100), (500), (2500), (5000), (7500), (9500), (9900))
+         t(p_bp)
+    ORDER BY p_bp
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL/MRL quantile sketch over lineitem price cents
+    (library: operators.kll.kll_quantile_report) — the approximate
+    complement to the exact quantile family for the 100 TB profile
+    path: one sketch row per partition (mapInPandas, KBs each), a
+    driver merge of partition summaries, and a SELF-CERTIFYING
+    deterministic-compaction error bound carried inside the sketch
+    (err = sum of 2^h per level-h compaction). The gate is the q53
+    sketch-contract shape: the query verifies each estimate's TRUE
+    rank against the certified bound with one exact aggregate and
+    emits booleans; the oracle asserts them TRUE, so any sketch
+    regression fails the hash. Mergeability law and bound composition
+    are unit-pinned (tests/test_round7_wave1_ops.py)."""
+    from owl_etl_spark.operators.kll import kll_quantile_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return kll_quantile_report(cents, "cents", k=400)

@@ -79,10 +79,14 @@ def test_q07_single_shuffle_window(spark):
 #: by documented contract).
 _PYTHON_ALLOWED = {"q35_multimodal_mixed_media", "q48_multimodal_features"}
 _PANDAS_ALLOWED = {"q112_fuzzy_scorers"}
-#: applyInPandas by design: the DTW dynamic program is inherently
-#: sequential per pair (operators/dtw.py docheader) — the declared
-#: Arrow-batched Python boundary, rows-gated + reference-pinned
-_GROUPED_PANDAS_ALLOWED = {"q227_event_series_dtw"}
+#: applyInPandas by design: the DTW / NW-SW dynamic programs are
+#: inherently sequential per pair (operators/dtw.py, operators/
+#: align.py docheaders) — the declared Arrow-batched Python boundary,
+#: rows-gated + reference-pinned
+_GROUPED_PANDAS_ALLOWED = {"q227_event_series_dtw", "q250_sequence_alignment"}
+#: (q251's KLL sketch runs its mapInPandas fold EAGERLY while the
+#: query is being built — the returned verification plan is pure JVM,
+#: so it needs no allowlist entry.)
 
 
 def test_no_python_udf_in_any_query(spark):
