@@ -13549,3 +13549,240 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     return kll_quantile_report(cents, "cents", k=400)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 2: personalized pagerank, integer power iteration, BPE merges
+# ---------------------------------------------------------------------------
+
+
+def _q252_iter_sql(prev: str, cur: str) -> str:
+    """One personalized-PageRank iteration in SQL, mirroring
+    graph.personalized_pagerank's integer micro-unit recurrence
+    exactly (q125's replay with the teleport restricted to seeds)."""
+    return f"""{cur} AS (
+      SELECT nn.n AS n, nn.seed AS seed,
+             nn.seed * 150000 + CAST(round(0.85 * COALESCE(c.s, 0)) AS BIGINT) AS rank
+      FROM nodes nn LEFT JOIN (
+        SELECT e.dst, CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) / e.deg) AS BIGINT)) AS BIGINT) AS s
+        FROM {prev} r JOIN edges e ON e.src = r.n
+        GROUP BY e.dst
+      ) c ON c.dst = nn.n
+    )"""
+
+
+@_register(
+    "q252_seeded_pagerank",
+    f"""
+    WITH seeds AS (
+      SELECT n_nationkey AS n FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), nodes AS (
+      SELECT n_nationkey AS n,
+             CAST(CASE WHEN n_nationkey IN (SELECT n FROM seeds)
+                  THEN 1 ELSE 0 END AS BIGINT) AS seed
+      FROM nation
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+      )
+    ), r0 AS (
+      SELECT n, seed, CAST(seed * 1000000 AS BIGINT) AS rank FROM nodes
+    ),
+    {', '.join(_q252_iter_sql(f'r{i}', f'r{i + 1}') for i in range(6))}
+    SELECT n AS nationkey, rank AS rank_micro_units FROM r6
+    """,
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the nation trade graph, seeded at
+    the European nations (library: operators.graph.
+    personalized_pagerank) — q125's centrality with the teleport
+    restricted to a seed set, so the vector scores trade proximity TO
+    EUROPE instead of global importance (the seed-expansion primitive:
+    related-entity discovery, trusted-whitelist corpus expansion).
+    Same integer micro-unit discipline and per-iteration plan (one
+    edges⋈ranks join + one edge-list aggregate, lineage sealed), six
+    fixed iterations replayed by the oracle as chained CTEs. Nations
+    unreachable from the seeds stay at exactly 0 — mass leaks at
+    dangling nodes by the documented q125 convention."""
+    from owl_etl_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    seeds = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    return personalized_pagerank(
+        edges, nodes, seeds, "node", "src", "dst", n_iters=6
+    ).select(F.col("node").alias("nationkey"), "rank_micro_units")
+
+
+def _q253_iter_sql(k: int) -> str:
+    """One integer power-iteration round in SQL: exact BIGINT
+    matvec, signed max-abs pivot (ties -> lowest i), exact-multiple
+    floor division (x minus its positive mod is a multiple of the
+    divisor, so DuckDB's floor // and Spark's trunc div agree
+    bit-for-bit)."""
+    return f"""w{k} AS (
+      SELECT a.i, CAST(sum(a.a * v.x) AS BIGINT) AS w
+      FROM A a JOIN v{k - 1} v ON v.i = a.j GROUP BY a.i
+    ), p{k} AS (
+      SELECT CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS BIGINT) AS sg,
+             CAST(greatest(abs(w), 1) AS BIGINT) AS pv
+      FROM w{k} ORDER BY abs(w) DESC, i ASC LIMIT 1
+    ), v{k} AS (
+      SELECT i, CAST((w * 1000000 * sg - (((w * 1000000 * sg) % pv) + pv) % pv) // pv AS BIGINT) AS x
+      FROM w{k}, p{k}
+    )"""
+
+
+@_register(
+    "q253_embedding_top_eigvec",
+    f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), gram AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS s
+      FROM q CROSS JOIN range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)
+      GROUP BY 1, 2
+    ), amax AS (
+      SELECT CAST(greatest(max(abs(s)), 1) AS BIGINT) AS am FROM gram
+    ), A AS (
+      SELECT i, j,
+             CAST((s * 10000 - (((s * 10000 % am) + am) % am)) // am AS BIGINT) AS a
+      FROM gram, amax
+    ), v0 AS (
+      SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM A
+    ),
+    {', '.join(_q253_iter_sql(k) for k in range(1, 7))}
+    SELECT i, x AS v_micro FROM v6 ORDER BY i
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix by
+    ALL-INTEGER power iteration (library: operators.linalg.
+    power_iteration_top_eigvec over q170's gram_matrix) — the top
+    principal direction of the corpus, computed so it IS
+    oracle-gateable: q170 documented that a driver-side eigensolver
+    can't be gated (solver-dependent sign/order); fixing the start
+    vector, quantizing the matrix, normalizing by the SIGNED max-abs
+    pivot each round, and flooring every division via the
+    exact-multiple identity makes all six iterates bit-identical
+    across engines. Distributed shape: gram is one posexplode + one
+    64-group aggregate over the corpus (q170); each iteration then
+    touches only dim² = 4,096 matrix-cell rows — one join + one
+    aggregate + a 1-row broadcast pivot kept in-plan, never the
+    data."""
+    from owl_etl_spark.operators.linalg import gram_matrix, power_iteration_top_eigvec
+
+    em = _t(spark, sf_dir, "embeddings")
+    g = gram_matrix(em, "embedding", dim=64, scale=1000)
+    return power_iteration_top_eigvec(g, n_iters=6).orderBy("i")
+
+
+def _q254_round_sql(t: int) -> str:
+    """One BPE training round in SQL: weighted adjacent-pair counts
+    over the vocab, max-count winner with lexicographic tie-break,
+    then the greedy non-overlapping merge rewrite replayed with the
+    gaps-and-islands parity rule — a candidate position merges iff its
+    offset within a maximal run of consecutive candidates is even,
+    which equals the engine's left-to-right fold (runs of overlapping
+    candidates only occur for left==right symbol chains). DuckDB
+    1.0's list_reduce drops list-typed accumulator state (found while
+    building this oracle), hence windows instead of a fold here."""
+    return f"""p{t} AS (
+      SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM w{t - 1}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    ), b{t} AS (
+      SELECT CAST({t} AS BIGINT) AS merge_round, l, r, pair_count
+      FROM p{t} ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ), pos{t} AS (
+      SELECT word, freq, CAST(i AS INT) AS i, syms[CAST(i AS INT)] AS s,
+             CASE WHEN CAST(i AS INT) < len(syms)
+                  AND syms[CAST(i AS INT)] = (SELECT l FROM b{t})
+                  AND syms[CAST(i AS INT)+1] = (SELECT r FROM b{t})
+             THEN 1 ELSE 0 END AS cand
+      FROM w{t - 1}, unnest(range(1, len(syms)+1)) AS u(i)
+    ), isl{t} AS (
+      SELECT *, CASE WHEN cand = 1
+                THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i) END AS isl
+      FROM pos{t}
+    ), mrk{t} AS (
+      SELECT word, freq, i, s,
+             CASE WHEN cand = 1 AND (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+             THEN 1 ELSE 0 END AS m
+      FROM isl{t}
+    ), rb{t} AS (
+      SELECT word, freq, i,
+             CASE WHEN m = 1 THEN s || lead(s) OVER (PARTITION BY word ORDER BY i)
+                  ELSE s END AS ns,
+             lag(m) OVER (PARTITION BY word ORDER BY i) AS pm
+      FROM mrk{t}
+    ), w{t} AS (
+      SELECT word, freq, list(ns ORDER BY i) AS syms
+      FROM rb{t} WHERE COALESCE(pm, 0) = 0
+      GROUP BY word, freq
+    )"""
+
+
+@_register(
+    "q254_bpe_pair_merges",
+    f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), w0 AS (
+      SELECT word, freq,
+             list_transform(range(1, length(word)+1),
+                            i -> substring(word, CAST(i AS INT), 1)) AS syms
+      FROM words
+    ),
+    {', '.join(_q254_round_sql(t) for t in range(1, 4))}
+    SELECT merge_round, l AS left, r AS right, pair_count FROM b1
+    UNION ALL SELECT merge_round, l, r, pair_count FROM b2
+    UNION ALL SELECT merge_round, l, r, pair_count FROM b3
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three BPE tokenizer-training merges over the document
+    corpus (library: operators.bpe.bpe_pair_merges) — THE canonical
+    LLM-pipeline corpus computation, kept in its honest scale shape:
+    one corpus pass builds the (word, freq) dictionary, then every
+    merge round runs on the VOCABULARY only — one vocab-sized pair
+    aggregate + a map-only greedy rewrite via a JVM-side ``aggregate``
+    fold, the winner riding a 1-row broadcast (zero driver collects,
+    corpus never re-read). Deterministic by exact integer counts and a
+    lexicographic tie-break; the oracle replays all rounds with a
+    window-function parity rewrite proven equal to the greedy fold
+    (see _q254_round_sql — DuckDB's list_reduce cannot carry the
+    fold's list accumulator)."""
+    from owl_etl_spark.operators.bpe import bpe_pair_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_merges(d.select("text"), "text", n_merges=3)

@@ -150,6 +150,86 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: random walks RESTART AT THE SEED SET
+    instead of teleporting uniformly, so the vector measures proximity
+    /influence RELATIVE to the seeds — the standard seed-expansion
+    primitive (related-entity discovery, local community scoring,
+    "more like these" corpus expansion from a trusted whitelist).
+
+    Same integer micro-unit recurrence and plan shape as ``pagerank``
+    (one edges⋈ranks join + one edge-list aggregate per iteration,
+    localCheckpoint lineage seal), with the teleport term restricted:
+
+        rank₀(v)  = 1e6 · [v ∈ S]
+        rank'(v)  = [v ∈ S]·round((1-d)·1e6)
+                    + round(d · Σ_{u→v} round(rank(u)·w/W(u)))
+
+    Mass leaks at dangling nodes (the ``dangling="leak"`` convention
+    of the base operator — PPR is a RANKING, conservation buys
+    nothing). ``seeds`` is a one-column DataFrame of node ids; it is
+    broadcast (seed sets are small by use-case definition — if your
+    seed set is corpus-sized you wanted plain pagerank). Deterministic
+    and oracle-replayable like q125: fixed iterations, exact BIGINT
+    sums, one float round per edge and per node."""
+    w = F.col(weight_col).cast("long") if weight_col is not None else F.lit(1).cast("long")
+    out_deg = edges.groupBy(F.col(src_col).alias("__s")).agg(F.sum(w).alias("__deg"))
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), w.alias("__w"))
+        .join(out_deg, "__s")
+        .localCheckpoint()
+    )
+    seed_flag = F.broadcast(
+        seeds.select(F.col(seeds.columns[0]).alias("__n")).distinct()
+    ).withColumn("__seed", F.lit(1).cast("long"))
+    base = (
+        nodes.select(F.col(node_col).alias("__n"))
+        .join(seed_flag, "__n", "left")
+        .select("__n", F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"))
+        .localCheckpoint()
+    )
+    teleport = int(round((1.0 - damping) * MICRO))
+    ranks = base.select("__n", (F.col("__seed") * MICRO).alias("__r"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e["__s"] == ranks["__n"])
+            .select(
+                F.col("__d"),
+                F.round(F.col("__r") * F.col("__w") / F.col("__deg"))
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            base.join(contrib, base["__n"] == contrib["__d"], "left")
+            .select(
+                "__n",
+                (
+                    F.col("__seed") * teleport
+                    + F.round(
+                        F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))
+                    ).cast("long")
+                ).alias("__r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("__n").alias(node_col), F.col("__r").alias("rank_micro_units")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     nodes: DataFrame,

@@ -101,3 +101,90 @@ def column_sums(
             *[F.sum(F.element_at("__q", j + 1)).cast("long") for j in range(d)]
         ).alias("sums"),
     )
+
+
+def power_iteration_top_eigvec(
+    gram: DataFrame,
+    n_iters: int = 6,
+    a_scale: int = 10_000,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Dominant eigenvector of a symmetric matrix given as the
+    upper-triangle ``(i, j, s)`` frame ``gram_matrix`` emits —
+    all-integer power iteration, so (unlike a driver-side eigensolver,
+    whose sign/order is solver-dependent — the documented q170
+    limitation) the result IS oracle-gateable:
+
+        A      = floordiv(s · a_scale, max|s|)        (|A| ≤ a_scale)
+        v₀     = micro everywhere
+        w      = A · v                                 (exact BIGINT)
+        pivot  = w-component with max |w|, ties → lowest i
+        v'     = floordiv(w · micro · sign(pivot), max(|pivot|, 1))
+
+    The pivot normalization fixes BOTH scale and sign each round
+    (pivot component becomes exactly +micro), so the iterate is
+    bit-identical across engines and partitionings. Every division is
+    the exact-multiple floor-div of ``_fd`` — no trunc/floor skew.
+
+    Overflow headroom: |w| ≤ dim·a_scale·micro, then ·micro again in
+    the normalize — dim ≤ ~9·10⁵ at the defaults before BIGINT risk;
+    raise awareness before feeding a wider matrix. Convergence is the
+    standard power-iteration ratio |λ₂/λ₁| per round; fixed
+    ``n_iters`` keeps the run replayable (the gate pins the ITERATE,
+    which equals the true eigendirection only in the limit — callers
+    wanting a certified solve run more rounds and check the Rayleigh
+    residual).
+
+    Plan per iteration: one A⋈v join + one i-group aggregate over the
+    MATRIX CELL list (dim² rows, never the corpus) + a 1-row broadcast
+    pivot kept IN-PLAN (the fused-HITS shape — no driver collect);
+    lineage seals lazily every 2 rounds."""
+    full = gram.select("i", "j", "s").unionAll(
+        gram.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    amax = full.agg(F.greatest(F.max(F.abs(F.col("s"))), F.lit(1)).alias("__amax"))
+    a = (
+        full.crossJoin(F.broadcast(amax))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(s * {int(a_scale)} - ((s * {int(a_scale)} % __amax) + __amax)"
+                f" % __amax) div __amax"
+            )
+            .cast("long")
+            .alias("a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = a.select(F.col("i").alias("vi")).distinct().select(
+        "vi", F.lit(int(micro)).cast("long").alias("x")
+    )
+    for it in range(int(n_iters)):
+        w = (
+            a.join(v, a["j"] == v["vi"])
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("x")).cast("long").alias("w"))
+        )
+        pivot = (
+            w.orderBy(F.abs(F.col("w")).desc(), F.col("i").asc())
+            .limit(1)
+            .select(
+                F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("__sg"),
+                F.greatest(F.abs(F.col("w")), F.lit(1)).cast("long").alias("__pv"),
+            )
+        )
+        v = w.crossJoin(F.broadcast(pivot)).select(
+            F.col("i").alias("vi"),
+            F.expr(
+                f"(w * {int(micro)} * __sg - ((w * {int(micro)} * __sg % __pv)"
+                f" + __pv) % __pv) div __pv"
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        if (it + 1) % 2 == 0 and it + 1 < n_iters:
+            v = v.localCheckpoint(eager=False)
+    return v.select(F.col("vi").alias("i"), F.col("x").alias("v_micro"))
