@@ -13641,14 +13641,14 @@ def _q253_iter_sql(k: int) -> str:
     floor division (x minus its positive mod is a multiple of the
     divisor, so DuckDB's floor // and Spark's trunc div agree
     bit-for-bit)."""
-    return f"""w{k} AS (
+    return f"""w{k} AS MATERIALIZED (
       SELECT a.i, CAST(sum(a.a * v.x) AS BIGINT) AS w
       FROM A a JOIN v{k - 1} v ON v.i = a.j GROUP BY a.i
-    ), p{k} AS (
+    ), p{k} AS MATERIALIZED (
       SELECT CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS BIGINT) AS sg,
              CAST(greatest(abs(w), 1) AS BIGINT) AS pv
       FROM w{k} ORDER BY abs(w) DESC, i ASC LIMIT 1
-    ), v{k} AS (
+    ), v{k} AS MATERIALIZED (
       SELECT i, CAST((w * 1000000 * sg - (((w * 1000000 * sg) % pv) + pv) % pv) // pv AS BIGINT) AS x
       FROM w{k}, p{k}
     )"""
@@ -13657,22 +13657,22 @@ def _q253_iter_sql(k: int) -> str:
 @_register(
     "q253_embedding_top_eigvec",
     f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings
-    ), gram AS (
+    ), gram AS MATERIALIZED (
       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
              CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS s
       FROM q CROSS JOIN range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)
       GROUP BY 1, 2
-    ), amax AS (
+    ), amax AS MATERIALIZED (
       SELECT CAST(greatest(max(abs(s)), 1) AS BIGINT) AS am FROM gram
-    ), A AS (
+    ), A AS MATERIALIZED (
       SELECT i, j,
              CAST((s * 10000 - (((s * 10000 % am) + am) % am)) // am AS BIGINT) AS a
       FROM gram, amax
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM A
     ),
     {', '.join(_q253_iter_sql(k) for k in range(1, 7))}
@@ -13711,15 +13711,15 @@ def _q254_round_sql(t: int) -> str:
     candidates only occur for left==right symbol chains). DuckDB
     1.0's list_reduce drops list-typed accumulator state (found while
     building this oracle), hence windows instead of a fold here."""
-    return f"""p{t} AS (
+    return f"""p{t} AS MATERIALIZED (
       SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
              CAST(sum(freq) AS BIGINT) AS pair_count
       FROM w{t - 1}, unnest(range(1, len(syms))) AS u(i)
       GROUP BY 1, 2
-    ), b{t} AS (
+    ), b{t} AS MATERIALIZED (
       SELECT CAST({t} AS BIGINT) AS merge_round, l, r, pair_count
       FROM p{t} ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
-    ), pos{t} AS (
+    ), pos{t} AS MATERIALIZED (
       SELECT word, freq, CAST(i AS INT) AS i, syms[CAST(i AS INT)] AS s,
              CASE WHEN CAST(i AS INT) < len(syms)
                   AND syms[CAST(i AS INT)] = (SELECT l FROM b{t})
@@ -13735,13 +13735,13 @@ def _q254_round_sql(t: int) -> str:
              CASE WHEN cand = 1 AND (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
              THEN 1 ELSE 0 END AS m
       FROM isl{t}
-    ), rb{t} AS (
+    ), rb{t} AS MATERIALIZED (
       SELECT word, freq, i,
              CASE WHEN m = 1 THEN s || lead(s) OVER (PARTITION BY word ORDER BY i)
                   ELSE s END AS ns,
              lag(m) OVER (PARTITION BY word ORDER BY i) AS pm
       FROM mrk{t}
-    ), w{t} AS (
+    ), w{t} AS MATERIALIZED (
       SELECT word, freq, list(ns ORDER BY i) AS syms
       FROM rb{t} WHERE COALESCE(pm, 0) = 0
       GROUP BY word, freq
@@ -13751,13 +13751,13 @@ def _q254_round_sql(t: int) -> str:
 @_register(
     "q254_bpe_pair_merges",
     f"""
-    WITH words AS (
+    WITH words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
             FROM documents)
       WHERE word <> ''
       GROUP BY word
-    ), w0 AS (
+    ), w0 AS MATERIALIZED (
       SELECT word, freq,
              list_transform(range(1, length(word)+1),
                             i -> substring(word, CAST(i AS INT), 1)) AS syms
@@ -13786,3 +13786,259 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_pair_merges(d.select("text"), "text", n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 3: Bradley-Terry, Shapley attribution, WoE/IV binning
+# ---------------------------------------------------------------------------
+
+
+def _fd_sql(x: str, d: str) -> str:
+    """Exact-multiple floor division as SQL text (x minus its positive
+    mod is a multiple of d > 0, so DuckDB // == Spark div)."""
+    return f"(({x}) - (((({x}) % ({d})) + ({d})) % ({d}))) // ({d})"
+
+
+def _q255_iter_sql(k: int) -> str:
+    """One integer Bradley-Terry MM round in SQL, mirroring
+    operators.pairwise.bradley_terry_strengths exactly."""
+    t = _fd_sql("p.n * 1000000000", "greatest(ra.r + rb.r, 1)")
+    return f"""den{k} AS MATERIALIZED (
+      SELECT p.a AS item,
+             CAST({_fd_sql(f"sum(CAST({t} AS BIGINT))", "1000")} AS BIGINT) AS dsmall
+      FROM sym p JOIN r{k - 1} ra ON ra.item = p.a JOIN r{k - 1} rb ON rb.item = p.b
+      GROUP BY p.a
+    ), praw{k} AS MATERIALIZED (
+      SELECT i.item,
+             CAST({_fd_sql("i.wins * 1000000000", "greatest(coalesce(d.dsmall, 1), 1)")} AS BIGINT) AS p
+      FROM items i LEFT JOIN den{k} d ON d.item = i.item
+    ), pm{k} AS MATERIALIZED (
+      SELECT CAST(greatest(max(p), 1) AS BIGINT) AS pm FROM praw{k}
+    ), r{k} AS MATERIALIZED (
+      SELECT item, CAST({_fd_sql("p * 1000000", "pm")} AS BIGINT) AS r
+      FROM praw{k}, pm{k}
+    )"""
+
+
+@_register(
+    "q255_shipping_bradley_terry",
+    f"""
+    WITH games AS MATERIALIZED (
+      SELECT sa.s_nationkey AS w, sb.s_nationkey AS l
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_shipdate < b.l_shipdate
+      JOIN supplier sa ON sa.s_suppkey = a.l_suppkey
+      JOIN supplier sb ON sb.s_suppkey = b.l_suppkey
+      WHERE sa.s_nationkey != sb.s_nationkey
+    ), pairs AS MATERIALIZED (
+      SELECT least(CAST(w AS VARCHAR), CAST(l AS VARCHAR)) AS a,
+             greatest(CAST(w AS VARCHAR), CAST(l AS VARCHAR)) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(w AS VARCHAR) <= CAST(l AS VARCHAR)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS wa
+      FROM games GROUP BY 1, 2
+    ), items AS MATERIALIZED (
+      SELECT item, CAST(sum(wins) AS BIGINT) AS wins,
+             CAST(sum(n) AS BIGINT) AS games
+      FROM (
+        SELECT a AS item, wa AS wins, n FROM pairs
+        UNION ALL SELECT b, n - wa, n FROM pairs
+      ) GROUP BY item
+    ), sym AS MATERIALIZED (
+      SELECT a, b, n FROM pairs UNION ALL SELECT b, a, n FROM pairs
+    ), r0 AS MATERIALIZED (
+      SELECT item, CAST(1000000 AS BIGINT) AS r FROM items
+    ),
+    {', '.join(_q255_iter_sql(k) for k in range(1, 6))}
+    SELECT i.item, i.wins, i.games, r5.r AS strength_micro
+    FROM items i JOIN r5 ON r5.item = i.item
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry shipping-speed strengths per supplier nation
+    (library: operators.pairwise.bradley_terry_strengths) — the batch
+    preference-learning primitive behind RLHF preference data: within
+    each order, the nation whose lineitem shipped earlier beats the
+    later one, and five integer MM rounds turn the pairwise record
+    into strengths (pivot-normalized micro units). Every division is
+    the exact-multiple floor-div, the overflow headroom is argued from
+    wins ≤ games (pairwise.py docstring), and the oracle replays all
+    five rounds as chained CTEs. Scale: games collapse to the
+    unordered-PAIR list in one shuffle; iterations touch pairs and
+    item-sized strength vectors only."""
+    from owl_etl_spark.operators.pairwise import bradley_terry_strengths
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l2 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    a = l2.join(s, l2["l_suppkey"] == s["s_suppkey"]).select(
+        "l_orderkey",
+        F.col("s_nationkey").alias("na"),
+        F.col("l_shipdate").alias("da"),
+    )
+    b = a.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("na").alias("nb"),
+        F.col("da").alias("db"),
+    )
+    games = (
+        a.join(
+            b,
+            (a["l_orderkey"] == b["ok2"])
+            & (a["da"] < b["db"])
+            & (a["na"] != b["nb"]),
+        )
+        .select(F.col("na").alias("winner"), F.col("nb").alias("loser"))
+    )
+    return bradley_terry_strengths(games, "winner", "loser", n_iters=5)
+
+
+def _q256_oracle() -> str:
+    """Shapley oracle: the channel set must be inlined (factorial
+    weights are per-|S| literals), so the oracle builder reads the
+    sf-INDEPENDENT channel list from the synthetic schema contract:
+    event_type in {click, error, login, signup, view} minus the
+    conversion event 'purchase'. A schema change would fail the gate
+    loudly (unknown channel -> missing weight -> NULL -> hash miss)."""
+    chans = ["click", "error", "signup", "view"]
+    k = len(chans)
+    fact = [1] * (k + 1)
+    for i in range(2, k + 1):
+        fact[i] = fact[i - 1] * i
+    chan_vals = ", ".join(f"('{c}', {i})" for i, c in enumerate(chans))
+    weight_sql = " ".join(
+        f"WHEN {s} THEN {fact[s] * fact[k - s - 1]}" for s in range(k)
+    )
+    return f"""
+    WITH conv_users AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), chan AS (SELECT * FROM (VALUES {chan_vals}) t(channel, i)
+    ), um AS (
+      SELECT e.user_id,
+             CAST(bit_or(CAST(pow(2, c.i) AS BIGINT)) AS BIGINT) AS mask,
+             CAST(max(CASE WHEN e.user_id IN (SELECT user_id FROM conv_users)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events e JOIN chan c ON c.channel = e.event_type
+      WHERE e.event_type IS NOT NULL AND e.event_type != 'purchase'
+      GROUP BY e.user_id
+    ), vms AS (
+      SELECT mask, CAST({_fd_sql("sum(conv) * 1000000", "count(*)")} AS BIGINT) AS v
+      FROM um GROUP BY mask
+    ), masks AS (
+      SELECT CAST(s AS BIGINT) AS s FROM range(0, {2 ** k}) t(s)
+    ), pairs AS (
+      SELECT c.channel, mk.s, mk.s + CAST(pow(2, c.i) AS BIGINT) AS si,
+             CAST(CASE bit_count(mk.s) {weight_sql} END AS BIGINT) AS wt
+      FROM masks mk CROSS JOIN chan c
+      WHERE (mk.s // CAST(pow(2, c.i) AS BIGINT)) % 2 = 0
+    ), scaled AS (
+      SELECT p.channel,
+             CAST(sum(p.wt * (coalesce(v1.v, 0) - coalesce(v0.v, 0))) AS BIGINT)
+               AS shapley_scaled
+      FROM pairs p
+      LEFT JOIN vms v0 ON v0.mask = p.s
+      LEFT JOIN vms v1 ON v1.mask = p.si
+      GROUP BY p.channel
+    )
+    SELECT channel, shapley_scaled,
+           CAST({_fd_sql("shapley_scaled", str(fact[k]))} AS BIGINT) AS shapley_micro
+    FROM scaled
+    """
+
+
+@_register("q256_shapley_attribution", _q256_oracle())
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over the
+    non-purchase event channels (library: operators.attribution.
+    shapley_attribution) — the game-theoretic completion of the
+    rule-based attribution family (linear q142, position q168,
+    time-decay q215, Markov q249): credit = average marginal
+    contribution over all channel orderings, computed on EXPOSURE
+    COALITIONS (users collapse to a channel bitmask in one groupBy;
+    v(mask) = exact floor-div conversion micro-rate; unobserved
+    coalitions impute 0 — documented convention). All factorial
+    weights are exact integer literals, credits stay ·k! BIGINTs
+    until one final floor-div, and the 2^k·k subset enumeration
+    (k = 4 here, 64 rows) never touches the data — the k ≤ 12 raise
+    guards the exponential path."""
+    from owl_etl_spark.operators.attribution import shapley_attribution
+
+    e = _t(spark, sf_dir, "events")
+    conv_users = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    t2 = touches.join(
+        conv_users, touches["user_id"] == conv_users["cu"], "left"
+    ).select(
+        "user_id", "channel", F.col("cu").isNotNull().cast("long").alias("conv")
+    )
+    return shapley_attribution(t2, "user_id", "channel", "conv")
+
+
+@_register(
+    "q257_acctbal_woe_iv",
+    f"""
+    WITH d AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v, c_custkey AS ck,
+             CAST(CASE WHEN c_custkey IN (
+               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM customer
+    ), binned AS (
+      SELECT ntile(10) OVER (ORDER BY v ASC, ck ASC) AS bin, y FROM d
+    ), agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n - n_bad) AS BIGINT) AS G, CAST(sum(n_bad) AS BIGINT) AS B
+      FROM agg
+    )
+    SELECT bin, n, n_bad, CAST(n - n_bad AS BIGINT) AS good,
+           CASE WHEN n - n_bad > 0 AND n_bad > 0 THEN
+             CAST(round(ln(CAST((n - n_bad) * B AS DOUBLE)
+                  / CAST(n_bad * G AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS woe_micro,
+           CASE WHEN n - n_bad > 0 AND n_bad > 0 THEN
+             CAST(round(CAST(({_fd_sql("(n - n_bad) * 1000000", "G")})
+                  - ({_fd_sql("n_bad * 1000000", "B")}) AS DOUBLE)
+                  * (round(ln(CAST((n - n_bad) * B AS DOUBLE)
+                     / CAST(n_bad * G AS DOUBLE)) * 1e6))
+                  / 1000000.0) AS BIGINT)
+           END AS iv_term_micro
+    FROM agg, tot
+    ORDER BY bin
+    """,
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screen of customer
+    account balance against the "ever placed an URGENT order" target
+    (library: operators.encoding.woe_iv_report) — the classic
+    feature-screening report: ten exact equal-frequency balance bins
+    (ntile over a total order, deterministic and engine-identical),
+    per-bin WoE as micro-nats of an exact integer odds ratio (one
+    float ln rounded at 1e6, the q245 discipline), distribution
+    shares as exact floor-div micro units, and per-bin IV terms whose
+    sum is the feature's IV. Zero-good/zero-bad bins emit NULL rather
+    than a smoothed lie."""
+    from owl_etl_spark.operators.encoding import woe_iv_report
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("uk"))
+        .distinct()
+    )
+    d = c.join(urgent, c["c_custkey"] == urgent["uk"], "left").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_custkey").alias("ck"),
+        F.col("uk").isNotNull().cast("long").alias("is_urgent"),
+    )
+    return woe_iv_report(d, "bal_cents", "is_urgent", n_bins=10, tie_cols=["ck"])

@@ -315,3 +315,139 @@ def time_decay_attribution(
         F.col("__wr") <= F.col("__v") - F.col("__sfl"), 1
     ).otherwise(0)
     return _credit_rollup(d, key_col, credit)
+
+
+def shapley_attribution(
+    touches: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conv_col: str,
+    max_channels: int = 12,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution over EXPOSURE
+    COALITIONS — the game-theoretic completion of the rule-based
+    family (linear q142 / position q168 / time-decay q215 / Markov
+    q249): each channel's credit is its average marginal contribution
+    to conversion over all orderings of the channel set.
+
+    Characteristic function: users collapse to their exposure BITMASK
+    (one groupBy); v(mask) = fd(converters·1e6, users) for masks
+    actually observed, 0 for unobserved coalitions (the standard
+    zero-imputation convention for data-driven Shapley — documented,
+    not hidden). Credit for channel i (kept ·k! so everything is an
+    exact BIGINT — the factorial weights are integers by construction):
+
+        shapley_scaled(i) = Σ_{S ∌ i} |S|!·(k−|S|−1)!·(v(S∪i) − v(S))
+
+    and ``shapley_micro = fd(shapley_scaled, k!)`` divides once at the
+    end. Deterministic: channel indices are assigned by SORTED channel
+    name, all arithmetic integer.
+
+    Scale contract: the subset enumeration is 2^k·k rows with
+    k = |channels| — O(data) work is ONE user-mask aggregate and ONE
+    mask aggregate; the exponential part never touches data and is
+    refused loudly past ``max_channels`` (k=12 → 49k rows; Shapley
+    over more channels needs sampling, a different operator). Spark
+    and DuckDB both evaluate popcount via ``bit_count``."""
+    chans = [
+        r[0]
+        for r in touches.select(F.col(channel_col).cast("string"))
+        .filter(F.col(channel_col).isNotNull())
+        .distinct()
+        .collect()
+    ]
+    chans = sorted(chans)
+    k = len(chans)
+    if k == 0:
+        raise ValueError("shapley_attribution: no non-null channels")
+    if k > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {k} channels > max_channels={max_channels} "
+            "— exact Shapley is 2^k; sample channels or raise the guard "
+            "deliberately"
+        )
+    idx = F.create_map(
+        *[x for c, i in ((c, i) for i, c in enumerate(chans)) for x in (F.lit(c), F.lit(i))]
+    )
+    um = (
+        touches.filter(F.col(channel_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            idx[F.col(channel_col).cast("string")].cast("int").alias("__i"),
+            F.col(conv_col).cast("long").alias("__c"),
+        )
+        .select(
+            "__u",
+            F.expr("shiftleft(cast(1 as bigint), __i)").alias("__bit"),
+            "__c",
+        )
+        .groupBy("__u")
+        .agg(
+            F.bit_or("__bit").alias("__mask"),
+            F.max("__c").alias("__conv"),
+        )
+    )
+    vms = (
+        um.groupBy("__mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__conv").cast("long").alias("__k"),
+        )
+        .select(
+            "__mask",
+            F.expr(
+                "((__k * 1000000) - ((((__k * 1000000) % __n) + __n) % __n)) div __n"
+            ).cast("long").alias("__v"),
+        )
+    )
+    # factorial weights, driver-side exact ints
+    fact = [1] * (k + 1)
+    for i in range(2, k + 1):
+        fact[i] = fact[i - 1] * i
+    weight_sql = " ".join(
+        f"WHEN {s} THEN {fact[s] * fact[k - s - 1]}" for s in range(k)
+    )
+    spark = touches.sparkSession
+    masks = spark.range(0, 2**k).select(F.col("id").cast("long").alias("__s"))
+    chan_rows = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(chans)], "channel string, __i int"
+    )
+    pairs = (
+        masks.crossJoin(F.broadcast(chan_rows))
+        .filter(F.expr("(__s div CAST(pow(2, __i) AS BIGINT)) % 2 = 0"))
+        .select(
+            "channel",
+            "__i",
+            "__s",
+            F.expr("__s + shiftleft(cast(1 as bigint), __i)").alias("__si"),
+            F.expr(f"CASE bit_count(__s) {weight_sql} END").cast("long").alias("__wt"),
+        )
+    )
+    vs = vms.select(F.col("__mask").alias("__s"), F.col("__v").alias("__vs"))
+    vsi = vms.select(F.col("__mask").alias("__si"), F.col("__v").alias("__vsi"))
+    scaled = (
+        pairs.join(F.broadcast(vs), "__s", "left")
+        .join(F.broadcast(vsi), "__si", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("__wt")
+                * (F.coalesce(F.col("__vsi"), F.lit(0)) - F.coalesce(F.col("__vs"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("shapley_scaled")
+        )
+    )
+    kf = fact[k]
+    # shapley_scaled carries v's micro units times k! — one exact
+    # floor-div recovers micro credit (remainder < k! ≪ the 1e6-scale
+    # values, so resolution is preserved)
+    return scaled.select(
+        "channel",
+        "shapley_scaled",
+        F.expr(
+            f"(shapley_scaled - (((shapley_scaled % {kf}) + {kf}) % {kf})) div {kf}"
+        )
+        .cast("long")
+        .alias("shapley_micro"),
+    )

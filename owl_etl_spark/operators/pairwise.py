@@ -1,0 +1,161 @@
+"""Bradley-Terry strength ranking from pairwise outcomes — the batch
+preference-learning primitive (RLHF preference data, A/B taste tests,
+"which supplier ships faster" tournaments) fitted with the classic MM
+update, re-expressed in the engine's exact-integer discipline so a
+fixed-iteration run is oracle-replayable.
+
+Model: P(i beats j) = p_i / (p_i + p_j). MM iteration (Hunter 2004):
+
+    p_i' = W_i / Σ_{j≠i} n_ij_total / (p_i + p_j)
+
+with W_i = total wins of i, n_ij_total = games between i and j.
+Integer recurrence (strengths r in MICRO units, every division the
+exact-multiple floor-div, so DuckDB ``//`` replays Spark ``div``):
+
+    term_ij  = fd(n_ij_total · 1e9, max(r_i + r_j, 1))
+    denom_i  = fd(Σ_j term_ij, 1e3)            (≥ W_i/2 — see below)
+    p_raw_i  = fd(W_i · 1e9, max(denom_i, 1))
+    r_i'     = fd(p_raw_i · 1e6, max_i p_raw)  (pivot renorm, like HITS)
+
+Overflow headroom is ARGUED, not hoped: n_ij_total ≥ n_ij ≥ ... gives
+denom_i ≥ term_ii' ≥ W_i·500/1e3 after the 1e3 downshift, hence
+p_raw ≤ 2·10⁹ and p_raw·1e6 ≤ 2·10¹⁵ ≪ 2⁶³; the input guard
+W_i ≤ 10¹² keeps W·1e9 safe. Quantization: terms carry ≥ n·500
+quanta, so the integer iterate tracks the real MM trajectory to
+~0.2% per round — the CONTRACT is the integer recurrence itself
+(the q125 pagerank convention), which both engines replay bit-for-bit.
+
+Scale shape: games aggregate once to the PAIR list (one shuffle);
+every iteration is pairs⋈strengths (strengths are item-sized —
+broadcast) + an item-group aggregate + two 1-row broadcast scalars
+kept in-plan. Never a matrix, never the raw games after the first
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _fd(x: str, d: str) -> str:
+    """Exact-multiple floor division as SQL text: x minus its positive
+    mod is a multiple of d (> 0), so trunc-div == floor-div — Spark
+    ``div`` and DuckDB ``//`` agree bit-for-bit."""
+    return f"(({x}) - (((({x}) % ({d})) + ({d})) % ({d}))) div ({d})"
+
+
+def bradley_terry_strengths(
+    games: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iters: int = 5,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths from a (winner, loser) outcome
+    list; returns ``(item, wins, games, strength_micro)`` — strengths
+    pivot-normalized to max = 1e6, exact BIGINTs (see module
+    docstring for the integer MM recurrence and its replay contract).
+    Self-games raise; items appearing only as losers converge toward
+    0 (W_i = 0 forces p_raw = 0 — the MM fixed point for a winless
+    item under zero-smoothing, documented rather than smoothed)."""
+    w, l = F.col(winner_col).cast("string"), F.col(loser_col).cast("string")
+    g = games.select(w.alias("__w"), l.alias("__l")).withColumn(
+        "__w",
+        F.when(
+            F.col("__w") == F.col("__l"),
+            F.raise_error(F.lit("bradley_terry: self-game (winner == loser)")),
+        ).otherwise(F.col("__w")),
+    )
+    # one shuffle: unordered-pair game counts with per-direction wins
+    lo = F.least("__w", "__l")
+    hi = F.greatest("__w", "__l")
+    pairs = (
+        g.select(
+            lo.alias("__a"),
+            hi.alias("__b"),
+            (F.col("__w") == lo).cast("long").alias("__a_won"),
+        )
+        .groupBy("__a", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__a_won").cast("long").alias("__wa"),
+        )
+        .localCheckpoint()
+    )
+    items = (
+        pairs.select(F.col("__a").alias("item"), F.col("__wa").alias("__wins"), "__n")
+        .unionAll(
+            pairs.select(
+                F.col("__b").alias("item"),
+                (F.col("__n") - F.col("__wa")).alias("__wins"),
+                "__n",
+            )
+        )
+        .groupBy("item")
+        .agg(
+            F.sum("__wins").cast("long").alias("wins"),
+            F.sum("__n").cast("long").alias("games"),
+        )
+        # in-plan headroom guard: W·1e9 must stay inside BIGINT
+        .withColumn(
+            "wins",
+            F.when(
+                F.col("wins") > 10**12,
+                F.raise_error(
+                    F.lit(
+                        "bradley_terry: a win count exceeds 1e12 — the "
+                        "documented BIGINT headroom; pre-aggregate or "
+                        "shard the tournament"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("wins")),
+        )
+        .localCheckpoint()
+    )
+    # symmetric pair view for the per-item denominator join
+    sym = pairs.select("__a", "__b", "__n").unionAll(
+        pairs.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"), "__n")
+    ).localCheckpoint()
+    r = items.select("item", F.lit(MICRO).cast("long").alias("__r"))
+    for it in range(int(n_iters)):
+        ra = r.select(F.col("item").alias("__a"), F.col("__r").alias("__ra"))
+        rb = r.select(F.col("item").alias("__b"), F.col("__r").alias("__rb"))
+        denom = (
+            sym.join(F.broadcast(ra), "__a")
+            .join(F.broadcast(rb), "__b")
+            .select(
+                "__a",
+                F.expr(
+                    _fd("__n * 1000000000", "greatest(__ra + __rb, 1)")
+                ).alias("__t"),
+            )
+            .groupBy("__a")
+            .agg(F.sum("__t").cast("long").alias("__den"))
+            .select(
+                "__a",
+                F.expr(_fd("__den", "1000")).cast("long").alias("__dsmall"),
+            )
+        )
+        praw = (
+            items.join(denom, items["item"] == denom["__a"], "left")
+            .select(
+                "item",
+                F.expr(
+                    _fd("wins * 1000000000", "greatest(coalesce(__dsmall, 1), 1)")
+                )
+                .cast("long")
+                .alias("__p"),
+            )
+        )
+        pmax = praw.agg(F.greatest(F.max("__p"), F.lit(1)).alias("__pm"))
+        r = praw.crossJoin(F.broadcast(pmax)).select(
+            "item",
+            F.expr(_fd("__p * 1000000", "__pm")).cast("long").alias("__r"),
+        )
+        if (it + 1) % 2 == 0 and it + 1 < n_iters:
+            r = r.localCheckpoint(eager=False)
+    return items.join(r, "item").select(
+        "item", "wins", "games", F.col("__r").alias("strength_micro")
+    )
