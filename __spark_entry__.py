@@ -14042,3 +14042,159 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uk").isNotNull().cast("long").alias("is_urgent"),
     )
     return woe_iv_report(d, "bal_cents", "is_urgent", n_bins=10, tie_cols=["ck"])
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 4: vocabulary growth, Misra-Gries heavy hitters, IPS/SNIPS
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q258_vocabulary_growth",
+    """
+    WITH ranked AS MATERIALIZED (
+      SELECT doc_id, text, dense_rank() OVER (ORDER BY doc_id ASC) AS rk
+      FROM documents WHERE doc_id IS NOT NULL
+    ), nd AS (SELECT CAST(max(rk) AS BIGINT) AS n FROM ranked
+    ), ms AS MATERIALIZED (
+      SELECT CAST(mm AS BIGINT) AS milestone,
+             CAST(ceil(mm * n / 10.0) AS BIGINT) AS thr
+      FROM range(1, 11) t(mm), nd
+    ), tk AS MATERIALIZED (
+      SELECT rk, tok FROM (
+        SELECT rk, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM ranked
+      ) WHERE tok <> ''
+    ), first AS MATERIALIZED (
+      SELECT tok, CAST(min(rk) AS BIGINT) AS first_rk FROM tk GROUP BY tok
+    ), per_doc AS MATERIALIZED (
+      SELECT rk, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY rk
+    ), vocab AS (
+      SELECT milestone, CAST(count(*) AS BIGINT) AS vocab_cum
+      FROM first JOIN ms ON first_rk <= thr GROUP BY milestone
+    ), tokcum AS (
+      SELECT milestone, CAST(sum(cnt) AS BIGINT) AS tokens_cum
+      FROM per_doc JOIN ms ON rk <= thr GROUP BY milestone
+    )
+    SELECT ms.milestone, ms.thr AS docs_cum,
+           CAST(coalesce(tokens_cum, 0) AS BIGINT) AS tokens_cum,
+           CAST(coalesce(vocab_cum, 0) AS BIGINT) AS vocab_cum
+    FROM ms LEFT JOIN vocab ON vocab.milestone = ms.milestone
+            LEFT JOIN tokcum ON tokcum.milestone = ms.milestone
+    ORDER BY ms.milestone
+    """,
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve at ten document milestones
+    (library: operators.corpusstats.vocabulary_growth) — the corpus
+    health readout curation teams plot per source: a flattening curve
+    means new documents add no new vocabulary (stale crawl / failed
+    dedup), a steep one means the corpus is unsaturated. The naive
+    count-distinct-per-prefix is O(milestones) corpus scans; this
+    reduces to FIRST OCCURRENCE — one explode + one min-aggregate per
+    token — and the ≤-milestone rollups join the tiny 10-row milestone
+    broadcast against the aggregated spines, never raw instances.
+    Exact BIGINTs throughout."""
+    from owl_etl_spark.operators.corpusstats import vocabulary_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_growth(d, "doc_id", "text", n_milestones=10)
+
+
+@_register(
+    "q259_token_heavy_hitters",
+    """
+    WITH tk AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), cnt AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+    SELECT tok AS item, c AS counter, n, CAST(0 AS BIGINT) AS dec,
+           TRUE AS within_bound, TRUE AS no_missed_heavy
+    FROM cnt, tot ORDER BY c DESC, tok ASC LIMIT 20
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter report over document tokens (library:
+    operators.sketches.misra_gries_report) — the deterministic
+    mergeable frequency summary beside the CMS (q113) and KLL (q251):
+    one k-counter fold per partition (mapInPandas, the declared
+    sketch boundary), a driver merge of partition summaries, and a
+    SELF-CERTIFYING error scalar ``dec`` (every decrement run
+    subtracts one unit from all counters at once, so
+    counter ≤ true ≤ counter + dec — the MG lemma, carried as data).
+    GATE REGIME: the synthetic corpus has < k distinct tokens, so the
+    summary is provably EXACT here (dec = 0 on any partitioning) and
+    the oracle hashes real items + counts + the contract booleans;
+    the approximate dec > 0 regime — where item sets become
+    partitioning-dependent and only the bounds are stable — is pinned
+    by adversarial unit tests (tests/test_round7_wave4_ops.py)."""
+    from owl_etl_spark.operators.sketches import misra_gries_report
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return misra_gries_report(toks, "tok", k=64, top=20)
+
+
+@_register(
+    "q260_offline_policy_value",
+    """
+    WITH d AS (
+      SELECT CAST(user_id % 10 AS VARCHAR) AS x, event_type AS a,
+             CAST(round(value * 100) AS BIGINT) AS r
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+    ), ga AS MATERIALIZED (
+      SELECT x, a, CAST(count(*) AS BIGINT) AS nax, CAST(sum(r) AS BIGINT) AS rsum
+      FROM d GROUP BY x, a
+    ), g AS MATERIALIZED (
+      SELECT *, CAST(sum(nax) OVER (PARTITION BY x) AS BIGINT) AS nx FROM ga
+    ), tot AS (
+      SELECT CAST(sum(nax) AS BIGINT) AS N,
+             CAST(count(DISTINCT x) AS BIGINT) AS CX FROM g
+    ), pa AS (
+      SELECT a, CAST(sum(nax) AS BIGINT) AS n_matched,
+             CAST(count(*) AS BIGINT) AS contexts_covered,
+             CAST(sum(CAST((rsum * nx - ((((rsum * nx) % nax) + nax) % nax)) // nax
+                  AS BIGINT)) AS BIGINT) AS num,
+             CAST(sum(nx) AS BIGINT) AS covmass
+      FROM g GROUP BY a
+    )
+    SELECT a AS action, N AS n, n_matched, contexts_covered, CX AS contexts_total,
+           CAST((num * 1000000 - ((((num * 1000000) % N) + N) % N)) // N
+                AS BIGINT) AS ips_micro,
+           CAST((num * 1000000 - ((((num * 1000000) % covmass) + covmass) % covmass))
+                // covmass AS BIGINT) AS snips_micro
+    FROM pa, tot
+    ORDER BY action
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation: IPS and SNIPS value of every
+    fixed-action policy over user-segment contexts (library:
+    operators.policy_eval.ips_policy_value) — the counterfactual
+    scorecard run before any online test. Propensities are the
+    empirical plug-in p̂(a|x) = n_ax/n_x; per (context, action) group
+    the numerator contribution is ONE exact-multiple floor division
+    fd(r_sum·n_x, n_ax) (never per-row), and the matched Σ1/p̂
+    telescopes to Σ n_x exactly, so IPS vs SNIPS differ precisely
+    through context COVERAGE — exposed in the output columns rather
+    than buried. One groupBy carries everything; exact BIGINTs."""
+    from owl_etl_spark.operators.policy_eval import ips_policy_value
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("string").alias("segment"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ips_policy_value(d, "segment", "action", "cents")

@@ -242,3 +242,170 @@ def cms_inner_product(
         F.coalesce(F.col("__dot"), F.lit(0)).alias("__dot")
     )
     return dense.agg(F.min("__dot").cast("long").alias("est_join_size"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — deterministic, mergeable, self-certifying
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Classic k-counter frequency summary. Invariant carried as data:
+    for every item c, ``counter[c] <= true[c] <= counter[c] + dec``
+    where ``dec`` is the TOTAL decrement applied so far (each
+    decrement step subtracts 1 from all k+1 involved items at once,
+    so a single scalar certifies every counter — the Misra-Gries
+    lemma; dec <= n/(k+1)). Items absent from the summary have
+    ``true <= dec``. Merging (Agarwal et al., Mergeable Summaries):
+    add counter maps, then subtract the (k+1)-th largest count from
+    all and drop non-positives — the certified ``dec`` values ADD
+    plus the merge's own subtraction."""
+
+    def __init__(self, k: int = 64):
+        if k < 1:
+            raise ValueError(f"MisraGries: k must be >= 1, got {k}")
+        self.k = int(k)
+        self.counts: dict = {}
+        self.n = 0
+        self.dec = 0
+
+    def update_many(self, values) -> None:
+        c = self.counts
+        k = self.k
+        for v in values:
+            self.n += 1
+            if v in c:
+                c[v] += 1
+            elif len(c) < k:
+                c[v] = 1
+            else:
+                # decrement-all step: one unit off every counter AND
+                # the incoming item (which never materializes)
+                self.dec += 1
+                dead = []
+                for key in c:
+                    c[key] -= 1
+                    if c[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del c[key]
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError(f"MisraGries merge: k mismatch {self.k} vs {other.k}")
+        for v, cnt in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + cnt
+        self.n += other.n
+        self.dec += other.dec
+        if len(self.counts) > self.k:
+            # subtract the (k+1)-th largest; survivors stay certified
+            # because the subtraction adds to dec like a decrement run
+            kth = sorted(self.counts.values(), reverse=True)[self.k]
+            self.dec += kth
+            self.counts = {
+                v: c - kth for v, c in self.counts.items() if c - kth > 0
+            }
+        return self
+
+
+def misra_gries_partition_sketches(
+    df: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """One Misra-Gries summary row per partition (``mapInPandas`` —
+    the declared sketch boundary, rows never shuffle): ``(n, dec,
+    k, items, counts)``. NULLs are skipped."""
+    import pandas as pd
+
+    kk = int(k)
+
+    def build(batches):
+        sk = MisraGries(kk)
+        for pdf in batches:
+            col = pdf[value_col]
+            sk.update_many(col[col.notna()].astype(str).tolist())
+        if sk.n == 0:
+            return
+        items = sorted(sk.counts)
+        yield pd.DataFrame(
+            {
+                "n": [sk.n],
+                "dec": [sk.dec],
+                "k": [sk.k],
+                "items": [items],
+                "counts": [[sk.counts[i] for i in items]],
+            }
+        )
+
+    return df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
+        build, "n bigint, dec bigint, k bigint, items array<string>, counts array<bigint>"
+    )
+
+
+def misra_gries_merge_rows(rows) -> MisraGries:
+    """Driver-side merge of collected summary rows (partition-count
+    rows, KBs each). Rows merge in sorted order so the result is
+    independent of collect order."""
+    rows = sorted(rows, key=lambda r: (r["n"], r["items"]))
+    if not rows:
+        raise ValueError("misra_gries_merge_rows: no sketches to merge")
+    out = None
+    for r in rows:
+        sk = MisraGries(int(r["k"]))
+        sk.n = int(r["n"])
+        sk.dec = int(r["dec"])
+        sk.counts = dict(zip(list(r["items"]), [int(c) for c in r["counts"]]))
+        out = sk if out is None else out.merge(sk)
+    return out
+
+
+def misra_gries_report(
+    df: DataFrame, value_col: str, k: int = 64, top: int = 20
+) -> DataFrame:
+    """Self-certifying heavy-hitter report: build per-partition MG
+    summaries, merge on the driver, then verify the two Misra-Gries
+    guarantees against ONE exact aggregate (gate-scale verification —
+    at 100 TB the sketch runs alone): per reported item,
+    ``counter <= true <= counter + dec`` (within_bound), and no item
+    the summary missed has true count > dec (no_missed_heavy, same
+    value on every row — a global contract). Output one row per
+    reported item, top ``top`` by counter then value:
+    ``(item, counter, n, dec, within_bound, no_missed_heavy)`` — the
+    q53/q251 boolean-contract gate shape."""
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    sk = misra_gries_merge_rows(
+        misra_gries_partition_sketches(vals, "v", k=k).collect()
+    )
+    cand = sorted(sk.counts.items(), key=lambda kv: (-kv[1], kv[0]))[: int(top)]
+    cand_df = spark.createDataFrame(
+        [(v, int(c)) for v, c in cand], "item string, counter long"
+    )
+    # the missed-heavy check runs against the WHOLE summary: items the
+    # summary tracks but top-N truncated are not "missed"
+    all_df = spark.createDataFrame(
+        [(v,) for v in sorted(sk.counts)], "tracked string"
+    )
+    exact = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("__true"))
+    missed = (
+        exact.join(F.broadcast(all_df), exact["v"] == all_df["tracked"], "left_anti")
+        .agg(F.coalesce(F.max("__true"), F.lit(0)).alias("__maxmiss"))
+    )
+    n, dec = sk.n, sk.dec
+    return (
+        exact.join(F.broadcast(cand_df), exact["v"] == cand_df["item"])
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "item",
+            "counter",
+            F.lit(n).cast("long").alias("n"),
+            F.lit(dec).cast("long").alias("dec"),
+            (
+                (F.col("counter") <= F.col("__true"))
+                & (F.col("__true") <= F.col("counter") + F.lit(dec))
+            ).alias("within_bound"),
+            (F.col("__maxmiss") <= F.lit(dec)).alias("no_missed_heavy"),
+        )
+        .orderBy(F.col("counter").desc(), F.col("item").asc())
+    )
