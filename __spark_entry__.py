@@ -14198,3 +14198,173 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return ips_policy_value(d, "segment", "action", "cents")
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 5: conformal calibration, FD profiling, Zipf slope
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q261_conformal_calibration",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS y,
+             event_id AS k,
+             (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2 = 0) AS cal
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ), calr AS MATERIALIZED (
+      SELECT g, y, k,
+             row_number() OVER (PARTITION BY g ORDER BY y ASC, k ASC) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM d WHERE cal
+    ), med AS MATERIALIZED (
+      SELECT g, y AS median FROM calr WHERE rn = (n + 1) // 2
+    ), scored AS MATERIALIZED (
+      SELECT c.g, abs(c.y - md.median) AS s, c.k
+      FROM (SELECT g, y, k FROM d WHERE cal) c JOIN med md ON md.g = c.g
+    ), qh AS MATERIALIZED (
+      SELECT g, s AS qhat, nc AS n_cal FROM (
+        SELECT g, s,
+               row_number() OVER (PARTITION BY g ORDER BY s ASC, k ASC) AS rn,
+               count(*) OVER (PARTITION BY g) AS nc
+        FROM scored
+      ) WHERE rn = least(nc, ((nc + 1) * 9000 + 9999) // 10000)
+    )
+    SELECT t.g AS "group", CAST(qh.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           md.median, qh.qhat,
+           CAST(sum(CASE WHEN abs(t.y - md.median) <= qh.qhat
+                    THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST((sum(CASE WHEN abs(t.y - md.median) <= qh.qhat THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS coverage_micro
+    FROM (SELECT g, y FROM d WHERE NOT cal) t
+    JOIN med md ON md.g = t.g
+    JOIN qh ON qh.g = t.g
+    GROUP BY t.g, qh.n_cal, md.median, qh.qhat
+    ORDER BY t.g
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration per event type (library:
+    operators.conformal.conformal_calibration_report) — the
+    distribution-free interval step after q179's calibration bins and
+    q228's isotonic fit: a deterministic md5 split carves calibration
+    from test, the per-group integer median is the (simple, honest)
+    point predictor, the conformal radius is the finite-sample
+    ⌈(n+1)(1−α)⌉-th order statistic of |y − ŷ| (INTEGER rank
+    arithmetic — float-division-then-cast truncates in Spark but
+    rounds-half-even in DuckDB, found while gating this), and the
+    report shows the held-out empirical coverage of ŷ ± q̂. All exact
+    BIGINTs; the ≥ 1−α coverage THEOREM is pinned statistically in
+    unit tests, the gate hashes the exact per-group numbers."""
+    from owl_etl_spark.operators.conformal import conformal_calibration_report
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return conformal_calibration_report(
+        d, "event_type", "cents", "event_id", alpha_bp=1000
+    )
+
+
+_Q262_PAIRS = [
+    ("l_orderkey", "l_suppkey"),
+    ("l_partkey", "l_suppkey"),
+    ("l_suppkey", "l_returnflag"),
+    ("l_orderkey", "l_returnflag"),
+]
+
+
+def _q262_pair_sql(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS determinant, '{b}' AS dependent,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000)
+                  // count(*) AS BIGINT) AS violation_micro,
+             CAST(max(nd) AS BIGINT) AS max_distinct
+      FROM (SELECT {a}, CAST(count(DISTINCT {b}) AS BIGINT) AS nd
+            FROM lineitem WHERE {a} IS NOT NULL GROUP BY {a})"""
+
+
+@_register(
+    "q262_fd_violations",
+    " UNION ALL ".join(_q262_pair_sql(a, b) for a, b in _Q262_PAIRS),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation screen over candidate lineitem
+    dependencies (library: operators.profile.fd_violation_report) —
+    the q95 table-profile's sibling for RELATIONSHIPS between columns:
+    for each candidate A → B, the exact fraction of A-groups mapping
+    to more than one B and the worst fan-out. An FD that almost holds
+    is the classic quality smell (stale dimension row, reused key).
+    One two-column groupBy per pair, column-pruned at the scan; full
+    FD discovery is exponential and deliberately out of scope."""
+    from owl_etl_spark.operators.profile import fd_violation_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fd_violation_report(li, _Q262_PAIRS)
+
+
+@_register(
+    "q263_zipf_slope",
+    """
+    WITH tk AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), cnt AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab FROM cnt
+    ), ranked AS MATERIALIZED (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1e3) AS BIGINT) AS y
+      FROM (SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM cnt)
+      WHERE r <= 1000
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ranked
+    )
+    SELECT n_tokens, vocab, n AS fitted,
+           CASE WHEN n * sxx - sx * sx != 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope,
+           CASE WHEN n > 0 THEN
+             CAST((sy - CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) AS BIGINT)) // n
+                  AS BIGINT)
+           END AS intercept_mnat
+    FROM tot, sums
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the document corpus (library:
+    operators.corpusstats.zipf_slope) — q258's companion corpus-health
+    readout: natural text sits near slope −1; flat means a shattering
+    tokenizer or templated text, steep means boilerplate domination.
+    Log coordinates are MILLI-nats by design (the OLS cross-terms
+    square the sums — at milli scale they stay ≤ ~4·10¹⁴ for any
+    top_vocab ≤ 10⁶, a BIGINT bound argued in the docstring), the
+    slope divides two exact BIGINTs once. One corpus aggregate + one
+    vocab-sized rank window + one scalar row."""
+    from owl_etl_spark.operators.corpusstats import zipf_slope
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_slope(d, "text", top_vocab=1000)

@@ -433,3 +433,60 @@ def mutual_information_report(
     else:
         agg = agg.crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(ny))
     return agg.select(*keys, "n", "n_x", "n_y", "mi_micro_nats")
+
+
+def fd_violation_report(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency screen for the profiling family (q95
+    table_profile's sibling): for each candidate dependency A → B,
+    how badly the data violates it — ``(determinant, dependent,
+    n_groups, violating_groups, violation_micro, max_distinct)``.
+
+    A group (one value of A) violates A → B when it maps to more than
+    one distinct B. ``violation_micro`` is the exact floor-div micro
+    fraction of violating groups; ``max_distinct`` the worst fan-out.
+    An FD that "almost holds" (violation_micro small but nonzero) is
+    the classic data-quality smell: a stale dimension row, a key
+    reused across systems.
+
+    Plan: one groupBy PER PAIR on the determinant (each a single
+    shuffle of two columns, column-pruned at the scan); the per-pair
+    results union into one small report. Pairs are caller-chosen —
+    full FD DISCOVERY is exponential and belongs to a sampler, not a
+    gate query (documented)."""
+    if not pairs:
+        raise ValueError("fd_violation_report: no column pairs given")
+    outs = []
+    for a, b in pairs:
+        g = (
+            df.select(F.col(a).alias("__a"), F.col(b).alias("__b"))
+            .filter(F.col("__a").isNotNull())
+            .groupBy("__a")
+            .agg(F.count_distinct("__b").cast("long").alias("__nd"))
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("__nd") > 1).cast("long")).cast("long").alias(
+                    "violating_groups"
+                ),
+                F.max("__nd").cast("long").alias("max_distinct"),
+            ).select(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                "n_groups",
+                "violating_groups",
+                F.expr(
+                    "(violating_groups * 1000000 - ((((violating_groups * 1000000)"
+                    " % n_groups) + n_groups) % n_groups)) div n_groups"
+                )
+                .cast("long")
+                .alias("violation_micro"),
+                "max_distinct",
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, outs)
