@@ -14368,3 +14368,193 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return zipf_slope(d, "text", top_vocab=1000)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 6: negative sampling, harmonic centrality, streaming near-dup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q264_negative_samples",
+    """
+    WITH pos AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, CAST(p_brand AS VARCHAR) AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN part ON l_partkey = p_partkey
+      WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL
+    ), items AS MATERIALIZED (
+      SELECT i, CAST(row_number() OVER (ORDER BY i ASC) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT i FROM pos)
+    ), ni AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items
+    ), cands AS MATERIALIZED (
+      SELECT u.u, CAST(t AS BIGINT) AS attempt,
+             CAST(('0x' || substring(md5(u.u || '#neg#' || CAST(t AS VARCHAR)), 1, 15))
+                  AS BIGINT) % (SELECT n FROM ni) AS idx
+      FROM (SELECT DISTINCT u FROM pos) u, range(0, 12) r(t)
+    ), joined AS MATERIALIZED (
+      SELECT c.u, it.i, c.attempt
+      FROM cands c JOIN items it ON it.idx = c.idx
+      WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = c.u AND p.i = it.i)
+    ), surv AS MATERIALIZED (
+      SELECT u, i, CAST(min(attempt) AS BIGINT) AS attempt
+      FROM joined GROUP BY u, i
+    )
+    SELECT u AS user, i AS item, attempt,
+           CAST(rk AS BIGINT) AS neg_rank
+    FROM (SELECT u, i, attempt,
+                 row_number() OVER (PARTITION BY u ORDER BY attempt ASC, i ASC) AS rk
+          FROM surv)
+    WHERE rk <= 3
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-drawn negative samples for contrastive
+    training (library: operators.negatives.negative_samples): for each
+    customer, three part-brands they never purchased — drawn by
+    rejection sampling where every draw is an md5 of (user, attempt),
+    so the sample is a pure function of the data (stable under
+    repartitioning, retries, engines — no RNG state anywhere) and the
+    whole pipeline replays in SQL. Fixed attempt budget (4·m) keeps
+    the operator a bounded constant-fan-out map; users whose positives
+    nearly cover the catalog may get fewer than m, by contract. One
+    anti-join shuffle + one user window; the item dictionary is a
+    broadcast dim."""
+    from owl_etl_spark.operators.negatives import negative_samples
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pos = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("o_custkey").alias("user"), F.col("p_brand").alias("brand"))
+    )
+    return negative_samples(pos, "user", "brand", m=3, attempts_per_negative=4)
+
+
+@_register(
+    "q265_trade_harmonic_centrality",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), dist AS MATERIALIZED (
+      WITH RECURSIVE walk(src, node, h) AS (
+        SELECT n_nationkey, n_nationkey, 0 FROM nation
+        UNION
+        SELECT w.src, e.dst, w.h + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.h < 6
+      )
+      SELECT src, node, CAST(min(h) AS BIGINT) AS d
+      FROM walk GROUP BY src, node
+    )
+    SELECT n.n_nationkey AS nationkey,
+           CAST(coalesce(r.n_reached, 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(r.hm, 0) AS BIGINT) AS harmonic_micro
+    FROM nation n LEFT JOIN (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum((1000000 - (((1000000 % d) + d) % d)) // d) AS BIGINT) AS hm
+      FROM dist WHERE d > 0 GROUP BY src
+    ) r ON r.src = n.n_nationkey
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the nation trade graph (library:
+    operators.graph.harmonic_centrality) — the closeness-family
+    centrality beside pagerank/HITS/k-core: Σ 1/d(u,v) over hop
+    distances, with unreachable pairs contributing 0 (why harmonic
+    beats classic closeness on disconnected graphs). All-sources BFS
+    in one distance table — per hop ONE frontier⋈edges join + a
+    min-merge, the q171 reach shape lifted to every source at once —
+    with the honest Θ(V²) bound enforced by a raise for uncontracted
+    graphs. Distances exact ints, scores exact-multiple floor-div
+    micro units; oracle replays with a bounded recursive CTE."""
+    from owl_etl_spark.operators.graph import harmonic_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    return harmonic_centrality(edges, nodes, "node", "src", "dst", max_hops=6).select(
+        F.col("node").alias("nationkey"), "n_reached", "harmonic_micro"
+    )
+
+
+_Q266_RUNS = [0]
+
+
+@_register(
+    "q266_streaming_near_dup_bands",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t, {_NORM_DUCK} AS norm FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [norm]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+               AS shingle
+        FROM toks)
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_MINHASH_P} AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {_Q34_MINS}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_Q34_BANDS}
+    )
+    SELECT CAST(band AS INT) AS band, sig,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM banded GROUP BY band, sig
+    """,
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate cluster monitor — the tenth streaming
+    family (library: streaming.dedup_stream.
+    streaming_near_dup_band_counts): documents stream through the
+    map-only intra-row MinHash (md5-portable signatures, the q34
+    family), explode into 8 (band, band-signature) keys, and a
+    streaming aggregate maintains live cluster sizes — the alert shape
+    that catches a template flood AS IT ARRIVES instead of at the
+    nightly batch dedup. The deterministic cluster representative is
+    min(doc_id) (a dropDuplicates "first seen" would be
+    partition-order dependent and ungateable). Bounded availableNow
+    run → final state equals the batch GROUP BY, so the exact q34
+    oracle machinery replays it in SQL."""
+    from owl_etl_spark.streaming.dedup_stream import streaming_near_dup_band_counts
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = streaming_near_dup_band_counts(src, "doc_id", "text", num_hashes=16, bands=8)
+    _Q266_RUNS[0] += 1
+    name = f"q266_sink_{_Q266_RUNS[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 #: rank unit: 1.0 == 1_000_000 micro-units
 MICRO = 1_000_000
 
+#: harmonic_centrality refuses graphs whose exact all-pairs distance
+#: table (V² rows) would not be a sane DataFrame — contract first.
+_HARMONIC_MAX_NODES = 100_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -652,4 +656,85 @@ def modularity_report(
         "deg_sum",
         q_num.alias("q_num"),
         F.round(q_num.cast("double") / denom, 6).alias("q_contrib"),
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Harmonic centrality Σ_{v≠u} 1/d(u,v) over unweighted directed
+    hop distances — the closeness-family member beside the spectral
+    (pagerank/HITS) and local (k-core/triangles) centralities already
+    here. Harmonic (not classic closeness) because it handles
+    disconnected graphs gracefully: unreachable pairs contribute 0
+    instead of poisoning the mean.
+
+    Exact all-pairs distances are Θ(V²) INFORMATION — no algorithm
+    beats that bound — so this operator is for CONTRACTED graphs
+    (nation-level trade, host-level link graphs after the usual
+    host collapse), where V² state is a few million rows; it raises
+    past ``_HARMONIC_MAX_NODES`` rather than quietly attempting a
+    billion² table. Per hop: ONE frontier⋈edges join + a min-merge
+    aggregate over the (src, node) distance table, lazily
+    checkpointed — the q171 BFS shape lifted to ALL sources at once.
+    Distances are exact ints; the final score is
+    ``harmonic_micro = Σ fd(1e6, d)`` (exact-multiple floor-div), so
+    the oracle replays it with a bounded recursive CTE.
+    """
+    n_nodes = nodes.count()
+    if n_nodes > _HARMONIC_MAX_NODES:
+        raise ValueError(
+            f"harmonic_centrality: {n_nodes} nodes > "
+            f"{_HARMONIC_MAX_NODES} — exact all-pairs is V² state; "
+            "contract the graph first (host/nation rollup)"
+        )
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.select(
+        F.col(node_col).alias("__src"),
+        F.col(node_col).alias("__n"),
+        F.lit(0).cast("int").alias("__h"),
+    ).localCheckpoint()
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["__n"] == e["__s"])
+            .select("__src", F.col("__d").alias("__n"), F.lit(h).cast("int").alias("__h"))
+            .distinct()
+            .join(dist.select("__src", "__n"), ["__src", "__n"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    reached = dist.filter(F.col("__h") > 0)
+    scores = reached.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(
+            F.expr("(1000000 - (((1000000 % __h) + __h) % __h)) div __h")
+        )
+        .cast("long")
+        .alias("harmonic_micro"),
+    )
+    return (
+        nodes.select(F.col(node_col).alias("__src"))
+        .join(scores, "__src", "left")
+        .select(
+            F.col("__src").alias(node_col),
+            F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce(F.col("harmonic_micro"), F.lit(0))
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
     )

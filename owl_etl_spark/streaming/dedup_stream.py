@@ -255,3 +255,53 @@ def streaming_exact_dedup(
     exactly-once rows.
     """
     return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_near_dup_band_counts(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming NEAR-duplicate signature monitor — the continuous
+    form of the MinHash-LSH banding family (q34/q98): as documents
+    stream in, each row computes its md5-portable MinHash signature
+    INTRA-ROW (the map-only ``with_minhash`` form — no explode/groupBy
+    signature stage, because a streaming source can't re-shuffle per
+    row the way the batch fast-path does), explodes into ``bands``
+    (band, band-signature) keys, and a streaming aggregate maintains
+    per-signature cluster sizes. A bucket whose count grows past 1 is
+    a LIVE near-duplicate cluster — the alert a crawl pipeline wants
+    the moment a template flood starts, rather than at the nightly
+    batch dedup.
+
+    Output (complete mode): ``(band, sig, n_docs, min_doc_id)`` — the
+    minimum member id is the deterministic cluster representative
+    (dropDuplicates-style "first seen" would be partition-order
+    dependent and ungateable). With a bounded availableNow run the
+    final state equals the batch GROUP BY, so the q34 oracle machinery
+    replays it exactly in SQL. State is one row per (band, distinct
+    band-signature) — bounded by corpus vocabulary of signatures, the
+    same cardinality the batch LSH join would shuffle."""
+    from owl_etl_spark.operators.dedup import with_minhash
+
+    rows_per_band = int(num_hashes) // int(bands)
+    sig = with_minhash(stream.select(id_col, text_col), text_col, num_hashes)
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        "minhash",
+        F.explode(F.expr(f"sequence(0, {int(bands) - 1})")).alias("band"),
+    ).select(
+        "__id",
+        "band",
+        F.expr(
+            "array_join(transform("
+            f"slice(minhash, band * {rows_per_band} + 1, {rows_per_band}), "
+            "h -> cast(h as string)), '_')"
+        ).alias("sig"),
+    )
+    return banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("__id").cast("long").alias("min_doc_id"),
+    )
