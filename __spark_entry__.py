@@ -14558,3 +14558,218 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 7: Wasserstein drift, Poisson bootstrap, stratified ATE
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q267_value_wasserstein",
+    f"""
+    WITH d AS (
+      SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), hist AS MATERIALIZED (
+      SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY k, v
+    ), tot AS MATERIALIZED (
+      SELECT k, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY k
+    ), pairs AS MATERIALIZED (
+      SELECT a.k AS key_a, b.k AS key_b, a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.k < b.k
+    ), sup AS MATERIALIZED (
+      SELECT key_a, key_b, n_a, n_b, v,
+             CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+      FROM (
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, h.v, h.c AS ca, 0 AS cb
+        FROM pairs p JOIN hist h ON h.k = p.key_a
+        UNION ALL
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, h.v, 0, h.c
+        FROM pairs p JOIN hist h ON h.k = p.key_b
+      ) GROUP BY key_a, key_b, n_a, n_b, v
+    ), stepped AS MATERIALIZED (
+      SELECT key_a, key_b, n_a, n_b, v,
+             CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+             lead(v) OVER w AS nextv
+      FROM sup
+      WINDOW w AS (PARTITION BY key_a, key_b ORDER BY v ASC)
+    ), area AS (
+      SELECT key_a, key_b, n_a, n_b,
+             CAST(sum(abs(cuma * n_b - cumb * n_a) * (nextv - v)) AS BIGINT) AS ar
+      FROM stepped WHERE nextv IS NOT NULL
+      GROUP BY key_a, key_b, n_a, n_b
+    )
+    SELECT key_a, key_b, n_a, n_b,
+           CAST({_fd_sql("ar * 1000000", "n_a * n_b")} AS BIGINT) AS w1_micro
+    FROM area ORDER BY key_a, key_b
+    """,
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein distance between every pair of event
+    types' value distributions (library: operators.wasserstein.
+    wasserstein_1d_pairs) — the drift metric that completes the PSI /
+    KS / chi-square family: W₁ integrates the WHOLE CDF gap in value
+    units ("average cents of mass movement"), so it ranks drifts by
+    economic size instead of bin luck or a single worst point. The
+    1-D closed form needs no OT solver: merged support, running
+    integer counts, per-gap |cumA·nB − cumB·nA|·width — all BIGINTs
+    with ONE floor division at the end, the nA·nB·range headroom
+    raise-guarded. One histogram aggregate per side; pair work is
+    support-sized."""
+    from owl_etl_spark.operators.wasserstein import wasserstein_1d_pairs
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return wasserstein_1d_pairs(d, "event_type", "cents")
+
+
+def _q268_oracle() -> str:
+    from owl_etl_spark.operators.bootstrap import _mult_expr
+
+    B, alpha_bp = 32, 1000
+    lo_rank = max(1, (B * alpha_bp) // (2 * 10_000))
+    hi_rank = B + 1 - lo_rank
+    ub = (
+        "CAST(('0x' || substring(md5(k || '#boot#' || CAST(t AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    mult_sql = _mult_expr(ub)
+    fd = _fd_sql
+    return f"""
+    WITH d AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(event_id AS VARCHAR) AS k
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ), base AS MATERIALIZED (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+      FROM d GROUP BY g
+    ), reps AS MATERIALIZED (
+      SELECT g, b,
+             CAST({fd("sum(m * v) * 1000000", "greatest(sum(m), 1)")} AS BIGINT) AS mean
+      FROM (
+        SELECT g, v, CAST(t AS BIGINT) AS b, ({mult_sql}) AS m
+        FROM d, range(0, {B}) r(t)
+      ) GROUP BY g, b
+    ), ranked AS MATERIALIZED (
+      SELECT g, mean,
+             row_number() OVER (PARTITION BY g ORDER BY mean ASC, b ASC) AS rn
+      FROM reps
+    )
+    SELECT base.g AS "group", base.n,
+           CAST({fd("base.sv * 1000000", "base.n")} AS BIGINT) AS mean_micro,
+           lo.mean AS ci_lo_micro, hi.mean AS ci_hi_micro,
+           CAST({B} AS BIGINT) AS replicates
+    FROM base
+    JOIN (SELECT g, mean FROM ranked WHERE rn = {lo_rank}) lo ON lo.g = base.g
+    JOIN (SELECT g, mean FROM ranked WHERE rn = {hi_rank}) hi ON hi.g = base.g
+    ORDER BY base.g
+    """
+
+
+@_register("q268_bootstrap_ci", _q268_oracle())
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% confidence intervals for each event
+    type's mean value (library: operators.bootstrap.
+    poisson_bootstrap_ci) — the cluster-honest bootstrap: classic
+    resampling is a global draw, the Poisson bootstrap is a pure MAP
+    (each row gets an independent Poisson(1) multiplicity per
+    replicate). Here the multiplicity is the Poisson inverse CDF
+    evaluated at an md5 60-bit uniform against BAKED integer
+    thresholds — zero floats in the data path, zero RNG state, the
+    identical draw on every engine — so 32 replicate means and their
+    order-statistic CI bounds hash-match the oracle exactly. Explode
+    ×32 is map-side; one (group, replicate) aggregate; integer rank
+    selection (the q261 lesson)."""
+    from owl_etl_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return poisson_bootstrap_ci(
+        d, "event_type", "cents", "event_id", n_replicates=32, alpha_bp=1000
+    )
+
+
+@_register(
+    "q269_stratified_ate",
+    f"""
+    WITH d AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS s,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+             sp.y
+      FROM customer c JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+      ) sp ON sp.o_custkey = c.c_custkey
+    ), g AS MATERIALIZED (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      FROM d GROUP BY s, t
+    ), arms AS MATERIALIZED (
+      SELECT s, t, n, CAST({_fd_sql("sy * 1000000", "n")} AS BIGINT) AS mean FROM g
+    ), strata AS MATERIALIZED (
+      SELECT coalesce(ta.s, ca.s) AS s, ta.n AS n_t, ca.n AS n_c,
+             ta.mean AS mt, ca.mean AS mc
+      FROM (SELECT * FROM arms WHERE t = 1) ta
+      FULL JOIN (SELECT * FROM arms WHERE t = 0) ca ON ca.s = ta.s
+    ), n2 AS (
+      SELECT CAST(coalesce(sum(n_t + n_c), 0) AS BIGINT) AS N2
+      FROM strata WHERE n_t IS NOT NULL AND n_c IS NOT NULL
+    )
+    SELECT s AS stratum,
+           CAST(coalesce(n_t, 0) AS BIGINT) AS n_t,
+           CAST(coalesce(n_c, 0) AS BIGINT) AS n_c,
+           mt AS mean_t_micro, mc AS mean_c_micro,
+           CAST(mt - mc AS BIGINT) AS diff_micro,
+           CASE WHEN n_t IS NOT NULL AND n_c IS NOT NULL AND N2 > 0 THEN
+             CAST({_fd_sql("(n_t + n_c) * 1000000", "N2")} AS BIGINT)
+           END AS weight_micro,
+           CASE WHEN n_t IS NOT NULL AND n_c IS NOT NULL AND N2 > 0 THEN
+             CAST(round((mt - mc)
+                  * CAST({_fd_sql("(n_t + n_c) * 1000000", "N2")} AS BIGINT)
+                  / 1000000.0) AS BIGINT)
+           END AS ate_term_micro
+    FROM strata, n2
+    ORDER BY stratum
+    """,
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification-adjusted treatment effect of the BUILDING market
+    segment on customer spend, stratified by nation (library:
+    operators.experiment.stratified_ate) — the observational
+    causal-inference step beside q246's DiD and q247's CUPED: raw
+    segment means confound treatment with national composition;
+    per-nation contrasts weighted by stratum size remove exactly the
+    confounding the stratum captures. One-arm strata are excluded
+    from the weights and reported with NULL diff — visible, never
+    silent. Exact floor-div micro means, weights, and ATE terms;
+    one (stratum, arm) groupBy carries everything."""
+    from owl_etl_spark.operators.experiment import stratified_ate
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    d = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("treated"),
+        "spend_cents",
+    )
+    return stratified_ate(d, "nation", "treated", "spend_cents")

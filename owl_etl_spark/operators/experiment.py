@@ -138,3 +138,105 @@ def cuped_report(
         var_adj.alias("var_adj"),
         red.alias("var_reduction_pct"),
     )
+
+
+MICRO = 1_000_000
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Stratification-adjusted average treatment effect — the
+    observational sibling of q246's DiD and q247's CUPED: when
+    treatment wasn't randomized, comparing raw means confounds
+    treatment with composition; stratifying on a pre-treatment
+    covariate and weighting per-stratum effects by stratum size
+    removes the confounding that the stratum captures (exactly, if
+    the stratum is the only confounder — stated, not oversold).
+
+    Per stratum s (micro units, exact-multiple floor division):
+
+        mean_t_micro = fd(Σ_t y · 1e6, n_t)     (same for control)
+        diff_micro   = mean_t_micro − mean_c_micro
+        weight_micro = fd(n_s · 1e6, N_two_arm)
+
+    where N_two_arm counts only strata with BOTH arms present —
+    one-arm strata have no within-stratum contrast and are excluded
+    from the weights (reported with NULL diff so the exclusion is
+    visible, never silent). The overall ATE is Σ weight·diff — left
+    as the per-stratum ``ate_term_micro`` column plus visible
+    diagnostics, the q257/q260 convention.
+
+    One groupBy (stratum, arm) carries everything; the weight
+    normalizer is a 1-row broadcast."""
+    d = df.select(
+        F.col(stratum_col).cast("string").alias("__s"),
+        F.col(treated_col).cast("long").alias("__t"),
+        F.col(outcome_col).cast("long").alias("__y"),
+    ).filter(
+        F.col("__s").isNotNull() & F.col("__t").isNotNull() & F.col("__y").isNotNull()
+    )
+    g = d.groupBy("__s", "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__sy"),
+    )
+    mean = "((__sy * 1000000) - ((((__sy * 1000000) % __n) + __n) % __n)) div __n"
+    arms = g.select(
+        "__s",
+        "__t",
+        "__n",
+        F.expr(mean).cast("long").alias("__mean"),
+    )
+    t_arm = arms.filter(F.col("__t") == 1).select(
+        "__s", F.col("__n").alias("n_t"), F.col("__mean").alias("mean_t_micro")
+    )
+    c_arm = arms.filter(F.col("__t") == 0).select(
+        "__s", F.col("__n").alias("n_c"), F.col("__mean").alias("mean_c_micro")
+    )
+    strata = t_arm.join(c_arm, "__s", "full")
+    two_arm_total = strata.filter(
+        F.col("n_t").isNotNull() & F.col("n_c").isNotNull()
+    ).agg(
+        F.coalesce(F.sum(F.col("n_t") + F.col("n_c")), F.lit(0))
+        .cast("long")
+        .alias("__N2")
+    )
+    return (
+        strata.crossJoin(F.broadcast(two_arm_total))
+        .select(
+            F.col("__s").alias("stratum"),
+            F.coalesce("n_t", F.lit(0)).cast("long").alias("n_t"),
+            F.coalesce("n_c", F.lit(0)).cast("long").alias("n_c"),
+            "mean_t_micro",
+            "mean_c_micro",
+            (F.col("mean_t_micro") - F.col("mean_c_micro")).cast("long").alias(
+                "diff_micro"
+            ),
+            F.when(
+                F.col("n_t").isNotNull() & F.col("n_c").isNotNull() & (F.col("__N2") > 0),
+                F.expr(
+                    "(((n_t + n_c) * 1000000) - (((((n_t + n_c) * 1000000) % __N2)"
+                    " + __N2) % __N2)) div __N2"
+                ),
+            )
+            .cast("long")
+            .alias("weight_micro"),
+            F.when(
+                F.col("n_t").isNotNull() & F.col("n_c").isNotNull() & (F.col("__N2") > 0),
+                F.round(
+                    (F.col("mean_t_micro") - F.col("mean_c_micro"))
+                    * F.expr(
+                        "(((n_t + n_c) * 1000000) - (((((n_t + n_c) * 1000000) % __N2)"
+                        " + __N2) % __N2)) div __N2"
+                    )
+                    / F.lit(MICRO)
+                ),
+            )
+            .cast("long")
+            .alias("ate_term_micro"),
+        )
+        .orderBy("stratum")
+    )
