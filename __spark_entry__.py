@@ -14773,3 +14773,204 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_cents",
     )
     return stratified_ate(d, "nation", "treated", "spend_cents")
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 8: RANSAC consensus fit, SimRank, Huber M-location
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q270_ransac_price_line",
+    f"""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y,
+             CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS k
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), idx AS MATERIALIZED (
+      SELECT x, y, row_number() OVER (ORDER BY x ASC, y ASC, k ASC) - 1 AS i
+      FROM pts
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts
+    ), cands AS MATERIALIZED (
+      SELECT CAST(c AS BIGINT) AS candidate,
+             CAST(('0x' || substring(md5('ransac#a#' || CAST(c AS VARCHAR)), 1, 15))
+                  AS BIGINT) % (SELECT n FROM nn) AS ia,
+             CAST(('0x' || substring(md5('ransac#b#' || CAST(c AS VARCHAR)), 1, 15))
+                  AS BIGINT) % (SELECT n FROM nn) AS ib
+      FROM range(0, 32) r(c)
+    ), lines AS MATERIALIZED (
+      SELECT candidate, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+             b.y - a.y AS dy, b.x - a.x AS dx
+      FROM cands JOIN idx a ON a.i = cands.ia JOIN idx b ON b.i = cands.ib
+    ), counted AS MATERIALIZED (
+      SELECT l.candidate, CAST(count(*) AS BIGINT) AS n_inliers
+      FROM lines l JOIN pts p
+        ON l.dx != 0
+       AND abs(l.dy * (p.x - l.x1) - l.dx * (p.y - l.y1)) <= 20000 * abs(l.dx)
+      GROUP BY l.candidate
+    ), scored AS MATERIALIZED (
+      SELECT l.candidate, l.x1, l.y1, l.x2, l.y2,
+             CASE WHEN l.dx != 0 THEN
+               CAST({_fd_sql("l.dy * 1000000", "l.dx")} AS BIGINT) END AS slope_micro,
+             CAST(coalesce(c.n_inliers, 0) AS BIGINT) AS n_inliers
+      FROM lines l LEFT JOIN counted c ON c.candidate = l.candidate
+    ), best AS (
+      SELECT candidate AS bc FROM scored
+      ORDER BY n_inliers DESC, candidate ASC LIMIT 1
+    )
+    SELECT candidate, x1, y1, x2, y2, slope_micro, n_inliers,
+           candidate = (SELECT bc FROM best) AS is_best
+    FROM scored ORDER BY candidate
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus fit of the quantity→price line over lineitem
+    (library: operators.ransac.ransac_line_fit) — robust regression by
+    inlier counting, completing the robust family (Theil-Sen q189,
+    Huber q272): candidates are two-point lines whose sample indices
+    come from md5 hashes (no RNG — the fit is a pure function of the
+    data), slopes stay exact rationals, and the inlier test cross-
+    multiplies so every comparison is BIGINT. Degenerate candidates
+    stay visible with NULL slope; the fixed candidate budget is the
+    contract. One dense-index window (exactness price, q257 note) + a
+    32-row broadcast + one map-side count."""
+    from owl_etl_spark.operators.ransac import ransac_line_fit
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    d = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("price"),
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("key"),
+    )
+    return ransac_line_fit(d, "qty", "price", "key", n_candidates=32, tol=20000)
+
+
+def _q271_iter_sql(k: int) -> str:
+    """One SimRank round in SQL, mirroring graph.simrank exactly."""
+    return f"""c{k} AS MATERIALIZED (
+      SELECT ea.d AS na, eb.d AS nb, CAST(sum(s.sc) AS BIGINT) AS sm
+      FROM s{k - 1} s JOIN e ea ON ea.s = s.a JOIN e eb ON eb.s = s.b
+      WHERE ea.d != eb.d
+      GROUP BY ea.d, eb.d
+    ), o{k} AS MATERIALIZED (
+      SELECT c.na AS a, c.nb AS b,
+             CAST({_fd_sql("c.sm * 800000", "da.deg * db.deg * 1000000")} AS BIGINT) AS sc
+      FROM c{k} c JOIN indeg da ON da.n = c.na JOIN indeg db ON db.n = c.nb
+    ), s{k} AS MATERIALIZED (
+      SELECT n_nationkey AS a, n_nationkey AS b, CAST(1000000 AS BIGINT) AS sc
+      FROM nation
+      UNION ALL
+      SELECT a, b, sc FROM o{k} WHERE sc > 0
+    )"""
+
+
+@_register(
+    "q271_trade_simrank",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT s.s_nationkey AS s, c.c_nationkey AS d
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), indeg AS MATERIALIZED (
+      SELECT d AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY d
+    ), s0 AS MATERIALIZED (
+      SELECT n_nationkey AS a, n_nationkey AS b, CAST(1000000 AS BIGINT) AS sc
+      FROM nation
+    ),
+    {', '.join(_q271_iter_sql(k) for k in range(1, 4))}
+    SELECT s.a AS node_a, s.b AS node_b,
+           CAST(coalesce(da.deg, 0) AS BIGINT) AS in_deg_a,
+           CAST(coalesce(db.deg, 0) AS BIGINT) AS in_deg_b,
+           s.sc AS simrank_micro
+    FROM s3 s
+    LEFT JOIN indeg da ON da.n = s.a
+    LEFT JOIN indeg db ON db.n = s.b
+    WHERE s.a < s.b
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank similarity between nations of the trade graph (library:
+    operators.graph.simrank) — the recursive completion of one-hop
+    neighbor overlap (q219 Adamic-Adar, q207 affinity): similar nodes
+    are those whose IN-neighborhoods are similar, three fixed rounds
+    in integer micro units with one exact-multiple floor division per
+    pair per round — oracle replays the recursion as chained
+    MATERIALIZED CTEs. Node-pair state is SimRank's definition, so
+    the operator raise-refuses uncontracted graphs (max_nodes); per
+    round the pair frame joins the in-edge list twice, never a
+    matrix."""
+    from owl_etl_spark.operators.graph import simrank
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    return simrank(edges, nodes, "node", "src", "dst", n_iters=3)
+
+
+def _q272_iter_sql(k: int) -> str:
+    w = (
+        f"CASE WHEN abs(d.y - m.m) <= 1000 THEN 1000000 "
+        f"ELSE CAST({_fd_sql('1000 * 1000000', 'abs(d.y - m.m)')} AS BIGINT) END"
+    )
+    return f"""m{k} AS MATERIALIZED (
+      SELECT d.g, CAST({_fd_sql(f"sum(({w}) * d.y)", f"greatest(sum({w}), 1)")} AS BIGINT) AS m
+      FROM d JOIN m{k - 1} m ON m.g = d.g
+      GROUP BY d.g
+    )"""
+
+
+@_register(
+    "q272_huber_location",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), base AS MATERIALIZED (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      FROM d GROUP BY g
+    ), m0 AS MATERIALIZED (
+      SELECT g, CAST({_fd_sql("sy", "n")} AS BIGINT) AS m FROM base
+    ),
+    {', '.join(_q272_iter_sql(k) for k in range(1, 4))}
+    SELECT base.g AS "group", base.n,
+           CAST({_fd_sql("base.sy * 1000000", "base.n")} AS BIGINT) AS mean_micro,
+           CAST(m3.m * 1000000 AS BIGINT) AS huber_micro
+    FROM base JOIN m3 ON m3.g = base.g
+    ORDER BY base.g
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of each event type's typical value (library:
+    operators.robust.huber_location) — the robust mean between the
+    outlier-fragile average and the fully-trimmed median: residuals
+    inside k = 1000 cents keep full weight, larger ones get k/|r|
+    (bounded influence). Three IRLS rounds in the integer discipline —
+    micro weights, exact BIGINT weighted sums, exact-multiple floor
+    divisions, the iterate quantized to whole cents per round — so
+    the oracle replays the recursion as chained CTEs. One data-keyed
+    groupBy per round; the estimate vector is group-sized and
+    broadcast."""
+    from owl_etl_spark.operators.robust import huber_location
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return huber_location(d, "event_type", "cents", k=1000, n_iters=3)

@@ -738,3 +738,108 @@ def harmonic_centrality(
             .alias("harmonic_micro"),
         )
     )
+
+
+def simrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 3,
+    c_micro: int = 800_000,
+    max_nodes: int = 2_000,
+) -> DataFrame:
+    """SimRank structural similarity — "two nodes are similar when
+    their in-neighborhoods are similar" (Jeh & Widom 2002), the
+    recursive completion of the one-hop neighbor overlaps already
+    here (Adamic-Adar q219, co-purchase affinity q207):
+
+        S(a,a) = 1
+        S(a,b) = C/(|In(a)|·|In(b)|) Σ_{u∈In(a), v∈In(b)} S(u,v)
+
+    Integer recurrence (scores in MICRO units, C as ``c_micro``):
+
+        S'(a,b) = fd(c_micro · Σ S(u,v), |In(a)|·|In(b)|·1e6)
+
+    — exact BIGINT sums, one exact-multiple floor division per pair
+    per round, so a fixed-iteration run replays as chained
+    MATERIALIZED CTEs (the q125/q253 convention). Headroom:
+    Σ S ≤ dᵃ·dᵇ·1e6 and ·c_micro needs dᵃ·dᵇ ≤ ~10⁷ — any contracted
+    graph qualifies.
+
+    SimRank state is NODE-PAIR-sized (that is its definition), so
+    like harmonic_centrality this refuses uncontracted graphs
+    (``max_nodes``, default 2k → ≤ 4M pair rows). Per iteration: the
+    pair table joins the in-edge list twice (never an adjacency
+    matrix in memory — the pair FRAME is the state) + one aggregate;
+    only pairs with nonzero scores materialize. Returns node pairs
+    (a < b) with their final-round scores plus per-node in-degrees."""
+    n_nodes = nodes.count()
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"simrank: {n_nodes} nodes > max_nodes={max_nodes} — SimRank "
+            "state is node-pair-sized; contract the graph first"
+        )
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    indeg = e.groupBy(F.col("__d").alias("__n")).agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).localCheckpoint()
+    # S_0: diagonal only
+    s = nodes.select(
+        F.col(node_col).alias("__a"),
+        F.col(node_col).alias("__b"),
+        F.lit(MICRO).cast("long").alias("__sc"),
+    )
+    ea = e.select(F.col("__s").alias("__u"), F.col("__d").alias("__na"))
+    eb = e.select(F.col("__s").alias("__v"), F.col("__d").alias("__nb"))
+    da = indeg.select(F.col("__n").alias("__na"), F.col("__deg").alias("__da"))
+    db = indeg.select(F.col("__n").alias("__nb"), F.col("__deg").alias("__db"))
+    for it in range(int(n_iters)):
+        contrib = (
+            s.join(ea, s["__a"] == ea["__u"])
+            .join(eb, s["__b"] == eb["__v"])
+            .filter(F.col("__na") != F.col("__nb"))
+            .groupBy("__na", "__nb")
+            .agg(F.sum("__sc").cast("long").alias("__sum"))
+        )
+        offdiag = (
+            contrib.join(F.broadcast(da), "__na")
+            .join(F.broadcast(db), "__nb")
+            .select(
+                F.col("__na").alias("__a"),
+                F.col("__nb").alias("__b"),
+                F.expr(
+                    f"((__sum * {int(c_micro)}) - ((((__sum * {int(c_micro)})"
+                    " % (__da * __db * 1000000)) + (__da * __db * 1000000))"
+                    " % (__da * __db * 1000000))) div (__da * __db * 1000000)"
+                )
+                .cast("long")
+                .alias("__sc"),
+            )
+            .filter(F.col("__sc") > 0)
+        )
+        diag = nodes.select(
+            F.col(node_col).alias("__a"),
+            F.col(node_col).alias("__b"),
+            F.lit(MICRO).cast("long").alias("__sc"),
+        )
+        s = diag.unionByName(offdiag).localCheckpoint(eager=False)
+    return (
+        s.filter(F.col("__a") < F.col("__b"))
+        .join(F.broadcast(da.select(F.col("__na").alias("__a"), F.col("__da").alias("in_deg_a"))), "__a", "left")
+        .join(F.broadcast(db.select(F.col("__nb").alias("__b"), F.col("__db").alias("in_deg_b"))), "__b", "left")
+        .select(
+            F.col("__a").alias("node_a"),
+            F.col("__b").alias("node_b"),
+            F.coalesce("in_deg_a", F.lit(0)).cast("long").alias("in_deg_a"),
+            F.coalesce("in_deg_b", F.lit(0)).cast("long").alias("in_deg_b"),
+            F.col("__sc").alias("simrank_micro"),
+        )
+    )

@@ -216,3 +216,84 @@ def mad_outlier_report(
         F.sum("__is_out").cast("long").alias("n_outliers"),
     )
     return out
+
+
+def huber_location(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 1000,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Huber M-estimator of location per group — the robust mean
+    between the outlier-fragile average and the fully-trimmed median:
+    values within ``k`` of the current estimate get full weight,
+    values beyond it get weight k/|r| (linear, not quadratic,
+    influence — one wild row moves the estimate by at most k/n).
+
+    IRLS with the engine's integer discipline (``k`` in the same
+    integer units as the values):
+
+        m₀   = fd(Σ y, n)                       (plain mean seed)
+        wᵢ   = 1e6            if |y − m| ≤ k
+               fd(k·1e6, |y − m|)   otherwise   (micro weights)
+        m'   = fd(Σ w·y, Σ w)
+
+    Every quantity is an exact BIGINT, every division the exact-
+    multiple floor-div, so a fixed-iteration run replays in chained
+    SQL CTEs (the q125/q255 convention — the CONTRACT is the integer
+    recurrence; it tracks the real IRLS trajectory to the micro
+    quantum). Overflow: Σ w·y ≤ 1e6 · Σ|y| — keep total |value| per
+    group under ~9·10¹².
+
+    Plan per iteration: one groupBy over the data keyed by group —
+    the estimate vector is group-sized and broadcast back. Returns
+    ``(group, n, mean_micro, huber_micro)`` with the plain mean kept
+    for contrast."""
+    if n_iters < 1:
+        raise ValueError(f"huber_location: n_iters must be >= 1, got {n_iters}")
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__y"),
+    ).filter(F.col("__g").isNotNull() & F.col("__y").isNotNull())
+    d = d.localCheckpoint(eager=False)
+    base = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__sy"),
+    )
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    m = base.select(
+        "__g", F.expr(fd("__sy", "__n")).cast("long").alias("__m")
+    )
+    kk = int(k)
+    for _ in range(int(n_iters)):
+        j = d.join(F.broadcast(m), "__g")
+        w = (
+            f"CASE WHEN abs(__y - __m) <= {kk} THEN 1000000 "
+            f"ELSE {fd(f'{kk} * 1000000', 'abs(__y - __m)')} END"
+        )
+        m = (
+            j.select("__g", F.expr(w).cast("long").alias("__w"), "__y")
+            .groupBy("__g")
+            .agg(
+                F.sum(F.col("__w") * F.col("__y")).cast("long").alias("__swy"),
+                F.sum("__w").cast("long").alias("__sw"),
+            )
+            .select(
+                "__g",
+                F.expr(fd("__swy", "greatest(__sw, 1)")).cast("long").alias("__m"),
+            )
+        )
+    return (
+        base.join(m, "__g")
+        .select(
+            F.col("__g").alias("group"),
+            F.col("__n").alias("n"),
+            F.expr(fd("__sy * 1000000", "__n")).cast("long").alias("mean_micro"),
+            # the iterate lives in integer VALUE units (cents) — the
+            # 1-cent quantum per round is the contract; micro here is
+            # display scaling only
+            (F.col("__m") * F.lit(1_000_000)).cast("long").alias("huber_micro"),
+        )
+        .orderBy("group")
+    )
