@@ -14974,3 +14974,203 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     return huber_location(d, "event_type", "cents", k=1000, n_iters=3)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 9: Poisson GLM, pseudonymization, quantile treatment effects
+# ---------------------------------------------------------------------------
+
+_Q273_ITERS, _Q273_LR = 10, 0.0625
+
+
+def _q273_oracle() -> str:
+    """Unrolled-iteration DuckDB replay of the Poisson GLM training
+    trajectory — the q233 logistic-replay discipline with λ = exp in
+    place of σ (quantized at 9 decimals on both engines)."""
+    d = 2
+
+    def z_expr(w: str) -> str:
+        return (
+            f"((CAST({w}.w0 * r.x0 AS DOUBLE) + CAST({w}.w1 * r.x1 AS DOUBLE))"
+            " / 1000000.0)"
+        )
+
+    def lam(w: str) -> str:
+        return f"round(exp({z_expr(w)}), 9)"
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS y, CAST(1 AS BIGINT) AS x0,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS x1
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, epoch_us(ts) // 86400000000
+    )""",
+        "w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1)",
+    ]
+    prev = "w0t"
+    for t in range(1, _Q273_ITERS + 1):
+        gs = ", ".join(
+            f"CAST(sum(CAST(round((({lam('w')}) - r.y) * CAST(r.x{j} AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, {gs}"
+            f" FROM rows_f r CROSS JOIN {prev} w)"
+        )
+        ws = ", ".join(
+            f"CAST(w.w{j} - round({_Q273_LR} * round(CAST(g.g{j} AS DOUBLE) / g.n))"
+            f" AS BIGINT) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"w{t}t AS MATERIALIZED (SELECT {ws} FROM {prev} w CROSS JOIN g{t} g)"
+        )
+        prev = f"w{t}t"
+    loss = (
+        f"round(({lam('w')} - CAST(r.y AS DOUBLE) * {z_expr('w')}) * 1000000.0)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(max(w.w0) AS BIGINT) AS w_bias,
+           CAST(max(w.w1) AS BIGINT) AS w_dow,
+           CAST(sum(CAST({loss} AS BIGINT)) AS BIGINT) AS loss_micro_nats
+    FROM rows_f r CROSS JOIN {prev} w"""
+    )
+
+
+@_register("q273_poisson_regression", _q273_oracle())
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM of per-user daily event counts on day-of-week
+    (library: operators.logreg.poisson_regression_fit) — the
+    count-outcome member of the engine-exact training family beside
+    q233's logistic regression: ten full-batch GD iterations whose
+    per-row gradient terms round((λ − y)·x·1e6) snap to integer
+    micro-units before the exact BIGINT sum, λ quantized at 9
+    decimals to collapse libm exp wobble, lr = 1/16 (a power of two —
+    exact update arithmetic). The oracle replays all ten iterations
+    CTE-by-CTE and must match weights and the micro-nat deviance
+    exactly. Per iteration: one map-side tree-reduced aggregate;
+    driver holds two scalars."""
+    from owl_etl_spark.operators.logreg import poisson_fit_report
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    counts = e.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    feat = counts.select(
+        "y",
+        F.lit(1).cast("long").alias("bias"),
+        F.pmod(F.col("day"), F.lit(7)).cast("long").alias("dow"),
+    )
+    return poisson_fit_report(
+        feat, "y", ["bias", "dow"], iterations=_Q273_ITERS, lr=_Q273_LR
+    )
+
+
+@_register(
+    "q274_pseudonymize_names",
+    """
+    SELECT c_custkey, c_name,
+      CASE WHEN c_name IS NOT NULL THEN
+        list_aggr(list_transform(range(1, length(c_name) + 1), i ->
+          CASE
+            WHEN substring(c_name, CAST(i AS INT), 1) BETWEEN '0' AND '9' THEN
+              chr(ascii('0') + CAST(CAST(('0x' || substring(md5(c_name ||
+                '#pseudo#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 10 AS INT))
+            WHEN substring(c_name, CAST(i AS INT), 1) BETWEEN 'A' AND 'Z' THEN
+              chr(ascii('A') + CAST(CAST(('0x' || substring(md5(c_name ||
+                '#pseudo#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 26 AS INT))
+            WHEN substring(c_name, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' THEN
+              chr(ascii('a') + CAST(CAST(('0x' || substring(md5(c_name ||
+                '#pseudo#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 26 AS INT))
+            ELSE substring(c_name, CAST(i AS INT), 1)
+          END), 'string_agg', '')
+      END AS name_pseudo
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving deterministic pseudonymization of customer
+    names (library: operators.privacy.pseudonymize) — the privacy
+    family's masking tool beside suppression (q148) and
+    generalization (q159): digits stay digits, letters stay cased
+    letters, punctuation passes through, and the SAME input always
+    maps to the SAME pseudonym (referential integrity — joins and
+    group-bys keep working), each character drawn from
+    md5(value ‖ salt ‖ position). Hash masking, not encryption — the
+    docstring states the adversary model honestly. Pure per-row
+    expression: no shuffle, no UDF; the oracle rebuilds every
+    character in SQL."""
+    from owl_etl_spark.operators.privacy import pseudonymize
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return pseudonymize(c, "c_name", "name_pseudo").orderBy("c_custkey")
+
+
+@_register(
+    "q275_spend_qte",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+             sp.y, c.c_custkey AS k
+      FROM customer c JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+      ) sp ON sp.o_custkey = c.c_custkey
+    ), ranked AS MATERIALIZED (
+      SELECT t, y, row_number() OVER (PARTITION BY t ORDER BY y ASC, k ASC) AS rn,
+             count(*) OVER (PARTITION BY t) AS n
+      FROM d
+    ), picked AS MATERIALIZED (
+      SELECT q.decile, r.t, r.y, r.n
+      FROM ranked r JOIN (SELECT CAST(q AS BIGINT) AS decile
+                          FROM range(1, 10) t(q)) q
+        ON r.rn = (q.decile * r.n + 9) // 10
+    )
+    SELECT tt.decile,
+           CAST(tt.n AS BIGINT) AS n_treated, CAST(cc.n AS BIGINT) AS n_control,
+           tt.y AS q_treated, cc.y AS q_control,
+           CAST(tt.y - cc.y AS BIGINT) AS qte
+    FROM (SELECT * FROM picked WHERE t = 1) tt
+    JOIN (SELECT * FROM picked WHERE t = 0) cc ON cc.decile = tt.decile
+    ORDER BY tt.decile
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of the BUILDING segment on customer
+    spend (library: operators.experiment.quantile_treatment_effects) —
+    the distributional completion of q269's mean ATE: per decile, the
+    exact difference of treated and control order-statistic quantiles
+    (integer rank arithmetic, the q261 rule), showing WHERE in the
+    distribution the effect lives — a tail-only effect that nets to a
+    flat average is exactly what this readout exposes. One rank
+    window per arm."""
+    from owl_etl_spark.operators.experiment import quantile_treatment_effects
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    d = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("treated"),
+        "spend_cents",
+        F.col("c_custkey").alias("ck"),
+    )
+    return quantile_treatment_effects(d, "treated", "spend_cents", "ck", deciles=10)

@@ -240,3 +240,71 @@ def stratified_ate(
         )
         .orderBy("stratum")
     )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    tie_col: str,
+    deciles: int = 10,
+) -> DataFrame:
+    """Quantile treatment effects — where the mean ATE (q269) hides
+    WHO moved, QTE shows the whole distributional shift: the
+    difference of treated and control outcome quantiles at each
+    decile (a treatment that helps the tail and hurts the median nets
+    to a misleading average; QTE makes that visible, the same
+    motivation as q267's Wasserstein only signed and per-quantile).
+
+    Exact order statistics: per arm, the q-th quantile is the row
+    with rank ceil(q·n) under (outcome, tie) total order — INTEGER
+    rank arithmetic throughout (the q261 portability rule). Returns
+    one row per interior decile:
+    ``(decile, q_treated, q_control, qte)`` in outcome units, plus
+    arm sizes. One rank window per arm (single shuffle each)."""
+    if deciles < 2:
+        raise ValueError(f"deciles must be >= 2, got {deciles}")
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(treated_col).cast("long").alias("__t"),
+        F.col(outcome_col).cast("long").alias("__y"),
+        F.col(tie_col).alias("__k"),
+    ).filter(
+        F.col("__t").isNotNull() & F.col("__y").isNotNull()
+    )
+    w = Window.partitionBy("__t").orderBy(F.col("__y").asc(), F.col("__k").asc())
+    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+    )
+    spark = df.sparkSession
+    qs = spark.range(1, int(deciles)).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    # rank(q) = ceil(q*n/D) with integer ceil
+    picked = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("__rn")
+            == F.expr(f"(decile * __n + {int(deciles)} - 1) div {int(deciles)}")
+        )
+        .select("decile", "__t", "__y", "__n")
+    )
+    t_side = picked.filter(F.col("__t") == 1).select(
+        "decile", F.col("__y").alias("q_treated"), F.col("__n").alias("n_treated")
+    )
+    c_side = picked.filter(F.col("__t") == 0).select(
+        "decile", F.col("__y").alias("q_control"), F.col("__n").alias("n_control")
+    )
+    return (
+        t_side.join(c_side, "decile")
+        .select(
+            "decile",
+            "n_treated",
+            "n_control",
+            "q_treated",
+            "q_control",
+            (F.col("q_treated") - F.col("q_control")).cast("long").alias("qte"),
+        )
+        .orderBy("decile")
+    )

@@ -169,3 +169,102 @@ def logistic_fit_report(
     for j, c in enumerate(x_cols):
         agg = agg.withColumn(f"w_{c}", F.lit(int(w[j])).cast("long"))
     return agg.select("n", *[f"w_{c}" for c in x_cols], "logloss_micro_nats")
+
+
+def _lam(z):
+    # quantized λ = exp(z) at 9 decimals — same libm-ulp collapse as
+    # _sigma; callers bound features so z stays small and λ modest
+    return F.round(F.exp(z), 9)
+
+
+def poisson_regression_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iterations: int = 10,
+    lr: float = 0.0625,
+) -> list[int]:
+    """Poisson GLM (log link) by engine-exact full-batch gradient
+    descent — the COUNT-outcome sibling of ``logistic_regression_fit``
+    (rates of events, orders per day, tokens per doc), sharing every
+    reproducibility rule: per-row gradient terms
+    round((λ(w·x) − y)·x_j·1e6) snap to integer micro-units before the
+    exact BIGINT sum, weights are integer micro-units, λ is quantized
+    at 9 decimals, and lr must be a power of two (default 1/16 — the
+    Poisson gradient scales with λ, so it wants a smaller step than
+    the logistic's 0.5). Returns micro-unit weights.
+
+    ``y_col`` must be non-negative integers (counts); nulls and
+    negatives raise. Feature contract as logreg: bounded integers,
+    bias first. Keep |w·x| modest (λ ≤ ~10³) — a diverging exp would
+    overflow the micro snap loudly, not silently."""
+    num, den = float(lr).as_integer_ratio()
+    if num != 1 or den & (den - 1):
+        raise ValueError(
+            f"poisson_regression_fit: lr={lr} must be a power of two "
+            "for exact update arithmetic"
+        )
+    y0 = F.col(y_col).cast("long")
+    y = F.when(
+        y0.isNull() | (y0 < 0),
+        F.raise_error(
+            F.lit(
+                f"poisson_regression_fit: {y_col} must be a non-negative "
+                "count — clean labels before fitting"
+            )
+        ).cast("long"),
+    ).otherwise(y0)
+    work = df.select(
+        y.alias("__y"),
+        *[F.col(c).cast("long").alias(f"__x{j}") for j, c in enumerate(x_cols)],
+    )
+    d = len(x_cols)
+    w = [0] * d
+    for _ in range(int(iterations)):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"__x{j}")).cast("double") for j in range(d)
+        ) / F.lit(1_000_000.0)
+        resid = _lam(z) - F.col("__y").cast("double")
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+            F.sum(
+                F.round(resid * F.col(f"__x{j}").cast("double") * 1_000_000.0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias(f"__g{j}")
+            for j in range(d)
+        ]
+        row = work.agg(*aggs).collect()[0]
+        n = row["__n"]
+        if not n:
+            raise ValueError("poisson_regression_fit: empty input")
+        for j in range(d):
+            gmean = _round_half_away(row[f"__g{j}"] / n)
+            w[j] = w[j] - _round_half_away(lr * gmean)
+    return w
+
+
+def poisson_fit_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iterations: int = 10,
+    lr: float = 0.0625,
+) -> DataFrame:
+    """One-row fit report: n, final micro weights (w_<name> columns),
+    and the Poisson deviance-style loss Σ (λ − y·z) in integer
+    micro-nats (per-row term snapped to micro before the exact BIGINT
+    sum; the ln(y!) constant is omitted — it does not depend on w)."""
+    w = poisson_regression_fit(df, y_col, x_cols, iterations=iterations, lr=lr)
+    yl = F.col(y_col).cast("long")
+    z = sum(
+        (F.lit(w[j]) * F.col(x_cols[j]).cast("long")).cast("double")
+        for j in range(len(x_cols))
+    ) / F.lit(1_000_000.0)
+    loss_term = F.round((_lam(z) - yl.cast("double") * z) * 1_000_000.0).cast("long")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.max(F.lit(w[j])).cast("long").alias(f"w_{x_cols[j]}")
+        for j in range(len(x_cols))
+    ] + [F.sum(loss_term).cast("long").alias("loss_micro_nats")]
+    return df.agg(*aggs)

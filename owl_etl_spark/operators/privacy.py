@@ -194,3 +194,43 @@ def l_diversity_report(
         )
         .withColumn("at_risk", F.col("n_sensitive") < l)
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    salt: str = "pseudo",
+) -> DataFrame:
+    """Deterministic format-preserving pseudonymization — the privacy
+    family's third tool next to k-anonymity suppression (q148) and
+    generalization/l-diversity (q159/q238): replace an identifying
+    string with a token that (a) is STABLE — the same input always
+    maps to the same pseudonym, so joins and group-bys still work
+    across tables and runs (referential integrity, the property naive
+    row-salted hashing destroys), and (b) PRESERVES FORMAT — digits
+    stay digits, letters stay letters with case, everything else
+    passes through — so length checks, regex validators, and fixed-
+    width parsers downstream keep working.
+
+    Each character position draws from md5(value ‖ salt ‖ position):
+    digit → '0'+h%10, upper → 'A'+h%26, lower → 'a'+h%26. This is
+    hash-based masking, NOT encryption — re-identification resistance
+    rests on the salt's secrecy and the value space's entropy (stated
+    plainly; use real FPE with managed keys when an adversary model
+    demands it). Pure per-row expression: no shuffle, no UDF, no
+    state; replays in SQL (md5-portable, chr/char on both engines)."""
+    v = F.col(col).cast("string")
+    mapped = F.expr(
+        f"""array_join(transform(sequence(1, length({col})), i ->
+          CASE
+            WHEN substring({col}, i, 1) BETWEEN '0' AND '9' THEN
+              char(ascii('0') + pmod(CAST(conv(substring(md5(concat({col}, '#{salt}#', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT), 10))
+            WHEN substring({col}, i, 1) BETWEEN 'A' AND 'Z' THEN
+              char(ascii('A') + pmod(CAST(conv(substring(md5(concat({col}, '#{salt}#', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT), 26))
+            WHEN substring({col}, i, 1) BETWEEN 'a' AND 'z' THEN
+              char(ascii('a') + pmod(CAST(conv(substring(md5(concat({col}, '#{salt}#', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT), 26))
+            ELSE substring({col}, i, 1)
+          END), '')"""
+    )
+    return df.withColumn(out_col, F.when(v.isNotNull(), mapped))

@@ -1,0 +1,121 @@
+"""Round-7 wave-9 operators: Poisson GLM (logreg.py), format-
+preserving pseudonymization (privacy.py), quantile treatment effects
+(experiment.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.experiment import quantile_treatment_effects
+from owl_etl_spark.operators.logreg import poisson_fit_report, poisson_regression_fit
+from owl_etl_spark.operators.privacy import pseudonymize
+
+
+# ------------------------------------------------------------- Poisson GLM
+
+
+def test_poisson_learns_planted_rates(spark):
+    # two feature levels with true rates 2 and 8: log-link GLM must
+    # recover log(2) and the contrast log(8)-log(2) approximately
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = [(int(rng.poisson(2.0)), 1, 0) for _ in range(2000)]
+    rows += [(int(rng.poisson(8.0)), 1, 1) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "y long, bias long, hi long")
+    w = poisson_regression_fit(df, "y", ["bias", "hi"], iterations=60, lr=0.0625)
+    assert abs(w[0] / 1e6 - math.log(2.0)) < 0.15, w
+    assert abs(w[1] / 1e6 - (math.log(8.0) - math.log(2.0))) < 0.15, w
+
+
+def test_poisson_deterministic_under_repartition(spark):
+    rows = [(v % 5, 1, v % 3) for v in range(500)]
+    df = spark.createDataFrame(rows, "y long, bias long, x long")
+    a = poisson_regression_fit(df, "y", ["bias", "x"], iterations=8)
+    b = poisson_regression_fit(df.repartition(13), "y", ["bias", "x"], iterations=8)
+    assert a == b
+
+
+def test_poisson_guards(spark):
+    df = spark.createDataFrame([(1, 1)], "y long, bias long")
+    with pytest.raises(ValueError, match="power of two"):
+        poisson_regression_fit(df, "y", ["bias"], lr=0.3)
+    bad = spark.createDataFrame([(-1, 1)], "y long, bias long")
+    with pytest.raises(Exception, match="non-negative"):
+        poisson_regression_fit(bad, "y", ["bias"], iterations=1)
+
+
+def test_poisson_report_shape(spark):
+    rows = [(2, 1), (3, 1), (1, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "y long, bias long")
+    r = poisson_fit_report(df, "y", ["bias"], iterations=80).collect()[0]
+    assert r.n == 4
+    # intercept-only fit converges to log(mean) = log(2.5)
+    assert abs(r.w_bias / 1e6 - math.log(2.5)) < 0.05
+    assert r.loss_micro_nats is not None
+
+
+# --------------------------------------------------------- pseudonymization
+
+
+def test_pseudonymize_format_and_referential_integrity(spark):
+    rows = [("Customer#001-ab",), ("Customer#001-ab",), ("Other#999-ZZ",), (None,)]
+    df = spark.createDataFrame(rows, "name string")
+    out = [r.p for r in pseudonymize(df, "name", "p").select("p").collect()]
+    a, b, c, n = out
+    assert a == b  # referential integrity
+    assert a != "Customer#001-ab"  # actually masked
+    assert n is None
+    for orig, ps in [("Customer#001-ab", a), ("Other#999-ZZ", c)]:
+        assert len(ps) == len(orig)
+        for co, cp in zip(orig, ps):
+            if co.isdigit():
+                assert cp.isdigit()
+            elif co.isupper():
+                assert cp.isupper() and cp.isalpha()
+            elif co.islower():
+                assert cp.islower() and cp.isalpha()
+            else:
+                assert cp == co  # punctuation passes through
+
+
+def test_pseudonymize_salt_changes_mapping(spark):
+    df = spark.createDataFrame([("abc123",)], "v string")
+    p1 = pseudonymize(df, "v", "p", salt="s1").collect()[0].p
+    p2 = pseudonymize(df, "v", "p", salt="s2").collect()[0].p
+    assert p1 != p2
+
+
+# ----------------------------------------------------------------- QTE
+
+
+def test_qte_planted_tail_effect(spark):
+    # control: 0..99; treated: same but the top 15% shifted +1000 so
+    # the 0.9 quantile (rank 90 -> value index 89) sits inside the
+    # shifted zone — QTE must be 0 at low deciles and 1000 at the 9th
+    rows = [(0, v, f"c{v}") for v in range(100)]
+    rows += [(1, v if v < 85 else v + 1000, f"t{v}") for v in range(100)]
+    df = spark.createDataFrame(rows, "t long, y long, k string")
+    out = {r.decile: r for r in
+           quantile_treatment_effects(df, "t", "y", "k").collect()}
+    assert out[5].qte == 0
+    assert out[9].qte == 1000
+    assert out[1].n_treated == 100 and out[1].n_control == 100
+
+
+def test_qte_identical_arms_all_zero(spark):
+    rows = [(t, v, f"{t}_{v}") for t in (0, 1) for v in range(50)]
+    df = spark.createDataFrame(rows, "t long, y long, k string")
+    out = quantile_treatment_effects(df, "t", "y", "k").collect()
+    assert all(r.qte == 0 for r in out)
+    assert len(out) == 9
+
+
+def test_qte_deciles_guard(spark):
+    df = spark.createDataFrame([(1, 1, "a")], "t long, y long, k string")
+    with pytest.raises(ValueError, match="deciles"):
+        quantile_treatment_effects(df, "t", "y", "k", deciles=1)
