@@ -15174,3 +15174,200 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("ck"),
     )
     return quantile_treatment_effects(d, "treated", "spend_cents", "ck", deciles=10)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 10: Mondrian k-anonymity, EWMA, empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+
+def _q276_level_sql(t: int) -> str:
+    """One Mondrian split level in SQL, mirroring
+    privacy.mondrian_partitions exactly (k = 25)."""
+    return f"""rk{t} AS MATERIALIZED (
+      SELECT *,
+             row_number() OVER (PARTITION BY gid ORDER BY x ASC, t ASC) AS rx,
+             row_number() OVER (PARTITION BY gid ORDER BY y ASC, t ASC) AS ry,
+             count(*) OVER (PARTITION BY gid) AS n,
+             max(x) OVER (PARTITION BY gid) - min(x) OVER (PARTITION BY gid) AS rngx,
+             max(y) OVER (PARTITION BY gid) - min(y) OVER (PARTITION BY gid) AS rngy
+      FROM d{t - 1}
+    ), md{t} AS MATERIALIZED (
+      SELECT gid AS g2, CASE WHEN rngx >= rngy THEN x ELSE y END AS med
+      FROM rk{t}
+      WHERE CASE WHEN rngx >= rngy THEN rx ELSE ry END = (n + 1) // 2
+    ), jn{t} AS MATERIALIZED (
+      SELECT r.*, md{t}.med,
+             CASE WHEN r.rngx >= r.rngy THEN r.x <= md{t}.med
+                  ELSE r.y <= md{t}.med END AS lft
+      FROM rk{t} r JOIN md{t} ON md{t}.g2 = r.gid
+    ), sz{t} AS MATERIALIZED (
+      SELECT gid, sum(CASE WHEN lft THEN 1 ELSE 0 END) AS nl,
+             sum(CASE WHEN lft THEN 0 ELSE 1 END) AS nr
+      FROM jn{t} GROUP BY gid
+    ), d{t} AS MATERIALIZED (
+      SELECT j.x, j.y, j.t,
+             CASE WHEN s.nl >= 25 AND s.nr >= 25
+                  THEN j.gid || (CASE WHEN j.lft THEN '0' ELSE '1' END)
+                  ELSE j.gid END AS gid
+      FROM jn{t} j JOIN sz{t} s ON s.gid = j.gid
+    )"""
+
+
+@_register(
+    "q276_mondrian_k_anonymity",
+    f"""
+    WITH d0 AS MATERIALIZED (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(c_nationkey AS BIGINT) AS y,
+             c_custkey AS t, 'r' AS gid
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+    ),
+    {', '.join(_q276_level_sql(t) for t in range(1, 5))}
+    SELECT gid, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM d4 GROUP BY gid ORDER BY gid
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymity over (account balance,
+    nation) quasi-identifiers (library: operators.privacy.
+    mondrian_partitions) — the adaptive generalization the fixed
+    ladder (q159) can't do: recursively split the wider attribute at
+    its exact median while both halves keep ≥ 25 rows; leaves become
+    the publishable generalization cells (ranges + counts). Fixed
+    4-level unroll is the replay contract (q125 convention); medians
+    are (n+1) div 2 order statistics under a total order — integer
+    rank arithmetic (q261 rule). Per level: two rank windows keyed by
+    the current cell + one cell-stats aggregate — data never leaves
+    its cell."""
+    from owl_etl_spark.operators.privacy import mondrian_partitions
+
+    c = _t(spark, sf_dir, "customer")
+    d = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_custkey").alias("ck"),
+    )
+    return mondrian_partitions(d, "bal", "nat", "ck", k=25, depth=4)
+
+
+def _q277_oracle() -> str:
+    from owl_etl_spark.operators.forecast import _ewma_weights
+
+    wts = _ewma_weights(1, 4, 32)
+    pref = [sum(wts[: i + 1]) for i in range(32)]
+    arr = ", ".join(map(str, wts))
+    prefs = ", ".join(map(str, pref))
+    dot = (
+        f"list_aggr(list_transform(range(1, len(lags)+1), "
+        f"i -> lags[len(lags) + 1 - CAST(i AS INT)] * ([{arr}])[CAST(i AS INT)]),"
+        " 'sum')"
+    )
+    den = f"([{prefs}])[CAST(len(lags) AS INT)]"
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), lagged AS MATERIALIZED (
+      SELECT event_type, day, cents,
+             list(cents) OVER (PARTITION BY event_type ORDER BY day ASC
+                               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS lags
+      FROM daily
+    )
+    SELECT event_type, day, cents,
+           CAST({_fd_sql(f"CAST({dot} AS BIGINT) * 1000000", den)} AS BIGINT)
+             AS ewma_micro
+    FROM lagged
+    ORDER BY event_type, day
+    """
+
+
+@_register("q277_ewma_daily_revenue", _q277_oracle())
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA smoothing of each event type's daily
+    revenue (library: operators.forecast.ewma_smooth) — exponential
+    smoothing without the sequential recurrence: truncating the
+    kernel at 32 lags (tail mass < 1e-4 at α = 1/4 — the stated
+    contract) turns EWMA into a fixed-weight window dot product with
+    integer weight literals baked driver-side, a properly-normalized
+    partial kernel at each series head, and ONE exact floor division
+    per row. One window shuffle per series key; the dot product is an
+    intra-row fold over a bounded array."""
+    from owl_etl_spark.operators.forecast import ewma_smooth
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    return ewma_smooth(daily, "event_type", "day", "cents").orderBy(
+        "event_type", "day"
+    )
+
+
+@_register(
+    "q278_eb_return_rates",
+    f"""
+    WITH d AS (
+      SELECT p_brand AS g, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IS NOT NULL
+    ), g AS MATERIALIZED (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS y,
+             CAST({_fd_sql("sum(s) * 1000000", "count(*)")} AS BIGINT) AS rate_micro
+      FROM d GROUP BY g
+    ), prior AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS G,
+             CAST({_fd_sql("sum(rate_micro)", "count(*)")} AS BIGINT) AS m,
+             CAST({_fd_sql(
+                 f"sum(rate_micro * rate_micro) - ({_fd_sql('sum(rate_micro) * sum(rate_micro)', 'count(*)')})",
+                 "greatest(count(*) - 1, 1)")} AS BIGINT) AS v2
+      FROM g
+    ), ab AS MATERIALIZED (
+      SELECT m,
+             CAST(least(greatest(({_fd_sql("m * (1000000 - m) * 1000000", "greatest(v2, 1)")})
+                  - 1000000, 0), 1000000000000) AS BIGINT) AS ab
+      FROM prior
+    ), abx AS (
+      SELECT m, ab, CAST({_fd_sql("m * ab", "1000000")} AS BIGINT) AS alpha FROM ab
+    )
+    SELECT g.g AS "group", g.n, g.y, g.rate_micro,
+           CAST({_fd_sql("(g.y * 1000000 + abx.alpha) * 1000000",
+                         "g.n * 1000000 + abx.ab")} AS BIGINT) AS shrunk_micro
+    FROM g, abx
+    ORDER BY g.g
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk return rates per part brand (library:
+    operators.shrinkage.eb_shrunk_rates) — the small-sample fix for
+    every per-group rate leaderboard: a beta-binomial prior
+    moment-matched across brands pulls thin brands toward the global
+    rate exactly as hard as their evidence is weak (the "adjusted
+    CTR" / "Bayesian average rating" technique). Rates, prior moments
+    and posterior means all in exact floor-div micro units, so the
+    closed-form fit replays in SQL; degenerate spread clamps to the
+    global mean (the mathematically right limit). Two aggregates —
+    one data-sized, one group-sized."""
+    from owl_etl_spark.operators.shrinkage import eb_shrunk_rates
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+    )
+    return eb_shrunk_rates(d, "brand", "returned")

@@ -93,3 +93,73 @@ def seasonal_naive_backtest(
         F.round(F.col("__se").cast("double") / nd, 6).alias("bias"),
         F.round(F.col("__ssm").cast("double") / nd / 1_000_000.0, 6).alias("smape"),
     )
+
+
+def _ewma_weights(alpha_num: int, alpha_den: int, window: int, scale: int = 10**6):
+    """Integer EWMA weight literals w_k = round(α(1−α)^k · scale),
+    k = 0..window−1, from an exact-rational α = num/den. Computed
+    once driver-side; both engines consume identical literals. The
+    1e6 scale (not 1e9) is an overflow budget: the row dot product
+    Σ v·w then ·1e6 must stay inside BIGINT — |value| ≤ 1e5 gives
+    Σ ≤ 8·10¹¹ and the scaled numerator ≤ 8·10¹⁷ (argued, not hoped);
+    weights that round to 0 at this scale ARE the kernel truncation."""
+    a = alpha_num / alpha_den
+    return [round(a * (1 - a) ** k * scale) for k in range(window)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    window: int = 32,
+) -> DataFrame:
+    """Bounded-window EWMA smoothing per series — exponential
+    smoothing is a sequential recurrence, which is exactly why most
+    engines punt it to per-row loops; truncating the kernel at
+    ``window`` lags turns it into a FIXED-WEIGHT window dot product
+    (the tail beyond 32 lags at α = 1/4 carries < 1e-4 of the mass —
+    the truncation is the stated contract, not an approximation bug):
+
+        s_t = fd( Σ_{k<window} w_k · y_{t−k} , Σ_{k≤t} w_k )
+
+    with integer weight literals w_k = round(α(1−α)^k·1e6) baked
+    driver-side (identical in the oracle), and the denominator using
+    only the weights that actually had a lag to consume — so the
+    series head is a properly-normalized partial EWMA instead of
+    biased toward zero. Exact BIGINTs, one floor division per row.
+
+    Plan: one window (collect the last ``window`` values) per series
+    key — a single shuffle; the dot product is an intra-row fold over
+    a bounded array. Returns the input columns plus ``ewma_micro``
+    (micro value-units)."""
+    from pyspark.sql import Window
+
+    W = int(window)
+    wts = _ewma_weights(int(alpha_num), int(alpha_den), W)
+    wsum_prefix = [sum(wts[: i + 1]) for i in range(W)]
+    arr = ", ".join(str(w) for w in wts)
+    pref = ", ".join(str(s) for s in wsum_prefix)
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(W - 1), 0)
+    )
+    lagged = df.withColumn(
+        "__lags", F.collect_list(F.col(value_col).cast("long")).over(win)
+    )
+    # __lags is oldest..newest; weight w_k applies to the k-th NEWEST
+    dot = (
+        f"aggregate(zip_with(reverse(__lags), slice(array({arr}), 1, size(__lags)), "
+        f"(v, w) -> v * w), 0L, (acc, t) -> acc + t)"
+    )
+    den = f"element_at(array({pref}), size(__lags))"
+    return lagged.withColumn(
+        "ewma_micro",
+        F.expr(
+            f"((({dot}) * 1000000) - ((((({dot}) * 1000000) % ({den}))"
+            f" + ({den})) % ({den}))) div ({den})"
+        ).cast("long"),
+    ).drop("__lags")

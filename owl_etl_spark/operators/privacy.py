@@ -234,3 +234,111 @@ def pseudonymize(
           END), '')"""
     )
     return df.withColumn(out_col, F.when(v.isNotNull(), mapped))
+
+
+def mondrian_partitions(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tie_col: str,
+    k: int = 25,
+    depth: int = 4,
+) -> DataFrame:
+    """Mondrian multidimensional k-anonymity partitioning (LeFevre et
+    al. 2006) — the adaptive generalization the fixed ladder (q159)
+    can't do: recursively split the quasi-identifier space on the
+    WIDER attribute at its median, but only while both halves keep
+    ≥ k rows; leaves become the generalization cells. Output one row
+    per leaf: ``(gid, n, min_x, max_x, min_y, max_y)`` — publish the
+    cell ranges instead of the values and every row hides among ≥ k
+    peers with utility far above a one-size ladder.
+
+    Deterministic and oracle-replayable: a FIXED ``depth`` of split
+    levels (not recursion-to-exhaustion — the unrolled levels are the
+    replay contract, like q125's iterations); the split attribute is
+    x when range_x ≥ range_y (ties → x); the median is the exact
+    (n+1) div 2 order statistic under (value, tie) total order —
+    integer rank arithmetic (the q261 rule); a level that would leave
+    either half under k leaves the cell uncut. Rows with the median
+    value go LEFT (the ≤ convention).
+
+    Plan per level: two rank windows keyed by the current cell id +
+    one cell-stats aggregate — shuffles keyed on cells, data never
+    leaves its cell. 2^depth bounded cells; k bounds leaf size from
+    below."""
+    if k < 2:
+        raise ValueError(f"mondrian_partitions: k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(tie_col).alias("__t"),
+        F.lit("r").alias("__gid"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    d = d.localCheckpoint(eager=False)
+    for lvl in range(int(depth)):
+        wx = Window.partitionBy("__gid").orderBy(F.col("__x").asc(), F.col("__t").asc())
+        wy = Window.partitionBy("__gid").orderBy(F.col("__y").asc(), F.col("__t").asc())
+        wg = Window.partitionBy("__gid")
+        ranked = (
+            d.withColumn("__rx", F.row_number().over(wx))
+            .withColumn("__ry", F.row_number().over(wy))
+            .withColumn("__n", F.count(F.lit(1)).over(wg))
+            .withColumn("__rngx", (F.max("__x").over(wg) - F.min("__x").over(wg)))
+            .withColumn("__rngy", (F.max("__y").over(wg) - F.min("__y").over(wg)))
+            .withColumn("__usex", F.col("__rngx") >= F.col("__rngy"))
+            .withColumn("__medrank", F.expr("(__n + 1) div 2"))
+        )
+        med = (
+            ranked.filter(
+                F.when(F.col("__usex"), F.col("__rx") == F.col("__medrank")).otherwise(
+                    F.col("__ry") == F.col("__medrank")
+                )
+            )
+            .select(
+                F.col("__gid").alias("__g2"),
+                F.when(F.col("__usex"), F.col("__x"))
+                .otherwise(F.col("__y"))
+                .alias("__med"),
+            )
+        )
+        joined = ranked.join(med, ranked["__gid"] == med["__g2"]).withColumn(
+            "__left",
+            F.when(F.col("__usex"), F.col("__x") <= F.col("__med")).otherwise(
+                F.col("__y") <= F.col("__med")
+            ),
+        )
+        sizes = joined.groupBy("__gid").agg(
+            F.sum(F.col("__left").cast("long")).alias("__nl"),
+            F.sum((~F.col("__left")).cast("long")).alias("__nr"),
+        )
+        d = (
+            joined.join(sizes, "__gid")
+            .select(
+                "__x",
+                "__y",
+                "__t",
+                F.when(
+                    (F.col("__nl") >= k) & (F.col("__nr") >= k),
+                    F.concat(
+                        F.col("__gid"),
+                        F.when(F.col("__left"), F.lit("0")).otherwise(F.lit("1")),
+                    ),
+                )
+                .otherwise(F.col("__gid"))
+                .alias("__gid"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.groupBy(F.col("__gid").alias("gid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__x").cast("long").alias("min_x"),
+            F.max("__x").cast("long").alias("max_x"),
+            F.min("__y").cast("long").alias("min_y"),
+            F.max("__y").cast("long").alias("max_y"),
+        )
+        .orderBy("gid")
+    )
