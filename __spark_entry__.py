@@ -15371,3 +15371,276 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("long").alias("returned"),
     )
     return eb_shrunk_rates(d, "brand", "returned")
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 11: log-rank test, Hill tail index, cross-validated logistic
+# ---------------------------------------------------------------------------
+
+_Q279_E = _fd_sql("(d1 + d2) * n1 * 1000000", "(n1 + n2)")
+_Q279_V = _fd_sql(
+    f"({_fd_sql(f'({_Q279_E}) * n2', '(n1 + n2)')}) * (n1 + n2 - d1 - d2)",
+    "greatest(n1 + n2 - 1, 1)",
+)
+
+
+@_register(
+    "q279_conversion_logrank",
+    f"""
+    WITH per AS MATERIALIZED (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purch_us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ), d AS MATERIALIZED (
+      SELECT CASE WHEN purch_us IS NOT NULL
+                  THEN (purch_us - first_us) // 86400000000
+                  ELSE (last_us - first_us) // 86400000000 END AS t,
+             CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS e,
+             CAST(user_id % 2 AS VARCHAR) AS g
+      FROM per
+    ), per_t AS MATERIALIZED (
+      SELECT t,
+             CAST(sum(CASE WHEN g = '0' THEN e ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN g != '0' THEN e ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g != '0' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM d GROUP BY t
+    ), risk AS MATERIALIZED (
+      SELECT *, CAST(sum(c1) OVER w AS BIGINT) AS n1,
+             CAST(sum(c2) OVER w AS BIGINT) AS n2
+      FROM per_t
+      WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(CAST({_Q279_E} AS BIGINT)) AS BIGINT) AS e1_micro,
+             CAST(sum(CAST({_Q279_V} AS BIGINT)) AS BIGINT) AS v_micro
+      FROM risk WHERE d1 + d2 > 0
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g != '0' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = '0' THEN e ELSE 0 END) AS BIGINT) AS events1,
+             CAST(sum(CASE WHEN g != '0' THEN e ELSE 0 END) AS BIGINT) AS events2
+      FROM d
+    )
+    SELECT tot.n1, tot.n2, tot.events1, tot.events2,
+           agg.o1, agg.e1_micro, agg.v_micro,
+           CASE WHEN agg.v_micro > 0 THEN
+             round((agg.o1 * 1000000.0 - agg.e1_micro)
+                   * (agg.o1 * 1000000.0 - agg.e1_micro)
+                   / (agg.v_micro * 1000000.0), 6)
+           END AS chi2
+    FROM tot, agg
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing time-to-first-purchase between the two
+    user cohorts (library: operators.survival.logrank_test) — the
+    hypothesis test beside q223's Kaplan-Meier curves: at every event
+    day the observed cohort-1 conversions compare against their
+    hypergeometric expectation given who was still at risk, so the
+    test weighs the WHOLE at-risk history, not just end rates.
+    At-risk counts from one reverse-cumulative window; expectation
+    and variance accumulate as chained exact-multiple floor divisions
+    in micro units (each chain step < 1 micro of quantization, the
+    ordering argued for BIGINT headroom); χ²(1) is the single float
+    at the end."""
+    from owl_etl_spark.operators.survival import logrank_test
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    per = e.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+    )
+    d = per.select(
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.expr("(purch_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 86400000000"))
+        .cast("long")
+        .alias("dur_days"),
+        F.col("purch_us").isNotNull().cast("long").alias("event"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("string").alias("cohort"),
+    )
+    return logrank_test(d, "dur_days", "event", "cohort")
+
+
+@_register(
+    "q280_price_tail_index",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND round(l_extendedprice * 100) > 0
+    ), ranked AS MATERIALIZED (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ), kk AS MATERIALIZED (
+      SELECT *, least(100, n // 10) AS k FROM ranked
+      WHERE r <= least(100, n // 10) + 1
+    ), ref AS MATERIALIZED (
+      SELECT g AS g2, v AS xk1 FROM kk WHERE r = k + 1
+    ), terms AS MATERIALIZED (
+      SELECT kk.g, kk.n, kk.k,
+             CAST(round(ln(CAST(kk.v AS DOUBLE) / CAST(ref.xk1 AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lt
+      FROM kk JOIN ref ON ref.g2 = kk.g
+      WHERE kk.r <= kk.k
+    ), agg AS (
+      SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+             CAST(max(k) AS BIGINT) AS k, CAST(sum(lt) AS BIGINT) AS s
+      FROM terms GROUP BY g
+    )
+    SELECT "group", n, k,
+           CAST({_fd_sql("s", "k")} AS BIGINT) AS gamma_micro,
+           CASE WHEN CAST({_fd_sql("s", "k")} AS BIGINT) > 0 THEN
+             CAST({_fd_sql("1000000000000", f"greatest({_fd_sql('s', 'k')}, 1)")}
+                  AS BIGINT)
+           END AS alpha_micro
+    FROM agg ORDER BY "group"
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of line prices per return flag
+    (library: operators.stats_tests.hill_tail_index) — the heavy-tail
+    regime detector the moment-based stats can't provide: α̂ ≤ 2
+    means variance-based risk metrics lie, α̂ ≤ 1 means even means
+    lie. γ̂ averages micro-nat logs of EXACT order-statistic ratios
+    over the top-k (one rank window per group; k = min(100, n/10)
+    kept visible — k-selection is Hill's famous weakness, so it is an
+    output, not a buried constant)."""
+    from owl_etl_spark.operators.stats_tests import hill_tail_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return hill_tail_index(d, "flag", "cents", k_cap=100)
+
+
+_Q281_ITERS, _Q281_D, _Q281_LR = 8, 3, 0.5
+
+
+def _q281_oracle() -> str:
+    """Two unrolled fold-replays of the exact CV training trajectory —
+    the q233 replay discipline with an md5 fold split."""
+    D, ITERS, LR = _Q281_D, _Q281_ITERS, _Q281_LR
+
+    def z(w: str) -> str:
+        terms = " + ".join(f"CAST({w}.w{j} * r.x{j} AS DOUBLE)" for j in range(D))
+        return f"(({terms}) / 1000000.0)"
+
+    def sg(w: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-{z(w)})), 9)"
+
+    def fold_block(f: int) -> list[str]:
+        parts = [f"tr{f} AS MATERIALIZED (SELECT * FROM rows_f WHERE fold != {f})"]
+        parts.append(
+            f"w{f}_0 AS (SELECT "
+            + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(D))
+            + ")"
+        )
+        prev = f"w{f}_0"
+        for t in range(1, ITERS + 1):
+            gs = ", ".join(
+                f"CAST(sum(CAST(round((({sg('w')}) - r.y) * CAST(r.x{j} AS DOUBLE)"
+                f" * 1000000.0) AS BIGINT)) AS BIGINT) AS g{j}"
+                for j in range(D)
+            )
+            parts.append(
+                f"g{f}_{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,"
+                f" {gs} FROM tr{f} r CROSS JOIN {prev} w)"
+            )
+            ws = ", ".join(
+                f"CAST(w.w{j} - round({LR} * round(CAST(g.g{j} AS DOUBLE) / g.n))"
+                f" AS BIGINT) AS w{j}"
+                for j in range(D)
+            )
+            parts.append(
+                f"w{f}_{t} AS MATERIALIZED (SELECT {ws} FROM {prev} w"
+                f" CROSS JOIN g{f}_{t} g)"
+            )
+            prev = f"w{f}_{t}"
+        p = f"least(greatest({sg('w')}, 0.000000001), 0.999999999)"
+        loss = (
+            f"round(-(CAST(r.y AS DOUBLE) * ln({p}) + (1.0 - CAST(r.y AS DOUBLE))"
+            f" * ln(1.0 - {p})) * 1000000.0)"
+        )
+        parts.append(
+            f"""res{f} AS (
+      SELECT CAST({f} AS BIGINT) AS fold,
+             (SELECT CAST(count(*) AS BIGINT) FROM tr{f}) AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(max(w.w0) AS BIGINT) AS w_bias,
+             CAST(max(w.w1) AS BIGINT) AS w_valbk,
+             CAST(max(w.w2) AS BIGINT) AS w_hod,
+             CAST(coalesce(sum(CAST({loss} AS BIGINT)), 0) AS BIGINT)
+               AS test_logloss_micro_nats
+      FROM rows_f r CROSS JOIN {prev} w WHERE r.fold = {f})"""
+        )
+        return parts
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS x1,
+             CAST(hour(ts) AS BIGINT) AS x2,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#cv'),
+                   1, 15)) AS BIGINT) % 2 AS fold
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    )"""
+    ]
+    for f in (0, 1):
+        parts += fold_block(f)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT * FROM res0 UNION ALL SELECT * FROM res1 ORDER BY fold"
+    )
+
+
+@_register("q281_cv_logistic", _q281_oracle())
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-fold cross-validated logistic regression (library:
+    operators.logreg.cv_logistic_report) — the held-out evaluation the
+    in-sample fit report (q233) deliberately lacks: folds split by an
+    md5 hash of the event id (deterministic, partition-independent),
+    each fold's model trains on the other fold with the exact-integer
+    trainer (the micro-snapped gradient trajectory), and the held-out
+    log-loss accumulates in micro-nats. The oracle replays BOTH
+    training trajectories iteration-by-iteration plus both held-out
+    evaluations — 2 folds × 8 unrolled iterations of CTEs — and must
+    match weights and losses exactly."""
+    from owl_etl_spark.operators.logreg import cv_logistic_report
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    feat = e.select(
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+        F.lit(1).cast("long").alias("bias"),
+        F.expr("cast(round(value * 100) as bigint) div 1000").alias("valbk"),
+        F.hour("ts").cast("long").alias("hod"),
+        "event_id",
+    )
+    return cv_logistic_report(
+        feat,
+        "y",
+        ["bias", "valbk", "hod"],
+        "event_id",
+        folds=2,
+        iterations=_Q281_ITERS,
+        lr=_Q281_LR,
+    )

@@ -268,3 +268,72 @@ def poisson_fit_report(
         for j in range(len(x_cols))
     ] + [F.sum(loss_term).cast("long").alias("loss_micro_nats")]
     return df.agg(*aggs)
+
+
+def cv_logistic_report(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    key_col: str,
+    folds: int = 2,
+    iterations: int = 8,
+    lr: float = 0.5,
+    salt: str = "cv",
+) -> DataFrame:
+    """K-fold cross-validated logistic regression — the evaluation
+    discipline the in-sample fit report (q233) deliberately lacks:
+    training loss always flatters; the honest number is the log-loss
+    on rows the fit never saw. Folds are assigned by an md5 hash of
+    ``key_col`` (deterministic, partition-independent, replayable —
+    the q261 split discipline), each fold's model trains on the OTHER
+    folds via the exact-integer trainer (same micro-snapped gradient
+    trajectory, so every fold's weights replay in SQL), and the
+    held-out log-loss accumulates in micro-nats with the same per-row
+    snap as the training report.
+
+    Returns one row per fold: ``(fold, n_train, n_test, w_<x>...,
+    test_logloss_micro_nats)``. Cost: folds × iterations scan-
+    aggregates — cache the feature projection upstream when k or the
+    corpus is large."""
+    if folds < 2:
+        raise ValueError(f"cv_logistic_report: folds must be >= 2, got {folds}")
+    from owl_etl_spark.functions.hashing import md5_long
+
+    work = df.withColumn(
+        "__fold",
+        (md5_long(F.concat(F.col(key_col).cast("string"), F.lit(f"#{salt}"))) % folds)
+        .cast("long"),
+    ).localCheckpoint(eager=False)
+    outs = []
+    spark = df.sparkSession
+    for f in range(int(folds)):
+        train = work.filter(F.col("__fold") != f)
+        test = work.filter(F.col("__fold") == f)
+        w = logistic_regression_fit(train, y_col, x_cols, iterations=iterations, lr=lr)
+        yl = F.col(y_col).cast("long")
+        z = sum(
+            (F.lit(w[j]) * F.col(x_cols[j]).cast("long")).cast("double")
+            for j in range(len(x_cols))
+        ) / F.lit(1_000_000.0)
+        p = F.least(F.greatest(_sigma(z), F.lit(1e-9)), F.lit(1.0 - 1e-9))
+        loss_term = F.round(
+            -(
+                yl.cast("double") * F.log(p)
+                + (F.lit(1.0) - yl.cast("double")) * F.log(F.lit(1.0) - p)
+            )
+            * 1_000_000.0
+        ).cast("long")
+        n_train = train.count()
+        row = test.agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(loss_term).cast("long").alias("loss"),
+        ).collect()[0]
+        outs.append(
+            (f, n_train, row["n_test"], *[int(x) for x in w], int(row["loss"] or 0))
+        )
+    schema = (
+        "fold long, n_train long, n_test long, "
+        + ", ".join(f"w_{c} long" for c in x_cols)
+        + ", test_logloss_micro_nats long"
+    )
+    return spark.createDataFrame(outs, schema).orderBy("fold")
