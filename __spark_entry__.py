@@ -14569,7 +14569,7 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q267_value_wasserstein",
     f"""
     WITH d AS (
-      SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
+      SELECT event_type AS k, CAST(round(value) AS BIGINT) AS v
       FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
     ), hist AS MATERIALIZED (
       SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY k, v
@@ -14611,7 +14611,10 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     types' value distributions (library: operators.wasserstein.
     wasserstein_1d_pairs) — the drift metric that completes the PSI /
     KS / chi-square family: W₁ integrates the WHOLE CDF gap in value
-    units ("average cents of mass movement"), so it ranks drifts by
+    units ("average units of mass movement" — WHOLE currency units
+    here: at sf0.1 the cent-level support pushes nA·nB·range past the
+    BIGINT headroom guard, and dollar resolution is the right
+    granularity for a drift DISTANCE anyway), so it ranks drifts by
     economic size instead of bin luck or a single worst point. The
     1-D closed form needs no OT solver: merged support, running
     integer counts, per-gap |cumA·nB − cumB·nA|·width — all BIGINTs
@@ -14624,9 +14627,9 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     d = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "event_type", F.round(F.col("value")).cast("long").alias("units")
     )
-    return wasserstein_1d_pairs(d, "event_type", "cents")
+    return wasserstein_1d_pairs(d, "event_type", "units")
 
 
 def _q268_oracle() -> str:
@@ -15644,3 +15647,198 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_Q281_ITERS,
         lr=_Q281_LR,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 12: seasonal strength, budget mixture allocation, rich club
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q282_seasonal_strength",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS MATERIALIZED (
+      SELECT *, CAST({_fd_sql("s7", "7")} AS BIGINT) AS trend,
+             v - CAST({_fd_sql("s7", "7")} AS BIGINT) AS detr,
+             d % 7 AS ph
+      FROM (
+        SELECT k, d, v,
+               count(*) OVER w AS cnt, CAST(sum(v) OVER w AS BIGINT) AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY k ORDER BY d ASC
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ) WHERE cnt = 7
+    ), s AS MATERIALIZED (
+      SELECT *, detr - CAST({_fd_sql("ps", "pn")} AS BIGINT) AS resid
+      FROM (
+        SELECT *, count(*) OVER p AS pn, CAST(sum(detr) OVER p AS BIGINT) AS ps
+        FROM t WINDOW p AS (PARTITION BY k, ph)
+      )
+    ), agg AS (
+      SELECT k AS key, CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(resid) AS BIGINT) AS rs,
+             CAST(sum(resid * resid) AS BIGINT) AS rss,
+             CAST(sum(detr) AS BIGINT) AS ds,
+             CAST(sum(detr * detr) AS BIGINT) AS dss,
+             CAST(sum(trend + resid) AS BIGINT) AS ts,
+             CAST(sum((trend + resid) * (trend + resid)) AS BIGINT) AS tss
+      FROM s GROUP BY k
+    )
+    SELECT key, n_used,
+           round(CASE WHEN CAST(tss AS DOUBLE) * n_used - CAST(ts AS DOUBLE) * ts != 0
+             THEN greatest(0.0, 1.0 - (CAST(rss AS DOUBLE) * n_used
+                  - CAST(rs AS DOUBLE) * rs)
+                  / (CAST(tss AS DOUBLE) * n_used - CAST(ts AS DOUBLE) * ts))
+             ELSE 0.0 END, 6) AS f_trend,
+           round(CASE WHEN CAST(dss AS DOUBLE) * n_used - CAST(ds AS DOUBLE) * ds != 0
+             THEN greatest(0.0, 1.0 - (CAST(rss AS DOUBLE) * n_used
+                  - CAST(rs AS DOUBLE) * rs)
+                  / (CAST(dss AS DOUBLE) * n_used - CAST(ds AS DOUBLE) * ds))
+             ELSE 0.0 END, 6) AS f_seasonal
+    FROM agg ORDER BY key
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal strength per event-type revenue series
+    (library: operators.decompose.seasonal_strength_report) — the
+    Hyndman F_trend / F_seasonal readout on top of q188's moving-
+    average decomposition: one row per series saying how much of its
+    variance the trend and the weekly pattern explain — the triage a
+    pipeline runs BEFORE spending forecast budget. Components reuse
+    the exact integer decomposition; variances come from exact BIGINT
+    sums of squares with doubles only in the final ratios, and
+    incomplete trend-window edges are excluded from all variances
+    alike so the strengths compare like with like."""
+    from owl_etl_spark.operators.decompose import seasonal_strength_report
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    return seasonal_strength_report(daily, "event_type", "day", "cents", period=7)
+
+
+@_register(
+    "q283_corpus_budget_allocation",
+    f"""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                  AS BIGINT) AS tk,
+             CAST(n_chars AS BIGINT) AS q
+      FROM documents WHERE source IS NOT NULL
+    ), agg AS MATERIALIZED (
+      SELECT source, CAST(sum(tk) AS BIGINT) AS tokens,
+             CAST({_fd_sql("sum(q * tk) * 1000000", "greatest(sum(tk), 1)")}
+                  AS BIGINT) AS quality_micro
+      FROM src GROUP BY source
+    ), ranked AS MATERIALIZED (
+      SELECT *, CAST(coalesce(sum(tokens) OVER (ORDER BY quality_micro DESC,
+                     source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS before
+      FROM agg
+    )
+    SELECT source, tokens, quality_micro,
+           CAST(greatest(0, least(tokens, 10000 - before)) AS BIGINT) AS take_tokens,
+           CAST({_fd_sql("greatest(0, least(tokens, 10000 - before)) * 1000000",
+                         "greatest(tokens, 1)")} AS BIGINT) AS take_micro
+    FROM ranked ORDER BY quality_micro DESC, source ASC
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection across document sources
+    (library: operators.split.budget_mixture_allocation) — the
+    fractional-knapsack step of data-mixture design: fill a 10k-token
+    budget greedily from the highest-quality source down (optimal for
+    the fractional problem — a theorem, not a heuristic), taking the
+    boundary source partially; ``take_micro`` is the within-source
+    sampling rate weighted_mixture (q??/split family) then executes.
+    Quality here is the inventory-weighted n_chars score; everything
+    exact floor-div micro. One data aggregate + one source-sized
+    window."""
+    from owl_etl_spark.operators.split import budget_mixture_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        F.col("source"),
+        F.expr(
+            "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+        )
+        .cast("long")
+        .alias("toks"),
+        F.col("n_chars").cast("long").alias("q"),
+    )
+    return budget_mixture_allocation(rows, "source", "toks", "q", budget=10000)
+
+
+def _q284_k_sql(k: int) -> str:
+    return f"""
+      SELECT CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > {k}) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM und u
+              WHERE u.a IN (SELECT n FROM deg WHERE deg > {k})
+                AND u.b IN (SELECT n FROM deg WHERE deg > {k})) AS n_edges"""
+
+
+@_register(
+    "q284_trade_rich_club",
+    f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+             greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+      FROM (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+      ) WHERE CAST(src AS VARCHAR) != CAST(dst AS VARCHAR)
+    ), deg AS MATERIALIZED (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY n
+    ), raw AS ({' UNION ALL '.join(_q284_k_sql(k) for k in (5, 10, 15, 20))})
+    SELECT k, n_nodes, n_edges,
+           CASE WHEN n_nodes >= 2 THEN
+             CAST({_fd_sql("n_edges * 2 * 1000000", "n_nodes * (n_nodes - 1)")}
+                  AS BIGINT)
+           END AS density_micro
+    FROM raw ORDER BY k
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the nation trade graph (library:
+    operators.graph.rich_club_report) — do high-degree nations trade
+    preferentially with each other? φ(k) = edge density among nodes
+    of degree > k at four thresholds; a rising curve is the rich-club
+    signature. Degrees from one aggregate over the deduplicated
+    undirected edge list; each threshold is a broadcast semi-join
+    (hub sets are small by definition); densities exact floor-div
+    micro."""
+    from owl_etl_spark.operators.graph import rich_club_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    return rich_club_report(edges, [5, 10, 15, 20])

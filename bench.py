@@ -102,6 +102,20 @@ HEADLINE = [
     # window pass).
     "q219_copurchase_link_prediction",
     "q230_price_ks_test",
+    # round-7 operator families: BPE tokenizer-training merges (one
+    # corpus tokenize + vocab-only rounds with the greedy fold
+    # rewrite), the exact pairwise 1-D Wasserstein matrix (merged-
+    # support CDF integration over ~10 event-type pairs), Bradley-
+    # Terry MM strengths (600k lineitems -> within-order pairwise
+    # games -> 5 pair-frame iterations), Mondrian k-anonymity (4
+    # median-split levels, two rank windows per level), and the
+    # all-integer power iteration over the 64x64 embedding Gram
+    # matrix (6 in-plan-normalized matvec rounds).
+    "q254_bpe_pair_merges",
+    "q267_value_wasserstein",
+    "q255_shipping_bradley_terry",
+    "q276_mondrian_k_anonymity",
+    "q253_embedding_top_eigvec",
 ]
 
 

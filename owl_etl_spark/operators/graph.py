@@ -843,3 +843,73 @@ def simrank(
             F.col("__sc").alias("simrank_micro"),
         )
     )
+
+
+def rich_club_report(
+    edges: DataFrame,
+    degrees_of_interest: list[int],
+) -> DataFrame:
+    """Rich-club coefficients — do the hubs preferentially connect to
+    each other? For each degree threshold k: restrict the (undirected,
+    deduplicated) graph to nodes with degree > k and report the edge
+    DENSITY among them, φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k)
+    curve is the rich-club signature (transit backbones, elite
+    collaboration); a flat one says hubs are mere brokers. The degree
+    thresholds are caller-chosen literals — the full φ curve is a
+    report over a handful of k values, not a per-node score.
+
+    Exact: degrees from one aggregate over the deduplicated edge
+    list; per k one broadcast-filtered edge count; density in
+    floor-div micro units. Returns ``(k, n_nodes, n_edges,
+    density_micro)``; thresholds with < 2 qualifying nodes emit NULL
+    density. Scale: the edge list shuffles once for the degree
+    aggregate; each threshold is a broadcast semi-join (hub sets are
+    small by definition)."""
+    if not degrees_of_interest:
+        raise ValueError("rich_club_report: no degree thresholds given")
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("__a"),
+            F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias("__b"),
+        )
+        .where(F.col("__a") != F.col("__b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("__a").alias("__n"))
+        .unionAll(und.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+        .localCheckpoint()
+    )
+    outs = []
+    spark = edges.sparkSession
+    for k in degrees_of_interest:
+        hubs = deg.filter(F.col("__deg") > int(k)).select("__n")
+        e_k = (
+            und.join(F.broadcast(hubs.withColumnRenamed("__n", "__a")), "__a")
+            .join(F.broadcast(hubs.withColumnRenamed("__n", "__b")), "__b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+        n_k = hubs.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        outs.append(
+            n_k.crossJoin(e_k).select(
+                F.lit(int(k)).cast("long").alias("k"),
+                "n_nodes",
+                "n_edges",
+                F.when(
+                    F.col("n_nodes") >= 2,
+                    F.expr(
+                        "((n_edges * 2 * 1000000) - ((((n_edges * 2 * 1000000)"
+                        " % (n_nodes * (n_nodes - 1))) + (n_nodes * (n_nodes - 1)))"
+                        " % (n_nodes * (n_nodes - 1)))) div (n_nodes * (n_nodes - 1))"
+                    ),
+                )
+                .cast("long")
+                .alias("density_micro"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, outs).orderBy("k")

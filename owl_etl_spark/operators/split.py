@@ -274,3 +274,75 @@ def weighted_sample_aes(
         .orderBy(F.col(score_col).asc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def budget_mixture_allocation(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained corpus selection — the fractional-knapsack
+    step of data-mixture design: given per-source token inventories
+    and quality scores, fill a token ``budget`` greedily from the
+    best-quality source down (optimal for the fractional problem — a
+    theorem, not a heuristic), taking the boundary source partially.
+    The output IS the mixture plan ``weighted_mixture`` then executes.
+
+    Exact integer arithmetic: one source aggregate (inventory +
+    quality), one rank window ordered by (quality desc, source asc),
+    a running token prefix, and per-source
+    ``take = clamp(budget − prefix_before, 0, tokens)``. Returns
+    ``(source, tokens, quality_micro, take_tokens, take_micro)`` with
+    ``take_micro`` the within-source sampling rate the executor
+    needs. One data-sized aggregate + source-sized window."""
+    if budget < 0:
+        raise ValueError(f"budget_mixture_allocation: budget must be >= 0")
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.col(tokens_col).cast("long").alias("__tk"),
+        F.col(quality_col).cast("long").alias("__q"),
+    ).filter(F.col("source").isNotNull() & F.col("__tk").isNotNull())
+    agg = src.groupBy("source").agg(
+        F.sum("__tk").cast("long").alias("tokens"),
+        # inventory-weighted mean quality in micro units
+        F.expr(
+            "((sum(__q * __tk) * 1000000) - ((((sum(__q * __tk) * 1000000)"
+            " % greatest(sum(__tk), 1)) + greatest(sum(__tk), 1))"
+            " % greatest(sum(__tk), 1))) div greatest(sum(__tk), 1)"
+        )
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    w = Window.orderBy(F.col("quality_micro").desc(), F.col("source").asc())
+    ranked = agg.withColumn(
+        "__before",
+        F.coalesce(
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    take = F.greatest(
+        F.lit(0),
+        F.least(F.col("tokens"), F.lit(int(budget)) - F.col("__before")),
+    ).cast("long")
+    return (
+        ranked.withColumn("take_tokens", take)
+        .select(
+            "source",
+            "tokens",
+            "quality_micro",
+            "take_tokens",
+            F.expr(
+                "((take_tokens * 1000000) - ((((take_tokens * 1000000)"
+                " % greatest(tokens, 1)) + greatest(tokens, 1))"
+                " % greatest(tokens, 1))) div greatest(tokens, 1)"
+            )
+            .cast("long")
+            .alias("take_micro"),
+        )
+        .orderBy(F.col("quality_micro").desc(), F.col("source").asc())
+    )
