@@ -15842,3 +15842,179 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
     )
     return rich_club_report(edges, [5, 10, 15, 20])
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 13: linear CKA, table fingerprints, Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q285_embedding_cka",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id % 2 AS side,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), gram AS MATERIALIZED (
+      SELECT side, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS s
+      FROM q CROSS JOIN range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)
+      WHERE j >= i
+      GROUP BY 1, 2, 3
+    ), sums AS MATERIALIZED (
+      SELECT side, CAST(i AS INT) AS i,
+             CAST(sum(qv[CAST(i AS INT)]) AS BIGINT) AS sx
+      FROM q CROSS JOIN range(1, 65) t1(i)
+      GROUP BY 1, 2
+    ), cells AS MATERIALIZED (
+      SELECT g.side, g.i, g.j,
+             g.n * g.s - si.sx * sj.sx AS p,
+             CASE WHEN g.i = g.j THEN 1 ELSE 2 END AS w
+      FROM gram g
+      JOIN sums si ON si.side = g.side AND si.i = g.i
+      JOIN sums sj ON sj.side = g.side AND sj.i = g.j
+    ), fro AS (
+      SELECT sum(a.p * b.p * a.w) AS num,
+             sum(a.p * a.p * a.w) AS a2,
+             sum(b.p * b.p * a.w) AS b2,
+             (SELECT CAST(max(n) AS BIGINT) FROM gram WHERE side = 0) AS n_a,
+             (SELECT CAST(max(n) AS BIGINT) FROM gram WHERE side = 1) AS n_b
+      FROM (SELECT * FROM cells WHERE side = 0) a
+      JOIN (SELECT * FROM cells WHERE side = 1) b ON a.i = b.i AND a.j = b.j
+    )
+    SELECT n_a, n_b,
+           CASE WHEN a2 > 0 AND b2 > 0 THEN
+             round(CAST(num AS DOUBLE)
+                   / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))), 6)
+           END AS cka
+    FROM fro
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance alignment (linear CKA, two-sample form) between the
+    even- and odd-id halves of the embedding corpus (library:
+    operators.embdrift.linear_cka) — the rotation- and scale-
+    invariant "did the geometry move?" readout per-vector cosine
+    drift can't give. Each side runs the q170 integer gram + column
+    sums; centered cells keep EXACT integer numerators
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (scale and n² cancel in the ratio), and the
+    three Frobenius accumulations run in arbitrary precision (Python
+    bignums driver-side, HUGEINT oracle-side — cells reach ~10²⁶) —
+    one float at the end. A retrained-encoder comparison plugs in by
+    swapping the second DataFrame."""
+    from owl_etl_spark.operators.embdrift import linear_cka
+
+    em = _t(spark, sf_dir, "embeddings")
+    a = em.filter("vec_id % 2 = 0")
+    b = em.filter("vec_id % 2 = 1")
+    return linear_cka(a, b)
+
+
+_Q286_SPECS = [
+    ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+    ("region", ["r_regionkey", "r_name"]),
+    ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+    ("part", ["p_partkey", "p_brand", "p_name"]),
+]
+_Q286_MOD = 2**61 - 1
+
+
+def _q286_fp_sql(t: str, cols: list[str]) -> str:
+    ser = " || '|' || ".join(f"coalesce(CAST({c} AS VARCHAR), '␀')" for c in cols)
+    return f"""
+      SELECT '{t}' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substring(md5({ser}), 1, 15)) AS BIGINT)
+                  % {_Q286_MOD}) % {_Q286_MOD} AS BIGINT) AS content_sum
+      FROM {t}"""
+
+
+@_register(
+    "q286_table_fingerprints",
+    " UNION ALL ".join(_q286_fp_sql(t, c) for t, c in _Q286_SPECS)
+    + ' ORDER BY "table"',
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprints of four dimension tables
+    (library: operators.fingerprint.table_fingerprint) — the
+    reconciliation certificate for migrations/backfills/CDC replays:
+    a COMMUTATIVE sum of md5 row digests mod 2⁶¹−1 is independent of
+    partitioning and row order, combines map-side, and ships eight
+    bytes per table. Differing fingerprints PROVE difference; equal
+    ones match with overwhelming probability (a checksum, not a
+    cryptographic commitment — stated). Digest sums ride DECIMAL(38)
+    on the engine and HUGEINT in the oracle; one scan per table."""
+    from functools import reduce
+
+    from owl_etl_spark.operators.fingerprint import table_fingerprint
+
+    outs = [
+        table_fingerprint(_t(spark, sf_dir, t), cols, t) for t, cols in _Q286_SPECS
+    ]
+    return reduce(DataFrame.unionAll, outs).orderBy("table")
+
+
+def _q287_term(x: str, nx: str, y: str, ny: str) -> str:
+    return (
+        f"CASE WHEN {x} > 0 THEN {x} * CAST(round(ln(CAST(2 * {x} AS DOUBLE) * {ny}"
+        f" / (CAST({x} AS DOUBLE) * {ny} + CAST({y} AS DOUBLE) * {nx})) * 1e6)"
+        f" AS BIGINT) ELSE 0 END"
+    )
+
+
+@_register(
+    "q287_source_vocab_jsd",
+    f"""
+    WITH tk AS MATERIALIZED (
+      SELECT source AS k, tok FROM (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents WHERE source IS NOT NULL
+      ) WHERE tok <> ''
+    ), cnt AS MATERIALIZED (
+      SELECT k, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY k, tok
+    ), tot AS MATERIALIZED (
+      SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY k
+    ), pairs AS MATERIALIZED (
+      SELECT a.k AS key_a, b.k AS key_b, a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.k < b.k
+    ), sup AS MATERIALIZED (
+      SELECT key_a, key_b, n_a, n_b, tok,
+             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b
+      FROM (
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, c.tok, c.c AS a, 0 AS b
+        FROM pairs p JOIN cnt c ON c.k = p.key_a
+        UNION ALL
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, c.tok, 0, c.c
+        FROM pairs p JOIN cnt c ON c.k = p.key_b
+      ) GROUP BY key_a, key_b, n_a, n_b, tok
+    )
+    SELECT key_a, key_b, n_a, n_b,
+           CAST(CAST({_fd_sql("sum(" + _q287_term('a', 'n_a', 'b', 'n_b') + ")",
+                              "2 * n_a")} AS BIGINT)
+                + CAST({_fd_sql("sum(" + _q287_term('b', 'n_b', 'a', 'n_a') + ")",
+                                "2 * n_b")} AS BIGINT)
+                AS BIGINT) AS jsd_micro_nats
+    FROM sup GROUP BY key_a, key_b, n_a, n_b
+    ORDER BY key_a, key_b
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of document
+    sources' token distributions (library: operators.drift.jsd_pairs)
+    — the bounded, symmetric, binless member of the drift family
+    (PSI needs bins, KS an ordered domain, W₁ a metric; JSD works on
+    raw categorical distributions and caps at ln 2, so cross-pair
+    comparisons mean something). Per (pair, token) the log argument
+    is an exact integer rational and the contribution micro-snaps
+    before the exact BIGINT sum (q245 device); absent tokens need no
+    epsilon — the boundary term falls out of the algebra. One
+    token-count shuffle; pair work is vocabulary-sized."""
+    from owl_etl_spark.operators.drift import jsd_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return jsd_pairs(toks, "source", "tok")

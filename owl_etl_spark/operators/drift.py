@@ -177,3 +177,87 @@ def cusum_report(
         .withColumn("alarm_down", F.col("s_minus") > F.lit(int(threshold_h)))
         .drop("__p", "__n")
     )
+
+
+def jsd_pairs(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of keyed token
+    distributions — the bounded, symmetric member of the drift family
+    (PSI q139 needs bins, KS q230 needs an ordered domain, W₁ q267
+    needs a metric; JSD works on ANY categorical distribution and is
+    bounded by ln 2, which makes cross-pair comparison meaningful):
+
+        JSD(P, Q) = ½ Σ p·ln(2p/(p+q)) + ½ Σ q·ln(2q/(p+q))
+
+    Integer discipline: with counts a/N_A and b/N_B the log argument
+    is the exact rational 2a·N_B/(a·N_B + b·N_A); each token
+    contributes a · round(ln(arg)·1e6) — one float ln per (pair,
+    token), micro-snapped before the exact BIGINT sum (the q245
+    device) — and the two halves divide once each by 2·N. Missing
+    tokens need no epsilon: b = 0 makes the argument exactly 2 (the
+    natural JSD boundary term). Headroom: a·7·10⁵·vocab ≤ 2⁶³ for
+    any corpus with ≤ ~10¹² token instances per key.
+
+    Returns ``(key_a, key_b, n_a, n_b, jsd_micro_nats)`` for
+    key_a < key_b. One token-count aggregate (the only data-sized
+    shuffle); pair work is vocabulary-sized."""
+    d = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(token_col).cast("string").alias("__t"),
+    ).filter(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+    cnt = d.groupBy("__k", "__t").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    tot = cnt.groupBy("__k").agg(F.sum("__c").cast("long").alias("__n"))
+    pairs = (
+        tot.select(F.col("__k").alias("key_a"), F.col("__n").alias("n_a"))
+        .join(
+            tot.select(F.col("__k").alias("key_b"), F.col("__n").alias("n_b")),
+            F.col("key_a") < F.col("key_b"),
+        )
+    )
+    ca = cnt.select(F.col("__k").alias("key_a"), "__t", F.col("__c").alias("__a"))
+    cb = cnt.select(F.col("__k").alias("key_b"), "__t", F.col("__c").alias("__b"))
+    sup = (
+        pairs.join(ca, "key_a")
+        .join(cb, ["key_b", "__t"], "left")
+        .select(
+            "key_a", "key_b", "n_a", "n_b", "__t",
+            F.col("__a"), F.coalesce(F.col("__b"), F.lit(0)).alias("__b"),
+        )
+    )
+    supb = (
+        pairs.join(cb, "key_b")
+        .join(ca, ["key_a", "__t"], "left_anti")
+        .select(
+            "key_a", "key_b", "n_a", "n_b", "__t",
+            F.lit(0).cast("long").alias("__a"), F.col("__b"),
+        )
+    )
+    allsup = sup.unionByName(supb)
+    term = lambda x, nx, y, ny: (
+        f"CASE WHEN {x} > 0 THEN {x} * cast(round(ln(cast(2 * {x} AS DOUBLE) * {ny}"
+        f" / (cast({x} AS DOUBLE) * {ny} + cast({y} AS DOUBLE) * {nx})) * 1e6)"
+        f" as bigint) ELSE 0 END"
+    )
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    return (
+        allsup.groupBy("key_a", "key_b", "n_a", "n_b")
+        .agg(
+            F.sum(F.expr(term("__a", "n_a", "__b", "n_b"))).cast("long").alias("__sa"),
+            F.sum(F.expr(term("__b", "n_b", "__a", "n_a"))).cast("long").alias("__sb"),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "n_a",
+            "n_b",
+            (
+                F.expr(fd("__sa", "2 * n_a")) + F.expr(fd("__sb", "2 * n_b"))
+            )
+            .cast("long")
+            .alias("jsd_micro_nats"),
+        )
+        .orderBy("key_a", "key_b")
+    )

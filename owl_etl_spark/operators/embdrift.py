@@ -132,3 +132,77 @@ def similarity_histogram(
     return histogram_sketch(
         sims, [], "sim_micro", lo=-1_000_000, hi=1_000_000, n_bins=n_bins
     )
+
+
+def linear_cka(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Linear CKA-style covariance alignment between two UNPAIRED
+    embedding snapshots — the representation-similarity readout that
+    answers "did the new encoder move the geometry?" where per-vector
+    cosine drift (this module's histogram) can't: it compares the
+    feature COVARIANCE matrices, so it is invariant to orthogonal
+    rotation of the inputs and to isotropic rescaling — exactly the
+    nuisances a retrain introduces.
+
+        score = <Ĉ_a, Ĉ_b>_F / (||Ĉ_a||_F · ||Ĉ_b||_F)
+
+    with Ĉ the mean-centered d×d covariance of each sample (the
+    two-sample, row-correspondence-free form; the Gram-matrix CKA
+    needs paired rows and is deliberately not what this computes —
+    stated so the estimator is unambiguous).
+
+    Exactness discipline: per side ONE integer gram pass + ONE column
+    -sum pass (the q170 machinery — quantized vectors, exact BIGINT
+    Σxxᵀ and Σx). Each centered cell then has the exact integer
+    numerator p_ij = n·Σx_ix_j − Σx_i·Σx_j (the n² denominator and
+    the quantization scale CANCEL in the final ratio), and the three
+    Frobenius accumulations Σ p_a·p_b, Σ p_a², Σ p_b² run in
+    ARBITRARY-PRECISION integers (Python bignums on the driver; the
+    oracle's DuckDB side widens to HUGEINT — cells reach ~10²⁶, far
+    past BIGINT, well inside HUGEINT). The single float is the final
+    num/√·√ of exact integers — identical on both engines. Returns
+    one row: ``(n_a, n_b, cka)``, NULL when either side is
+    degenerate (zero covariance)."""
+    import math
+
+    from owl_etl_spark.operators.linalg import column_sums, gram_matrix
+
+    d = int(dim)
+
+    def side(df: DataFrame):
+        g = {(r["i"], r["j"]): int(r["s"]) for r in
+             gram_matrix(df, vec_col, d, scale).collect()}
+        srow = column_sums(df, vec_col, d, scale).collect()[0]
+        n = int(srow["n"])
+        sx = [int(x) for x in srow["sums"]]
+        cells = {}
+        for i in range(1, d + 1):
+            for j in range(i, d + 1):
+                p = n * g[(i, j)] - sx[i - 1] * sx[j - 1]
+                cells[(i, j)] = p
+        return n, cells
+
+    n_a, pa = side(a)
+    n_b, pb = side(b)
+    # Frobenius sums over the full symmetric matrices: off-diagonal
+    # upper-triangle cells count twice
+    def fro(x, y):
+        tot = 0
+        for (i, j), v in x.items():
+            w = v * y[(i, j)]
+            tot += w if i == j else 2 * w
+        return tot
+
+    num, a2, b2 = fro(pa, pb), fro(pa, pa), fro(pb, pb)
+    cka = (
+        round(num / (math.sqrt(a2) * math.sqrt(b2)), 6) if a2 > 0 and b2 > 0 else None
+    )
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, cka)], "n_a long, n_b long, cka double"
+    )
