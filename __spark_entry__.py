@@ -16018,3 +16018,223 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     return jsd_pairs(toks, "source", "tok")
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 14: assortativity, simplified silhouette, entropy binning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q288_supply_assortativity",
+    """
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least('s' || CAST(l_suppkey AS VARCHAR),
+                            'p' || CAST(l_partkey AS VARCHAR)) AS a,
+             greatest('s' || CAST(l_suppkey AS VARCHAR),
+                      'p' || CAST(l_partkey AS VARCHAR)) AS b
+      FROM lineitem
+      WHERE 's' || CAST(l_suppkey AS VARCHAR) != 'p' || CAST(l_partkey AS VARCHAR)
+    ), deg AS MATERIALIZED (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY n
+    ), pairs AS MATERIALIZED (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+    ), dpairs AS MATERIALIZED (
+      SELECT dx, dy FROM pairs UNION ALL SELECT dy, dx FROM pairs
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM dpairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
+             round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS assortativity
+    FROM s
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier↔part supply graph
+    (library: operators.graph.degree_assortativity) — Newman's r:
+    the Pearson correlation of endpoint degrees across edges,
+    complementing q284's rich-club CURVE with a signed one-number
+    summary (positive = hubs attach to hubs, negative = hub-and-
+    spoke). Degrees from one aggregate over the deduplicated
+    undirected edge list, symmetrized pairs, five exact BIGINT
+    Pearson sums, one trailing float; NULL for regular graphs
+    (undefined, not zeroed)."""
+    from owl_etl_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+@_register(
+    "q289_cluster_silhouette",
+    f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substring(md5('x|' || c_custkey), 1, 15)) AS BIGINT)
+               % 100000 AS x,
+             CAST(('0x' || substring(md5('y|' || c_custkey), 1, 15)) AS BIGINT)
+               % 100000 AS y
+      FROM customer
+    ), ctr AS MATERIALIZED (
+      SELECT n_nationkey AS cid,
+             CAST(('0x' || substring(md5('cx|' || n_nationkey), 1, 15)) AS BIGINT)
+               % 100000 AS cx,
+             CAST(('0x' || substring(md5('cy|' || n_nationkey), 1, 15)) AS BIGINT)
+               % 100000 AS cy
+      FROM nation
+    ), cand AS MATERIALIZED (
+      SELECT p.id, c.cid,
+             CAST((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+                  AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY p.id ORDER BY
+               (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy),
+               c.cid) AS rk
+      FROM pts p CROSS JOIN ctr c
+    ), own AS MATERIALIZED (
+      SELECT id, cid AS center_id, d2 AS a2 FROM cand WHERE rk = 1
+    ), nxt AS MATERIALIZED (SELECT id, d2 AS b2 FROM cand WHERE rk = 2
+    ), scored AS MATERIALIZED (
+      SELECT own.center_id,
+             CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                  / greatest(sqrt(CAST(b2 AS DOUBLE)), 1e-300) * 1000000)
+                  AS BIGINT) AS s
+      FROM own JOIN nxt ON nxt.id = own.id
+    )
+    SELECT CAST(center_id AS BIGINT) AS center_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST({_fd_sql("sum(s)", "count(*)")} AS BIGINT)
+             AS mean_silhouette_micro
+    FROM scored GROUP BY center_id ORDER BY center_id
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster over the q185 assignment
+    geometry (library: operators.geo.simplified_silhouette) — the
+    clustering QUALITY readout the fitting family lacked: s = (b−a)/b
+    from each point's nearest and second-nearest center distances,
+    micro-snapped per point (IEEE sqrt is correctly rounded, so the
+    per-row double is engine-identical) before exact BIGINT cluster
+    means. s ≈ 0 flags boundary points; the broadcast-cross-join +
+    top-2-window plan never shuffles the point set."""
+    from owl_etl_spark.functions.hashing import md5_long
+    from owl_etl_spark.operators.geo import simplified_silhouette
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (md5_long(F.concat(F.lit("x|"), F.col("c_custkey").cast("string")))
+         % 100000).alias("x"),
+        (md5_long(F.concat(F.lit("y|"), F.col("c_custkey").cast("string")))
+         % 100000).alias("y"),
+    )
+    ctr = n.select(
+        F.col("n_nationkey").alias("cid"),
+        (md5_long(F.concat(F.lit("cx|"), F.col("n_nationkey").cast("string")))
+         % 100000).alias("cx"),
+        (md5_long(F.concat(F.lit("cy|"), F.col("n_nationkey").cast("string")))
+         % 100000).alias("cy"),
+    )
+    return simplified_silhouette(pts, ctr)
+
+
+def _q290_level_sql(t: int) -> str:
+    """One supervised-binning split level in SQL, mirroring
+    encoding.entropy_binning (candidates=20, min_size=25)."""
+    return f"""bq{t} AS MATERIALIZED (
+      SELECT seg, nt, CAST(max(v) AS BIGINT) AS t FROM (
+        SELECT seg, v, ntile(20) OVER (PARTITION BY seg ORDER BY v ASC) AS nt
+        FROM d{t - 1}
+      ) GROUP BY seg, nt HAVING nt < 20
+    ), cands{t} AS MATERIALIZED (SELECT DISTINCT seg, t FROM bq{t}
+    ), sc{t} AS MATERIALIZED (
+      SELECT d.seg, c.t, CASE WHEN d.v <= c.t THEN 1 ELSE 0 END AS side, d.y,
+             CAST(count(*) AS BIGINT) AS nc
+      FROM d{t - 1} d JOIN cands{t} c ON c.seg = d.seg
+      GROUP BY d.seg, c.t, CASE WHEN d.v <= c.t THEN 1 ELSE 0 END, d.y
+    ), cost{t} AS MATERIALIZED (
+      SELECT seg, t, CAST(sum(w) AS BIGINT) AS cost,
+             CAST(min(ns) AS BIGINT) AS minside
+      FROM (
+        SELECT seg, t, side, nc,
+               CAST(sum(nc) OVER (PARTITION BY seg, t, side) AS BIGINT) AS ns,
+               nc * CAST(round(ln(CAST(sum(nc) OVER (PARTITION BY seg, t, side)
+                    AS DOUBLE) / nc) * 1e6) AS BIGINT) AS w
+        FROM sc{t}
+      ) GROUP BY seg, t
+      HAVING CAST(min(ns) AS BIGINT) >= 25
+    ), best{t} AS MATERIALIZED (
+      SELECT seg AS s2, t AS bt FROM (
+        SELECT seg, t,
+               row_number() OVER (PARTITION BY seg ORDER BY cost ASC, t ASC) AS rk
+        FROM cost{t}
+      ) WHERE rk = 1
+    ), d{t} AS MATERIALIZED (
+      SELECT d.v, d.y,
+             CASE WHEN b.bt IS NOT NULL
+                  THEN d.seg || (CASE WHEN d.v <= b.bt THEN '0' ELSE '1' END)
+                  ELSE d.seg END AS seg
+      FROM d{t - 1} d LEFT JOIN best{t} b ON b.s2 = d.seg
+    )"""
+
+
+@_register(
+    "q290_entropy_binning",
+    f"""
+    WITH d0 AS MATERIALIZED (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+             CAST(CASE WHEN c_custkey IN (
+               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             THEN 1 ELSE 0 END AS BIGINT) AS y,
+             'r' AS seg
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    {', '.join(_q290_level_sql(t) for t in range(1, 3))}
+    SELECT seg AS bin_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_bad,
+           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+    FROM d2 GROUP BY seg ORDER BY seg
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised entropy binning of account balance against the
+    urgent-order target (library: operators.encoding.entropy_binning)
+    — where q257's WoE SCORES fixed bins, this CHOOSES boundaries to
+    be maximally informative (Fayyad-Irani top-down discretization):
+    each segment splits at the ntile-candidate boundary minimizing
+    exact micro-nat class entropy, two unrolled levels as the replay
+    contract (q276 convention), min_size-ineligible splits leave the
+    segment a leaf. Candidate costs are exact BIGINT argmin with
+    boundary tie-break; per level one ntile window + one ≤20-fold
+    fan-out join."""
+    from owl_etl_spark.operators.encoding import entropy_binning
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("uk"))
+        .distinct()
+    )
+    d = c.join(urgent, c["c_custkey"] == urgent["uk"], "left").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.col("uk").isNotNull().cast("long").alias("is_urgent"),
+    )
+    return entropy_binning(d, "bal", "is_urgent", depth=2, candidates=20, min_size=25)

@@ -150,3 +150,131 @@ def woe_iv_report(
         )
         .orderBy("bin")
     )
+
+
+def entropy_binning(
+    df: DataFrame,
+    value_col: str,
+    target_col: str,
+    depth: int = 2,
+    candidates: int = 20,
+    min_size: int = 50,
+) -> DataFrame:
+    """Supervised (entropy-based, MDLP-style) binning — where WoE
+    (q257) SCORES fixed equal-frequency bins, this CHOOSES the bin
+    boundaries to be maximally informative about the target:
+    recursively split each segment at the candidate boundary
+    minimizing the class-entropy of the two halves. Classic Fayyad-
+    Irani top-down discretization, with two simplifications stated
+    plainly: a FIXED depth replaces the MDL stopping rule (the
+    unrolled levels are the oracle replay contract, the q276 Mondrian
+    convention), and candidate boundaries are the segment's interior
+    ntile(``candidates``) edges rather than every distinct value
+    (the standard large-data concession — O(candidates) evaluations
+    per segment instead of O(distinct)).
+
+    Integer discipline: a candidate's cost is
+    Σ_sides Σ_classes n_c · round(ln(n_side/n_c)·1e6) — exact micro-
+    nat integer, comparable across candidates of the same segment
+    because every candidate splits the same n rows; argmin ties break
+    to the smaller boundary. Splits leaving either side under
+    ``min_size`` are ineligible; a segment with no eligible candidate
+    stays a leaf. Returns one row per leaf: ``(bin_id, n, n_bad,
+    min_v, max_v)``.
+
+    Plan per level: one ntile window per segment (boundary
+    candidates), a ≤``candidates``-fold fan-out join for the cost
+    table, one argmin, one assignment pass — everything keyed by the
+    current segment."""
+    from pyspark.sql import Window
+
+    if depth < 1:
+        raise ValueError(f"entropy_binning: depth must be >= 1, got {depth}")
+    d = df.select(
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(target_col).cast("long").alias("__y"),
+        F.lit("r").alias("__seg"),
+    ).filter(F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    d = d.localCheckpoint(eager=False)
+    C = int(candidates)
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    for lvl in range(int(depth)):
+        wseg = Window.partitionBy("__seg").orderBy(F.col("__v").asc())
+        bounds = (
+            d.withColumn("__nt", F.ntile(C).over(wseg))
+            .groupBy("__seg", "__nt")
+            .agg(F.max("__v").alias("__t"))
+            .filter(F.col("__nt") < C)
+            .select("__seg", "__t")
+            .distinct()
+        )
+        sidecnt = (
+            d.join(bounds, "__seg")
+            .select(
+                "__seg",
+                "__t",
+                (F.col("__v") <= F.col("__t")).cast("int").alias("__side"),
+                "__y",
+            )
+            .groupBy("__seg", "__t", "__side", "__y")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+        )
+        wside = Window.partitionBy("__seg", "__t", "__side")
+        cost = (
+            sidecnt.withColumn("__ns", F.sum("__nc").over(wside).cast("long"))
+            .select(
+                "__seg",
+                "__t",
+                "__side",
+                "__ns",
+                (
+                    F.col("__nc")
+                    * F.round(
+                        F.log(F.col("__ns").cast("double") / F.col("__nc")) * 1e6
+                    ).cast("long")
+                ).alias("__w"),
+            )
+            .groupBy("__seg", "__t")
+            .agg(
+                F.sum("__w").cast("long").alias("__cost"),
+                F.min("__ns").cast("long").alias("__minside"),
+            )
+            .filter(F.col("__minside") >= int(min_size))
+        )
+        wbest = Window.partitionBy("__seg").orderBy(
+            F.col("__cost").asc(), F.col("__t").asc()
+        )
+        best = (
+            cost.withColumn("__rk", F.row_number().over(wbest))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("__seg").alias("__s2"), F.col("__t").alias("__bt"))
+        )
+        d = (
+            d.join(F.broadcast(best), d["__seg"] == best["__s2"], "left")
+            .select(
+                "__v",
+                "__y",
+                F.when(
+                    F.col("__bt").isNotNull(),
+                    F.concat(
+                        F.col("__seg"),
+                        F.when(F.col("__v") <= F.col("__bt"), F.lit("0")).otherwise(
+                            F.lit("1")
+                        ),
+                    ),
+                )
+                .otherwise(F.col("__seg"))
+                .alias("__seg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.groupBy(F.col("__seg").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_bad"),
+            F.min("__v").cast("long").alias("min_v"),
+            F.max("__v").cast("long").alias("max_v"),
+        )
+        .orderBy("bin_id")
+    )

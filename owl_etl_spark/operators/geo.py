@@ -229,3 +229,86 @@ def nearest_center_assign(
         F.col("__best.__cid").alias("center_id"),
         F.col("__best.__d2").alias("dist2"),
     )
+
+
+def simplified_silhouette(
+    points: DataFrame,
+    centers: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cid_col: str = "cid",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering QUALITY readout the fitting family (kmeans/IVF/grid
+    DBSCAN) lacked: for each point, a = distance to its own (nearest)
+    center, b = distance to the second-nearest, s = (b − a)/max(a, b)
+    ∈ [0, 1] here (a ≤ b by construction of the assignment — the full
+    pairwise silhouette can go negative, the simplified one cannot;
+    stated so nobody misreads the floor). Cluster health = mean s;
+    s ≈ 0 marks points on a boundary between two centers.
+
+    Exactness: squared distances are exact BIGINTs; per point ONE
+    float step computes s from the two sqrt'd distances and
+    micro-snaps it (IEEE sqrt is correctly rounded, so the per-row
+    double is engine-identical — the q245 discipline applied to
+    geometry), then exact BIGINT sums and one floor division per
+    cluster. Points tied between centers break to the lowest center
+    id, like nearest_center_assign. Plan: one broadcast cross join
+    against the center table (map-side), a top-2 window per point on
+    the packed distance struct, one cluster aggregate."""
+    from pyspark.sql import Window
+
+    p = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    c = centers.select(
+        F.col(cid_col).cast("long").alias("__cid"),
+        F.col(cx_col).cast("long").alias("__cx"),
+        F.col(cy_col).cast("long").alias("__cy"),
+    )
+    cand = p.crossJoin(F.broadcast(c)).select(
+        "__id",
+        "__cid",
+        (
+            (F.col("__x") - F.col("__cx")) * (F.col("__x") - F.col("__cx"))
+            + (F.col("__y") - F.col("__cy")) * (F.col("__y") - F.col("__cy"))
+        )
+        .cast("long")
+        .alias("__d2"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__d2").asc(), F.col("__cid").asc())
+    top2 = cand.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 2)
+    own = top2.filter(F.col("__rk") == 1).select(
+        "__id", F.col("__cid").alias("center_id"), F.col("__d2").alias("__a2")
+    )
+    nxt = top2.filter(F.col("__rk") == 2).select("__id", F.col("__d2").alias("__b2"))
+    scored = own.join(nxt, "__id").select(
+        "center_id",
+        F.expr(
+            "cast(round((sqrt(cast(__b2 as double)) - sqrt(cast(__a2 as double)))"
+            " / greatest(sqrt(cast(__b2 as double)), 1e-300) * 1000000) as bigint)"
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("__s").cast("long").alias("__sum"),
+        )
+        .select(
+            "center_id",
+            "n_points",
+            F.expr(
+                "((__sum) - ((((__sum) % n_points) + n_points) % n_points))"
+                " div n_points"
+            )
+            .cast("long")
+            .alias("mean_silhouette_micro"),
+        )
+        .orderBy("center_id")
+    )

@@ -913,3 +913,63 @@ def rich_club_report(
     from functools import reduce
 
     return reduce(DataFrame.unionAll, outs).orderBy("k")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+) -> DataFrame:
+    """Degree assortativity coefficient — Newman's r: the Pearson
+    correlation of endpoint degrees across edges. Positive r means
+    hubs attach to hubs (social networks), negative means hubs fan
+    out to leaves (the internet, supply trees) — one number that says
+    which regime a graph is in, complementing the rich-club CURVE
+    (q284) with a signed summary.
+
+    Exact: degrees from one aggregate over the deduplicated
+    undirected edge list; each edge contributes its endpoint degree
+    pair in BOTH orders (the standard symmetrization); all five
+    Pearson sums are exact BIGINTs and the coefficient is the single
+    trailing float, rounded at 6 (NULL for degenerate graphs where a
+    variance is zero — regular graphs have undefined assortativity,
+    stated rather than zeroed). Headroom: Σ deg² over directed-pair
+    rows ≤ 2E·maxdeg² — fine below ~10⁶ max degree."""
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("__a"),
+            F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias("__b"),
+        )
+        .where(F.col("__a") != F.col("__b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("__a").alias("__n"))
+        .unionAll(und.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    da = deg.select(F.col("__n").alias("__a"), F.col("__deg").alias("__dx"))
+    db = deg.select(F.col("__n").alias("__b"), F.col("__deg").alias("__dy"))
+    pairs = und.join(F.broadcast(da), "__a").join(F.broadcast(db), "__b").select(
+        "__dx", "__dy"
+    )
+    both = pairs.unionAll(
+        pairs.select(F.col("__dy").alias("__dx"), F.col("__dx").alias("__dy"))
+    )
+    s = both.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("__dx").cast("long").alias("sx"),
+        F.sum("__dy").cast("long").alias("sy"),
+        F.sum(F.col("__dx") * F.col("__dy")).cast("long").alias("sxy"),
+        F.sum(F.col("__dx") * F.col("__dx")).cast("long").alias("sxx"),
+        F.sum(F.col("__dy") * F.col("__dy")).cast("long").alias("syy"),
+    )
+    vx = F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("m").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "assortativity"
+        ),
+    )
