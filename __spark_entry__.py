@@ -16238,3 +16238,139 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uk").isNotNull().cast("long").alias("is_urgent"),
     )
     return entropy_binning(d, "bal", "is_urgent", depth=2, candidates=20, min_size=25)
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 15: permutation test, quadratic-kernel MMD
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q291_spend_permutation_test",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'b' ELSE 'o' END AS g,
+             sp.v, CAST(c_custkey AS VARCHAR) AS k
+      FROM customer c JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+      ) sp ON sp.o_custkey = c.c_custkey
+    ), base AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g != 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 'b' THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g != 'b' THEN v ELSE 0 END) AS BIGINT) AS s2
+      FROM d
+    ), obs AS MATERIALIZED (
+      SELECT n1, n2, abs(CAST({_fd_sql("s1 * 1000000", "n1")} AS BIGINT)
+                        - CAST({_fd_sql("s2 * 1000000", "n2")} AS BIGINT)) AS diff
+      FROM base
+    ), perms AS MATERIALIZED (
+      SELECT p,
+             CAST(sum(CASE WHEN side1 THEN v ELSE 0 END) AS BIGINT) AS ps1,
+             CAST(sum(CASE WHEN side1 THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+             CAST(sum(CASE WHEN side1 THEN 0 ELSE v END) AS BIGINT) AS ps2,
+             CAST(sum(CASE WHEN side1 THEN 0 ELSE 1 END) AS BIGINT) AS pn2
+      FROM (
+        SELECT d.v, CAST(t AS BIGINT) AS p,
+               (CAST(('0x' || substring(md5(d.k || '#perm#' || CAST(t AS VARCHAR)),
+                 1, 15)) AS BIGINT)
+                % (SELECT n1 + n2 FROM base)) < (SELECT n1 FROM base) AS side1
+        FROM d, range(0, 64) r(t)
+      ) GROUP BY p
+      HAVING sum(CASE WHEN side1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN side1 THEN 0 ELSE 1 END) > 0
+    ), pd AS MATERIALIZED (
+      SELECT abs(CAST({_fd_sql("ps1 * 1000000", "pn1")} AS BIGINT)
+               - CAST({_fd_sql("ps2 * 1000000", "pn2")} AS BIGINT)) AS pdiff
+      FROM perms
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN pdiff >= (SELECT diff FROM obs)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+             CAST(count(*) AS BIGINT) AS used
+      FROM pd
+    )
+    SELECT obs.n1, obs.n2, obs.diff AS diff_micro, agg.n_ge,
+           agg.used AS n_perms,
+           CAST({_fd_sql("(agg.n_ge + 1) * 1000000", "agg.used + 1")} AS BIGINT)
+             AS p_value_micro
+    FROM obs, agg
+    """,
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the BUILDING-segment spend difference
+    (library: operators.stats_tests.permutation_mean_test) — the
+    assumption-free inference tool beside the rank (q231) and
+    parametric (q247) tests: the null distribution comes from
+    md5-hash pseudo-relabelings of the data itself (64 replicates,
+    Bernoulli-marginal labels — the stated large-sample concession vs
+    exact-count shuffles), every permuted mean difference an exact
+    floor-div micro value, p = (#{{|perm diff| ≥ |observed|}} + 1)/
+    (B + 1). The same ×B constant fan-out plan as the q268
+    bootstrap."""
+    from owl_etl_spark.operators.stats_tests import permutation_mean_test
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    d = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit("b"))
+        .otherwise(F.lit("o"))
+        .alias("grp"),
+        "cents",
+        F.col("c_custkey").alias("ck"),
+    )
+    return permutation_mean_test(d, "grp", "cents", "ck", n_perms=64)
+
+
+@_register(
+    "q292_embedding_mmd",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id % 2 AS side,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), gram AS MATERIALIZED (
+      SELECT side, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS s
+      FROM q CROSS JOIN range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)
+      WHERE j >= i
+      GROUP BY 1, 2, 3
+    ), fro AS (
+      SELECT sum(a.s * a.s * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END)) AS kaa,
+             sum(b.s * b.s * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END)) AS kbb,
+             sum(a.s * b.s * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END)) AS kab,
+             max(a.n) AS n_a, max(b.n) AS n_b
+      FROM (SELECT * FROM gram WHERE side = 0) a
+      JOIN (SELECT * FROM gram WHERE side = 1) b ON a.i = b.i AND a.j = b.j
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(kaa * n_b * n_b + kbb * n_a * n_a
+                      - 2 * kab * n_a * n_b AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_a * n_b * n_b
+                        * 1000000000000 AS DOUBLE), 6) AS mmd2
+    FROM fro
+    """,
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-kernel maximum mean discrepancy between the two
+    embedding halves (library: operators.embdrift.quadratic_mmd) —
+    the two-sample TEST companion to q285's CKA similarity: for
+    k(x,y) = (xᵀy)² the O(n²) pairwise kernel sums collapse to
+    Frobenius products of the two sides' second-moment matrices, so
+    the whole statistic assembles from two q170 integer gram passes
+    in arbitrary precision (bignums / HUGEINT) with ONE final float
+    division, convert-then-divide on both engines. Detects covariance
+    shifts — the stated power of the quadratic kernel — at any corpus
+    size without a single pairwise expansion."""
+    from owl_etl_spark.operators.embdrift import quadratic_mmd
+
+    em = _t(spark, sf_dir, "embeddings")
+    return quadratic_mmd(em.filter("vec_id % 2 = 0"), em.filter("vec_id % 2 = 1"))

@@ -206,3 +206,72 @@ def linear_cka(
     return spark.createDataFrame(
         [(n_a, n_b, cka)], "n_a long, n_b long, cka double"
     )
+
+
+def quadratic_mmd(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximum mean discrepancy with the QUADRATIC kernel
+    k(x, y) = (xᵀy)² between two embedding samples — the two-sample
+    TEST companion to ``linear_cka``'s similarity score: MMD² > 0
+    says the two samples come from different distributions (up to
+    second moments, which is what the quadratic kernel sees — the
+    honest statement of its power; it detects covariance shifts, not
+    arbitrary ones).
+
+    The kernel choice is what makes this exact at scale: for
+    k = (xᵀy)², E[k(x, y)] = ⟨E[xxᵀ], E[yyᵀ]⟩_F — so the O(n²)
+    pairwise kernel sums collapse to Frobenius products of the two
+    sides' SECOND-MOMENT matrices, which the q170 integer gram pass
+    already computes exactly:
+
+        MMD²·(nA·nB)² ∝ ‖nB²·Gₐ⊗Gₐ + nA²·G_b⊗G_b − 2·nA·nB·Gₐ⊗G_b‖
+
+    assembled as arbitrary-precision integers (Python bignums /
+    HUGEINT — gram products reach ~10²⁶), normalized once at the end.
+    The biased V-statistic form (self-pairs included) keeps the
+    algebra a pure moment product — stated; the n⁻¹ bias vanishes at
+    corpus scale. Returns ``(n_a, n_b, mmd2)`` with mmd2 in
+    quantization-normalized units (scale⁴ divided out), rounded at
+    12 significant micro-digits via round(·, 6) on the ×1e6 value."""
+    from owl_etl_spark.operators.linalg import gram_matrix
+
+    d = int(dim)
+
+    def side(df: DataFrame):
+        rows = gram_matrix(df, vec_col, d, scale).collect()
+        n = int(rows[0]["n"]) if rows else 0
+        g = {}
+        for r in rows:
+            g[(r["i"], r["j"])] = int(r["s"])
+        return n, g
+
+    n_a, ga = side(a)
+    n_b, gb = side(b)
+
+    def fro(x, y):
+        tot = 0
+        for (i, j), v in x.items():
+            w = v * y[(i, j)]
+            tot += w if i == j else 2 * w
+        return tot
+
+    # E[k] within/between assembled over ONE common exact-integer
+    # numerator/denominator, then a single float division computed as
+    # float(num)/float(den) — convert-then-divide mirrors the oracle's
+    # CAST(x AS DOUBLE)/CAST(y AS DOUBLE) bit-for-bit (Python's exact
+    # bignum truediv rounds the RATIONAL, which can differ by an ulp)
+    kaa = fro(ga, ga)
+    kbb = fro(gb, gb)
+    kab = fro(ga, gb)
+    num = kaa * n_b * n_b + kbb * n_a * n_a - 2 * kab * n_a * n_b
+    den = n_a * n_a * n_b * n_b * int(scale) ** 4
+    mmd2 = float(num) / float(den)
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, round(mmd2, 6))], "n_a long, n_b long, mmd2 double"
+    )

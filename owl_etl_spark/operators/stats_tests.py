@@ -366,3 +366,120 @@ def hill_tail_index(
         )
         .orderBy("group")
     )
+
+
+def permutation_mean_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_perms: int = 64,
+    salt: str = "perm",
+) -> DataFrame:
+    """Permutation test for a two-group mean difference — the
+    assumption-free sibling of the parametric tests here (t-like
+    CUPED CIs, Mann-Whitney ranks): the null distribution comes from
+    RELABELING the data itself, so it is exact for whatever weird
+    distribution the values have. Each of ``n_perms`` pseudo-
+    permutations reassigns every row's group by an md5 hash of
+    (key, permutation index) — the engine's deterministic stand-in
+    for random relabeling (marginally Bernoulli(n1/n) labels rather
+    than an exact-count shuffle; the standard large-sample concession,
+    stated — exact-count permutation needs a global shuffle per
+    replicate).
+
+    Integer discipline: per permutation the group sums/counts are
+    exact BIGINTs; each permuted |mean diff| micro-snaps through ONE
+    exact-multiple floor division pair; the p-value numerator counts
+    permutations whose |diff| ≥ the observed |diff| (both in micro).
+    Returns one row: ``(n1, n2, diff_micro, n_ge, n_perms,
+    p_value_micro)`` with the +1 continuity numerator (observed
+    counts itself — the standard unbiased form).
+
+    Plan: explode ×n_perms (constant map-side fan-out, like the q268
+    bootstrap) → ONE (perm, side) aggregate → a perm-count reduce."""
+    if n_perms < 4:
+        raise ValueError(f"permutation_mean_test: n_perms must be >= 4")
+    from owl_etl_spark.functions.hashing import md5_long
+
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull() & F.col("__k").isNotNull()
+    )
+    groups = sorted(r[0] for r in d.select("__g").distinct().collect())
+    if len(groups) != 2:
+        raise ValueError(f"permutation_mean_test: need exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    d = d.localCheckpoint(eager=False)
+    base = d.groupBy().agg(
+        F.sum(F.when(F.col("__g") == g1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("__g") != g1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("__g") == g1, F.col("__v")).otherwise(0))
+        .cast("long")
+        .alias("__s1"),
+        F.sum(F.when(F.col("__g") != g1, F.col("__v")).otherwise(0))
+        .cast("long")
+        .alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    ).collect()[0]
+    n1, n2 = int(base["n1"]), int(base["n2"])
+    if min(n1, n2) == 0:
+        raise ValueError("permutation_mean_test: one group is empty")
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    obs = abs(
+        (int(base["__s1"]) * 1_000_000) // n1 - (int(base["__s2"]) * 1_000_000) // n2
+    )
+    # pseudo-permutation labels: row joins side 1 when
+    # md5(key#salt#p) mod n < n1 — marginally the right proportions
+    n_tot = n1 + n2
+    perms = (
+        d.select(
+            "__v", "__k", F.explode(F.expr(f"sequence(0, {int(n_perms) - 1})")).alias("__p")
+        )
+        .withColumn(
+            "__side1",
+            (
+                md5_long(
+                    F.concat(F.col("__k"), F.lit(f"#{salt}#"), F.col("__p").cast("string"))
+                )
+                % n_tot
+                < n1
+            ),
+        )
+        .groupBy("__p")
+        .agg(
+            F.sum(F.when(F.col("__side1"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("__ps1"),
+            F.sum(F.when(F.col("__side1"), 1).otherwise(0)).cast("long").alias("__pn1"),
+            F.sum(F.when(~F.col("__side1"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("__ps2"),
+            F.sum(F.when(~F.col("__side1"), 1).otherwise(0)).cast("long").alias("__pn2"),
+        )
+        .filter((F.col("__pn1") > 0) & (F.col("__pn2") > 0))
+        .select(
+            F.abs(
+                F.expr(fd("__ps1 * 1000000", "__pn1"))
+                - F.expr(fd("__ps2 * 1000000", "__pn2"))
+            ).alias("__pd")
+        )
+    )
+    agg = perms.agg(
+        F.sum((F.col("__pd") >= obs).cast("long")).cast("long").alias("n_ge"),
+        F.count(F.lit(1)).cast("long").alias("__used"),
+    )
+    spark = df.sparkSession
+    return agg.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.lit(obs).cast("long").alias("diff_micro"),
+        "n_ge",
+        F.col("__used").cast("long").alias("n_perms"),
+        F.expr(fd("(n_ge + 1) * 1000000", "__used + 1")).cast("long").alias(
+            "p_value_micro"
+        ),
+    )
