@@ -16374,3 +16374,186 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = _t(spark, sf_dir, "embeddings")
     return quadratic_mmd(em.filter("vec_id % 2 = 0"), em.filter("vec_id % 2 = 1"))
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave 16: Cramér-von Mises, Theil index, geometric LTV
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q293_balance_cvm",
+    f"""
+    WITH d AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS k,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer WHERE c_nationkey < 5 AND c_acctbal IS NOT NULL
+    ), hist AS MATERIALIZED (
+      SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY k, v
+    ), tot AS MATERIALIZED (
+      SELECT k, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY k
+    ), pairs AS MATERIALIZED (
+      SELECT a.k AS key_a, b.k AS key_b, a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.k < b.k
+    ), sup AS MATERIALIZED (
+      SELECT key_a, key_b, n_a, n_b, v,
+             CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+      FROM (
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, h.v, h.c AS ca, 0 AS cb
+        FROM pairs p JOIN hist h ON h.k = p.key_a
+        UNION ALL
+        SELECT p.key_a, p.key_b, p.n_a, p.n_b, h.v, 0, h.c
+        FROM pairs p JOIN hist h ON h.k = p.key_b
+      ) GROUP BY key_a, key_b, n_a, n_b, v
+    ), stepped AS MATERIALIZED (
+      SELECT key_a, key_b, n_a, n_b, ca, cb,
+             CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER w AS BIGINT) AS cumb
+      FROM sup
+      WINDOW w AS (PARTITION BY key_a, key_b ORDER BY v ASC)
+    ), agg AS (
+      SELECT key_a, key_b, n_a, n_b,
+             CAST(sum((cuma * n_b - cumb * n_a) * (cuma * n_b - cumb * n_a)
+                  * (ca + cb)) AS BIGINT) AS s
+      FROM stepped GROUP BY key_a, key_b, n_a, n_b
+    )
+    SELECT key_a, key_b, n_a, n_b,
+           CAST({_fd_sql("s * 1000000", "n_a * n_a * n_b * n_b * (n_a + n_b)")}
+                AS BIGINT) AS cvm_micro
+    FROM agg ORDER BY key_a, key_b
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistics between the first five
+    nations' balance distributions (library: operators.wasserstein.
+    cramer_von_mises_pairs) — the quadratic companion to q267's W₁:
+    the squared CDF gap integrated over the pooled empirical measure
+    weights the distribution BODY, feeding the classical test where
+    W₁ reports economic drift size. Same union-support plan with a
+    squared cross-multiplied integrand — per-point terms reach
+    (nA·nB)²·mass, hence the woven nA·nB ≤ 2·10⁷ headroom guard
+    (squaring is CvM's price, stated; subsample bigger groups)."""
+    from owl_etl_spark.operators.wasserstein import cramer_von_mises_pairs
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    d = c.select(
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return cramer_von_mises_pairs(d, "nat", "cents")
+
+
+@_register(
+    "q294_order_theil_index",
+    f"""
+    WITH d AS (
+      SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), tot AS MATERIALIZED (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total
+      FROM d GROUP BY g
+    ), terms AS MATERIALIZED (
+      SELECT d.g, tot.n, tot.total,
+             CASE WHEN d.x > 0 AND tot.total > 0 THEN
+               d.x * CAST(round(ln(CAST(d.x AS DOUBLE) * tot.n / tot.total)
+                    * 1e6) AS BIGINT)
+             ELSE 0 END AS t
+      FROM d JOIN tot ON tot.g = d.g
+    )
+    SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+           CAST(max(total) AS BIGINT) AS total,
+           CAST({_fd_sql("sum(t)", "greatest(max(total), 1)")} AS BIGINT)
+             AS theil_micro_nats
+    FROM terms GROUP BY g ORDER BY g
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order values per priority class
+    (library: operators.inequality.theil_index) — the DECOMPOSABLE
+    inequality measure beside q163's rank-formula Gini (Theil splits
+    additively into within/between components; Gini cannot). Each
+    row's log argument is the exact rational x·n/Σx, micro-nat-snapped
+    before the exact BIGINT weighted sum (the q245 device), one floor
+    division by the total. Zero values contribute the x·ln x → 0
+    limit; negatives raise."""
+    from owl_etl_spark.operators.inequality import theil_index
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return theil_index(d, "prio", "cents")
+
+
+_Q295_H = 12
+_Q295_STEP = _fd_sql("acc * retention_micro", "1000000")
+
+
+@_register(
+    "q295_cohort_geometric_ltv",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT user_id AS u, epoch_us(ts) // 604800000000 AS wk,
+             CAST(round(value * 100) AS BIGINT) AS r
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+    ), per_user AS MATERIALIZED (
+      SELECT u, CAST(min(wk) AS BIGINT) AS first, CAST(sum(r) AS BIGINT) AS rev
+      FROM d GROUP BY u
+    ), ret AS MATERIALIZED (
+      SELECT d.u, p.first,
+             CAST(max(CASE WHEN d.wk = p.first + 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ret
+      FROM d JOIN per_user p ON p.u = d.u
+      GROUP BY d.u, p.first
+    ), base AS MATERIALIZED (
+      SELECT p.first AS cohort, CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(ret.ret) AS BIGINT) AS returned,
+             CAST(sum(p.rev) AS BIGINT) AS revsum
+      FROM per_user p JOIN ret ON ret.u = p.u
+      GROUP BY p.first
+    ), staged AS MATERIALIZED (
+      SELECT cohort, n0, returned,
+             CAST({_fd_sql("returned * 1000000", "n0")} AS BIGINT)
+               AS retention_micro,
+             CAST({_fd_sql("revsum * 1000000", "n0")} AS BIGINT) AS arpu_micro
+      FROM base
+    )
+    SELECT cohort, n0, returned, retention_micro, arpu_micro,
+           CAST({_fd_sql(
+               f"arpu_micro * (list_reduce(list_prepend(CAST(1000000 AS BIGINT), "
+               f"list_transform(range(1, {_Q295_H}), t -> CAST(0 AS BIGINT))), "
+               f"(acc, z) -> ({_Q295_STEP}) + 1000000))",
+               "1000000")} AS BIGINT) AS ltv_micro
+    FROM staged ORDER BY cohort
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric lifetime-value projection per weekly acquisition
+    cohort (library: operators.cohort.geometric_ltv) — the one-number
+    closed form every retention deck quotes on top of q161's full
+    cohort table: single-step retention r̂ and ARPU in exact floor-div
+    micro, then LTV = ARPU·Σ_{{t<12}} r̂^t with the truncated geometric
+    series evaluated as an exact-integer FOLD inside one aggregate
+    lambda (a textual Horner unroll would re-embed the accumulator 3×
+    per level through the floor-div macro — exponential SQL; found
+    while building this). DuckDB replays the identical recurrence via
+    list_reduce."""
+    from owl_etl_spark.operators.cohort import geometric_ltv
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    week = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 604800000000"
+    )
+    d = e.select(
+        F.col("user_id").alias("u"),
+        week.alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return geometric_ltv(d, "u", "wk", "cents", horizon=_Q295_H)

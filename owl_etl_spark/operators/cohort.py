@@ -79,3 +79,88 @@ def cohort_retention(
             F.expr("n_active * 1000000 div cohort_size").alias("retention_micro"),
         )
     )
+
+
+def geometric_ltv(
+    df: DataFrame,
+    user_col: str,
+    period_col: str,
+    revenue_col: str,
+    horizon: int = 24,
+) -> DataFrame:
+    """Geometric lifetime-value projection per acquisition cohort —
+    the closed-form LTV every retention deck quotes: with per-period
+    retention r and revenue-per-retained-user ARPU, expected value
+    over ``horizon`` periods is ARPU·(1 − r^H)/(1 − r) (the truncated
+    geometric series — truncation stated; the r→1 limit is H·ARPU).
+
+    Inputs are rows of (user, period index, revenue); a user's cohort
+    is their FIRST period. Retention r̂ = returned_next/n₀ between the
+    cohort's first and second periods (the standard single-step
+    estimator — a full retention-curve model is q161's cohort table;
+    this is the one-number projection on top). Integer discipline:
+    r̂ and ARPU are exact floor-div micro values; the geometric series
+    Σ r^t is evaluated as an exact integer fold in micro units inside ONE
+    aggregate-lambda expression — each step fd(acc·r̂, 1e6) + 1e6 —
+    so the oracle replays the same integer recurrence with
+    list_reduce, and LTV = fd(ARPU·series, 1e6).
+
+    Returns ``(cohort, n0, returned, retention_micro, arpu_micro,
+    ltv_micro)``. Two aggregates + one broadcast scalar pass."""
+    if horizon < 1:
+        raise ValueError(f"geometric_ltv: horizon must be >= 1, got {horizon}")
+    d = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(period_col).cast("long").alias("__p"),
+        F.col(revenue_col).cast("long").alias("__r"),
+    ).filter(
+        F.col("__u").isNotNull() & F.col("__p").isNotNull() & F.col("__r").isNotNull()
+    )
+    per_user = d.groupBy("__u").agg(
+        F.min("__p").alias("__first"),
+        F.sum("__r").cast("long").alias("__rev"),
+    )
+    ret = (
+        d.join(per_user.select("__u", "__first"), "__u")
+        .groupBy("__u", "__first")
+        .agg(
+            F.max((F.col("__p") == F.col("__first") + 1).cast("long"))
+            .cast("long")
+            .alias("__ret")
+        )
+    )
+    base = (
+        per_user.join(ret.select("__u", "__ret"), "__u")
+        .groupBy(F.col("__first").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("__ret").cast("long").alias("returned"),
+            F.sum("__rev").cast("long").alias("__revsum"),
+        )
+    )
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    staged = base.select(
+        "cohort",
+        "n0",
+        "returned",
+        F.expr(fd("returned * 1000000", "n0")).cast("long").alias("retention_micro"),
+        F.expr(fd("__revsum * 1000000", "n0")).cast("long").alias("arpu_micro"),
+    )
+    # integer Horner for S = Σ_{t=0}^{H-1} r^t in micro as an
+    # aggregate FOLD (a textual unroll would re-embed the accumulator
+    # 3x per level through the floor-div macro — exponential SQL)
+    step = fd("acc * retention_micro", "1000000")
+    series = (
+        f"aggregate(sequence(1, {int(horizon) - 1}), CAST(1000000 AS BIGINT), "
+        f"(acc, t) -> ({step}) + 1000000)"
+    )
+    return staged.select(
+        "cohort",
+        "n0",
+        "returned",
+        "retention_micro",
+        "arpu_micro",
+        F.expr(fd(f"arpu_micro * ({series})", "1000000"))
+        .cast("long")
+        .alias("ltv_micro"),
+    ).orderBy("cohort")

@@ -166,3 +166,83 @@ def gini_report(
             ),
         ).alias("top_decile_share_micro"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group — the DECOMPOSABLE member of
+    the inequality family next to the rank-formula Gini (q163): Theil
+    is additively separable into within/between components (Gini is
+    not), which is why resource-concentration audits that need to say
+    WHERE the inequality lives use it.
+
+        T = (1/n) Σ (xᵢ/μ) ln(xᵢ/μ)
+          = [ Σ xᵢ·round(ln(xᵢ·n / Σx)·1e6) ] / (Σx)   in micro-nats
+
+    — the second form is the engine's discipline: each row's log
+    argument is the exact rational xᵢ·n/Σx, the micro-nat snap happens
+    per row before the exact BIGINT weighted sum, and ONE floor
+    division by the total normalizes (algebra: (1/n)·(x/μ) = x/Σx).
+    Zero values contribute 0 (the x·ln x → 0 limit); negatives raise
+    (Theil is defined on non-negative quantities — stated). Headroom:
+    Σ x·|lnterm| ≤ Σx · ln(n)·1e6 — totals to ~10¹² cents at n ≤ 10⁹.
+
+    Returns ``(group, n, total, theil_micro_nats)`` — 0 means perfect
+    equality, ln(n)·1e6 is the max (one row owns everything). One
+    groupBy for totals + one broadcast-joined weighted sum."""
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__x"),
+    ).filter(F.col("__g").isNotNull() & F.col("__x").isNotNull())
+    d = d.withColumn(
+        "__x",
+        F.when(
+            F.col("__x") < 0,
+            F.raise_error(
+                F.lit("theil_index: negative values — Theil needs x >= 0")
+            ).cast("long"),
+        ).otherwise(F.col("__x")),
+    )
+    tot = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+    )
+    j = d.join(
+        F.broadcast(tot.select(F.col("__g").alias("__g2"), "n", "total")),
+        d["__g"] == F.col("__g2"),
+    )
+    term = F.when(
+        (F.col("__x") > 0) & (F.col("total") > 0),
+        F.col("__x")
+        * F.round(
+            F.log(
+                F.col("__x").cast("double")
+                * F.col("n").cast("double")
+                / F.col("total").cast("double")
+            )
+            * 1e6
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        j.groupBy(F.col("__g").alias("group"))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("total").cast("long").alias("total"),
+            F.sum(term).cast("long").alias("__s"),
+        )
+        .select(
+            "group",
+            "n",
+            "total",
+            F.expr(
+                "((__s) - ((((__s) % greatest(total, 1)) + greatest(total, 1))"
+                " % greatest(total, 1))) div greatest(total, 1)"
+            )
+            .cast("long")
+            .alias("theil_micro_nats"),
+        )
+        .orderBy("group")
+    )
