@@ -1408,29 +1408,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # r7 window (VERDICT r6 Next-round #1 + #3):
-    # 0) The two r6 driver hash failures — oracle-side HUGEINT leaks,
-    #    now CAST(... AS BIGINT) (engine output was proven
-    #    bit-identical) — kept inside the window so CORRECTNESS_r07
-    #    records the green rows.
-    "q163", "q188",
-    # 1) The 46 round-6 wave-8..18 families (q204–q249): exactly the
-    #    set with no driver row AND no committed sweep evidence
-    #    (VERIFY_r6 predates them).
-    "q204", "q205", "q206", "q207", "q208", "q209", "q210", "q211",
-    "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
-    "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227",
-    "q228", "q229", "q230", "q231", "q232", "q233", "q234", "q235",
-    "q236", "q237", "q238", "q239", "q240", "q241", "q242", "q243",
-    "q244", "q245", "q246", "q247", "q248", "q249",
-    # 2) Two oldest never-driven from the r6 below-window band
-    #    (q189–q203 backfill continues in r8 per VERDICT r6 #3).
-    "q189", "q190",
+    # r8 window (VERDICT r7 Next-round #1): the 46 round-7 families
+    # (q250–q295) — exactly the set with no driver CORRECTNESS row in
+    # any round — plus the head of the q191–q203 backfill band.
+    # All 50 carry committed VERIFY_r7 sweep evidence + manifest
+    # stamps; this window converts that into driver-gate rows.
+    "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
+    "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
+    "q266", "q267", "q268", "q269", "q270", "q271", "q272", "q273",
+    "q274", "q275", "q276", "q277", "q278", "q279", "q280", "q281",
+    "q282", "q283", "q284", "q285", "q286", "q287", "q288", "q289",
+    "q290", "q291", "q292", "q293", "q294", "q295",
+    "q191", "q192", "q193", "q194",
     # --- 50-slot window boundary: everything below rides committed
     #     sweep evidence (VERIFY_r7 full-registry) + manifest stamps. ---
-    # 3) Remainder of the q189–q203 backfill band, then the r3-age
-    #    rotation band.
-    "q191", "q192", "q193", "q194",
+    # Remainder of the q195–q203 backfill band for r9, then the
+    # freshly-anchored r7 window (q163..q249 all have CORRECTNESS_r07
+    # green rows) in registration order via the tail.
     "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
