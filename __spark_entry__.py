@@ -12295,15 +12295,20 @@ def _q233_oracle() -> str:
     def sigma(walias: str) -> str:
         return f"round(1.0 / (1.0 + exp(-{z_expr(walias)})), 9)"
 
+    # Every CTE is MATERIALIZED: each w{t} references w{t-1} twice
+    # (directly and through g{t}), so DuckDB's default inlining makes
+    # the expression tree grow exponentially with iteration count —
+    # measured 54.1s -> 0.1s at sf0.001 with identical results (the
+    # proven q176/q183 pattern; VERDICT r7 "Next round" #3).
     parts = [
-        """rows_f AS (
+        """rows_f AS MATERIALIZED (
       SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
              CAST(1 AS BIGINT) AS x0,
              CAST(round(value * 100) AS BIGINT) // 1000 AS x1,
              CAST(hour(ts) AS BIGINT) AS x2
       FROM events WHERE value IS NOT NULL
     )""",
-        "w0 AS (SELECT "
+        "w0 AS MATERIALIZED (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
         + ")",
     ]
@@ -12314,7 +12319,7 @@ def _q233_oracle() -> str:
             for j in range(d)
         )
         parts.append(
-            f"g{t} AS (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} "
+            f"g{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} "
             f"FROM rows_f r CROSS JOIN w{t - 1} w)"
         )
         wexprs = ", ".join(
@@ -12322,7 +12327,9 @@ def _q233_oracle() -> str:
             f" AS BIGINT) AS w{j}"
             for j in range(d)
         )
-        parts.append(f"w{t} AS (SELECT {wexprs} FROM w{t - 1} w CROSS JOIN g{t} g)")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT {wexprs} FROM w{t - 1} w CROSS JOIN g{t} g)"
+        )
     wf = f"w{_Q233_ITERS}"
     loss_p = (
         f"least(greatest({sigma('w')}, 0.000000001), 0.999999999)"

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pytest
@@ -67,14 +68,28 @@ def duck():
     con.close()
 
 
+#: Per-oracle DuckDB runtime ceiling at sf0.001 (VERDICT r7 "Next
+#: round" #7): an oracle costing more than this taxes EVERY future
+#: full-registry sweep (q233's unrolled-CTE replay hit 54s before its
+#: CTEs were MATERIALIZED). Catch the next one at authoring time.
+ORACLE_BUDGET_S = 10.0
+
+
 @pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
 def test_parity(spark, duck, name, fn, sql):
     sdf = fn(spark, SF_DIR)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    t0 = time.perf_counter()
     res = duck.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    oracle_s = time.perf_counter() - t0
+    assert oracle_s <= ORACLE_BUDGET_S, (
+        f"{name}: oracle replay took {oracle_s:.1f}s at sf0.001 (budget "
+        f"{ORACLE_BUDGET_S}s) — every full-registry sweep pays this; "
+        f"MATERIALIZE iterative CTEs or simplify the replay"
+    )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
