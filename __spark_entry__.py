@@ -16558,3 +16558,717 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return geometric_ltv(d, "u", "wk", "cents", horizon=_Q295_H)
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 1: incremental cross-drop dedup (VERDICT r7 "Next
+# round" #6)
+# ---------------------------------------------------------------------------
+
+
+@_register("q296_incremental_lsh_dedup", None)  # oracle patched below (= q34's)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-drop near-dup dedup (library:
+    operators.dedup.incremental_lsh_pairs): the corpus arrives as two
+    drops (historical = doc_id % 3 != 0, new monthly drop = doc_id %
+    3 == 0, the reference's monthly-folder cadence — reference:
+    src/etl/load.py:56-62). Drop 1 is signed and its (band, sig) rows
+    are PERSISTED to a signature store parquet, range-clustered on
+    (band, sig) via write_sorted_parquet so a later drop's probe join
+    prunes to the band files it touches. Drop 2 is then signed alone
+    — the store is read back, NOT recomputed — and contributes
+    new×new plus new×store candidate pairs. The union of the two
+    incremental outputs must hash-match the ONE-SHOT full-corpus LSH
+    pairs (the oracle is exactly q34's full-recompute SQL), proving a
+    monthly pipeline can dedup each drop against the store without
+    ever re-signing history. Both expansion paths keep the
+    max_group² per-task bound (the cross path chunks BOTH sides)."""
+    import shutil
+    import tempfile
+
+    from owl_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+    )
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    d = _t(spark, sf_dir, "documents")
+    drop1 = d.filter(F.col("doc_id") % 3 != 0)
+    drop2 = d.filter(F.col("doc_id") % 3 == 0)
+    store_dir = tempfile.mkdtemp(prefix="lsh_store_q296_")
+    try:
+        sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
+        write_sorted_parquet(sigs1, f"{store_dir}/sigs", ["band", "sig"])
+        store = spark.read.parquet(f"{store_dir}/sigs")
+        sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
+        # materialize the store-dependent half so the store files can
+        # be deleted before returning (the gate collects lazily later)
+        pairs2 = incremental_lsh_pairs(sigs2, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    pairs1 = incremental_lsh_pairs(sigs1, None)
+    return pairs1.unionByName(pairs2).distinct()
+
+
+_REGISTRY["q296_incremental_lsh_dedup"] = (
+    _REGISTRY["q296_incremental_lsh_dedup"][0],
+    _REGISTRY["q34_minhash_lsh_pairs"][1],
+)
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 2: boosted stumps, HBOS, sorted-neighborhood blocking,
+# Katz centrality, AIPW, quantile regression, incremental IVF, mutual
+# best match
+# ---------------------------------------------------------------------------
+
+_Q297_THRESHOLDS = [5, 10, 15, 20, 25, 30, 35, 40, 45]
+_Q297_ROUNDS = 3
+
+
+def _q297_oracle() -> str:
+    """Unrolled-round DuckDB replay of the exact boosting trajectory
+    (operators/boost.py): per round one candidate-split aggregate CTE
+    (exact BIGINT split sums), an argmax-gain CTE whose DOUBLE gain is
+    computed from those BIGINTs in the same op order as the engine,
+    and a residual-update CTE. MATERIALIZED throughout (the q233
+    lesson: each round references the previous twice)."""
+    ts = ", ".join(str(t) for t in _Q297_THRESHOLDS)
+    parts = [
+        """base AS MATERIALIZED (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    )""",
+        """tot AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS base_pred
+      FROM base
+    )""",
+        "r0 AS MATERIALIZED (SELECT x, y - (SELECT base_pred FROM tot) AS r FROM base)",
+    ]
+    for k in range(1, _Q297_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT CAST(sum(r) AS BIGINT) AS s, CAST(sum(abs(r)) AS BIGINT) AS sa FROM r{p}
+    )"""
+        )
+        parts.append(
+            f"""cand{k} AS MATERIALIZED (
+      SELECT t, CAST(coalesce(sum(CASE WHEN x <= t THEN r END), 0) AS BIGINT) AS sl,
+             CAST(count(CASE WHEN x <= t THEN 1 END) AS BIGINT) AS nl
+      FROM r{p} CROSS JOIN (SELECT unnest([{ts}]) AS t) GROUP BY t
+    )"""
+        )
+        gain = (
+            f"(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / nl"
+            f" + (CAST((SELECT s FROM s{k}) - sl AS DOUBLE)"
+            f" * CAST((SELECT s FROM s{k}) - sl AS DOUBLE))"
+            f" / ((SELECT n FROM tot) - nl)"
+        )
+        parts.append(
+            f"""best{k} AS MATERIALIZED (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS ml,
+             CAST(round(CAST((SELECT s FROM s{k}) - sl AS DOUBLE)
+                        / ((SELECT n FROM tot) - nl)) AS BIGINT) AS mr
+      FROM cand{k}
+      WHERE nl > 0 AND nl < (SELECT n FROM tot)
+      ORDER BY {gain} DESC, t ASC
+      LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT x, r - CASE WHEN x <= (SELECT t FROM best{k}) THEN (SELECT ml FROM best{k})
+                         ELSE (SELECT mr FROM best{k}) END AS r
+      FROM r{p}
+    )"""
+        )
+    parts.append(
+        f"sfin AS MATERIALIZED (SELECT CAST(sum(abs(r)) AS BIGINT) AS sa FROM r{_Q297_ROUNDS})"
+    )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS boost_round, CAST(NULL AS BIGINT) AS threshold, "
+        "(SELECT base_pred FROM tot) AS left_leaf, (SELECT base_pred FROM tot) AS right_leaf, "
+        "CAST(round(CAST((SELECT sa FROM s1) AS DOUBLE) / (SELECT n FROM tot)) AS BIGINT) AS mae"
+    ]
+    for k in range(1, _Q297_ROUNDS + 1):
+        sa = f"(SELECT sa FROM s{k + 1})" if k < _Q297_ROUNDS else "(SELECT sa FROM sfin)"
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT), (SELECT t FROM best{k}), (SELECT ml FROM best{k}), "
+            f"(SELECT mr FROM best{k}), "
+            f"CAST(round(CAST({sa} AS DOUBLE) / (SELECT n FROM tot)) AS BIGINT)"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@_register("q297_gbm_price_stumps", None)  # oracle attached below (generated)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps (library: operators.boost)
+    — 3 boosting rounds predicting the line price (cents) from the
+    order quantity over fixed candidate thresholds 5..45. Each round
+    is ONE tree-reduced aggregate (2 conditional BIGINT sums per
+    candidate); residuals, leaf values and the argmax-gain threshold
+    form an exact-integer trajectory (gains are IEEE doubles OF exact
+    integers — bit-deterministic, no libm), which the DuckDB oracle
+    replays round-by-round via _q297_oracle. Returns the model table:
+    (boost_round, threshold, left_leaf, right_leaf, mae), round 0
+    being the base prediction. The distributed-GBM pattern: data
+    never leaves the cluster, the driver holds 4 scalars per round."""
+    from owl_etl_spark.operators.boost import gbm_stump_fit, gbm_stump_model_df
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    fitted = gbm_stump_fit(li, "y", "x", _Q297_THRESHOLDS, rounds=_Q297_ROUNDS)
+    return gbm_stump_model_df(spark, fitted)
+
+
+_REGISTRY["q297_gbm_price_stumps"] = (
+    _REGISTRY["q297_gbm_price_stumps"][0],
+    _q297_oracle(),
+)
+
+
+@_register(
+    "q298_order_hbos_outliers",
+    """
+    WITH f AS MATERIALIZED (
+      SELECT o_orderkey AS id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS f0,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS f1
+      FROM orders
+    ), r AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(f0) AS BIGINT) AS mn0, CAST(max(f0) AS BIGINT) AS mx0,
+             CAST(min(f1) AS BIGINT) AS mn1, CAST(max(f1) AS BIGINT) AS mx1
+      FROM f
+    ), b AS MATERIALIZED (
+      SELECT id,
+             ((f0 - (SELECT mn0 FROM r)) * 10) // ((SELECT mx0 FROM r) - (SELECT mn0 FROM r) + 1) AS b0,
+             ((f1 - (SELECT mn1 FROM r)) * 10) // ((SELECT mx1 FROM r) - (SELECT mn1 FROM r) + 1) AS b1
+      FROM f
+    ), c0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY b0),
+    c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY b1)
+    SELECT id AS o_orderkey,
+           CAST(CAST(round(ln(CAST((SELECT n FROM r) AS DOUBLE) / CAST(c0.c AS DOUBLE)) * 1000000) AS BIGINT)
+              + CAST(round(ln(CAST((SELECT n FROM r) AS DOUBLE) / CAST(c1.c AS DOUBLE)) * 1000000) AS BIGINT)
+              AS BIGINT) AS hbos_micro_nats
+    FROM b JOIN c0 USING (b0) JOIN c1 USING (b1)
+    ORDER BY hbos_micro_nats DESC, id ASC
+    LIMIT 20
+    """,
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based outlier scores (library: operators.anomaly.
+    hbos_scores): every order is scored by the summed surprisal of its
+    (price, order-date) equal-width histogram bins — the aggregate-only
+    outlier detector whose whole cost is two passes plus a broadcast of
+    ≤ features×bins frequencies; top 20 outliers returned. Bins are
+    pure integer floor-div (no float boundary wobble), surprisal terms
+    are micro-nat-snapped before summation (q104's ln discipline), so
+    the DuckDB oracle replays scores exactly."""
+    from owl_etl_spark.operators.anomaly import hbos_scores
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("epoch_days"),
+    )
+    scored = hbos_scores(o, "o_orderkey", ["price_cents", "epoch_days"], bins=10)
+    return scored.orderBy(
+        F.col("hbos_micro_nats").desc(), F.col("o_orderkey").asc()
+    ).limit(20)
+
+
+@_register(
+    "q299_part_name_snm_pairs",
+    """
+    WITH n AS MATERIALIZED (
+      SELECT p_partkey AS id, lower(trim(p_name)) AS nm,
+             string_split(lower(trim(p_name)), ' ')[1] AS blk
+      FROM part
+    ), led AS (
+      SELECT id, nm,
+             lead(id, 1) OVER w AS id1, lead(nm, 1) OVER w AS nm1,
+             lead(id, 2) OVER w AS id2, lead(nm, 2) OVER w AS nm2,
+             lead(id, 3) OVER w AS id3, lead(nm, 3) OVER w AS nm3
+      FROM n WINDOW w AS (PARTITION BY blk ORDER BY nm, id)
+    ), pairs AS (
+      SELECT least(id, id1) AS a, greatest(id, id1) AS b, levenshtein(nm, nm1) AS d
+      FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT least(id, id2), greatest(id, id2), levenshtein(nm, nm2)
+      FROM led WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT least(id, id3), greatest(id, id3), levenshtein(nm, nm3)
+      FROM led WHERE id3 IS NOT NULL
+    )
+    SELECT a AS id_a, b AS id_b, CAST(min(d) AS BIGINT) AS distance
+    FROM pairs GROUP BY a, b
+    """,
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking pass over part names (library:
+    operators.linkage.sorted_neighborhood_pairs): records sort by
+    normalized name WITHIN a first-token block and pair with their 3
+    successors — O(n·w) candidate pairs immune to hot-block quadratic
+    fan-out, the classic complement to q123's trigram blocking.
+    Deterministic ordering (name, id ties) makes the emitted pair set
+    — and its Levenshtein distances — oracle-exact. The window runs
+    per block (partitionBy), never as the single-task global sort."""
+    from owl_etl_spark.operators.linkage import sorted_neighborhood_pairs
+
+    p = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(p, "p_partkey", "p_name", window=3).select(
+        "id_a", "id_b", "distance"
+    )
+
+
+_Q300_ITERS, _Q300_ALPHA = 6, 0.03125  # dyadic, < 1/25 >= 1/lambda_max bound
+
+
+def _q300_oracle() -> str:
+    """Unrolled Katz iterations (the q252 integer-trajectory pattern):
+    x'(v) = 1e6 + round(alpha * sum_in x(u)) over the DISTINCT trade
+    edge list (unweighted: alpha must stay below 1/lambda_max, and the
+    25-nation complete-ish digraph bounds lambda <= 25 < 1/alpha)."""
+    parts = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    )""",
+        "x0 AS MATERIALIZED (SELECT n_nationkey AS n, CAST(1000000 AS BIGINT) AS x FROM nation)",
+    ]
+    for k in range(1, _Q300_ITERS + 1):
+        parts.append(
+            f"""x{k} AS MATERIALIZED (
+      SELECT nn.n_nationkey AS n,
+             CAST(1000000 + CAST(round({_Q300_ALPHA!r} * COALESCE(c.s, 0)) AS BIGINT) AS BIGINT) AS x
+      FROM nation nn LEFT JOIN (
+        SELECT e.dst, CAST(sum(x.x) AS BIGINT) AS s
+        FROM x{k - 1} x JOIN edges e ON e.src = x.n
+        GROUP BY e.dst
+      ) c ON c.dst = nn.n_nationkey
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT n AS nation_key, CAST(x AS BIGINT) AS katz_micro_units FROM x{_Q300_ITERS}"
+    )
+
+
+@_register("q300_trade_katz_centrality", None)  # oracle attached below
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality of the nation trade graph (library:
+    operators.graph.katz_centrality): 6 truncated-series iterations of
+    x' = 1e6 + round(α·Σ_in x) over the DISTINCT supplier→customer
+    nation edge list, α = 1/32 (dyadic, below the 1/λ_max ≤ 1/25
+    convergence bound for this digraph). Unlike PageRank there is no
+    out-degree normalization — hubs inject mass, which is Katz's
+    point. Integer micro-unit trajectory, one edges⋈scores join + one
+    aggregate per iteration; oracle unrolls all 6 (the q252
+    pattern)."""
+    from owl_etl_spark.operators.graph import katz_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    out = katz_centrality(
+        edges, nodes, n_iters=_Q300_ITERS, alpha=_Q300_ALPHA
+    )
+    return out.select(F.col("node").alias("nation_key"), "katz_micro_units")
+
+
+_REGISTRY["q300_trade_katz_centrality"] = (
+    _REGISTRY["q300_trade_katz_centrality"][0],
+    _q300_oracle(),
+)
+
+
+_Q301_ITERS, _Q301_LR, _Q301_CLIP_MILLI = 8, 0.5, 20
+
+
+def _q301_oracle() -> str:
+    """Unrolled DuckDB replay of the full AIPW pipeline
+    (operators/experiment.aipw_report): the 8-iteration exact-integer
+    logistic propensity (the _q233_oracle pattern, d=2), the per-arm
+    OLS moment solve in IEEE doubles of exact BIGINTs (same op order
+    as the engine), and the micro-snapped ψ sum."""
+    d = 2
+
+    def z_expr(walias: str) -> str:
+        terms = " + ".join(
+            f"CAST({walias}.w{j} * r.x{j} AS DOUBLE)" for j in range(d)
+        )
+        return f"(({terms}) / 1000000.0)"
+
+    def sigma(walias: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-{z_expr(walias)})), 9)"
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 1000) AS x1,
+             (CAST(round(o_totalprice * 100) AS BIGINT) // 1000) AS yy
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    )""",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
+        + ")",
+    ]
+    for t in range(1, _Q301_ITERS + 1):
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round((({sigma('w')}) - r.y) * CAST(r.x{j} AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} "
+            f"FROM rows_f r CROSS JOIN w{t - 1} w)"
+        )
+        wexprs = ", ".join(
+            f"CAST(w.w{j} - round({_Q301_LR} * round(CAST(g.g{j} AS DOUBLE) / g.n))"
+            f" AS BIGINT) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT {wexprs} FROM w{t - 1} w CROSS JOIN g{t} g)"
+        )
+    wf = f"w{_Q301_ITERS}"
+    parts.extend([
+        """moms AS MATERIALIZED (
+      SELECT CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS an,
+             CAST(coalesce(sum(CASE WHEN y = 1 THEN x1 END), 0) AS BIGINT) AS ax,
+             CAST(coalesce(sum(CASE WHEN y = 1 THEN x1 * x1 END), 0) AS BIGINT) AS axx,
+             CAST(coalesce(sum(CASE WHEN y = 1 THEN yy END), 0) AS BIGINT) AS ay,
+             CAST(coalesce(sum(CASE WHEN y = 1 THEN x1 * yy END), 0) AS BIGINT) AS axy,
+             CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS bn,
+             CAST(coalesce(sum(CASE WHEN y = 0 THEN x1 END), 0) AS BIGINT) AS bx,
+             CAST(coalesce(sum(CASE WHEN y = 0 THEN x1 * x1 END), 0) AS BIGINT) AS bxx,
+             CAST(coalesce(sum(CASE WHEN y = 0 THEN yy END), 0) AS BIGINT) AS by,
+             CAST(coalesce(sum(CASE WHEN y = 0 THEN x1 * yy END), 0) AS BIGINT) AS bxy
+      FROM rows_f
+    )""",
+        """betas AS MATERIALIZED (
+      SELECT (CAST(an AS DOUBLE) * axy - CAST(ax AS DOUBLE) * ay)
+               / (CAST(axx AS DOUBLE) * an - CAST(ax AS DOUBLE) * ax) AS b1_1,
+             (CAST(axx AS DOUBLE) * ay - CAST(ax AS DOUBLE) * axy)
+               / (CAST(axx AS DOUBLE) * an - CAST(ax AS DOUBLE) * ax) AS b0_1,
+             (CAST(bn AS DOUBLE) * bxy - CAST(bx AS DOUBLE) * by)
+               / (CAST(bxx AS DOUBLE) * bn - CAST(bx AS DOUBLE) * bx) AS b1_0,
+             (CAST(bxx AS DOUBLE) * by - CAST(bx AS DOUBLE) * bxy)
+               / (CAST(bxx AS DOUBLE) * bn - CAST(bx AS DOUBLE) * bx) AS b0_0,
+             round(CAST(ay AS DOUBLE) / an * 1000000.0
+                   - CAST(by AS DOUBLE) / bn * 1000000.0) AS naive
+      FROM moms
+    )""",
+    ])
+    lo = _Q301_CLIP_MILLI / 1000.0
+    e = (
+        f"least(greatest(round(1.0 / (1.0 + exp(-(CAST(w.w0 + w.w1 * r.x1 AS DOUBLE)"
+        f" / 1000000.0))), 9), {lo!r}), {1.0 - lo!r})"
+    )
+    mu1 = "(b.b0_1 + b.b1_1 * CAST(r.x1 AS DOUBLE))"
+    mu0 = "(b.b0_0 + b.b1_0 * CAST(r.x1 AS DOUBLE))"
+    psi = (
+        f"(({mu1} - {mu0})"
+        f" + CAST(r.y AS DOUBLE) * (CAST(r.yy AS DOUBLE) - {mu1}) / ({e})"
+        f" - (1.0 - CAST(r.y AS DOUBLE)) * (CAST(r.yy AS DOUBLE) - {mu0}) / (1.0 - ({e})))"
+    )
+    final = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r.y) AS BIGINT) AS n_treat, "
+        f"CAST(round(CAST(CAST(sum(CAST(round({psi} * 1000000.0) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / count(*)) AS BIGINT) AS ate_micro_units, "
+        f"CAST(max(b.naive) AS BIGINT) AS naive_diff_micro_units, "
+        f"CAST(max(w.w0) AS BIGINT) AS prop_w0_micro, "
+        f"CAST(max(w.w1) AS BIGINT) AS prop_w1_micro "
+        f"FROM rows_f r CROSS JOIN {wf} w CROSS JOIN betas b"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@_register("q301_priority_aipw_ate", None)  # oracle attached below
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW average treatment effect (library:
+    operators.experiment.aipw_report) of high order priority
+    (1-URGENT/2-HIGH) on order value (tens-of-dollar units), adjusting
+    for customer account balance: logistic propensity (8 exact-integer
+    GD iterations, q233's trainer), per-arm OLS outcome lines from
+    exact BIGINT moments, ψ snapped to micro-units per row before the
+    global sum. Consistent if EITHER model is right — the estimator
+    q269's propensity-free stratified ATE can't give. The oracle
+    (_q301_oracle) replays propensity iterations, arm fits and ψ
+    op-for-op. Note the covariate shift (+100000 cents) before the
+    descale floor-div: acctbal can be negative and Spark's `div`
+    truncates while DuckDB's `//` floors — nonneg operands make them
+    agree."""
+    from owl_etl_spark.operators.experiment import aipw_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").alias("treat"),
+        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) div 1000)").alias("y"),
+        F.expr("((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 1000)").alias("x"),
+    )
+    return aipw_report(
+        d, "treat", "y", "x",
+        prop_iterations=_Q301_ITERS, lr=_Q301_LR, clip_milli=_Q301_CLIP_MILLI,
+    )
+
+
+_REGISTRY["q301_priority_aipw_ate"] = (
+    _REGISTRY["q301_priority_aipw_ate"][0],
+    _q301_oracle(),
+)
+
+
+_Q302_TAU_CENTI, _Q302_ITERS, _Q302_DELTA = 90, 4, 1000
+
+
+def _q302_oracle() -> str:
+    """Unrolled IRLS replay (operators/robust.quantile_regression_fit):
+    OLS seed + 4 weighted-normal-equation iterations, integer weights
+    via floor-div, 2x2 solves in IEEE doubles of exact BIGINTs in the
+    engine's op order."""
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) // ({dv})"
+    tc, dd = _Q302_TAU_CENTI, _Q302_DELTA
+
+    def solve(src: str) -> str:
+        det = "(CAST(sxx AS DOUBLE) * sw - CAST(sx AS DOUBLE) * sx)"
+        return (
+            f"SELECT CAST(round((CAST(sxx AS DOUBLE) * sy - CAST(sx AS DOUBLE) * sxy)"
+            f" / {det} * 1000000.0) AS BIGINT) AS w0, "
+            f"CAST(round((CAST(sw AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            f" / {det} * 1000000.0) AS BIGINT) AS w1 FROM {src}"
+        )
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) // 100) AS y,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    )""",
+        """seed AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS sw, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM rows_f
+    )""",
+        f"th0 AS MATERIALIZED ({solve('seed')})",
+    ]
+    for k in range(1, _Q302_ITERS + 1):
+        yhat = fd("t.w0 + t.w1 * x", "1000000")
+        r = f"(y - ({yhat}))"
+        w = fd(
+            f"(CASE WHEN {r} >= 0 THEN {tc} ELSE {100 - tc} END) * 10000",
+            f"greatest(abs({r}), {dd})",
+        )
+        parts.append(
+            f"""it{k} AS MATERIALIZED (
+      SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * x) AS BIGINT) AS sx,
+             CAST(sum(w * x * x) AS BIGINT) AS sxx, CAST(sum(w * y) AS BIGINT) AS sy,
+             CAST(sum(w * x * y) AS BIGINT) AS sxy
+      FROM (SELECT x, y, CAST({w} AS BIGINT) AS w FROM rows_f CROSS JOIN th{k - 1} t)
+    )"""
+        )
+        parts.append(f"th{k} AS MATERIALIZED ({solve(f'it{k}')})")
+    thf = f"th{_Q302_ITERS}"
+    yhat_f = fd("t2.w0 + t2.w1 * x", "1000000")
+    final = (
+        f"SELECT (SELECT sw FROM seed) AS n, t.w0 AS intercept_micro, "
+        f"t.w1 AS slope_micro, "
+        f"(SELECT CAST(count(CASE WHEN y <= ({yhat_f}) THEN 1 END) AS BIGINT) "
+        f"FROM rows_f CROSS JOIN {thf} t2) AS n_covered "
+        f"FROM {thf} t"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@_register("q302_price_quantile_regression", None)  # oracle attached below
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact linear quantile regression (library: operators.
+    robust.quantile_regression_fit): the τ=0.90 price-vs-quantity line
+    — "what does a 90th-percentile order cost at this quantity" —
+    via 4 IRLS iterations on the δ-smoothed pinball loss, labels in
+    whole dollars. Integer weights by floor-div, exact BIGINT weighted
+    moments, 2×2 solves in bit-deterministic doubles; the oracle
+    replays seed + all 4 iterations (_q302_oracle). Output adds
+    n_covered (rows at or under the fitted line — ≈ 0.9·n when the
+    quantile fit is honest)."""
+    from owl_etl_spark.operators.robust import quantile_regression_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT) div 100)").alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    fit = quantile_regression_fit(
+        li, "y", "x",
+        tau_centi=_Q302_TAU_CENTI, n_iters=_Q302_ITERS, delta=_Q302_DELTA,
+    )
+    w0, w1 = fit["intercept_micro"], fit["slope_micro"]
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    yhat = fd(f"{w0} + {w1} * x", "1000000")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.expr(f"y <= ({yhat})"), F.lit(1))).cast("long").alias("n_covered"),
+    ).select(
+        "n",
+        F.lit(w0).cast("long").alias("intercept_micro"),
+        F.lit(w1).cast("long").alias("slope_micro"),
+        "n_covered",
+    )
+
+
+_REGISTRY["q302_price_quantile_regression"] = (
+    _REGISTRY["q302_price_quantile_regression"][0],
+    _q302_oracle(),
+)
+
+
+@_register(
+    "q303_incremental_ivf_knn",
+    f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, embedding AS cv
+      FROM embeddings WHERE vec_id IN ({', '.join(str(i) for i in _Q49_CENTROID_IDS)})
+    ),
+    d_all AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             round({_SQDIST_DUCK.format(a='e.embedding', b='c.cv')}, 6) AS d
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+        FROM d_all) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+        FROM d_all WHERE vec_id >= 10 AND vec_id < 20) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_cosine_duck('p.qv', 'a.embedding')}, 6) AS cosine
+      FROM assign a JOIN probes p ON a.cluster_id = p.cluster_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (library: operators.cluster.
+    ivf_knn_preassigned) — the ANN twin of q296's incremental-dedup
+    law: the corpus arrives as two drops (historical = vec_id % 3 != 0,
+    new drop = % 3 == 0). Drop 1 is assigned to the PINNED centroids
+    (q49's oracle-portable device) and its (id, vec, cluster_id) rows
+    are PERSISTED to an index store parquet range-clustered on
+    cluster_id (write_sorted_parquet), so a search's probe equi-join
+    prunes to the probed clusters' row groups. Drop 2 is then assigned
+    ALONE — the store is read back, never re-assigned — and the union
+    is searched. Because assignment is a pure function of (vector,
+    centroids), searching the incrementally-built index must equal a
+    full rebuild: the oracle is exactly the one-shot IVF SQL (q49's,
+    on query set vec_id in [10, 20))."""
+    import shutil
+    import tempfile
+
+    from owl_etl_spark.operators.cluster import (
+        assign_clusters,
+        centroids_from_ids,
+        ivf_knn_preassigned,
+    )
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    em = _t(spark, sf_dir, "embeddings")
+    centroids = centroids_from_ids(em, _Q49_CENTROID_IDS)
+    store_dir = tempfile.mkdtemp(prefix="ivf_store_q303_")
+    try:
+        drop1 = em.filter(F.col("vec_id") % 3 != 0)
+        drop2 = em.filter(F.col("vec_id") % 3 == 0)
+        write_sorted_parquet(
+            assign_clusters(drop1, centroids, round_digits=6),
+            f"{store_dir}/index",
+            ["cluster_id"],
+        )
+        store = spark.read.parquet(f"{store_dir}/index")
+        index = store.unionByName(assign_clusters(drop2, centroids, round_digits=6))
+        queries = em.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        out = ivf_knn_preassigned(
+            queries, index, centroids, k=5, n_probes=3, round_digits=6
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
+
+
+@_register(
+    "q304_trade_mutual_best_match",
+    """
+    WITH agg AS MATERIALIZED (
+      SELECT o_custkey, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS weight
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    bl AS (
+      SELECT o_custkey, l_suppkey, weight FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY weight DESC, l_suppkey ASC) AS rn
+        FROM agg) WHERE rn = 1
+    ),
+    br AS (
+      SELECT o_custkey, l_suppkey FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                                     ORDER BY weight DESC, o_custkey ASC) AS rn
+        FROM agg) WHERE rn = 1
+    )
+    SELECT bl.o_custkey, bl.l_suppkey, bl.weight
+    FROM bl JOIN br ON bl.o_custkey = br.o_custkey AND bl.l_suppkey = br.l_suppkey
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches between customers and suppliers
+    (library: operators.affinity.mutual_best_match): keep (customer,
+    supplier) pairs where each is the other's argmax by total
+    discounted revenue (exact integer cents — float argmax would be
+    partition-order-dependent), ties toward the smallest partner key.
+    The mutual-top-1 rule that turns a noisy affinity table into
+    high-precision 1:1 links. Two WindowGroupLimit top-1 passes over
+    the aggregated pair frame; nothing quadratic anywhere."""
+    from owl_etl_spark.operators.affinity import mutual_best_match
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("w_cents"),
+    )
+    return mutual_best_match(d, "o_custkey", "l_suppkey", "w_cents")

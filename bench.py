@@ -116,6 +116,19 @@ HEADLINE = [
     "q255_shipping_bradley_terry",
     "q276_mondrian_k_anonymity",
     "q253_embedding_top_eigvec",
+    # round-8 operator families: incremental cross-drop LSH dedup (sign
+    # one drop, persist the band store, probe the second drop against
+    # it), boosted stumps (4 tree-reduced candidate-split aggregates
+    # over 600k lineitems), HBOS outlier scoring (two passes + a
+    # broadcast of f x bins frequencies over 150k orders), AIPW (8
+    # exact-integer logistic iterations + the micro-snapped psi pass
+    # over 150k orders), and incremental IVF (assign-per-drop, search
+    # the unioned store).
+    "q296_incremental_lsh_dedup",
+    "q297_gbm_price_stumps",
+    "q298_order_hbos_outliers",
+    "q301_priority_aipw_ate",
+    "q303_incremental_ivf_knn",
 ]
 
 
@@ -173,6 +186,7 @@ def main() -> None:
     ann = _ann_scenario(spark, sf_dir)
     ann_clustered = _ann_clustered_scenario(spark)
     streaming = _streaming_scenario(spark, sf_dir)
+    scale = _scale_stress_scenario(spark, sf_dir, timings)
 
     # Scenario blocks (skew / ann / clustered-ann / streaming) made the
     # single output line outgrow the round driver's tail-capture window in
@@ -185,6 +199,7 @@ def main() -> None:
         "ann_scenario": ann,
         "ann_clustered_scenario": ann_clustered,
         "streaming_scenario": streaming,
+        "scale_stress": scale,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -195,12 +210,21 @@ def main() -> None:
         pass
     print("# scenarios: " + json.dumps(scenarios), file=sys.stderr)
 
+    # Compact scale-stress summary INSIDE the driver-captured line
+    # (full detail — rows, 10x/1x ratios, task-pair bounds, state
+    # sizes — lives in the bench_scenarios.json sidecar): per heavy
+    # family, seconds at the 10x tier.
+    scale_line = {"x": scale.get("factor")}
+    for k, v in scale.items():
+        if k.endswith("_s") and not k.endswith("per_s") and not k.startswith("gen"):
+            scale_line[k.split("_")[0]] = v
     line = json.dumps(
         {
             "metric": "headline_query_wall_time_total",
             "value": round(total, 2),
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in timings.items()},
+            "scale_stress": scale_line,
             "sf": sf,
         }
     )
@@ -754,6 +778,206 @@ def _streaming_scenario(sparksession, sf_dir: str) -> dict[str, float]:
     finally:
         shutil.rmtree(work, ignore_errors=True)
         sparksession.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+#: Heavy families measured at the blown-up tier (VERDICT r7 "Next
+#: round" #4): LSH/dedup, graph, ANN, association rules — the ones
+#: whose guards and plan shapes carry the 100 TB design claims.
+_SCALE_QUERIES = [
+    "q29_ngram_jaccard_pairs",
+    "q34_minhash_lsh_pairs",
+    "q98_dup_components",
+    "q105_pq_adc_knn",
+    "q118_ivfpq_knn",
+    "q125_trade_pagerank",
+    "q160_association_rules",
+    "q183_hits_scores",
+    "q204_trade_cheapest_routes",
+]
+
+
+def _scale_stress_scenario(
+    sparksession, sf_dir: str, headline_timings: dict[str, float]
+) -> dict[str, float]:
+    """Measure the heaviest families at a FACTOR-times synthetic blow-up
+    of sf0.1 (VERDICT r7 "Next round" #4): until this round the 100 TB
+    claims rested on plan-shape tests, contract raises, and recorded
+    per-task bounds — no committed run exercised a tier where the
+    guards matter end-to-end. This scenario builds a 10x tier on the
+    fly (deterministically — replica cross-join, key-space offsets, no
+    RNG) and re-runs the REGISTERED queries against it unchanged:
+
+    - documents x10: replicas carry a ' ~rK' suffix so duplicate
+      classes are preserved WITHIN each replica (dup structure scales
+      10x, cross-replica docs stay distinct) — the LSH/Jaccard/
+      components shape.
+    - embeddings x10: per-replica deterministic scaling of the vector
+      (cluster structure preserved, 10x corpus for IVF/PQ).
+    - events x10 with 10x distinct user_ids (15k keys) — the
+      sessionizer's state dimension, not just row volume.
+    - lineitem/orders x10 via orderkey offset over the same part/
+      supplier vertex sets: 10x baskets for association rules, 10x
+      edge multiplicity for the graph families.
+
+    Recorded per query: wall seconds, rows, and time ratio vs the same
+    query's 1x headline run THIS round (same JVM, same session) — the
+    measured scaling exponent (ratio ~< factor = sub-linear). The
+    dedup task-pair bounds are restated from the operator guards
+    (max_group^2, constants independent of tier), and the sessionize
+    run records state rows/bytes at 10x key cardinality with state
+    partitions sized by the same ~100-keys-per-partition rule the
+    streaming scenario documents (15k keys -> 32, the local core
+    count). Generation time is recorded separately (gen_s) and not
+    billed to any query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.sources.readers import read_events
+    from owl_etl_spark.streaming.joins import sessionize_stateful
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    out: dict[str, float] = {"factor": factor}
+    work = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        t0 = time.perf_counter()
+        for t in ("region", "nation", "customer", "supplier", "part"):
+            shutil.copy(f"{sf_dir}/{t}.parquet", f"{work}/{t}.parquet")
+        rep = sparksession.range(factor).withColumnRenamed("id", "__rep")
+
+        docs = sparksession.read.parquet(f"{sf_dir}/documents.parquet")
+        (
+            docs.crossJoin(rep)
+            .select(
+                (F.col("doc_id") + F.col("__rep") * F.lit(10_000_000)).alias("doc_id"),
+                F.when(F.col("__rep") == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(" ~r"), F.col("__rep")))
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{work}/documents.parquet")
+        )
+        emb = sparksession.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (
+            emb.crossJoin(rep)
+            .select(
+                (F.col("vec_id") + F.col("__rep") * F.lit(10_000_000)).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, x -> CAST(x * (1.0 + __rep / 997.0) AS FLOAT))"
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{work}/embeddings.parquet")
+        )
+        ev = read_events(sparksession, sf_dir)
+        (
+            ev.crossJoin(rep)
+            .select(
+                (F.col("event_id") + F.col("__rep") * F.lit(100_000_000)).alias(
+                    "event_id"
+                ),
+                "ts",
+                (F.col("user_id") + F.col("__rep") * F.lit(1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{work}/events.parquet")
+        )
+        for tbl, keycol, off, parts in (
+            ("lineitem", "l_orderkey", 100_000_000, 32),
+            ("orders", "o_orderkey", 100_000_000, 8),
+        ):
+            df = sparksession.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            (
+                df.crossJoin(rep)
+                .select(
+                    (F.col(keycol) + F.col("__rep") * F.lit(off)).alias(keycol),
+                    *[c for c in df.columns if c != keycol],
+                )
+                .repartition(parts)
+                .write.mode("overwrite")
+                .parquet(f"{work}/{tbl}.parquet")
+            )
+        out["gen_s"] = round(time.perf_counter() - t0, 3)
+
+        qs = entrymod.queries()
+        for name in _SCALE_QUERIES:
+            t0 = time.perf_counter()
+            n = qs[name](sparksession, work).count()
+            dt = time.perf_counter() - t0
+            out[f"{name}_s"] = round(dt, 3)
+            out[f"{name}_rows"] = n
+            base = headline_timings.get(name)
+            if base:
+                out[f"{name}_ratio_vs_1x"] = round(dt / base, 2)
+            print(
+                f"# scale_stress_{name}: {dt:.3f}s ({n} rows"
+                + (f", {dt / base:.1f}x the 1x time" if base else "")
+                + ")",
+                file=sys.stderr,
+            )
+        # Guard bounds are tier-independent constants — restated here so
+        # the scale record carries them next to the measured walls.
+        out["q29_max_task_pairs"] = 4096 * 4096
+        out["q34_max_task_pairs"] = 1024 * 1024
+        out["q98_max_task_pairs"] = 1024 * 1024
+
+        # Sessionize at 10x events AND 10x keys.
+        prev_parts = sparksession.conf.get("spark.sql.shuffle.partitions")
+        sparksession.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            ev_schema = sparksession.read.parquet(f"{work}/events.parquet").schema
+            src = (
+                sparksession.readStream.schema(ev_schema)
+                .parquet(f"{work}/events.parquet")
+                # the tier stores ts as TIMESTAMP_NTZ (read_events'
+                # normalized form); watermarks require TIMESTAMP
+                .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            )
+            n_events = factor * 100_000
+            t0 = time.perf_counter()
+            q = (
+                sessionize_stateful(src, "user_id", "ts", gap_seconds=1800)
+                .writeStream.format("memory")
+                .queryName("bench_scale_sessionize")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            state_rows = 0
+            state_bytes = 0
+            for prog in q.recentProgress:
+                for op in prog.get("stateOperators") or []:
+                    state_rows = max(state_rows, op.get("numRowsTotal") or 0)
+                    state_bytes = max(state_bytes, op.get("memoryUsedBytes") or 0)
+            out["sessionize_s"] = round(dt, 3)
+            out["sessionize_events_per_s"] = round(n_events / dt)
+            out["sessionize_state_rows"] = state_rows
+            out["sessionize_state_bytes"] = state_bytes
+            sparksession.catalog.dropTempView("bench_scale_sessionize")
+            print(
+                f"# scale_stress_sessionize: {dt:.3f}s "
+                f"({out['sessionize_events_per_s']} ev/s, "
+                f"state {state_rows} rows / {state_bytes} B)",
+                file=sys.stderr,
+            )
+        finally:
+            sparksession.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

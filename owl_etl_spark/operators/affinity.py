@@ -121,3 +121,69 @@ def cooccurrence_similarity_topk(
         .filter(F.col("rk") <= int(k))
         .select("item", "neighbor", "c_item", "c_nbr", "c_both", "cosine2_micro", "rk")
     )
+
+
+def mutual_best_match(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Reciprocal best match over a weighted bipartite relation: keep
+    the (left, right) pairs where right is left's argmax-weight
+    partner AND left is right's argmax-weight partner — the mutual-
+    top-1 rule that turns a noisy affinity table into high-precision
+    1:1 links (record linkage's "both sides agree" heuristic, also the
+    mutual-nearest-neighbor rule used to mine translation pairs from
+    embedding similarity).
+
+    ``weight_col`` must be an exact integer (cents, counts — the
+    caller scales): argmax over floats is partition-order-dependent
+    when ties differ by ulps, while integer weights make both argmaxes
+    exact. Ties break toward the SMALLEST partner key, so the match
+    set is deterministic and a SQL oracle replays it. Returns
+    (left, right, weight).
+
+    Plan shape: the relation is aggregated to distinct (left, right,
+    total-weight) first (one shuffle), then each side's top-1 is a
+    row_number window over that aggregated frame — two
+    WindowGroupLimit passes that plan as top-1 per key and never
+    materialize a sort of the raw rows. The final inner join of the
+    two top-1 frames is tiny (≤ one row per key on each side). No
+    step is quadratic; hot keys cost their own aggregated fan-in only.
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        df.groupBy(
+            F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+        )
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    by_left = Window.partitionBy("__l").orderBy(
+        F.col("__w").desc(), F.col("__r").asc()
+    )
+    by_right = Window.partitionBy("__r").orderBy(
+        F.col("__w").desc(), F.col("__l").asc()
+    )
+    best_r = (
+        agg.withColumn("__rn", F.row_number().over(by_left))
+        .filter(F.col("__rn") == 1)
+        .select("__l", "__r", "__w")
+    )
+    best_l = (
+        agg.withColumn("__rn", F.row_number().over(by_right))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__l").alias("__l2"), F.col("__r").alias("__r2"))
+    )
+    return (
+        best_r.join(
+            best_l,
+            (F.col("__l") == F.col("__l2")) & (F.col("__r") == F.col("__r2")),
+        )
+        .select(
+            F.col("__l").alias(left_col),
+            F.col("__r").alias(right_col),
+            F.col("__w").alias("weight"),
+        )
+    )

@@ -160,3 +160,108 @@ def benford_screen(
         mad.alias("mad_micro"),
         ((mad > 15_000) & (F.sum("c") >= min_n)).alias("flag"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Histogram-Based Outlier Score per row — the aggregate-only
+    outlier detector (Goldstein & Dengel's HBOS): each integer feature
+    is equal-width-binned over its [min, max] range, and a row's score
+    sums the per-feature surprisal of its bin,
+
+        score = Σ_f  −ln(count(bin_f(row)) / N)
+
+    carried as exact micro-nats (q104's pattern: the ONLY libm call,
+    ln, is snapped per term via round(ln·1e6) before any sum, so the
+    BIGINT total is partition-order-independent and engine-identical).
+    Returns ``df``'s id plus ``hbos_micro_nats`` (BIGINT). Higher =
+    rarer bin combination. Rows never score infinity: a row's own bin
+    always counts itself, so count ≥ 1.
+
+    Binning is pure integer arithmetic — bin = (v−min)·bins div
+    (max−min+1), exactly 0..bins−1 with no float boundary wobble — so
+    a SQL oracle replays it verbatim. Features must be integer-valued
+    (cast upstream: cents, epoch-days, hours); a constant feature puts
+    every row in bin 0 and contributes a constant −ln(1) = 0-ish term
+    (harmless, but callers should drop it).
+
+    Plan shape (the 100 TB profile): one pass computes per-feature
+    min/max (a single tree-reduced aggregate, driver gets 2·f
+    scalars); one pass melts rows to (feature, bin) and aggregates
+    frequencies — the only shuffle, output ≤ f·bins rows; the
+    frequency table broadcast-joins back per feature and the score is
+    a map-side expression. No per-row state, no quadratic anything;
+    the melt fan-out is ×f (feature count), a constant.
+    """
+    if not feature_cols:
+        raise ValueError("hbos_scores: need at least one feature column")
+    f = len(feature_cols)
+    ranges = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            a
+            for j, c in enumerate(feature_cols)
+            for a in (
+                F.min(F.col(c).cast("long")).alias(f"__mn{j}"),
+                F.max(F.col(c).cast("long")).alias(f"__mx{j}"),
+            )
+        ],
+    ).collect()[0]
+    n_total = ranges["__n"]
+    if not n_total:
+        raise ValueError("hbos_scores: empty input")
+    spans = []
+    for j in range(f):
+        mn, mx = ranges[f"__mn{j}"], ranges[f"__mx{j}"]
+        if mn is None:
+            raise ValueError(
+                f"hbos_scores: feature {feature_cols[j]!r} is all-null"
+            )
+        spans.append((mn, mx - mn + 1))
+
+    # integer floor-div binning: exactly 0..bins-1, no float boundary
+    # wobble for a SQL oracle to disagree with
+    binned = df.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"((CAST({c} AS BIGINT) - {spans[j][0]}) * {int(bins)})"
+                f" div {spans[j][1]}"
+            ).alias(f"__b{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    melted = binned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("feat"),
+                        F.col(f"__b{j}").alias("bin"),
+                    )
+                    for j in range(f)
+                ]
+            )
+        ).alias("fb")
+    ).select("fb.feat", "fb.bin")
+    freqs = melted.groupBy("feat", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = binned
+    for j in range(f):
+        fj = freqs.filter(F.col("feat") == j).select(
+            F.col("bin").alias(f"__b{j}"), F.col("cnt").alias(f"__c{j}")
+        )
+        scored = scored.join(F.broadcast(fj), f"__b{j}")
+    surprisal = sum(
+        F.round(
+            F.log(F.lit(float(n_total)) / F.col(f"__c{j}").cast("double"))
+            * F.lit(1_000_000.0)
+        ).cast("long")
+        for j in range(f)
+    )
+    return scored.select(F.col(id_col), surprisal.alias("hbos_micro_nats"))

@@ -150,8 +150,37 @@ def ivf_knn(
     n_probes (== brute force at n_probes=k_clusters). ``round_digits``
     rounds centroid distances before argmin/probe ranking (ties →
     lowest cluster_id) so the candidate set is engine-portable."""
+    index = assign_clusters(corpus, centroids, vec_col, round_digits)
+    return ivf_knn_preassigned(
+        queries, index, centroids, k, n_probes, id_col, vec_col, round_digits
+    )
+
+
+def ivf_knn_preassigned(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """:func:`ivf_knn` over an ALREADY-ASSIGNED index frame
+    (``id_col``, ``vec_col``, ``cluster_id``) — the search half of the
+    incremental-index pipeline: because assignment is a pure function
+    of (vector, pinned centroids), a corpus that arrives in drops can
+    be assigned drop-by-drop, each drop's rows appended to a persisted
+    store clustered on cluster_id (``write_sorted_parquet``), and the
+    union searched here without ever re-assigning history — searching
+    an incrementally-built index is EXACTLY equivalent to a full
+    rebuild (oracle-gated by q303, the ANN twin of q296's
+    incremental-dedup law). At 100 TB the store's cluster_id
+    clustering means each query's probe equi-join prunes its scan to
+    the probed clusters' row groups.
+    """
     kc = centroids.shape[0]
-    c = assign_clusters(corpus, centroids, vec_col, round_digits).select(
+    c = index.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster_id"
     )
     # per-query distances to each centroid → explode top n_probes

@@ -154,35 +154,19 @@ def _chunked_pair_expansion(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    max_group: int = 1024,
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding.
-
-    rows → (band, band-signature) keys → equi-join on identical band
-    signature → distinct candidate pairs (a < b). The join key is the
-    *hashed band slice*, so the shuffle moves only (id, band-hash)
-    pairs — at 100 TB this is the only communication, and the band
-    hash distributes uniformly (no skew) unless the corpus contains
-    massive exact-duplicate classes (exact-dedup first remains the
-    best medicine for those).
-
-    ``max_group`` is the skew guard: a band bucket with g members
-    implies g·(g-1)/2 pairs, and a 100k-member exact-duplicate class
-    would otherwise expand ~5e9 pairs inside ONE task. Buckets up to
-    ``max_group`` expand intra-row (zero extra cost — the common
-    case); larger buckets are split into ≤``max_group``-sized chunks,
-    fanned out as chunk-PAIR rows (the triangle (ci ≤ cj) of chunk
-    combinations), re-spread across the cluster by an exchange that
-    moves only chunk arrays (~2g²/max_group ids, not g² pairs), and
-    expanded per chunk-pair — so no task ever materializes more than
-    ``max_group``² pairs. Output is identical (pinned by test).
+    """``(id, band, sig)`` band-signature rows — the persistable half
+    of MinHash-LSH, shared by the one-shot pair finder
+    (:func:`minhash_lsh_pairs`) and the incremental cross-drop path
+    (:func:`incremental_lsh_pairs`), which stores these rows between
+    drops instead of recomputing the whole corpus each month.
     """
     rows_per_band = num_hashes // bands
     # Repartition BEFORE the signature stage: a small text corpus often
@@ -234,7 +218,7 @@ def minhash_lsh_pairs(
     # transform-over-minhash lambda recomputes the signature per band —
     # measured 30x slower banding at sf0.1). The minhash array rides
     # through the explode as a plain column; each band row slices it.
-    banded = (
+    return (
         sig.select(id_col, "minhash", F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"))
         .select(
             id_col,
@@ -244,6 +228,41 @@ def minhash_lsh_pairs(
                 f"x -> CAST(x AS STRING)), '_')"
             ).alias("sig"),
         )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_group: int = 1024,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    rows → (band, band-signature) keys → equi-join on identical band
+    signature → distinct candidate pairs (a < b). The join key is the
+    *hashed band slice*, so the shuffle moves only (id, band-hash)
+    pairs — at 100 TB this is the only communication, and the band
+    hash distributes uniformly (no skew) unless the corpus contains
+    massive exact-duplicate classes (exact-dedup first remains the
+    best medicine for those).
+
+    ``max_group`` is the skew guard: a band bucket with g members
+    implies g·(g-1)/2 pairs, and a 100k-member exact-duplicate class
+    would otherwise expand ~5e9 pairs inside ONE task. Buckets up to
+    ``max_group`` expand intra-row (zero extra cost — the common
+    case); larger buckets are split into ≤``max_group``-sized chunks,
+    fanned out as chunk-PAIR rows (the triangle (ci ≤ cj) of chunk
+    combinations), re-spread across the cluster by an exchange that
+    moves only chunk arrays (~2g²/max_group ids, not g² pairs), and
+    expanded per chunk-pair — so no task ever materializes more than
+    ``max_group``² pairs. Output is identical (pinned by test).
+    """
+    banded = minhash_band_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n
     )
     # Pair generation is a single groupBy on (band, sig) + intra-row
     # expansion of each bucket's sorted id list — NOT a self-join. One
@@ -269,6 +288,90 @@ def minhash_lsh_pairs(
     # branches re-run the bucket aggregate (ReuseExchange shares only
     # the shuffle files), costing more than the repartition it saved.
     return _chunked_pair_expansion(buckets, ["band", "sig"], max_group).distinct()
+
+
+def _chunked_cross_expansion(
+    joined: DataFrame, max_group: int
+) -> DataFrame:
+    """Expand rows ``(ids_a, ids_b)`` — two DISJOINT sorted id arrays
+    sharing a band bucket — into their full cross product of pairs,
+    with per-task fan-out bounded by ``max_group``²: the cross-drop
+    twin of :func:`_chunked_pair_expansion`. Both arrays are sliced
+    into ≤``max_group`` chunks, one row per (ci, cj) chunk combination
+    is emitted and re-spread by an AQE-opted-out exchange, and each
+    row expands through two nested generators. The (id_a < id_b)
+    output invariant is restored with least/greatest because drop ids
+    are disjoint but not ordered across drops."""
+    na = f"CAST(ceil(size(ids_a) / {max_group}.0) AS INT)"
+    nb = f"CAST(ceil(size(ids_b) / {max_group}.0) AS INT)"
+    chunk_expr = F.expr(
+        f"flatten(transform(sequence(0, {na} - 1, 1), ci -> "
+        f"transform(sequence(0, {nb} - 1, 1), cj -> named_struct("
+        f"'a', slice(ids_a, ci * {max_group} + 1, {max_group}), "
+        f"'b', slice(ids_b, cj * {max_group} + 1, {max_group})))))"
+    )
+    try:
+        n_part = int(joined.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_part = joined.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.select(F.explode(chunk_expr).alias("c"))
+        .repartition(n_part)
+        .select(F.col("c.b").alias("b"), F.explode(F.col("c.a")).alias("x"))
+        .select("x", F.explode(F.col("b")).alias("y"))
+        .select(
+            F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
+        )
+    )
+
+
+def incremental_lsh_pairs(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    max_group: int = 1024,
+) -> DataFrame:
+    """Near-dup candidate pairs INVOLVING a new drop, given the new
+    drop's band signatures and the persisted signature store of every
+    earlier drop — the incremental form of :func:`minhash_lsh_pairs`
+    for a corpus that grows by periodic drops (the reference's own
+    monthly-folder cadence, reference: src/etl/load.py:56-62, is
+    exactly this shape; a 100 TB pipeline cannot re-sign the whole
+    corpus per month).
+
+    Emits new×new pairs (bucket expansion on the drop alone) plus
+    new×store pairs (equi-join on ``(band, sig)`` against the store —
+    at scale the store parquet is kept range-clustered on those
+    columns via ``write_sorted_parquet``, so the join's store-side
+    scan prunes to the band files the new drop actually touches).
+    Store×store pairs are NOT re-emitted: they were produced when
+    those drops were new, so unioning each drop's incremental output
+    reproduces the one-shot full-corpus result exactly (oracle-gated
+    by q296). Both expansion paths carry the ``max_group``² per-task
+    bound; the cross join's skew guard chunks BOTH sides, so a
+    boilerplate band signature shared by g_store ∪ g_new docs fans
+    out as (g_store/cap)·(g_new/cap) chunk rows, never g_store·g_new
+    pairs in one task."""
+    new_buckets = (
+        new_sigs.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    new_new = _chunked_pair_expansion(
+        new_buckets.filter(F.size("ids") >= 2), ["band", "sig"], max_group
+    )
+    if store_sigs is None:
+        return new_new.distinct()
+    store_buckets = (
+        store_sigs.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    cross = _chunked_cross_expansion(
+        new_buckets.withColumnRenamed("ids", "ids_a").join(
+            store_buckets.withColumnRenamed("ids", "ids_b"), ["band", "sig"]
+        ),
+        max_group,
+    )
+    return new_new.unionByName(cross).distinct()
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

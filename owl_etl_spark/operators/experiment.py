@@ -308,3 +308,117 @@ def quantile_treatment_effects(
         )
         .orderBy("decile")
     )
+
+
+def aipw_report(
+    df: DataFrame,
+    treat_col: str,
+    y_col: str,
+    x_col: str,
+    prop_iterations: int = 8,
+    lr: float = 0.5,
+    clip_milli: int = 20,
+) -> DataFrame:
+    """AIPW (augmented inverse-propensity-weighted) average treatment
+    effect — the doubly-robust estimator that completes the causal
+    shelf: consistent if EITHER the propensity model OR the outcome
+    model is right, unlike q269's stratified ATE (propensity-free,
+    coarse) and the naive difference of means (neither). The
+    estimator, per row:
+
+        ψᵢ = μ₁(xᵢ) − μ₀(xᵢ) + Tᵢ·(yᵢ−μ₁(xᵢ))/eᵢ − (1−Tᵢ)·(yᵢ−μ₀(xᵢ))/(1−eᵢ)
+
+    with e(x) a logistic propensity (operators/logreg's engine-exact
+    GD — integer-micro trajectory, σ snapped at 9 decimals) clipped to
+    [clip_milli, 1000−clip_milli] milli-units (overlap guard: an
+    unclipped e→0 row would dominate the sum), and μ_t(x) per-arm OLS
+    lines from exact-BIGINT moment sums solved in bit-deterministic
+    IEEE doubles. Each ψᵢ is snapped to integer micro-units before the
+    global sum (the logreg device), so ATE = Σψ/n is exact-integer
+    reproducible under any partitioning and a SQL oracle replays the
+    whole pipeline — propensity iterations, arm fits, ψ — op-for-op.
+
+    ``y_col`` and ``x_col`` must be integer-scaled by the caller
+    (bounded: |ψ| ≤ ~|y|·1000/clip_milli, and the micro-snapped sum
+    must fit BIGINT — |y| ≤ 10⁵ with clip 20 holds to ~10⁹ rows).
+    ``treat_col`` must be 0/1 (logreg raises otherwise).
+
+    Cost (the 100 TB profile): prop_iterations + 2 tree-reduced global
+    aggregates over a cached 3-column integer projection; driver state
+    is 2 propensity micro-weights + 4 OLS doubles; the ψ pass is one
+    map expression + aggregate. Nothing is shuffled row-wise, ever.
+
+    Returns one row: (n, n_treat, ate_micro_units,
+    naive_diff_micro_units, prop_w0_micro, prop_w1_micro).
+    """
+    from owl_etl_spark.operators.logreg import (
+        _round_half_away,
+        logistic_regression_fit,
+    )
+
+    work = df.select(
+        F.col(treat_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.lit(1).cast("long").alias("__one"),
+    ).localCheckpoint(eager=True)
+    pw = logistic_regression_fit(
+        work, "__t", ["__one", "__x"], iterations=prop_iterations, lr=lr
+    )
+
+    def arm(t: int, name: str):
+        c = F.col("__t") == t
+        return [
+            F.count(F.when(c, F.lit(1))).cast("long").alias(f"{name}n"),
+            F.sum(F.when(c, F.col("__x"))).cast("long").alias(f"{name}x"),
+            F.sum(F.when(c, F.col("__x") * F.col("__x"))).cast("long").alias(f"{name}xx"),
+            F.sum(F.when(c, F.col("__y"))).cast("long").alias(f"{name}y"),
+            F.sum(F.when(c, F.col("__x") * F.col("__y"))).cast("long").alias(f"{name}xy"),
+        ]
+    moms = work.agg(*(arm(1, "__a") + arm(0, "__b"))).collect()[0]
+
+    def ols(name: str) -> tuple[float, float]:
+        nn, sx = float(moms[f"{name}n"]), float(moms[f"{name}x"] or 0)
+        sxx, sy = float(moms[f"{name}xx"] or 0), float(moms[f"{name}y"] or 0)
+        sxy = float(moms[f"{name}xy"] or 0)
+        det = sxx * nn - sx * sx
+        if nn == 0 or det == 0.0:
+            raise ValueError(
+                "aipw_report: an arm is empty or has a constant covariate — "
+                "the outcome model is unidentified"
+            )
+        b1 = (nn * sxy - sx * sy) / det
+        b0 = (sxx * sy - sx * sxy) / det
+        return b0, b1
+    b0_1, b1_1 = ols("__a")
+    b0_0, b1_0 = ols("__b")
+
+    z = (F.lit(pw[0]) + F.lit(pw[1]) * F.col("__x")).cast("double") / F.lit(1_000_000.0)
+    e_raw = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    lo = clip_milli / 1000.0
+    e = F.least(F.greatest(e_raw, F.lit(lo)), F.lit(1.0 - lo))
+    mu1 = F.lit(b0_1) + F.lit(b1_1) * F.col("__x").cast("double")
+    mu0 = F.lit(b0_0) + F.lit(b1_0) * F.col("__x").cast("double")
+    t_d = F.col("__t").cast("double")
+    y_d = F.col("__y").cast("double")
+    psi = (
+        (mu1 - mu0)
+        + t_d * (y_d - mu1) / e
+        - (F.lit(1.0) - t_d) * (y_d - mu0) / (F.lit(1.0) - e)
+    )
+    agg = work.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__t").cast("long").alias("n_treat"),
+        F.sum(F.round(psi * F.lit(1_000_000.0)).cast("long")).cast("long").alias("__spsi"),
+    )
+    na, sy1 = moms["__an"], moms["__ay"] or 0
+    nb, sy0 = moms["__bn"], moms["__by"] or 0
+    naive = _round_half_away(sy1 / na * 1_000_000.0 - sy0 / nb * 1_000_000.0)
+    return agg.select(
+        "n",
+        "n_treat",
+        F.round(F.col("__spsi") / F.col("n")).cast("long").alias("ate_micro_units"),
+        F.lit(naive).cast("long").alias("naive_diff_micro_units"),
+        F.lit(pw[0]).cast("long").alias("prop_w0_micro"),
+        F.lit(pw[1]).cast("long").alias("prop_w1_micro"),
+    )

@@ -181,3 +181,54 @@ def kmv_jaccard_estimate(
         .cast("long")
         .alias("jaccard_micro"),
     )
+
+
+def kmv_difference_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """|A \\ B| from the two KMV sketches alone — the a-not-b set
+    operation that completes the sketch algebra (union = merge,
+    intersection/resemblance = :func:`kmv_jaccard_estimate`,
+    difference = this): "how many of this month's distinct users did
+    last month NOT have", answered without rescanning either set.
+
+    Same device as the Jaccard estimator: the bottom-k of the UNION is
+    a uniform sample of A∪B computable from the member sketches alone
+    (any union-sketch hash from A is inside A's own bottom-k), so the
+    fraction of union-sketch members that are in A but not B estimates
+    |A∖B| / |A∪B|, and scaling by the union's distinct estimate
+    ((k−1)·H / h_(k), exact when the union fits in k) gives the count.
+    Error ~ |A∪B|/sqrt(k). All arithmetic is exact integers except the
+    two final divisions (IEEE-deterministic on exact inputs), so the
+    result is engine-portable: (n_union_sketch, n_only_a,
+    only_a_frac_micro, est_diff).
+    """
+    union_k = kmv_merge(sketch_a, sketch_b, k=k)
+    in_a = sketch_a.select("h", F.lit(1).alias("__a"))
+    in_b = sketch_b.select("h", F.lit(1).alias("__b"))
+    marked = union_k.join(in_a, "h", "left").join(in_b, "h", "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_a"),
+        F.max("h").alias("__hk"),
+    )
+    union_est = (
+        F.when(F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double"))
+        .otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("__hk"))
+        )
+    )
+    return agg.select(
+        "n_union_sketch",
+        "n_only_a",
+        F.round(F.col("n_only_a") / F.col("n_union_sketch") * 1_000_000)
+        .cast("long")
+        .alias("only_a_frac_micro"),
+        F.round(union_est * F.col("n_only_a") / F.col("n_union_sketch"))
+        .cast("long")
+        .alias("est_diff"),
+    )

@@ -327,3 +327,71 @@ def fellegi_sunter_score(
         .otherwise(F.lit("review"))
     )
     return pairs.withColumn("fs_score_micro", score).withColumn("decision", decision)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 3,
+    block_col=None,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Sorted-Neighborhood Method candidate pairs: records are sorted
+    by normalized name WITHIN a blocking key and each record is paired
+    with its next ``window`` successors in that order — the classic
+    Hernández–Stolfo SNM blocking pass, complementary to trigram
+    blocking (:func:`similarity_edges`): SNM surfaces pairs whose
+    names are lexicographically adjacent (shared long prefixes,
+    truncations) in O(n·w) pairs regardless of block-internal
+    frequency skew, where an equi-join on trigram keys can fan out
+    quadratically inside a hot block.
+
+    Returns (id_a, id_b, distance) with id_a < id_b, distance =
+    Levenshtein over normalized names (the engine-portable scorer both
+    engines implement identically — q81's choice), optionally filtered
+    to ``distance <= max_distance``. Sort ties (identical normalized
+    names) break by id, so the neighbor sequence — and therefore the
+    emitted pair set — is deterministic on both engines.
+
+    100 TB shape: the window runs per BLOCK (partitionBy the blocking
+    key), never as one global sort — a global ORDER BY window in Spark
+    collapses to a single task, the canonical window-function scale
+    killer. Per block the cost is sort + w lead() columns = O(n_b·w)
+    pairs; the shuffle moves each row once, keyed by block. Window
+    passes with different sort keys (multi-pass SNM) are further calls
+    ORed by the caller, mirroring ``similarity_edges_multi``.
+    """
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+    from pyspark.sql import Window
+
+    block = _block_first_token(name_col) if block_col is None else block_col
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _norm(name_col).alias("__name"),
+        block.alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__name", "__id")
+    pairs = None
+    for k in range(1, int(window) + 1):
+        p = base.select(
+            "__blk",
+            F.col("__id").alias("__ida"),
+            F.col("__name").alias("__na"),
+            F.lead("__id", k).over(w).alias("__idb"),
+            F.lead("__name", k).over(w).alias("__nb"),
+        ).filter(F.col("__idb").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    out = (
+        pairs.select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            F.levenshtein("__na", "__nb").cast("long").alias("distance"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("distance").alias("distance"))
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("distance") <= int(max_distance))
+    return out

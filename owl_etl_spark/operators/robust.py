@@ -297,3 +297,185 @@ def huber_location(
         )
         .orderBy("group")
     )
+
+
+def quantile_regression_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    tau_centi: int = 90,
+    n_iters: int = 4,
+    delta: int = 100,
+) -> dict:
+    """Engine-exact linear quantile regression (one covariate +
+    intercept) by IRLS on the δ-smoothed pinball loss — the τ-quantile
+    line ("what does the 90th-percentile order cost at this
+    quantity?") that OLS (q218) cannot give, fit with the same
+    distributed-trainer discipline as logreg/huber: per iteration ONE
+    tree-reduced global aggregate, driver state = two scalars, and an
+    all-integer trajectory a SQL oracle replays bit-for-bit.
+
+    IRLS weights for pinball: wᵢ = τ/max(|rᵢ|, δ) when rᵢ ≥ 0 else
+    (1−τ)/max(|rᵢ|, δ) — weighted least squares with these weights has
+    the smoothed pinball loss as its fixed point (δ in label units
+    caps the weight a near-zero residual can claim; Schnabel's
+    smoothing). The engine form keeps every quantity exact:
+
+        ŷᵢ       = fd(w0 + w1·xᵢ, 1e6)            (integer, micro θ)
+        wᵢ_micro = fd(side·1e4, max(|rᵢ|, δ))     side = τc or 100−τc
+        Σw, Σwx, Σwx², Σwy, Σwxy                  exact BIGINTs
+        θ' = 2×2 weighted-normal-equation solve in IEEE doubles from
+             those BIGINTs, snapped back to micro via half-away round
+
+    (fd = floor-div; doubles appear ONLY in the final per-iteration
+    solve, on identical integer inputs — multiply/divide/subtract are
+    bit-deterministic IEEE, no libm). θ₀ seeds from the unweighted
+    OLS closed form, same arithmetic with w ≡ 1.
+
+    Overflow contract: w_micro ≤ 1e6·τ/δ, so Σ w·x·y must fit BIGINT —
+    with |x| ≤ 10², |y| ≤ 10⁵ (label pre-descaled to dollars) and
+    δ = 100 that holds to ~10⁹ rows; rescale y or raise δ beyond that.
+
+    Returns {n, intercept_micro, slope_micro} (micro-units of the
+    label scale). Raises on empty input or a constant covariate
+    (singular normal equations).
+    """
+    from owl_etl_spark.operators.logreg import _round_half_away
+
+    if not 0 < int(tau_centi) < 100:
+        raise ValueError("quantile_regression_fit: tau_centi must be in (0, 100)")
+    tc = int(tau_centi)
+    work = df.select(
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(x_col).cast("long").alias("__x"),
+    ).localCheckpoint(eager=True)
+
+    def _solve(row, pfx: str) -> tuple[int, int]:
+        sw, sx = float(row[f"{pfx}w"]), float(row[f"{pfx}x"])
+        sxx, sy, sxy = float(row[f"{pfx}xx"]), float(row[f"{pfx}y"]), float(row[f"{pfx}xy"])
+        det = sxx * sw - sx * sx
+        if det == 0.0:
+            raise ValueError(
+                "quantile_regression_fit: singular normal equations "
+                "(constant covariate?)"
+            )
+        slope = (sw * sxy - sx * sy) / det
+        intercept = (sxx * sy - sx * sxy) / det
+        return (
+            _round_half_away(intercept * 1_000_000.0),
+            _round_half_away(slope * 1_000_000.0),
+        )
+
+    seed = work.agg(
+        F.count(F.lit(1)).cast("long").alias("__sw"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    ).collect()[0]
+    n = seed["__sw"]
+    if not n:
+        raise ValueError("quantile_regression_fit: empty input")
+    w0, w1 = _solve(seed, "__s")
+
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    dd = int(delta)
+    for _ in range(int(n_iters)):
+        yhat = fd(f"{w0} + {w1} * __x", "1000000")
+        r = f"(__y - ({yhat}))"
+        side = f"(CASE WHEN {r} >= 0 THEN {tc} ELSE {100 - tc} END)"
+        wexpr = fd(f"{side} * 10000", f"greatest(abs({r}), {dd})")
+        it = work.select(
+            F.expr(wexpr).cast("long").alias("__w"), "__x", "__y"
+        ).agg(
+            F.sum("__w").cast("long").alias("__sw"),
+            F.sum(F.col("__w") * F.col("__x")).cast("long").alias("__sx"),
+            F.sum(F.col("__w") * F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+            F.sum(F.col("__w") * F.col("__y")).cast("long").alias("__sy"),
+            F.sum(F.col("__w") * F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        ).collect()[0]
+        w0, w1 = _solve(it, "__s")
+    return {"n": n, "intercept_micro": w0, "slope_micro": w1}
+
+
+def huber_line_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    k: int = 1000,
+    n_iters: int = 4,
+) -> dict:
+    """Huber-loss linear regression (one covariate + intercept) by
+    IRLS — the slope counterpart of :func:`huber_location` and the
+    robust sibling of the OLS line (q218): residuals within ``k`` of
+    the line get full weight, beyond it weight k/|r| (linear
+    influence: one wild row moves the line by at most ~k/n), which is
+    what keeps a price/quantity fit sane when a few fat-finger rows
+    sit 100× off.
+
+    Identical engine discipline to
+    :func:`quantile_regression_fit` (which owns the asymmetric-weight
+    variant of this loop): integer weights by floor-div —
+    w = 1e4 full weight, fd(k·1e4, |r|) beyond the knee — exact BIGINT
+    weighted moments, 2×2 normal-equation solves in IEEE doubles of
+    those BIGINTs, θ snapped to micro-units per iteration; the whole
+    trajectory replays in unrolled SQL CTEs. OLS seed (w ≡ 1). Same
+    overflow contract: Σ w·x·y must fit BIGINT — |x| ≤ 10², |y| ≤ 10⁵
+    holds to ~10⁸ rows at the default k.
+
+    Returns {n, intercept_micro, slope_micro}.
+    """
+    from owl_etl_spark.operators.logreg import _round_half_away
+
+    work = df.select(
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(x_col).cast("long").alias("__x"),
+    ).localCheckpoint(eager=True)
+
+    def _solve(row) -> tuple[int, int]:
+        sw, sx = float(row["__sw"]), float(row["__sx"])
+        sxx, sy, sxy = float(row["__sxx"]), float(row["__sy"]), float(row["__sxy"])
+        det = sxx * sw - sx * sx
+        if det == 0.0:
+            raise ValueError(
+                "huber_line_fit: singular normal equations (constant covariate?)"
+            )
+        slope = (sw * sxy - sx * sy) / det
+        intercept = (sxx * sy - sx * sxy) / det
+        return (
+            _round_half_away(intercept * 1_000_000.0),
+            _round_half_away(slope * 1_000_000.0),
+        )
+
+    seed = work.agg(
+        F.count(F.lit(1)).cast("long").alias("__sw"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    ).collect()[0]
+    n = seed["__sw"]
+    if not n:
+        raise ValueError("huber_line_fit: empty input")
+    w0, w1 = _solve(seed)
+
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) div ({dv})"
+    kk = int(k)
+    for _ in range(int(n_iters)):
+        yhat = fd(f"{w0} + {w1} * __x", "1000000")
+        r = f"(__y - ({yhat}))"
+        wexpr = (
+            f"CASE WHEN abs({r}) <= {kk} THEN 10000 "
+            f"ELSE {fd(f'{kk} * 10000', f'abs({r})')} END"
+        )
+        it = work.select(
+            F.expr(wexpr).cast("long").alias("__w"), "__x", "__y"
+        ).agg(
+            F.sum("__w").cast("long").alias("__sw"),
+            F.sum(F.col("__w") * F.col("__x")).cast("long").alias("__sx"),
+            F.sum(F.col("__w") * F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+            F.sum(F.col("__w") * F.col("__y")).cast("long").alias("__sy"),
+            F.sum(F.col("__w") * F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        ).collect()[0]
+        w0, w1 = _solve(it)
+    return {"n": n, "intercept_micro": w0, "slope_micro": w1}

@@ -267,3 +267,120 @@ def logrank_test(
             ),
         ).alias("chi2"),
     )
+
+
+def cox_ph_fit(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Cox proportional-hazards regression (single covariate, Breslow
+    ties) by Newton-Raphson on the log partial likelihood — the
+    survival-analysis regression that q223's Kaplan-Meier curve and
+    q279's log-rank test lead up to: "how much does one unit of x
+    multiply the hazard", reported as beta with its information-based
+    standard error.
+
+    The engine shape mirrors :func:`km_risk_table`: rows collapse to
+    the per-duration frame ONCE per iteration (the only row-volume
+    shuffle), risk-set sums S0/S1/S2 are SUFFIX cumulative sums over
+    that tiny distinct-duration frame (a window over ~hundreds of
+    rows, never over the data), and per-event-time gradient/Hessian
+    terms snap to integer micro-units before the global fold — so the
+    whole Newton trajectory is exact-integer reproducible and a SQL
+    oracle replays it (the q233 discipline, with exp in place of σ).
+
+    Exactness note on exp: each row's risk weight snaps to
+    E = round(exp(β·x/1e6)·1e6) BIGINT. A 1-ulp libm disagreement can
+    flip that rounding only when exp(z) sits within ~1e-10 of a
+    half-micro boundary; keeping the covariate LOW-CARDINALITY (a
+    bucketed feature — the q233 convention) makes the distinct exp
+    inputs a handful per iteration, driving the flip probability to
+    ~1e-9. Callers should bucket continuous covariates anyway (|β·x|
+    must stay ≤ ~10 so x²·E sums fit BIGINT).
+
+    ``duration_col``: non-negative integer units; ``event_col``:
+    1 = event, 0 = censored (Breslow: ties and censored-at-t subjects
+    all stay in the risk set at t). Returns one row:
+    (n, n_events, beta_micro, se_micro, grad_micro) — grad_micro is
+    the final-iteration gradient (≈0 at convergence: a self-check the
+    caller can assert on).
+    """
+    work = df.select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("long").alias("__e"),
+        F.col(x_col).cast("long").alias("__x"),
+    ).localCheckpoint(eager=True)
+
+    from owl_etl_spark.operators.logreg import _round_half_away
+    from pyspark.sql import Window
+
+    beta = 0  # micro-units
+    g_micro = h_micro = None
+    n = n_events = None
+    w_rev = Window.orderBy(F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for _ in range(int(n_iters)):
+        z = (F.lit(beta) * F.col("__x")).cast("double") / F.lit(1_000_000.0)
+        guard = F.when(
+            F.abs(F.lit(beta) * F.col("__x")) > F.lit(10_000_000),
+            F.raise_error(
+                F.lit(
+                    "cox_ph_fit: |beta*x| exceeded 10 — rescale/bucket the "
+                    "covariate (risk-weight sums would overflow BIGINT)"
+                )
+            ).cast("double"),
+        ).otherwise(z)
+        e_w = F.round(F.exp(guard) * F.lit(1_000_000.0)).cast("long")
+        grouped = (
+            work.select(
+                "__t", "__e", "__x", e_w.alias("__w")
+            )
+            .groupBy("__t")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__m"),
+                F.sum(F.col("__w")).cast("long").alias("__s0g"),
+                F.sum(F.col("__x") * F.col("__w")).cast("long").alias("__s1g"),
+                F.sum(F.col("__x") * F.col("__x") * F.col("__w")).cast("long").alias("__s2g"),
+                F.sum(F.when(F.col("__e") == 1, 1).otherwise(0)).cast("long").alias("__d"),
+                F.sum(F.when(F.col("__e") == 1, F.col("__x")).otherwise(0)).cast("long").alias("__sx"),
+            )
+        )
+        risk = (
+            grouped.withColumn("__s0", F.sum("__s0g").over(w_rev))
+            .withColumn("__s1", F.sum("__s1g").over(w_rev))
+            .withColumn("__s2", F.sum("__s2g").over(w_rev))
+            .filter(F.col("__d") >= 1)
+        )
+        r1 = F.col("__s1").cast("double") / F.col("__s0").cast("double")
+        r2 = F.col("__s2").cast("double") / F.col("__s0").cast("double")
+        grad_t = F.col("__sx").cast("double") - F.col("__d").cast("double") * r1
+        hess_t = F.col("__d").cast("double") * (r2 - r1 * r1)
+        tot = risk.agg(
+            F.sum(F.round(grad_t * F.lit(1_000_000.0)).cast("long")).cast("long").alias("g"),
+            F.sum(F.round(hess_t * F.lit(1_000_000.0)).cast("long")).cast("long").alias("h"),
+        ).collect()[0]
+        g_micro, h_micro = tot["g"], tot["h"]
+        if not h_micro or h_micro <= 0:
+            raise ValueError(
+                "cox_ph_fit: non-positive information — constant covariate "
+                "or no events"
+            )
+        beta = beta + _round_half_away(g_micro / h_micro * 1_000_000.0)
+    counts = work.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__e") == 1, 1).otherwise(0)).cast("long").alias("ne"),
+    )
+    import math as _math
+
+    se_micro = _round_half_away(1.0 / _math.sqrt(h_micro / 1_000_000.0) * 1_000_000.0)
+    return counts.select(
+        "n",
+        F.col("ne").alias("n_events"),
+        F.lit(beta).cast("long").alias("beta_micro"),
+        F.lit(se_micro).cast("long").alias("se_micro"),
+        F.lit(g_micro).cast("long").alias("grad_micro"),
+    )
