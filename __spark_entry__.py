@@ -17272,3 +17272,572 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_cents"),
     )
     return mutual_best_match(d, "o_custkey", "l_suppkey", "w_cents")
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 3: Cox proportional hazards, KMV a-not-b, Huber line
+# ---------------------------------------------------------------------------
+
+_Q305_ITERS = 3
+
+
+def _q305_oracle() -> str:
+    """Unrolled Newton replay of cox_ph_fit (operators/survival.py):
+    per iteration one per-duration aggregate CTE with micro-snapped
+    exp risk weights, suffix cumulative risk-set sums over the tiny
+    distinct-duration frame, micro-snapped gradient/Hessian terms, and
+    the integer beta update. MATERIALIZED (the q233 lesson)."""
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+             CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END AS e,
+             (CAST(l_quantity AS BIGINT) // 10) AS x
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )""",
+        "b0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS b)",
+    ]
+    for k in range(1, _Q305_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f"""grp{k} AS MATERIALIZED (
+      SELECT t,
+             CAST(sum(w) AS BIGINT) AS s0g,
+             CAST(sum(x * w) AS BIGINT) AS s1g,
+             CAST(sum(x * x * w) AS BIGINT) AS s2g,
+             CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e = 1 THEN x ELSE 0 END) AS BIGINT) AS sx
+      FROM (SELECT r.t, r.e, r.x,
+                   CAST(round(exp(CAST(b.b * r.x AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS w
+            FROM rows_f r CROSS JOIN b{p} b)
+      GROUP BY t
+    )""",
+        )
+        parts.append(
+            f"""gh{k} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round((CAST(sx AS DOUBLE) - CAST(d AS DOUBLE)
+                     * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS g,
+             CAST(sum(CAST(round((CAST(d AS DOUBLE)
+                     * ((CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                        - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)))) * 1000000.0) AS BIGINT)) AS BIGINT) AS h
+      FROM (
+        SELECT d, sx,
+               sum(s0g) OVER win AS s0,
+               sum(s1g) OVER win AS s1,
+               sum(s2g) OVER win AS s2
+        FROM grp{k}
+        WINDOW win AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE d >= 1
+    )""",
+        )
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+      SELECT CAST(b.b + round(CAST(g.g AS DOUBLE) / g.h * 1000000.0) AS BIGINT) AS b
+      FROM b{p} b CROSS JOIN gh{k} g
+    )""",
+        )
+    kf = _Q305_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_f) AS n,
+           (SELECT CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM rows_f) AS n_events,
+           b.b AS beta_micro,
+           CAST(round(1.0 / sqrt(CAST(g.h AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS se_micro,
+           CAST(g.g AS BIGINT) AS grad_micro
+    FROM b{kf} b CROSS JOIN gh{kf} g"""
+    )
+
+
+@_register("q305_shipping_cox_ph", None)  # oracle attached below
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression (library: operators.
+    survival.cox_ph_fit): does a bigger lot ship FASTER or slower —
+    the hazard of shipment over order-to-ship days, with the bucketed
+    quantity (div 10, 6 levels) as covariate and returned lines
+    treated as censored. 3 Newton iterations; per iteration one
+    per-duration aggregate (the km_risk_table collapse), suffix
+    risk-set sums over ~122 distinct durations, micro-snapped
+    grad/Hessian terms — the exact-integer trajectory replayed
+    unrolled by _q305_oracle. Completes the survival shelf (q223 KM
+    curve, q279 log-rank) with the regression every survival deck
+    ends at."""
+    from owl_etl_spark.operators.survival import cox_ph_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("t"),
+        (F.col("l_returnflag") != "R").cast("long").alias("e"),
+        F.expr("CAST(l_quantity AS BIGINT) div 10").alias("x"),
+    )
+    return cox_ph_fit(d, "t", "e", "x", n_iters=_Q305_ITERS)
+
+
+_REGISTRY["q305_shipping_cox_ph"] = (
+    _REGISTRY["q305_shipping_cox_ph"][0],
+    _q305_oracle(),
+)
+
+
+@_register(
+    "q306_churned_buyers_kmv_diff",
+    """
+    WITH a AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM orders WHERE year(o_orderdate) = 1997
+      ) ORDER BY h LIMIT 256
+    ), b AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM orders WHERE year(o_orderdate) = 1998
+      ) ORDER BY h LIMIT 256
+    ), u AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      ) ORDER BY h LIMIT 256
+    ), m AS (
+      SELECT u.h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+      FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+             CAST(sum(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+             CAST(max(h) AS BIGINT) AS hk
+      FROM m
+    )
+    SELECT n_union_sketch, n_only_a,
+           CAST(round(CAST(n_only_a AS DOUBLE) / n_union_sketch * 1000000) AS BIGINT)
+             AS only_a_frac_micro,
+           CAST(round((CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+                            ELSE round(255.0 * 1152921504606846976.0 / hk) END)
+                      * n_only_a / n_union_sketch) AS BIGINT) AS est_diff
+    FROM agg
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churned-buyer estimate from sketches alone (library:
+    operators.kmv.kmv_difference_estimate): |1997 buyers \\ 1998
+    buyers| from the two years' KMV sketches — the a-not-b set
+    operation completing the sketch algebra (merge = union, q153 =
+    resemblance, this = difference). The union's bottom-k is
+    computable from the member sketches, so the only-in-A fraction
+    times the union estimate needs NO rescan of either year — the
+    monthly-rollup shape: persist one 256-row sketch per period,
+    answer churn between ANY two periods later."""
+    from owl_etl_spark.operators.kmv import kmv_difference_estimate, kmv_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    a = kmv_sketch(
+        o.filter(F.year("o_orderdate") == 1997).select("o_custkey"), "o_custkey"
+    ).select("h")
+    b = kmv_sketch(
+        o.filter(F.year("o_orderdate") == 1998).select("o_custkey"), "o_custkey"
+    ).select("h")
+    return kmv_difference_estimate(a, b, k=256)
+
+
+_Q307_K, _Q307_ITERS = 1000, 4
+
+
+def _q307_oracle() -> str:
+    """Unrolled IRLS replay of huber_line_fit (operators/robust.py):
+    OLS seed + 4 Huber-weighted iterations, full weight 1e4 inside the
+    knee, floor-div k*1e4/|r| beyond it."""
+    fd = lambda x, dv: f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) // ({dv})"
+    kk = _Q307_K
+
+    def solve(src: str) -> str:
+        det = "(CAST(sxx AS DOUBLE) * sw - CAST(sx AS DOUBLE) * sx)"
+        return (
+            f"SELECT CAST(round((CAST(sxx AS DOUBLE) * sy - CAST(sx AS DOUBLE) * sxy)"
+            f" / {det} * 1000000.0) AS BIGINT) AS w0, "
+            f"CAST(round((CAST(sw AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            f" / {det} * 1000000.0) AS BIGINT) AS w1 FROM {src}"
+        )
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) // 100) AS y,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    )""",
+        """seed AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS sw, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM rows_f
+    )""",
+        f"th0 AS MATERIALIZED ({solve('seed')})",
+    ]
+    for k in range(1, _Q307_ITERS + 1):
+        yhat = fd("t.w0 + t.w1 * x", "1000000")
+        r = f"(y - ({yhat}))"
+        w = (
+            f"CASE WHEN abs({r}) <= {kk} THEN 10000 "
+            f"ELSE {fd(f'{kk} * 10000', f'abs({r})')} END"
+        )
+        parts.append(
+            f"""it{k} AS MATERIALIZED (
+      SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * x) AS BIGINT) AS sx,
+             CAST(sum(w * x * x) AS BIGINT) AS sxx, CAST(sum(w * y) AS BIGINT) AS sy,
+             CAST(sum(w * x * y) AS BIGINT) AS sxy
+      FROM (SELECT x, y, CAST({w} AS BIGINT) AS w FROM rows_f CROSS JOIN th{k - 1} t)
+    )"""
+        )
+        parts.append(f"th{k} AS MATERIALIZED ({solve(f'it{k}')})")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT (SELECT sw FROM seed) AS n, t.w0 AS intercept_micro, t.w1 AS slope_micro
+    FROM th{_Q307_ITERS} t"""
+    )
+
+
+@_register("q307_price_huber_line", None)  # oracle attached below
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-loss price-vs-quantity line (library: operators.robust.
+    huber_line_fit): the robust counterpart of q218's OLS slope and
+    the symmetric sibling of q302's quantile line — residuals beyond
+    $1000 get linear (not quadratic) influence, so a handful of wild
+    rows can't drag the fit. 4 IRLS iterations, integer weights by
+    floor-div, exact BIGINT moments, solves in deterministic doubles;
+    _q307_oracle replays the trajectory."""
+    from owl_etl_spark.operators.robust import huber_line_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT) div 100)").alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    fit = huber_line_fit(li, "y", "x", k=_Q307_K, n_iters=_Q307_ITERS)
+    return (
+        li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "n",
+            F.lit(fit["intercept_micro"]).cast("long").alias("intercept_micro"),
+            F.lit(fit["slope_micro"]).cast("long").alias("slope_micro"),
+        )
+    )
+
+
+_REGISTRY["q307_price_huber_line"] = (
+    _REGISTRY["q307_price_huber_line"][0],
+    _q307_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 4: streaming sketch monitors (CMS, HLL), seeded betweenness
+# ---------------------------------------------------------------------------
+
+_Q308_RUNS = [0]
+
+
+@_register(
+    "q308_streaming_cms_user_counts",
+    """
+    WITH u AS (
+      SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ), rows_ AS (
+      SELECT unnest([0, 1, 2, 3]) AS row
+    ), sketch AS (
+      SELECT r.row,
+             CAST(('0x' || substring(md5(CAST(u.user_id AS VARCHAR) || '#' || CAST(7000 + r.row AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1024 AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM u CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT unnest(range(20)) AS user_id
+    ), truth AS (
+      SELECT c.user_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n
+      FROM cand c LEFT JOIN (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY user_id
+      ) t ON t.user_id = c.user_id
+    ), probes AS (
+      SELECT t.user_id, t.n, r.row,
+             CAST(('0x' || substring(md5(CAST(t.user_id AS VARCHAR) || '#' || CAST(7000 + r.row AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1024 AS cell
+      FROM truth t CROSS JOIN rows_ r
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id, p.n,
+           CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sketch s ON s.row = p.row AND s.cell = p.cell
+    GROUP BY p.user_id, p.n
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch maintenance, gated against the batch
+    answer (library: streaming.sketch_stream.streaming_cms): the event
+    stream continuously maintains a 4×1024-cell CMS of per-user event
+    counts — constant state in BOTH stream length and key cardinality
+    (per-key streaming counts would hold one state row per user
+    forever) — then 20 fixed candidate users probe the final state
+    (min over the 4 hashed cells, absent cell = 0) next to their true
+    counts; estimates are biased up only. Integer cell counts are
+    order-independent, so the final state equals the batch sketch
+    exactly (the q199 discipline) and DuckDB replays the md5 cell
+    hashing verbatim."""
+    from owl_etl_spark.functions.hashing import md5_long_seeded
+    from owl_etl_spark.operators.sketches import _CMS_SEED_BASE
+    from owl_etl_spark.streaming.sketch_stream import streaming_cms
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    sk = streaming_cms(src, "user_id", depth=4, width=1024)
+    _Q308_RUNS[0] += 1
+    name = f"q308_sink_{_Q308_RUNS[0]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.table(name)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cand = spark.range(20).select(F.col("id").alias("user_id"))
+    truth = cand.join(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n")),
+        "user_id",
+        "left",
+    ).select("user_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+    probes = truth.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_long_seeded(
+                                F.col("user_id").cast("string"), _CMS_SEED_BASE + i
+                            ),
+                            F.lit(1024),
+                        ).alias("cell"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "n", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    est = (
+        probes.join(sketch, ["row", "cell"], "left")
+        .groupBy("user_id", "n")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("long").alias("est"))
+    )
+    spark.catalog.dropTempView(name)
+    return est
+
+
+_Q309_RUNS = [0]
+_Q309_P = 8
+_Q309_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
+
+
+@_register(
+    "q309_streaming_hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT event_type, h % 256 AS register,
+             CAST(max(CASE WHEN h // 256 = 0 THEN 53
+                      ELSE CAST(round(log2((h // 256) & (-(h // 256)))) AS BIGINT) + 1 END)
+                  AS BIGINT) AS max_rho
+      FROM h GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+             CAST(sum(CASE WHEN max_rho <= 50
+                      THEN (CAST(1 AS BIGINT) << CAST(50 - max_rho AS INT))
+                      ELSE 0 END) AS BIGINT) AS s
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n_registers,
+           CAST(CASE WHEN 256 - n_registers > 0
+                THEN round(256.0 * ln(256.0 / CAST(256 - n_registers AS DOUBLE)))
+                ELSE round({_Q309_ALPHA!r} * 256.0 * 256.0 * 1125899906842624.0
+                           / CAST(s AS DOUBLE)) END AS BIGINT) AS est_distinct
+    FROM agg
+    """,
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog maintenance, gated against the batch
+    answer (library: streaming.sketch_stream.streaming_hll +
+    hll_registers_estimate): the event stream continuously maintains
+    per-event-type HLL registers — 256 (register, max_rho) rows per
+    type FOREVER, the distinct-user monitor a 100 TB stream can afford
+    (exact streaming distinct keeps every user in state). max() is
+    order-independent, so the final registers equal the batch
+    construction exactly; the estimator (linear counting while empty
+    registers remain, else the raw harmonic estimate with the sum
+    folded as exact BIGINTs in 2^50 units) replays in DuckDB — the
+    whole pipeline is md5-portable, no opaque sketch bytes cross
+    engines."""
+    from owl_etl_spark.streaming.sketch_stream import (
+        hll_registers_estimate,
+        streaming_hll,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    sk = streaming_hll(src, ["event_type"], "user_id", p=_Q309_P)
+    _Q309_RUNS[0] += 1
+    name = f"q309_sink_{_Q309_RUNS[0]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(name).select("event_type", "register", "max_rho")
+    out = hll_registers_estimate(final, ["event_type"], p=_Q309_P)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+_Q310_LEVELS, _Q310_SEEDS = 3, 8
+
+
+def _q310_oracle() -> str:
+    """Unrolled Brandes replay (operators/graph.betweenness_seeded):
+    forward BFS levels with exact sigma sums (NOT EXISTS anti-visited),
+    then backward dependency CTEs with micro-snapped contributions,
+    deepest level seeded at delta = 0."""
+    parts = [
+        """und AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.pk AS a, y.pk AS b, count(*) AS c
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) y
+          ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+      ) WHERE c >= 2
+    )""",
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
+        f"""seeds AS MATERIALIZED (
+      SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+      ORDER BY node LIMIT {_Q310_SEEDS}
+    )""",
+        "f0 AS MATERIALIZED (SELECT node AS seed, node AS n, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "vis0 AS MATERIALIZED (SELECT seed, n FROM f0)",
+    ]
+    for l in range(1, _Q310_LEVELS + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+      SELECT seed, n, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+        SELECT f.seed, e.dst AS n, f.sigma
+        FROM f{l - 1} f JOIN edges e ON e.src = f.n
+      ) g
+      WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} v WHERE v.seed = g.seed AND v.n = g.n)
+      GROUP BY seed, n
+    )"""
+        )
+        parts.append(
+            f"vis{l} AS MATERIALIZED (SELECT seed, n FROM vis{l - 1} "
+            f"UNION ALL SELECT seed, n FROM f{l})"
+        )
+    parts.append(
+        f"d{_Q310_LEVELS} AS MATERIALIZED "
+        f"(SELECT seed, n, CAST(0 AS BIGINT) AS delta FROM f{_Q310_LEVELS})"
+    )
+    for l in range(_Q310_LEVELS - 1, -1, -1):
+        parts.append(
+            f"""d{l} AS MATERIALIZED (
+      SELECT v.seed, v.n, CAST(coalesce(c.s, 0) AS BIGINT) AS delta
+      FROM f{l} v LEFT JOIN (
+        SELECT f.seed, f.n,
+               CAST(sum(CAST(round(CAST(f.sigma AS DOUBLE)
+                    * CAST(1000000 + d.delta AS DOUBLE)
+                    / CAST(w.sigma AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+        FROM f{l} f
+        JOIN edges e ON e.src = f.n
+        JOIN f{l + 1} w ON w.seed = f.seed AND w.n = e.dst
+        JOIN d{l + 1} d ON d.seed = f.seed AND d.n = e.dst
+        GROUP BY f.seed, f.n
+      ) c ON c.seed = v.seed AND c.n = v.n
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT seed, n, delta FROM d{l}" for l in range(_Q310_LEVELS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n AS part_key, CAST(sum(delta) AS BIGINT) AS betweenness_micro
+    FROM ({unions})
+    WHERE n <> seed
+    GROUP BY n
+    HAVING sum(delta) > 0"""
+    )
+
+
+@_register("q310_copurchase_betweenness", None)  # oracle attached below
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded truncated betweenness centrality on the co-purchase part
+    graph (library: operators.graph.betweenness_seeded): Brandes'
+    algorithm from the 8 smallest part ids, BFS truncated at 3 levels
+    — the pivot-sampled form that keeps exact betweenness's O(V·E)
+    affordable at scale. All seeds run SIMULTANEOUSLY in (seed, node)-
+    keyed frames: one join + one aggregate per BFS level regardless of
+    seed count; backward dependency contributions snap to integer
+    micro-units so the full forward-σ/backward-δ trajectory is
+    oracle-exact (_q310_oracle unrolls every level). Graph = q219's
+    support-≥2 co-purchase edges, both directions."""
+    from owl_etl_spark.operators.graph import betweenness_seeded
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = b.alias("x")
+    y = b.alias("y")
+    pc = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")))
+        .groupBy(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    edges = pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(_Q310_SEEDS)
+    )
+    out = betweenness_seeded(edges, seeds, n_levels=_Q310_LEVELS)
+    return out.select(F.col("node").alias("part_key"), "betweenness_micro")
+
+
+_REGISTRY["q310_copurchase_betweenness"] = (
+    _REGISTRY["q310_copurchase_betweenness"][0],
+    _q310_oracle(),
+)

@@ -129,6 +129,13 @@ HEADLINE = [
     "q298_order_hbos_outliers",
     "q301_priority_aipw_ate",
     "q303_incremental_ivf_knn",
+    # round-8 waves 3-4: Cox PH (3 Newton iterations, each one
+    # per-duration collapse of the 600k-row lineitem x orders join),
+    # and seeded Brandes betweenness (8 simultaneous BFS sources over
+    # the support-pruned co-purchase graph, 3 forward + 3 backward
+    # keyed joins).
+    "q305_shipping_cox_ph",
+    "q310_copurchase_betweenness",
 ]
 
 
@@ -794,6 +801,12 @@ _SCALE_QUERIES = [
     "q160_association_rules",
     "q183_hits_scores",
     "q204_trade_cheapest_routes",
+    # round-8 families whose guards matter at the blown-up tier: the
+    # incremental signature-store dedup (10x documents through sign +
+    # store-probe) and seeded betweenness (10x baskets -> denser
+    # co-purchase graph -> heavier sigma/delta joins).
+    "q296_incremental_lsh_dedup",
+    "q310_copurchase_betweenness",
 ]
 
 
