@@ -17841,3 +17841,114 @@ _REGISTRY["q310_copurchase_betweenness"] = (
     _REGISTRY["q310_copurchase_betweenness"][0],
     _q310_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 5: incremental components, SQ8 quantized ANN
+# ---------------------------------------------------------------------------
+
+
+@_register("q311_incremental_dup_components", None)  # oracle = q98's (attached below)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained duplicate components (library:
+    operators.dedup.incremental_components) — the graph member of the
+    incremental trilogy (q296 signatures, q303 ANN index, this the
+    component labels): drop 1 (doc_id % 3 != 0) is signed, paired and
+    labeled, and BOTH its band-signature store and its (node,
+    component) label store are persisted. Drop 2 then contributes only
+    its incremental pairs (new×new + new×store via
+    incremental_lsh_pairs), historical components contract to their
+    label super-nodes, and the min-label loop runs on the CONTRACTED
+    graph — the historical corpus is never re-walked. The result must
+    equal the one-shot full-corpus components bit-for-bit: the oracle
+    is exactly q98's recursive-CTE recompute over all pairs (labels
+    are min member ids, and min-of-mins through the contraction is the
+    global min)."""
+    import shutil
+    import tempfile
+
+    from owl_etl_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+    )
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    d = _t(spark, sf_dir, "documents")
+    drop1 = d.filter(F.col("doc_id") % 3 != 0)
+    drop2 = d.filter(F.col("doc_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="inc_cc_q311_")
+    try:
+        sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
+        write_sorted_parquet(sigs1, f"{work}/sigs", ["band", "sig"])
+        labels1 = connected_components(
+            incremental_lsh_pairs(sigs1, None), drop1.select("doc_id")
+        )
+        labels1.write.parquet(f"{work}/labels")
+        sig_store = spark.read.parquet(f"{work}/sigs")
+        label_store = spark.read.parquet(f"{work}/labels")
+        sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
+        pairs2 = incremental_lsh_pairs(sigs2, sig_store)
+        out = incremental_components(
+            label_store, pairs2, drop2.select("doc_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_REGISTRY["q311_incremental_dup_components"] = (
+    _REGISTRY["q311_incremental_dup_components"][0],
+    _REGISTRY["q98_dup_components"][1],
+)
+
+
+@_register(
+    "q312_sq8_quantized_knn",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                    / (CASE WHEN s = 0 THEN 1.0 ELSE s END) * 127.0) AS BIGINT)) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                           (a, b) -> greatest(a, b)) AS s
+        FROM embeddings
+      )
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+                                                   i -> a.qv[i] * b.qv[i]),
+                                    (x, y) -> x + y) AS DOUBLE)
+                   / sqrt(CAST(list_reduce(list_transform(a.qv, x -> x * x),
+                                           (x, y) -> x + y) AS DOUBLE)
+                          * CAST(list_reduce(list_transform(b.qv, x -> x * x),
+                                             (x, y) -> x + y) AS DOUBLE)), 6) AS qcos
+      FROM q a CROSS JOIN q b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        AND list_reduce(list_transform(a.qv, x -> x * x), (x, y) -> x + y) > 0
+        AND list_reduce(list_transform(b.qv, x -> x * x), (x, y) -> x + y) > 0
+    )
+    SELECT query_id, neighbor_id, qcos, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k cosine search (library: operators.
+    knn.sq8_quantize / sq8_topk): the 4×-memory-compression point on
+    the ANN spectrum between the exact float path (q30) and PQ's 32×
+    (q105) — vectors quantize to int8 codes per-vector-scaled by
+    max|v|, and ranking runs on EXACT integer dots and norms (no float
+    summation order anywhere; the only doubles are the final
+    sqrt/divide). Top-5 for queries vec_id < 10 over the full corpus;
+    oracle replays the quantization and integer ranking verbatim."""
+    from owl_etl_spark.operators.knn import sq8_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(em.filter(F.col("vec_id") < 10), em, k=5)

@@ -1198,3 +1198,82 @@ def decontaminate(
     contaminated = docs.join(hits, id_col)
     clean = docs.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated
+
+
+def incremental_components(
+    store_labels: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components maintained INCREMENTALLY across drops —
+    the graph member of the incremental trilogy (q296 persists LSH
+    signatures, q303 an ANN index, this the component labels): given
+    the persisted ``(node, component)`` labels of every earlier drop
+    and the candidate pairs INVOLVING the new drop
+    (:func:`incremental_lsh_pairs`' output — new×new plus new×store),
+    produce labels for store ∪ new WITHOUT re-walking the historical
+    edge set.
+
+    The contraction argument that makes it exact: each stored
+    component is collapsed to a super-node named by its label (= its
+    min member id), new-drop docs are their own super-nodes, and the
+    new pairs are re-keyed through that mapping. Connectivity over
+    {contracted new pairs} equals connectivity over {all pairs} after
+    contraction, and since every label is the min id of its part,
+    min-label components over the contracted graph recover exactly the
+    global min per merged component — so incremental ≡ one-shot
+    bit-for-bit (oracle-gated by q311 against q98's full recursive-CTE
+    recompute).
+
+    At 100 TB the point is the cost shape: the min-label loop runs on
+    the CONTRACTED graph — one super-node per touched historical
+    component, never the historical corpus — and the only full-width
+    touch of the store is the final label-to-root broadcast-size join.
+    ``store_labels`` and ``new_ids`` must be disjoint node sets (drops
+    don't overlap).
+    """
+    store = store_labels.select(
+        F.col(id_col).alias("__node"), F.col("component").alias("__label")
+    )
+    amap = store.select(
+        F.col("__node").alias("id_a"), F.col("__label").alias("__la")
+    )
+    bmap = store.select(
+        F.col("__node").alias("id_b"), F.col("__label").alias("__lb")
+    )
+    contracted = (
+        new_pairs.join(amap, "id_a", "left")
+        .join(bmap, "id_b", "left")
+        .select(
+            F.coalesce(F.col("__la"), F.col("id_a")).alias("__ca"),
+            F.coalesce(F.col("__lb"), F.col("id_b")).alias("__cb"),
+        )
+        .filter(F.col("__ca") != F.col("__cb"))
+        .select(
+            F.least("__ca", "__cb").alias("id_a"),
+            F.greatest("__ca", "__cb").alias("id_b"),
+        )
+        .distinct()
+    )
+    cnodes = (
+        store.select(F.col("__label").alias(id_col))
+        .distinct()
+        .unionByName(new_ids.select(F.col(id_col)))
+    )
+    roots = connected_components(contracted, cnodes, id_col, max_iters=max_iters)
+    rmap = roots.select(
+        F.col(id_col).alias("__label"), F.col("component").alias("__root")
+    )
+    out_store = store.join(rmap, "__label").select(
+        F.col("__node").alias(id_col), F.col("__root").alias("component")
+    )
+    out_new = (
+        new_ids.select(F.col(id_col))
+        .join(
+            roots.select(F.col(id_col), F.col("component")),
+            id_col,
+        )
+    )
+    return out_store.unionByName(out_new)

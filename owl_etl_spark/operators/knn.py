@@ -150,3 +150,90 @@ def lsh_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def sq8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization (SQ8) of an embedding
+    column: each vector maps to q_i = round(v_i / max|v| · 127) —
+    the standard 4× memory compression for vector indexes (float32 →
+    int8), sitting between the exact float path (q30) and PQ's 32×
+    (q105): recall loss is near-zero because only the mantissa is
+    squeezed, not the dimensionality.
+
+    Returns (id, qvec array<bigint>, scale double). Everything is
+    intra-row expression work — no UDF, no shuffle, and downstream
+    dot products over qvec are EXACT integer arithmetic (the
+    determinism win over float dots, whose summation order matters).
+    Zero vectors quantize to all-zero qvec (scale 0 guarded to 1.0 —
+    they rank last by convention downstream).
+    """
+    scale = (
+        f"aggregate(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))), "
+        f"0D, (a, x) -> greatest(a, x))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" / (CASE WHEN ({scale}) = 0 THEN 1.0 ELSE ({scale}) END)"
+            f" * 127.0) AS BIGINT))"
+        ).alias("qvec"),
+        F.expr(scale).alias("scale"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by the cosine of the SQ8-QUANTIZED vectors —
+    the memory-bound ANN configuration: the index holds int8 codes
+    (4× smaller, integer SIMD dots), the ranking is
+    qcos = dot(qa, qb) / sqrt(|qa|²·|qb|²) with the dot and both
+    norms EXACT BIGINTs (unlike the float path there is no summation-
+    order nondeterminism to round away; the only doubles are the final
+    sqrt/divide, IEEE-deterministic on exact inputs). Ties break by
+    neighbor id; self-matches and zero-quantized rows are excluded.
+    Same broadcast cross-join shape as :func:`brute_force_knn` — at
+    scale the same codes drop into the IVF probe path
+    (cluster.ivf_knn_preassigned) unchanged.
+    """
+    qq = sq8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")
+    )
+    qc = sq8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb")
+    )
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    na = "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    nb = "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__na", F.expr(na))
+        .withColumn("__nb", F.expr(nb))
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .withColumn(
+            "qcos",
+            F.round(
+                F.expr(dot).cast("double")
+                / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcos", "rank")
+    )
