@@ -17952,3 +17952,259 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = _t(spark, sf_dir, "embeddings")
     return sq8_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 6: feature-MI matrix, DSIR importance weights, seeded
+# label propagation
+# ---------------------------------------------------------------------------
+
+_Q313_FEATS = [
+    ("f_ret", "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"),
+    ("f_qty", "(CAST(l_quantity AS BIGINT) {d} 10)"),
+    ("f_price", "(CAST(round(l_extendedprice * 100) AS BIGINT) {d} 2000000)"),
+    ("f_disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("f_month", "CAST(month(l_shipdate) AS BIGINT)"),
+]
+
+
+def _q313_oracle() -> str:
+    """Generated pairwise-MI replay: one q225-pattern block per column
+    pair over a shared materialized feature CTE."""
+    cols = [n for n, _ in _Q313_FEATS]
+    defs = ", ".join(e.format(d="//") + f" AS {n}" for n, e in _Q313_FEATS)
+    blocks = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            blocks.append(
+                f"""SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+             CAST(max(t.n) AS BIGINT) AS n,
+             CAST(max(nx.n_x) AS BIGINT) AS n_x,
+             CAST(max(ny.n_y) AS BIGINT) AS n_y,
+             CAST(sum(CAST(round((CAST(j.cxy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln((CAST(t.n AS DOUBLE) * CAST(j.cxy AS DOUBLE))
+                       / (CAST(m1.cx AS DOUBLE) * CAST(m2.cy AS DOUBLE)))
+                  * 1000000) AS BIGINT)) AS BIGINT) AS mi_micro_nats
+      FROM (SELECT {a} AS x, {b} AS y, CAST(count(*) AS BIGINT) AS cxy
+            FROM feats GROUP BY 1, 2) j
+      JOIN (SELECT {a} AS x, CAST(count(*) AS BIGINT) AS cx FROM feats GROUP BY 1) m1
+        ON m1.x = j.x
+      JOIN (SELECT {b} AS y, CAST(count(*) AS BIGINT) AS cy FROM feats GROUP BY 1) m2
+        ON m2.y = j.y
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM feats) t
+      CROSS JOIN (SELECT CAST(count(DISTINCT {a}) AS BIGINT) AS n_x FROM feats) nx
+      CROSS JOIN (SELECT CAST(count(DISTINCT {b}) AS BIGINT) AS n_y FROM feats) ny"""
+            )
+    return (
+        f"WITH feats AS MATERIALIZED (SELECT {defs} FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(blocks)
+    )
+
+
+@_register("q313_lineitem_mi_matrix", None)  # oracle attached below
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise mutual-information matrix over five lineitem features
+    (library: operators.profile.mi_matrix): the relevance/redundancy
+    table feature selection starts from — the f_ret (returned) rows
+    are the relevance vector, the rest the redundancy structure mRMR
+    trades off. Ten exact-count micro-nat MI cells (q225's
+    discipline), each one joint count + cell-bounded marginals over a
+    cached 5-column integer projection; _q313_oracle replays every
+    pair."""
+    from owl_etl_spark.operators.profile import mi_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        *[
+            F.expr(e.format(d="div")).alias(n)
+            for n, e in _Q313_FEATS
+        ]
+    )
+    return mi_matrix(li, [n for n, _ in _Q313_FEATS])
+
+
+_REGISTRY["q313_lineitem_mi_matrix"] = (
+    _REGISTRY["q313_lineitem_mi_matrix"][0],
+    _q313_oracle(),
+)
+
+
+_Q314_ITERS, _Q314_LR, _Q314_CLIP = 10, 0.125, 20
+
+
+def _q314_oracle() -> str:
+    """Logistic-unroll replay (the _q233_oracle pattern, d=3) of the
+    domain classifier plus the odds-weight scoring and top-20 rank."""
+    d = 3
+
+    def z_expr(walias: str) -> str:
+        terms = " + ".join(
+            f"CAST({walias}.w{j} * r.x{j} AS DOUBLE)" for j in range(d)
+        )
+        return f"(({terms}) / 1000000.0)"
+
+    def sigma(walias: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-{z_expr(walias)})), 9)"
+
+    parts = [
+        """rows_f AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             (CAST(n_chars AS BIGINT) // 50) AS x1,
+             CAST(substring(source, 4) AS BIGINT) AS x2
+      FROM documents
+    )""",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
+        + ")",
+    ]
+    for t in range(1, _Q314_ITERS + 1):
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round((({sigma('w')}) - r.y) * CAST(r.x{j} AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} "
+            f"FROM rows_f r CROSS JOIN w{t - 1} w)"
+        )
+        wexprs = ", ".join(
+            f"CAST(w.w{j} - round({_Q314_LR} * round(CAST(g.g{j} AS DOUBLE) / g.n))"
+            f" AS BIGINT) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT {wexprs} FROM w{t - 1} w CROSS JOIN g{t} g)"
+        )
+    lo = _Q314_CLIP / 1000.0
+    e = f"least(greatest({sigma('w')}, {lo!r}), {1.0 - lo!r})"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, weight_micro FROM (
+      SELECT r.doc_id,
+             CAST(round(({e}) / (1.0 - ({e})) * 1000000.0) AS BIGINT) AS weight_micro,
+             row_number() OVER (ORDER BY CAST(round(({e}) / (1.0 - ({e})) * 1000000.0) AS BIGINT) DESC,
+                                r.doc_id ASC) AS rn
+      FROM rows_f r CROSS JOIN w{_Q314_ITERS} w
+    ) WHERE rn <= 20"""
+    )
+
+
+@_register("q314_domain_importance_weights", None)  # oracle attached below
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-ratio importance weights for corpus re-mixing (library:
+    operators.split.importance_weights — the DSIR recipe): a logistic
+    domain classifier (target = English docs) trains on cheap integer
+    features (length bucket, source id) via the exact-integer GD
+    trajectory, and each doc gets the odds weight e/(1−e) — the
+    up-weighting a pipeline applies to make a web-scale mix look like
+    its target domain. Top 20 docs by weight; oracle replays training,
+    clipping and ranking (_q314_oracle)."""
+    from owl_etl_spark.operators.split import importance_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("is_target"),
+        F.expr("CAST(n_chars AS BIGINT) div 50").alias("len_bucket"),
+        F.expr("CAST(substring(source, 4, 8) AS BIGINT)").alias("src_num"),
+    )
+    w = importance_weights(
+        d, "doc_id", "is_target", ["len_bucket", "src_num"],
+        iterations=_Q314_ITERS, lr=_Q314_LR, clip_milli=_Q314_CLIP,
+    )
+    return w.orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc()).limit(20)
+
+
+_REGISTRY["q314_domain_importance_weights"] = (
+    _REGISTRY["q314_domain_importance_weights"][0],
+    _q314_oracle(),
+)
+
+
+_Q315_ITERS = 3
+
+
+def _q315_oracle() -> str:
+    """Unrolled clamped label propagation over the co-purchase graph:
+    per round one vote aggregate + one argmax (votes desc, label asc)
+    + seed clamp."""
+    parts = [
+        """und AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.pk AS a, y.pk AS b, count(*) AS c
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) y
+          ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+      ) WHERE c >= 2
+    )""",
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
+        """seeds AS MATERIALIZED (
+      SELECT p_partkey AS n, p_brand AS l FROM part WHERE p_partkey % 5 = 0
+    )""",
+        "lab0 AS MATERIALIZED (SELECT n, l FROM seeds)",
+    ]
+    for k in range(1, _Q315_ITERS + 1):
+        parts.append(
+            f"""lab{k} AS MATERIALIZED (
+      SELECT n, l FROM seeds
+      UNION ALL
+      SELECT n, l FROM (
+        SELECT e.dst AS n, x.l,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, x.l ASC) AS rn
+        FROM lab{k - 1} x JOIN edges e ON e.src = x.n
+        GROUP BY e.dst, x.l
+      ) v
+      WHERE v.rn = 1 AND NOT EXISTS (SELECT 1 FROM seeds s WHERE s.n = v.n)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT n AS part_key, l AS label FROM lab{_Q315_ITERS}"
+    )
+
+
+@_register("q315_brand_label_propagation", None)  # oracle attached below
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds (library:
+    operators.graph.label_propagation_seeded): every 5th part carries
+    its brand as a trusted label; 3 rounds of plurality voting over
+    the support-≥2 co-purchase graph spread brands to unlabeled parts
+    — the "propagate the tags you have over the similarity structure
+    you built" operator a training-data pipeline uses for
+    language/quality/category spreading. Deterministic plurality
+    (exact counts, ties → smallest label) makes the trajectory
+    oracle-exact; _q315_oracle unrolls all rounds."""
+    from owl_etl_spark.operators.graph import label_propagation_seeded
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    x = b.alias("x")
+    y = b.alias("y")
+    pc = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")))
+        .groupBy(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    edges = pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = p.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    out = label_propagation_seeded(edges, seeds, n_iters=_Q315_ITERS)
+    return out.select(F.col("node").alias("part_key"), "label")
+
+
+_REGISTRY["q315_brand_label_propagation"] = (
+    _REGISTRY["q315_brand_label_propagation"][0],
+    _q315_oracle(),
+)

@@ -207,6 +207,11 @@ def main() -> None:
         "ann_clustered_scenario": ann_clustered,
         "streaming_scenario": streaming,
         "scale_stress": scale,
+        # full-name headline timings: the stdout line below keys by the
+        # bare qNNN prefix to fit the driver's tail-capture window, so
+        # the committed sidecar keeps the readable mapping
+        "headline_timings_s": {k: round(v, 3) for k, v in timings.items()},
+        "headline_total_s": round(total, 3),
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -218,19 +223,31 @@ def main() -> None:
     print("# scenarios: " + json.dumps(scenarios), file=sys.stderr)
 
     # Compact scale-stress summary INSIDE the driver-captured line
-    # (full detail — rows, 10x/1x ratios, task-pair bounds, state
-    # sizes — lives in the bench_scenarios.json sidecar): per heavy
-    # family, seconds at the 10x tier.
+    # (full detail — every family's seconds, rows, 10x/1x ratios,
+    # task-pair bounds, state sizes — lives in the committed
+    # bench_scenarios.json sidecar): factor, seconds at 10x for every
+    # measured family (1 decimal), sessionizer throughput at 10x keys,
+    # and the dedup per-task pair bounds. The 52-query headline dict
+    # drops to 1 decimal for the same reason — the whole line must sit
+    # inside the driver's 2000-byte tail-capture window (the r5
+    # lesson), asserted below at 1900.
     scale_line = {"x": scale.get("factor")}
     for k, v in scale.items():
         if k.endswith("_s") and not k.endswith("per_s") and not k.startswith("gen"):
             scale_line[k.split("_")[0]] = v
+    scale_line["sess_evps"] = scale.get("sessionize_events_per_s")
+    for q in ("q29", "q34", "q98"):
+        scale_line[f"{q}_maxpairs"] = scale.get(f"{q}_max_task_pairs")
+    # Queries key by the bare qNNN prefix (unambiguous — registry
+    # numbers are unique) so the 52-entry dict plus the scale block
+    # fits the driver's 2000-byte tail window; the sidecar above keeps
+    # the full names and _check_regression compares by prefix.
     line = json.dumps(
         {
             "metric": "headline_query_wall_time_total",
             "value": round(total, 2),
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "queries": {k.split("_")[0]: round(v, 2) for k, v in timings.items()},
             "scale_stress": scale_line,
             "sf": sf,
         }
@@ -1029,8 +1046,11 @@ def _check_regression(timings: dict[str, float], total: float, sf: float) -> Non
         return
     regressions = []
     common_old = common_new = 0.0
+    # Compare by qNNN prefix: rounds <= 7 recorded full query names,
+    # round 8+ lines key by the bare prefix (tail-window budget).
+    new_by_prefix = {k.split("_")[0]: v for k, v in timings.items()}
     for name, old in prior.get("queries", {}).items():
-        new = timings.get(name)
+        new = new_by_prefix.get(name.split("_")[0])
         if new is None:
             continue
         common_old += old

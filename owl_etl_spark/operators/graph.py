@@ -1156,3 +1156,62 @@ def betweenness_seeded(
         .filter(F.col("betweenness_micro") > 0)
         .select(F.col("__n").alias(node_col), "betweenness_micro")
     )
+
+
+def label_propagation_seeded(
+    edges: DataFrame,
+    seed_labels: DataFrame,
+    n_iters: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label propagation with CLAMPED seeds — the
+    "spread the labels you have to the nodes you haven't labeled"
+    operator (propagating language/quality/category tags over a
+    similarity graph is the canonical training-data use): seeds keep
+    their label forever; every other node adopts, each round, the
+    plurality label among its labeled in-neighbors (vote = exact
+    neighbor COUNT, ties → lexicographically smallest label — both
+    deterministic, so the whole fixed-iteration trajectory replays in
+    unrolled SQL CTEs; this differs from q205's community label-prop,
+    which has no clamped supervision and labels every node by id).
+
+    Per round: one edges⋈labels join + one (node, label) vote count +
+    one argmax window over the VOTE table (cell-bounded, never row-
+    bounded). Unlabeled nodes with no labeled neighbor stay unlabeled
+    that round (absent from the frame) and may label later as the
+    frontier expands — after k rounds exactly the ≤k-hop neighborhood
+    of the seed set is labeled. Returns (node, label) for all nodes
+    labeled by round ``n_iters``.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint()
+    seeds = seed_labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).cast("string").alias("__l")
+    ).localCheckpoint()
+    labels = seeds
+    w = Window.partitionBy("__d").orderBy(
+        F.col("__votes").desc(), F.col("__l").asc()
+    )
+    for _ in range(int(n_iters)):
+        votes = (
+            e.join(labels, e["__s"] == labels["__n"])
+            .groupBy(F.col("__d"), F.col("__l"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__votes"))
+        )
+        adopted = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__d").alias("__n"), "__l")
+            # clamp: seeds never change, so drop any vote row for a seed
+            .join(seeds.select("__n"), "__n", "left_anti")
+        )
+        labels = seeds.unionByName(adopted).localCheckpoint()
+    return labels.select(
+        F.col("__n").alias(node_col), F.col("__l").alias(label_col)
+    )

@@ -490,3 +490,38 @@ def fd_violation_report(
     from functools import reduce
 
     return reduce(DataFrame.unionAll, outs)
+
+
+def mi_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise mutual-information matrix over a feature list — the
+    relevance/redundancy table feature selection starts from (mRMR's
+    two ingredients in one artifact): one row per unordered column
+    pair, ``(feat_a, feat_b, n, n_x, n_y, mi_micro_nats)``, each pair
+    computed by :func:`mutual_information_report` (exact-count
+    micro-nat discipline, so the matrix is engine-exact and a SQL
+    oracle replays every cell). Include the target column in ``cols``
+    and its row IS the relevance vector; the rest is the redundancy
+    structure.
+
+    Cost: C(f,2) passes over a (cols…) projection — cache it; each
+    pass is one joint count plus cell-bounded rollups. For wide
+    feature sets melt-and-self-join amortizes better, but at the
+    handful-of-candidates scale feature selection actually runs at,
+    per-pair passes keep every cell exactly portable.
+    """
+    if len(cols) < 2:
+        raise ValueError("mi_matrix: need at least two columns")
+    work = df.select(*cols).localCheckpoint(eager=False)
+    out = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            one = mutual_information_report(work, [], a, b).select(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                "n",
+                "n_x",
+                "n_y",
+                "mi_micro_nats",
+            )
+            out = one if out is None else out.unionByName(one)
+    return out

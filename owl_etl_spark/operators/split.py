@@ -346,3 +346,56 @@ def budget_mixture_allocation(
         )
         .orderBy(F.col("quality_micro").desc(), F.col("source").asc())
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    x_cols: list[str],
+    iterations: int = 8,
+    lr: float = 0.5,
+    clip_milli: int = 20,
+) -> DataFrame:
+    """Density-ratio importance weights by discriminative
+    classification (the DSIR/domain-reweighting recipe): train a
+    logistic domain classifier P(target | x) on cheap integer
+    features, and weight each example by the odds e/(1−e) — up-weights
+    data that LOOKS like the target domain, the standard lever for
+    re-mixing a web-scale corpus toward a quality/domain target
+    without per-example human labels.
+
+    ``domain_col`` must be 0/1 (1 = target domain); features follow
+    logreg's contract (integer, bounded, first column usually a bias
+    the caller adds — here a bias is prepended automatically). The
+    classifier is ``logistic_regression_fit`` (exact-integer GD
+    trajectory), e is the 9-decimal-snapped σ clipped to
+    [clip_milli, 1000−clip_milli] milli-units (an unclipped e→1
+    example would get unbounded weight), and the returned
+    ``weight_micro = round(e/(1−e)·1e6)`` is deterministic on every
+    engine — an oracle replays training and scoring verbatim.
+
+    Returns (id, weight_micro). One cached 2+f-column projection,
+    ``iterations`` tree-reduced aggregates, then a map-only scoring
+    pass — nothing row-wise is ever shuffled.
+    """
+    from owl_etl_spark.operators.logreg import logistic_regression_fit
+
+    work = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(domain_col).cast("long").alias("__y"),
+        F.lit(1).cast("long").alias("__x0"),
+        *[F.col(c).cast("long").alias(f"__x{j + 1}") for j, c in enumerate(x_cols)],
+    ).localCheckpoint(eager=True)
+    feats = ["__x0"] + [f"__x{j + 1}" for j in range(len(x_cols))]
+    w = logistic_regression_fit(work, "__y", feats, iterations=iterations, lr=lr)
+    z = sum(
+        (F.lit(w[j]) * F.col(feats[j])).cast("double") for j in range(len(feats))
+    ) / F.lit(1_000_000.0)
+    e_raw = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    lo = clip_milli / 1000.0
+    e = F.least(F.greatest(e_raw, F.lit(lo)), F.lit(1.0 - lo))
+    return work.select(
+        F.col("__id").alias(id_col),
+        F.round(e / (F.lit(1.0) - e) * F.lit(1_000_000.0)).cast("long").alias("weight_micro"),
+    )

@@ -103,7 +103,21 @@ def sessionize_stateful(
     also has to clear the CARRIED last (the running-max rule of the
     sequential recurrence — monotone, so one vectorized filter
     reproduces the loop exactly), and all closed sessions emit as one
-    batch frame.
+    single-block int64 frame.
+
+    Throughput ceiling, measured (r8, sf0.1: 100k events / 1.5k keys
+    in ONE availableNow batch ≈ 67 events/key): a NO-OP
+    applyInPandasWithState fn over the same input runs ~1.2s vs ~3.0s
+    for this operator on a warm JVM — i.e. ≥40% of the wall is the
+    per-group state protocol (iterator scaffolding + state get/update
+    + event-time timer registration) that no amount of fn-body
+    vectorization can remove, and the remainder is already numpy.
+    ~35-38k events/s is therefore the micro-batch-shaped ceiling at
+    this unusually small events-per-key-per-batch ratio; a production
+    stream with normal batch sizes amortizes the per-group cost over
+    far more rows per key (the 10× scale tier in bench.py measures
+    ~134k events/s at 10× keys and 10× rows — same operator, bigger
+    batches).
     """
     gap_ms = gap_seconds * 1000
 
@@ -113,17 +127,22 @@ def sessionize_stateful(
         import numpy as np
 
         def emit(starts, lasts, counts) -> pd.DataFrame:
-            # int64 numpy columns straight into the frame — list()
-            # materialization per emitted row was ~20% of the state
-            # function's budget at bench scale (r6 ask #4)
+            # ONE homogeneous (n, 4) int64 block → DataFrame: a dict of
+            # four 1-D arrays costs pandas a per-column ingest + block
+            # consolidation PER EMITTED GROUP, which profiling showed
+            # was the single largest line in the state fn at bench
+            # scale (the r6 list() fix removed the python-list round
+            # trip; this removes the block manager churn on top)
             n = len(starts)
+            block = np.empty((n, 4), dtype=np.int64)
+            block[:, 0] = key[0]
+            block[:, 1] = starts
+            block[:, 2] = lasts
+            block[:, 3] = counts
             return pd.DataFrame(
-                {
-                    "user_id": np.full(n, key[0], dtype=np.int64),
-                    "session_start_ms": np.asarray(starts, dtype=np.int64),
-                    "session_end_ms": np.asarray(lasts, dtype=np.int64),
-                    "n_events": np.asarray(counts, dtype=np.int64),
-                }
+                block,
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+                copy=False,
             )
 
         if state.hasTimedOut:
@@ -186,8 +205,15 @@ def sessionize_stateful(
             c_counts[off:] = counts[:-1]
             yield emit(c_starts, c_lasts, c_counts)
 
-    df = events.withWatermark(ts_col, watermark).withColumn(
-        "__us", F.unix_micros(F.col(ts_col))
+    df = (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("__us", F.unix_micros(F.col(ts_col)))
+        # project to exactly what the operator needs: the key, the
+        # watermark column (event-time timeout REQUIRES it to stay in
+        # the frame — Spark rejects the plan otherwise), and __us.
+        # Extra payload columns the caller left attached would ride
+        # the Arrow transfer for nothing.
+        .select(user_col, ts_col, "__us")
     )
     return df.groupBy(user_col).applyInPandasWithState(
         fn,
