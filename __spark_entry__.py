@@ -18208,3 +18208,132 @@ _REGISTRY["q315_brand_label_propagation"] = (
     _REGISTRY["q315_brand_label_propagation"][0],
     _q315_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 7: overdispersion diagnostic, group-sequential readout
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q316_customer_order_overdispersion",
+    """
+    WITH cnts AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg, CAST(coalesce(o.k, 0) AS BIGINT) AS x
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+        FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+      ) o ON o.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM cnts GROUP BY seg
+    )
+    SELECT seg AS mktsegment, n,
+           CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS mean_micro,
+           CAST(round((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT)
+             AS var_micro,
+           CAST(CASE WHEN s > 0 THEN round(
+                 ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000)
+               ELSE NULL END AS BIGINT) AS alpha_micro
+    FROM agg
+    """,
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-data overdispersion diagnostic (library: operators.
+    profile.overdispersion_report): 1997 orders-per-customer by market
+    segment INCLUDING zero-order customers — the method-of-moments
+    α̂ = (var − mean)/mean² that decides between q273's Poisson GLM
+    (α ≈ 0) and a negative-binomial model (α ≫ 0: clumped counts,
+    Poisson standard errors are fake). Exact BIGINT moments, one
+    aggregate; left join keeps the zero class honest."""
+    from owl_etl_spark.operators.profile import overdispersion_report
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    d = c.join(k, c["c_custkey"] == k["o_custkey"], "left").select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("x"),
+    )
+    return overdispersion_report(d, ["mktsegment"], "x")
+
+
+_Q317_LOOKS, _Q317_ZOBF = 4, 2.024
+
+
+@_register(
+    "q317_priority_group_sequential",
+    f"""
+    WITH rows_f AS MATERIALIZED (
+      SELECT ((month(o_orderdate) + 2) // 3) AS look,
+             o_custkey % 2 AS g,
+             (CAST(round(o_totalprice * 100) AS BIGINT) // 1000) AS v
+      FROM orders WHERE year(o_orderdate) = 1997
+    ), per AS (
+      SELECT look, g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS s2
+      FROM rows_f GROUP BY 1, 2
+    ), cum AS (
+      SELECT look, g,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(s) OVER w AS BIGINT) AS cs,
+             CAST(sum(s2) OVER w AS BIGINT) AS cs2
+      FROM per
+      WINDOW w AS (PARTITION BY g ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), j AS (
+      SELECT a.look,
+             a.cn AS na, a.cs AS sa, a.cs2 AS sa2,
+             b.cn AS nb, b.cs AS sb, b.cs2 AS sb2,
+             CAST(a.cs AS DOUBLE) / CAST(a.cn AS DOUBLE) AS ma,
+             CAST(b.cs AS DOUBLE) / CAST(b.cn AS DOUBLE) AS mb,
+             CAST(a.cs2 AS DOUBLE) / CAST(a.cn AS DOUBLE)
+               - (CAST(a.cs AS DOUBLE) / CAST(a.cn AS DOUBLE))
+                 * (CAST(a.cs AS DOUBLE) / CAST(a.cn AS DOUBLE)) AS va,
+             CAST(b.cs2 AS DOUBLE) / CAST(b.cn AS DOUBLE)
+               - (CAST(b.cs AS DOUBLE) / CAST(b.cn AS DOUBLE))
+                 * (CAST(b.cs AS DOUBLE) / CAST(b.cn AS DOUBLE)) AS vb
+      FROM cum a JOIN cum b ON a.look = b.look AND a.g = 1 AND b.g = 0
+    )
+    SELECT look, na AS n_a, nb AS n_b,
+           CAST(round((ma - mb) * 1000000) AS BIGINT) AS diff_micro,
+           CAST(round((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
+                                       + vb / CAST(nb AS DOUBLE)) * 1000) AS BIGINT)
+             AS z_milli,
+           CAST(round({_Q317_ZOBF!r} * sqrt({float(_Q317_LOOKS)!r}
+                      / CAST(look AS DOUBLE)) * 1000) AS BIGINT) AS boundary_milli,
+           abs(CAST(round((ma - mb) / sqrt(va / CAST(na AS DOUBLE)
+                                           + vb / CAST(nb AS DOUBLE)) * 1000) AS BIGINT))
+             > CAST(round({_Q317_ZOBF!r} * sqrt({float(_Q317_LOOKS)!r}
+                          / CAST(look AS DOUBLE)) * 1000) AS BIGINT) AS reject
+    FROM j
+    """,
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring readout (library:
+    operators.experiment.group_sequential_readout) — the fixed-
+    schedule complement to q237's SPRT: 1997 orders split by customer
+    parity into A/B, peeked at 4 quarterly looks; look k must clear
+    z ≥ 2.024·√(4/k), hardest early, to keep the overall α after
+    peeking. Cumulative Welch z from exact BIGINT moments
+    (tens-of-dollar units keep Σv² in BIGINT range), boundaries are
+    literal arithmetic — the whole readout is engine-exact."""
+    from owl_etl_spark.operators.experiment import group_sequential_readout
+
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997).select(
+        F.expr("((month(o_orderdate) + 2) div 3)").alias("look"),
+        F.pmod(F.col("o_custkey"), F.lit(2)).alias("grp"),
+        F.expr("(CAST(round(o_totalprice * 100) AS BIGINT) div 1000)").alias("v"),
+    )
+    return group_sequential_readout(
+        o, "look", "grp", "v", n_looks=_Q317_LOOKS, z_alpha_obf=_Q317_ZOBF
+    )

@@ -422,3 +422,97 @@ def aipw_report(
         F.lit(pw[0]).cast("long").alias("prop_w0_micro"),
         F.lit(pw[1]).cast("long").alias("prop_w1_micro"),
     )
+
+
+def group_sequential_readout(
+    df: DataFrame,
+    look_col: str,
+    group_col: str,
+    value_col: str,
+    n_looks: int,
+    z_alpha_obf: float = 2.024,
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring readout — the
+    fixed-schedule complement to q237's SPRT: an experiment peeked at
+    ``n_looks`` interim analyses keeps its overall α only if look k
+    must clear the inflated boundary z ≥ z_OBF·√(K/k) (hardest early,
+    ≈ the fixed-sample z_crit by the final look; z_OBF ≈ 2.024 for
+    K = 4 at two-sided α = 0.05 — caller supplies the constant for
+    other schedules, it is a design parameter, not data).
+
+    ``look_col`` must be an ordinal 1..K look index the caller derives
+    (calendar months, data quartiles); each readout row is CUMULATIVE
+    through its look. Per look the Welch z is computed from exact
+    BIGINT moments (Σv, Σv² of integer-unit values; the
+    ab_test_report/q59 discipline) so every statistic is
+    engine-portable; boundaries are literal arithmetic. Returns one
+    row per look: (look, n_a, n_b, diff_micro, z_milli,
+    boundary_milli, reject) — reject uses a STRICT > on the
+    milli-rounded values, the documented deterministic rule.
+
+    One aggregate keyed by (look, group) over the rows, then
+    cumulative sums over the K·2-row frame — nothing row-sized past
+    the first aggregate, the 100 TB monitoring shape.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = (
+        df.select(
+            F.col(look_col).cast("long").alias("__look"),
+            F.col(group_col).cast("long").alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .groupBy("__look", "__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__s2"),
+        )
+        .withColumn("__cn", F.sum("__n").over(w))
+        .withColumn("__cs", F.sum("__s").over(w))
+        .withColumn("__cs2", F.sum("__s2").over(w))
+    )
+    a = per.filter(F.col("__g") == 1).select(
+        "__look",
+        F.col("__cn").alias("n_a"),
+        F.col("__cs").alias("__sa"),
+        F.col("__cs2").alias("__sa2"),
+    )
+    b = per.filter(F.col("__g") == 0).select(
+        "__look",
+        F.col("__cn").alias("n_b"),
+        F.col("__cs").alias("__sb"),
+        F.col("__cs2").alias("__sb2"),
+    )
+    j = a.join(b, "__look")
+    mean_a = F.col("__sa").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("__sb").cast("double") / F.col("n_b").cast("double")
+    var_a = (
+        F.col("__sa2").cast("double") / F.col("n_a").cast("double") - mean_a * mean_a
+    )
+    var_b = (
+        F.col("__sb2").cast("double") / F.col("n_b").cast("double") - mean_b * mean_b
+    )
+    se = F.sqrt(
+        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
+    )
+    z_milli = F.round((mean_a - mean_b) / se * 1000).cast("long")
+    boundary_milli = F.round(
+        F.lit(z_alpha_obf)
+        * F.sqrt(F.lit(float(n_looks)) / F.col("__look").cast("double"))
+        * 1000
+    ).cast("long")
+    return j.select(
+        F.col("__look").alias("look"),
+        "n_a",
+        "n_b",
+        F.round((mean_a - mean_b) * 1_000_000).cast("long").alias("diff_micro"),
+        z_milli.alias("z_milli"),
+        boundary_milli.alias("boundary_milli"),
+        (F.abs(z_milli) > boundary_milli).alias("reject"),
+    )

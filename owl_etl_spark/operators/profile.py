@@ -525,3 +525,41 @@ def mi_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             )
             out = one if out is None else out.unionByName(one)
     return out
+
+
+def overdispersion_report(
+    df: DataFrame,
+    keys: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Count-data overdispersion diagnostic per key — the
+    method-of-moments check that decides between q273's Poisson GLM
+    (variance = mean) and a negative-binomial model (variance =
+    mean + α·mean²): α̂ = (var − mean)/mean², with var/mean from exact
+    BIGINT Σx and Σx² (population variance; the q59 discipline, so the
+    report is engine-exact). α̂ ≤ 0 → Poisson is adequate; α̂ ≫ 0 →
+    the counts are clumped and Poisson standard errors are fake.
+
+    Returns (keys…, n, mean_micro, var_micro, alpha_micro) — one
+    map-side-combined aggregate over the count rows, nothing else.
+    """
+    d = df.select(*keys, F.col(count_col).cast("long").alias("__x"))
+    agg = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    var = F.col("__s2").cast("double") / F.col("n").cast("double") - mean * mean
+    return agg.select(
+        *keys,
+        "n",
+        F.round(mean * 1_000_000).cast("long").alias("mean_micro"),
+        F.round(var * 1_000_000).cast("long").alias("var_micro"),
+        F.when(
+            F.col("__s") > 0, F.round((var - mean) / (mean * mean) * 1_000_000)
+        )
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("alpha_micro"),
+    )
