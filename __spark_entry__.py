@@ -18337,3 +18337,148 @@ def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sequential_readout(
         o, "look", "grp", "v", n_looks=_Q317_LOOKS, z_alpha_obf=_Q317_ZOBF
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 8: Hilbert layout locality, Neyman allocation
+# ---------------------------------------------------------------------------
+
+_Q318_BITS = 10
+
+
+def _q318_oracle() -> str:
+    """Chained-CTE replay of the Hilbert xy2d rotate recurrence, one
+    level per bit (DuckDB xor() — `^` is POWER there), then q166's
+    locality readout on the same cells for a like-for-like comparison
+    with the Morton layout."""
+    limit = 1 << _Q318_BITS
+    n1 = limit - 1
+    parts = [
+        """cells AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey % 1024 AS x1, l_suppkey % 1024 AS x2
+      FROM lineitem
+    )""",
+        "lv0 AS (SELECT l_orderkey, x1, x2, x1 AS x, x2 AS y, CAST(0 AS BIGINT) AS d FROM cells)",
+    ]
+    k = 0
+    s = limit >> 1
+    while s > 0:
+        k += 1
+        parts.append(
+            f"""lv{k} AS MATERIALIZED (
+      SELECT l_orderkey, x1, x2,
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - y ELSE y END) ELSE x END AS x,
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - x ELSE x END) ELSE y END AS y,
+             CAST(d + {s * s} * xor(3 * rx, ry) AS BIGINT) AS d
+      FROM (SELECT l_orderkey, x1, x2, x, y, d,
+                   CAST(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rx,
+                   CAST(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ry
+            FROM lv{k - 1})
+    )"""
+        )
+        s >>= 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(d // 4096 AS BIGINT) AS hrange,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT x1) AS BIGINT) AS n_x1,
+           CAST(count(DISTINCT x2) AS BIGINT) AS n_x2,
+           CAST(min(x1) AS BIGINT) AS min_x1, CAST(max(x1) AS BIGINT) AS max_x1,
+           CAST(min(x2) AS BIGINT) AS min_x2, CAST(max(x2) AS BIGINT) AS max_x2
+    FROM lv{k} GROUP BY 1"""
+    )
+
+
+@_register("q318_hilbert_locality", None)  # oracle attached below
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve locality index (library: operators.zorder.
+    hilbert_index) on exactly q166's cells — the layout key that
+    dominates the Morton code on locality (no power-of-two diagonal
+    jumps), measured the same way: per 4096-wide index range, the
+    x1/x2 min-max envelopes that file statistics would prune on. Side
+    by side with q166's readout this quantifies the Hilbert-vs-Z-order
+    trade every OPTIMIZE-ZORDER user asks about. The rotate recurrence
+    unrolls one level per bit as chained projections (linear plan
+    growth); pure integer shifts/masks/xor, engine-exact."""
+    from owl_etl_spark.operators.zorder import hilbert_index
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.pmod("l_partkey", F.lit(1024)).cast("long").alias("x1"),
+        F.pmod("l_suppkey", F.lit(1024)).cast("long").alias("x2"),
+    )
+    h = hilbert_index(
+        li.withColumn("x", F.col("x1")).withColumn("y", F.col("x2")),
+        "x", "y", bits=_Q318_BITS,
+    )
+    return h.groupBy(F.expr("hvalue div 4096").alias("hrange")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("x1").cast("long").alias("n_x1"),
+        F.countDistinct("x2").cast("long").alias("n_x2"),
+        F.min("x1").alias("min_x1"),
+        F.max("x1").alias("max_x1"),
+        F.min("x2").alias("min_x2"),
+        F.max("x2").alias("max_x2"),
+    )
+
+
+_REGISTRY["q318_hilbert_locality"] = (
+    _REGISTRY["q318_hilbert_locality"][0],
+    _q318_oracle(),
+)
+
+
+_Q319_BUDGET = 10_000
+
+
+@_register(
+    "q319_lineitem_neyman_allocation",
+    f"""
+    WITH agg AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2
+      FROM (SELECT l_returnflag, l_linestatus,
+                   (CAST(round(l_extendedprice * 100) AS BIGINT) // 100) AS v
+            FROM lineitem)
+      GROUP BY 1, 2
+    ), w AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus, n_rows,
+             CAST(round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE)), 0.0)) * 1000000)
+                  AS BIGINT) AS sigma_micro,
+             CAST(round(CAST(n_rows AS DOUBLE)
+                   * sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE)), 0.0)) * 1000)
+                  AS BIGINT) AS weight_milli
+      FROM agg
+    ), tot AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS t FROM w)
+    SELECT l_returnflag, l_linestatus, n_rows, sigma_micro, weight_milli,
+           CAST(CASE WHEN t > 0 THEN round({float(_Q319_BUDGET)!r}
+                 * CAST(weight_milli AS DOUBLE) / CAST(t AS DOUBLE))
+                ELSE 0 END AS BIGINT) AS alloc
+    FROM w CROSS JOIN tot
+    """,
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman variance-optimal sampling allocation (library:
+    operators.split.neyman_allocation): split a 10,000-row sample
+    budget across (returnflag, linestatus) strata ∝ N_k·σ_k of the
+    line price — the planning table q78's stratified draw should
+    follow instead of uniform shares (budget goes where the variance
+    lives). Exact BIGINT moments, milli-snapped weights before the
+    cross-strata total, one aggregate over the rows."""
+    from owl_etl_spark.operators.split import neyman_allocation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT) div 100)").alias("v"),
+    )
+    return neyman_allocation(
+        li, ["l_returnflag", "l_linestatus"], "v", budget=_Q319_BUDGET
+    )

@@ -838,10 +838,16 @@ def _scale_stress_scenario(
     fly (deterministically — replica cross-join, key-space offsets, no
     RNG) and re-runs the REGISTERED queries against it unchanged:
 
-    - documents x10: replicas carry a ' ~rK' suffix so duplicate
-      classes are preserved WITHIN each replica (dup structure scales
-      10x, cross-replica docs stay distinct) — the LSH/Jaccard/
-      components shape.
+    - documents x10: replicas carry a ' ~rK' suffix, so EXACT dup
+      classes are preserved within each replica while cross-replica
+      copies stay hash-distinct. At the SHINGLE level, however, a
+      long text differing only in a trailing suffix remains a
+      near-dup of its replicas — so q29/q34/q296's candidate-pair
+      OUTPUT grows superlinearly (~x90 pairs at x10) by
+      construction. That is the point of the tier: the per-task
+      bounds must hold when duplicate mass explodes, and the
+      recorded walls are output-bound, not a plan pathology
+      (task-pair caps recorded alongside).
     - embeddings x10: per-replica deterministic scaling of the vector
       (cluster structure preserved, 10x corpus for IVF/PQ).
     - events x10 with 10x distinct user_ids (15k keys) — the

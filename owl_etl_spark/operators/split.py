@@ -399,3 +399,68 @@ def importance_weights(
         F.col("__id").alias(id_col),
         F.round(e / (F.lit(1.0) - e) * F.lit(1_000_000.0)).cast("long").alias("weight_micro"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Variance-optimal stratified sampling allocation (Neyman): give
+    stratum k the share n_k = budget · N_k·σ_k / Σ_j N_j·σ_j — the
+    allocation that minimizes the variance of the stratified mean at a
+    fixed total sample budget, the planning step before
+    ``stratified_sample``/q78 draws the rows (uniform-per-stratum
+    allocation wastes budget on flat strata; Neyman spends it where
+    the variance lives).
+
+    Exactness: per-stratum moments are exact BIGINTs (Σv, Σv² of
+    integer-unit values — the q59 discipline), σ_k = sqrt(var) is one
+    deterministic IEEE op, and each N_k·σ_k term snaps to an integer
+    MILLI-unit weight before the cross-strata total — so the
+    allocation table is engine-exact. Rounded allocations may sum to
+    budget ± #strata (standard; the caller's draw step treats them as
+    targets). Returns (keys…, n_rows, sigma_micro, weight_milli,
+    alloc).
+
+    One map-side-combined aggregate over the rows; everything after is
+    arithmetic on the strata frame (broadcast-sized).
+    """
+    agg = (
+        df.select(*keys, F.col(value_col).cast("long").alias("__v"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__s2"),
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("n_rows").cast("double")
+    var = F.col("__s2").cast("double") / F.col("n_rows").cast("double") - mean * mean
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = agg.withColumn(
+        "__w",
+        F.round(F.col("n_rows").cast("double") * sigma * 1000).cast("long"),
+    ).withColumn("sigma_micro", F.round(sigma * 1_000_000).cast("long"))
+    tot = w.agg(F.sum("__w").cast("long").alias("__tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            *keys,
+            "n_rows",
+            "sigma_micro",
+            F.col("__w").alias("weight_milli"),
+            F.when(
+                F.col("__tot") > 0,
+                F.round(
+                    F.lit(float(int(budget)))
+                    * F.col("__w").cast("double")
+                    / F.col("__tot").cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -135,3 +135,88 @@ def zone_map_report(
             "would_scan"
         ),
     )
+
+
+def hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    out_col: str = "hvalue",
+) -> DataFrame:
+    """Attach ``out_col``: the 2-D Hilbert-curve index of
+    (``x_col``, ``y_col``) — the layout key that strictly dominates
+    the Morton code (q166) on locality: the Hilbert curve never takes
+    the long diagonal jumps z-ordering suffers at power-of-two
+    boundaries, so equal-width key ranges have tighter x/y envelopes
+    and a box predicate touches fewer files (what q318 measures
+    against q166's readout on identical cells).
+
+    The classic per-level rotate recurrence (Wikipedia xy2d), unrolled
+    ``bits`` times as chained column projections — each level reads
+    the previous level's (x, y, d) columns BY NAME, so the plan grows
+    linearly (a textual substitution would double per level). Inputs
+    must be non-negative ints < 2^bits (raises otherwise, the
+    zorder_index contract). Pure integer shifts/masks/xor — engine-
+    exact; the SQL oracle replays levels as chained CTEs.
+    """
+    limit = 1 << bits
+    checked = df
+    for c in (x_col, y_col):
+        x = F.col(c).cast("long")
+        checked = checked.withColumn(
+            c,
+            F.when(
+                x.isNull() | (x < 0) | (x >= limit),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"hilbert_index: {c} must be in [0, {limit}), got "
+                        ),
+                        F.coalesce(x.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            ).otherwise(x),
+        )
+    n1 = limit - 1
+    out = (
+        checked.withColumn("__hx", F.col(x_col).cast("long"))
+        .withColumn("__hy", F.col(y_col).cast("long"))
+        .withColumn("__hd", F.lit(0).cast("long"))
+    )
+    s = limit >> 1
+    while s > 0:
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = (
+            out.withColumn("__rx", rx.cast("long"))
+            .withColumn("__ry", ry.cast("long"))
+            .withColumn(
+                "__hd",
+                F.col("__hd")
+                + F.lit(s * s) * (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry")),
+            )
+            .withColumn(
+                "__tx",
+                F.when(
+                    F.col("__ry") == 0,
+                    F.when(F.col("__rx") == 1, F.lit(n1) - F.col("__hy")).otherwise(
+                        F.col("__hy")
+                    ),
+                ).otherwise(F.col("__hx")),
+            )
+            .withColumn(
+                "__hy",
+                F.when(
+                    F.col("__ry") == 0,
+                    F.when(F.col("__rx") == 1, F.lit(n1) - F.col("__hx")).otherwise(
+                        F.col("__hx")
+                    ),
+                ).otherwise(F.col("__hy")),
+            )
+            .withColumn("__hx", F.col("__tx"))
+        )
+        s >>= 1
+    return out.withColumn(out_col, F.col("__hd")).drop(
+        "__hx", "__hy", "__hd", "__rx", "__ry", "__tx"
+    )

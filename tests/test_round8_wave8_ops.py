@@ -1,0 +1,108 @@
+"""Round-8 wave-8: Hilbert-curve layout index (zorder.hilbert_index)
+and Neyman sampling allocation (split.neyman_allocation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.split import neyman_allocation
+from owl_etl_spark.operators.zorder import hilbert_index, zorder_index
+
+
+def _py_xy2d(order_n: int, x: int, y: int) -> int:
+    d = 0
+    s = order_n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = order_n - 1 - x
+                y = order_n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_python_reference(spark):
+    pts = [(x, y) for x in range(0, 64, 5) for y in range(0, 64, 7)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["hvalue"]
+           for r in hilbert_index(df, "x", "y", bits=6).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _py_xy2d(64, x, y), (x, y)
+
+
+def test_hilbert_is_a_bijection_and_adjacent_steps_touch(spark):
+    # order-3 curve: all 64 cells -> distinct d in [0, 64); consecutive
+    # d values are grid-adjacent (the Hilbert property Morton lacks)
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {r["hvalue"]: (r["x"], r["y"])
+           for r in hilbert_index(df, "x", "y", bits=3).collect()}
+    assert sorted(got) == list(range(64))
+    for d in range(63):
+        (x1, y1), (x2, y2) = got[d], got[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_ranges_tighter_than_morton(spark):
+    # the q318-vs-q166 claim in miniature: over a full 32x32 grid,
+    # equal-width index ranges have smaller average bounding boxes
+    # under Hilbert than under Morton
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    h = hilbert_index(df, "x", "y", bits=5)
+    z = zorder_index(df, ["x", "y"], bits=5)
+
+    def avg_box(idxdf, col):
+        rows = (
+            idxdf.groupBy(F.expr(f"{col} div 64").alias("r"))
+            .agg(
+                (F.max("x") - F.min("x") + F.max("y") - F.min("y")).alias("span")
+            )
+            .collect()
+        )
+        return sum(r["span"] for r in rows) / len(rows)
+
+    assert avg_box(h, "hvalue") <= avg_box(z, "zvalue")
+
+
+def test_hilbert_out_of_range_raises(spark):
+    df = spark.createDataFrame([(70, 1)], "x long, y long")
+    with pytest.raises(Exception, match="hilbert_index"):
+        hilbert_index(df, "x", "y", bits=6).collect()
+
+
+# ----------------------------------------------------------------- neyman
+
+def test_neyman_exact_arithmetic_and_proportionality(spark):
+    # stratum a: values alternate 0/100 (sigma=50, n=400);
+    # stratum b: constant (sigma=0, n=400);
+    # stratum c: alternate 0/20 (sigma=10, n=200)
+    rows = [("a", 100 * (i % 2)) for i in range(400)]
+    rows += [("b", 7)] * 400
+    rows += [("c", 20 * (i % 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in neyman_allocation(df, ["g"], "v", budget=1000).collect()}
+    assert got["a"]["sigma_micro"] == 50_000_000
+    assert got["b"]["sigma_micro"] == 0
+    assert got["c"]["sigma_micro"] == 10_000_000
+    # weights: a = 400*50 = 20000, b = 0, c = 200*10 = 2000
+    assert got["a"]["weight_milli"] == 20_000_000
+    assert got["b"]["weight_milli"] == 0
+    assert got["c"]["weight_milli"] == 2_000_000
+    assert got["a"]["alloc"] == round(1000 * 20000 / 22000)
+    assert got["b"]["alloc"] == 0
+    assert got["c"]["alloc"] == round(1000 * 2000 / 22000)
+
+
+def test_neyman_all_constant_strata_allocates_zero(spark):
+    df = spark.createDataFrame([("a", 5)] * 10 + [("b", 9)] * 10, "g string, v long")
+    got = neyman_allocation(df, ["g"], "v", budget=100).collect()
+    assert all(r["alloc"] == 0 for r in got)  # no variance anywhere -> degenerate
