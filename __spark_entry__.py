@@ -18482,3 +18482,61 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(
         li, ["l_returnflag", "l_linestatus"], "v", budget=_Q319_BUDGET
     )
+
+
+@_register(
+    "q320_return_threshold_sweep",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), per AS (
+      SELECT s, CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n
+      FROM d GROUP BY s
+    ), tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM per),
+    sw AS (
+      SELECT s, CAST(sum(p) OVER w AS BIGINT) AS tp, CAST(sum(n) OVER w AS BIGINT) AS fp
+      FROM per
+      WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+      SELECT s AS threshold, tp, fp,
+             CAST((SELECT tp_all FROM tot) - tp AS BIGINT) AS fn
+      FROM sw
+    ), f AS (
+      SELECT threshold, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN CAST(round(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) AS BIGINT)
+             END AS precision_micro,
+             CASE WHEN tp + fn > 0
+                  THEN CAST(round(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) AS BIGINT)
+             END AS recall_micro,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN CAST(round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                            * 1000000) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT)
+             END AS f1_micro
+      FROM m
+    )
+    SELECT threshold, tp, fp, fn, precision_micro, recall_micro, f1_micro,
+           row_number() OVER (ORDER BY f1_micro DESC, threshold ASC) = 1 AS is_best
+    FROM f
+    """,
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection sweep (library: operators.evalmetrics
+    .threshold_sweep_f1): every distinct discount percent as a
+    candidate return-prediction threshold, with confusion counts and
+    F1 at each and the argmax flagged — the "which score do we alert
+    at" table between q174's fixed-threshold confusion report and
+    q248's threshold-free AUC. One groupBy to the distinct-score
+    frame, suffix cumsums over that tiny frame (never over the data),
+    exact-integer counts everywhere."""
+    from owl_etl_spark.operators.evalmetrics import threshold_sweep_f1
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("label"),
+    )
+    return threshold_sweep_f1(li, "score", "label")

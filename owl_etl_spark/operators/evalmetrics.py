@@ -568,3 +568,82 @@ def brier_decomposition(
         F.round(F.col("__res").cast("double") / nd).cast("long").alias("resolution_micro"),
         F.round(ob * (F.lit(1.0) - ob) * 1_000_000.0).cast("long").alias("uncertainty_micro"),
     )
+
+
+def threshold_sweep_f1(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Operating-point selection: sweep EVERY distinct score as the
+    decision threshold (predict positive when score ≥ t) and report
+    the confusion counts and F1 at each, flagging the argmax — the
+    readout that turns q174's fixed-threshold confusion report and
+    q248/AUC's threshold-free ranking into a deployable cutoff
+    ("which score do we actually alert at").
+
+    Engine shape (the km_risk_table device): ONE groupBy collapses the
+    rows to the distinct-score frame with per-score (positives,
+    negatives); suffix cumulative sums over that tiny frame (a window
+    over distinct scores, never over the data) give tp/fp at every
+    threshold simultaneously — O(n) + O(|scores|), not
+    O(n·|scores|). All counts exact BIGINTs; F1 = 2tp/(2tp+fp+fn)
+    is one division of exact integers, rounded to 6 (micro). The
+    best row flags by max F1 with ties to the SMALLEST threshold
+    (deterministic, oracle-replayable).
+
+    Returns (threshold, tp, fp, fn, precision_micro, recall_micro,
+    f1_micro, is_best), one row per distinct score. Scores must be
+    integers (bucket upstream — a float score would sweep one
+    threshold per distinct float, which is rarely what you want and
+    equality across engines is bitwise anyway).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per = d.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).cast("long").alias("__p"),
+        F.sum(F.when(F.col("__y") == 1, 0).otherwise(1)).cast("long").alias("__n"),
+    )
+    w_suf = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("__p").cast("long").alias("__tp_all"))
+    sw = (
+        per.withColumn("tp", F.sum("__p").over(w_suf).cast("long"))
+        .withColumn("fp", F.sum("__n").over(w_suf).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("fn", (F.col("__tp_all") - F.col("tp")).cast("long"))
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")) * 1_000_000).cast("long"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")) * 1_000_000).cast("long"),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            F.lit(2) * F.col("tp")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = sw.select(
+        F.col("__s").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision_micro"),
+        rec.alias("recall_micro"),
+        f1.alias("f1_micro"),
+    )
+    w_best = Window.orderBy(F.col("f1_micro").desc(), F.col("threshold").asc())
+    return scored.withColumn(
+        "is_best", F.row_number().over(w_best) == 1
+    )

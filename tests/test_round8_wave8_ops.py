@@ -106,3 +106,38 @@ def test_neyman_all_constant_strata_allocates_zero(spark):
     df = spark.createDataFrame([("a", 5)] * 10 + [("b", 9)] * 10, "g string, v long")
     got = neyman_allocation(df, ["g"], "v", budget=100).collect()
     assert all(r["alloc"] == 0 for r in got)  # no variance anywhere -> degenerate
+
+
+# ------------------------------------------------- threshold sweep f1
+
+def test_threshold_sweep_exact_small_case(spark):
+    from owl_etl_spark.operators.evalmetrics import threshold_sweep_f1
+
+    # scores 1..3; positives live at high scores
+    rows = [(3, 1)] * 4 + [(3, 0)] * 1 + [(2, 1)] * 1 + [(2, 0)] * 3 + [(1, 0)] * 5
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {r["threshold"]: r for r in threshold_sweep_f1(df, "s", "y").collect()}
+    # t=3: tp=4 fp=1 fn=1 -> f1 = 8/10; t=2: tp=5 fp=4 fn=0 -> 10/14
+    assert (got[3]["tp"], got[3]["fp"], got[3]["fn"]) == (4, 1, 1)
+    assert got[3]["f1_micro"] == 800_000
+    assert got[2]["f1_micro"] == round(10 / 14 * 1e6)
+    assert got[3]["is_best"] and not got[2]["is_best"] and not got[1]["is_best"]
+    assert got[1]["precision_micro"] == round(5 / 14 * 1e6)
+    assert got[1]["recall_micro"] == 1_000_000
+
+
+def test_threshold_sweep_tie_breaks_to_smallest_threshold(spark):
+    from owl_etl_spark.operators.evalmetrics import threshold_sweep_f1
+
+    # two thresholds with identical confusion (score 5 never appears
+    # with different composition): construct equal-f1 ties
+    rows = [(10, 1), (10, 1), (5, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = sorted(
+        (r["threshold"], r["f1_micro"], r["is_best"])
+        for r in threshold_sweep_f1(df, "s", "y").collect()
+    )
+    best = [t for t, _, b in got if b]
+    f1s = {t: f for t, f, _ in got}
+    assert len(best) == 1
+    assert f1s[best[0]] == max(f1s.values())
