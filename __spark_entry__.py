@@ -18540,3 +18540,85 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("long").alias("label"),
     )
     return threshold_sweep_f1(li, "score", "label")
+
+
+@_register(
+    "q321_purchase_click_effect_sizes",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ), per AS (
+      SELECT v, CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+             CAST(sum(CASE WHEN g = 1 THEN 0 ELSE 1 END) AS BIGINT) AS ny
+      FROM d GROUP BY v
+    ), cum AS (
+      SELECT v, nx, ny,
+             CAST(sum(ny) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cy_le
+      FROM per
+    ), moments AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+             CAST(sum(CASE WHEN g = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_y,
+             CAST(coalesce(sum(CASE WHEN g = 1 THEN v END), 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(CASE WHEN g = 1 THEN v * v END), 0) AS BIGINT) AS sx2,
+             CAST(coalesce(sum(CASE WHEN g = 0 THEN v END), 0) AS BIGINT) AS sy,
+             CAST(coalesce(sum(CASE WHEN g = 0 THEN v * v END), 0) AS BIGINT) AS sy2
+      FROM d
+    ), pairs AS (
+      SELECT CAST(sum(nx * (cy_le - ny)) AS BIGINT) AS n_gt,
+             CAST(sum(nx * ((SELECT n_y FROM moments) - cy_le)) AS BIGINT) AS n_lt
+      FROM cum
+    )
+    SELECT n_x, n_y,
+           CAST(round(CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE) * 1000000) AS BIGINT)
+             AS mean_x_micro,
+           CAST(round(CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE) * 1000000) AS BIGINT)
+             AS mean_y_micro,
+           CAST(CASE WHEN sqrt((CAST(n_x AS DOUBLE)
+                  * (CAST(sx2 AS DOUBLE) / CAST(n_x AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE)))
+                  + CAST(n_y AS DOUBLE)
+                  * (CAST(sy2 AS DOUBLE) / CAST(n_y AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))))
+                 / CAST(n_x + n_y AS DOUBLE)) > 0
+                THEN round((CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE)
+                            - CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
+                  / sqrt((CAST(n_x AS DOUBLE)
+                    * (CAST(sx2 AS DOUBLE) / CAST(n_x AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE)))
+                    + CAST(n_y AS DOUBLE)
+                    * (CAST(sy2 AS DOUBLE) / CAST(n_y AS DOUBLE)
+                       - (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))))
+                   / CAST(n_x + n_y AS DOUBLE)) * 1000000)
+           END AS BIGINT) AS cohens_d_micro,
+           n_gt, n_lt,
+           CAST(round(CAST(n_gt - n_lt AS DOUBLE)
+                / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) * 1000000) AS BIGINT)
+             AS cliffs_delta_micro
+    FROM moments CROSS JOIN pairs
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample effect sizes (library: operators.effsize.
+    effect_size_report): HOW MUCH purchase values exceed click values
+    — Cohen's d in pooled standard deviations and Cliff's
+    δ = P(x>y) − P(x<y), the probability-of-superiority companion
+    every Mann-Whitney (q231) report should carry. Cliff's pairwise
+    counts collapse to cumulative sums over the distinct-value frame
+    (never n·m comparisons); d comes from exact BIGINT moments. One
+    data-sized aggregate each."""
+    from owl_etl_spark.operators.effsize import effect_size_report
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    ).select(
+        (F.col("event_type") == "purchase").cast("long").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return effect_size_report(e, "grp", "cents")

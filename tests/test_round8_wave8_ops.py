@@ -141,3 +141,44 @@ def test_threshold_sweep_tie_breaks_to_smallest_threshold(spark):
     f1s = {t: f for t, f, _ in got}
     assert len(best) == 1
     assert f1s[best[0]] == max(f1s.values())
+
+
+# ---------------------------------------------------------- effect sizes
+
+def test_effect_sizes_exact_small_case(spark):
+    from owl_etl_spark.operators.effsize import effect_size_report
+
+    # x = {3, 5}, y = {1, 3, 4}: gt pairs = (3>1)+(5>1,3,4)=4, lt = (3<4)=1
+    rows = [(1, 3), (1, 5), (0, 1), (0, 3), (0, 4)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = effect_size_report(df, "g", "v").collect()[0]
+    assert (got["n_x"], got["n_y"]) == (2, 3)
+    assert (got["n_gt"], got["n_lt"]) == (4, 1)
+    assert got["cliffs_delta_micro"] == round((4 - 1) / 6 * 1e6)
+    # moments: mean_x 4, mean_y 8/3; pooled var = (2*1 + 3*14/9)/5
+    import math
+    var_x, var_y = 1.0, (1 + 9 + 16) / 3 - (8 / 3) ** 2
+    pooled = math.sqrt((2 * var_x + 3 * var_y) / 5)
+    assert got["cohens_d_micro"] == round((4 - 8 / 3) / pooled * 1e6)
+
+
+def test_effect_sizes_ties_excluded_and_symmetric_null(spark):
+    from owl_etl_spark.operators.effsize import effect_size_report
+
+    # identical distributions -> delta 0, d 0
+    rows = [(g, v) for g in (0, 1) for v in (1, 2, 2, 5)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = effect_size_report(df, "g", "v").collect()[0]
+    assert got["cliffs_delta_micro"] == 0
+    assert got["cohens_d_micro"] == 0
+    assert got["n_gt"] == got["n_lt"]
+
+
+def test_effect_sizes_zero_variance_gives_null_d(spark):
+    from owl_etl_spark.operators.effsize import effect_size_report
+
+    rows = [(1, 7), (1, 7), (0, 7), (0, 7)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = effect_size_report(df, "g", "v").collect()[0]
+    assert got["cohens_d_micro"] is None
+    assert got["cliffs_delta_micro"] == 0
