@@ -18622,3 +18622,94 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return effect_size_report(e, "grp", "cents")
+
+
+def _q322_oracle() -> str:
+    """q98's full LSH-pairs + recursive-components chain, with the
+    final per-doc labels rolled up into the per-source token-savings
+    report (the chain is reused verbatim by string surgery on q98's
+    registered SQL so the two oracles can never drift apart)."""
+    sql98 = _REGISTRY["q98_dup_components"][1]
+    head = sql98[: sql98.rfind("SELECT id AS doc_id")].rstrip().rstrip(",")
+    return (
+        head
+        + """,
+    comp AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    ), tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS nt
+      FROM documents
+    ), j AS (
+      SELECT t.source, t.nt, t.doc_id, c.component
+      FROM tok t JOIN comp c ON c.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id = component THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(round((CAST(sum(nt) AS BIGINT)
+                       - CAST(sum(CASE WHEN doc_id = component THEN nt ELSE 0 END) AS BIGINT))
+                      / CAST(sum(nt) AS BIGINT) * 1000000.0) AS BIGINT) AS savings_micro
+    FROM j GROUP BY source"""
+    )
+
+
+@_register("q322_dedup_savings_report", None)  # oracle attached below
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings accounting (library: dedup.minhash_lsh_pairs +
+    connected_components + the q24 tokenizer) — the number every
+    training-data review asks first: per source, how many documents
+    and TOKENS does near-dup dedup remove when each duplicate
+    component keeps its min-id representative. Composes the LSH
+    pair graph (q34's banding), min-label components (q98), and the
+    whitespace tokenizer (q24) into one per-source rollup; the oracle
+    reuses q98's recursive chain verbatim (string surgery at import —
+    the two can never drift) and rolls it up the same way."""
+    from owl_etl_spark.functions.text import normalize_text
+    from owl_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=16, bands=8)
+    comp = connected_components(pairs, d.select("doc_id"))
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("nt"),
+    )
+    j = tok.join(comp, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("nt").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("doc_id") == F.col("component"), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.round(
+            (F.col("tokens_total") - F.col("tokens_kept"))
+            / F.col("tokens_total")
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("savings_micro"),
+    )
+
+
+_REGISTRY["q322_dedup_savings_report"] = (
+    _REGISTRY["q322_dedup_savings_report"][0],
+    _q322_oracle(),
+)

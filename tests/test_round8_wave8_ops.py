@@ -182,3 +182,24 @@ def test_effect_sizes_zero_variance_gives_null_d(spark):
     got = effect_size_report(df, "g", "v").collect()[0]
     assert got["cohens_d_micro"] is None
     assert got["cliffs_delta_micro"] == 0
+
+
+# ------------------------------------------------- dedup savings report
+
+def test_dedup_savings_accounting_consistent(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q322_dedup_savings_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "report is empty"
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert 0 < r["tokens_kept"] <= r["tokens_total"]
+        want = round(
+            (r["tokens_total"] - r["tokens_kept"]) / r["tokens_total"] * 1e6
+        )
+        assert r["savings_micro"] == want
+    # corpus has planted near-dups (q34's gate depends on them), so at
+    # least one source must actually save tokens
+    assert any(r["savings_micro"] > 0 for r in rows)
