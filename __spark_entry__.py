@@ -18713,3 +18713,62 @@ _REGISTRY["q322_dedup_savings_report"] = (
     _REGISTRY["q322_dedup_savings_report"][0],
     _q322_oracle(),
 )
+
+
+_Q323_K, _Q323_EMBARGO = 5, 7
+
+
+def _q323_oracle() -> str:
+    """Integer fold/purge replay: bounds from the same min/max, the
+    clamp-and-step purge rule verbatim."""
+    k, e = _Q323_K, _Q323_EMBARGO
+    d = "CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)"
+
+    def fold_at(expr: str) -> str:
+        clamped = f"least((SELECT mx FROM b), greatest((SELECT mn FROM b), {expr}))"
+        return (
+            f"((({clamped}) - (SELECT mn FROM b)) * {k}"
+            f" // ((SELECT mx FROM b) - (SELECT mn FROM b) + 1))"
+        )
+
+    fold = fold_at("d")
+    purged = (
+        f"({fold_at(f'd + {e}')} <> ({fold})) OR ({fold_at(f'd - {e}')} <> ({fold}))"
+    )
+    return f"""
+    WITH days AS MATERIALIZED (
+      SELECT {d} AS d FROM orders
+    ), b AS MATERIALIZED (
+      SELECT CAST(min(d) AS BIGINT) AS mn, CAST(max(d) AS BIGINT) AS mx FROM days
+    ), assigned AS (
+      SELECT CASE WHEN {purged} THEN CAST(-1 AS BIGINT) ELSE CAST({fold} AS BIGINT) END AS fold,
+             d
+      FROM days
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+    FROM assigned GROUP BY fold"""
+
+
+@_register("q323_purged_time_folds", None)  # oracle attached below
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series K-fold split of the order history (library:
+    operators.split.purged_time_folds) — the leakage-free backtest
+    split: 5 equal date spans with a 7-day embargo purging every row
+    whose embargo-sized step in either direction crosses a fold
+    boundary, so serially-correlated features can't leak between
+    train and test (the failure mode q73's hash folds guarantee on
+    time series). Pure integer fold arithmetic; one min/max pass then
+    a map expression."""
+    from owl_etl_spark.operators.split import purged_time_folds
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("epoch_day")
+    )
+    return purged_time_folds(o, "epoch_day", k=_Q323_K, embargo_days=_Q323_EMBARGO)
+
+
+_REGISTRY["q323_purged_time_folds"] = (
+    _REGISTRY["q323_purged_time_folds"][0],
+    _q323_oracle(),
+)

@@ -464,3 +464,59 @@ def neyman_allocation(
             .alias("alloc"),
         )
     )
+
+
+def purged_time_folds(
+    df: DataFrame,
+    day_col: str,
+    k: int = 5,
+    embargo_days: int = 7,
+) -> DataFrame:
+    """Purged time-series K-fold assignment — the leakage-free
+    backtesting split (López de Prado's purged CV): the time axis is
+    cut into ``k`` equal spans, and every row within ``embargo_days``
+    of a DIFFERENT fold is PURGED (fold −1) so that
+    serially-correlated features can't leak across the train/test
+    boundary — the failure mode plain ``hash_split`` K-folds
+    guarantee on time-series data.
+
+    Exact integer rule (oracle-replayable, no float boundaries):
+    fold(d) = (d − min)·k div (max − min + 1), and a row is purged iff
+    fold(clamp(d ± embargo)) differs from fold(d) — "an embargo-sized
+    step in either direction crosses a boundary". One min/max pass
+    (two driver scalars), then a map-side expression; the returned
+    frame aggregates per fold: (fold, n_rows, min_day, max_day) with
+    purged rows under fold −1.
+    """
+    if k < 2:
+        raise ValueError("purged_time_folds: need k >= 2")
+    b = df.agg(
+        F.min(F.col(day_col).cast("long")).alias("mn"),
+        F.max(F.col(day_col).cast("long")).alias("mx"),
+    ).collect()[0]
+    mn, mx = b["mn"], b["mx"]
+    if mn is None:
+        raise ValueError("purged_time_folds: empty input")
+    span = mx - mn + 1
+    e = int(embargo_days)
+
+    def fold_at(expr: str) -> str:
+        clamped = f"least({mx}, greatest({mn}, {expr}))"
+        return f"((({clamped}) - {mn}) * {k} div {span})"
+
+    d = f"CAST({day_col} AS BIGINT)"
+    fold = fold_at(d)
+    purged = (
+        f"({fold_at(f'{d} + {e}')} <> ({fold})) OR ({fold_at(f'{d} - {e}')} <> ({fold}))"
+    )
+    assigned = df.select(
+        F.expr(
+            f"CASE WHEN {purged} THEN CAST(-1 AS BIGINT) ELSE CAST({fold} AS BIGINT) END"
+        ).alias("fold"),
+        F.col(day_col).cast("long").alias("__d"),
+    )
+    return assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("__d").alias("min_day"),
+        F.max("__d").alias("max_day"),
+    )

@@ -203,3 +203,34 @@ def test_dedup_savings_accounting_consistent(spark):
     # corpus has planted near-dups (q34's gate depends on them), so at
     # least one source must actually save tokens
     assert any(r["savings_micro"] > 0 for r in rows)
+
+
+# ------------------------------------------------ purged time folds
+
+def test_purged_folds_partition_and_embargo(spark):
+    from owl_etl_spark.operators.split import purged_time_folds
+
+    # 100 consecutive days, k=4, embargo 3: interior boundaries at
+    # 25/50/75; rows within 3 days of a boundary purge to fold -1
+    df = spark.range(100).select((F.col("id") + 1000).alias("day"))
+    got = {r["fold"]: r for r in
+           purged_time_folds(df, "day", k=4, embargo_days=3).collect()}
+    assert set(got) == {-1, 0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in got.values()) == 100
+    # each interior boundary purges 3 days on each side = 18 total
+    assert got[-1]["n_rows"] == 18
+    # folds are time-ordered, non-overlapping after the purge
+    assert got[0]["max_day"] < got[1]["min_day"]
+    assert got[1]["max_day"] < got[2]["min_day"]
+    assert got[2]["max_day"] < got[3]["min_day"]
+    # edges of the corpus are NOT purged (clamped steps stay in-fold)
+    assert got[0]["min_day"] == 1000 and got[3]["max_day"] == 1099
+
+
+def test_purged_folds_k_too_small_raises(spark):
+    from owl_etl_spark.operators.split import purged_time_folds
+
+    df = spark.range(10).select(F.col("id").alias("day"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k >= 2"):
+        purged_time_folds(df, "day", k=1)
