@@ -1408,11 +1408,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # r8 window (VERDICT r7 Next-round #1): the 46 round-7 families
-    # (q250–q295) — exactly the set with no driver CORRECTNESS row in
-    # any round — plus the head of the q191–q203 backfill band.
-    # All 50 carry committed VERIFY_r7 sweep evidence + manifest
-    # stamps; this window converts that into driver-gate rows.
+    # r9 window (VERDICT r8 Next-round #1): the 37 queries with no
+    # driver CORRECTNESS row in any round — the 28 round-8 families
+    # (q296–q323) plus the q195–q203 backfill band. All carry committed
+    # VERIFY_r8 sweep evidence + manifest stamps and the r8 judge's
+    # independent hostile-TZ sweep (37/37 green); this window converts
+    # that evidence into driver-gate rows. The remaining 13 slots hold
+    # any round-9 additions (new queries MUST be inserted here, above
+    # the window boundary).
+    "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303",
+    "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311",
+    "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319",
+    "q320", "q321", "q322", "q323",
+    "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
+    # --- round-9 additions go here (13 free slots) ---
+    # r9 touched queries: q110/q126 re-anchor after the state-store
+    # partition pin (the sweep-tax fix — VERDICT r8 Next-round #3).
+    "q110", "q126",
+    # --- 50-slot window boundary: everything below rides committed
+    #     sweep evidence + driver rows from earlier rounds (union of
+    #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
     "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
     "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
     "q266", "q267", "q268", "q269", "q270", "q271", "q272", "q273",
@@ -1420,12 +1435,6 @@ _PRIORITY = [
     "q282", "q283", "q284", "q285", "q286", "q287", "q288", "q289",
     "q290", "q291", "q292", "q293", "q294", "q295",
     "q191", "q192", "q193", "q194",
-    # --- 50-slot window boundary: everything below rides committed
-    #     sweep evidence (VERIFY_r7 full-registry) + manifest stamps. ---
-    # Remainder of the q195–q203 backfill band for r9, then the
-    # freshly-anchored r7 window (q163..q249 all have CORRECTNESS_r07
-    # green rows) in registration order via the tail.
-    "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
     "q10", "q11",
 ]
@@ -4734,14 +4743,28 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q110_RUNS[0] += 1
     name = f"q110_sink_{_Q110_RUNS[0]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # State-store partition count is fixed at checkpoint creation from
+    # spark.sql.shuffle.partitions; a stream-stream join keeps FOUR
+    # stores per partition, so an un-tuned 200-partition session pays
+    # ~800 store commits per micro-batch regardless of data volume.
+    # Pin this run's (fresh, throwaway) checkpoint to the session's
+    # core count — on a cluster defaultParallelism is total cores, so
+    # the same line sizes up unchanged — and restore after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     def _utc_str(col: str):
         ntz = F.expr(
@@ -5944,14 +5967,27 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_stateful(src, "user_id", "ts", gap_seconds=1800)
     _Q126_RUNS[0] += 1
     name = f"q126_sink_{_Q126_RUNS[0]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # Pin this run's (fresh, throwaway) checkpoint's state-store
+    # partition count to the session's core count: it is fixed at
+    # checkpoint creation from spark.sql.shuffle.partitions, and an
+    # un-tuned 200-partition session pays 200 store commits per
+    # micro-batch for a keyspace this size (the emission contract is
+    # watermark-global, so the partition count never changes results).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # session boundaries arrive as epoch-ms longs (TZ-proof by
     # construction — see _SESSION_OUT); render via the NTZ rebuild
@@ -10234,14 +10270,24 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = streaming_histogram(src, ["event_type"], "cents", lo=0, hi=10000, n_bins=50)
     _Q199_RUNS[0] += 1
     name = f"q199_sink_{_Q199_RUNS[0]}"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # Pin the throwaway checkpoint's state-store partition count (set
+    # at creation from spark.sql.shuffle.partitions) to the session's
+    # cores; histogram counts are exact sums, partition-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.table(name).select(
         "event_type", "bin", F.col("cnt").cast("long").alias("cnt")
     )
@@ -17600,14 +17646,24 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = streaming_cms(src, "user_id", depth=4, width=1024)
     _Q308_RUNS[0] += 1
     name = f"q308_sink_{_Q308_RUNS[0]}"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # Pin the throwaway checkpoint's state-store partition count (set
+    # at creation from spark.sql.shuffle.partitions) to the session's
+    # cores; CMS cells are exact sums, partition-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sketch = spark.table(name)
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     cand = spark.range(20).select(F.col("id").alias("user_id"))
@@ -17710,14 +17766,24 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = streaming_hll(src, ["event_type"], "user_id", p=_Q309_P)
     _Q309_RUNS[0] += 1
     name = f"q309_sink_{_Q309_RUNS[0]}"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # Pin the throwaway checkpoint's state-store partition count (set
+    # at creation from spark.sql.shuffle.partitions) to the session's
+    # cores; HLL registers are maxes, partition-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.table(name).select("event_type", "register", "max_rho")
     out = hll_registers_estimate(final, ["event_type"], p=_Q309_P)
     spark.catalog.dropTempView(name)
