@@ -1423,8 +1423,14 @@ _PRIORITY = [
     "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
     # --- round-9 additions go here (13 free slots) ---
     # r9 touched queries: q110/q126 re-anchor after the state-store
-    # partition pin (the sweep-tax fix — VERDICT r8 Next-round #3).
+    # partition pin (the sweep-tax fix — VERDICT r8 Next-round #3);
+    # q246/q247/q269/q275 re-anchor because the ADVICE r8 fixes to
+    # operators/experiment.py (group-sequential degenerate-look
+    # guards) and q189/q209/q272 because operators/robust.py (IRLS
+    # far-outlier cutoff contract) are in their hash closures.
     "q110", "q126",
+    "q246", "q247", "q269", "q275",
+    "q189", "q209", "q272",
     # --- 50-slot window boundary: everything below rides committed
     #     sweep evidence + driver rows from earlier rounds (union of
     #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
@@ -17725,13 +17731,20 @@ _Q309_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
                       THEN (CAST(1 AS BIGINT) << CAST(50 - max_rho AS INT))
                       ELSE 0 END) AS BIGINT) AS s
       FROM r GROUP BY 1
+    ), est AS (
+      SELECT event_type, n_registers,
+             CAST(round(CAST({_Q309_ALPHA!r} AS DOUBLE) * 256.0 * 256.0
+                        * 1125899906842624.0
+                        / CAST(s + (256 - n_registers)
+                               * CAST(1125899906842624 AS BIGINT) AS DOUBLE))
+                  AS BIGINT) AS raw
+      FROM agg
     )
     SELECT event_type, n_registers,
-           CAST(CASE WHEN 256 - n_registers > 0
+           CAST(CASE WHEN 256 - n_registers > 0 AND raw <= 640
                 THEN round(256.0 * ln(256.0 / CAST(256 - n_registers AS DOUBLE)))
-                ELSE round({_Q309_ALPHA!r} * 256.0 * 256.0 * 1125899906842624.0
-                           / CAST(s AS DOUBLE)) END AS BIGINT) AS est_distinct
-    FROM agg
+                ELSE raw END AS BIGINT) AS est_distinct
+    FROM est
     """,
 )
 def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17742,9 +17755,11 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
     type FOREVER, the distinct-user monitor a 100 TB stream can afford
     (exact streaming distinct keeps every user in state). max() is
     order-independent, so the final registers equal the batch
-    construction exactly; the estimator (linear counting while empty
-    registers remain, else the raw harmonic estimate with the sum
-    folded as exact BIGINTs in 2^50 units) replays in DuckDB — the
+    construction exactly; the estimator (the standard dual form:
+    linear counting only while empty registers remain AND raw ≤ 2.5·m,
+    else the raw harmonic estimate over ALL m registers — V empty ones
+    contribute 2^-0 each — with the sum folded as exact BIGINTs in
+    2^50 units) replays in DuckDB — the
     whole pipeline is md5-portable, no opaque sketch bytes cross
     engines."""
     from owl_etl_spark.streaming.sketch_stream import (
@@ -17899,7 +17914,18 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(_Q310_SEEDS)
     )
-    out = betweenness_seeded(edges, seeds, n_levels=_Q310_LEVELS)
+    # The level loop materializes eagerly (per-level localCheckpoint —
+    # an RDD-path action AQE cannot coalesce); pin the iterative phase
+    # to the session's core count so an un-tuned 200-partition session
+    # doesn't pay hundreds of near-empty tasks per level.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        out = betweenness_seeded(edges, seeds, n_levels=_Q310_LEVELS)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(F.col("node").alias("part_key"), "betweenness_micro")
 
 
@@ -17945,6 +17971,14 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop1 = d.filter(F.col("doc_id") % 3 != 0)
     drop2 = d.filter(F.col("doc_id") % 3 == 0)
     work = tempfile.mkdtemp(prefix="inc_cc_q311_")
+    # The whole body is eager (store writes + per-round localCheckpoint
+    # label loops — RDD-path actions AQE cannot coalesce); pin it to
+    # the session's core count so an un-tuned 200-partition session
+    # doesn't pay hundreds of near-empty tasks per round.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     try:
         sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
         write_sorted_parquet(sigs1, f"{work}/sigs", ["band", "sig"])
@@ -17960,6 +17994,7 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
             label_store, pairs2, drop2.select("doc_id")
         ).localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -18642,7 +18677,7 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mean_x_micro,
            CAST(round(CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE) * 1000000) AS BIGINT)
              AS mean_y_micro,
-           CAST(CASE WHEN sqrt((CAST(n_x AS DOUBLE)
+           CAST(CASE WHEN n_x + n_y > 2 AND sqrt((CAST(n_x AS DOUBLE)
                   * (CAST(sx2 AS DOUBLE) / CAST(n_x AS DOUBLE)
                      - (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE))
                        * (CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE)))
@@ -18650,7 +18685,7 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (CAST(sy2 AS DOUBLE) / CAST(n_y AS DOUBLE)
                      - (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
                        * (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))))
-                 / CAST(n_x + n_y AS DOUBLE)) > 0
+                 / CAST(n_x + n_y - 2 AS DOUBLE)) > 0
                 THEN round((CAST(sx AS DOUBLE) / CAST(n_x AS DOUBLE)
                             - CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
                   / sqrt((CAST(n_x AS DOUBLE)
@@ -18661,7 +18696,7 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (CAST(sy2 AS DOUBLE) / CAST(n_y AS DOUBLE)
                        - (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))
                          * (CAST(sy AS DOUBLE) / CAST(n_y AS DOUBLE))))
-                   / CAST(n_x + n_y AS DOUBLE)) * 1000000)
+                   / CAST(n_x + n_y - 2 AS DOUBLE)) * 1000000)
            END AS BIGINT) AS cohens_d_micro,
            n_gt, n_lt,
            CAST(round(CAST(n_gt - n_lt AS DOUBLE)
@@ -18742,7 +18777,20 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, num_hashes=16, bands=8)
-    comp = connected_components(pairs, d.select("doc_id"))
+    # connected_components materializes eagerly (per-round
+    # localCheckpoint — an RDD-path action AQE cannot coalesce), so on
+    # an un-tuned 200-partition session every round pays hundreds of
+    # near-empty tasks. Pin the iterative phase to the session's core
+    # count (labels are a min-fold: partitioning never changes them)
+    # and restore before the lazy rollup below, which AQE handles.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        comp = connected_components(pairs, d.select("doc_id"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     tok = d.select(
         "doc_id",
         "source",

@@ -862,10 +862,13 @@ def _scale_stress_scenario(
     dedup task-pair bounds are restated from the operator guards
     (max_group^2, constants independent of tier), and the sessionize
     run records state rows/bytes at 10x key cardinality with state
-    partitions sized by the same ~100-keys-per-partition rule the
-    streaming scenario documents (15k keys -> 32, the local core
-    count). Generation time is recorded separately (gen_s) and not
-    billed to any query."""
+    partitions pinned to 32 — the local core count, which bounds this
+    single-JVM run (the ~100-keys-per-partition rule the streaming
+    scenario documents would give ~150 partitions for 15k keys, but
+    local[32] cannot run more than 32 tasks at once, so the extra
+    partitions would only add per-partition state-store overhead; on
+    a real cluster size by the rule). Generation time is recorded
+    separately (gen_s) and not billed to any query."""
     import shutil
     import tempfile
 

@@ -40,8 +40,13 @@ def effect_size_report(
     """One row: (n_x, n_y, mean_x_micro, mean_y_micro, cohens_d_micro,
     n_gt, n_lt, cliffs_delta_micro). ``group_col`` must be 0/1 (1 = x,
     the "treatment" side); values integer-scaled by the caller.
-    Pooled SD uses the population form from exact moments; a
-    zero-variance pooled SD yields NULL d rather than a fake infinity.
+    Pooled SD is the conventional SAMPLE form — Bessel-corrected
+    per-group variances pooled with n_x+n_y−2 degrees of freedom, the
+    d textbooks and libraries (pingouin, effsize) report — computed
+    from exact moments via (n−1)·s² = n·var_pop, so the numerator is
+    the same exact-BIGINT fold. A zero-variance pooled SD (or
+    n_x+n_y ≤ 2, where the df denominator vanishes) yields NULL d
+    rather than a fake infinity.
     """
     from pyspark.sql import Window
 
@@ -75,9 +80,11 @@ def effect_size_report(
     mean_y = F.col("__sy").cast("double") / F.col("n_y").cast("double")
     var_x = F.col("__sx2").cast("double") / F.col("n_x").cast("double") - mean_x * mean_x
     var_y = F.col("__sy2").cast("double") / F.col("n_y").cast("double") - mean_y * mean_y
+    # n·var_pop = (n−1)·s² exactly, so the sample pooled variance is
+    # the same exact-moment numerator over n_x+n_y−2 degrees of freedom
     pooled = F.sqrt(
         (F.col("n_x").cast("double") * var_x + F.col("n_y").cast("double") * var_y)
-        / (F.col("n_x") + F.col("n_y")).cast("double")
+        / (F.col("n_x") + F.col("n_y") - F.lit(2)).cast("double")
     )
     nm = F.col("n_x").cast("double") * F.col("n_y").cast("double")
     return out.select(
@@ -85,7 +92,10 @@ def effect_size_report(
         "n_y",
         F.round(mean_x * 1_000_000).cast("long").alias("mean_x_micro"),
         F.round(mean_y * 1_000_000).cast("long").alias("mean_y_micro"),
-        F.when(pooled > 0, F.round((mean_x - mean_y) / pooled * 1_000_000))
+        F.when(
+            (F.col("n_x") + F.col("n_y") > 2) & (pooled > 0),
+            F.round((mean_x - mean_y) / pooled * 1_000_000),
+        )
         .cast("long")
         .alias("cohens_d_micro"),
         "n_gt",

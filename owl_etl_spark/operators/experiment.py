@@ -450,6 +450,13 @@ def group_sequential_readout(
     boundary_milli, reject) — reject uses a STRICT > on the
     milli-rounded values, the documented deterministic rule.
 
+    Degenerate looks RAISE rather than silently distort the schedule:
+    a look index whose rows all belong to one arm (the arms are
+    full-outer-joined, so it cannot just vanish from the readout) and
+    a zero-variance look (se = 0, z undefined) both raise — a
+    monitoring schedule with a missing or degenerate look is a data
+    problem the analyst must see, not a NULL row.
+
     One aggregate keyed by (look, group) over the rows, then
     cumulative sums over the K·2-row frame — nothing row-sized past
     the first aggregate, the 100 TB monitoring shape.
@@ -489,19 +496,35 @@ def group_sequential_readout(
         F.col("__cs").alias("__sb"),
         F.col("__cs2").alias("__sb2"),
     )
-    j = a.join(b, "__look")
-    mean_a = F.col("__sa").cast("double") / F.col("n_a").cast("double")
-    mean_b = F.col("__sb").cast("double") / F.col("n_b").cast("double")
-    var_a = (
-        F.col("__sa2").cast("double") / F.col("n_a").cast("double") - mean_a * mean_a
+    # full outer: a look present in only one arm must RAISE below, not
+    # silently vanish from the readout (the inner-join failure mode)
+    j = a.join(b, "__look", "full")
+    single_arm = F.col("n_a").isNull() | F.col("n_b").isNull()
+    arm_guard = F.raise_error(
+        F.concat(
+            F.lit("group_sequential_readout: look "),
+            F.col("__look").cast("string"),
+            F.lit(" has rows for only one arm; every look must contain both groups"),
+        )
     )
-    var_b = (
-        F.col("__sb2").cast("double") / F.col("n_b").cast("double") - mean_b * mean_b
-    )
-    se = F.sqrt(
-        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
-    )
-    z_milli = F.round((mean_a - mean_b) / se * 1000).cast("long")
+    n_a = F.when(single_arm, arm_guard.cast("long")).otherwise(F.col("n_a"))
+    n_b = F.when(single_arm, arm_guard.cast("long")).otherwise(F.col("n_b"))
+    mean_a = F.col("__sa").cast("double") / n_a.cast("double")
+    mean_b = F.col("__sb").cast("double") / n_b.cast("double")
+    var_a = F.col("__sa2").cast("double") / n_a.cast("double") - mean_a * mean_a
+    var_b = F.col("__sb2").cast("double") / n_b.cast("double") - mean_b * mean_b
+    se = F.sqrt(var_a / n_a.cast("double") + var_b / n_b.cast("double"))
+    z_milli = F.when(
+        se > 0, F.round((mean_a - mean_b) / se * 1000)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("group_sequential_readout: look "),
+                F.col("__look").cast("string"),
+                F.lit(" has zero pooled variance (se = 0); z is undefined"),
+            )
+        ).cast("double")
+    ).cast("long")
     boundary_milli = F.round(
         F.lit(z_alpha_obf)
         * F.sqrt(F.lit(float(n_looks)) / F.col("__look").cast("double"))
@@ -509,8 +532,8 @@ def group_sequential_readout(
     ).cast("long")
     return j.select(
         F.col("__look").alias("look"),
-        "n_a",
-        "n_b",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
         F.round((mean_a - mean_b) * 1_000_000).cast("long").alias("diff_micro"),
         z_milli.alias("z_milli"),
         boundary_milli.alias("boundary_milli"),

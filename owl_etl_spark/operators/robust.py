@@ -336,6 +336,16 @@ def quantile_regression_fit(
     with |x| ≤ 10², |y| ≤ 10⁵ (label pre-descaled to dollars) and
     δ = 100 that holds to ~10⁹ rows; rescale y or raise δ beyond that.
 
+    Far-outlier cutoff (the flip side of the integer weights): the
+    floor-div weight fd(side·1e4, max(|r|,δ)) truncates to 0 once
+    |r| > side·1e4 label units (9·10⁵ at τ=90 on the ≥-side), so rows
+    whose residual exceeds that bound contribute NOTHING to that
+    iteration's solve — they are hard-dropped from the fit, not merely
+    down-weighted. This is deterministic and usually desirable (such
+    rows are extreme outliers by construction), but callers whose
+    label scale is so wide that legitimate points sit > side·1e4 from
+    the line must rescale the label (or the weights lose them).
+
     Returns {n, intercept_micro, slope_micro} (micro-units of the
     label scale). Raises on empty input or a constant covariate
     (singular normal equations).
@@ -421,7 +431,11 @@ def huber_line_fit(
     those BIGINTs, θ snapped to micro-units per iteration; the whole
     trajectory replays in unrolled SQL CTEs. OLS seed (w ≡ 1). Same
     overflow contract: Σ w·x·y must fit BIGINT — |x| ≤ 10², |y| ≤ 10⁵
-    holds to ~10⁸ rows at the default k.
+    holds to ~10⁸ rows at the default k. Same far-outlier cutoff too:
+    fd(k·1e4, |r|) truncates to 0 once |r| > k·1e4 label units (10⁷ at
+    the default k=1000), hard-dropping such rows from that iteration's
+    solve — rescale the label if legitimate points can sit that far
+    from the line.
 
     Returns {n, intercept_micro, slope_micro}.
     """

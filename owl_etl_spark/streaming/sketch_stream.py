@@ -165,12 +165,18 @@ def hll_registers_estimate(
 ) -> DataFrame:
     """Distinct-count estimate from a (keys…, register, max_rho) frame
     (:func:`streaming_hll`'s state): the standard HLL dual estimator —
-    linear counting m·ln(m/V) while empty registers remain (V = m −
-    #present), else the raw harmonic estimate α_m·m²/Σ2^-rho — with
-    the harmonic sum folded as exact BIGINTs in 2^50 units (terms
-    beyond rho=50 truncate to 0: a documented quantization far below
-    sketch noise) so the estimate is engine-exact. Returns
-    (keys…, n_registers, est_distinct)."""
+    linear counting m·ln(m/V) only in the small-cardinality regime
+    (empty registers remain, V = m − #present, AND the rounded raw
+    estimate is ≤ 2.5·m — the Flajolet et al. cutoff; beyond it the
+    bias-corrected harmonic estimate is the more accurate of the two
+    even while a few registers are still empty), else the raw harmonic
+    estimate α_m·m²/Σ2^-rho. The harmonic sum runs over ALL m
+    registers — each of the V absent rows contributes its empty-register
+    term 2^-0 = 1 (folded in as V·2^50; omitting them would inflate the
+    estimate exactly in the mid-band where raw now applies) — as exact
+    BIGINTs in 2^50 units (terms beyond rho=50 truncate to 0: a
+    documented quantization far below sketch noise) so the estimate is
+    engine-exact. Returns (keys…, n_registers, est_distinct)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     # SQL-level shiftleft: the PySpark wrapper takes only a literal
@@ -187,8 +193,13 @@ def hll_registers_estimate(
     )
     v = F.lit(m) - F.col("n_registers")
     scale = float(1 << _HLL_SUM_SCALE_POW)
+    # full harmonic sum: present-register terms (__s) plus one 2^-0 = 1
+    # term (2^50 units) per empty register
+    s_full = (F.col("__s") + v.cast("long") * F.lit(1 << _HLL_SUM_SCALE_POW)).cast(
+        "double"
+    )
     raw = F.round(
-        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(scale) / F.col("__s").cast("double")
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(scale) / s_full
     ).cast("long")
     linear = F.round(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
@@ -196,5 +207,10 @@ def hll_registers_estimate(
     return agg.select(
         *keys,
         "n_registers",
-        F.when(v > 0, linear).otherwise(raw).alias("est_distinct"),
+        # dual-estimator cutoff: LC needs V > 0 to be defined at all,
+        # and is only preferred while raw ≤ 2.5·m (rounded raw on both
+        # engine and oracle sides, so the boundary is engine-exact)
+        F.when((v > 0) & (raw <= F.lit(int(2.5 * m))), linear)
+        .otherwise(raw)
+        .alias("est_distinct"),
     )

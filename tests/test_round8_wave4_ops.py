@@ -105,6 +105,27 @@ def test_hll_estimator_exact_small_linear_counting(spark):
     assert 1 <= n_regs <= 5
 
 
+def test_hll_estimator_mid_band_uses_raw_despite_empty_registers(spark):
+    # 250 of 256 registers present (V=6 > 0) but all at rho=4: the raw
+    # harmonic estimate (~2800) is far above the 2.5*m=640 cutoff, so
+    # the dual estimator must return RAW, not linear counting (~961) —
+    # the mid-cardinality band where LC is the less accurate of the two.
+    # The harmonic sum must count the 6 EMPTY registers at 2^-0 = 1
+    # each (6*2^50 units) alongside the 250 present ones at 2^-4.
+    regs = spark.range(250).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("register"),
+        F.lit(4).cast("long").alias("max_rho"),
+    )
+    got = hll_registers_estimate(regs, ["g"], p=8).collect()[0]
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    s_full = 250.0 * float(1 << 46) + 6.0 * float(1 << 50)
+    want_raw = round(alpha * 256.0 * 256.0 * float(1 << 50) / s_full)
+    assert got["n_registers"] == 250
+    assert got["est_distinct"] == want_raw
+    assert want_raw > 640  # sanity: this case is genuinely past the cutoff
+
+
 # ---------------------------------------------------------- betweenness
 
 def _py_brandes_truncated(edges, seeds, levels):

@@ -67,3 +67,23 @@ def test_group_sequential_null_effect_never_rejects(spark):
     df = spark.createDataFrame(rows, "look long, g long, v long")
     got = group_sequential_readout(df, "look", "g", "v", n_looks=4).collect()
     assert all(not r["reject"] for r in got)
+
+
+def test_group_sequential_single_arm_look_raises(spark):
+    import pytest
+
+    # look 2 has rows only for arm 1 -> must raise, not vanish
+    rows = [(1, 1, 10), (1, 1, 12), (1, 0, 9), (1, 0, 11), (2, 1, 10), (2, 1, 13)]
+    df = spark.createDataFrame(rows, "look long, g long, v long")
+    with pytest.raises(Exception, match="only one arm"):
+        group_sequential_readout(df, "look", "g", "v", n_looks=2).collect()
+
+
+def test_group_sequential_zero_variance_look_raises(spark):
+    import pytest
+
+    # both arms constant at look 1 -> se = 0 -> z undefined -> raise
+    rows = [(1, 1, 10), (1, 1, 10), (1, 0, 10), (1, 0, 10)]
+    df = spark.createDataFrame(rows, "look long, g long, v long")
+    with pytest.raises(Exception, match="zero pooled variance"):
+        group_sequential_readout(df, "look", "g", "v", n_looks=1).collect()

@@ -155,10 +155,15 @@ def test_effect_sizes_exact_small_case(spark):
     assert (got["n_x"], got["n_y"]) == (2, 3)
     assert (got["n_gt"], got["n_lt"]) == (4, 1)
     assert got["cliffs_delta_micro"] == round((4 - 1) / 6 * 1e6)
-    # moments: mean_x 4, mean_y 8/3; pooled var = (2*1 + 3*14/9)/5
+    # moments: mean_x 4, mean_y 8/3; SAMPLE pooled var (Bessel, df =
+    # n_x+n_y-2 = 3): n*var_pop = (n-1)*s^2, so (2*1 + 3*14/9)/3
     import math
     var_x, var_y = 1.0, (1 + 9 + 16) / 3 - (8 / 3) ** 2
-    pooled = math.sqrt((2 * var_x + 3 * var_y) / 5)
+    pooled = math.sqrt((2 * var_x + 3 * var_y) / 3)
+    # cross-check against the textbook per-group form
+    s2x = ((3 - 4) ** 2 + (5 - 4) ** 2) / 1  # n_x-1 = 1
+    s2y = ((1 - 8 / 3) ** 2 + (3 - 8 / 3) ** 2 + (4 - 8 / 3) ** 2) / 2
+    assert abs(pooled - math.sqrt((1 * s2x + 2 * s2y) / 3)) < 1e-12
     assert got["cohens_d_micro"] == round((4 - 8 / 3) / pooled * 1e6)
 
 
