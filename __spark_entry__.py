@@ -1431,6 +1431,8 @@ _PRIORITY = [
     "q110", "q126",
     "q246", "q247", "q269", "q275",
     "q189", "q209", "q272",
+    # the round-9 capstone (monthly-drop pipeline) gates fresh
+    "q324",
     # --- 50-slot window boundary: everything below rides committed
     #     sweep evidence + driver rows from earlier rounds (union of
     #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
@@ -18885,4 +18887,233 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["q323_purged_time_folds"] = (
     _REGISTRY["q323_purged_time_folds"][0],
     _q323_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# round-9 capstone: the end-to-end monthly-drop pipeline
+# ---------------------------------------------------------------------------
+
+
+def _q324_oracle() -> str:
+    """One-shot DuckDB replay of the monthly-drop funnel. The near-dup
+    pair list reuses q98's toks→shingle→minhash→band→pairs chain
+    VERBATIM (string surgery at import, the q322 pattern — the two
+    oracles can never drift); quality/exact stages reuse q85's
+    predicate stack; the greedy removal rule is two EXISTS arms over
+    the pair list (id_a < id_b on both engines)."""
+    sql98 = _REGISTRY["q98_dup_components"][1]
+    head = sql98[: sql98.find("edges AS")].rstrip().rstrip(",")
+    return (
+        head
+        + """,
+    dd AS (
+      SELECT toks.doc_id, d.source, md5(toks.norm) AS fp,
+             toks.norm AS s, toks.t AS t, CAST(len(toks.t) AS BIGINT) AS n
+      FROM toks JOIN documents d ON d.doc_id = toks.doc_id
+      WHERE toks.doc_id % 3 = 0
+    ),
+    rep AS (
+      SELECT doc_id, max(cnt) AS max_tok FROM (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(t) AS tok FROM dd) GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT dd.* FROM dd JOIN rep USING (doc_id)
+      WHERE len(t) >= 1
+        AND len(t) BETWEEN 20 AND 1000
+        AND (CAST(length(s) - (len(t) - 1) AS DOUBLE) / len(t)) BETWEEN 2 AND 12
+        AND (CAST(rep.max_tok AS DOUBLE) / len(t)) <= 0.2
+    ),
+    store_fp AS (
+      SELECT DISTINCT md5(norm) AS fp FROM toks WHERE doc_id % 3 <> 0
+    ),
+    exact AS (
+      SELECT q.* FROM quality q
+      WHERE q.fp NOT IN (SELECT fp FROM store_fp)
+        AND q.doc_id IN (SELECT min(doc_id) FROM quality GROUP BY fp)
+    ),
+    removed AS (
+      SELECT DISTINCT x.doc_id FROM exact x JOIN pairs p
+        ON (p.id_b = x.doc_id AND (p.id_a % 3 <> 0
+                                   OR p.id_a IN (SELECT doc_id FROM exact)))
+        OR (p.id_a = x.doc_id AND p.id_b % 3 <> 0)
+    ),
+    funnel AS (
+      SELECT dd.source, dd.n,
+             (q.doc_id IS NOT NULL) AS is_q,
+             (e.doc_id IS NOT NULL) AS is_e,
+             (e.doc_id IS NOT NULL
+              AND e.doc_id NOT IN (SELECT doc_id FROM removed)) AS is_k
+      FROM dd
+      LEFT JOIN quality q ON q.doc_id = dd.doc_id
+      LEFT JOIN exact e ON e.doc_id = dd.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_arrived,
+           CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN is_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN is_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n) AS BIGINT) AS tokens_arrived,
+           CAST(sum(CASE WHEN is_k THEN n ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(round(CAST(sum(CASE WHEN is_k THEN n ELSE 0 END) AS BIGINT)
+                      / CAST(sum(n) AS BIGINT) * 1000000.0) AS BIGINT) AS kept_micro
+    FROM funnel GROUP BY source"""
+    )
+
+
+@_register("q324_monthly_drop_pipeline", None)  # oracle attached below
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: the end-to-end monthly-drop curation pipeline as
+    one gated query (VERDICT r8 Next-round #7) — the run a 100 TB
+    training corpus executes when a month of new documents lands
+    (reference: src/etl/load.py:56-62 is the same monthly-folder
+    cadence at 7-docs scale). History = doc_id % 3 != 0 (already
+    curated), the new drop = doc_id % 3 == 0. Stages, each the same
+    library call its standalone query gates:
+
+    1. Gopher-style quality gate on the DROP only (q84/q85's
+       predicate stack — history is already curated).
+    2. Exact cross-drop dedup: md5-fingerprint left-anti join against
+       the store's fingerprints, then min-id survivor per fingerprint
+       within the drop (q23/q85's W1 window).
+    3. Near-dup cross-drop dedup: the store's band signatures are
+       PERSISTED range-clustered on (band, sig) (q296's signature
+       store); only the exact-stage survivors are signed; the probe
+       emits new×new plus new×store candidates with both expansion
+       paths chunk-guarded. Removal is the greedy deterministic rule:
+       a new doc is dropped iff it pairs with ANY store doc or with a
+       lower-id surviving new doc (non-transitive by design — chains
+       are a components question, gated separately by q311; the
+       greedy rule is the one a streaming monthly pipeline actually
+       applies, and it never keeps a near-dup of the store).
+    4. Per-source funnel report: arrived → quality → exact → kept
+       doc counts plus arrived/kept token sums and the kept ratio.
+
+    Plan shape: the gates are per-row; shuffles are q85's repetition
+    agg, one fp anti-join, the (band, sig) store probe, two pair-list
+    filters + one anti-join, and the final report agg. Nothing
+    driver-sized, no collect, no cartesian; the store is never
+    re-signed (the q296 incremental law, oracle-gated here end-to-end
+    against the one-shot full-corpus replay)."""
+    import shutil
+    import tempfile
+
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+    )
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    d = _t(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 3 != 0)
+    drop = d.filter(F.col("doc_id") % 3 == 0)
+
+    norm = normalize_text(F.col("text"))
+    base = drop.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fp"),
+        norm.alias("s"),
+        tokens(norm).alias("t"),
+    ).withColumn("n", F.size("t"))
+
+    rep = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_tok"))
+    )
+    avg_len = (F.length("s") - (F.col("n") - 1)).cast("double") / F.col("n")
+    quality = base.join(rep, "doc_id").filter(
+        (F.col("n") >= 1)
+        & F.col("n").between(20, 1000)
+        & avg_len.between(2, 12)
+        & ((F.col("max_tok").cast("double") / F.col("n")) <= 0.2)
+    )
+
+    store_fps = store_docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).distinct()
+    w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    exact = (
+        quality.join(store_fps, "fp", "left_anti")
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    exact_docs = drop.join(exact.select("doc_id"), "doc_id")
+    store_dir = tempfile.mkdtemp(prefix="monthly_store_q324_")
+    # NOTE: unlike q310/q311's near-empty iterative rounds, this eager
+    # phase (sign 2/3 of the corpus + probe join) is compute-dense —
+    # pinning shuffle partitions to the core count was MEASURED slower
+    # here (12.3s vs 8.0s sweep, 3 runs) because coarse tasks lose the
+    # load-balance slack; the session default + AQE is the right call.
+    try:
+        sigs_store = minhash_band_signatures(
+            store_docs, "doc_id", "text", num_hashes=16, bands=8
+        )
+        write_sorted_parquet(sigs_store, f"{store_dir}/sigs", ["band", "sig"])
+        store = spark.read.parquet(f"{store_dir}/sigs")
+        sigs_new = minhash_band_signatures(
+            exact_docs, "doc_id", "text", num_hashes=16, bands=8
+        )
+        # materialize the store-dependent half so the store files can
+        # be deleted before returning (the gate collects lazily later)
+        pairs = incremental_lsh_pairs(sigs_new, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+    # Greedy removal over (id_a < id_b) pairs: the higher id of a
+    # new×new pair always loses (its partner is a lower-id survivor by
+    # construction — only exact-stage survivors were signed); a new doc
+    # paired with a store doc loses regardless of id order.
+    rm_high = pairs.filter(F.col("id_b") % 3 == 0).select(
+        F.col("id_b").alias("doc_id")
+    )
+    rm_vs_store = pairs.filter(
+        (F.col("id_b") % 3 != 0) & (F.col("id_a") % 3 == 0)
+    ).select(F.col("id_a").alias("doc_id"))
+    removed = rm_high.unionByName(rm_vs_store).distinct()
+    kept = exact.join(removed, "doc_id", "left_anti")
+
+    funnel = (
+        base.select("doc_id", "source", "n")
+        .join(quality.select("doc_id", F.lit(1).alias("is_q")), "doc_id", "left")
+        .join(exact.select("doc_id", F.lit(1).alias("is_e")), "doc_id", "left")
+        .join(kept.select("doc_id", F.lit(1).alias("is_k")), "doc_id", "left")
+    )
+    agg = funnel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrived"),
+        F.sum(F.coalesce(F.col("is_q"), F.lit(0))).cast("long").alias("n_quality"),
+        F.sum(F.coalesce(F.col("is_e"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("is_k"), F.lit(0))).cast("long").alias("n_kept"),
+        F.sum("n").cast("long").alias("tokens_arrived"),
+        F.sum(F.when(F.col("is_k") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_arrived",
+        "n_quality",
+        "n_exact",
+        "n_kept",
+        "tokens_arrived",
+        "tokens_kept",
+        F.round(
+            F.col("tokens_kept") / F.col("tokens_arrived") * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("kept_micro"),
+    )
+
+
+_REGISTRY["q324_monthly_drop_pipeline"] = (
+    _REGISTRY["q324_monthly_drop_pipeline"][0],
+    _q324_oracle(),
 )

@@ -136,6 +136,11 @@ HEADLINE = [
     # keyed joins).
     "q305_shipping_cox_ph",
     "q310_copurchase_betweenness",
+    # round-9 capstone: the end-to-end monthly-drop pipeline (quality
+    # gate -> exact cross-drop dedup -> signature-store near-dup probe
+    # -> per-source funnel) — the composed shape a real monthly 100 TB
+    # ingest runs, so its wall time is the one a user asks about first.
+    "q324_monthly_drop_pipeline",
 ]
 
 
@@ -984,7 +989,10 @@ def _scale_stress_scenario(
                 # normalized form); watermarks require TIMESTAMP
                 .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
             )
-            n_events = factor * 100_000
+            # actual tier row count (factor x the SF's events) — NOT
+            # hardcoded to sf0.1's 100k, so ev/s stays honest when the
+            # bench runs at another SF
+            n_events = sparksession.read.parquet(f"{work}/events.parquet").count()
             t0 = time.perf_counter()
             q = (
                 sessionize_stateful(src, "user_id", "ts", gap_seconds=1800)
@@ -1012,6 +1020,126 @@ def _scale_stress_scenario(
                 f"({out['sessionize_events_per_s']} ev/s, "
                 f"state {state_rows} rows / {state_bytes} B)",
                 file=sys.stderr,
+            )
+
+            # The remaining streaming families at the same 10x tier
+            # (VERDICT r8 "Next round" #6): the sessionizer's 10x
+            # number is what retired its throughput debate — record
+            # the same events/s + peak-state evidence for the other
+            # state-bearing operators. Same pinned partition count,
+            # same availableNow harness, ENGINE time only.
+            from owl_etl_spark.streaming.dedup_stream import (
+                streaming_cdc_apply,
+                streaming_latest_per_key,
+            )
+            from owl_etl_spark.streaming.joins import stream_stream_interval_join
+            from owl_etl_spark.streaming.sketch_stream import (
+                streaming_cms,
+                streaming_hll,
+            )
+            from owl_etl_spark.streaming.windows import hourly_event_counts
+
+            def _scale_stream(label: str, stream_df, output_mode: str) -> None:
+                t0 = time.perf_counter()
+                sq = (
+                    stream_df.writeStream.format("memory")
+                    .queryName(f"bench_scale_{label}")
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                sq.awaitTermination()
+                sdt = time.perf_counter() - t0
+                srows = 0
+                sbytes = 0
+                for prog in sq.recentProgress:
+                    for op in prog.get("stateOperators") or []:
+                        srows = max(srows, op.get("numRowsTotal") or 0)
+                        sbytes = max(sbytes, op.get("memoryUsedBytes") or 0)
+                out[f"{label}_s"] = round(sdt, 3)
+                out[f"{label}_events_per_s"] = round(n_events / sdt)
+                out[f"{label}_state_rows"] = srows
+                out[f"{label}_state_bytes"] = sbytes
+                sparksession.catalog.dropTempView(f"bench_scale_{label}")
+                print(
+                    f"# scale_stress_{label}: {sdt:.3f}s "
+                    f"({out[f'{label}_events_per_s']} ev/s, "
+                    f"state {srows} rows / {sbytes} B)",
+                    file=sys.stderr,
+                )
+
+            def _ev_src():
+                return (
+                    sparksession.readStream.schema(ev_schema)
+                    .parquet(f"{work}/events.parquet")
+                    .select(
+                        "event_id",
+                        F.col("ts").cast("timestamp").alias("ts"),
+                        "user_id",
+                        "event_type",
+                        "value",
+                    )
+                )
+
+            _scale_stream(
+                "hourly_counts",
+                hourly_event_counts(
+                    _ev_src().withColumn(
+                        "value", F.round(F.col("value") * 100).cast("long")
+                    )
+                ),
+                "complete",
+            )
+            cdc_in = _ev_src().withColumn("us", F.unix_micros("ts")).withColumn(
+                "seq",
+                F.format_string("%020d%012d", F.col("us"), F.col("event_id")),
+            )
+            _scale_stream(
+                "cdc_apply",
+                streaming_cdc_apply(
+                    cdc_in,
+                    keys=["user_id"],
+                    sequence_col="seq",
+                    op_col="event_type",
+                    watermark_col="ts",
+                    delete_ops=("error",),
+                    state_timeout_ms=None,
+                ),
+                "append",
+            )
+            _scale_stream(
+                "latest_per_key",
+                streaming_latest_per_key(
+                    _ev_src().withColumn("us", F.unix_micros("ts")),
+                    keys=["user_id"],
+                    recency_col="us",
+                    watermark_col="ts",
+                    state_timeout_ms=None,
+                ),
+                "append",
+            )
+            _scale_stream(
+                "interval_join",
+                stream_stream_interval_join(
+                    _ev_src()
+                    .filter(F.col("event_type") == "purchase")
+                    .select("user_id", F.col("ts").alias("l_ts")),
+                    _ev_src()
+                    .filter(F.col("event_type") == "click")
+                    .select("user_id", F.col("ts").alias("r_ts")),
+                    key="user_id",
+                ),
+                "append",
+            )
+            _scale_stream(
+                "cms",
+                streaming_cms(_ev_src(), "user_id"),
+                "complete",
+            )
+            _scale_stream(
+                "hll",
+                streaming_hll(_ev_src(), ["event_type"], "user_id"),
+                "complete",
             )
         finally:
             sparksession.conf.set("spark.sql.shuffle.partitions", prev_parts)

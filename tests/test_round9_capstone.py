@@ -1,0 +1,131 @@
+"""Round-9 capstone: the end-to-end monthly-drop pipeline (q324).
+
+The oracle gate proves value equality against the one-shot DuckDB
+replay; these tests pin the pipeline LAWS the funnel must satisfy on
+real data, and the removal rule's cross-drop guarantees that a wrong
+join direction would silently break while still producing plausible
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _report(spark):
+    return {
+        r["source"]: r.asDict()
+        for r in entrymod.queries()["q324_monthly_drop_pipeline"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+
+def test_monthly_drop_funnel_is_monotone(spark):
+    rep = _report(spark)
+    assert rep, "empty report"
+    for src, r in rep.items():
+        assert (
+            r["n_arrived"] >= r["n_quality"] >= r["n_exact"] >= r["n_kept"]
+        ), (src, r)
+        assert 0 <= r["tokens_kept"] <= r["tokens_arrived"], (src, r)
+        assert 0 <= r["kept_micro"] <= 1_000_000, (src, r)
+        # the drop is a third of the corpus; every source must appear
+        assert r["n_arrived"] > 0, src
+
+
+def test_monthly_drop_counts_cover_the_whole_drop(spark):
+    rep = _report(spark)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    drop = d.filter(F.col("doc_id") % 3 == 0)
+    per_src = {
+        r["source"]: r["n"]
+        for r in drop.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {s: r["n_arrived"] for s, r in rep.items()} == per_src
+
+
+def test_monthly_drop_kept_docs_never_duplicate_the_store(spark):
+    """Cross-drop law: no kept doc may share a fingerprint with the
+    store, and no kept doc may share an LSH band signature with a
+    store doc (the greedy rule drops EVERY new doc that pairs with
+    the store, so surviving a store collision is a bug)."""
+    from owl_etl_spark.functions.text import normalize_text
+    from owl_etl_spark.operators.dedup import minhash_band_signatures
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = d.filter(F.col("doc_id") % 3 != 0)
+    drop = d.filter(F.col("doc_id") % 3 == 0)
+
+    # recompute the kept set by re-running the pipeline's own stages
+    # is circular; instead derive kept ids from the report via a
+    # direct re-execution and check the law against raw LSH overlap
+    rep_df = entrymod.queries()["q324_monthly_drop_pipeline"](spark, SF_DIR)
+    total_kept = sum(r["n_kept"] for r in rep_df.collect())
+    assert total_kept > 0
+
+    # any drop doc whose full text equals a store doc's text must be
+    # excluded from the kept count: build the upper bound directly
+    store_fp = store.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).distinct()
+    drop_fp = drop.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    n_exact_clash = drop_fp.join(store_fp, "fp").count()
+
+    sig_store = minhash_band_signatures(
+        store, "doc_id", "text", num_hashes=16, bands=8
+    ).select("band", "sig").distinct()
+    sig_drop = minhash_band_signatures(
+        drop, "doc_id", "text", num_hashes=16, bands=8
+    )
+    n_band_clash = (
+        sig_drop.join(sig_store, ["band", "sig"]).select("doc_id").distinct().count()
+    )
+    n_drop = drop.count()
+    # every fingerprint clash and every band clash is ineligible to be
+    # kept, so kept <= drop - max(clash sets ∪ is a lower bound via
+    # either set alone)
+    assert total_kept <= n_drop - n_exact_clash or n_exact_clash == 0
+    assert total_kept <= n_drop - n_band_clash or n_band_clash == 0
+
+
+def test_monthly_drop_oracle_parity_small(spark):
+    """Full value-level parity at sf0.001 (the gate re-proves this at
+    sf0.01 on the driver's session)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            entrymod.oracle_sql()["q324_monthly_drop_pipeline"]
+        ).fetchall()
+    }
+    got = {
+        r["source"]: (
+            r["n_arrived"],
+            r["n_quality"],
+            r["n_exact"],
+            r["n_kept"],
+            r["tokens_arrived"],
+            r["tokens_kept"],
+            r["kept_micro"],
+        )
+        for r in entrymod.queries()["q324_monthly_drop_pipeline"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
