@@ -1433,6 +1433,8 @@ _PRIORITY = [
     "q189", "q209", "q272",
     # the round-9 capstone (monthly-drop pipeline) gates fresh
     "q324",
+    # round-9 wave 2: LSH calibration curve + drop lexical novelty
+    "q325", "q326",
     # --- 50-slot window boundary: everything below rides committed
     #     sweep evidence + driver rows from earlier rounds (union of
     #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
@@ -19117,3 +19119,273 @@ _REGISTRY["q324_monthly_drop_pipeline"] = (
     _REGISTRY["q324_monthly_drop_pipeline"][0],
     _q324_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# round-9 wave 2: LSH calibration curve, drop lexical novelty
+# ---------------------------------------------------------------------------
+
+
+def _q325_oracle() -> str:
+    """q98's toks→sh→sig→banded→pairs chain verbatim (string surgery,
+    the q322/q324 pattern), extended with the per-pair signature
+    agreement (16 CASE terms over the sig CTE's h0..h15) and the exact
+    shingle-set Jaccard, rolled up into the calibration curve."""
+    sql98 = _REGISTRY["q98_dup_components"][1]
+    head = sql98[: sql98.find("edges AS")].rstrip().rstrip(",")
+    agree_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return (
+        head
+        + f""",
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    isect AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    scored AS (
+      SELECT CAST({agree_terms} AS BIGINT) AS n_agree,
+             CAST(round(CAST(coalesce(x.i, 0) AS DOUBLE)
+                        / CAST(na.n + nb.n - coalesce(x.i, 0) AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS jm
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      JOIN sizes na ON na.doc_id = p.id_a
+      JOIN sizes nb ON nb.doc_id = p.id_b
+      LEFT JOIN isect x ON x.id_a = p.id_a AND x.id_b = p.id_b
+    )
+    SELECT n_agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(avg(jm)) AS BIGINT) AS mean_jaccard_micro,
+           CAST(min(jm) AS BIGINT) AS min_jaccard_micro
+    FROM scored GROUP BY n_agree"""
+    )
+
+
+@_register("q325_lsh_calibration", None)  # oracle attached below
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration curve — the tuning report every 100 TB dedup
+    deployment reads before picking a banding scheme: for each q34
+    candidate pair, the MinHash signature agreement (0..16 matching
+    hash minima — the sketch's own Jaccard estimate at 1/16
+    granularity) against the EXACT 3-gram shingle Jaccard, grouped
+    into one row per agreement level with the pair count and the
+    mean/min true Jaccard. A banding scheme whose low-agreement
+    buckets carry high pair mass is wasting verification compute; one
+    whose high-agreement buckets show low true Jaccard is hashing
+    badly. Library: dedup.with_minhash (signatures — intra-row, zero
+    shuffles, computed ONCE and shared by banding and agreement),
+    dedup.incremental_lsh_pairs (chunk-guarded candidate expansion),
+    text.word_shingles (exact sets).
+
+    Plan shape: the candidate pair list (chunk-guarded banding) joins
+    the per-doc signature table twice (data-sized equi-joins) and the
+    exploded DISTINCT shingle table twice (the intersection count
+    groups by pair — pair-list-sized, never corpus²); one final
+    16-row-bounded agg. No cartesian, no collect."""
+    from owl_etl_spark.functions.text import normalize_text, word_shingles
+    from owl_etl_spark.operators.dedup import with_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    # ONE signature pass, materialized (17 longs per doc — driver-safe
+    # at any corpus size): the minhash array, plus the exact distinct-
+    # shingle count intra-row. Referenced three times below; without
+    # the checkpoint each reference would re-run the whole signature
+    # subtree (measured 26s -> ~8s sweep wall).
+    sigs = (
+        with_minhash(d.select("doc_id", "text"), "text", num_hashes=16)
+        .select(
+            "doc_id",
+            "minhash",
+            F.size(
+                F.array_distinct(word_shingles(normalize_text(F.col("text")), 3))
+            )
+            .cast("long")
+            .alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # The remaining stages (banding + shingle-intersection + signature
+    # joins) are pair-list-sized; run them eagerly under a core-count
+    # partition
+    # pin (tiny tasks, overhead-dominated — unlike q324's
+    # compute-dense store signing) so the gate's lazy collect only
+    # pays a 16-row agg.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        scored = _q325_scored(spark, d, sigs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return scored.groupBy("n_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("jm")).cast("long").alias("mean_jaccard_micro"),
+        F.min("jm").cast("long").alias("min_jaccard_micro"),
+    )
+
+
+def _q325_scored(spark: SparkSession, d: DataFrame, sigs: DataFrame) -> DataFrame:
+    """q325's eager middle: chunk-guarded pair expansion, exact
+    shingle intersection, signature joins — all pair-list-sized,
+    materialized so the gate's lazy collect pays only the final agg."""
+    from owl_etl_spark.functions.text import normalize_text, word_shingles
+    from owl_etl_spark.operators.dedup import incremental_lsh_pairs
+
+    band_rows = sigs.select(
+        "doc_id", "minhash", F.explode(F.expr("sequence(0, 7)")).alias("band")
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            "array_join(transform(slice(minhash, band * 2 + 1, 2), "
+            "x -> CAST(x AS STRING)), '_')"
+        ).alias("sig"),
+    )
+    pairs = incremental_lsh_pairs(band_rows, None).localCheckpoint(eager=True)
+
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(normalize_text(F.col("text")), 3))
+        ).alias("shingle"),
+    )
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b")
+    )
+    isect = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    scored = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("minhash").alias("ma"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("minhash").alias("mb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .join(isect, ["id_a", "id_b"], "left")
+        .select(
+            F.expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))")
+            .cast("long")
+            .alias("n_agree"),
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))).cast(
+                    "double"
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("jm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return scored
+
+
+_REGISTRY["q325_lsh_calibration"] = (
+    _REGISTRY["q325_lsh_calibration"][0],
+    _q325_oracle(),
+)
+
+
+@_register(
+    "q326_drop_lexical_novelty",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, {_NORM_DUCK} AS s FROM documents
+    ),
+    store_vocab AS (
+      SELECT DISTINCT unnest(string_split(s, ' ')) AS tok
+      FROM norm WHERE doc_id % 3 <> 0 AND s <> ''
+    ),
+    drop_occ AS (
+      SELECT source, unnest(string_split(s, ' ')) AS tok
+      FROM norm WHERE doc_id % 3 = 0 AND s <> ''
+    ),
+    j AS (
+      SELECT d.source, d.tok, (v.tok IS NOT NULL) AS seen
+      FROM drop_occ d LEFT JOIN store_vocab v ON v.tok = d.tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS tokens_novel,
+           CAST(count(DISTINCT CASE WHEN seen THEN NULL ELSE tok END) AS BIGINT)
+             AS new_types,
+           CAST(round(CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS novelty_micro
+    FROM j GROUP BY source
+    """,
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical novelty of the monthly drop — the cheap leading
+    indicator of distribution shift a corpus monitor computes BEFORE
+    the expensive drift sketches: per source, what fraction of the new
+    drop's token occurrences (and how many distinct token types) were
+    never seen in the store's vocabulary. A spike means new domain,
+    new language, or garbage — q313/q314's embedding/importance drift
+    then localize it. Same store/drop convention as q296/q311/q324
+    (store = doc_id % 3 != 0).
+
+    Plan shape: the store side collapses to its DISTINCT vocabulary
+    (type-sized, not occurrence-sized) before the join; the drop's
+    occurrences LEFT JOIN that vocabulary on the token string (a
+    hash join on a vocabulary-sized build side); one per-source agg.
+    Empty-normalized docs are excluded on both engines (DuckDB's
+    string_split('') yields [''] where Spark yields [] — the guard
+    makes the two agree)."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select("doc_id", "source", normalize_text(F.col("text")).alias("s"))
+    store_vocab = (
+        norm.filter((F.col("doc_id") % 3 != 0) & (F.col("s") != ""))
+        .select(F.explode(tokens(F.col("s"))).alias("tok"))
+        .distinct()
+    )
+    drop_occ = norm.filter((F.col("doc_id") % 3 == 0) & (F.col("s") != "")).select(
+        "source", F.explode(tokens(F.col("s"))).alias("tok")
+    )
+    j = drop_occ.join(
+        store_vocab.withColumn("seen", F.lit(1)), "tok", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("tokens_novel"),
+        F.countDistinct(F.when(F.col("seen").isNull(), F.col("tok")))
+        .cast("long")
+        .alias("new_types"),
+        F.round(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("novelty_micro"),
+    )

@@ -129,3 +129,51 @@ def test_monthly_drop_oracle_parity_small(spark):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------ round-9 wave 2
+
+
+def test_lsh_calibration_pair_universe_matches_q34(spark):
+    """q325's bucketed pair counts must cover EXACTLY the q34
+    candidate list — same banding, same chunk guard — and every
+    agreement level must be >= 2 (a candidate pair matched some band,
+    i.e. two consecutive hash minima agree by construction)."""
+    qs = entrymod.queries()
+    cal = qs["q325_lsh_calibration"](spark, SF_DIR).collect()
+    n_pairs_q34 = qs["q34_minhash_lsh_pairs"](spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in cal) == n_pairs_q34
+    for r in cal:
+        assert 2 <= r["n_agree"] <= 16, r
+        assert 0 <= r["min_jaccard_micro"] <= r["mean_jaccard_micro"] <= 1_000_000, r
+
+
+def test_drop_novelty_invariants_and_recount(spark):
+    from owl_etl_spark.functions.text import normalize_text, tokens
+
+    rep = {
+        r["source"]: r
+        for r in entrymod.queries()["q326_drop_lexical_novelty"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rep
+    for src, r in rep.items():
+        assert 0 <= r["tokens_novel"] <= r["tokens_total"], (src, r)
+        assert r["new_types"] <= max(r["tokens_novel"], 0) or r["tokens_novel"] == 0
+        assert 0 <= r["novelty_micro"] <= 1_000_000
+
+    # independent recount of one source via an anti-join instead of
+    # the left-join + conditional-agg path
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = d.select("doc_id", "source", normalize_text(F.col("text")).alias("s"))
+    vocab = (
+        norm.filter((F.col("doc_id") % 3 != 0) & (F.col("s") != ""))
+        .select(F.explode(tokens(F.col("s"))).alias("tok"))
+        .distinct()
+    )
+    some_src = sorted(rep)[0]
+    occ = norm.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("s") != "") & (F.col("source") == some_src)
+    ).select(F.explode(tokens(F.col("s"))).alias("tok"))
+    assert occ.join(vocab, "tok", "left_anti").count() == rep[some_src]["tokens_novel"]
