@@ -829,6 +829,11 @@ _SCALE_QUERIES = [
     # co-purchase graph -> heavier sigma/delta joins).
     "q296_incremental_lsh_dedup",
     "q310_copurchase_betweenness",
+    # round-9 capstone at the blown-up tier: the full monthly-drop
+    # composition (quality gate + fp anti-join + signature-store probe
+    # + funnel) where the x10 replica construction explodes near-dup
+    # mass — the chunk guards must hold through the whole pipeline.
+    "q324_monthly_drop_pipeline",
 ]
 
 
