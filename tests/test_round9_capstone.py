@@ -177,3 +177,61 @@ def test_drop_novelty_invariants_and_recount(spark):
         (F.col("doc_id") % 3 == 0) & (F.col("s") != "") & (F.col("source") == some_src)
     ).select(F.explode(tokens(F.col("s"))).alias("tok"))
     assert occ.join(vocab, "tok", "left_anti").count() == rep[some_src]["tokens_novel"]
+
+
+def test_monthly_drop_planted_cases(spark, tmp_path):
+    """Synthetic corpus with PLANTED outcomes for every funnel stage:
+    the quality reject, the exact store dup, the near-dup of a store
+    doc, the near-dup pair within the drop, and the clean novel doc —
+    each must land exactly where the pipeline contract says."""
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors navigate around the ancient harbor wall carrying "
+        "heavy wooden crates filled with bright oranges and lemons "
+        "toward the waiting merchant ships anchored beyond the reef"
+    )
+    novel_text = (
+        "completely different subject matter entirely about quantum "
+        "chromodynamics lattice simulations measuring gluon field "
+        "strength tensors across staggered fermion configurations in "
+        "four dimensional euclidean spacetime volumes with periodic "
+        "boundary conditions applied throughout the computation"
+    )
+    rows = [
+        # store (doc_id % 3 != 0) — doc 2 must be UNRELATED to every
+        # drop doc (a one-word variant of novel_text would correctly
+        # near-dup doc 12 and break the "clean survivor" planting)
+        (1, base_text, "en", "s1", len(base_text)),
+        (2, "meanwhile the municipal orchestra rehearsed nine entirely "
+            "unrelated symphonies beneath the renovated concert hall "
+            "roof as autumn rain drummed steadily against the copper "
+            "gutters flooding the cobblestone plaza outside the venue",
+         "en", "s1", 200),
+        # drop (doc_id % 3 == 0):
+        # 3 -> exact copy of store doc 1: must fail the exact stage
+        (3, base_text, "en", "s1", len(base_text)),
+        # 6 -> near-dup of store doc 1 (one word changed): must pass
+        #      exact, get removed at the near-dup stage
+        (6, base_text.replace("oranges", "apples"), "en", "s1",
+         len(base_text)),
+        # 9 -> too short: must fail the quality gate (< 20 tokens)
+        (9, "tiny document", "en", "s1", 13),
+        # 12 -> clean novel doc: must survive every stage
+        (12, novel_text, "en", "s1", len(novel_text)),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "planted")
+    d.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rep = entrymod.queries()["q324_monthly_drop_pipeline"](spark, sf_dir).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["source"] == "s1"
+    assert r["n_arrived"] == 4  # docs 3, 6, 9, 12
+    assert r["n_quality"] == 3  # 9 rejected (too short)
+    assert r["n_exact"] == 2  # 3 rejected (store fingerprint)
+    assert r["n_kept"] == 1  # 6 rejected (near-dup of store doc 1)
+    # the survivor is doc 12: tokens_kept = its whitespace token count
+    assert r["tokens_kept"] == len(novel_text.split())
