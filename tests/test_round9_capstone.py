@@ -235,3 +235,41 @@ def test_monthly_drop_planted_cases(spark, tmp_path):
     assert r["n_kept"] == 1  # 6 rejected (near-dup of store doc 1)
     # the survivor is doc 12: tokens_kept = its whitespace token count
     assert r["tokens_kept"] == len(novel_text.split())
+
+
+def test_incremental_lsh_three_drop_law(spark):
+    """The monthly cadence generalized: THREE successive drops, each
+    signed alone and probed against the accumulated signature store —
+    the union of the three incremental outputs must equal the one-shot
+    full-corpus pair list exactly (q296 gates the 2-drop case; a real
+    pipeline runs this law every month forever)."""
+    from owl_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    drops = [d.filter(F.col("doc_id") % 3 == k) for k in (1, 2, 0)]
+
+    store = None
+    incremental = []
+    for drop in drops:
+        sigs = minhash_band_signatures(
+            drop, "doc_id", "text", num_hashes=16, bands=8
+        ).localCheckpoint(eager=True)
+        incremental.append(incremental_lsh_pairs(sigs, store))
+        store = sigs if store is None else store.unionByName(sigs)
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for df in incremental
+        for r in df.collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=16, bands=8
+        ).collect()
+    )
+    assert got == want and len(want) > 0
