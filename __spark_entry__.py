@@ -1433,8 +1433,10 @@ _PRIORITY = [
     "q189", "q209", "q272",
     # the round-9 capstone (monthly-drop pipeline) gates fresh
     "q324",
-    # round-9 wave 2: LSH calibration curve + drop lexical novelty
-    "q325", "q326",
+    # round-9 wave 2: LSH calibration curve + drop lexical novelty +
+    # drop doc-length PSI (q250's unchanged rows-only entry rotates
+    # out — it carries an r8 driver row and a stamped hash)
+    "q325", "q326", "q327",
     # --- 50-slot window boundary: everything below rides committed
     #     sweep evidence + driver rows from earlier rounds (union of
     #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
@@ -19389,3 +19391,89 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("novelty_micro"),
     )
+
+
+@_register(
+    "q327_drop_length_psi",
+    f"""
+    WITH v AS (
+      SELECT doc_id, source,
+             CASE WHEN {_NORM_DUCK} = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len({_TOKS_DUCK}) AS BIGINT) END AS nt
+      FROM documents
+    ), ref AS (SELECT * FROM v WHERE doc_id % 3 <> 0),
+    cur AS (SELECT * FROM v WHERE doc_id % 3 = 0),
+    bounds AS (
+      SELECT source, CAST(min(nt) AS BIGINT) AS lo, CAST(max(nt) AS BIGINT) AS hi
+      FROM ref GROUP BY source
+    ), rbin AS (
+      SELECT r.source,
+             least(9, greatest(0, ((r.nt - b.lo) * 10) // (b.hi - b.lo + 1))) AS bin,
+             CAST(count(*) AS BIGINT) AS n_ref
+      FROM ref r JOIN bounds b USING (source) GROUP BY 1, 2
+    ), cbin AS (
+      SELECT c.source,
+             least(9, greatest(0, ((c.nt - b.lo) * 10) // (b.hi - b.lo + 1))) AS bin,
+             CAST(count(*) AS BIGINT) AS n_cur
+      FROM cur c JOIN bounds b USING (source) GROUP BY 1, 2
+    ), grid AS (
+      SELECT source, CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM bounds
+    ), cells AS (
+      SELECT g.source, g.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN rbin r ON r.source = g.source AND r.bin = g.bin
+      LEFT JOIN cbin c ON c.source = g.source AND c.bin = g.bin
+    ), totals AS (
+      SELECT source, sum(n_ref) AS tr, sum(n_cur) AS tc
+      FROM cells GROUP BY source
+    ), terms AS (
+      SELECT cells.source, cells.n_ref, cells.n_cur,
+             CAST(round(
+               ((cells.n_cur + 1) / (t.tc + 10) - (cells.n_ref + 1) / (t.tr + 10))
+               * ln(((cells.n_cur + 1) / (t.tc + 10)) / ((cells.n_ref + 1) / (t.tr + 10)))
+               * 1000000) AS BIGINT) AS term
+      FROM cells JOIN totals t USING (source)
+    )
+    SELECT source,
+           CAST(sum(n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           CAST(sum(term) AS BIGINT) AS psi_micro_nats,
+           CASE WHEN sum(term) < 100000 THEN 'stable'
+                WHEN sum(term) < 250000 THEN 'drifting'
+                ELSE 'drifted' END AS verdict
+    FROM terms GROUP BY source
+    UNION ALL
+    SELECT c.source, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT), 'new_segment'
+    FROM cur c LEFT JOIN bounds b USING (source)
+    WHERE b.source IS NULL
+    GROUP BY c.source
+    """,
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length drift of the monthly drop (library: drift.psi_report
+    — the exact q124 machinery pointed at the monthly-drop shape):
+    per source, PSI between the store's and the drop's document
+    token-count distributions, with the conventional
+    stable/drifting/drifted verdict and the explicit new_segment row
+    for sources that exist only in the drop. Completes the monthly
+    monitoring trio — q326 answers "is the VOCABULARY new", this
+    answers "did the SHAPE of documents change", and q324 runs the
+    curation funnel itself. Same store/drop convention as
+    q296/q311/q324/q326. Token counts use the q326 empty-doc guard (0
+    tokens for an empty normalized text on both engines). Plan: two
+    map-combined aggregates + broadcast bounds + a 10-bin-per-source
+    grid — scan-bound at any corpus size."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.drift import psi_report
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("nt"),
+    )
+    ref = v.filter(F.col("doc_id") % 3 != 0)
+    cur = v.filter(F.col("doc_id") % 3 == 0)
+    return psi_report(ref, cur, ["source"], "nt", n_bins=10)

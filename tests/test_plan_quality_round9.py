@@ -31,6 +31,7 @@ _NO_CARTESIAN = [
     "q324_monthly_drop_pipeline",
     "q325_lsh_calibration",
     "q326_drop_lexical_novelty",
+    "q327_drop_length_psi",
 ]
 
 

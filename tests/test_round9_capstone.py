@@ -273,3 +273,38 @@ def test_incremental_lsh_three_drop_law(spark):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_drop_length_psi_planted_drift(spark, tmp_path):
+    """Planted distributions: source 'same' draws store and drop doc
+    lengths from one distribution (must be stable); source 'shifted'
+    gives the drop 10x longer docs (must be drifted); source 'fresh'
+    exists only in the drop (must be new_segment with NULL psi)."""
+    rows = []
+    word = "tok "
+    for i in range(120):
+        doc_id = i * 3 + (1 if i % 2 == 0 else 2)  # store ids
+        n = 20 + (i % 10)
+        rows.append((doc_id, word * n, "en", "same", n))
+        rows.append((doc_id + 600, word * n, "en", "shifted", n))
+    for i in range(60):
+        doc_id = i * 3  # drop ids
+        n = 20 + (i % 10)
+        rows.append((doc_id + 1200, word * n, "en", "same", n))
+        rows.append((doc_id + 1800, word * (n * 10), "en", "shifted", n * 10))
+        rows.append((doc_id + 2400, word * n, "en", "fresh", n))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "psi")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["source"]: r
+        for r in entrymod.queries()["q327_drop_length_psi"](spark, sf_dir).collect()
+    }
+    assert got["same"]["verdict"] == "stable", got["same"]
+    assert got["shifted"]["verdict"] == "drifted", got["shifted"]
+    assert got["fresh"]["verdict"] == "new_segment"
+    assert got["fresh"]["psi_micro_nats"] is None
+    assert got["fresh"]["n_ref"] == 0 and got["fresh"]["n_cur"] == 60
