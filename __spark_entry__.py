@@ -1408,47 +1408,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # r9 window (VERDICT r8 Next-round #1): the 37 queries with no
-    # driver CORRECTNESS row in any round — the 28 round-8 families
-    # (q296–q323) plus the q195–q203 backfill band. All carry committed
-    # VERIFY_r8 sweep evidence + manifest stamps and the r8 judge's
-    # independent hostile-TZ sweep (37/37 green); this window converts
-    # that evidence into driver-gate rows. The remaining 13 slots hold
-    # any round-9 additions (new queries MUST be inserted here, above
-    # the window boundary).
-    "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303",
-    "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311",
-    "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319",
-    "q320", "q321", "q322", "q323",
-    "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203",
-    # --- round-9 additions go here (13 free slots) ---
-    # r9 touched queries: q110/q126 re-anchor after the state-store
-    # partition pin (the sweep-tax fix — VERDICT r8 Next-round #3);
-    # q246/q247/q269/q275 re-anchor because the ADVICE r8 fixes to
-    # operators/experiment.py (group-sequential degenerate-look
-    # guards) and q189/q209/q272 because operators/robust.py (IRLS
-    # far-outlier cutoff contract) are in their hash closures.
-    "q110", "q126",
-    "q246", "q247", "q269", "q275",
-    "q189", "q209", "q272",
-    # the round-9 capstone (monthly-drop pipeline) gates fresh
-    "q324",
-    # round-9 wave 2: LSH calibration curve + drop lexical novelty +
-    # drop doc-length PSI (q250's unchanged rows-only entry rotates
-    # out — it carries an r8 driver row and a stamped hash)
-    "q325", "q326", "q327",
-    # --- 50-slot window boundary: everything below rides committed
-    #     sweep evidence + driver rows from earlier rounds (union of
-    #     r1–r8 CORRECTNESS anchors covers q1–q295). ---
-    "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
-    "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
-    "q266", "q267", "q268", "q269", "q270", "q271", "q272", "q273",
-    "q274", "q275", "q276", "q277", "q278", "q279", "q280", "q281",
-    "q282", "q283", "q284", "q285", "q286", "q287", "q288", "q289",
-    "q290", "q291", "q292", "q293", "q294", "q295",
-    "q191", "q192", "q193", "q194",
+    # r10 window. Two blocks:
+    # (1) queries whose behavior hash changed this round — the store-
+    #     catalog rebuilds (q296/q303/q311/q324 now persist through
+    #     operators.stores.StoreCatalog), the new q328 replay law, and
+    #     the experiment.py hash closure (q246/q247/q269/q275/q301/
+    #     q317 — the ADVICE r9 NaN-se guard);
+    "q296", "q303", "q311", "q324", "q328",
+    "q246", "q247", "q269", "q275", "q301", "q317",
+    # --- round-10 additions go here ---
+    # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
+    #     whose newest driver CORRECTNESS anchor is round 3 — the
+    #     oldest rows in the program. Their manifest hashes are
+    #     unchanged (stamped green), but re-anchoring keeps every
+    #     query's driver row ≤7 rounds old.
     "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
-    "q10", "q11",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17",
+    "q18", "q19", "q20", "q21", "q22", "q23", "q24", "q25",
+    "q26", "q27", "q28", "q29", "q30", "q31", "q33", "q38",
+    "q39", "q40", "q53", "q100", "q104",
+    # --- 50-slot window boundary: everything below (the implicit
+    #     registration-order tail) rides committed sweep evidence +
+    #     driver rows from earlier rounds (union of r1–r9 CORRECTNESS
+    #     anchors covers every registered query except the two
+    #     declared rows-only dynamic programs). ---
 ]
 
 
@@ -1456,6 +1439,7 @@ def _ordered_names() -> list[str]:
     by_prefix = {name.split("_")[0]: name for name in _REGISTRY}
     head = [by_prefix[p] for p in _PRIORITY if p in by_prefix]
     assert len(head) == len(_PRIORITY), "priority list names a query that is not registered"
+    assert len(set(head)) == len(head), "priority list contains a duplicate entry"
     seen = set(head)
     return head + [n for n in _REGISTRY if n not in seen]
 
@@ -16631,39 +16615,34 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops (historical = doc_id % 3 != 0, new monthly drop = doc_id %
     3 == 0, the reference's monthly-folder cadence — reference:
     src/etl/load.py:56-62). Drop 1 is signed and its (band, sig) rows
-    are PERSISTED to a signature store parquet, range-clustered on
-    (band, sig) via write_sorted_parquet so a later drop's probe join
-    prunes to the band files it touches. Drop 2 is then signed alone
-    — the store is read back, NOT recomputed — and contributes
+    are PERSISTED as the named catalog store ``q296_lsh_sigs_<sf>``
+    (operators.stores.StoreCatalog, drop label "history" — range-
+    clustered on (band, sig) so a later drop's probe join prunes to
+    the band files it touches, with a manifest recording keys, rows
+    and the drop watermark). Drop 2 is then signed alone — the store
+    is read back from the catalog, NOT recomputed — and contributes
     new×new plus new×store candidate pairs. The union of the two
     incremental outputs must hash-match the ONE-SHOT full-corpus LSH
     pairs (the oracle is exactly q34's full-recompute SQL), proving a
     monthly pipeline can dedup each drop against the store without
     ever re-signing history. Both expansion paths keep the
     max_group² per-task bound (the cross path chunks BOTH sides)."""
-    import shutil
-    import tempfile
-
     from owl_etl_spark.operators.dedup import (
         incremental_lsh_pairs,
         minhash_band_signatures,
     )
-    from owl_etl_spark.sources.writers import write_sorted_parquet
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
 
     d = _t(spark, sf_dir, "documents")
     drop1 = d.filter(F.col("doc_id") % 3 != 0)
     drop2 = d.filter(F.col("doc_id") % 3 == 0)
-    store_dir = tempfile.mkdtemp(prefix="lsh_store_q296_")
-    try:
-        sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
-        write_sorted_parquet(sigs1, f"{store_dir}/sigs", ["band", "sig"])
-        store = spark.read.parquet(f"{store_dir}/sigs")
-        sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
-        # materialize the store-dependent half so the store files can
-        # be deleted before returning (the gate collects lazily later)
-        pairs2 = incremental_lsh_pairs(sigs2, store).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(store_dir, ignore_errors=True)
+    cat = session_catalog()
+    store_name = f"q296_lsh_sigs_{sf_tag(sf_dir)}"
+    sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
+    cat.write_drop(sigs1, store_name, ["band", "sig"], "history")
+    store = cat.read(spark, store_name)
+    sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
+    pairs2 = incremental_lsh_pairs(sigs2, store)
     pairs1 = incremental_lsh_pairs(sigs1, None)
     return pairs1.unionByName(pairs2).distinct()
 
@@ -17244,44 +17223,40 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     law: the corpus arrives as two drops (historical = vec_id % 3 != 0,
     new drop = % 3 == 0). Drop 1 is assigned to the PINNED centroids
     (q49's oracle-portable device) and its (id, vec, cluster_id) rows
-    are PERSISTED to an index store parquet range-clustered on
-    cluster_id (write_sorted_parquet), so a search's probe equi-join
-    prunes to the probed clusters' row groups. Drop 2 is then assigned
-    ALONE — the store is read back, never re-assigned — and the union
-    is searched. Because assignment is a pure function of (vector,
-    centroids), searching the incrementally-built index must equal a
-    full rebuild: the oracle is exactly the one-shot IVF SQL (q49's,
-    on query set vec_id in [10, 20))."""
-    import shutil
-    import tempfile
-
+    are PERSISTED as the named catalog store ``q303_ivf_index_<sf>``
+    (operators.stores.StoreCatalog, range-clustered on cluster_id),
+    so a search's probe equi-join prunes to the probed clusters' row
+    groups. Drop 2 is then assigned ALONE — the store is read back
+    from the catalog, never re-assigned — and the union is searched.
+    Because assignment is a pure function of (vector, centroids),
+    searching the incrementally-built index must equal a full
+    rebuild: the oracle is exactly the one-shot IVF SQL (q49's, on
+    query set vec_id in [10, 20))."""
     from owl_etl_spark.operators.cluster import (
         assign_clusters,
         centroids_from_ids,
         ivf_knn_preassigned,
     )
-    from owl_etl_spark.sources.writers import write_sorted_parquet
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
 
     em = _t(spark, sf_dir, "embeddings")
     centroids = centroids_from_ids(em, _Q49_CENTROID_IDS)
-    store_dir = tempfile.mkdtemp(prefix="ivf_store_q303_")
-    try:
-        drop1 = em.filter(F.col("vec_id") % 3 != 0)
-        drop2 = em.filter(F.col("vec_id") % 3 == 0)
-        write_sorted_parquet(
-            assign_clusters(drop1, centroids, round_digits=6),
-            f"{store_dir}/index",
-            ["cluster_id"],
-        )
-        store = spark.read.parquet(f"{store_dir}/index")
-        index = store.unionByName(assign_clusters(drop2, centroids, round_digits=6))
-        queries = em.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-        out = ivf_knn_preassigned(
-            queries, index, centroids, k=5, n_probes=3, round_digits=6
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(store_dir, ignore_errors=True)
-    return out
+    cat = session_catalog()
+    store_name = f"q303_ivf_index_{sf_tag(sf_dir)}"
+    drop1 = em.filter(F.col("vec_id") % 3 != 0)
+    drop2 = em.filter(F.col("vec_id") % 3 == 0)
+    cat.write_drop(
+        assign_clusters(drop1, centroids, round_digits=6),
+        store_name,
+        ["cluster_id"],
+        "history",
+    )
+    store = cat.read(spark, store_name)
+    index = store.unionByName(assign_clusters(drop2, centroids, round_digits=6))
+    queries = em.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    return ivf_knn_preassigned(
+        queries, index, centroids, k=5, n_probes=3, round_digits=6
+    )
 
 
 @_register(
@@ -17953,7 +17928,9 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental trilogy (q296 signatures, q303 ANN index, this the
     component labels): drop 1 (doc_id % 3 != 0) is signed, paired and
     labeled, and BOTH its band-signature store and its (node,
-    component) label store are persisted. Drop 2 then contributes only
+    component) label store are persisted as named catalog assets
+    (``q311_lsh_sigs_<sf>`` / ``q311_components_<sf>``,
+    operators.stores.StoreCatalog). Drop 2 then contributes only
     its incremental pairs (new×new + new×store via
     incremental_lsh_pairs), historical components contract to their
     label super-nodes, and the min-label loop runs on the CONTRACTED
@@ -17962,21 +17939,19 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly q98's recursive-CTE recompute over all pairs (labels
     are min member ids, and min-of-mins through the contraction is the
     global min)."""
-    import shutil
-    import tempfile
-
     from owl_etl_spark.operators.dedup import (
         connected_components,
         incremental_components,
         incremental_lsh_pairs,
         minhash_band_signatures,
     )
-    from owl_etl_spark.sources.writers import write_sorted_parquet
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
 
     d = _t(spark, sf_dir, "documents")
     drop1 = d.filter(F.col("doc_id") % 3 != 0)
     drop2 = d.filter(F.col("doc_id") % 3 == 0)
-    work = tempfile.mkdtemp(prefix="inc_cc_q311_")
+    cat = session_catalog()
+    tag = sf_tag(sf_dir)
     # The whole body is eager (store writes + per-round localCheckpoint
     # label loops — RDD-path actions AQE cannot coalesce); pin it to
     # the session's core count so an un-tuned 200-partition session
@@ -17987,13 +17962,13 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         sigs1 = minhash_band_signatures(drop1, "doc_id", "text", num_hashes=16, bands=8)
-        write_sorted_parquet(sigs1, f"{work}/sigs", ["band", "sig"])
+        cat.write_drop(sigs1, f"q311_lsh_sigs_{tag}", ["band", "sig"], "history")
         labels1 = connected_components(
             incremental_lsh_pairs(sigs1, None), drop1.select("doc_id")
         )
-        labels1.write.parquet(f"{work}/labels")
-        sig_store = spark.read.parquet(f"{work}/sigs")
-        label_store = spark.read.parquet(f"{work}/labels")
+        cat.write_drop(labels1, f"q311_components_{tag}", ["doc_id"], "history")
+        sig_store = cat.read(spark, f"q311_lsh_sigs_{tag}")
+        label_store = cat.read(spark, f"q311_components_{tag}")
         sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
         pairs2 = incremental_lsh_pairs(sigs2, sig_store)
         out = incremental_components(
@@ -18001,7 +17976,6 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -19000,16 +18974,18 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters + one anti-join, and the final report agg. Nothing
     driver-sized, no collect, no cartesian; the store is never
     re-signed (the q296 incremental law, oracle-gated here end-to-end
-    against the one-shot full-corpus replay)."""
-    import shutil
-    import tempfile
-
+    against the one-shot full-corpus replay). Both cross-drop stores
+    are named catalog assets (operators.stores.StoreCatalog):
+    ``q324_fingerprints_<sf>`` (md5 fingerprints, clustered on fp —
+    the exact-dedup probe) and ``q324_lsh_sigs_<sf>`` ((band, sig)
+    signatures — the near-dup probe), each with a manifest recording
+    keys, per-drop rows and the drop watermark."""
     from owl_etl_spark.functions.text import normalize_text, tokens
     from owl_etl_spark.operators.dedup import (
         incremental_lsh_pairs,
         minhash_band_signatures,
     )
-    from owl_etl_spark.sources.writers import write_sorted_parquet
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
 
     d = _t(spark, sf_dir, "documents")
     store_docs = d.filter(F.col("doc_id") % 3 != 0)
@@ -19039,9 +19015,15 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("max_tok").cast("double") / F.col("n")) <= 0.2)
     )
 
-    store_fps = store_docs.select(
-        F.md5(normalize_text(F.col("text"))).alias("fp")
-    ).distinct()
+    cat = session_catalog()
+    tag = sf_tag(sf_dir)
+    cat.write_drop(
+        store_docs.select(F.md5(normalize_text(F.col("text"))).alias("fp")).distinct(),
+        f"q324_fingerprints_{tag}",
+        ["fp"],
+        "history",
+    )
+    store_fps = cat.read(spark, f"q324_fingerprints_{tag}")
     w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     exact = (
         quality.join(store_fps, "fp", "left_anti")
@@ -19051,26 +19033,20 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     exact_docs = drop.join(exact.select("doc_id"), "doc_id")
-    store_dir = tempfile.mkdtemp(prefix="monthly_store_q324_")
     # NOTE: unlike q310/q311's near-empty iterative rounds, this eager
     # phase (sign 2/3 of the corpus + probe join) is compute-dense —
     # pinning shuffle partitions to the core count was MEASURED slower
     # here (12.3s vs 8.0s sweep, 3 runs) because coarse tasks lose the
     # load-balance slack; the session default + AQE is the right call.
-    try:
-        sigs_store = minhash_band_signatures(
-            store_docs, "doc_id", "text", num_hashes=16, bands=8
-        )
-        write_sorted_parquet(sigs_store, f"{store_dir}/sigs", ["band", "sig"])
-        store = spark.read.parquet(f"{store_dir}/sigs")
-        sigs_new = minhash_band_signatures(
-            exact_docs, "doc_id", "text", num_hashes=16, bands=8
-        )
-        # materialize the store-dependent half so the store files can
-        # be deleted before returning (the gate collects lazily later)
-        pairs = incremental_lsh_pairs(sigs_new, store).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(store_dir, ignore_errors=True)
+    sigs_store = minhash_band_signatures(
+        store_docs, "doc_id", "text", num_hashes=16, bands=8
+    )
+    cat.write_drop(sigs_store, f"q324_lsh_sigs_{tag}", ["band", "sig"], "history")
+    store = cat.read(spark, f"q324_lsh_sigs_{tag}")
+    sigs_new = minhash_band_signatures(
+        exact_docs, "doc_id", "text", num_hashes=16, bands=8
+    )
+    pairs = incremental_lsh_pairs(sigs_new, store)
 
     # Greedy removal over (id_a < id_b) pairs: the higher id of a
     # new×new pair always loses (its partner is a lower-id survivor by
@@ -19477,3 +19453,62 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = v.filter(F.col("doc_id") % 3 != 0)
     cur = v.filter(F.col("doc_id") % 3 == 0)
     return psi_report(ref, cur, ["source"], "nt", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 1: the durable store catalog (VERDICT r9 Next-round #1)
+# ---------------------------------------------------------------------------
+
+
+@_register("q328_store_catalog_replay", None)  # oracle = q34's (attached below)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-month replay law through the DURABLE store catalog
+    (operators.stores.StoreCatalog — VERDICT r9 Next-round #1): the
+    corpus arrives as three successive monthly drops (doc_id % 3 =
+    0, 1, 2 → labels m0/m1/m2, the reference's folder-per-month
+    cadence, reference: src/etl/load.py:56-62). Each month is signed
+    ALONE, probed against the catalog store AS READ BACK FROM PARQUET
+    (never the in-memory frames), and only then appended to the store
+    as a new drop — exactly the operational loop a real monthly
+    100 TB pipeline runs against a named warehouse asset. The union
+    of the three incremental pair outputs must hash-match the
+    ONE-SHOT full-corpus LSH pairs (q34's SQL), and the store's
+    manifest must show the watermark advancing m0 → m1 → m2 with one
+    folder per drop. This is q296's two-drop law promoted to the
+    durable catalog: history is written once per month, clustered on
+    (band, sig), and never re-signed; month k's probe cost is
+    O(drop_k × matching band files), not O(corpus)."""
+    from owl_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+    )
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
+
+    cat = session_catalog()
+    name = f"q328_lsh_sigs_{sf_tag(sf_dir)}"
+    cat.reset(name)  # replay starts from an empty store (idempotent re-runs)
+    d = _t(spark, sf_dir, "documents")
+    out = None
+    for k, label in enumerate(["m0", "m1", "m2"]):
+        sigs = minhash_band_signatures(
+            d.filter(F.col("doc_id") % 3 == k), "doc_id", "text", num_hashes=16, bands=8
+        )
+        store = cat.read(spark, name) if cat.exists(name) else None
+        # materialize this month's pairs BEFORE the store gains the
+        # month's own signatures (the read is lazy; the law needs the
+        # pre-append store)
+        pairs = incremental_lsh_pairs(sigs, store).localCheckpoint(eager=True)
+        cat.write_drop(sigs, name, ["band", "sig"], label)
+        out = pairs if out is None else out.unionByName(pairs)
+    if cat.watermark(name) != "m2" or cat.drops(name) != ["m0", "m1", "m2"]:
+        raise AssertionError(
+            f"store catalog out of contract: watermark={cat.watermark(name)} "
+            f"drops={cat.drops(name)}"
+        )
+    return out.distinct()
+
+
+_REGISTRY["q328_store_catalog_replay"] = (
+    _REGISTRY["q328_store_catalog_replay"][0],
+    _REGISTRY["q34_minhash_lsh_pairs"][1],
+)

@@ -1057,12 +1057,20 @@ def _scale_stress_scenario(
                 sdt = time.perf_counter() - t0
                 srows = 0
                 sbytes = 0
+                in_rows = 0
                 for prog in sq.recentProgress:
+                    in_rows += prog.get("numInputRows") or 0
                     for op in prog.get("stateOperators") or []:
                         srows = max(srows, op.get("numRowsTotal") or 0)
                         sbytes = max(sbytes, op.get("memoryUsedBytes") or 0)
+                # denominator = rows the stream ACTUALLY ingested (from
+                # recentProgress numInputRows): interval_join/cdc consume
+                # filtered subsets of the events table, so dividing the
+                # full corpus count by wall would overstate them
+                denom = in_rows if in_rows > 0 else n_events
                 out[f"{label}_s"] = round(sdt, 3)
-                out[f"{label}_events_per_s"] = round(n_events / sdt)
+                out[f"{label}_input_rows"] = in_rows
+                out[f"{label}_events_per_s"] = round(denom / sdt)
                 out[f"{label}_state_rows"] = srows
                 out[f"{label}_state_bytes"] = sbytes
                 sparksession.catalog.dropTempView(f"bench_scale_{label}")

@@ -511,11 +511,32 @@ def group_sequential_readout(
     n_b = F.when(single_arm, arm_guard.cast("long")).otherwise(F.col("n_b"))
     mean_a = F.col("__sa").cast("double") / n_a.cast("double")
     mean_b = F.col("__sb").cast("double") / n_b.cast("double")
-    var_a = F.col("__sa2").cast("double") / n_a.cast("double") - mean_a * mean_a
-    var_b = F.col("__sb2").cast("double") / n_b.cast("double") - mean_b * mean_b
+    # clamp at 0: E[x^2] - mean^2 can cancel to a tiny NEGATIVE double
+    # for large-magnitude values, which would make sqrt() return NaN
+    # and mislabel a precision artifact as "zero pooled variance"
+    var_a = F.greatest(
+        F.col("__sa2").cast("double") / n_a.cast("double") - mean_a * mean_a,
+        F.lit(0.0),
+    )
+    var_b = F.greatest(
+        F.col("__sb2").cast("double") / n_b.cast("double") - mean_b * mean_b,
+        F.lit(0.0),
+    )
     se = F.sqrt(var_a / n_a.cast("double") + var_b / n_b.cast("double"))
     z_milli = F.when(
         se > 0, F.round((mean_a - mean_b) / se * 1000)
+    ).when(
+        F.isnan(se),
+        F.raise_error(
+            F.concat(
+                F.lit("group_sequential_readout: look "),
+                F.col("__look").cast("string"),
+                F.lit(
+                    " produced a non-finite standard error (overflow in"
+                    " the sum-of-squares pass); z is undefined"
+                ),
+            )
+        ).cast("double"),
     ).otherwise(
         F.raise_error(
             F.concat(

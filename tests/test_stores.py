@@ -1,0 +1,158 @@
+"""Durable store-catalog tests (operators/stores.py — VERDICT r9
+Next-round #1): manifest contract, per-drop idempotent replace,
+schema/key pinning, watermark advance, and the two-drop incremental-
+LSH replay law run THROUGH the catalog (the q328 law at unit scale)."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.dedup import (
+    incremental_lsh_pairs,
+    minhash_band_signatures,
+    minhash_lsh_pairs,
+)
+from owl_etl_spark.operators.stores import StoreCatalog, sf_tag
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return StoreCatalog(str(tmp_path / "catalog"))
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 7).alias("band"),
+        (F.col("id") * 31 % 1000).alias("sig"),
+        F.col("id").alias("doc_id"),
+    )
+
+
+def test_manifest_contract_and_watermark(spark, cat):
+    m0 = cat.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    assert m0["clustering_keys"] == ["band", "sig"]
+    assert m0["row_count"] == 40
+    assert m0["last_drop_watermark"] == "m0"
+    m1 = cat.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+    assert [d["label"] for d in m1["drops"]] == ["m0", "m1"]
+    assert [d["rows"] for d in m1["drops"]] == [40, 60]
+    assert m1["row_count"] == 100
+    assert cat.watermark("sigs") == "m1"
+    assert cat.drops("sigs") == ["m0", "m1"]
+    # the manifest on disk is the same object write_drop returned
+    with open(os.path.join(cat.store_path("sigs"), "MANIFEST.json")) as fh:
+        assert json.load(fh) == m1
+    # folder-per-drop layout (the reference's folder-per-month shape)
+    assert os.path.isdir(os.path.join(cat.store_path("sigs"), "data", "drop=m0"))
+    assert os.path.isdir(os.path.join(cat.store_path("sigs"), "data", "drop=m1"))
+
+
+def test_read_unions_drops_and_read_drop_isolates(spark, cat):
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band"], "m0")
+    cat.write_drop(_frame(spark, 40, 100), "sigs", ["band"], "m1")
+    whole = cat.read(spark, "sigs")
+    assert whole.columns == ["band", "sig", "doc_id"]
+    assert whole.count() == 100
+    only1 = cat.read_drop(spark, "sigs", "m1")
+    assert {r.doc_id for r in only1.select("doc_id").collect()} == set(range(40, 100))
+    tagged = cat.read(spark, "sigs", with_drop=True)
+    got = {
+        (r["drop"], r.doc_id)
+        for r in tagged.filter(F.col("doc_id").isin(0, 40)).collect()
+    }
+    assert got == {("m0", 0), ("m1", 40)}
+
+
+def test_same_label_rewrite_replaces_only_that_drop(spark, cat):
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band"], "m0")
+    cat.write_drop(_frame(spark, 40, 100), "sigs", ["band"], "m1")
+    m = cat.write_drop(_frame(spark, 0, 10), "sigs", ["band"], "m0")
+    assert m["row_count"] == 70
+    assert [d["rows"] for d in m["drops"]] == [60, 10]  # m0 re-load appends last
+    assert m["last_drop_watermark"] == "m0"
+    assert cat.read(spark, "sigs").count() == 70
+
+
+def test_pinning_refuses_drift(spark, cat):
+    cat.write_drop(_frame(spark, 0, 10), "sigs", ["band", "sig"], "m0")
+    with pytest.raises(ValueError, match="clustered on"):
+        cat.write_drop(_frame(spark, 10, 20), "sigs", ["band"], "m1")
+    with pytest.raises(ValueError, match="schema drift"):
+        cat.write_drop(
+            _frame(spark, 10, 20).withColumn("extra", F.lit(1)),
+            "sigs",
+            ["band", "sig"],
+            "m1",
+        )
+    with pytest.raises(ValueError, match="drop"):
+        cat.write_drop(
+            _frame(spark, 0, 5).withColumnRenamed("doc_id", "drop"),
+            "other",
+            ["band"],
+            "m0",
+        )
+    with pytest.raises(ValueError, match="invalid drop label"):
+        cat.write_drop(_frame(spark, 0, 5), "sigs2", ["band"], "bad label!")
+    with pytest.raises(ValueError, match="invalid store name"):
+        cat.store_path("../escape")
+
+
+def test_reset_and_missing_store(spark, cat):
+    cat.write_drop(_frame(spark, 0, 10), "sigs", ["band"], "m0")
+    cat.reset("sigs")
+    assert not cat.exists("sigs")
+    assert cat.watermark("sigs") is None
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "sigs")
+
+
+def test_sf_tag_distinguishes_roots():
+    a, b = sf_tag("/root/testdata/sf0.001"), sf_tag("/root/testdata/sf0.01")
+    assert a != b
+    assert all(c.isalnum() or c in "._-" for c in a)
+
+
+def _corpus(spark, n=180, dup_every=6):
+    body = (
+        "array_join(transform(sequence(1, 12), "
+        "i -> concat('tok', pmod(xxhash64(id * 31 + i), 400))), ' ')"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % dup_every == 0,
+            F.concat(
+                F.lit("shared boilerplate text block number "),
+                (F.col("id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.expr(body))
+        .alias("text"),
+    )
+
+
+def test_two_drop_replay_through_catalog_equals_one_shot(spark, cat):
+    """The q328 law at unit scale: successive drops signed alone,
+    probed against the CATALOG store (read back from parquet, never
+    the in-memory frames), appended after the probe — the union of
+    incremental pair outputs equals the one-shot full-corpus LSH."""
+    docs = _corpus(spark)
+    one_shot = _pairs(minhash_lsh_pairs(docs, num_hashes=16, bands=8))
+    inc = set()
+    for k, label in enumerate(["m0", "m1", "m2"]):
+        sigs = minhash_band_signatures(
+            docs.filter(F.col("doc_id") % 3 == k), num_hashes=16, bands=8
+        )
+        store = cat.read(spark, "lsh") if cat.exists("lsh") else None
+        inc |= _pairs(incremental_lsh_pairs(sigs, store))
+        cat.write_drop(sigs, "lsh", ["band", "sig"], label)
+    assert inc == one_shot
+    assert one_shot, "corpus produced no candidate pairs — test is vacuous"
+    assert cat.watermark("lsh") == "m2"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
