@@ -1416,7 +1416,9 @@ _PRIORITY = [
     #     q317 — the ADVICE r9 NaN-se guard);
     "q296", "q303", "q311", "q324", "q328",
     "q246", "q247", "q269", "q275", "q301", "q317",
-    # --- round-10 additions go here ---
+    # round-10 wave 2: the perceptual near-dup family (multimodal
+    # content-level operator — fingerprints + banded-Hamming pairs)
+    "q329", "q330",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -19512,3 +19514,108 @@ _REGISTRY["q328_store_catalog_replay"] = (
     _REGISTRY["q328_store_catalog_replay"][0],
     _REGISTRY["q34_minhash_lsh_pairs"][1],
 )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 2: perceptual near-dup over binary payloads (VERDICT
+# r9 Next-round #5 — the multimodal family's content-level operator)
+# ---------------------------------------------------------------------------
+
+#: DuckDB replay of operators.multimodal.perceptual_fingerprint: the
+#: payload is the utf-8 blob; byte i (0-based) is parsed from the hex
+#: dump via the '0x'-cast device (the q113 hash-arithmetic pattern);
+#: block j of 61 covers bytes [j*n//61, (j+1)*n//61); bit j of 60 is
+#: intensity_j > intensity_{j+1}; all arithmetic exact BIGINT.
+_Q329_FP_CTE = """fp_b AS MATERIALIZED (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    fp_i AS MATERIALIZED (
+      SELECT doc_id, n,
+             list_transform(range(0, 61), j ->
+               coalesce(list_sum(list_transform(
+                 range((j * n) // 61, ((j + 1) * n) // 61),
+                 i -> CAST('0x' || substring(hx, CAST(2 * i + 1 AS INTEGER), 2) AS BIGINT))),
+               CAST(0 AS BIGINT))) AS it
+      FROM fp_b
+    ),
+    fp AS MATERIALIZED (
+      SELECT doc_id, n AS n_bytes,
+             CAST(coalesce(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN it[CAST(j + 1 AS INTEGER)] > it[CAST(j + 2 AS INTEGER)]
+                    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                    ELSE CAST(0 AS BIGINT) END)),
+               CAST(0 AS BIGINT)) AS BIGINT) AS phash
+      FROM fp_i
+    )"""
+
+
+@_register(
+    "q329_perceptual_fingerprints",
+    f"WITH {_Q329_FP_CTE}\n    SELECT doc_id, phash, n_bytes FROM fp",
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (dHash-style) fingerprint of every binary payload
+    (library: operators.multimodal.perceptual_fingerprint) — the
+    multimodal family's first content-level operator: payloads flow
+    through the Arrow-batched mapInPandas boundary (numpy block-sum
+    "intensities", the stand-in a real deployment swaps for decoded
+    pixels), and because the arithmetic is exact integers end-to-end,
+    the DuckDB oracle replays every bit of the hash from the payload
+    hex dump. Plan: one scan, zero shuffles — fingerprinting is
+    embarrassingly parallel at any corpus size."""
+    from owl_etl_spark.operators.multimodal import (
+        perceptual_fingerprint,
+        to_binary_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual_fingerprint(to_binary_payload(d))
+
+
+@_register(
+    "q330_phash_near_dup_pairs",
+    f"""
+    WITH {_Q329_FP_CTE},
+    bd AS MATERIALIZED (
+      SELECT f.doc_id, CAST(j AS INTEGER) AS band,
+             ((f.phash >> CAST(15 * j AS INTEGER)) % 32768) AS sig
+      FROM fp f CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig
+                         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.phash, fb.phash)) <= 3
+    """,
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over binary payloads (library:
+    operators.multimodal.phash_near_dup_pairs): 60-bit dHash
+    fingerprints blocked into 4 disjoint 15-bit bands (Manku et al.'s
+    simhash-dedup device) — pigeonhole-complete for Hamming ≤ 3 —
+    with candidates generated by the skew-guarded LSH bucket
+    expansion and verified by one exact bit_count(xor) filter. The
+    blocked plan is NEVER all-pairs: one (band, sig) shuffle, ~
+    corpus/2^15 random collisions per band plus the true near-dups.
+    The oracle replays fingerprint, banding, and Hamming arithmetic
+    in SQL end-to-end."""
+    from owl_etl_spark.operators.multimodal import (
+        perceptual_fingerprint,
+        phash_near_dup_pairs,
+        to_binary_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # fingerprints feed the band rows AND both pair-side joins —
+    # materialize once so the Python decode boundary runs one pass
+    # (the q325 signatures lesson)
+    fps = perceptual_fingerprint(to_binary_payload(d)).localCheckpoint(eager=True)
+    return phash_near_dup_pairs(fps, max_hamming=3, bands=4)
