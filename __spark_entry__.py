@@ -1419,6 +1419,11 @@ _PRIORITY = [
     # round-10 wave 2: the perceptual near-dup family (multimodal
     # content-level operator — fingerprints + banded-Hamming pairs)
     "q329", "q330",
+    # round-10 wave 3: greedy doc-boundary sequence packing (q83's
+    # no-split sibling) + its efficiency report. The window holds 52
+    # explicit entries now, so the last two rotation slots (q100,
+    # q104) ride just below the boundary to round 11's rotation.
+    "q331", "q332",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -19619,3 +19624,112 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the q325 signatures lesson)
     fps = perceptual_fingerprint(to_binary_payload(d)).localCheckpoint(eager=True)
     return phash_near_dup_pairs(fps, max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 3: greedy doc-boundary sequence packing
+# ---------------------------------------------------------------------------
+
+#: DuckDB replay of operators.packing.greedy_pack's sequential
+#: recurrence: the resetting fill accumulator walks each shard in
+#: doc_id order as a recursive CTE (all 16 shards advance in lockstep,
+#: one row per shard per step — the q98 recursion device pointed at a
+#: scan-order recurrence instead of a graph).
+_Q331_WALK_CTE = f"""lens AS MATERIALIZED (
+      SELECT CAST(doc_id % 16 AS INTEGER) AS shard, doc_id,
+             CASE WHEN {_NORM_DUCK} = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len({_TOKS_DUCK}) AS BIGINT) END AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM lens WHERE rn = 1
+      UNION ALL
+      SELECT l.shard, l.doc_id, l.n_tokens, l.rn,
+             CASE WHEN w.fill > 0 AND w.fill + l.n_tokens > 2048
+                  THEN w.bin + 1 ELSE w.bin END,
+             CASE WHEN w.fill > 0 AND w.fill + l.n_tokens > 2048
+                  THEN l.n_tokens ELSE w.fill + l.n_tokens END
+      FROM walk w JOIN lens l ON l.shard = w.shard AND l.rn = w.rn + 1
+    )"""
+
+
+@_register(
+    "q331_greedy_doc_packing",
+    f"""
+    WITH RECURSIVE {_Q331_WALK_CTE}
+    SELECT shard, doc_id, n_tokens, bin,
+           (n_tokens > 2048) AS is_oversize
+    FROM walk
+    """,
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy doc-boundary sequence packing (library:
+    operators.packing.greedy_pack) — fit every document into
+    2048-token context windows WITHOUT splitting documents (the
+    instruction-tuning / eval-set discipline; q83 gates the
+    concat-and-split sibling where docs may span bins): walk each of
+    16 shards in doc_id order with a resetting fill accumulator,
+    opening a new bin when the next doc would overflow. The
+    recurrence is inherently sequential per shard (a resetting
+    accumulator no window expresses) and runs as the declared
+    Arrow-batched applyInPandas boundary — but stays fully
+    hash-gated: the DuckDB oracle replays the identical walk as a
+    recursive CTE. Shards are independent one-task walks over two
+    scalars of state; packing at 100 TB is exactly this, sharded
+    wider."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.packing import greedy_pack
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    return greedy_pack(lens, "doc_id", "n_tokens", capacity=2048, shards=16)
+
+
+@_register(
+    "q332_packing_efficiency",
+    f"""
+    WITH RECURSIVE {_Q331_WALK_CTE},
+    agg AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(max(bin) + 1 AS BIGINT) AS bins_used,
+             CAST(count(CASE WHEN n_tokens > 2048 THEN 1 END) AS BIGINT) AS n_oversize,
+             CAST(coalesce(sum(CASE WHEN n_tokens > 2048
+                                    THEN n_tokens - 2048 END), 0) AS BIGINT) AS over_extra
+      FROM walk GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens, bins_used,
+           CAST((total_tokens + 2047) // 2048 AS BIGINT) AS lower_bound,
+           n_oversize,
+           CAST(round(CAST(bins_used * 2048 + over_extra - total_tokens AS DOUBLE)
+                      / CAST(bins_used * 2048 + over_extra AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS padding_ppm
+    FROM agg
+    """,
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (library:
+    operators.packing.packing_efficiency) over the q331 assignment:
+    per shard — docs, tokens, bins used, the exact-integer lower
+    bound ceil(tokens/2048), oversize count, and padding as ppm of
+    the allocated budget (oversize bins budgeted at their actual
+    size). The number that prices doc-boundary integrity against
+    q83's zero-padding concat-split. One aggregate over the packer's
+    output; exact integers until the final ppm rounding."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.packing import greedy_pack, packing_efficiency
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    assign = greedy_pack(lens, "doc_id", "n_tokens", capacity=2048, shards=16)
+    return packing_efficiency(assign, "n_tokens", capacity=2048)

@@ -199,6 +199,7 @@ def main() -> None:
     ann_clustered = _ann_clustered_scenario(spark)
     streaming = _streaming_scenario(spark, sf_dir)
     scale = _scale_stress_scenario(spark, sf_dir, timings)
+    scale100 = _scale100_scenario(spark, sf_dir)
 
     # Scenario blocks (skew / ann / clustered-ann / streaming) made the
     # single output line outgrow the round driver's tail-capture window in
@@ -212,6 +213,7 @@ def main() -> None:
         "ann_clustered_scenario": ann_clustered,
         "streaming_scenario": streaming,
         "scale_stress": scale,
+        "scale_stress_x100": scale100,
         # full-name headline timings: the stdout line below keys by the
         # bare qNNN prefix to fit the driver's tail-capture window, so
         # the committed sidecar keeps the readable mapping
@@ -220,6 +222,16 @@ def main() -> None:
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    # paired-A/B reference (VERDICT r9 Next-round #2): the committed
+    # record of the most recent interleaved HEAD-vs-prior-round run
+    # (tools/ab_bench.py) rides along in the sidecar so the canonical
+    # bench artifact carries the noise-immune min-vs-min ratio next to
+    # whatever the (noisy) driver sample measured this round
+    try:
+        with open(os.path.join(here, "bench_evidence", "ab_latest.json")) as f:
+            scenarios["ab_reference"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     try:
         with open(os.path.join(here, "bench_scenarios.json"), "w") as f:
             json.dump(scenarios, f, indent=1, sort_keys=True)
@@ -243,6 +255,13 @@ def main() -> None:
     scale_line["sess_evps"] = scale.get("sessionize_events_per_s")
     for q in ("q29", "q34", "q98"):
         scale_line[f"{q}_maxpairs"] = scale.get(f"{q}_max_task_pairs")
+    # compact x100 block: per-family 100x/1x ratios (full detail —
+    # walls, rows, caps, q29's s-per-Mrow contract — in the sidecar)
+    scale_line["x100"] = {
+        k.split("_")[0]: v
+        for k, v in scale100.items()
+        if k.endswith("_ratio_vs_1x")
+    } or scale100.get("skipped")
     # Queries key by the bare qNNN prefix (unambiguous — registry
     # numbers are unique) so the 52-entry dict plus the scale block
     # fits the driver's 2000-byte tail window; the sidecar above keeps
@@ -837,6 +856,166 @@ _SCALE_QUERIES = [
 ]
 
 
+def _build_scale_tier(sparksession, sf_dir: str, factor: int, work: str) -> None:
+    """Materialize the FACTOR-times deterministic blow-up of ``sf_dir``
+    into ``work`` (replica cross-join, key-space offsets, no RNG —
+    the construction documented on ``_scale_stress_scenario``). Shared
+    by the default 10x tier and the 100x block."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.sources.readers import read_events
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{work}/{t}.parquet")
+    rep = sparksession.range(factor).withColumnRenamed("id", "__rep")
+
+    docs = sparksession.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("__rep") * F.lit(10_000_000)).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" ~r"), F.col("__rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{work}/documents.parquet")
+    )
+    emb = sparksession.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("__rep") * F.lit(10_000_000)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> CAST(x * (1.0 + __rep / 997.0) AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{work}/embeddings.parquet")
+    )
+    ev = read_events(sparksession, sf_dir)
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("__rep") * F.lit(100_000_000)).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("__rep") * F.lit(1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{work}/events.parquet")
+    )
+    for tbl, keycol, off, parts in (
+        ("lineitem", "l_orderkey", 100_000_000, 32),
+        ("orders", "o_orderkey", 100_000_000, 8),
+    ):
+        df = sparksession.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        (
+            df.crossJoin(rep)
+            .select(
+                (F.col(keycol) + F.col("__rep") * F.lit(off)).alias(keycol),
+                *[c for c in df.columns if c != keycol],
+            )
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(f"{work}/{tbl}.parquet")
+        )
+
+
+#: the five quadratic-risk families the 100x block re-measures
+#: (VERDICT r9 Next-round #4) — LSH, exact Jaccard, components, the
+#: incremental store probe, and the capstone funnel: the ones whose
+#: chunk guards are what two decades of blow-up actually stress.
+#: ANN/graph families scale ~flat (r9 spot check: 1.3-2.0x) and stay
+#: on the 10x tier.
+_SCALE100_QUERIES = [
+    "q29_ngram_jaccard_pairs",
+    "q34_minhash_lsh_pairs",
+    "q98_dup_components",
+    "q296_incremental_lsh_dedup",
+    "q324_monthly_drop_pipeline",
+]
+
+
+def _scale100_scenario(sparksession, sf_dir: str) -> dict:
+    """The committed 100x tier (VERDICT r9 Next-round #4 — previously a
+    hand-run spot check in bench_evidence/r9_scale100/): a factor-100
+    blow-up of the sf0.001 SIBLING of ``sf_dir`` (same absolute volume
+    as sf0.1, ratios measured across TWO decades), re-running the
+    quadratic-risk families unchanged. Records wall, rows, the
+    100x/1x ratio (1x walls measured on the same JVM seconds before),
+    the tier-independent per-task pair caps, and q29's output-bound
+    contract: its wall is linear in its OWN output rows — seconds per
+    million output pairs is recorded at both tiers so the one
+    legitimately superlinear wall can't be misread as a pathology.
+    Skip with SPARK_GRAFT_SCALE100=0 (local iteration) — the driver's
+    default run carries the block."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.environ.get("SPARK_GRAFT_SCALE100", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_SCALE100=0"}
+    if not os.path.isdir(base):
+        return {"skipped": f"no sf0.001 sibling next to {sf_dir}"}
+    factor = 100
+    out: dict = {"factor": factor, "base_sf": base}
+    qs = entrymod.queries()
+
+    base_walls: dict[str, float] = {}
+    base_rows: dict[str, int] = {}
+    for name in _SCALE100_QUERIES:
+        t0 = time.perf_counter()
+        base_rows[name] = qs[name](sparksession, base).count()
+        base_walls[name] = time.perf_counter() - t0
+
+    work = tempfile.mkdtemp(prefix="bench_scale100_")
+    try:
+        t0 = time.perf_counter()
+        _build_scale_tier(sparksession, base, factor, work)
+        out["gen_s"] = round(time.perf_counter() - t0, 3)
+        for name in _SCALE100_QUERIES:
+            t0 = time.perf_counter()
+            n = qs[name](sparksession, work).count()
+            dt = time.perf_counter() - t0
+            out[f"{name}_s"] = round(dt, 3)
+            out[f"{name}_rows"] = n
+            out[f"{name}_ratio_vs_1x"] = round(dt / base_walls[name], 2)
+            print(
+                f"# scale100_{name}: {dt:.3f}s ({n} rows, "
+                f"{dt / base_walls[name]:.1f}x the 1x time)",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # tier-independent guard constants, restated next to the walls
+    out["q29_max_task_pairs"] = 4096 * 4096
+    out["q34_max_task_pairs"] = 1024 * 1024
+    out["q98_max_task_pairs"] = 1024 * 1024
+    out["q296_max_task_pairs"] = 1024 * 1024
+    # q29's output-bound contract: s per million output pairs at each
+    # tier — comparable numbers here mean the wall tracked its output
+    q29 = "q29_ngram_jaccard_pairs"
+    out["q29_s_per_mrow_1x"] = round(base_walls[q29] / max(base_rows[q29], 1) * 1e6, 3)
+    out["q29_s_per_mrow_100x"] = round(
+        out[f"{q29}_s"] / max(out[f"{q29}_rows"], 1) * 1e6, 3
+    )
+    return out
+
+
 def _scale_stress_scenario(
     sparksession, sf_dir: str, headline_timings: dict[str, float]
 ) -> dict[str, float]:
@@ -892,72 +1071,7 @@ def _scale_stress_scenario(
     work = tempfile.mkdtemp(prefix="bench_scale_")
     try:
         t0 = time.perf_counter()
-        for t in ("region", "nation", "customer", "supplier", "part"):
-            shutil.copy(f"{sf_dir}/{t}.parquet", f"{work}/{t}.parquet")
-        rep = sparksession.range(factor).withColumnRenamed("id", "__rep")
-
-        docs = sparksession.read.parquet(f"{sf_dir}/documents.parquet")
-        (
-            docs.crossJoin(rep)
-            .select(
-                (F.col("doc_id") + F.col("__rep") * F.lit(10_000_000)).alias("doc_id"),
-                F.when(F.col("__rep") == 0, F.col("text"))
-                .otherwise(F.concat(F.col("text"), F.lit(" ~r"), F.col("__rep")))
-                .alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-            .repartition(8)
-            .write.mode("overwrite")
-            .parquet(f"{work}/documents.parquet")
-        )
-        emb = sparksession.read.parquet(f"{sf_dir}/embeddings.parquet")
-        (
-            emb.crossJoin(rep)
-            .select(
-                (F.col("vec_id") + F.col("__rep") * F.lit(10_000_000)).alias("vec_id"),
-                F.expr(
-                    "transform(embedding, x -> CAST(x * (1.0 + __rep / 997.0) AS FLOAT))"
-                ).alias("embedding"),
-                "label",
-            )
-            .repartition(8)
-            .write.mode("overwrite")
-            .parquet(f"{work}/embeddings.parquet")
-        )
-        ev = read_events(sparksession, sf_dir)
-        (
-            ev.crossJoin(rep)
-            .select(
-                (F.col("event_id") + F.col("__rep") * F.lit(100_000_000)).alias(
-                    "event_id"
-                ),
-                "ts",
-                (F.col("user_id") + F.col("__rep") * F.lit(1_000_000)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-            .repartition(16)
-            .write.mode("overwrite")
-            .parquet(f"{work}/events.parquet")
-        )
-        for tbl, keycol, off, parts in (
-            ("lineitem", "l_orderkey", 100_000_000, 32),
-            ("orders", "o_orderkey", 100_000_000, 8),
-        ):
-            df = sparksession.read.parquet(f"{sf_dir}/{tbl}.parquet")
-            (
-                df.crossJoin(rep)
-                .select(
-                    (F.col(keycol) + F.col("__rep") * F.lit(off)).alias(keycol),
-                    *[c for c in df.columns if c != keycol],
-                )
-                .repartition(parts)
-                .write.mode("overwrite")
-                .parquet(f"{work}/{tbl}.parquet")
-            )
+        _build_scale_tier(sparksession, sf_dir, factor, work)
         out["gen_s"] = round(time.perf_counter() - t0, 3)
 
         qs = entrymod.queries()

@@ -73,17 +73,32 @@ def test_q07_single_shuffle_window(spark):
 
 
 #: the ONLY queries allowed a Python boundary: multimodal decode is
-#: inherently Python (mapInPandas over binary payloads, Arrow-batched),
-#: and q112 exists to gate the declared pandas-UDF fuzzy scorers
-#: (difflib/LCS reference parity — Arrow-batched, broadcast-side-only
-#: by documented contract).
-_PYTHON_ALLOWED = {"q35_multimodal_mixed_media", "q48_multimodal_features"}
+#: inherently Python (mapInPandas over binary payloads, Arrow-batched)
+#: — q329's perceptual fingerprint is the same declared boundary
+#: (q330, its pair finder, checkpoints the fingerprint scan eagerly,
+#: so its returned plan is pure JVM like q251's) — and q112 exists to
+#: gate the declared pandas-UDF fuzzy scorers (difflib/LCS reference
+#: parity — Arrow-batched, broadcast-side-only by documented
+#: contract).
+_PYTHON_ALLOWED = {
+    "q35_multimodal_mixed_media",
+    "q48_multimodal_features",
+    "q329_perceptual_fingerprints",
+}
 _PANDAS_ALLOWED = {"q112_fuzzy_scorers"}
 #: applyInPandas by design: the DTW / NW-SW dynamic programs are
 #: inherently sequential per pair (operators/dtw.py, operators/
 #: align.py docheaders) — the declared Arrow-batched Python boundary,
-#: rows-gated + reference-pinned
-_GROUPED_PANDAS_ALLOWED = {"q227_event_series_dtw", "q250_sequence_alignment"}
+#: rows-gated + reference-pinned. The greedy packing walk
+#: (operators/packing.py) is the same boundary — a resetting
+#: accumulator no window expresses — but HASH-gated: DuckDB replays
+#: the recurrence as a recursive CTE (q331/q332).
+_GROUPED_PANDAS_ALLOWED = {
+    "q227_event_series_dtw",
+    "q250_sequence_alignment",
+    "q331_greedy_doc_packing",
+    "q332_packing_efficiency",
+}
 #: (q251's KLL sketch runs its mapInPandas fold EAGERLY while the
 #: query is being built — the returned verification plan is pure JVM,
 #: so it needs no allowlist entry.)
