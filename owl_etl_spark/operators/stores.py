@@ -170,6 +170,50 @@ class StoreCatalog:
         self._write_manifest(name, manifest)
         return manifest
 
+    def compact_drop(
+        self,
+        spark: SparkSession,
+        name: str,
+        drop_label: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Monthly hygiene: rewrite one drop into
+        ``ceil(bytes/target)`` files WITHOUT losing its range
+        clustering (a plain coalesce — writers.compact_parquet —
+        would merge unsorted neighbors and destroy the min/max file
+        pruning the store exists for). Read → re-cluster on the
+        manifest's keys at the reduced partition count → atomic swap;
+        row count re-verified against the manifest before the swap.
+        Returns the new file count."""
+        import math
+
+        manifest = self.manifest(name)
+        keys = manifest["clustering_keys"]
+        drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
+        expected = next(
+            d["rows"] for d in manifest["drops"] if d["label"] == drop_label
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(drop_dir)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = sum(
+            s.getLen()
+            for s in fs.listStatus(jvm_path)
+            if s.getPath().getName().endswith(".parquet")
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        tmp = drop_dir.rstrip("/") + "__compact_tmp"
+        write_sorted_parquet(spark.read.parquet(drop_dir), tmp, keys, n)
+        got = spark.read.parquet(tmp).count()
+        if got != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction of {name}/{drop_label} produced {got} rows, "
+                f"manifest says {expected}; drop left untouched"
+            )
+        fs.delete(jvm_path, True)
+        fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+        return n
+
     # -- read ------------------------------------------------------------
     def read(self, spark: SparkSession, name: str, with_drop: bool = False) -> DataFrame:
         """The whole store (every drop unioned). ``with_drop=True``

@@ -156,3 +156,26 @@ def test_two_drop_replay_through_catalog_equals_one_shot(spark, cat):
 
 def _pairs(df):
     return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_compact_drop_preserves_rows_and_clustering(spark, cat):
+    import glob
+    import os
+
+    cat.write_drop(
+        _frame(spark, 0, 2000), "sigs", ["band", "sig"], "m0", target_partitions=8
+    )
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    before = {tuple(r) for r in spark.read.parquet(drop_dir).collect()}
+    assert len(glob.glob(f"{drop_dir}/*.parquet")) == 8
+    n = cat.compact_drop(spark, "sigs", "m0")
+    assert n == 1
+    assert len(glob.glob(f"{drop_dir}/*.parquet")) == 1
+    assert {tuple(r) for r in spark.read.parquet(drop_dir).collect()} == before
+    # manifest accounting untouched; whole-store read still correct
+    assert cat.manifest("sigs")["row_count"] == 2000
+    assert cat.read(spark, "sigs").count() == 2000
+    # the rewritten file is still sorted on the clustering keys — the
+    # property a plain coalesce would have destroyed
+    rows = spark.read.parquet(drop_dir).select("band", "sig").collect()
+    assert [(r.band, r.sig) for r in rows] == sorted((r.band, r.sig) for r in rows)
