@@ -1420,10 +1420,12 @@ _PRIORITY = [
     # content-level operator — fingerprints + banded-Hamming pairs)
     "q329", "q330",
     # round-10 wave 3: greedy doc-boundary sequence packing (q83's
-    # no-split sibling) + its efficiency report. The window holds 52
-    # explicit entries now, so the last two rotation slots (q100,
-    # q104) ride just below the boundary to round 11's rotation.
-    "q331", "q332",
+    # no-split sibling) + its efficiency report; wave 4: incremental
+    # perceptual dedup through the catalog (q329/q330 x q328). The
+    # window holds 53 explicit entries now, so the last three
+    # rotation slots (q53, q100, q104) ride just below the boundary
+    # to round 11's rotation.
+    "q331", "q332", "q333",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -19733,3 +19735,69 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = greedy_pack(lens, "doc_id", "n_tokens", capacity=2048, shards=16)
     return packing_efficiency(assign, "n_tokens", capacity=2048)
+
+
+@_register("q333_incremental_phash_dedup", None)  # oracle = q330's (below)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL dedup through the durable store catalog
+    — round 10's three threads composed: history (doc_id % 3 != 0) is
+    fingerprinted ONCE and persisted as two named assets
+    (``q333_phash_<sf>``: (doc_id, phash) clustered on doc_id for the
+    Hamming join-back; ``q333_phash_bands_<sf>``: (doc_id, band, sig)
+    clustered on (band, sig) for the probe), then the monthly drop
+    (% 3 == 0) is decoded and fingerprinted ALONE — at 100 TB the
+    decode is the expensive pass, and this law proves history is
+    never re-decoded. Candidates = the drop's band rows probed
+    against the store (new×new + new×store via the skew-guarded
+    bucket expansion) unioned with history's own pairs from when IT
+    was the new drop; one exact bit_count(xor) filter over
+    fingerprints read back from the catalog. Must hash-match the
+    ONE-SHOT full-corpus q330 exactly."""
+    from owl_etl_spark.operators.dedup import incremental_lsh_pairs
+    from owl_etl_spark.operators.multimodal import (
+        perceptual_fingerprint,
+        phash_band_rows,
+        to_binary_payload,
+    )
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
+
+    d = _t(spark, sf_dir, "documents")
+    cat = session_catalog()
+    tag = sf_tag(sf_dir)
+
+    hist_fps = perceptual_fingerprint(
+        to_binary_payload(d.filter(F.col("doc_id") % 3 != 0))
+    ).localCheckpoint(eager=True)
+    cat.write_drop(
+        hist_fps.select("doc_id", "phash"), f"q333_phash_{tag}", ["doc_id"], "history"
+    )
+    cat.write_drop(
+        phash_band_rows(hist_fps), f"q333_phash_bands_{tag}", ["band", "sig"], "history"
+    )
+
+    drop_fps = perceptual_fingerprint(
+        to_binary_payload(d.filter(F.col("doc_id") % 3 == 0))
+    ).localCheckpoint(eager=True)
+    store_bands = cat.read(spark, f"q333_phash_bands_{tag}")
+    pairs_new = incremental_lsh_pairs(phash_band_rows(drop_fps), store_bands)
+    pairs_hist = incremental_lsh_pairs(phash_band_rows(hist_fps), None)
+    cand = pairs_new.unionByName(pairs_hist).distinct()
+
+    fps = cat.read(spark, f"q333_phash_{tag}").unionByName(
+        drop_fps.select("doc_id", "phash")
+    )
+    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("__fa"))
+    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("__fb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.expr("bit_count(__fa ^ __fb)").cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+_REGISTRY["q333_incremental_phash_dedup"] = (
+    _REGISTRY["q333_incremental_phash_dedup"][0],
+    _REGISTRY["q330_phash_near_dup_pairs"][1],
+)

@@ -122,6 +122,39 @@ def test_band_rows_shape_and_validation(spark):
         phash_near_dup_pairs(fps, max_hamming=4, bands=4)
 
 
+def test_incremental_phash_union_equals_one_shot(spark):
+    """The q333 law at unit scale: history banded + persisted
+    (in-memory stand-ins here; the catalog round-trip is pinned by
+    test_stores), drop signed alone, union of incremental candidate
+    pairs == one-shot banded candidates — so the Hamming-filtered
+    outputs match too."""
+    from owl_etl_spark.operators.dedup import incremental_lsh_pairs
+
+    seed = ("abcdefgh" * 80)[:610]
+    docs = [(k, seed[: (k * 13) % 600] + chr(65 + k % 26) + seed[(k * 13) % 600 + 1 :])
+            for k in range(40)]
+    fps = _fp_df(spark, docs)
+    one_shot = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_pairs(fps, max_hamming=3, bands=4).collect()
+    }
+    hist = fps.filter(F.col("doc_id") % 3 != 0)
+    drop = fps.filter(F.col("doc_id") % 3 == 0)
+    cand = (
+        incremental_lsh_pairs(phash_band_rows(drop), phash_band_rows(hist))
+        .unionByName(incremental_lsh_pairs(phash_band_rows(hist), None))
+        .distinct()
+    )
+    raw = {r.doc_id: r.phash for r in fps.collect()}
+    inc = {
+        (r.id_a, r.id_b, bin(raw[r.id_a] ^ raw[r.id_b]).count("1"))
+        for r in cand.collect()
+        if bin(raw[r.id_a] ^ raw[r.id_b]).count("1") <= 3
+    }
+    assert inc == one_shot
+    assert one_shot, "corpus planted no pairs — test is vacuous"
+
+
 def test_q330_plan_is_blocked_never_all_pairs(spark):
     """Freeze the gated query's plan: candidates come from the banded
     equi-join (shuffle on band/sig), never a cartesian; the only
