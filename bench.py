@@ -853,6 +853,10 @@ _SCALE_QUERIES = [
     # + funnel) where the x10 replica construction explodes near-dup
     # mass — the chunk guards must hold through the whole pipeline.
     "q324_monthly_drop_pipeline",
+    # round-10: perceptual near-dup at 10x payloads — the banded
+    # Hamming join's bucket guard under 10x fingerprint collisions
+    # (no 1x headline baseline, so wall+rows only, no ratio).
+    "q330_phash_near_dup_pairs",
 ]
 
 

@@ -158,6 +158,24 @@ def _pairs(df):
     return {(r.id_a, r.id_b) for r in df.collect()}
 
 
+def test_session_catalog_honors_env_root(spark, tmp_path, monkeypatch):
+    """Deployment shape: OWL_ETL_STORE_ROOT points the process-wide
+    catalog at a warehouse path. The singleton is reset around the
+    test so the suite's own catalog state is untouched."""
+    import owl_etl_spark.operators.stores as stores_mod
+
+    root = str(tmp_path / "warehouse")
+    monkeypatch.setenv("OWL_ETL_STORE_ROOT", root)
+    monkeypatch.setattr(stores_mod, "_SESSION_CATALOG", None)
+    cat1 = stores_mod.session_catalog()
+    assert cat1.root == root
+    cat1.write_drop(_frame(spark, 0, 10), "sigs", ["band"], "m0")
+    # a second resolution returns the same catalog; the asset is there
+    assert stores_mod.session_catalog() is cat1
+    assert os.path.isdir(os.path.join(root, "sigs", "data", "drop=m0"))
+    # monkeypatch restores _SESSION_CATALOG (and the env var) at teardown
+
+
 def test_compact_drop_preserves_rows_and_clustering(spark, cat):
     import glob
     import os
