@@ -1421,11 +1421,15 @@ _PRIORITY = [
     "q329", "q330",
     # round-10 wave 3: greedy doc-boundary sequence packing (q83's
     # no-split sibling) + its efficiency report; wave 4: incremental
-    # perceptual dedup through the catalog (q329/q330 x q328). The
-    # window holds 53 explicit entries now, so the last three
-    # rotation slots (q53, q100, q104) ride just below the boundary
-    # to round 11's rotation.
+    # perceptual dedup through the catalog (q329/q330 x q328).
     "q331", "q332", "q333",
+    # round-10 wave 5: k-sample inference (ANOVA / Kruskal-Wallis /
+    # Brown-Forsythe / CMH) + the BH-FDR screen; wave 6: Borda/
+    # Copeland rank fusion + decile lift. With these the explicit
+    # list holds 60 entries; the last ten rotation slots (q29 ..
+    # q104) ride just below the 50-slot boundary to round 11's
+    # rotation (their manifests are stamped green — freshness holds).
+    "q334", "q335", "q336", "q337", "q338", "q339", "q340",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -19801,3 +19805,550 @@ _REGISTRY["q333_incremental_phash_dedup"] = (
     _REGISTRY["q333_incremental_phash_dedup"][0],
     _REGISTRY["q330_phash_near_dup_pairs"][1],
 )
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 5: k-sample inference (ANOVA / Kruskal-Wallis /
+# Brown-Forsythe / CMH) and Benjamini-Hochberg FDR screening
+# ---------------------------------------------------------------------------
+
+#: shared ANOVA oracle chain over a CTE named ``d(g, v)`` — mirrors
+#: operators.inference._anova_terms expression-for-expression (same
+#: parenthesization, so the IEEE doubles are bit-identical).
+_ANOVA_TAIL_SQL = """
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS nj, CAST(sum(v) AS BIGINT) AS sj,
+             CAST(sum(v * v) AS BIGINT) AS s2j
+      FROM d GROUP BY g
+    ), terms AS (
+      SELECT nj, sj,
+             CAST(round(1000000.0 * CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                        / CAST(nj AS DOUBLE)) AS BIGINT) AS bt,
+             CAST(round(1000000.0 * (CAST(s2j AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                          / CAST(nj AS DOUBLE))) AS BIGINT) AS wt
+      FROM per
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(sj) AS BIGINT) AS s,
+             CAST(sum(bt) AS BIGINT) AS b,
+             CAST(sum(wt) AS BIGINT) AS ssw_micro
+      FROM terms
+    ), g2 AS (
+      SELECT k_groups, n, ssw_micro,
+             CAST(b - CAST(round(1000000.0 * CAST(s AS DOUBLE)
+                                 * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) AS BIGINT) AS BIGINT)
+               AS ssb_micro
+      FROM g
+    )
+    SELECT k_groups, n, ssb_micro, ssw_micro,
+           CAST(CASE WHEN k_groups > 1 AND n > k_groups AND ssw_micro > 0
+             THEN round((1000000.0
+                    * (CAST(ssb_micro AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)))
+                   / (CAST(ssw_micro AS DOUBLE) / CAST(n - k_groups AS DOUBLE)))
+           END AS BIGINT) AS f_micro,
+           CAST(CASE WHEN k_groups > 1 AND n > k_groups AND ssw_micro > 0
+             THEN round(1000000.0 * CAST(ssb_micro AS DOUBLE)
+                        / CAST(ssb_micro + ssw_micro AS DOUBLE))
+           END AS BIGINT) AS eta2_micro
+    FROM g2
+"""
+
+
+@_register(
+    "q334_value_anova_by_event_type",
+    """
+    WITH d AS (
+      SELECT event_type AS g, CAST(round(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    """
+    + _ANOVA_TAIL_SQL,
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types
+    (library: operators.inference.anova_oneway) — the k-sample
+    extension of the two-sample toolkit (q247/q321): F statistic and
+    η² effect share from exact per-group BIGINT moments, each
+    between/within term micro-snapped once so SSB/SSW are order-free
+    exact sums. Values pre-rounded to whole units per the operator's
+    n·max(v²) ≪ 2^63 scaling contract. One group-cardinality shuffle."""
+    from owl_etl_spark.operators.inference import anova_oneway
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.round(F.col("value")).cast("long").alias("v")
+    )
+    return anova_oneway(e, "g", "v")
+
+
+@_register(
+    "q335_value_kruskal_wallis",
+    """
+    WITH d AS (
+      SELECT event_type AS g, CAST(round(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), per_gv AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY g, v
+    ), per_v AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t FROM per_gv GROUP BY v
+    ), pv2 AS (
+      SELECT v, t,
+             CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumle
+      FROM per_v
+    ), pv3 AS (
+      SELECT v, t, CAST(2 * cumle - t + 1 AS BIGINT) AS r2 FROM pv2
+    ), per_g AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS nj,
+             CAST(sum(c * r2) AS BIGINT) AS r2j
+      FROM per_gv JOIN pv3 ON per_gv.v = pv3.v GROUP BY g
+    ), ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube_sum,
+             CAST(sum(t) AS BIGINT) AS n_all
+      FROM pv3
+    ), staged AS (
+      SELECT nj, tie_cube_sum, n_all,
+             CAST(round(3000000.0 * CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                        / (CAST(nj AS DOUBLE) * CAST(n_all AS DOUBLE)
+                           * (CAST(n_all AS DOUBLE) + 1.0))) AS BIGINT) AS ht
+      FROM per_g CROSS JOIN ties
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(max(n_all) AS BIGINT) AS n,
+             CAST(max(tie_cube_sum) AS BIGINT) AS tie_cube_sum,
+             CAST(sum(ht) AS BIGINT) AS hsum
+      FROM staged
+    )
+    SELECT k_groups, n, CAST(k_groups - 1 AS BIGINT) AS dof,
+           CAST(CASE WHEN k_groups > 1
+                      AND (1.0 - CAST(tie_cube_sum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+             THEN hsum - 3000000 * (n + 1) END AS BIGINT) AS h_micro,
+           tie_cube_sum,
+           CAST(CASE WHEN k_groups > 1
+                      AND (1.0 - CAST(tie_cube_sum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+             THEN round(CAST(hsum - 3000000 * (n + 1) AS DOUBLE)
+                  / (1.0 - CAST(tie_cube_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))))
+           END AS BIGINT) AS h_corrected_micro
+    FROM g
+    """,
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across the five event types (library:
+    operators.inference.kruskal_wallis) — q231's k-sample sibling,
+    outlier-immune where q334's F is not. Doubled joint average ranks
+    from the distinct-value frame (2·cumcount(≤v) − count(v) + 1,
+    exact BIGINTs — never a row-volume window), per-group H terms
+    micro-snapped and summed exactly, with the exact Σ(t³−t) tie
+    correction (tie-block guard at ~2.09e6, the 2^63 cube bound).
+    One distinct-value shuffle."""
+    from owl_etl_spark.operators.inference import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.round(F.col("value")).cast("long").alias("v")
+    )
+    return kruskal_wallis(e, "g", "v")
+
+
+@_register(
+    "q336_value_variance_homogeneity",
+    """
+    WITH raw AS (
+      SELECT event_type AS g, CAST(round(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), ranked AS (
+      SELECT g, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM raw
+    ), med AS (
+      SELECT g,
+             CAST(sum(CASE WHEN r = (n + 1) // 2 THEN v ELSE 0 END
+                      + CASE WHEN r = n // 2 + 1 THEN v ELSE 0 END) AS BIGINT)
+               AS med2
+      FROM ranked WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY g
+    ), d AS (
+      SELECT raw.g AS g, abs(2 * raw.v - med.med2) AS v
+      FROM raw JOIN med ON raw.g = med.g
+    ),
+    """
+    + _ANOVA_TAIL_SQL,
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types
+    (library: operators.inference.brown_forsythe) — the robust Levene
+    variant: one-way ANOVA on |2v − 2·median_group| (the doubled-
+    median device keeps even-count medians integral; F is scale-
+    invariant). The prerequisite check for trusting q334's pooled
+    variance. One rank window + the shared single-shuffle ANOVA core."""
+    from owl_etl_spark.operators.inference import brown_forsythe
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.round(F.col("value")).cast("long").alias("v")
+    )
+    return brown_forsythe(e, "g", "v")
+
+
+@_register(
+    "q337_cohort_fdr_screen",
+    f"""
+    WITH d AS MATERIALIZED (
+      SELECT event_type AS g, (user_id % 2 = 0) AS side,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(event_id AS VARCHAR) AS k
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), base AS MATERIALIZED (
+      SELECT g,
+             CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN side THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN side THEN 0 ELSE v END) AS BIGINT) AS s2
+      FROM d GROUP BY g
+      HAVING sum(CASE WHEN side THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN side THEN 0 ELSE 1 END) > 0
+    ), obs AS MATERIALIZED (
+      SELECT g, n1, n2,
+             abs(CAST({_fd_sql("s1 * 1000000", "n1")} AS BIGINT)
+               - CAST({_fd_sql("s2 * 1000000", "n2")} AS BIGINT)) AS obs_diff
+      FROM base
+    ), perms AS MATERIALIZED (
+      SELECT g, p,
+             CAST(sum(CASE WHEN side1 THEN v ELSE 0 END) AS BIGINT) AS ps1,
+             CAST(sum(CASE WHEN side1 THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+             CAST(sum(CASE WHEN side1 THEN 0 ELSE v END) AS BIGINT) AS ps2,
+             CAST(sum(CASE WHEN side1 THEN 0 ELSE 1 END) AS BIGINT) AS pn2
+      FROM (
+        SELECT d.g, d.v, CAST(t AS BIGINT) AS p,
+               (CAST(('0x' || substring(md5(d.k || '#fdr#' || d.g || '#'
+                 || CAST(t AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (o.n1 + o.n2)) < o.n1 AS side1
+        FROM d JOIN obs o ON o.g = d.g, range(0, 64) r(t)
+      ) GROUP BY g, p
+      HAVING sum(CASE WHEN side1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN side1 THEN 0 ELSE 1 END) > 0
+    ), pd AS (
+      SELECT g, abs(CAST({_fd_sql("ps1 * 1000000", "pn1")} AS BIGINT)
+                  - CAST({_fd_sql("ps2 * 1000000", "pn2")} AS BIGINT)) AS pdiff
+      FROM perms
+    ), pg AS MATERIALIZED (
+      SELECT o.g, o.n1, o.n2, o.obs_diff,
+             CAST(sum(CASE WHEN pd.pdiff >= o.obs_diff THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ge,
+             CAST(count(*) AS BIGINT) AS n_perms_used
+      FROM pd JOIN obs o ON o.g = pd.g
+      GROUP BY o.g, o.n1, o.n2, o.obs_diff
+    ), ranked AS MATERIALIZED (
+      SELECT *,
+             CAST((SELECT count(*) FROM pg) AS BIGINT) AS m,
+             CAST(row_number() OVER (
+               ORDER BY CAST(n_ge + 1 AS DOUBLE)
+                        / CAST(n_perms_used + 1 AS DOUBLE), g) AS BIGINT)
+               AS p_rank
+      FROM pg
+    ), cut AS (
+      SELECT CAST(max(CASE WHEN (n_ge + 1) * m * 10 <= p_rank * 1 * (n_perms_used + 1)
+                      THEN p_rank ELSE 0 END) AS BIGINT) AS cutoff
+      FROM ranked
+    )
+    SELECT g AS "group", n1, n2, obs_diff AS diff_micro, n_ge, n_perms_used,
+           CAST({_fd_sql("(n_ge + 1) * 1000000", "n_perms_used + 1")} AS BIGINT)
+             AS p_micro,
+           p_rank,
+           CAST({_fd_sql("p_rank * 1 * 1000000", "m * 10")} AS BIGINT)
+             AS bh_crit_micro,
+           CAST(CASE WHEN p_rank <= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END
+             AS BIGINT) AS rejected
+    FROM ranked
+    """,
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screen of the user-cohort (user_id
+    parity) value contrast across the five event types (library:
+    operators.inference.fdr_bh_screen) — the multiple-testing closure
+    of q291: per event type a 64-replicate md5 pseudo-permutation test
+    with exact rational p = (n_ge+1)/(used+1), then the BH step-up at
+    α = 0.10 decided ENTIRELY in integer arithmetic
+    ((n_ge+1)·m·10 ≤ i·(used+1)). Volumes: one group-stats broadcast,
+    a ×64 map-side fan-out, one (group, perm) aggregate — the
+    hypothesis frame itself is m rows."""
+    from owl_etl_spark.operators.inference import fdr_bh_screen
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 2 == 0).alias("side"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.col("event_id").cast("string").alias("k"),
+    )
+    return fdr_bh_screen(e, "g", "side", "v", "k", n_perms=64, alpha_num=1, alpha_den=10)
+
+
+@_register(
+    "q338_priority_stratified_cmh",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority AS s,
+             (c.c_mktsegment = 'BUILDING') AS t,
+             (CAST(round(o.o_totalprice * 100) AS BIGINT) > 15000000) AS o
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority IS NOT NULL AND c.c_mktsegment IS NOT NULL
+        AND o.o_totalprice IS NOT NULL
+    ), cells AS (
+      SELECT s,
+             CAST(sum(CASE WHEN t AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN t AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS dd
+      FROM d GROUP BY s
+    ), kept AS (
+      SELECT * FROM cells WHERE a + b + c + dd >= 2
+    ), terms AS (
+      SELECT a, CAST(a + b + c + dd AS BIGINT) AS n_s,
+             CAST(round((1000000.0 * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)))
+                        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                           + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)))
+               AS BIGINT) AS e,
+             CAST(round((1000000.0 * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         * (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                         * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                         * (CAST(b AS DOUBLE) + CAST(dd AS DOUBLE)))
+                        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                            + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                              + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                           * ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                               + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)) - 1.0)))
+               AS BIGINT) AS v,
+             CAST(round((1000000.0 * CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                           + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)))
+               AS BIGINT) AS orn,
+             CAST(round((1000000.0 * CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                           + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)))
+               AS BIGINT) AS ord_
+      FROM kept
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(e) AS BIGINT) AS sum_e_micro,
+             CAST(sum(v) AS BIGINT) AS sum_v_micro,
+             CAST(sum(orn) AS BIGINT) AS onum,
+             CAST(sum(ord_) AS BIGINT) AS oden
+      FROM terms
+    )
+    SELECT n_strata, n, sum_a, sum_e_micro, sum_v_micro,
+           CAST(CASE WHEN sum_v_micro > 0
+                      AND (abs(CAST(sum_a AS DOUBLE)
+                               - CAST(sum_e_micro AS DOUBLE) / 1000000.0)
+                           - 0.5) > 0
+             THEN round((1000000.0
+                    * (abs(CAST(sum_a AS DOUBLE)
+                           - CAST(sum_e_micro AS DOUBLE) / 1000000.0) - 0.5)
+                    * (abs(CAST(sum_a AS DOUBLE)
+                           - CAST(sum_e_micro AS DOUBLE) / 1000000.0) - 0.5))
+                   / (CAST(sum_v_micro AS DOUBLE) / 1000000.0))
+           END AS BIGINT) AS cmh_micro,
+           CAST(CASE WHEN oden > 0
+             THEN round(1000000.0 * CAST(onum AS DOUBLE) / CAST(oden AS DOUBLE))
+           END AS BIGINT) AS or_mh_micro
+    FROM g
+    """,
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test: does the BUILDING segment
+    associate with high-value orders (> $150k) POOLED ACROSS order-
+    priority strata (library: operators.inference.cmh_test) — the
+    Simpson's-paradox-proof 2×2 readout plus the Mantel-Haenszel
+    common odds ratio. Per-stratum E/V/OR terms are each one double
+    expression of exact BIGINT cells, micro-snapped, summed exactly;
+    the continuity-corrected statistic assembles on the 5-row strata
+    frame. One FK join + one stratum-cardinality shuffle."""
+    from owl_etl_spark.operators.inference import cmh_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderpriority").alias("s"),
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000).alias("o"),
+    )
+    return cmh_test(d, "s", "t", "o")
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 6: rank aggregation (Borda/Copeland) + decile lift
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q339_brand_rank_fusion",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT p_brand AS c,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS rev,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nord
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    ), lng AS (
+      SELECT c, 'revenue' AS rk, rev AS s FROM per
+      UNION ALL SELECT c, 'quantity', qty FROM per
+      UNION ALL SELECT c, 'orders', nord FROM per
+    ), ranks AS MATERIALIZED (
+      SELECT c, rk,
+             CAST(row_number() OVER (PARTITION BY rk ORDER BY s DESC, c)
+               AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY rk) AS BIGINT) AS nr
+      FROM lng
+    ), borda AS (
+      SELECT c, CAST(count(DISTINCT rk) AS BIGINT) AS n_rankers,
+             CAST(sum(nr - r) AS BIGINT) AS borda_points
+      FROM ranks GROUP BY c
+    ), pv AS (
+      SELECT x.c AS c, y.c AS c2,
+             CAST(sum(CASE WHEN x.r < y.r THEN 1 ELSE 0 END) AS BIGINT) AS wi,
+             CAST(sum(CASE WHEN x.r > y.r THEN 1 ELSE 0 END) AS BIGINT) AS wj
+      FROM ranks x JOIN ranks y ON x.rk = y.rk AND x.c < y.c
+      GROUP BY x.c, y.c
+    ), vd AS (
+      SELECT c, c2,
+             CAST(CASE WHEN wi > wj THEN 1 WHEN wi < wj THEN -1 ELSE 0 END
+               AS BIGINT) AS dd
+      FROM pv
+    ), cope AS (
+      SELECT cc, CAST(sum(dd) AS BIGINT) AS copeland_score FROM (
+        SELECT c AS cc, dd FROM vd
+        UNION ALL SELECT c2 AS cc, -dd AS dd FROM vd
+      ) GROUP BY cc
+    ), outt AS (
+      SELECT b.c AS candidate, b.n_rankers, b.borda_points,
+             CAST(coalesce(cope.copeland_score, 0) AS BIGINT) AS copeland_score
+      FROM borda b LEFT JOIN cope ON cope.cc = b.c
+    )
+    SELECT candidate, n_rankers, borda_points, copeland_score,
+           CAST(row_number() OVER (ORDER BY borda_points DESC, candidate)
+             AS BIGINT) AS borda_rank,
+           CAST(row_number() OVER (ORDER BY copeland_score DESC, candidate)
+             AS BIGINT) AS copeland_rank
+    FROM outt
+    """,
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda + Copeland consensus ranking of part brands under three
+    incomparable metrics — revenue, quantity, distinct orders
+    (library: operators.rankagg.borda_copeland). The ordinal-rank
+    fusion beside score-based RRF: positional points and pairwise
+    majority wins, ties broken by brand id everywhere. The pairwise
+    step is candidate-cardinality-bounded (25 brands × 3 rankers);
+    the data-sized work is one lineitem⋈part aggregate."""
+    from owl_etl_spark.operators.rankagg import borda_copeland
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("rev"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("qty"),
+            F.count_distinct("l_orderkey").cast("long").alias("nord"),
+        )
+    )
+    lng = per.selectExpr(
+        "p_brand AS c",
+        "stack(3, 'revenue', rev, 'quantity', qty, 'orders', nord) AS (rk, s)",
+    )
+    return borda_copeland(lng, "c", "rk", "s")
+
+
+@_register(
+    "q340_balance_decile_lift",
+    f"""
+    WITH d AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+             CAST(CASE WHEN u.uk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS y,
+             c_custkey AS id
+      FROM customer LEFT JOIN (
+        SELECT DISTINCT o_custkey AS uk FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+      ) u ON u.uk = c_custkey
+      WHERE c_acctbal IS NOT NULL
+    ), b AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY s DESC, id) AS BIGINT) AS bucket, y
+      FROM d
+    ), per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS tn,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+      FROM per
+    )
+    SELECT bucket, n, n_pos,
+           CAST({_fd_sql("n_pos * 1000000", "n")} AS BIGINT) AS rate_micro,
+           cum_n, cum_pos,
+           CAST(CASE WHEN tp > 0
+             THEN {_fd_sql("cum_pos * 1000000", "tp")} END AS BIGINT)
+             AS cum_capture_micro,
+           CAST(CASE WHEN tp > 0
+             THEN round((1000000.0 * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+           END AS BIGINT) AS lift_micro,
+           CAST(CASE WHEN tp > 0
+             THEN round((1000000.0 * (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)))
+                   / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+           END AS BIGINT) AS cum_lift_micro
+    FROM cum
+    """,
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains of account balance as a
+    predictor of urgent-order customers (library: operators.rankagg.
+    decile_lift) — the campaign-targeting readout beside exact AUC
+    and the F1 sweep: per balance decile (deterministic ntile on
+    (score desc, custkey)), positive rate, cumulative capture, and
+    lift vs the base rate — counts exact, ratios one snapped double
+    expression each. One global sort (the stated cost of exact
+    deciles) + one 10-row window."""
+    from owl_etl_spark.operators.rankagg import decile_lift
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("uk"))
+        .distinct()
+    )
+    d = c.join(urgent, c["c_custkey"] == urgent["uk"], "left").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("s"),
+        F.col("uk").isNotNull().cast("long").alias("y"),
+        F.col("c_custkey").alias("id"),
+    )
+    return decile_lift(d, "s", "y", "id", n_buckets=10)

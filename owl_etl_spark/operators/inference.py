@@ -1,0 +1,546 @@
+"""K-sample inference and multiple-testing operators.
+
+Round-10 wave 5 of the engine's experiment/stats toolkit (beside
+``stats_tests.py``'s two-sample KS/MWU/χ²/permutation and
+``experiment.py``'s A/B readouts): one-way ANOVA, Kruskal-Wallis,
+Brown-Forsythe variance homogeneity, Cochran-Mantel-Haenszel
+stratified 2×2, and a Benjamini-Hochberg FDR screen over exact
+permutation p-values.
+
+Reference parity note: the reference ETL (Jave-OWL/owl-ETL) has no
+statistics surface — these extend the engine's beyond-reference
+analytics inventory (SURVEY.md §2 "beyond" rows), using the same
+cross-engine exactness discipline as the rest of the suite.
+
+Integer discipline (shared with ``chi_square_report``): every
+statistic is assembled from exact BIGINT group moments; each
+per-group/per-cell floating term is ONE fixed double expression of
+those exact integers, snapped to micro (``round(1e6·term)`` →
+BIGINT) so the cross-group sum is an exact, order-free BIGINT sum
+that both Spark and DuckDB reproduce bit-identically.
+
+Scale posture: every operator here is one-or-two data-sized
+aggregates down to a group-cardinality-bounded frame (k groups /
+strata / distinct values), then scalar arithmetic on that tiny
+frame. No collects of row volumes, no cartesians; the only
+driver-side step is the FDR screen's group-stats broadcast (bounded
+by the number of hypotheses, i.e. the number of groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from owl_etl_spark.functions.hashing import md5_long
+
+_M = 1_000_000
+
+
+def _fd(x: str, d: str):
+    """Exact floor division of (possibly negative) BIGINT SQL
+    fragments — Spark's integer ``div`` made identical to DuckDB's
+    ``//`` via the positive-mod identity (the q291 device). String
+    fragments, not Columns: ``div`` has no Column operator, and the
+    double-division fallback loses exactness past 2^53."""
+    return F.expr(f"(({x}) - (((({x}) % ({d})) + ({d})) % ({d}))) div ({d})")
+
+
+def _guarded(col, limit: int, what: str):
+    return F.when(
+        col > int(limit),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: exceeds bound "),
+                F.lit(str(int(limit))),
+                F.lit(" (integer-exactness guard); pre-aggregate or sample"),
+            )
+        ).cast("long"),
+    ).otherwise(col)
+
+
+def _anova_terms(d: DataFrame) -> DataFrame:
+    """Shared ANOVA core over a frame with integer ``__g``-grouped
+    ``__v``: per-group exact BIGINT moments → micro-snapped
+    between/within terms → one exact global sum.
+
+    Returns one row ``(k_groups, n, ssb_micro, ssw_micro, f_micro,
+    eta2_micro)``. f/eta² are NULL when degenerate (k < 2, n ≤ k, or
+    SSW = 0).
+    """
+    per = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__nj"),
+        F.sum("__v").cast("long").alias("__sj"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__s2j"),
+    )
+    sjd = F.col("__sj").cast("double")
+    njd = F.col("__nj").cast("double")
+    s2jd = F.col("__s2j").cast("double")
+    terms = per.select(
+        "__nj",
+        "__sj",
+        "__s2j",
+        # between-part contribution s_j²/n_j and within-part
+        # contribution s2_j − s_j²/n_j, each ONE double expression of
+        # exact BIGINTs, micro-snapped (engine-identical IEEE ops)
+        F.round(F.lit(float(_M)) * sjd * sjd / njd).cast("long").alias("__bt"),
+        F.round(F.lit(float(_M)) * (s2jd - sjd * sjd / njd)).cast("long").alias("__wt"),
+    )
+    g = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__nj").cast("long").alias("n"),
+        F.sum("__sj").cast("long").alias("__s"),
+        F.sum("__bt").cast("long").alias("__b"),
+        F.sum("__wt").cast("long").alias("ssw_micro"),
+    )
+    grand_micro = F.round(
+        F.lit(float(_M))
+        * F.col("__s").cast("double")
+        * F.col("__s")
+        / F.col("n").cast("double")
+    ).cast("long")
+    g = g.withColumn("ssb_micro", (F.col("__b") - grand_micro).cast("long"))
+    ok = (F.col("k_groups") > 1) & (F.col("n") > F.col("k_groups")) & (
+        F.col("ssw_micro") > 0
+    )
+    f_micro = F.round(
+        F.lit(float(_M))
+        * (F.col("ssb_micro").cast("double") / (F.col("k_groups") - 1).cast("double"))
+        / (F.col("ssw_micro").cast("double") / (F.col("n") - F.col("k_groups")).cast("double"))
+    ).cast("long")
+    eta2_micro = F.round(
+        F.lit(float(_M))
+        * F.col("ssb_micro").cast("double")
+        / (F.col("ssb_micro") + F.col("ssw_micro")).cast("double")
+    ).cast("long")
+    return g.select(
+        "k_groups",
+        "n",
+        "ssb_micro",
+        "ssw_micro",
+        F.when(ok, f_micro).alias("f_micro"),
+        F.when(ok, eta2_micro).alias("eta2_micro"),
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA over an integer value column: does the group mean
+    differ across k groups? The k-sample extension of the engine's
+    two-sample toolkit (q247 CUPED t-shape, q321 Cohen's d).
+
+    Returns one row ``(k_groups, n, ssb_micro, ssw_micro, f_micro,
+    eta2_micro)`` — the F statistic (dof k−1, n−k) and η² effect
+    share, both micro-scaled. F/η² are NULL when k < 2, n ≤ k, or the
+    within-group variance degenerates to 0.
+
+    Exactness: per-group (n_j, Σv, Σv²) are exact BIGINTs (callers
+    pre-round ``value_col`` to integers — the same contract as every
+    stats operator here); the between/within decomposition snaps each
+    per-group term once (see module docstring) so SSB/SSW are
+    order-free exact BIGINT micro sums. The Σv² moment binds the
+    caller's scaling choice: n·max(v²) must stay ≪ 2^63.
+
+    Plan: one (group) aggregate → k-row frame → one global aggregate.
+    Single shuffle of group cardinality; map-side combined.
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    return _anova_terms(d)
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity: one-way ANOVA on
+    absolute deviations from the GROUP MEDIAN — the robust Levene
+    variant (median-centered beats mean-centered under skew, the
+    standard recommendation). The prerequisite check for trusting
+    q334-style pooled-variance ANOVA.
+
+    Returns the same row shape as :func:`anova_oneway`, computed on
+    doubled deviations ``|2v − 2·median_j|`` (exact integers — the
+    doubled-median device keeps even-count medians integral). The F
+    ratio is scale-invariant, so this IS the Brown-Forsythe W up to
+    the micro snap.
+
+    Median discipline: per group, the two middle order statistics at
+    1-indexed positions ⌈n/2⌉ and ⌊n/2⌋+1 come from one row_number
+    window ordered by value alone — tie assignment among equal values
+    is nondeterministic but the VALUE at a position is not.
+
+    Plan: one rank window + one k-row median frame broadcast back,
+    then the shared single-shuffle ANOVA core.
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc())
+    wn = Window.partitionBy("__g")
+    ranked = d.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    p1 = F.expr("(__n + 1) div 2")
+    p2 = F.expr("__n div 2 + 1")
+    # odd n: p1 == p2 and the single middle row contributes v twice
+    # (2·median = 2v); even n: the two middle rows contribute v each
+    med = (
+        ranked.filter((F.col("__r") == p1) | (F.col("__r") == p2))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") == p1, F.col("__v")).otherwise(0)
+                + F.when(F.col("__r") == p2, F.col("__v")).otherwise(0)
+            )
+            .cast("long")
+            .alias("__med2")
+        )
+        .withColumnRenamed("__g", "__gm")
+    )
+    dev = d.join(F.broadcast(med), d["__g"] == med["__gm"]).select(
+        "__g", F.abs(F.lit(2) * F.col("__v") - F.col("__med2")).alias("__v")
+    )
+    return _anova_terms(dev)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_tie_block: int = 2_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis rank test: do the k group distributions differ
+    in location? The k-sample Mann-Whitney (q231's sibling), immune
+    to the outliers that leak into q334's mean-based F.
+
+    Returns one row ``(k_groups, n, dof, h_micro, tie_cube_sum,
+    h_corrected_micro)``: H from doubled average ranks, the exact
+    Σ(t³−t) tie sum, and the tie-corrected H/C. h columns NULL when
+    k < 2 or all values tie (C = 0).
+
+    Exactness: joint doubled ranks come from the distinct-value frame
+    (2·avgrank(v) = 2·cumcount(≤v) − count(v) + 1 — exact BIGINTs,
+    never a row-volume window); 2R_j per group is an exact BIGINT
+    sum. Each group's H contribution 3e6·(2R_j)²/(n_j·N·(N+1)) is one
+    double expression, micro-snapped, summed exactly. Σ(t³−t) is
+    exact BIGINT; the cube binds ``max_tie_block`` (a single tie
+    block beyond ~2.09e6 rows would overflow 2^63 — raise, don't
+    corrupt).
+
+    Plan: one (group, value) aggregate, one value-level window over
+    the distinct-value frame, one (group) aggregate, one global
+    aggregate. One shuffle of distinct-value volume.
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    per_gv = d.groupBy("__g", "__v").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    w_run = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_v = per_gv.groupBy("__v").agg(F.sum("__c").cast("long").alias("__t"))
+    per_v = per_v.withColumn(
+        "__t", _guarded(F.col("__t"), max_tie_block, "kruskal_wallis tie block")
+    )
+    per_v = per_v.withColumn("__cumle", F.sum("__t").over(w_run).cast("long"))
+    # 2·avgrank of value v among all N rows
+    per_v = per_v.withColumn(
+        "__r2", (F.lit(2) * F.col("__cumle") - F.col("__t") + 1).cast("long")
+    )
+    joined = per_gv.join(
+        per_v.select(F.col("__v").alias("__v2"), "__r2", "__t"),
+        per_gv["__v"] == F.col("__v2"),
+    )
+    per_g = joined.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__nj"),
+        F.sum(F.col("__c") * F.col("__r2")).cast("long").alias("__r2j"),
+    )
+    ties = per_v.groupBy().agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .cast("long")
+        .alias("tie_cube_sum"),
+        F.sum("__t").cast("long").alias("__n_all"),
+    )
+    nd = F.col("__n_all").cast("double")
+    staged = per_g.crossJoin(F.broadcast(ties)).select(
+        "__nj",
+        "tie_cube_sum",
+        "__n_all",
+        F.round(
+            F.lit(3.0 * _M)
+            * F.col("__r2j").cast("double")
+            * F.col("__r2j")
+            / (F.col("__nj").cast("double") * nd * (nd + 1.0))
+        )
+        .cast("long")
+        .alias("__ht"),
+    )
+    g = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.max("__n_all").cast("long").alias("n"),
+        F.max("tie_cube_sum").cast("long").alias("tie_cube_sum"),
+        F.sum("__ht").cast("long").alias("__hsum"),
+    )
+    h_micro = (F.col("__hsum") - F.lit(3 * _M) * (F.col("n") + 1)).cast("long")
+    n_d = F.col("n").cast("double")
+    c_corr = F.lit(1.0) - F.col("tie_cube_sum").cast("double") / (n_d * n_d * n_d - n_d)
+    ok = (F.col("k_groups") > 1) & (c_corr > 0)
+    return g.select(
+        "k_groups",
+        "n",
+        (F.col("k_groups") - 1).cast("long").alias("dof"),
+        F.when(ok, h_micro).alias("h_micro"),
+        "tie_cube_sum",
+        F.when(ok, F.round(h_micro.cast("double") / c_corr).cast("long")).alias(
+            "h_corrected_micro"
+        ),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of a treatment/outcome association
+    POOLED ACROSS STRATA — the Simpson's-paradox-proof 2×2 readout
+    (q286's stratified-ATE sibling for binary outcomes), plus the
+    Mantel-Haenszel common odds ratio.
+
+    ``treat_col``/``outcome_col`` are boolean columns; null rows and
+    strata with n < 2 (hypergeometric variance undefined) are
+    excluded — stated discipline.
+
+    Returns one row ``(n_strata, n, sum_a, sum_e_micro, sum_v_micro,
+    cmh_micro, or_mh_micro)``: the continuity-corrected CMH statistic
+    (|Σa − ΣE| − ½)²/ΣV (NULL when ΣV = 0 or the correction exceeds
+    the gap) and the MH odds ratio Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) (NULL when
+    the denominator is 0), both micro-scaled.
+
+    Exactness: per-stratum cells are exact BIGINTs; E = r1·c1/n,
+    V = r1·r2·c1·c2/(n²(n−1)), and the OR parts are each one double
+    expression of the cells, micro-snapped, summed exactly across
+    strata.
+
+    Plan: one (stratum) aggregate → stratum-cardinality frame → one
+    global aggregate. Single bounded shuffle.
+    """
+    d = df.select(
+        F.col(stratum_col).cast("string").alias("__s"),
+        F.col(treat_col).cast("boolean").alias("__t"),
+        F.col(outcome_col).cast("boolean").alias("__o"),
+    ).filter(F.col("__s").isNotNull() & F.col("__t").isNotNull() & F.col("__o").isNotNull())
+    cells = d.groupBy("__s").agg(
+        F.sum((F.col("__t") & F.col("__o")).cast("long")).cast("long").alias("__a"),
+        F.sum((F.col("__t") & ~F.col("__o")).cast("long")).cast("long").alias("__b"),
+        F.sum((~F.col("__t") & F.col("__o")).cast("long")).cast("long").alias("__c"),
+        F.sum((~F.col("__t") & ~F.col("__o")).cast("long")).cast("long").alias("__d"),
+    )
+    a, b, c, dd = (F.col(x).cast("double") for x in ("__a", "__b", "__c", "__d"))
+    n_s = a + b + c + dd
+    cells = cells.filter((F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")) >= 2)
+    terms = cells.select(
+        "__a",
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).alias("__n"),
+        F.round(F.lit(float(_M)) * (a + b) * (a + c) / n_s).cast("long").alias("__e"),
+        F.round(
+            F.lit(float(_M)) * (a + b) * (c + dd) * (a + c) * (b + dd)
+            / (n_s * n_s * (n_s - 1.0))
+        )
+        .cast("long")
+        .alias("__v"),
+        F.round(F.lit(float(_M)) * a * dd / n_s).cast("long").alias("__orn"),
+        F.round(F.lit(float(_M)) * b * c / n_s).cast("long").alias("__ord"),
+    )
+    g = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__a").cast("long").alias("sum_a"),
+        F.sum("__e").cast("long").alias("sum_e_micro"),
+        F.sum("__v").cast("long").alias("sum_v_micro"),
+        F.sum("__orn").cast("long").alias("__on"),
+        F.sum("__ord").cast("long").alias("__od"),
+    )
+    gap = F.abs(
+        F.col("sum_a").cast("double") - F.col("sum_e_micro").cast("double") / float(_M)
+    ) - F.lit(0.5)
+    cmh = F.round(
+        F.lit(float(_M)) * gap * gap / (F.col("sum_v_micro").cast("double") / float(_M))
+    ).cast("long")
+    ok = (F.col("sum_v_micro") > 0) & (gap > 0)
+    or_mh = F.when(
+        F.col("__od") > 0,
+        F.round(
+            F.lit(float(_M)) * F.col("__on").cast("double") / F.col("__od").cast("double")
+        ).cast("long"),
+    )
+    return g.select(
+        "n_strata",
+        "n",
+        "sum_a",
+        "sum_e_micro",
+        "sum_v_micro",
+        F.when(ok, cmh).alias("cmh_micro"),
+        or_mh.alias("or_mh_micro"),
+    )
+
+
+def fdr_bh_screen(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    key_col: str,
+    n_perms: int = 64,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    salt: str = "fdr",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over PER-GROUP permutation tests
+    — the multiple-testing closure of q291: when the same two-cohort
+    contrast is tested across m groups, per-test p < α inflates false
+    discoveries ~m-fold; BH bounds the false-discovery RATE at α
+    instead.
+
+    Per group, a q291-style pseudo-permutation test of the
+    ``side_col`` (boolean) mean difference in ``value_col``:
+    ``n_perms`` md5-hash relabelings of (key, perm, group), each
+    permuted |mean diff| micro-snapped via exact floor division, and
+    the exact rational p = (#{|perm diff| ≥ |observed|} + 1)/(used+1)
+    (marginally-Bernoulli labels — the stated large-sample concession
+    shared with ``permutation_mean_test``). Degenerate permutations
+    (either side empty) are dropped from ``used``.
+
+    BH step, all in exact integer arithmetic: groups ranked by
+    ascending p (ties by group name; the sort key is the single
+    double division (n_ge+1)/(used+1), engine-identical), rejection
+    rule p_(i) ≤ i·α/m decided as
+    (n_ge+1)·m·alpha_den ≤ i·alpha_num·(used+1), and every rank up to
+    the LARGEST passing i is rejected (the BH step-up, not step-down).
+
+    Returns one row per group: ``(group, n1, n2, diff_micro, n_ge,
+    n_perms_used, p_micro, p_rank, bh_crit_micro, rejected)``.
+
+    Plan: one (group) stats aggregate broadcast back (m rows), a
+    constant ×n_perms map-side fan-out, one (group, perm) aggregate,
+    one (group) aggregate, then windows over the m-row frame. The
+    only shuffled volumes are (group, perm)-cardinality.
+    """
+    if n_perms < 4:
+        raise ValueError("fdr_bh_screen: n_perms must be >= 4")
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(side_col).cast("boolean").alias("__side"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__side").isNotNull()
+        & F.col("__v").isNotNull()
+        & F.col("__k").isNotNull()
+    )
+    d = d.localCheckpoint(eager=False)
+    base = d.groupBy("__g").agg(
+        F.sum(F.col("__side").cast("long")).cast("long").alias("__n1"),
+        F.sum((~F.col("__side")).cast("long")).cast("long").alias("__n2"),
+        F.sum(F.when(F.col("__side"), F.col("__v")).otherwise(0))
+        .cast("long")
+        .alias("__s1"),
+        F.sum(F.when(~F.col("__side"), F.col("__v")).otherwise(0))
+        .cast("long")
+        .alias("__s2"),
+    ).filter((F.col("__n1") > 0) & (F.col("__n2") > 0))
+    obs = base.select(
+        "__g",
+        "__n1",
+        "__n2",
+        F.abs(
+            _fd("__s1 * 1000000", "__n1") - _fd("__s2 * 1000000", "__n2")
+        )
+        .cast("long")
+        .alias("__obs"),
+    )
+    sized = d.join(
+        F.broadcast(obs.select("__g", "__n1", "__n2")), "__g"
+    )
+    perms = (
+        sized.select(
+            "__g",
+            "__v",
+            "__k",
+            (F.col("__n1") + F.col("__n2")).alias("__nt"),
+            "__n1",
+            F.explode(F.expr(f"sequence(0, {int(n_perms) - 1})")).alias("__p"),
+        )
+        .withColumn(
+            "__side1",
+            md5_long(
+                F.concat(
+                    F.col("__k"),
+                    F.lit(f"#{salt}#"),
+                    F.col("__g"),
+                    F.lit("#"),
+                    F.col("__p").cast("string"),
+                )
+            )
+            % F.col("__nt")
+            < F.col("__n1"),
+        )
+        .groupBy("__g", "__p")
+        .agg(
+            F.sum(F.when(F.col("__side1"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("__ps1"),
+            F.sum(F.col("__side1").cast("long")).cast("long").alias("__pn1"),
+            F.sum(F.when(~F.col("__side1"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("__ps2"),
+            F.sum((~F.col("__side1")).cast("long")).cast("long").alias("__pn2"),
+        )
+        .filter((F.col("__pn1") > 0) & (F.col("__pn2") > 0))
+        .select(
+            "__g",
+            F.abs(
+                _fd("__ps1 * 1000000", "__pn1") - _fd("__ps2 * 1000000", "__pn2")
+            )
+            .cast("long")
+            .alias("__pd"),
+        )
+    )
+    pg = perms.join(F.broadcast(obs), "__g").groupBy(
+        "__g", "__n1", "__n2", "__obs"
+    ).agg(
+        F.sum((F.col("__pd") >= F.col("__obs")).cast("long")).cast("long").alias("n_ge"),
+        F.count(F.lit(1)).cast("long").alias("n_perms_used"),
+    )
+    m_w = Window.partitionBy()
+    pg = pg.withColumn("__m", F.count(F.lit(1)).over(m_w).cast("long"))
+    # exact-rational ascending-p rank; the double ratio is one division
+    # of exact integers (engine-identical), group name breaks ties
+    ratio = (F.col("n_ge") + 1).cast("double") / (F.col("n_perms_used") + 1).cast("double")
+    rank_w = Window.orderBy(ratio.asc(), F.col("__g").asc())
+    pg = pg.withColumn("p_rank", F.row_number().over(rank_w).cast("long"))
+    passes = (
+        (F.col("n_ge") + 1) * F.col("__m") * int(alpha_den)
+        <= F.col("p_rank") * int(alpha_num) * (F.col("n_perms_used") + 1)
+    )
+    cutoff = F.max(F.when(passes, F.col("p_rank")).otherwise(0)).over(m_w)
+    return pg.select(
+        F.col("__g").alias("group"),
+        F.col("__n1").alias("n1"),
+        F.col("__n2").alias("n2"),
+        F.col("__obs").alias("diff_micro"),
+        "n_ge",
+        "n_perms_used",
+        _fd("(n_ge + 1) * 1000000", "n_perms_used + 1").cast("long").alias("p_micro"),
+        "p_rank",
+        _fd(f"p_rank * {int(alpha_num)} * 1000000", f"__m * {int(alpha_den)}")
+        .cast("long")
+        .alias("bh_crit_micro"),
+        (F.col("p_rank") <= cutoff).cast("long").alias("rejected"),
+    )
