@@ -1425,11 +1425,14 @@ _PRIORITY = [
     "q331", "q332", "q333",
     # round-10 wave 5: k-sample inference (ANOVA / Kruskal-Wallis /
     # Brown-Forsythe / CMH) + the BH-FDR screen; wave 6: Borda/
-    # Copeland rank fusion + decile lift. With these the explicit
-    # list holds 60 entries; the last ten rotation slots (q29 ..
-    # q104) ride just below the 50-slot boundary to round 11's
-    # rotation (their manifests are stamped green — freshness holds).
+    # Copeland rank fusion + decile lift; wave 7: Tukey-HSD post-hoc
+    # contrasts, Mann-Kendall + Sen trend, McNemar paired gates, IPF
+    # raking. With these the explicit list holds 64 entries; the
+    # last fourteen rotation slots (q25 .. q104) ride just below the
+    # 50-slot boundary to round 11's rotation (their manifests are
+    # stamped green — freshness holds).
     "q334", "q335", "q336", "q337", "q338", "q339", "q340",
+    "q341", "q342", "q343", "q344",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -20352,3 +20355,265 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"),
     )
     return decile_lift(d, "s", "y", "id", n_buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 7: post-hoc contrasts, monotone trend, paired gates,
+# and IPF raking
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q341_event_type_tukey_contrasts",
+    f"""
+    WITH d AS (
+      SELECT event_type AS g, CAST(round(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS nj, CAST(sum(v) AS BIGINT) AS sj,
+             CAST(sum(v * v) AS BIGINT) AS s2j
+      FROM d GROUP BY g
+    ), terms AS (
+      SELECT g, nj, sj,
+             CAST(round(1000000.0 * (CAST(s2j AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                          / CAST(nj AS DOUBLE))) AS BIGINT) AS wt
+      FROM per
+    ), gl AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(nj) AS BIGINT) AS ntot,
+             CAST(sum(wt) AS BIGINT) AS ssw
+      FROM terms
+    ), pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.nj AS n_a, b.nj AS n_b,
+             a.sj AS sa, b.sj AS sb
+      FROM terms a JOIN terms b ON a.g < b.g
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           abs(CAST({_fd_sql("sa * 1000000", "n_a")} AS BIGINT)
+             - CAST({_fd_sql("sb * 1000000", "n_b")} AS BIGINT))
+             AS mean_diff_micro,
+           CAST(CASE WHEN ssw > 0 AND ntot > k
+             THEN round((1000000.0
+                    * abs(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                   / sqrt((CAST(ssw AS DOUBLE) / 1000000.0
+                           / CAST(ntot - k AS DOUBLE) / 2.0)
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE))))
+           END AS BIGINT) AS q_micro
+    FROM pairs CROSS JOIN gl
+    """,
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-HSD pairwise contrasts across event types (library:
+    operators.inference.pairwise_tukey) — q334's post-hoc companion:
+    WHICH groups differ. Studentized-range q per unordered pair, with
+    MSW the same micro-snapped within mean square the ANOVA core
+    emits (the two queries cannot disagree about the denominator);
+    mean differences are exact floor divisions. Pairs come from the
+    k-row moments frame — group-cardinality-bounded."""
+    from owl_etl_spark.operators.inference import pairwise_tukey
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.round(F.col("value")).cast("long").alias("v")
+    )
+    return pairwise_tukey(e, "g", "v")
+
+
+@_register(
+    "q342_purchase_trend_mann_kendall",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT (epoch_us(ts) // 1000000) // 86400 AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+    ), pairs AS MATERIALIZED (
+      SELECT CAST(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+               AS BIGINT) AS sgn,
+             CAST({_fd_sql("(b.x - a.x) * 1000000", "b.t - a.t")} AS BIGINT) AS sl
+      FROM daily a JOIN daily b ON a.t < b.t
+    ), ranked AS (
+      SELECT sgn, sl,
+             CAST(row_number() OVER (ORDER BY sl) AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pairs
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(sum(CASE WHEN r = (m + 1) // 2 THEN sl ELSE 0 END
+                      + CASE WHEN r = m // 2 + 1 THEN sl ELSE 0 END) AS BIGINT)
+               AS sen_slope2_micro
+      FROM ranked
+    ), ties AS (
+      SELECT CAST(sum(tb * (tb - 1) * (2 * tb + 5)) AS BIGINT) AS tie18
+      FROM (SELECT CAST(count(*) AS BIGINT) AS tb FROM daily GROUP BY x)
+    ), g AS (
+      SELECT base.n, agg.n_pairs, agg.s_stat, agg.sen_slope2_micro,
+             CAST(base.n * (base.n - 1) * (2 * base.n + 5) - ties.tie18
+               AS BIGINT) AS var18
+      FROM agg CROSS JOIN base CROSS JOIN ties
+    )
+    SELECT n AS n_points, n_pairs, s_stat, var18,
+           CAST(CASE WHEN var18 > 0
+             THEN round((1000000.0 * CAST(s_stat
+                    - (CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1
+                       ELSE 0 END) AS DOUBLE))
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+           END AS BIGINT) AS z_micro,
+           sen_slope2_micro
+    FROM g
+    """,
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope over daily
+    purchase revenue (library: operators.trend.mann_kendall_sen) —
+    the drift question CUSUM/change-point don't answer: is revenue
+    trending monotonically, and at what robust slope (median of all
+    pairwise day-to-day slopes, exact floor divisions)? S and the
+    tie-corrected 18·Var(S) are exact BIGINTs; the pairwise step is
+    series-length-bounded (the 30-day daily frame), never raw-event
+    volume."""
+    from owl_etl_spark.operators.trend import mann_kendall_sen
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    day = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400"
+    )
+    daily = e.groupBy(day.alias("t")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    return mann_kendall_sen(daily, "t", "x")
+
+
+@_register(
+    "q343_quality_gate_mcnemar",
+    """
+    WITH d AS (
+      SELECT (n_chars >= 200) AS a,
+             (len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                  ' ')) >= 40) AS b
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+           CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+           CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+           CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+             AS neither,
+           CAST(CASE WHEN sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0
+             THEN round((1000000.0
+                    * CAST(greatest(abs(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                                        - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+                                    - 1, 0) AS DOUBLE)
+                    * CAST(greatest(abs(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                                        - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+                                    - 1, 0) AS DOUBLE))
+                   / CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE))
+           END AS BIGINT) AS mcnemar_micro,
+           CAST(CASE WHEN sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0
+             THEN round(1000000.0
+                    * CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE))
+           END AS BIGINT) AS discordance_odds_micro
+    FROM d
+    """,
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired comparison of two quality gates on the same
+    corpus (library: operators.inference.mcnemar_test) — gate A
+    (n_chars ≥ 200) vs gate B (whitespace tokens ≥ 40): the pooled
+    chi-square (q233) ignores the pairing; McNemar tests exactly the
+    DISCORDANT documents. Continuity-corrected statistic + the
+    discordance odds, one snapped double expression each over exact
+    BIGINT cells. One global aggregate — no shuffle beyond the
+    partial merge."""
+    from owl_etl_spark.functions.text import normalize_text
+    from owl_etl_spark.operators.inference import mcnemar_test
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        (F.col("n_chars") >= 200).alias("a"),
+        (F.size(F.split(normalize_text(F.col("text")), " ")) >= 40).alias("b"),
+    )
+    return mcnemar_test(d, "a", "b")
+
+
+def _q344_iter_sql(rounds: int) -> tuple[str, str]:
+    """Unrolled IPF rounds as SQL CTEs (returns (joined CTE text, name
+    of the last CTE)), mirroring operators.raking.ipf_rake's per-step
+    snapped-double expression exactly (the q255 Bradley-Terry unroll
+    device)."""
+    steps = []
+    prev = "it0"
+    for i in range(rounds):
+        steps.append(
+            f"""{prev}r AS (
+      SELECT r, c, n, rt, ct,
+             CAST(round(CAST(m AS DOUBLE) * CAST(rt AS DOUBLE)
+                  / CAST(CAST(sum(m) OVER (PARTITION BY r) AS BIGINT) AS DOUBLE))
+               AS BIGINT) AS m
+      FROM {prev}
+    )"""
+        )
+        steps.append(
+            f"""it{i + 1} AS (
+      SELECT r, c, n, rt, ct,
+             CAST(round(CAST(m AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(CAST(sum(m) OVER (PARTITION BY c) AS BIGINT) AS DOUBLE))
+               AS BIGINT) AS m
+      FROM {prev}r
+    )"""
+        )
+        prev = f"it{i + 1}"
+    return ", ".join(steps), prev
+
+
+_Q344_STEPS, _Q344_LAST = _q344_iter_sql(8)
+
+
+@_register(
+    "q344_source_lang_raking",
+    f"""
+    WITH cells AS (
+      SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY source, lang
+    ), g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             CAST(count(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ), it0 AS (
+      SELECT r, c, n, CAST(n * 1000000 AS BIGINT) AS m,
+             CAST({_fd_sql("nt * 1000000", "nr")} AS BIGINT) AS rt,
+             CAST({_fd_sql("nt * 1000000", "nc")} AS BIGINT) AS ct
+      FROM cells CROSS JOIN g
+    ), {_Q344_STEPS}
+    SELECT r AS row_cat, c AS col_cat, n, m AS m_micro,
+           CAST({_fd_sql("m", "n")} AS BIGINT) AS weight_micro
+    FROM {_Q344_LAST}
+    """,
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking of the (source × lang) corpus grid to uniform
+    marginals on both axes (library: operators.raking.ipf_rake) —
+    the reweighting step a crawl needs when some (source, language)
+    cells are over-represented: per-cell sampling weights whose
+    weighted marginals match the targets simultaneously. Eight fixed
+    rounds; after every scaling the iterate is a snapped BIGINT, so
+    both engines walk an identical integer trajectory (the oracle
+    unrolls the same rounds as CTEs — the q255 device). Everything
+    past one aggregate is grid-cardinality-bounded."""
+    from owl_etl_spark.operators.raking import ipf_rake
+
+    d = _t(spark, sf_dir, "documents")
+    return ipf_rake(d, "source", "lang", rounds=8)

@@ -544,3 +544,131 @@ def fdr_bh_screen(
         .alias("bh_crit_micro"),
         (F.col("p_rank") <= cutoff).cast("long").alias("rejected"),
     )
+
+
+def pairwise_tukey(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Pairwise group contrasts behind a significant one-way ANOVA —
+    the studentized-range (Tukey-HSD) statistics: WHICH groups differ,
+    not just whether any do (q-family: anova_oneway's post-hoc
+    companion).
+
+    For every unordered group pair (a < b by name):
+    q = |mean_a − mean_b| / √((MSW/2)·(1/n_a + 1/n_b)), with MSW the
+    same micro-snapped within-group mean square the ANOVA core
+    computes (the two operators can never disagree about the
+    denominator). Returns ``(group_a, group_b, n_a, n_b,
+    mean_diff_micro, q_micro)``: the mean difference is exact floor
+    division, q one snapped double expression (NULL when MSW
+    degenerates or n ≤ k).
+
+    Plan: one (group) aggregate → k-row frame; pairs come from a
+    k-row self-join (group-cardinality-bounded); MSW broadcasts.
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    per = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__nj"),
+        F.sum("__v").cast("long").alias("__sj"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__s2j"),
+    )
+    sjd = F.col("__sj").cast("double")
+    njd = F.col("__nj").cast("double")
+    s2jd = F.col("__s2j").cast("double")
+    terms = per.select(
+        "__g",
+        "__nj",
+        "__sj",
+        F.round(F.lit(float(_M)) * (s2jd - sjd * sjd / njd)).cast("long").alias("__wt"),
+    )
+    g = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__nj").cast("long").alias("__ntot"),
+        F.sum("__wt").cast("long").alias("__ssw"),
+    )
+    a = terms.select(
+        F.col("__g").alias("group_a"),
+        F.col("__nj").alias("n_a"),
+        F.col("__sj").alias("__sa"),
+    )
+    b = terms.select(
+        F.col("__g").alias("group_b"),
+        F.col("__nj").alias("n_b"),
+        F.col("__sj").alias("__sb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(F.broadcast(g))
+    msw = (
+        F.col("__ssw").cast("double")
+        / float(_M)
+        / (F.col("__ntot") - F.col("__k")).cast("double")
+    )
+    num = F.abs(
+        F.col("__sa").cast("double") / F.col("n_a").cast("double")
+        - F.col("__sb").cast("double") / F.col("n_b").cast("double")
+    )
+    den = F.sqrt(
+        (msw / 2.0)
+        * (1.0 / F.col("n_a").cast("double") + 1.0 / F.col("n_b").cast("double"))
+    )
+    ok = (F.col("__ssw") > 0) & (F.col("__ntot") > F.col("__k"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.abs(
+            _fd("__sa * 1000000", "n_a") - _fd("__sb * 1000000", "n_b")
+        )
+        .cast("long")
+        .alias("mean_diff_micro"),
+        F.when(ok, F.round(F.lit(float(_M)) * num / den).cast("long")).alias("q_micro"),
+    )
+
+
+def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's paired test of two boolean judges on the SAME items —
+    the right comparison for two quality gates / classifiers scored on
+    one corpus, where the chi-square of pooled rates (q233) ignores
+    the pairing. Null rows (either judge undecided) are excluded —
+    stated.
+
+    Returns one row ``(n, both_pass, only_a, only_b, neither,
+    mcnemar_micro, discordance_odds_micro)``: the continuity-corrected
+    statistic (max(|b−c|−1, 0))²/(b+c) over the discordant counts
+    (NULL when b+c = 0 — the judges never disagree), and the
+    discordance odds only_a/only_b (NULL when only_b = 0), both one
+    snapped double expression of exact BIGINT cells.
+
+    Plan: one global aggregate. No shuffle beyond the partial-merge.
+    """
+    d = df.select(
+        F.col(a_col).cast("boolean").alias("__a"),
+        F.col(b_col).cast("boolean").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    g = d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("__a") & F.col("__b")).cast("long")).cast("long").alias("both_pass"),
+        F.sum((F.col("__a") & ~F.col("__b")).cast("long")).cast("long").alias("only_a"),
+        F.sum((~F.col("__a") & F.col("__b")).cast("long")).cast("long").alias("only_b"),
+        F.sum((~F.col("__a") & ~F.col("__b")).cast("long")).cast("long").alias("neither"),
+    )
+    gap = F.greatest(
+        F.abs(F.col("only_a") - F.col("only_b")) - 1, F.lit(0)
+    ).cast("double")
+    disc = (F.col("only_a") + F.col("only_b")).cast("double")
+    stat = F.round(F.lit(float(_M)) * gap * gap / disc).cast("long")
+    odds = F.round(
+        F.lit(float(_M))
+        * F.col("only_a").cast("double")
+        / F.col("only_b").cast("double")
+    ).cast("long")
+    return g.select(
+        "n",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "neither",
+        F.when((F.col("only_a") + F.col("only_b")) > 0, stat).alias("mcnemar_micro"),
+        F.when(F.col("only_b") > 0, odds).alias("discordance_odds_micro"),
+    )

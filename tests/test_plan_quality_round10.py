@@ -32,6 +32,10 @@ _WAVE = [
     "q338_priority_stratified_cmh",
     "q339_brand_rank_fusion",
     "q340_balance_decile_lift",
+    "q341_event_type_tukey_contrasts",
+    "q342_purchase_trend_mann_kendall",
+    "q343_quality_gate_mcnemar",
+    "q344_source_lang_raking",
 ]
 
 
@@ -91,3 +95,18 @@ def test_anova_is_two_aggregates_no_join(spark):
     plan = _plan(spark, "q334_value_anova_by_event_type")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mcnemar_is_single_aggregate_no_shuffle_join(spark):
+    plan = _plan(spark, "q343_quality_gate_mcnemar")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 1
+
+
+def test_raking_grid_joins_stay_broadcast(spark):
+    # the globals frame (1 row) must broadcast onto the cells frame;
+    # the iterations are windows over the grid — no shuffle join of
+    # row volumes anywhere
+    plan = _plan(spark, "q344_source_lang_raking")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
