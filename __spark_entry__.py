@@ -1433,6 +1433,9 @@ _PRIORITY = [
     # stamped green — freshness holds).
     "q334", "q335", "q336", "q337", "q338", "q339", "q340",
     "q341", "q342", "q343", "q344",
+    # round-10 wave 8: repetition profile, Welch ANOVA, ordered
+    # trend, Cochran's Q
+    "q345", "q346", "q347", "q348",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -20617,3 +20620,321 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ipf_rake(d, "source", "lang", rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 8: repetition profiling, Welch ANOVA, ordered trend,
+# Cochran's Q
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q345_doc_repetition_profile",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), f AS MATERIALIZED (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1]) AS b2,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS b3
+      FROM base WHERE len(t) >= 3
+    ), bi AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(b2) AS g FROM f
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), tri AS (
+      SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+               AS dup_trigram_count
+      FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(b3) AS g FROM f
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.n_tokens,
+           CAST(f.n_tokens - 1 AS BIGINT) AS n_bigrams,
+           bi.top_bigram_count,
+           CAST({_fd_sql("bi.top_bigram_count * 1000000", "f.n_tokens - 1")}
+             AS BIGINT) AS top_bigram_share_micro,
+           CAST(f.n_tokens - 2 AS BIGINT) AS n_trigrams,
+           tri.dup_trigram_count,
+           CAST({_fd_sql("tri.dup_trigram_count * 1000000", "f.n_tokens - 2")}
+             AS BIGINT) AS dup_trigram_share_micro
+    FROM f JOIN bi ON bi.doc_id = f.doc_id JOIN tri ON tri.doc_id = f.doc_id
+    """,
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition profile (library: operators.
+    repetition.ngram_repetition_profile) — the Gopher/RefinedWeb
+    repetition filters q84's single top-token ratio doesn't cover:
+    top-bigram share (phrase loops) and the duplicate-trigram
+    coverage fraction (machine-generated spam scores high). N-grams
+    build positionally inside the row (windowless transform), counts
+    are exact, shares exact floor divisions. One explode per order
+    into a doc-keyed aggregate — the q24 tokenizer's fan-out budget."""
+    from owl_etl_spark.operators.repetition import ngram_repetition_profile
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return ngram_repetition_profile(d, "doc_id", "text")
+
+
+@_register(
+    "q346_value_welch_anova",
+    """
+    WITH d AS (
+      SELECT event_type AS g, CAST(round(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), per0 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS nj, CAST(sum(v) AS BIGINT) AS sj,
+             CAST(sum(v * v) AS BIGINT) AS s2j
+      FROM d GROUP BY g
+    ), per1 AS (
+      SELECT nj, sj,
+             CAST(round(1000000.0 * CAST(nj AS DOUBLE)
+                  / ((CAST(s2j AS DOUBLE) - CAST(sj AS DOUBLE)
+                      * CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE))
+                     / (CAST(nj AS DOUBLE) - 1.0))) AS BIGINT) AS w
+      FROM per0 WHERE nj >= 2
+        AND (CAST(s2j AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+             / CAST(nj AS DOUBLE)) > 0
+    ), per2 AS (
+      SELECT nj, sj, w,
+             CAST(round(CAST(w AS DOUBLE) * CAST(sj AS DOUBLE)
+                  / CAST(nj AS DOUBLE)) AS BIGINT) AS wm
+      FROM per1 WHERE w > 0
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w_micro,
+             CAST(sum(wm) AS BIGINT) AS swm
+      FROM per2
+    ), staged AS (
+      SELECT k_groups, n, sum_w_micro,
+             CAST(round(CAST(w AS DOUBLE)
+                  * (CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)
+                     - CAST(swm AS DOUBLE) / CAST(sum_w_micro AS DOUBLE))
+                  * (CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)
+                     - CAST(swm AS DOUBLE) / CAST(sum_w_micro AS DOUBLE)))
+               AS BIGINT) AS a,
+             CAST(round(1000000.0
+                  * (1.0 - CAST(w AS DOUBLE) / CAST(sum_w_micro AS DOUBLE))
+                  * (1.0 - CAST(w AS DOUBLE) / CAST(sum_w_micro AS DOUBLE))
+                  / (CAST(nj AS DOUBLE) - 1.0)) AS BIGINT) AS b
+      FROM per2 CROSS JOIN g
+    ), outt AS (
+      SELECT k_groups, n, sum_w_micro,
+             CAST(sum(a) AS BIGINT) AS a_micro,
+             CAST(sum(b) AS BIGINT) AS b_micro
+      FROM staged GROUP BY k_groups, n, sum_w_micro
+    )
+    SELECT k_groups, n, sum_w_micro, a_micro, b_micro,
+           CAST(CASE WHEN k_groups > 1 AND b_micro >= 0
+             THEN round((1000000.0
+                    * (CAST(a_micro AS DOUBLE) / 1000000.0
+                       / (CAST(k_groups AS DOUBLE) - 1.0)))
+                   / (1.0 + 2.0 * (CAST(k_groups AS DOUBLE) - 2.0)
+                      / (CAST(k_groups AS DOUBLE) * CAST(k_groups AS DOUBLE) - 1.0)
+                      * (CAST(b_micro AS DOUBLE) / 1000000.0)))
+           END AS BIGINT) AS w_stat_micro,
+           CAST(CASE WHEN b_micro > 0
+             THEN round(1000000.0
+                    * (CAST(k_groups AS DOUBLE) * CAST(k_groups AS DOUBLE) - 1.0)
+                   / (3.0 * (CAST(b_micro AS DOUBLE) / 1000000.0)))
+           END AS BIGINT) AS df_denom_micro
+    FROM outt
+    """,
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic ANOVA across event types (library:
+    operators.inference.welch_anova) — the omnibus test to trust when
+    q336 rejects variance homogeneity (the classic F over-rejects
+    under heterogeneity with unequal n). Per-group weights n/s² snap
+    to micro FIRST; every later term is one double expression of
+    snapped/exact integers, so both engines walk identical
+    intermediate integers. One bounded shuffle."""
+    from owl_etl_spark.operators.inference import welch_anova
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.round(F.col("value")).cast("long").alias("v")
+    )
+    return welch_anova(e, "g", "v")
+
+
+@_register(
+    "q347_priority_ordered_trend",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice / 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), per_gv AS MATERIALIZED (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY g, v
+    ), all_v AS (
+      SELECT DISTINCT v FROM per_gv
+    ), gs AS (
+      SELECT DISTINCT g FROM per_gv
+    ), grid AS MATERIALIZED (
+      SELECT gs.g, all_v.v, CAST(coalesce(p.c, 0) AS BIGINT) AS c
+      FROM all_v CROSS JOIN gs
+      LEFT JOIN per_gv p ON p.g = gs.g AND p.v = all_v.v
+    ), grid2 AS MATERIALIZED (
+      SELECT g, v, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM grid
+    ), jt AS (
+      SELECT CAST(sum(b.c * (2 * a.cum_lt + a.c)) AS BIGINT) AS jt2
+      FROM grid2 a JOIN grid2 b ON a.v = b.v AND a.g < b.g
+    ), sizes AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS nj FROM per_gv GROUP BY g
+    ), gsum AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(nj * nj) AS BIGINT) AS nj2,
+             CAST(sum(nj * (nj - 1) * (2 * nj + 5)) AS BIGINT) AS ga,
+             CAST(sum(nj * (nj - 1) * (nj - 2)) AS BIGINT) AS gb3,
+             CAST(sum(nj * (nj - 1)) AS BIGINT) AS gc2
+      FROM sizes
+    ), tb AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t FROM per_gv GROUP BY v
+    ), tsum AS (
+      SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
+             CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS tb3,
+             CAST(sum(t * (t - 1)) AS BIGINT) AS tc2
+      FROM tb
+    ), gg AS (
+      SELECT * FROM jt CROSS JOIN gsum CROSS JOIN tsum
+    )
+    SELECT n, k_groups, jt2, CAST(n * n - nj2 AS BIGINT) AS mean4,
+           CAST(CASE WHEN ((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                            - CAST(ga AS DOUBLE) - CAST(ta AS DOUBLE)) / 72.0
+                          + CAST(gb3 AS DOUBLE) * CAST(tb3 AS DOUBLE)
+                            / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                               * (CAST(n AS DOUBLE) - 2.0))
+                          + CAST(gc2 AS DOUBLE) * CAST(tc2 AS DOUBLE)
+                            / (8.0 * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))) > 0
+             THEN round(1000000.0 * CAST(2 * jt2 - (n * n - nj2) AS DOUBLE) / 4.0
+                   / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                           - CAST(ga AS DOUBLE) - CAST(ta AS DOUBLE)) / 72.0
+                          + CAST(gb3 AS DOUBLE) * CAST(tb3 AS DOUBLE)
+                            / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                               * (CAST(n AS DOUBLE) - 2.0))
+                          + CAST(gc2 AS DOUBLE) * CAST(tc2 AS DOUBLE)
+                            / (8.0 * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))))
+           END AS BIGINT) AS z_micro
+    FROM gg
+    """,
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test: do order values rise
+    along the priority ladder 1-URGENT → 5-LOW (library: operators.
+    inference.jonckheere_terpstra)? The monotone-alternative rank
+    test that beats Kruskal-Wallis when the hypothesis IS ordered.
+    Values pre-bucketed to hundred-dollar cells (the stated
+    distinct-value-frame contract); doubled pairwise U counts and the
+    three-term tie-corrected variance assemble from exact BIGINTs.
+    Volumes: a (distinct values × 5 groups) grid, never row-pairs."""
+    from owl_etl_spark.operators.inference import jonckheere_terpstra
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") / 100).cast("long").alias("v"),
+    )
+    return jonckheere_terpstra(o, "g", "v")
+
+
+@_register(
+    "q348_quality_gates_cochran_q",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, n_chars,
+             CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                  THEN [] ELSE string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), f AS MATERIALIZED (
+      SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens, t
+      FROM base WHERE len(t) >= 1
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok FROM (
+        SELECT doc_id, tk, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS tk FROM f
+        ) GROUP BY doc_id, tk
+      ) GROUP BY doc_id
+    ), gates AS (
+      SELECT (f.n_chars >= 200) AS a, (f.n_tokens >= 40) AS b,
+             (rep.max_tok * 5 <= f.n_tokens) AS c
+      FROM f JOIN rep ON rep.doc_id = f.doc_id
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END
+                      + CASE WHEN b THEN 1 ELSE 0 END
+                      + CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS sum_r,
+             CAST(sum((CASE WHEN a THEN 1 ELSE 0 END
+                       + CASE WHEN b THEN 1 ELSE 0 END
+                       + CASE WHEN c THEN 1 ELSE 0 END)
+                      * (CASE WHEN a THEN 1 ELSE 0 END
+                         + CASE WHEN b THEN 1 ELSE 0 END
+                         + CASE WHEN c THEN 1 ELSE 0 END)) AS BIGINT) AS sum_r2,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS pass_a,
+             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_b,
+             CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS pass_c
+      FROM gates
+    )
+    SELECT n, CAST(3 AS BIGINT) AS k_gates, pass_a, pass_b, pass_c,
+           sum_r, sum_r2,
+           CAST(CASE WHEN 3 * sum_r - sum_r2 > 0
+             THEN round(1000000.0 * 2.0
+                    * (3.0 * CAST(pass_a * pass_a + pass_b * pass_b
+                                  + pass_c * pass_c AS DOUBLE)
+                       - CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE))
+                   / CAST(3 * sum_r - sum_r2 AS DOUBLE))
+           END AS BIGINT) AS q_micro
+    FROM g
+    """,
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over three paired quality gates on the same corpus
+    (library: operators.inference.cochran_q) — McNemar's k-gate
+    generalization: length (n_chars ≥ 200), token count (≥ 40), and
+    top-token repetition (max count ≤ 20% of tokens, the q84 signal
+    as an exact integer predicate max·5 ≤ n). All cells exact
+    BIGINTs; Q one snapped double expression. One doc-keyed aggregate
+    chain — no row-volume joins beyond the doc-keyed metric join."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.inference import cochran_q
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    base = d.select(
+        "doc_id", "n_chars", tokens(normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 1)
+    base = base.withColumn("n_tokens", F.size("t").cast("long"))
+    rep = (
+        base.select("doc_id", F.explode("t").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tok"))
+    )
+    gates = base.join(rep, "doc_id").select(
+        (F.col("n_chars") >= 200).alias("a"),
+        (F.col("n_tokens") >= 40).alias("b"),
+        (F.col("max_tok") * 5 <= F.col("n_tokens")).alias("c"),
+    )
+    return cochran_q(gates, ["a", "b", "c"])

@@ -672,3 +672,283 @@ def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.when((F.col("only_a") + F.col("only_b")) > 0, stat).alias("mcnemar_micro"),
         F.when(F.col("only_b") > 0, odds).alias("discordance_odds_micro"),
     )
+
+
+def welch_anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the omnibus k-sample
+    test that does NOT assume equal group variances (use when
+    :func:`brown_forsythe` rejects homogeneity; the classic F of
+    :func:`anova_oneway` over-rejects under variance heterogeneity
+    with unequal n).
+
+    Groups with n < 2 or zero variance are excluded (their weight
+    n/s² is undefined/infinite — stated discipline; k reflects the
+    groups actually tested).
+
+    Returns one row ``(k_groups, n, sum_w_micro, a_micro, b_micro,
+    w_stat_micro, df_denom_micro)``: W* = [Σw_j(m_j − m̄_w)²/(k−1)] /
+    [1 + 2(k−2)/(k²−1)·Σ(1−h_j)²/(n_j−1)] and the Welch denominator
+    dof (k²−1)/(3·Σ(1−h_j)²/(n_j−1)), both micro-scaled (NULL when
+    k < 2 or the correction sum degenerates).
+
+    Exactness: the per-group weight w_j = n_j/s_j² is SNAPPED to
+    micro first, and every later term (w·mean, the A and B sums) is
+    one double expression of snapped/exact integers — so both engines
+    walk identical intermediate integers exactly as the IPF/chi²
+    device prescribes.
+
+    Plan: one (group) aggregate → k-row frame, one global aggregate
+    broadcast back, one final aggregate. Single bounded shuffle.
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    per = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__nj"),
+        F.sum("__v").cast("long").alias("__sj"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__s2j"),
+    )
+    njd = F.col("__nj").cast("double")
+    sjd = F.col("__sj").cast("double")
+    s2jd = F.col("__s2j").cast("double")
+    var_d = (s2jd - sjd * sjd / njd) / (njd - 1.0)
+    # zero-variance groups make n/s² infinite (and the ANSI long cast
+    # throws on Inf) — exclude them BEFORE the weight, stated above
+    per = per.filter(
+        (F.col("__nj") >= 2) & ((s2jd - sjd * sjd / njd) > 0)
+    ).withColumn(
+        "__w", F.round(F.lit(float(_M)) * njd / var_d).cast("long")
+    ).filter(F.col("__w") > 0)
+    per = per.withColumn(
+        "__wm", F.round(F.col("__w").cast("double") * sjd / njd).cast("long")
+    )
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__nj").cast("long").alias("n"),
+        F.sum("__w").cast("long").alias("sum_w_micro"),
+        F.sum("__wm").cast("long").alias("__swm"),
+    )
+    joined = per.crossJoin(F.broadcast(g))
+    mw = F.col("__swm").cast("double") / F.col("sum_w_micro").cast("double")
+    h = F.col("__w").cast("double") / F.col("sum_w_micro").cast("double")
+    staged = joined.select(
+        "k_groups",
+        "n",
+        "sum_w_micro",
+        F.round(
+            F.col("__w").cast("double")
+            * (F.col("__sj").cast("double") / F.col("__nj").cast("double") - mw)
+            * (F.col("__sj").cast("double") / F.col("__nj").cast("double") - mw)
+        )
+        .cast("long")
+        .alias("__a"),
+        F.round(
+            F.lit(float(_M)) * (F.lit(1.0) - h) * (F.lit(1.0) - h)
+            / (F.col("__nj").cast("double") - 1.0)
+        )
+        .cast("long")
+        .alias("__b"),
+    )
+    out = staged.groupBy("k_groups", "n", "sum_w_micro").agg(
+        F.sum("__a").cast("long").alias("a_micro"),
+        F.sum("__b").cast("long").alias("b_micro"),
+    )
+    kd = F.col("k_groups").cast("double")
+    num = F.col("a_micro").cast("double") / float(_M) / (kd - 1.0)
+    den = F.lit(1.0) + F.lit(2.0) * (kd - 2.0) / (kd * kd - 1.0) * (
+        F.col("b_micro").cast("double") / float(_M)
+    )
+    ok = (F.col("k_groups") > 1) & (F.col("b_micro") >= 0)
+    w_stat = F.round(F.lit(float(_M)) * num / den).cast("long")
+    dfd = F.when(
+        F.col("b_micro") > 0,
+        F.round(
+            F.lit(float(_M)) * (kd * kd - 1.0)
+            / (F.lit(3.0) * (F.col("b_micro").cast("double") / float(_M)))
+        ).cast("long"),
+    )
+    return out.select(
+        "k_groups",
+        "n",
+        "sum_w_micro",
+        "a_micro",
+        "b_micro",
+        F.when(ok, w_stat).alias("w_stat_micro"),
+        dfd.alias("df_denom_micro"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_tie_block: int = 2_000_000,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend across k groups
+    (ordering = the natural sort of ``group_col``): are values
+    stochastically increasing along the group order? Strictly more
+    powerful than Kruskal-Wallis when the alternative is monotone
+    (dose-response, priority tiers, cohort vintages).
+
+    Returns one row ``(n, k_groups, jt2, mean4, z_micro)``:
+    jt2 = 2·JT (Mann-Whitney counts summed over ordered group pairs,
+    ties at half weight — doubled to stay integer), mean4 = 4·E[JT] =
+    N² − Σn_j², and z the tie-corrected normal score (one snapped
+    double expression; NULL when the variance degenerates). The
+    three-term tie-corrected variance is assembled from exact BIGINT
+    group/tie sums (cubes bound ``max_tie_block``, the 2^63 guard).
+
+    Plan: one (group, value) aggregate; a grid of (distinct values ×
+    k groups) densified with a per-group running-count window; one
+    value-keyed pair join (grid-bounded, never row-volume); two tiny
+    global aggregates. Callers with near-continuous values should
+    pre-bucket (the stated distinct-value-frame contract shared with
+    KS/MWU/KW).
+    """
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    per_gv = d.groupBy("__g", "__v").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    per_gv = per_gv.localCheckpoint(eager=False)
+    all_v = per_gv.select("__v").distinct()
+    groups = per_gv.select("__g").distinct()
+    grid = all_v.crossJoin(F.broadcast(groups)).join(
+        per_gv, ["__g", "__v"], "left"
+    ).withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("long"))
+    w_lt = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "__cum_lt", F.coalesce(F.sum("__c").over(w_lt), F.lit(0)).cast("long")
+    )
+    b_side = grid.select(
+        F.col("__g").alias("__gb"), F.col("__v").alias("__vb"),
+        F.col("__c").alias("__cb"),
+    )
+    pairs = grid.join(
+        b_side,
+        (F.col("__v") == F.col("__vb")) & (F.col("__g") < F.col("__gb")),
+    )
+    jt = pairs.groupBy().agg(
+        F.sum(F.col("__cb") * (2 * F.col("__cum_lt") + F.col("__c")))
+        .cast("long")
+        .alias("jt2")
+    )
+    sizes = per_gv.groupBy("__g").agg(F.sum("__c").cast("long").alias("__nj"))
+    sizes = sizes.withColumn(
+        "__nj", _guarded(F.col("__nj"), max_tie_block, "jonckheere_terpstra group")
+    )
+    gsum = sizes.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__nj").cast("long").alias("n"),
+        F.sum(F.col("__nj") * F.col("__nj")).cast("long").alias("__nj2"),
+        F.sum(F.col("__nj") * (F.col("__nj") - 1) * (2 * F.col("__nj") + 5))
+        .cast("long")
+        .alias("__ga"),
+        F.sum(F.col("__nj") * (F.col("__nj") - 1) * (F.col("__nj") - 2))
+        .cast("long")
+        .alias("__gb3"),
+        F.sum(F.col("__nj") * (F.col("__nj") - 1)).cast("long").alias("__gc2"),
+    )
+    tblocks = per_gv.groupBy("__v").agg(F.sum("__c").cast("long").alias("__t"))
+    tblocks = tblocks.withColumn(
+        "__t", _guarded(F.col("__t"), max_tie_block, "jonckheere_terpstra tie block")
+    )
+    tsum = tblocks.groupBy().agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5))
+        .cast("long")
+        .alias("__ta"),
+        F.sum(F.col("__t") * (F.col("__t") - 1) * (F.col("__t") - 2))
+        .cast("long")
+        .alias("__tb3"),
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__tc2"),
+    )
+    g = jt.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(tsum))
+    nd = F.col("n").cast("double")
+    var_d = (
+        (
+            nd * (nd - 1.0) * (2.0 * nd + 5.0)
+            - F.col("__ga").cast("double")
+            - F.col("__ta").cast("double")
+        )
+        / 72.0
+        + F.col("__gb3").cast("double") * F.col("__tb3").cast("double")
+        / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + F.col("__gc2").cast("double") * F.col("__tc2").cast("double")
+        / (8.0 * nd * (nd - 1.0))
+    )
+    mean4 = (F.col("n") * F.col("n") - F.col("__nj2")).cast("long")
+    z = F.round(
+        F.lit(float(_M))
+        * (2 * F.col("jt2") - mean4).cast("double")
+        / 4.0
+        / F.sqrt(var_d)
+    ).cast("long")
+    return g.select(
+        "n",
+        "k_groups",
+        "jt2",
+        mean4.alias("mean4"),
+        F.when(var_d > 0, z).alias("z_micro"),
+    )
+
+
+def cochran_q(df: DataFrame, gate_cols: list[str]) -> DataFrame:
+    """Cochran's Q over k ≥ 2 paired boolean judges on the same items
+    — McNemar's k-gate generalization: do the gates pass DIFFERENT
+    fractions of the corpus, accounting for the pairing? Rows with
+    any null judgment are excluded (complete-case, stated).
+
+    Returns one row ``(n, k_gates, pass_<gate>..., sum_r, sum_r2,
+    q_micro)`` with Q = (k−1)·(k·ΣC_j² − N²)/(k·ΣR_i − ΣR_i²) —
+    column totals C_j, per-row pass counts R_i, N = ΣR — as one
+    snapped double expression of exact BIGINT sums (NULL when the
+    denominator is 0: every row passes all-or-none gates).
+
+    Plan: one global aggregate (map-side combined). No shuffle of row
+    volumes, no joins.
+    """
+    if len(gate_cols) < 2:
+        raise ValueError("cochran_q: need at least 2 gate columns")
+    d = df.select(*[F.col(c).cast("boolean").alias(c) for c in gate_cols])
+    cond = None
+    for c in gate_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    d = d.filter(cond)
+    r = None
+    for c in gate_cols:
+        term = F.col(c).cast("long")
+        r = term if r is None else (r + term)
+    d = d.withColumn("__r", r)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("sum_r"),
+        F.sum(F.col("__r") * F.col("__r")).cast("long").alias("sum_r2"),
+    ] + [F.sum(F.col(c).cast("long")).cast("long").alias(f"pass_{c}") for c in gate_cols]
+    g = d.groupBy().agg(*aggs)
+    k = len(gate_cols)
+    sc2 = None
+    for c in gate_cols:
+        sq = F.col(f"pass_{c}") * F.col(f"pass_{c}")
+        sc2 = sq if sc2 is None else (sc2 + sq)
+    den = (F.lit(k) * F.col("sum_r") - F.col("sum_r2")).cast("long")
+    q = F.round(
+        F.lit(float(_M))
+        * F.lit(float(k - 1))
+        * (F.lit(float(k)) * sc2.cast("double")
+           - F.col("sum_r").cast("double") * F.col("sum_r"))
+        / den.cast("double")
+    ).cast("long")
+    return g.select(
+        "n",
+        F.lit(k).cast("long").alias("k_gates"),
+        *[f"pass_{c}" for c in gate_cols],
+        "sum_r",
+        "sum_r2",
+        F.when(den > 0, q).alias("q_micro"),
+    )

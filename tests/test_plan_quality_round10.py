@@ -36,6 +36,10 @@ _WAVE = [
     "q342_purchase_trend_mann_kendall",
     "q343_quality_gate_mcnemar",
     "q344_source_lang_raking",
+    "q345_doc_repetition_profile",
+    "q346_value_welch_anova",
+    "q347_priority_ordered_trend",
+    "q348_quality_gates_cochran_q",
 ]
 
 
@@ -110,3 +114,20 @@ def test_raking_grid_joins_stay_broadcast(spark):
     plan = _plan(spark, "q344_source_lang_raking")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_jonckheere_pair_join_keys_on_value(spark):
+    # the grid pair step joins on value equality (+ group inequality):
+    # must plan as a hash/sort-merge join, never a cartesian
+    plan = _plan(spark, "q347_priority_ordered_trend")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_repetition_profile_joins_stay_doc_keyed(spark):
+    # per-doc metric joins key on the doc id; no cartesian, no Python
+    plan = _plan(spark, "q345_doc_repetition_profile")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two gram orders x 2 phases
