@@ -1434,8 +1434,8 @@ _PRIORITY = [
     "q334", "q335", "q336", "q337", "q338", "q339", "q340",
     "q341", "q342", "q343", "q344",
     # round-10 wave 8: repetition profile, Welch ANOVA, ordered
-    # trend, Cochran's Q
-    "q345", "q346", "q347", "q348",
+    # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa
+    "q345", "q346", "q347", "q348", "q349", "q350",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -20938,3 +20938,163 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_tok") * 5 <= F.col("n_tokens")).alias("c"),
     )
     return cochran_q(gates, ["a", "b", "c"])
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 9: Page-Hinkley drift detection, Fleiss' kappa
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q349_revenue_page_hinkley",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT (epoch_us(ts) // 1000000) // 86400 AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ), w1 AS (
+      SELECT t, x,
+             CAST(sum(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cs,
+             CAST(count(*) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS i
+      FROM daily
+    ), w2 AS (
+      SELECT t, x, CAST({_fd_sql("cs * 1000000", "i")} AS BIGINT) AS mean_micro
+      FROM w1
+    ), w3 AS (
+      SELECT t, x, mean_micro,
+             CAST(x * 1000000 - mean_micro - 0 AS BIGINT) AS term
+      FROM w2
+    ), w4 AS (
+      SELECT t, x, mean_micro,
+             CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS m_micro
+      FROM w3
+    )
+    SELECT t, x, mean_micro, m_micro,
+           CAST(m_micro - min(m_micro) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_micro,
+           CAST(CASE WHEN (m_micro - min(m_micro) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW)) > 5000000000000
+                THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM w4
+    """,
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-increase monitor over daily purchase revenue
+    (library: operators.trend.page_hinkley) — the sequential drift
+    detector beside CUSUM (fixed reference) and Mann-Kendall (global
+    trend): cumulative deviation from the RUNNING mean vs its
+    historical minimum, alarm at λ = 5e12 micro-cents. Pure exact
+    integer arithmetic (floor-division means, running sums/mins) —
+    no snapping anywhere. Two ordered windows over the 30-day frame."""
+    from owl_etl_spark.operators.trend import page_hinkley
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    day = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400"
+    )
+    daily = e.groupBy(day.alias("t")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    return page_hinkley(daily, "t", "x", delta_micro=0, lambda_micro=5_000_000_000_000)
+
+
+@_register(
+    "q350_quality_gates_fleiss_kappa",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, n_chars,
+             CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                  THEN [] ELSE string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), f AS MATERIALIZED (
+      SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens, t
+      FROM base WHERE len(t) >= 1
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok FROM (
+        SELECT doc_id, tk, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS tk FROM f
+        ) GROUP BY doc_id, tk
+      ) GROUP BY doc_id
+    ), gates AS (
+      SELECT (CASE WHEN f.n_chars >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN f.n_tokens >= 40 THEN 1 ELSE 0 END
+              + CASE WHEN rep.max_tok * 5 <= f.n_tokens THEN 1 ELSE 0 END) AS r
+      FROM f JOIN rep ON rep.doc_id = f.doc_id
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(r * r) AS BIGINT) AS sum_r2
+      FROM gates
+    )
+    SELECT n, CAST(3 AS BIGINT) AS k_gates, sum_r, sum_r2,
+           CAST(round(1000000.0
+                * ((2.0 * CAST(sum_r2 AS DOUBLE) - 6.0 * CAST(sum_r AS DOUBLE)
+                    + CAST(n AS DOUBLE) * 6.0)
+                   / (CAST(n AS DOUBLE) * 6.0))) AS BIGINT) AS p_bar_micro,
+           CAST(round(1000000.0
+                * ((CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   * (CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   + (1.0 - CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   * (1.0 - CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))))
+             AS BIGINT) AS p_e_micro,
+           CAST(CASE WHEN ((CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   * (CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   + (1.0 - CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                   * (1.0 - CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))) < 1.0
+             THEN round((1000000.0
+                    * (((2.0 * CAST(sum_r2 AS DOUBLE) - 6.0 * CAST(sum_r AS DOUBLE)
+                         + CAST(n AS DOUBLE) * 6.0) / (CAST(n AS DOUBLE) * 6.0))
+                       - ((CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                          * (CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                          + (1.0 - CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                          * (1.0 - CAST(sum_r AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 3.0)))))
+                   / (1.0 - ((CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                             * (CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+                             + (1.0 - CAST(sum_r AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * 3.0))
+                             * (1.0 - CAST(sum_r AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * 3.0)))))
+           END AS BIGINT) AS kappa_micro
+    FROM g
+    """,
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the three q348 quality gates (library:
+    operators.inference.fleiss_kappa) — the AGREEMENT companion to
+    Cochran's Q: how much more often do the gates agree per document
+    than their marginal pass rates predict? κ from the exact (Σr,
+    Σr²) sums via the binary-category identity r(r−1) + (k−r)(k−r−1)
+    = 2r² − 2kr + k² − k; each ratio one snapped double expression.
+    One doc-keyed aggregate chain, no row-volume joins."""
+    from owl_etl_spark.functions.text import normalize_text, tokens
+    from owl_etl_spark.operators.inference import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    base = d.select(
+        "doc_id", "n_chars", tokens(normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 1)
+    base = base.withColumn("n_tokens", F.size("t").cast("long"))
+    rep = (
+        base.select("doc_id", F.explode("t").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tok"))
+    )
+    gates = base.join(rep, "doc_id").select(
+        (F.col("n_chars") >= 200).alias("a"),
+        (F.col("n_tokens") >= 40).alias("b"),
+        (F.col("max_tok") * 5 <= F.col("n_tokens")).alias("c"),
+    )
+    return fleiss_kappa(gates, ["a", "b", "c"])

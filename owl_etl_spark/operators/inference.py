@@ -952,3 +952,65 @@ def cochran_q(df: DataFrame, gate_cols: list[str]) -> DataFrame:
         "sum_r2",
         F.when(den > 0, q).alias("q_micro"),
     )
+
+
+def fleiss_kappa(df: DataFrame, gate_cols: list[str]) -> DataFrame:
+    """Fleiss' kappa over k ≥ 2 paired boolean judges — the AGREEMENT
+    readout beside Cochran's Q (which tests for DIFFERENT pass rates):
+    how much more often do the gates agree per item than their
+    marginal pass rates predict? Complete cases only (stated, shared
+    with :func:`cochran_q`).
+
+    With r_i = per-item pass count over k judges:
+      P̄  = Σ_i [r_i(r_i−1) + (k−r_i)(k−r_i−1)] / (n·k·(k−1))
+      P_e = p² + (1−p)²,  p = Σr/(n·k)
+      κ   = (P̄ − P_e)/(1 − P_e)
+
+    Returns one row ``(n, k_gates, sum_r, sum_r2, p_bar_micro,
+    p_e_micro, kappa_micro)`` — all from the exact BIGINT sums
+    (Σr, Σr²); each ratio is one snapped double expression; κ NULL
+    when P_e = 1 (every judgment identical — agreement is vacuous).
+
+    Plan: one global aggregate, no joins.
+    """
+    if len(gate_cols) < 2:
+        raise ValueError("fleiss_kappa: need at least 2 gate columns")
+    d = df.select(*[F.col(c).cast("boolean").alias(c) for c in gate_cols])
+    cond = None
+    for c in gate_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    d = d.filter(cond)
+    r = None
+    for c in gate_cols:
+        term = F.col(c).cast("long")
+        r = term if r is None else (r + term)
+    d = d.withColumn("__r", r)
+    g = d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("sum_r"),
+        F.sum(F.col("__r") * F.col("__r")).cast("long").alias("sum_r2"),
+    )
+    k = len(gate_cols)
+    nd = F.col("n").cast("double")
+    srd = F.col("sum_r").cast("double")
+    sr2d = F.col("sum_r2").cast("double")
+    kd = float(k)
+    # Σ[r(r−1) + (k−r)(k−r−1)] = 2Σr² − 2kΣr + nk(k−1) + ... expand:
+    # r(r−1) + (k−r)(k−r−1) = 2r² − 2kr + k² − k  (exact identity)
+    pbar = (
+        (F.lit(2.0) * sr2d - F.lit(2.0 * k) * srd + nd * F.lit(kd * kd - kd))
+        / (nd * F.lit(kd * (kd - 1.0)))
+    )
+    p = srd / (nd * F.lit(kd))
+    pe = p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    kappa = F.round(F.lit(float(_M)) * (pbar - pe) / (F.lit(1.0) - pe)).cast("long")
+    return g.select(
+        "n",
+        F.lit(k).cast("long").alias("k_gates"),
+        "sum_r",
+        "sum_r2",
+        F.round(F.lit(float(_M)) * pbar).cast("long").alias("p_bar_micro"),
+        F.round(F.lit(float(_M)) * pe).cast("long").alias("p_e_micro"),
+        F.when(pe < 1.0, kappa).alias("kappa_micro"),
+    )

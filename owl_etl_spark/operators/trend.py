@@ -144,3 +144,59 @@ def mann_kendall_sen(
         F.when(var18 > 0, z).alias("z_micro"),
         "sen_slope2_micro",
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    delta_micro: int = 0,
+    lambda_micro: int | None = None,
+) -> DataFrame:
+    """Page-Hinkley mean-increase detector over a (time, value) series
+    — the sequential drift monitor beside CUSUM (fixed reference) and
+    Mann-Kendall (global trend): it tracks the cumulative deviation of
+    each point from the RUNNING mean and alarms when the gap to the
+    historical minimum exceeds λ. The standard online change detector
+    for data-stream quality metrics.
+
+        mean_t = (Σ_{i≤t} x_i)/t            (exact floor division, micro)
+        term_t = x_t·1e6 − mean_t − δ       (exact BIGINT)
+        m_t    = Σ_{i≤t} term_i             (exact running sum)
+        PH_t   = m_t − min_{s≤t} m_s        (exact running min)
+        alarm  = PH_t > λ                   (integer comparison)
+
+    Returns one row per point: ``(t, x, mean_micro, m_micro,
+    ph_micro, alarm)`` (alarm NULL when ``lambda_micro`` is None —
+    emit the statistic, let the caller threshold).
+
+    Everything is exact integer arithmetic — no snapping needed at
+    all. Plan: two ordered windows over the series frame (caller
+    pre-aggregates to time buckets — the stated series contract
+    shared with mann_kendall_sen); no joins.
+    """
+    d = df.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    ).filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w_run = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("__cs", F.sum("x").over(w_run).cast("long")).withColumn(
+        "__i", F.count(F.lit(1)).over(w_run).cast("long")
+    )
+    d = d.withColumn("mean_micro", _fd("__cs * 1000000", "__i").cast("long"))
+    d = d.withColumn(
+        "__term",
+        (F.col("x") * _M - F.col("mean_micro") - int(delta_micro)).cast("long"),
+    )
+    d = d.withColumn("m_micro", F.sum("__term").over(w_run).cast("long"))
+    d = d.withColumn(
+        "ph_micro", (F.col("m_micro") - F.min("m_micro").over(w_run)).cast("long")
+    )
+    alarm = (
+        F.lit(None).cast("long")
+        if lambda_micro is None
+        else (F.col("ph_micro") > int(lambda_micro)).cast("long")
+    )
+    return d.select("t", "x", "mean_micro", "m_micro", "ph_micro", alarm.alias("alarm"))

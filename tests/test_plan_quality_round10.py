@@ -40,6 +40,8 @@ _WAVE = [
     "q346_value_welch_anova",
     "q347_priority_ordered_trend",
     "q348_quality_gates_cochran_q",
+    "q349_revenue_page_hinkley",
+    "q350_quality_gates_fleiss_kappa",
 ]
 
 

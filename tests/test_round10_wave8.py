@@ -155,3 +155,85 @@ def test_cochran_q_requires_two_gates(spark):
     df = spark.createDataFrame([(True,)], "a boolean")
     with pytest.raises(ValueError):
         cochran_q(df, ["a"])
+
+
+# --- wave 9: Page-Hinkley + Fleiss' kappa ---------------------------------
+
+from owl_etl_spark.operators.inference import fleiss_kappa
+from owl_etl_spark.operators.trend import page_hinkley
+
+
+def test_page_hinkley_exact_reference_and_alarm(spark):
+    xs = [10, 11, 9, 10, 10, 30, 32, 31, 33, 35]  # planted level shift at t=5
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    out = {
+        r.t: r
+        for r in page_hinkley(df, "t", "x", lambda_micro=20 * M).collect()
+    }
+    # replay the exact integer recurrence
+    cs = 0
+    m = 0
+    mins = []
+    for i, x in enumerate(xs):
+        cs += x
+        mean = (cs * M) // (i + 1)
+        m += x * M - mean
+        mins.append(m)
+        ph = m - min(mins)
+        assert out[i].mean_micro == mean
+        assert out[i].m_micro == m
+        assert out[i].ph_micro == ph
+    # alarm fires only after the shift
+    assert all(out[i].alarm == 0 for i in range(5))
+    assert out[9].alarm == 1
+
+
+def test_page_hinkley_flat_series_never_alarms(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(10)], "t long, x long")
+    out = page_hinkley(df, "t", "x", lambda_micro=1).collect()
+    assert all(r.ph_micro == 0 and r.alarm == 0 for r in out)
+
+
+def _ref_fleiss(rows: list[tuple[bool, bool, bool]]) -> float:
+    k = 3
+    n = len(rows)
+    rs = [sum(r) for r in rows]
+    pbar = sum(r * (r - 1) + (k - r) * (k - r - 1) for r in rs) / (n * k * (k - 1))
+    p = sum(rs) / (n * k)
+    pe = p * p + (1 - p) * (1 - p)
+    return (pbar - pe) / (1 - pe)
+
+
+def test_fleiss_kappa_matches_reference(spark):
+    rows = [
+        (True, True, True),
+        (True, True, False),
+        (False, False, False),
+        (True, False, True),
+        (False, False, True),
+        (True, True, True),
+        (False, False, False),
+        (True, False, False),
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    r = fleiss_kappa(df, ["a", "b", "c"]).collect()[0]
+    assert r.n == 8 and r.k_gates == 3
+    assert r.kappa_micro == pytest.approx(_ref_fleiss(rows) * M, abs=3)
+
+
+def test_fleiss_kappa_perfect_agreement_is_one(spark):
+    rows = [(True, True, True)] * 3 + [(False, False, False)] * 5
+    r = fleiss_kappa(
+        spark.createDataFrame(rows, "a boolean, b boolean, c boolean"),
+        ["a", "b", "c"],
+    ).collect()[0]
+    assert r.kappa_micro == M
+
+
+def test_fleiss_kappa_unanimous_single_category_is_null(spark):
+    rows = [(True, True, True)] * 5
+    r = fleiss_kappa(
+        spark.createDataFrame(rows, "a boolean, b boolean, c boolean"),
+        ["a", "b", "c"],
+    ).collect()[0]
+    assert r.kappa_micro is None  # P_e = 1: agreement is vacuous
