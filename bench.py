@@ -857,6 +857,14 @@ _SCALE_QUERIES = [
     # Hamming join's bucket guard under 10x fingerprint collisions
     # (no 1x headline baseline, so wall+rows only, no ratio).
     "q330_phash_near_dup_pairs",
+    # round-10 waves 5-8: the three new families with nontrivial
+    # fan-out at scale — the FDR screen's x64 permutation explode,
+    # the per-doc n-gram repetition explode (2 gram orders x token
+    # budget), and the ordered-trend (distinct values x groups) grid.
+    # Wall+rows only (no 1x headline baseline, no ratio).
+    "q337_cohort_fdr_screen",
+    "q345_doc_repetition_profile",
+    "q347_priority_ordered_trend",
 ]
 
 
