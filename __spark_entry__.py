@@ -1434,8 +1434,9 @@ _PRIORITY = [
     "q334", "q335", "q336", "q337", "q338", "q339", "q340",
     "q341", "q342", "q343", "q344",
     # round-10 wave 8: repetition profile, Welch ANOVA, ordered
-    # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa
-    "q345", "q346", "q347", "q348", "q349", "q350",
+    # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa;
+    # wave 10: matching ATT + regression discontinuity
+    "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -21098,3 +21099,204 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_tok") * 5 <= F.col("n_tokens")).alias("c"),
     )
     return fleiss_kappa(gates, ["a", "b", "c"])
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 10: matching ATT + regression discontinuity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q351_balance_matched_att",
+    f"""
+    WITH cust AS MATERIALIZED (
+      SELECT c_custkey AS id, (c_mktsegment = 'BUILDING') AS t,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+             CAST(coalesce(sp.v, 0) AS BIGINT) AS y
+      FROM customer LEFT JOIN (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+      ) sp ON sp.o_custkey = c_custkey
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), ctrl AS MATERIALIZED (
+      SELECT * FROM cust WHERE NOT t
+    ), tr AS (
+      SELECT * FROM cust WHERE t
+    ), cand AS MATERIALIZED (
+      SELECT tr.id, tr.s, tr.y,
+             (SELECT max(c.s) FROM ctrl c WHERE c.s <= tr.s) AS bs,
+             (SELECT min(c.s) FROM ctrl c WHERE c.s >= tr.s) AS fs
+      FROM tr
+    ), picked AS (
+      SELECT id, s, y,
+             CASE WHEN bs IS NOT NULL AND (fs IS NULL OR s - bs <= fs - s)
+                  THEN bs
+                  WHEN fs IS NOT NULL THEN fs END AS ms,
+             CASE WHEN bs IS NOT NULL AND (fs IS NULL OR s - bs <= fs - s)
+                  THEN s - bs
+                  WHEN fs IS NOT NULL THEN fs - s END AS md
+      FROM cand
+    ), matched AS (
+      SELECT p.id, p.y,
+             CASE WHEN p.md IS NOT NULL AND p.md <= 10000 THEN (
+               SELECT c.y FROM ctrl c WHERE c.s = p.ms ORDER BY c.id LIMIT 1
+             ) END AS my
+      FROM picked p
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_treated,
+             CAST((SELECT count(*) FROM ctrl) AS BIGINT) AS n_control,
+             CAST(sum(CASE WHEN my IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             CAST(sum(CASE WHEN my IS NOT NULL THEN y ELSE 0 END) AS BIGINT)
+               AS sy_t,
+             CAST(sum(coalesce(my, 0)) AS BIGINT) AS sy_c
+      FROM matched
+    )
+    SELECT n_treated, n_control, n_matched,
+           CAST(n_treated - n_matched AS BIGINT) AS n_unmatched,
+           CAST(CASE WHEN n_matched > 0
+             THEN {_fd_sql("sy_t * 1000000", "n_matched")} END AS BIGINT)
+             AS mean_t_micro,
+           CAST(CASE WHEN n_matched > 0
+             THEN {_fd_sql("sy_c * 1000000", "n_matched")} END AS BIGINT)
+             AS mean_c_micro,
+           CAST(CASE WHEN n_matched > 0
+             THEN {_fd_sql("(sy_t - sy_c) * 1000000", "n_matched")} END AS BIGINT)
+             AS att_micro
+    FROM g
+    """,
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT of the BUILDING segment on customer spend by 1:1 nearest-
+    neighbor matching on account balance, caliper $100 (library:
+    operators.causal_design.nn_match_att) — the matching DESIGN
+    beside the engine's weighting/regression estimators (q286
+    stratified, q301 AIPW, q288 CUPED): each treated customer
+    matches the control with the nearest balance (backward on ties,
+    min-custkey among equal scores — fully deterministic,
+    with-replacement). One sort-based as-of window pass — no pairwise
+    candidate generation."""
+    from owl_etl_spark.operators.causal_design import nn_match_att
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    d = c.filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    ).join(spend, c["c_custkey"] == spend["o_custkey"], "left").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("s"),
+        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("y"),
+    )
+    return nn_match_att(d, "t", "s", "y", "id", caliper=10_000)
+
+
+@_register(
+    "q352_balance_discontinuity",
+    """
+    WITH cnts AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS v FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(coalesce(cnts.v, 0) AS BIGINT) AS y
+      FROM customer LEFT JOIN cnts ON cnts.o_custkey = c_custkey
+      WHERE c_acctbal IS NOT NULL
+    ), f AS (
+      SELECT x, y FROM d WHERE abs(x) <= 200000
+    ), g AS (
+      SELECT CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN x < 0 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+             CAST(sum(CASE WHEN x < 0 THEN y ELSE 0 END) AS BIGINT) AS syb,
+             CAST(sum(CASE WHEN x < 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxyb,
+             CAST(sum(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS BIGINT) AS sx2b,
+             CAST(sum(CASE WHEN x >= 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+             CAST(sum(CASE WHEN x >= 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+             CAST(sum(CASE WHEN x >= 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxya,
+             CAST(sum(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS BIGINT) AS sx2a
+      FROM f
+    )
+    SELECT n_below, n_above,
+           CAST(CASE WHEN n_below >= 2 AND (CAST(n_below AS DOUBLE)
+                  * CAST(sx2b AS DOUBLE)
+                  - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) > 0
+             THEN round(1000000.0 * ((CAST(n_below AS DOUBLE) * CAST(sxyb AS DOUBLE)
+                    - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE))
+                   / (CAST(n_below AS DOUBLE) * CAST(sx2b AS DOUBLE)
+                      - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))))
+           END AS BIGINT) AS slope_below_micro,
+           CAST(CASE WHEN n_above >= 2 AND (CAST(n_above AS DOUBLE)
+                  * CAST(sx2a AS DOUBLE)
+                  - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) > 0
+             THEN round(1000000.0 * ((CAST(n_above AS DOUBLE) * CAST(sxya AS DOUBLE)
+                    - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+                   / (CAST(n_above AS DOUBLE) * CAST(sx2a AS DOUBLE)
+                      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))))
+           END AS BIGINT) AS slope_above_micro,
+           CAST(CASE WHEN n_below >= 2 AND (CAST(n_below AS DOUBLE)
+                  * CAST(sx2b AS DOUBLE)
+                  - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) > 0
+             THEN round(1000000.0 * ((CAST(syb AS DOUBLE)
+                    - ((CAST(n_below AS DOUBLE) * CAST(sxyb AS DOUBLE)
+                        - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE))
+                       / (CAST(n_below AS DOUBLE) * CAST(sx2b AS DOUBLE)
+                          - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)))
+                      * CAST(sxb AS DOUBLE)) / CAST(n_below AS DOUBLE)))
+           END AS BIGINT) AS intercept_below_micro,
+           CAST(CASE WHEN n_above >= 2 AND (CAST(n_above AS DOUBLE)
+                  * CAST(sx2a AS DOUBLE)
+                  - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) > 0
+             THEN round(1000000.0 * ((CAST(sya AS DOUBLE)
+                    - ((CAST(n_above AS DOUBLE) * CAST(sxya AS DOUBLE)
+                        - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+                       / (CAST(n_above AS DOUBLE) * CAST(sx2a AS DOUBLE)
+                          - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)))
+                      * CAST(sxa AS DOUBLE)) / CAST(n_above AS DOUBLE)))
+           END AS BIGINT) AS intercept_above_micro,
+           CAST(CASE WHEN n_below >= 2 AND n_above >= 2
+                  AND (CAST(n_below AS DOUBLE) * CAST(sx2b AS DOUBLE)
+                       - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) > 0
+                  AND (CAST(n_above AS DOUBLE) * CAST(sx2a AS DOUBLE)
+                       - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) > 0
+             THEN round(1000000.0 * ((CAST(sya AS DOUBLE)
+                    - ((CAST(n_above AS DOUBLE) * CAST(sxya AS DOUBLE)
+                        - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+                       / (CAST(n_above AS DOUBLE) * CAST(sx2a AS DOUBLE)
+                          - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)))
+                      * CAST(sxa AS DOUBLE)) / CAST(n_above AS DOUBLE)))
+                  - round(1000000.0 * ((CAST(syb AS DOUBLE)
+                    - ((CAST(n_below AS DOUBLE) * CAST(sxyb AS DOUBLE)
+                        - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE))
+                       / (CAST(n_below AS DOUBLE) * CAST(sx2b AS DOUBLE)
+                          - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)))
+                      * CAST(sxb AS DOUBLE)) / CAST(n_below AS DOUBLE)))
+           END AS BIGINT) AS jump_micro
+    FROM g
+    """,
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity of order count at the zero-
+    balance threshold, $2000 bandwidth (library: operators.
+    causal_design.regression_discontinuity): local linear fits on
+    each side of acctbal = 0 from exact BIGINT moments; the jump is
+    the difference of the side intercepts at the cutoff. One
+    conditional-moment aggregate — no joins beyond the FK spend
+    rollup, no windows."""
+    from owl_etl_spark.operators.causal_design import regression_discontinuity
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    d = c.filter(F.col("c_acctbal").isNotNull()).join(
+        cnt, c["c_custkey"] == cnt["o_custkey"], "left"
+    ).select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("y"),
+    )
+    return regression_discontinuity(d, "x", "y", cutoff=0, bandwidth=200_000)

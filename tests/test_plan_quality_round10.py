@@ -42,6 +42,8 @@ _WAVE = [
     "q348_quality_gates_cochran_q",
     "q349_revenue_page_hinkley",
     "q350_quality_gates_fleiss_kappa",
+    "q351_balance_matched_att",
+    "q352_balance_discontinuity",
 ]
 
 
@@ -133,3 +135,17 @@ def test_repetition_profile_joins_stay_doc_keyed(spark):
     plan = _plan(spark, "q345_doc_repetition_profile")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # two gram orders x 2 phases
+
+
+def test_matching_is_window_pass_not_pairwise(spark):
+    # matching must plan as sort windows over the union, never a
+    # treated-x-control join
+    plan = _plan(spark, "q351_balance_matched_att")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_rd_is_one_aggregate_after_fk_join(spark):
+    plan = _plan(spark, "q352_balance_discontinuity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,114 @@
+"""Round-10 wave 10 (operators/causal_design.py): deterministic
+matching laws and exact-moment RD parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.causal_design import (
+    nn_match_att,
+    regression_discontinuity,
+)
+
+M = 1_000_000
+
+
+def _match_df(spark, rows):
+    return spark.createDataFrame(rows, "t boolean, s long, y long, id long")
+
+
+def test_matching_picks_nearest_with_backward_tie(spark):
+    rows = [
+        (False, 10, 100, 1),
+        (False, 20, 200, 2),
+        (True, 14, 500, 3),   # nearer to 10 (d=4) than 20 (d=6) -> y_c=100
+        (True, 15, 700, 4),   # equidistant (5/5) -> backward -> y_c=100
+        (True, 19, 900, 5),   # nearer to 20 -> y_c=200
+    ]
+    r = nn_match_att(_match_df(spark, rows), "t", "s", "y", "id", caliper=100).collect()[0]
+    assert (r.n_treated, r.n_control, r.n_matched, r.n_unmatched) == (3, 2, 3, 0)
+    # matched control outcomes: 100, 100, 200 -> mean_c = 400/3
+    assert r.mean_c_micro == (400 * M) // 3
+    assert r.mean_t_micro == (2100 * M) // 3
+    assert r.att_micro == ((2100 - 400) * M) // 3
+
+
+def test_matching_equal_score_control_prefers_min_id(spark):
+    rows = [
+        (False, 10, 111, 7),
+        (False, 10, 222, 2),   # same score: min id (2) must win
+        (True, 10, 999, 9),
+    ]
+    r = nn_match_att(_match_df(spark, rows), "t", "s", "y", "id", caliper=0).collect()[0]
+    assert r.n_matched == 1
+    assert r.mean_c_micro == 222 * M
+
+
+def test_matching_caliper_excludes_far_treated(spark):
+    rows = [
+        (False, 0, 50, 1),
+        (True, 5, 80, 2),     # d=5 <= caliper
+        (True, 1000, 90, 3),  # d=1000 > caliper -> unmatched
+    ]
+    r = nn_match_att(_match_df(spark, rows), "t", "s", "y", "id", caliper=10).collect()[0]
+    assert (r.n_matched, r.n_unmatched) == (1, 1)
+    assert r.att_micro == (80 - 50) * M
+
+
+def test_matching_no_controls_is_null(spark):
+    rows = [(True, 1, 10, 1), (True, 2, 20, 2)]
+    r = nn_match_att(_match_df(spark, rows), "t", "s", "y", "id", caliper=10).collect()[0]
+    assert r.n_matched == 0 and r.att_micro is None
+
+
+def _ref_ols(pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sx2 = sum(x * x for x, _ in pts)
+    b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    a = (sy - b * sx) / n
+    return a, b
+
+
+def test_rd_recovers_planted_jump(spark):
+    # below: y = 10 + 0.5x (x<0); above: y = 30 + 0.5x — jump = 20
+    pts = [(x, 10 + x // 2) for x in range(-50, 0, 2)] + [
+        (x, 30 + x // 2) for x in range(0, 50, 2)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = regression_discontinuity(df, "x", "y", cutoff=0).collect()[0]
+    ab, bb = _ref_ols([(x, y) for x, y in pts if x < 0])
+    aa, ba = _ref_ols([(x, y) for x, y in pts if x >= 0])
+    assert r.intercept_below_micro == pytest.approx(ab * M, abs=2)
+    assert r.intercept_above_micro == pytest.approx(aa * M, abs=2)
+    assert r.jump_micro == pytest.approx((aa - ab) * M, abs=3)
+    assert abs(r.jump_micro - 20 * M) < M  # integer-floor slope wiggle
+
+
+def test_rd_bandwidth_filters_far_points(spark):
+    pts = [(-1000, 0), (-5, 10), (-3, 10), (3, 20), (5, 20), (1000, 99)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = regression_discontinuity(df, "x", "y", cutoff=0, bandwidth=10).collect()[0]
+    assert (r.n_below, r.n_above) == (2, 2)
+
+
+def test_rd_degenerate_side_is_null(spark):
+    pts = [(-5, 1), (3, 2), (4, 3)]  # below has n=1
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = regression_discontinuity(df, "x", "y", cutoff=0).collect()[0]
+    assert r.intercept_below_micro is None and r.jump_micro is None
+    assert r.intercept_above_micro is not None
+
+
+def test_rd_cutoff_centering(spark):
+    # same data shifted by +100 with cutoff 100 must give identical fits
+    pts = [(x, 3 * x + 7) for x in range(-10, 11)]
+    df0 = spark.createDataFrame(pts, "x long, y long")
+    df1 = spark.createDataFrame([(x + 100, y) for x, y in pts], "x long, y long")
+    r0 = regression_discontinuity(df0, "x", "y", cutoff=0).collect()[0]
+    r1 = regression_discontinuity(df1, "x", "y", cutoff=100).collect()[0]
+    assert r0.jump_micro == r1.jump_micro
+    assert r0.slope_below_micro == r1.slope_below_micro == 3 * M
