@@ -1435,8 +1435,10 @@ _PRIORITY = [
     "q341", "q342", "q343", "q344",
     # round-10 wave 8: repetition profile, Welch ANOVA, ordered
     # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa;
-    # wave 10: matching ATT + regression discontinuity
+    # wave 10: matching ATT + regression discontinuity; wave 11:
+    # RMST + Qini uplift curve
     "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
+    "q353", "q354",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -21300,3 +21302,151 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("y"),
     )
     return regression_discontinuity(d, "x", "y", cutoff=0, bandwidth=200_000)
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 11: restricted mean survival time, Qini uplift curve
+# ---------------------------------------------------------------------------
+
+
+def _q353_oracle() -> str:
+    """q223's full KM chain wrapped as a CTE (string surgery — the
+    q322 device, so the two oracles can never drift), extended with
+    the lead-window step areas and the head segment."""
+    sql223 = _REGISTRY["q223_km_survival_curve"][1]
+    idx = sql223.rfind("SELECT t, n_risk")
+    head = sql223[:idx].rstrip()
+    tail = sql223[idx:].strip()
+    return (
+        head
+        + ", base AS (\n      "
+        + tail
+        + """
+    ), w2 AS (
+      SELECT t, km_survival, lead(t) OVER (ORDER BY t) AS nt FROM base
+    ), seg AS (
+      SELECT t,
+             CASE WHEN t < 20
+                  THEN CAST(round(1000000.0 * km_survival
+                       * CAST(least(coalesce(nt, 20), 20) - t AS DOUBLE))
+                    AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS sm
+      FROM w2
+    ), gg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_steps,
+             CAST(sum(sm) AS BIGINT) AS ssum,
+             CAST(min(t) AS BIGINT) AS t0
+      FROM seg
+    )
+    SELECT CAST(20 AS BIGINT) AS tau, n_steps,
+           CAST(CASE WHEN n_steps > 0
+             THEN least(t0, 20) * 1000000 + ssum END AS BIGINT) AS rmst_micro
+    FROM gg"""
+    )
+
+
+@_register("q353_user_lifetime_rmst", None)  # oracle attached below
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of user lifetimes at τ = 20 days
+    (library: operators.survival_extras.rmst) — the area under q223's
+    Kaplan-Meier curve: average active days a user accrues in their
+    first 20, the effect scale to report when proportional hazards
+    (q305) fails. Step widths are exact integers; each area term is
+    one snapped double of the engine-exact KM survival; the oracle
+    wraps q223's registered SQL verbatim (string surgery — cannot
+    drift). KM's single shuffle + one lead window + one aggregate."""
+    from owl_etl_spark.operators.survival_extras import rmst
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "(max(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            " - min(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)))"
+            " div 86400000000"
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("ev"),
+    )
+    return rmst(per_user, "dur", "ev", tau=20)
+
+
+_REGISTRY["q353_user_lifetime_rmst"] = (
+    _REGISTRY["q353_user_lifetime_rmst"][0],
+    _q353_oracle(),
+)
+
+
+@_register(
+    "q354_balance_qini_curve",
+    f"""
+    WITH d AS (
+      SELECT (c_mktsegment = 'BUILDING') AS t,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+             CAST(CASE WHEN u.uk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS y,
+             c_custkey AS id
+      FROM customer LEFT JOIN (
+        SELECT DISTINCT o_custkey AS uk FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+      ) u ON u.uk = c_custkey
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), b AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY s DESC, id) AS BIGINT) AS bucket, t, y
+      FROM d
+    ), per AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS pos_t,
+             CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS pos_c
+      FROM b GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, n_t, n_c, pos_t, pos_c,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+             CAST(sum(pos_t) OVER w AS BIGINT) AS cum_pos_t,
+             CAST(sum(pos_c) OVER w AS BIGINT) AS cum_pos_c
+      FROM per WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    )
+    SELECT bucket, n_t, n_c, pos_t, pos_c, cum_n_t, cum_n_c, cum_pos_t,
+           cum_pos_c,
+           CAST(CASE WHEN cum_n_c > 0
+             THEN round(1000000.0 * (CAST(cum_pos_t AS DOUBLE)
+                    - CAST(cum_pos_c AS DOUBLE)
+                      * (CAST(cum_n_t AS DOUBLE) / CAST(cum_n_c AS DOUBLE))))
+           END AS BIGINT) AS qini_micro,
+           CAST(CASE WHEN n_t > 0 AND n_c > 0
+             THEN {_fd_sql("pos_t * 1000000", "n_t")}
+                  - {_fd_sql("pos_c * 1000000", "n_c")}
+           END AS BIGINT) AS uplift_micro
+    FROM cum
+    """,
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve of account balance as an INCREMENTAL-effect
+    targeting score for the BUILDING segment's urgent-order rate
+    (library: operators.rankagg.qini_curve) — q340's causal sibling:
+    per cumulative balance decile, the treated positives beyond what
+    the controls' rate predicts for the same treated volume. Exact
+    cumulative BIGINTs, qini one snapped double expression, per-
+    bucket uplift via exact floor divisions. The decile_lift cost
+    envelope exactly (one ntile sort + 10-row windows)."""
+    from owl_etl_spark.operators.rankagg import qini_curve
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("uk"))
+        .distinct()
+    )
+    d = c.filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    ).join(urgent, c["c_custkey"] == urgent["uk"], "left").select(
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("s"),
+        F.col("uk").isNotNull().cast("long").alias("y"),
+        F.col("c_custkey").alias("id"),
+    )
+    return qini_curve(d, "t", "s", "y", "id", n_buckets=10)

@@ -44,6 +44,8 @@ _WAVE = [
     "q350_quality_gates_fleiss_kappa",
     "q351_balance_matched_att",
     "q352_balance_discontinuity",
+    "q353_user_lifetime_rmst",
+    "q354_balance_qini_curve",
 ]
 
 

@@ -112,3 +112,73 @@ def test_rd_cutoff_centering(spark):
     r1 = regression_discontinuity(df1, "x", "y", cutoff=100).collect()[0]
     assert r0.jump_micro == r1.jump_micro
     assert r0.slope_below_micro == r1.slope_below_micro == 3 * M
+
+
+# --- wave 11: RMST + Qini -------------------------------------------------
+
+from owl_etl_spark.operators.rankagg import qini_curve
+from owl_etl_spark.operators.survival_extras import rmst
+
+
+def test_rmst_matches_hand_computed_km_area(spark):
+    # 4 subjects: events at t=2 (1 of 4) and t=5 (1 of 2), censored at
+    # t=3 and t=10. KM: S(2)=0.75, S(3)=0.75, S(5)=0.375, S(10)=0.375
+    rows = [(2, 1), (3, 0), (5, 1), (10, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev long")
+    r = rmst(df, "dur", "ev", tau=8).collect()[0]
+    # area: [0,2)x1 + [2,3)x0.75 + [3,5)x0.75 + [5,8)x0.375
+    expect = 2 + 1 * 0.75 + 2 * 0.75 + 3 * 0.375
+    assert r.tau == 8
+    # tolerance: the KM micro-nat floor under-counts each log term by
+    # < 1e-6 nat (documented), so S is low by ~#terms ppm before its
+    # round-6; area error ~ width x S x ppm x 1e6 per segment
+    assert abs(r.rmst_micro - round(expect * M)) <= 15
+    # tau below the first event: everyone alive -> rmst = tau exactly
+    r1 = rmst(df, "dur", "ev", tau=2).collect()[0]
+    assert r1.rmst_micro == 2 * M
+
+
+def test_rmst_no_events_is_tau(spark):
+    df = spark.createDataFrame([(7, 0), (9, 0)], "dur long, ev long")
+    r = rmst(df, "dur", "ev", tau=5).collect()[0]
+    assert r.rmst_micro == 5 * M  # S = 1 throughout [0, tau]
+
+
+def test_rmst_rejects_bad_tau(spark):
+    df = spark.createDataFrame([(1, 1)], "dur long, ev long")
+    with pytest.raises(ValueError):
+        rmst(df, "dur", "ev", tau=0)
+
+
+def test_qini_planted_uplift_concentrates_at_top(spark):
+    # top-scored treated convert, controls never; below: nobody
+    rows = []
+    rid = 0
+    for i in range(40):
+        s = 1000 - i
+        rows.append((True, s, 1 if i < 10 else 0, rid)); rid += 1
+        rows.append((False, s, 0, rid)); rid += 1
+    df = spark.createDataFrame(rows, "t boolean, s long, y long, id long")
+    out = {r.bucket: r for r in qini_curve(df, "t", "s", "y", "id").collect()}
+    assert len(out) == 10
+    # 80 rows -> 8 per bucket (4 treated / 4 control each)
+    assert out[1].n_t == 4 and out[1].n_c == 4
+    # all positives live in the top ~3 buckets' treated arm
+    assert out[10].cum_pos_t == 10 and out[10].cum_pos_c == 0
+    # qini = cum_pos_t - 0 -> monotone up to 10e6 then flat
+    assert out[10].qini_micro == 10 * M
+    assert out[1].qini_micro == out[1].cum_pos_t * M
+    # per-bucket uplift positive at the top, zero at the bottom
+    assert out[1].uplift_micro == M  # 4/4 - 0/4
+    assert out[10].uplift_micro == 0
+
+
+def test_qini_null_before_any_control(spark):
+    # every control scores lowest -> first bucket has cum_n_c = 0
+    rows = [(True, 100 - i, 0, i) for i in range(10)] + [
+        (False, 1, 0, 100 + i) for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "t boolean, s long, y long, id long")
+    out = qini_curve(df, "t", "s", "y", "id", n_buckets=4).orderBy("bucket").collect()
+    assert out[0].qini_micro is None  # no controls seen yet
+    assert out[-1].qini_micro is not None
