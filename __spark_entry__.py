@@ -1436,9 +1436,9 @@ _PRIORITY = [
     # round-10 wave 8: repetition profile, Welch ANOVA, ordered
     # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa;
     # wave 10: matching ATT + regression discontinuity; wave 11:
-    # RMST + Qini uplift curve
+    # RMST + Qini uplift curve + Harrell's C-index
     "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
-    "q353", "q354",
+    "q353", "q354", "q355",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -21450,3 +21450,86 @@ def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"),
     )
     return qini_curve(d, "t", "s", "y", "id", n_buckets=10)
+
+
+@_register(
+    "q355_lifetime_concordance_index",
+    f"""
+    WITH u AS MATERIALIZED (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS t,
+             CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM events GROUP BY user_id
+    ), per AS MATERIALIZED (
+      SELECT t, r, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nev
+      FROM u GROUP BY t, r
+    ), all_t AS (SELECT DISTINCT t FROM per),
+    all_r AS (SELECT DISTINCT r FROM per),
+    grid AS MATERIALIZED (
+      SELECT all_t.t, all_r.r,
+             CAST(coalesce(per.n, 0) AS BIGINT) AS n,
+             CAST(coalesce(per.nev, 0) AS BIGINT) AS nev
+      FROM all_t CROSS JOIN all_r
+      LEFT JOIN per ON per.t = all_t.t AND per.r = all_r.r
+    ), g2 AS MATERIALIZED (
+      SELECT t, r, n, nev,
+             CAST(sum(n) OVER (PARTITION BY r)
+                  - sum(n) OVER (PARTITION BY r ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS suffix
+      FROM grid
+    ), g3 AS (
+      SELECT t, r, n, nev, suffix,
+             CAST(coalesce(sum(suffix) OVER (PARTITION BY t ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS suffix_lt,
+             CAST(sum(suffix) OVER (PARTITION BY t) AS BIGINT) AS suffix_all
+      FROM g2
+    ), gg AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(nev) AS BIGINT) AS n_events,
+             CAST(sum(nev * suffix_all) AS BIGINT) AS comparable_pairs,
+             CAST(sum(nev * suffix_lt) AS BIGINT) AS concordant,
+             CAST(sum(nev * suffix) AS BIGINT) AS risk_ties
+      FROM g3
+    )
+    SELECT n, n_events, comparable_pairs, concordant, risk_ties,
+           CAST(CASE WHEN comparable_pairs > 0
+             THEN {_fd_sql("(2 * concordant + risk_ties) * 1000000",
+                           "2 * comparable_pairs")} END AS BIGINT)
+             AS c_index_micro
+    FROM gg
+    """,
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of click count as a churn-risk score over
+    user lifetimes (library: operators.survival_extras.
+    concordance_index) — the discrimination eval that belongs next to
+    the Cox fit (q305) and the KM curves (q223): among comparable
+    pairs (earlier observed event, any later subject), how often does
+    the score rank the earlier-failing user riskier, risk ties at
+    half credit. Counts assemble on the densified (distinct t ×
+    distinct risk) grid with running-count windows (the Jonckheere
+    device — never subject-pair volumes); c is one exact floor
+    division."""
+    from owl_etl_spark.operators.survival_extras import concordance_index
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "(max(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            " - min(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)))"
+            " div 86400000000"
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("ev"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+    )
+    return concordance_index(per_user, "dur", "ev", "clicks")

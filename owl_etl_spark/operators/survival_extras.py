@@ -74,3 +74,99 @@ def rmst(
             "rmst_micro"
         ),
     )
+
+
+def concordance_index(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    risk_col: str,
+) -> DataFrame:
+    """Harrell's C-index — the rank-discrimination metric for a
+    survival risk score (the eval that belongs next to the Cox fit
+    and the KM curves): among comparable pairs (i, j) with
+    tᵢ < tⱼ and subject i's event OBSERVED, how often does the score
+    rank i riskier? Risk ties count half; time-tied pairs are not
+    comparable (the standard Harrell convention, stated).
+
+    ``risk_col`` must be an exact integer score (bucket a continuous
+    score first — the distinct-value-frame contract shared with
+    KS/MWU/KW/JT).
+
+    Returns one row ``(n, n_events, comparable_pairs, concordant,
+    risk_ties, c_index_micro)`` with
+    c = (concordant + ties/2)/comparable as an exact floor division
+    of BIGINTs (NULL when nothing is comparable).
+
+    Plan: one (t, risk) aggregate, a densified (distinct t × distinct
+    risk) grid with per-risk running counts (the Jonckheere grid
+    device — NEVER subject-pair volumes), two windows, one global
+    aggregate.
+    """
+    d = df.select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("long").alias("__e"),
+        F.col(risk_col).cast("long").alias("__r"),
+    ).filter(
+        F.col("__t").isNotNull() & F.col("__e").isNotNull() & F.col("__r").isNotNull()
+    )
+    per = d.groupBy("__t", "__r").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum((F.col("__e") == 1).cast("long")).cast("long").alias("__nev"),
+    )
+    per = per.localCheckpoint(eager=False)
+    all_t = per.select("__t").distinct()
+    all_r = per.select("__r").distinct()
+    grid = all_t.crossJoin(F.broadcast(all_r)).join(
+        per, ["__t", "__r"], "left"
+    ).select(
+        "__t",
+        "__r",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("__n"),
+        F.coalesce(F.col("__nev"), F.lit(0)).cast("long").alias("__nev"),
+    )
+    # suffix count per (t, r): subjects with a STRICTLY LATER time in
+    # this risk bucket = bucket total - running count through t
+    w_time = (
+        Window.partitionBy("__r")
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bucket = Window.partitionBy("__r")
+    grid = grid.withColumn(
+        "__suffix",
+        (F.sum("__n").over(w_bucket) - F.sum("__n").over(w_time)).cast("long"),
+    )
+    # within each time, cumulative suffix over STRICTLY LOWER risks
+    w_risk_lt = (
+        Window.partitionBy("__t")
+        .orderBy(F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_t_all = Window.partitionBy("__t")
+    grid = grid.withColumn(
+        "__suffix_lt", F.coalesce(F.sum("__suffix").over(w_risk_lt), F.lit(0)).cast("long")
+    ).withColumn("__suffix_all", F.sum("__suffix").over(w_t_all).cast("long"))
+    g = grid.groupBy().agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__nev").cast("long").alias("n_events"),
+        F.sum(F.col("__nev") * F.col("__suffix_all")).cast("long").alias("comparable_pairs"),
+        F.sum(F.col("__nev") * F.col("__suffix_lt")).cast("long").alias("concordant"),
+        F.sum(F.col("__nev") * F.col("__suffix")).cast("long").alias("risk_ties"),
+    )
+    c_micro = F.expr(
+        "(((2 * concordant + risk_ties) * 1000000)"
+        " - (((((2 * concordant + risk_ties) * 1000000) % (2 * comparable_pairs))"
+        " + (2 * comparable_pairs)) % (2 * comparable_pairs)))"
+        " div (2 * comparable_pairs)"
+    )
+    return g.select(
+        "n",
+        "n_events",
+        "comparable_pairs",
+        "concordant",
+        "risk_ties",
+        F.when(F.col("comparable_pairs") > 0, c_micro.cast("long")).alias(
+            "c_index_micro"
+        ),
+    )

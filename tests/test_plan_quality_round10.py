@@ -46,6 +46,7 @@ _WAVE = [
     "q352_balance_discontinuity",
     "q353_user_lifetime_rmst",
     "q354_balance_qini_curve",
+    "q355_lifetime_concordance_index",
 ]
 
 

@@ -182,3 +182,50 @@ def test_qini_null_before_any_control(spark):
     out = qini_curve(df, "t", "s", "y", "id", n_buckets=4).orderBy("bucket").collect()
     assert out[0].qini_micro is None  # no controls seen yet
     assert out[-1].qini_micro is not None
+
+
+# --- wave 11b: Harrell's C-index -------------------------------------------
+
+from owl_etl_spark.operators.survival_extras import concordance_index
+
+
+def _ref_cindex(rows):
+    conc = ties = comp = 0
+    for i, (ti, ei, ri) in enumerate(rows):
+        if ei != 1:
+            continue
+        for j, (tj, ej, rj) in enumerate(rows):
+            if tj > ti:
+                comp += 1
+                if ri > rj:
+                    conc += 1
+                elif ri == rj:
+                    ties += 1
+    return conc, ties, comp
+
+
+def test_cindex_matches_bruteforce_with_censoring_and_ties(spark):
+    rows = [
+        (1, 1, 9), (2, 0, 5), (2, 1, 7), (3, 1, 7), (4, 0, 2),
+        (5, 1, 3), (6, 0, 8), (7, 1, 1), (9, 0, 7),
+    ]
+    df = spark.createDataFrame(rows, "t long, e long, r long")
+    got = concordance_index(df, "t", "e", "r").collect()[0]
+    conc, ties, comp = _ref_cindex(rows)
+    assert (got.concordant, got.risk_ties, got.comparable_pairs) == (conc, ties, comp)
+    assert got.c_index_micro == ((2 * conc + ties) * M) // (2 * comp)
+
+
+def test_cindex_perfect_score_is_one(spark):
+    # risk exactly inversely ordered with survival time, all events
+    rows = [(t, 1, 100 - t) for t in range(1, 8)]
+    df = spark.createDataFrame(rows, "t long, e long, r long")
+    got = concordance_index(df, "t", "e", "r").collect()[0]
+    assert got.c_index_micro == M
+
+
+def test_cindex_censored_only_is_null(spark):
+    rows = [(1, 0, 5), (2, 0, 6)]
+    df = spark.createDataFrame(rows, "t long, e long, r long")
+    got = concordance_index(df, "t", "e", "r").collect()[0]
+    assert got.comparable_pairs == 0 and got.c_index_micro is None
