@@ -1438,7 +1438,7 @@ _PRIORITY = [
     # wave 10: matching ATT + regression discontinuity; wave 11:
     # RMST + Qini uplift curve + Harrell's C-index
     "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
-    "q353", "q354", "q355",
+    "q353", "q354", "q355", "q356",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -21533,3 +21533,60 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clicks"),
     )
     return concordance_index(per_user, "dur", "ev", "clicks")
+
+
+@_register(
+    "q356_event_rate_wilson",
+    f"""
+    WITH d AS (
+      SELECT event_type AS g,
+             CAST(CASE WHEN value >= 100 THEN 1 ELSE 0 END AS BIGINT) AS k
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), g AS (
+      SELECT g AS grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS k
+      FROM d GROUP BY g
+    )
+    SELECT grp AS "group", n, k,
+           CAST({_fd_sql("k * 1000000", "n")} AS BIGINT) AS p_micro,
+           CAST(greatest(CAST(round(1000000.0
+             * ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96)
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))))
+             AS BIGINT), 0) AS BIGINT) AS wilson_lo_micro,
+           CAST(least(CAST(round(1000000.0
+             * ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96)
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))))
+             AS BIGINT), 1000000) AS BIGINT) AS wilson_hi_micro
+    FROM g
+    """,
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type high-value rate (value ≥ 100) with Wilson 95%
+    score intervals (library: operators.inference.wilson_intervals) —
+    the proportion CI that stays calibrated where the Wald interval
+    collapses (p̂ near 0/1, small n). Bounds are single snapped
+    double expressions of the exact (k, n) BIGINTs with the z = 1.96
+    literal shared verbatim by both engines; p̂ is an exact floor
+    division. One group aggregate."""
+    from owl_etl_spark.operators.inference import wilson_intervals
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        (F.col("value") >= 100).cast("long").alias("k"),
+    )
+    return wilson_intervals(e, "g", "k")

@@ -1014,3 +1014,60 @@ def fleiss_kappa(df: DataFrame, gate_cols: list[str]) -> DataFrame:
         F.round(F.lit(float(_M)) * pe).cast("long").alias("p_e_micro"),
         F.when(pe < 1.0, kappa).alias("kappa_micro"),
     )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_milli: int = 1960,
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval —
+    the CI every rate dashboard should print instead of the Wald
+    interval (which collapses to zero width at p̂ ∈ {0, 1} and
+    undercovers small n; Wilson stays calibrated at both).
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    with z fixed as an exact milli literal (default 1.960, the 95%
+    two-sided score). Null groups/successes are excluded.
+
+    Returns one row per group: ``(group, n, k, p_micro,
+    wilson_lo_micro, wilson_hi_micro)`` — p̂ an exact floor division,
+    the bounds single snapped double expressions of the exact (k, n)
+    BIGINTs, clamped to [0, 1e6].
+
+    Plan: one (group) aggregate. Nothing else.
+    """
+    z = float(z_milli) / 1000.0
+    d = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(success_col).cast("long").alias("__k"),
+    ).filter(F.col("__g").isNotNull() & F.col("__k").isNotNull())
+    g = d.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__k").cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2 = z * z
+    denom = F.lit(1.0) + F.lit(z2) / nd
+    center = (p + F.lit(z2) / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + F.lit(z2) / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    lo = F.greatest(F.round(F.lit(float(_M)) * (center - half)).cast("long"), F.lit(0))
+    hi = F.least(
+        F.round(F.lit(float(_M)) * (center + half)).cast("long"), F.lit(_M)
+    )
+    return g.select(
+        F.col("__g").alias("group"),
+        "n",
+        "k",
+        _fd("k * 1000000", "n").cast("long").alias("p_micro"),
+        lo.cast("long").alias("wilson_lo_micro"),
+        hi.cast("long").alias("wilson_hi_micro"),
+    )

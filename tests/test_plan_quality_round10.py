@@ -47,6 +47,7 @@ _WAVE = [
     "q353_user_lifetime_rmst",
     "q354_balance_qini_curve",
     "q355_lifetime_concordance_index",
+    "q356_event_rate_wilson",
 ]
 
 

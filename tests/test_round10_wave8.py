@@ -237,3 +237,41 @@ def test_fleiss_kappa_unanimous_single_category_is_null(spark):
         ["a", "b", "c"],
     ).collect()[0]
     assert r.kappa_micro is None  # P_e = 1: agreement is vacuous
+
+
+# --- wave 12: Wilson score intervals ----------------------------------------
+
+from owl_etl_spark.operators.inference import wilson_intervals
+
+
+def test_wilson_matches_textbook(spark):
+    import math
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 9
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r.group: r for r in wilson_intervals(df, "g", "k").collect()}
+
+    def ref(k, n, z=1.96):
+        p = k / n
+        denom = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / denom
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return c - h, c + h
+
+    lo, hi = ref(8, 10)
+    assert out["a"].p_micro == 800_000
+    assert out["a"].wilson_lo_micro == pytest.approx(lo * M, abs=2)
+    assert out["a"].wilson_hi_micro == pytest.approx(hi * M, abs=2)
+    # interval is inside [0, 1] and contains p-hat
+    for r in out.values():
+        assert 0 <= r.wilson_lo_micro <= r.p_micro <= r.wilson_hi_micro <= M
+
+
+def test_wilson_extreme_rates_stay_informative(spark):
+    # p-hat = 0: the Wald interval would be [0, 0]; Wilson must not be
+    rows = [("z", 0)] * 20
+    r = wilson_intervals(
+        spark.createDataFrame(rows, "g string, k long"), "g", "k"
+    ).collect()[0]
+    assert r.p_micro == 0 and r.wilson_lo_micro == 0
+    assert r.wilson_hi_micro > 100_000  # ~0.161 at n=20
