@@ -1438,7 +1438,7 @@ _PRIORITY = [
     # wave 10: matching ATT + regression discontinuity; wave 11:
     # RMST + Qini uplift curve + Harrell's C-index
     "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
-    "q353", "q354", "q355", "q356",
+    "q353", "q354", "q355", "q356", "q357",
     # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
     #     whose newest driver CORRECTNESS anchor is round 3 — the
     #     oldest rows in the program. Their manifest hashes are
@@ -21590,3 +21590,122 @@ def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") >= 100).cast("long").alias("k"),
     )
     return wilson_intervals(e, "g", "k")
+
+
+def _q357_smd_sql(cov: str, nt: str, nc: str, st: str, sc: str, qt: str, qc: str) -> str:
+    """One balance row mirroring causal_design.balance_table's
+    expressions exactly (per-covariate conditional moments, Bessel
+    variances, snapped SMD)."""
+    var_t = (
+        f"(CAST({qt} AS DOUBLE) - CAST({st} AS DOUBLE) * {st}"
+        f" / CAST({nt} AS DOUBLE)) / (CAST({nt} AS DOUBLE) - 1.0)"
+    )
+    var_c = (
+        f"(CAST({qc} AS DOUBLE) - CAST({sc} AS DOUBLE) * {sc}"
+        f" / CAST({nc} AS DOUBLE)) / (CAST({nc} AS DOUBLE) - 1.0)"
+    )
+    spread = f"sqrt((({var_t}) + ({var_c})) / 2.0)"
+    return f"""
+      SELECT '{cov}' AS covariate, {nt} AS n_t, {nc} AS n_c,
+             CAST(CASE WHEN {nt} > 0
+               THEN {_fd_sql(f"{st} * 1000000", nt)} END AS BIGINT)
+               AS mean_t_micro,
+             CAST(CASE WHEN {nc} > 0
+               THEN {_fd_sql(f"{sc} * 1000000", nc)} END AS BIGINT)
+               AS mean_c_micro,
+             CAST(CASE WHEN {nt} >= 2 AND {nc} >= 2 AND ({spread}) > 0
+               THEN round(1000000.0
+                      * (CAST({st} AS DOUBLE) / CAST({nt} AS DOUBLE)
+                         - CAST({sc} AS DOUBLE) / CAST({nc} AS DOUBLE))
+                      / ({spread}))
+             END AS BIGINT) AS smd_micro
+      FROM g"""
+
+
+@_register(
+    "q357_segment_balance_table",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice / 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ), d AS MATERIALIZED (
+      SELECT (c_mktsegment = 'BUILDING') AS t,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(coalesce(per.n_orders, 0) AS BIGINT) AS n_orders,
+             CAST(coalesce(per.spend, 0) AS BIGINT) AS spend_hund
+      FROM customer LEFT JOIN per ON per.o_custkey = c_custkey
+      WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+    ), g AS MATERIALIZED (
+      SELECT
+        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt1,
+        CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc1,
+        CAST(sum(CASE WHEN t THEN bal_cents ELSE 0 END) AS BIGINT) AS st1,
+        CAST(sum(CASE WHEN t THEN 0 ELSE bal_cents END) AS BIGINT) AS sc1,
+        CAST(sum(CASE WHEN t THEN bal_cents * bal_cents ELSE 0 END) AS BIGINT)
+          AS qt1,
+        CAST(sum(CASE WHEN t THEN 0 ELSE bal_cents * bal_cents END) AS BIGINT)
+          AS qc1,
+        CAST(sum(CASE WHEN t THEN n_orders ELSE 0 END) AS BIGINT) AS st2,
+        CAST(sum(CASE WHEN t THEN 0 ELSE n_orders END) AS BIGINT) AS sc2,
+        CAST(sum(CASE WHEN t THEN n_orders * n_orders ELSE 0 END) AS BIGINT)
+          AS qt2,
+        CAST(sum(CASE WHEN t THEN 0 ELSE n_orders * n_orders END) AS BIGINT)
+          AS qc2,
+        CAST(sum(CASE WHEN t THEN spend_hund ELSE 0 END) AS BIGINT) AS st3,
+        CAST(sum(CASE WHEN t THEN 0 ELSE spend_hund END) AS BIGINT) AS sc3,
+        CAST(sum(CASE WHEN t THEN spend_hund * spend_hund ELSE 0 END)
+          AS BIGINT) AS qt3,
+        CAST(sum(CASE WHEN t THEN 0 ELSE spend_hund * spend_hund END)
+          AS BIGINT) AS qc3
+      FROM d
+    )
+    __ROWS__
+    """,
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table for the BUILDING-segment contrast
+    (library: operators.causal_design.balance_table) — the diagnostic
+    q351's matching design must print: per covariate (balance cents,
+    order count, spend cents), group means and the standardized mean
+    difference (mean_t − mean_c)/√((s_t² + s_c²)/2) with Bessel
+    variances, |SMD| < 0.1 the usual balanced threshold. ONE global
+    conditional-moment aggregate for all covariates simultaneously,
+    then a covariate-cardinality stack — single pass, no joins beyond
+    the FK spend rollup."""
+    from owl_etl_spark.operators.causal_design import balance_table
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        # hundred-dollar units: SMD is scale-invariant and the squared
+        # moment must respect the n*max(v^2) << 2^63 contract at 100x
+        F.sum(F.round(F.col("o_totalprice") / 100).cast("long"))
+        .cast("long")
+        .alias("spend"),
+    )
+    d = c.filter(
+        F.col("c_mktsegment").isNotNull() & F.col("c_acctbal").isNotNull()
+    ).join(per, c["c_custkey"] == per["o_custkey"], "left").select(
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("spend"), F.lit(0)).cast("long").alias("spend_hund"),
+    )
+    return balance_table(d, "t", ["bal_cents", "n_orders", "spend_hund"])
+
+
+_REGISTRY["q357_segment_balance_table"] = (
+    _REGISTRY["q357_segment_balance_table"][0],
+    _REGISTRY["q357_segment_balance_table"][1].replace(
+        "__ROWS__",
+        _q357_smd_sql("bal_cents", "nt1", "nc1", "st1", "sc1", "qt1", "qc1")
+        + "\n    UNION ALL\n"
+        + _q357_smd_sql("n_orders", "nt1", "nc1", "st2", "sc2", "qt2", "qc2")
+        + "\n    UNION ALL\n"
+        + _q357_smd_sql("spend_hund", "nt1", "nc1", "st3", "sc3", "qt3", "qc3"),
+    ),
+)

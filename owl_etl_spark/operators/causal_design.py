@@ -216,3 +216,80 @@ def regression_discontinuity(
         ia.alias("intercept_above_micro"),
         F.when(okb & oka, (ia - ib).cast("long")).alias("jump_micro"),
     )
+
+
+def balance_table(
+    df: DataFrame,
+    treat_col: str,
+    covariates: list[str],
+) -> DataFrame:
+    """Covariate balance report — the diagnostic every matching/
+    weighting analysis (q351's design) must print: per covariate, the
+    standardized mean difference
+
+        SMD = (mean_t − mean_c) / √((s_t² + s_c²)/2)
+
+    with Bessel-corrected group variances (|SMD| < 0.1 is the usual
+    "balanced" rule of thumb). Rows with a null treatment flag are
+    excluded; a covariate's null rows are excluded for THAT covariate
+    only (stated per-covariate complete-case discipline).
+
+    Returns one row per covariate: ``(covariate, n_t, n_c,
+    mean_t_micro, mean_c_micro, smd_micro)`` — means exact floor
+    divisions, SMD one snapped double expression of the exact BIGINT
+    moments (NULL when a side has n < 2 or the pooled spread is 0).
+
+    Plan: ONE global aggregate computing conditional moments for
+    every covariate simultaneously (map-side combined), then a
+    covariate-cardinality stack. No joins, no windows, single pass.
+    """
+    if not covariates:
+        raise ValueError("balance_table: need at least one covariate")
+    t = F.col(treat_col).cast("boolean")
+    d = df.filter(t.isNotNull())
+    aggs = []
+    for c in covariates:
+        v = F.col(c).cast("long")
+        on_t = t & v.isNotNull()
+        on_c = (~t) & v.isNotNull()
+        aggs += [
+            F.sum(on_t.cast("long")).cast("long").alias(f"__nt_{c}"),
+            F.sum(on_c.cast("long")).cast("long").alias(f"__nc_{c}"),
+            F.sum(F.when(on_t, v).otherwise(0)).cast("long").alias(f"__st_{c}"),
+            F.sum(F.when(on_c, v).otherwise(0)).cast("long").alias(f"__sc_{c}"),
+            F.sum(F.when(on_t, v * v).otherwise(0)).cast("long").alias(f"__qt_{c}"),
+            F.sum(F.when(on_c, v * v).otherwise(0)).cast("long").alias(f"__qc_{c}"),
+        ]
+    g = d.groupBy().agg(*aggs)
+    rows = []
+    for c in covariates:
+        nt, nc = F.col(f"__nt_{c}"), F.col(f"__nc_{c}")
+        st, sc = F.col(f"__st_{c}"), F.col(f"__sc_{c}")
+        qt, qc = F.col(f"__qt_{c}"), F.col(f"__qc_{c}")
+        ntd, ncd = nt.cast("double"), nc.cast("double")
+        var_t = (qt.cast("double") - st.cast("double") * st / ntd) / (ntd - 1.0)
+        var_c = (qc.cast("double") - sc.cast("double") * sc / ncd) / (ncd - 1.0)
+        spread = F.sqrt((var_t + var_c) / 2.0)
+        ok = (nt >= 2) & (nc >= 2) & (spread > 0)
+        smd = F.round(
+            F.lit(1_000_000.0)
+            * (st.cast("double") / ntd - sc.cast("double") / ncd)
+            / spread
+        ).cast("long")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                nt.alias("n_t"),
+                nc.alias("n_c"),
+                F.when(
+                    nt > 0, _fd(f"__st_{c} * 1000000", f"__nt_{c}").cast("long")
+                ).alias("mean_t_micro"),
+                F.when(
+                    nc > 0, _fd(f"__sc_{c} * 1000000", f"__nc_{c}").cast("long")
+                ).alias("mean_c_micro"),
+                F.when(ok, smd).alias("smd_micro"),
+            )
+        )
+    return g.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.*")

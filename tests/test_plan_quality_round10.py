@@ -48,6 +48,7 @@ _WAVE = [
     "q354_balance_qini_curve",
     "q355_lifetime_concordance_index",
     "q356_event_rate_wilson",
+    "q357_segment_balance_table",
 ]
 
 

@@ -229,3 +229,46 @@ def test_cindex_censored_only_is_null(spark):
     df = spark.createDataFrame(rows, "t long, e long, r long")
     got = concordance_index(df, "t", "e", "r").collect()[0]
     assert got.comparable_pairs == 0 and got.c_index_micro is None
+
+
+# --- wave 12: covariate balance table ---------------------------------------
+
+from owl_etl_spark.operators.causal_design import balance_table
+
+
+def test_balance_table_matches_reference(spark):
+    import math
+
+    rows = [
+        (True, 10, 3), (True, 14, 5), (True, 12, 4),
+        (False, 8, 9), (False, 6, 11), (False, 10, 10), (False, 7, 12),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, a long, b long")
+    out = {r.covariate: r for r in balance_table(df, "t", ["a", "b"]).collect()}
+
+    def ref_smd(tv, cv):
+        mt, mc = sum(tv) / len(tv), sum(cv) / len(cv)
+        vt = sum((x - mt) ** 2 for x in tv) / (len(tv) - 1)
+        vc = sum((x - mc) ** 2 for x in cv) / (len(cv) - 1)
+        return (mt - mc) / math.sqrt((vt + vc) / 2)
+
+    a_t, a_c = [10, 14, 12], [8, 6, 10, 7]
+    b_t, b_c = [3, 5, 4], [9, 11, 10, 12]
+    assert out["a"].n_t == 3 and out["a"].n_c == 4
+    assert out["a"].smd_micro == pytest.approx(ref_smd(a_t, a_c) * M, abs=3)
+    assert out["b"].smd_micro == pytest.approx(ref_smd(b_t, b_c) * M, abs=3)
+    # planted direction: a higher in treated, b lower
+    assert out["a"].smd_micro > 0 > out["b"].smd_micro
+
+
+def test_balance_table_degenerate_spread_is_null(spark):
+    rows = [(True, 5), (True, 5), (False, 5), (False, 5)]
+    df = spark.createDataFrame(rows, "t boolean, a long")
+    r = balance_table(df, "t", ["a"]).collect()[0]
+    assert r.smd_micro is None and r.mean_t_micro == 5 * M
+
+
+def test_balance_table_requires_covariates(spark):
+    df = spark.createDataFrame([(True, 1)], "t boolean, a long")
+    with pytest.raises(ValueError):
+        balance_table(df, "t", [])
