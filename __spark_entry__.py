@@ -1408,52 +1408,34 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # r10 window. Two blocks:
-    # (1) queries whose behavior hash changed this round — the store-
-    #     catalog rebuilds (q296/q303/q311/q324 now persist through
-    #     operators.stores.StoreCatalog), the new q328 replay law, and
-    #     the experiment.py hash closure (q246/q247/q269/q275/q301/
-    #     q317 — the ADVICE r9 NaN-se guard);
-    "q296", "q303", "q311", "q324", "q328",
-    "q246", "q247", "q269", "q275", "q301", "q317",
-    # round-10 wave 2: the perceptual near-dup family (multimodal
-    # content-level operator — fingerprints + banded-Hamming pairs)
-    "q329", "q330",
-    # round-10 wave 3: greedy doc-boundary sequence packing (q83's
-    # no-split sibling) + its efficiency report; wave 4: incremental
-    # perceptual dedup through the catalog (q329/q330 x q328).
-    "q331", "q332", "q333",
-    # round-10 wave 5: k-sample inference (ANOVA / Kruskal-Wallis /
-    # Brown-Forsythe / CMH) + the BH-FDR screen; wave 6: Borda/
-    # Copeland rank fusion + decile lift; wave 7: Tukey-HSD post-hoc
-    # contrasts, Mann-Kendall + Sen trend, McNemar paired gates, IPF
-    # raking. With these the explicit list holds 64 entries; the
-    # last fourteen rotation slots (q25 .. q104) ride just below the
-    # 50-slot boundary to round 11's rotation (their manifests are
-    # stamped green — freshness holds).
-    "q334", "q335", "q336", "q337", "q338", "q339", "q340",
-    "q341", "q342", "q343", "q344",
-    # round-10 wave 8: repetition profile, Welch ANOVA, ordered
-    # trend, Cochran's Q; wave 9: Page-Hinkley drift + Fleiss' kappa;
-    # wave 10: matching ATT + regression discontinuity; wave 11:
-    # RMST + Qini uplift curve + Harrell's C-index
-    "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352",
-    "q353", "q354", "q355", "q356", "q357",
-    # (2) the age rotation (VERDICT r9 Next-round #8): the 37 queries
-    #     whose newest driver CORRECTNESS anchor is round 3 — the
-    #     oldest rows in the program. Their manifest hashes are
-    #     unchanged (stamped green), but re-anchoring keeps every
-    #     query's driver row ≤7 rounds old.
-    "q01", "q02", "q03", "q05", "q06", "q07", "q08", "q09",
-    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17",
-    "q18", "q19", "q20", "q21", "q22", "q23", "q24", "q25",
-    "q26", "q27", "q28", "q29", "q30", "q31", "q33", "q38",
-    "q39", "q40", "q53", "q100", "q104",
+    # r11 window (VERDICT r10 Next-round #1/#2/#3) — exactly 50
+    # entries, all of which the driver gate snapshots. Three blocks:
+    # (1) queries whose behavior hash changed or that never had a
+    #     green driver row: q227 (DTW) and q250 (NW/SW) gained
+    #     recursive-CTE oracles this round (retiring the program's
+    #     last two rows-only dynamic programs), q35's mixed-media
+    #     oracle landed earlier but was never anchored, and q358 is
+    #     the new 12-drop catalog-endurance law with mid-stream
+    #     compaction.
+    "q227", "q250", "q35", "q358",
+    # (2) the age rotation, oldest anchors first (VERDICT r10 #1):
+    #     all 27 queries whose newest driver row is round 3 …
+    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
+    "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
+    "q28", "q29", "q30", "q31", "q33", "q38", "q39", "q40",
+    "q53", "q100", "q104",
+    # (3) … plus the 19 lowest-numbered of the 48 whose newest row is
+    #     round 4. The remaining 29 round-4 anchors (q101–q132 band)
+    #     are next-oldest and take round 12's rotation slots; their
+    #     manifest hashes are stamped green, so freshness holds while
+    #     they wait.
+    "q32", "q34", "q36", "q37", "q41", "q42", "q49", "q62",
+    "q72", "q73", "q75", "q76", "q77", "q78", "q85", "q91",
+    "q93", "q95", "q98",
     # --- 50-slot window boundary: everything below (the implicit
     #     registration-order tail) rides committed sweep evidence +
-    #     driver rows from earlier rounds (union of r1–r9 CORRECTNESS
-    #     anchors covers every registered query except the two
-    #     declared rows-only dynamic programs). ---
+    #     driver rows from earlier rounds (union of r1–r10 CORRECTNESS
+    #     anchors covers every other registered query green). ---
 ]
 
 
@@ -11981,7 +11963,74 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(d, "doc_id", "text")
 
 
-@_register("q227_event_series_dtw", None)
+@_register(
+    "q227_event_series_dtw",
+    """
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type AS sid,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day, cents)
+                  AS BIGINT) AS idx,
+             cents AS val
+      FROM daily
+    ),
+    slen AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
+    pr AS (
+      SELECT la.sid AS id_a, lb.sid AS id_b, la.n AS len_a, lb.n AS len_b
+      FROM slen la JOIN slen lb ON la.sid < lb.sid
+    ),
+    -- banded DTW, one recursion step per DP row i. The sequential
+    -- intra-row term cur[j-1] unrolls exactly:
+    --   cur[j] = cost_j + min(m_j, cur[j-1])
+    --          = C_j + min_{k<=j}(m_k - C_{k-1}),  m_k = min(prev[k], prev[k-1])
+    -- (C = in-band cost prefix sum), i.e. a prefix sum plus a running
+    -- min over shifted values -- pure window functions per step.
+    -- Out-of-band/unwritten prev cells coalesce to BIG = 2^62, the
+    -- numpy sentinel, so cell values agree with the engine EXACTLY.
+    dp(id_a, id_b, i, j, d) AS (
+      SELECT id_a, id_b, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM pr
+      UNION ALL
+      SELECT id_a, id_b, i, j,
+             CAST(cpref + min(mshift) OVER (PARTITION BY id_a, id_b ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS d
+      FROM (
+        SELECT id_a, id_b, i, j, cost,
+               sum(cost) OVER wrun AS cpref,
+               m - (sum(cost) OVER wrun - cost) AS mshift
+        FROM (
+          SELECT c.id_a, c.id_b, c.i, c.j, c.cost,
+                 coalesce(min(p.d), 4611686018427387904) AS m
+          FROM (
+            SELECT pq.id_a, pq.id_b, pq.i, bj.idx AS j,
+                   abs(av.val - bj.val) AS cost
+            FROM (SELECT DISTINCT dp.id_a, dp.id_b, dp.i + 1 AS i, p2.len_b
+                  FROM dp JOIN pr p2 ON p2.id_a = dp.id_a AND p2.id_b = dp.id_b
+                  WHERE dp.i + 1 <= p2.len_a) pq
+            JOIN ser av ON av.sid = pq.id_a AND av.idx = pq.i
+            JOIN ser bj ON bj.sid = pq.id_b
+                 AND bj.idx >= greatest(1, pq.i - 16)
+                 AND bj.idx <= least(pq.len_b, pq.i + 16)
+          ) c
+          LEFT JOIN dp p ON p.id_a = c.id_a AND p.id_b = c.id_b
+                        AND p.i = c.i - 1 AND p.j IN (c.j, c.j - 1)
+          GROUP BY c.id_a, c.id_b, c.i, c.j, c.cost
+        )
+        WINDOW wrun AS (PARTITION BY id_a, id_b ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+    )
+    SELECT dp.id_a, dp.id_b, pr.len_a, pr.len_b, dp.d AS dtw_dist
+    FROM dp JOIN pr ON pr.id_a = dp.id_a AND pr.id_b = dp.id_b
+    WHERE dp.i = pr.len_a AND dp.j = pr.len_b
+    ORDER BY 1, 2
+    """,
+)
 def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance between every pair of event-type daily-revenue
     series (library: operators.dtw.dtw_pairs) — elastic shape
@@ -11990,10 +12039,13 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched applyInPandas boundary (pair-level parallelism is
     Spark's; the banded int64 DP is numpy's). All values are exact
     integer cents and every DP cell is int64, so distances are exact
-    BIGINTs — deterministic under any partitioning. NOT
-    SQL-expressible: gated by the driver's rows-only check and pinned
-    in tests against an independent pure-Python reference
-    implementation."""
+    BIGINTs — deterministic under any partitioning. ORACLED (VERDICT
+    r10 #2) by unrolling the DP into a recursive CTE — one recursion
+    step per DP row; the sequential cur[j-1] term becomes a prefix
+    sum + running min inside the step (min-plus algebra makes the
+    closed form exact in int64) — per the q310 discipline that
+    bounded dynamic programs ARE SQL-expressible. Also pinned in
+    tests against an independent pure-Python reference."""
     from owl_etl_spark.operators.dtw import dtw_pairs
 
     e = _t(spark, sf_dir, "events")
@@ -13532,7 +13584,117 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("q250_sequence_alignment", None)
+@_register(
+    "q250_sequence_alignment",
+    """
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tok AS (
+      SELECT event_type, day,
+             CAST(sign(cents - lag(cents) OVER w) AS BIGINT) AS dirn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      QUALIFY lag(cents) OVER w IS NOT NULL
+    ),
+    ser AS (
+      SELECT event_type AS sid,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day, dirn)
+                  AS BIGINT) AS idx,
+             dirn AS val
+      FROM tok
+    ),
+    slen AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
+    pr AS (
+      SELECT la.sid AS id_a, lb.sid AS id_b, la.n AS len_a, lb.n AS len_b
+      FROM slen la JOIN slen lb ON la.sid < lb.sid
+    ),
+    -- banded NW + SW, one recursion step per DP row (q227's unroll in
+    -- max-plus algebra): cur[j] = max(base_j, cur[j-1] + gap) unrolls
+    -- to cur[j] = j*gap + max_{t<=j}(val_t - t*gap) with val_{lo-1} =
+    -- the row's left boundary (i*gap for NW when lo=1, else -BIG) and
+    -- val_t = base_t; SW floors every step at 0, which folds into
+    -- max(base_t, 0) inside the same running max. Missing prev cells
+    -- coalesce to -BIG (NW) / 0 (SW), the numpy sentinels; match=2,
+    -- mismatch=-1, gap=-2, band=1024 are the query's literals.
+    dp(id_a, id_b, i, j, nw, sw) AS (
+      SELECT pr.id_a, pr.id_b, CAST(0 AS BIGINT), CAST(r.range AS BIGINT),
+             CAST(r.range * (-2) AS BIGINT), CAST(0 AS BIGINT)
+      FROM pr JOIN range(0, 100001) r ON r.range <= least(pr.len_b, 1024)
+      UNION ALL
+      SELECT id_a, id_b, i, j,
+             CAST(nw AS BIGINT),
+             CAST(CASE WHEN j >= lo THEN sw ELSE 0 END AS BIGINT)
+      FROM (
+        SELECT id_a, id_b, i, j, lo,
+               j * (-2) + max(nwshift) OVER wrun AS nw,
+               j * (-2) + max(swshift) OVER wrun AS sw
+        FROM (
+          SELECT id_a, id_b, i, j, lo,
+                 coalesce(nwbase, -4611686018427387904) - j * (-2) AS nwshift,
+                 CASE WHEN j >= lo THEN greatest(coalesce(swbase, 0), 0) - j * (-2)
+                      ELSE -4611686018427387904 END AS swshift
+          FROM (
+            SELECT c.id_a, c.id_b, c.i, c.j, c.lo,
+                   CASE WHEN c.j = c.lo - 1 THEN
+                     CASE WHEN c.lo = 1 THEN c.i * (-2) ELSE NULL END
+                   ELSE
+                     greatest(coalesce(max(CASE WHEN p.j = c.j - 1 THEN p.nw END),
+                                       -4611686018427387904) + c.sub,
+                              coalesce(max(CASE WHEN p.j = c.j THEN p.nw END),
+                                       -4611686018427387904) + (-2))
+                   END AS nwbase,
+                   CASE WHEN c.j = c.lo - 1 THEN NULL
+                   ELSE
+                     greatest(coalesce(max(CASE WHEN p.j = c.j - 1 THEN p.sw END), 0)
+                                + c.sub,
+                              coalesce(max(CASE WHEN p.j = c.j THEN p.sw END), 0)
+                                + (-2))
+                   END AS swbase
+            FROM (
+              SELECT pq.id_a, pq.id_b, pq.i, bj.idx AS j, pq.lo,
+                     CASE WHEN av.val = bj.val THEN CAST(2 AS BIGINT)
+                          ELSE CAST(-1 AS BIGINT) END AS sub
+              FROM (SELECT DISTINCT dp.id_a, dp.id_b, dp.i + 1 AS i, p2.len_b,
+                           greatest(1, dp.i + 1 - 1024) AS lo
+                    FROM dp JOIN pr p2 ON p2.id_a = dp.id_a AND p2.id_b = dp.id_b
+                    WHERE dp.i + 1 <= p2.len_a) pq
+              JOIN ser av ON av.sid = pq.id_a AND av.idx = pq.i
+              JOIN ser bj ON bj.sid = pq.id_b
+                   AND bj.idx >= pq.lo
+                   AND bj.idx <= least(pq.len_b, pq.i + 1024)
+              UNION ALL
+              SELECT DISTINCT dp.id_a, dp.id_b, dp.i + 1 AS i,
+                     greatest(1, dp.i + 1 - 1024) - 1 AS j,
+                     greatest(1, dp.i + 1 - 1024) AS lo, CAST(0 AS BIGINT) AS sub
+              FROM dp JOIN pr p2 ON p2.id_a = dp.id_a AND p2.id_b = dp.id_b
+              WHERE dp.i + 1 <= p2.len_a
+            ) c
+            LEFT JOIN dp p ON p.id_a = c.id_a AND p.id_b = c.id_b
+                          AND p.i = c.i - 1 AND p.j IN (c.j, c.j - 1)
+            GROUP BY c.id_a, c.id_b, c.i, c.j, c.lo, c.sub
+          )
+          WINDOW wrun AS (PARTITION BY id_a, id_b ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        WINDOW wrun AS (PARTITION BY id_a, id_b ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      WHERE j >= lo OR (j = 0 AND lo = 1)
+    )
+    SELECT f.id_a, f.id_b, pr.len_a, pr.len_b, f.nw AS nw_score, s.sw AS sw_score
+    FROM (SELECT dp.id_a, dp.id_b, dp.nw
+          FROM dp JOIN pr ON pr.id_a = dp.id_a AND pr.id_b = dp.id_b
+          WHERE dp.i = pr.len_a AND dp.j = pr.len_b) f
+    JOIN (SELECT id_a, id_b, greatest(CAST(0 AS BIGINT), max(sw)) AS sw
+          FROM dp GROUP BY 1, 2) s USING (id_a, id_b)
+    JOIN pr ON pr.id_a = f.id_a AND pr.id_b = f.id_b
+    ORDER BY 1, 2
+    """,
+)
 def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Needleman-Wunsch global + Smith-Waterman local alignment scores
     between every pair of event-type daily-direction sequences
@@ -13543,10 +13705,13 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded int64 DP scores how well two types' movement patterns align
     under substitutions and gaps. Same declared Arrow-batched
     applyInPandas boundary, band guard, and max_len refusal as DTW;
-    all scores exact BIGINTs. NOT SQL-expressible: gated by the
-    driver's rows-only check and pinned in tests against an
-    independent full-matrix pure-Python reference
-    (tests/test_round7_wave1_ops.py)."""
+    all scores exact BIGINTs. ORACLED (VERDICT r10 #2): the max-plus
+    twin of q227's recursive-CTE unroll — one recursion step per DP
+    row, the sequential horizontal-gap term closed into a running max
+    of t-shifted values, the SW zero floor folded into the same
+    running max — exact in int64 against both recurrences. Also
+    pinned in tests against an independent full-matrix pure-Python
+    reference (tests/test_round7_wave1_ops.py)."""
     from pyspark.sql import Window
 
     from owl_etl_spark.operators.align import align_pairs
@@ -21708,4 +21873,89 @@ _REGISTRY["q357_segment_balance_table"] = (
         + "\n    UNION ALL\n"
         + _q357_smd_sql("spend_hund", "nt1", "nc1", "st3", "sc3", "qt3", "qc3"),
     ),
+)
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 1: store-catalog endurance (VERDICT r10 Next-round #3)
+# ---------------------------------------------------------------------------
+
+
+@_register("q358_store_catalog_endurance", None)  # oracle = q34's (attached below)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelve-drop ENDURANCE law for the durable store catalog, with
+    compaction mid-stream (VERDICT r10 Next-round #3): q328 proved the
+    replay law at the reference's 3-month cadence; production is a
+    year of monthly drops with hygiene compaction running between
+    arrivals (reference cadence: src/etl/load.py:56-62 — one folder
+    per arriving month, history never rewritten). The corpus arrives
+    as twelve drops (doc_id % 12 → labels m00..m11); each drop is
+    signed ALONE, probed against the store AS READ BACK FROM PARQUET,
+    then appended — and after every 4th arrival the four newest drops
+    are rewritten by ``compact_drop`` (clustering-preserving: re-sort
+    on (band, sig) at reduced file count, atomic swap), so months 4-11
+    probe a store whose older history is COMPACTED files. The union of
+    the twelve incremental outputs must still hash-match the one-shot
+    full-corpus LSH pairs (q34's SQL): compaction must be invisible to
+    replay. The manifest must show the watermark advancing m00 → m11
+    with twelve drops in arrival order and row_count equal to the sum
+    of per-drop rows — the yearly operational record a scheduler
+    trusts. Probe-pruning economics as drops accumulate are measured
+    separately in the bench scale tier (store_probe files-touched
+    counters)."""
+    from owl_etl_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_signatures,
+    )
+    from owl_etl_spark.operators.stores import session_catalog, sf_tag
+
+    cat = session_catalog()
+    name = f"q358_lsh_sigs_{sf_tag(sf_dir)}"
+    cat.reset(name)  # replay starts from an empty store (idempotent re-runs)
+    d = _t(spark, sf_dir, "documents")
+    labels = [f"m{k:02d}" for k in range(12)]
+    out = None
+    # 12 sequential monthly loads, each a handful of small shuffles and
+    # a localCheckpoint: pin shuffle width to core count for the
+    # iterative phase (localCheckpoint freezes pre-AQE partitioning, so
+    # the session default of 200 would cost 12×(stages×200) empty
+    # tasks) — the q310 save/restore discipline.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        for k, label in enumerate(labels):
+            sigs = minhash_band_signatures(
+                d.filter(F.col("doc_id") % 12 == k), "doc_id", "text",
+                num_hashes=16, bands=8,
+            )
+            store = cat.read(spark, name) if cat.exists(name) else None
+            # materialize this month's pairs BEFORE the store gains the
+            # month's own signatures (the read is lazy; the law needs
+            # the pre-append store)
+            pairs = incremental_lsh_pairs(sigs, store).localCheckpoint(eager=True)
+            cat.write_drop(sigs, name, ["band", "sig"], label)
+            if (k + 1) % 4 == 0:
+                for back in labels[k - 3 : k + 1]:
+                    cat.compact_drop(spark, name, back)
+            out = pairs if out is None else out.unionByName(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    man = cat.manifest(name)
+    if (
+        cat.watermark(name) != "m11"
+        or cat.drops(name) != labels
+        or man["row_count"] != sum(dr["rows"] for dr in man["drops"])
+    ):
+        raise AssertionError(
+            f"store catalog out of contract after 12 drops: "
+            f"watermark={cat.watermark(name)} drops={cat.drops(name)}"
+        )
+    return out.distinct()
+
+
+_REGISTRY["q358_store_catalog_endurance"] = (
+    _REGISTRY["q358_store_catalog_endurance"][0],
+    _REGISTRY["q34_minhash_lsh_pairs"][1],
 )

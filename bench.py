@@ -197,6 +197,7 @@ def main() -> None:
     skew = _skew_scenario(spark, sf_dir)
     ann = _ann_scenario(spark, sf_dir)
     ann_clustered = _ann_clustered_scenario(spark)
+    ann_planted = _ann_planted_scenario(spark)
     streaming = _streaming_scenario(spark, sf_dir)
     scale = _scale_stress_scenario(spark, sf_dir, timings)
     scale100 = _scale100_scenario(spark, sf_dir)
@@ -211,6 +212,7 @@ def main() -> None:
         "skew_scenario": skew,
         "ann_scenario": ann,
         "ann_clustered_scenario": ann_clustered,
+        "ann_planted_scenario": ann_planted,
         "streaming_scenario": streaming,
         "scale_stress": scale,
         "scale_stress_x100": scale100,
@@ -636,6 +638,107 @@ def _ann_clustered_scenario(sparksession) -> dict[str, float]:
     em.unpersist()
     encoded_pq.unpersist()
     encoded_ivfpq.unpersist()
+    return out
+
+
+def _ann_planted_scenario(sparksession) -> dict[str, float]:
+    """Planted-NEIGHBOR recall gate (VERDICT r10 Next-round #5): the
+    isotropic ladder's exact recall is a ~0.2 floor BY DESIGN and the
+    clustered corpus resolves only cluster MEMBERSHIP (all members
+    share a PQ code, so within-cluster order is tie-break, not
+    distance) — neither catches a ranking regression in the ADC table
+    build or the rerank's exact-distance pass. This corpus makes exact
+    recall@5 ≥ 0.9 ACHIEVABLE and therefore gate-able: 2,000
+    well-separated base vectors, and for each of 20 probes a PLANTED
+    clique of 5 tight perturbations (N(0, 0.01)) of one base vector,
+    with the query itself a sixth perturbation. The true top-5 are
+    inside the query's 6-member clique; ADC puts the whole clique at
+    the top of the shortlist (same cell), and the RERANK's exact
+    arithmetic must then order it — so pq_rerank recall@5 ≈ 1.0 when
+    the code is right and degrades immediately when either stage's
+    distance math regresses. ``pq_rerank_gate_ok`` (recall ≥ 0.9) is
+    the recorded gate; tests/test_cluster.py pins the same contract
+    at unit scale."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.cluster import (
+        pq_adc_topk,
+        pq_codebooks_fit,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    n_base, n_queries, clique, dim = 2000, 20, 5, 64
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-10, 10, size=(n_base, dim))
+    planted, queries = [], []
+    for q in range(n_queries):
+        anchor = base[q * (n_base // n_queries)]
+        planted.append(anchor + rng.normal(0, 0.01, size=(clique, dim)))
+        queries.append(anchor + rng.normal(0, 0.01, size=dim))
+    vecs = np.vstack([base] + planted).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype="int64"), "embedding": vecs.tolist()}
+    )
+    em = sparksession.createDataFrame(pdf).localCheckpoint()
+    qpdf = pd.DataFrame(
+        {
+            # query ids live far above corpus ids — a query is NOT a member
+            "vec_id": np.arange(1_000_000, 1_000_000 + n_queries, dtype="int64"),
+            "embedding": np.asarray(queries, dtype="float32").tolist(),
+        }
+    )
+    qs = sparksession.createDataFrame(qpdf).localCheckpoint()
+
+    out: dict[str, float] = {}
+
+    dist = (
+        "aggregate(zip_with(transform(__qv, v -> CAST(v AS DOUBLE)), "
+        "transform(__cv, v -> CAST(v AS DOUBLE)), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    t0 = time.perf_counter()
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth_df = (
+        cv.join(F.broadcast(qv))
+        .select("query_id", "neighbor_id", F.round(F.expr(dist), 6).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in truth_df.collect()}
+    out["brute_s"] = round(time.perf_counter() - t0, 3)
+
+    cbs = pq_codebooks_fit(em, m=4, ks=16, dim=dim)
+    encoded_pq = pq_encode(em, cbs, round_digits=6).localCheckpoint()
+    for label, fn in (
+        ("pq_adc", lambda: pq_adc_topk(qs, encoded_pq, cbs, k=5)),
+        ("pq_rerank", lambda: pq_rerank_topk(qs, em, encoded_pq, cbs, k=5, shortlist=100)),
+    ):
+        t0 = time.perf_counter()
+        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        out[f"{label}_s"] = round(time.perf_counter() - t0, 3)
+        out[f"{label}_recall_at_5"] = round(len(got & truth) / len(truth), 3)
+        print(
+            f"# ann_planted_{label}: {out[f'{label}_s']}s "
+            f"recall@5={out[f'{label}_recall_at_5']}",
+            file=sys.stderr,
+        )
+    out["pq_rerank_gate_ok"] = 1.0 if out["pq_rerank_recall_at_5"] >= 0.9 else 0.0
+    if not out["pq_rerank_gate_ok"]:
+        print(
+            "# ann_planted GATE FAILED: pq_rerank recall@5 "
+            f"{out['pq_rerank_recall_at_5']} < 0.9 — ranking regression",
+            file=sys.stderr,
+        )
+    em.unpersist()
+    qs.unpersist()
+    encoded_pq.unpersist()
     return out
 
 

@@ -260,3 +260,62 @@ def test_ivfpq_full_probe_equals_pq_on_residuals(spark):
     # fewer lists; at full probes the ranking must be total over the corpus
     assert set(fset) == {(q, r) for q in range(3) for r in range(1, 4)}
     assert len(pset) == 9
+
+
+def test_pq_rerank_planted_neighbor_recall_gate(spark):
+    """Planted-NEIGHBOR recall contract (VERDICT r10 Next-round #5),
+    the unit-scale twin of bench's ann_planted_scenario: queries whose
+    true top-5 are a tight planted clique of perturbations of one base
+    vector. Unlike the planted-CLUSTER corpus (membership only — all
+    members share a code, so within-cluster order is tie-break), here
+    exact recall@5 >= 0.9 is ACHIEVABLE, so a ranking regression in
+    the ADC shortlist or the rerank's exact-distance pass fails THIS
+    assertion rather than hiding under a "random-corpus floor"
+    argument."""
+    import numpy as np
+    import pandas as pd
+
+    from owl_etl_spark.operators.cluster import (
+        pq_codebooks_fit,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    n_base, n_queries, clique, dim = 400, 8, 5, 64
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-10, 10, size=(n_base, dim))
+    planted, queries = [], []
+    for q in range(n_queries):
+        anchor = base[q * (n_base // n_queries)]
+        planted.append(anchor + rng.normal(0, 0.01, size=(clique, dim)))
+        queries.append(anchor + rng.normal(0, 0.01, size=dim))
+    vecs = np.vstack([base] + planted).astype("float32")
+    em = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(vecs), dtype="int64"), "embedding": vecs.tolist()}
+        )
+    ).localCheckpoint()
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(1_000_000, 1_000_000 + n_queries, dtype="int64"),
+                "embedding": np.asarray(queries, dtype="float32").tolist(),
+            }
+        )
+    )
+
+    # exact L2 truth, tiny corpus: numpy brute force
+    truth = set()
+    for qi, qvec in enumerate(queries):
+        d = ((vecs.astype("float64") - np.asarray(qvec, dtype="float64")) ** 2).sum(axis=1)
+        for nid in np.argsort(d, kind="stable")[:5]:
+            truth.add((1_000_000 + qi, int(nid)))
+
+    cbs = pq_codebooks_fit(em, m=4, ks=16, dim=dim)
+    enc = pq_encode(em, cbs, round_digits=6)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_rerank_topk(qs, em, enc, cbs, k=5, shortlist=100).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"planted-neighbor recall@5 {recall} < 0.9"

@@ -38,12 +38,15 @@ def test_priority_window_is_exactly_fifty_and_resolves():
         assert p in prefixes, f"priority entry {p} no longer resolves"
 
 
-def test_rows_only_queries_are_the_declared_two():
+def test_rows_only_queries_are_none():
+    # Round 11 retired the last rows-only entries: q227/q250 gained
+    # recursive-CTE DP oracles (VERDICT r10 Next-round #2). Every
+    # registered query must now carry a DuckDB oracle.
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert q - o == {"q227_event_series_dtw", "q250_sequence_alignment"}, (
-        "a query lost (or gained) its oracle without updating the "
-        "declared rows-only set"
+    assert q - o == set(), (
+        "a query lost its oracle — the program has zero declared "
+        "rows-only entries since round 11"
     )
 
 

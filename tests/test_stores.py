@@ -197,3 +197,94 @@ def test_compact_drop_preserves_rows_and_clustering(spark, cat):
     # property a plain coalesce would have destroyed
     rows = spark.read.parquet(drop_dir).select("band", "sig").collect()
     assert [(r.band, r.sig) for r in rows] == sorted((r.band, r.sig) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-11: crash-window idempotence laws (VERDICT r10 Next-round #6)
+# ---------------------------------------------------------------------------
+
+
+def _store_state(spark, cat, name):
+    """Logical store state: manifest dict + frozenset of rows per drop.
+    (Row-level, not file-byte-level: parquet bytes legitimately differ
+    across runs via write timestamps/task ids; the replayable state a
+    downstream probe sees is rows + manifest.)"""
+    man = cat.manifest(name)
+    per_drop = {
+        d["label"]: frozenset(
+            map(tuple, cat.read_drop(spark, name, d["label"]).collect())
+        )
+        for d in man["drops"]
+    }
+    return man, per_drop
+
+
+def test_crash_window_post_data_pre_manifest_rerun_is_idempotent(spark, cat, tmp_path):
+    """Kill/rerun a drop load midway — data committed, manifest not
+    yet written (the exact window between write_sorted_parquet and
+    _write_manifest inside write_drop). Re-running write_drop for the
+    same label must leave the store identical to a never-crashed run:
+    the data rewrite is a whole-directory overwrite and the manifest
+    append is label-idempotent, so the crash is invisible."""
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    # the never-crashed twin
+    clean = StoreCatalog(str(tmp_path / "clean"))
+    clean.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    clean.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+
+    # the crashed run: m0 lands fine; m1's DATA lands (exactly what
+    # write_drop writes: same clustering, same directory) but the
+    # process dies before the manifest append
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m1")
+    write_sorted_parquet(_frame(spark, 40, 100), drop_dir, ["band", "sig"])
+    man = cat.manifest("sigs")
+    assert man["last_drop_watermark"] == "m0"  # the crash window state
+    assert [d["label"] for d in man["drops"]] == ["m0"]
+
+    # recovery = the scheduler simply re-runs the load for m1
+    cat.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+
+    got_man, got_rows = _store_state(spark, cat, "sigs")
+    want_man, want_rows = _store_state(spark, clean, "sigs")
+    assert got_man == want_man
+    assert got_rows == want_rows
+
+
+def test_crash_window_partial_garbage_data_is_replaced(spark, cat, tmp_path):
+    """Harsher crash: the drop directory holds PARTIAL garbage — a
+    stray parquet of wrong rows and a Spark _temporary dir from a
+    half-committed attempt. write_drop's overwrite replaces the whole
+    directory, so the rerun still converges to the clean state."""
+    clean = StoreCatalog(str(tmp_path / "clean"))
+    clean.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    clean.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m1")
+    # garbage: WRONG rows (a torn subset) + an uncommitted temp dir
+    _frame(spark, 40, 50).write.parquet(drop_dir)
+    os.makedirs(os.path.join(drop_dir, "_temporary", "0"), exist_ok=True)
+
+    cat.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+
+    got_man, got_rows = _store_state(spark, cat, "sigs")
+    want_man, want_rows = _store_state(spark, clean, "sigs")
+    assert got_man == want_man
+    assert got_rows == want_rows
+    assert not os.path.exists(os.path.join(drop_dir, "_temporary"))
+
+
+def test_crash_window_manifest_tmp_leftover_is_harmless(spark, cat):
+    """Crash INSIDE the manifest write (tmp file exists, rename never
+    ran): the live manifest is still the previous consistent state,
+    and the next write_drop replaces the tmp on its way through."""
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band", "sig"], "m0")
+    tmp = os.path.join(cat.store_path("sigs"), "MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write('{"torn": true')  # torn half-write, not even valid JSON
+    assert cat.manifest("sigs")["last_drop_watermark"] == "m0"  # unaffected
+    cat.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
+    assert cat.manifest("sigs")["last_drop_watermark"] == "m1"
+    assert not os.path.exists(tmp)
