@@ -968,6 +968,11 @@ _SCALE_QUERIES = [
     "q337_cohort_fdr_screen",
     "q345_doc_repetition_profile",
     "q347_priority_ordered_trend",
+    # round-11: the 12-drop catalog-endurance law at 10x documents —
+    # a year of monthly loads with mid-stream compaction against a
+    # 10x-sized corpus (wall+rows only, no 1x headline baseline). Its
+    # store is then reused by the store_probe_* pruning counters.
+    "q358_store_catalog_endurance",
 ]
 
 
@@ -1210,6 +1215,219 @@ def _scale_stress_scenario(
         out["q29_max_task_pairs"] = 4096 * 4096
         out["q34_max_task_pairs"] = 1024 * 1024
         out["q98_max_task_pairs"] = 1024 * 1024
+
+        # Files-touched-per-probe (VERDICT r10 Next-round #3): how many
+        # parquet files of a (band, sig)-range-clustered store must a
+        # min/max-statistics-skipping reader (the capability
+        # write_sorted_parquet exists to enable — Delta/Iceberg data
+        # skipping, or a pushed IN/range predicate) touch for two probe
+        # shapes — a ~20-doc "needle" trickle and a full monthly drop?
+        # Measured against a dedicated store written at PRODUCTION file
+        # granularity (64 range-clustered files): at bench scale q358's
+        # own drops each compact to a single file, which makes file
+        # skipping vacuous by construction (1 file spans every band) —
+        # at 100 TB a drop is thousands of files and this layout is
+        # what keeps a probe O(keys), not O(store). The needle number
+        # is the pruning proof (a small fraction of files, ~1 file per
+        # touched key range); the full-drop probe documents the dense
+        # regime, which legitimately overlaps most files.
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            from owl_etl_spark.operators.dedup import minhash_band_signatures
+            from owl_etl_spark.operators.stores import session_catalog, sf_tag
+
+            cat = session_catalog()
+            meas_name = f"bench_probe_meas_{sf_tag(work)}"
+            cat.reset(meas_name)
+            all_sigs = minhash_band_signatures(
+                sparksession.read.parquet(f"{work}/documents.parquet"),
+                "doc_id", "text", num_hashes=16, bands=8,
+            )
+            cat.write_drop(
+                all_sigs, meas_name, ["band", "sig"], "m0", target_partitions=64
+            )
+            data_dir = os.path.join(cat.store_path(meas_name), "data")
+            file_stats = []
+            for fpath in sorted(
+                _glob.glob(os.path.join(data_dir, "drop=*", "*.parquet"))
+            ):
+                md = _pq.ParquetFile(fpath).metadata
+                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                bmin = bmax = smin = smax = None
+                for rg in range(md.num_row_groups):
+                    bst = md.row_group(rg).column(cols["band"]).statistics
+                    sst = md.row_group(rg).column(cols["sig"]).statistics
+                    if bst is None or sst is None or not bst.has_min_max or not sst.has_min_max:
+                        bmin, smin = None, None  # no stats -> never prunable
+                        break
+                    bmin = bst.min if bmin is None else min(bmin, bst.min)
+                    bmax = bst.max if bmax is None else max(bmax, bst.max)
+                    smin = sst.min if smin is None else min(smin, sst.min)
+                    smax = sst.max if smax is None else max(smax, sst.max)
+                file_stats.append((bmin, bmax, smin, smax))
+            docs10 = sparksession.read.parquet(f"{work}/documents.parquet")
+            n_docs10 = docs10.count()
+            needle_mod = max(1, n_docs10 // 20)
+            for label, probe in (
+                ("needle", docs10.filter(F.col("doc_id") % needle_mod == 17)),
+                ("fulldrop", docs10.filter(F.col("doc_id") % 12 == 11)),
+            ):
+                by_band: dict[int, list[str]] = {}
+                for r in (
+                    minhash_band_signatures(probe, "doc_id", "text", num_hashes=16, bands=8)
+                    .select("band", "sig")
+                    .distinct()
+                    .collect()
+                ):
+                    by_band.setdefault(r.band, []).append(r.sig)
+                touched = 0
+                for bmin, bmax, smin, smax in file_stats:
+                    if bmin is None:
+                        touched += 1  # statless file: a skipper must read it
+                        continue
+                    if any(
+                        bmin <= b <= bmax and any(smin <= s <= smax for s in sigs)
+                        for b, sigs in by_band.items()
+                    ):
+                        touched += 1
+                out[f"store_probe_files_{label}"] = touched
+                out[f"store_probe_keys_{label}"] = sum(len(v) for v in by_band.values())
+            out["store_probe_files_total"] = len(file_stats)
+            print(
+                "# store_probe pruning: needle "
+                f"{out.get('store_probe_files_needle')}/{len(file_stats)} files "
+                f"({out.get('store_probe_keys_needle')} keys), fulldrop "
+                f"{out.get('store_probe_files_fulldrop')}/{len(file_stats)} files",
+                file=sys.stderr,
+            )
+        except Exception as e:  # measurement must never sink the bench
+            out["store_probe_error"] = str(e)[:200]
+            print(f"# store_probe pruning FAILED: {e}", file=sys.stderr)
+
+        # Payload-balanced multimodal batching, measured (VERDICT r10
+        # Next-round #7): multimodal.py documents the MB-payload risk —
+        # mapInPandas holds one Arrow batch of payloads per task, so
+        # peak memory = batch_bytes x task_threads — but nothing
+        # recorded it. Fixture: the 10x tier's documents as binary
+        # payloads with a planted 1% of rows inflated 100x (the mixed
+        # thumbnails-and-4K-video shape). Recorded:
+        # - max_batch_bytes under the default arrow maxRecordsPerBatch
+        #   (10k rows/batch — rows-based, payload-blind) vs under a
+        #   payload-aware 256: the sizing guidance is
+        #   maxRecordsPerBatch <= executor_budget / (p99_payload x
+        #   task_threads), and the pair of numbers shows the lever's
+        #   actual range on this corpus;
+        # - per-TASK payload-bytes max/median under hash (row-balanced)
+        #   repartition vs a greedy size-round-robin (LPT-style)
+        #   payload balance — the upstream repartition the module
+        #   docstring prescribes (at 100 TB the ordering window is a
+        #   range+salt pass, not a global sort; the balance law is the
+        #   same).
+        try:
+            import pandas as _pd
+
+            from pyspark.sql import Window as _Window
+
+            from owl_etl_spark.operators.multimodal import (
+                extract_features,
+                to_binary_payload,
+            )
+
+            docs10 = sparksession.read.parquet(f"{work}/documents.parquet")
+            skew_mod = 100  # 1% of rows carry a 100x payload
+            skewed = docs10.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % skew_mod == 0, F.repeat(F.col("text"), 100)
+                ).otherwise(F.col("text")),
+            )
+            payloads = to_binary_payload(skewed).localCheckpoint()
+            out["multimodal_rows"] = payloads.count()
+            out["multimodal_total_mb"] = round(
+                (payloads.agg(F.sum("n_bytes")).collect()[0][0] or 0) / 1e6, 1
+            )
+
+            def _batch_bytes(batches):
+                for pdf in batches:
+                    yield _pd.DataFrame(
+                        {"batch_bytes": [int(sum(len(p) for p in pdf["payload"]))]}
+                    )
+
+            prev_batch = sparksession.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            )
+            for label, recs in (("default", prev_batch), ("tuned256", "256")):
+                sparksession.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", recs
+                )
+                try:
+                    mx = (
+                        payloads.mapInPandas(_batch_bytes, "batch_bytes long")
+                        .agg(F.max("batch_bytes"))
+                        .collect()[0][0]
+                    )
+                finally:
+                    sparksession.conf.set(
+                        "spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch
+                    )
+                out[f"multimodal_max_batch_mb_{label}"] = round((mx or 0) / 1e6, 2)
+
+            # per-task payload bytes: row-balanced hash vs greedy
+            # size-round-robin (descending-size row_number mod width)
+            width = 32
+            task_bytes = lambda df: (  # noqa: E731 - local measurement lambda
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.sum("n_bytes").alias("b"))
+                .agg(
+                    F.max("b").alias("mx"),
+                    F.expr("percentile(b, 0.5)").alias("md"),
+                )
+                .collect()[0]
+            )
+            hash_part = task_bytes(payloads.repartition(width, "doc_id"))
+            lpt = payloads.withColumn(
+                "__slot",
+                (
+                    F.row_number().over(
+                        _Window.orderBy(F.col("n_bytes").desc(), F.col("doc_id"))
+                    )
+                    - 1
+                )
+                % width,
+            )
+            # repartitionByRange, not hash: 32 distinct slot values
+            # into 32 partitions must map 1:1 (hash would collide ~1/e
+            # of the slots and re-create the very skew being removed)
+            lpt_part = task_bytes(lpt.repartitionByRange(width, "__slot"))
+            out["multimodal_task_mb_hash_max"] = round(hash_part["mx"] / 1e6, 2)
+            out["multimodal_task_mb_hash_median"] = round(hash_part["md"] / 1e6, 2)
+            out["multimodal_task_mb_lpt_max"] = round(lpt_part["mx"] / 1e6, 2)
+            out["multimodal_task_mb_lpt_median"] = round(lpt_part["md"] / 1e6, 2)
+
+            # and the real featurize pass over the skewed corpus, timed
+            t0 = time.perf_counter()
+            nfeat = extract_features(payloads).count()
+            out["multimodal_featurize_s"] = round(time.perf_counter() - t0, 3)
+            out["multimodal_featurize_rows"] = nfeat
+            payloads.unpersist()
+            print(
+                "# multimodal payload: "
+                f"{out['multimodal_total_mb']}MB total, max batch "
+                f"{out['multimodal_max_batch_mb_default']}MB (default) vs "
+                f"{out['multimodal_max_batch_mb_tuned256']}MB (256/batch); "
+                f"task max/median {out['multimodal_task_mb_hash_max']}/"
+                f"{out['multimodal_task_mb_hash_median']}MB (hash) vs "
+                f"{out['multimodal_task_mb_lpt_max']}/"
+                f"{out['multimodal_task_mb_lpt_median']}MB (balanced); "
+                f"featurize {out['multimodal_featurize_s']}s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # measurement must never sink the bench
+            out["multimodal_error"] = str(e)[:200]
+            print(f"# multimodal payload FAILED: {e}", file=sys.stderr)
 
         # Sessionize at 10x events AND 10x keys.
         prev_parts = sparksession.conf.get("spark.sql.shuffle.partitions")
