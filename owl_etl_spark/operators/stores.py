@@ -158,6 +158,7 @@ class StoreCatalog:
                 "last_drop_watermark": None,
             }
 
+        self._recover_crashed_compactions(name)
         drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
         write_sorted_parquet(df, drop_dir, list(clustering_keys), target_partitions)
         # metadata-only count of what actually landed (parquet footers)
@@ -182,23 +183,37 @@ class StoreCatalog:
         clustering (a plain coalesce — writers.compact_parquet —
         would merge unsorted neighbors and destroy the min/max file
         pruning the store exists for). Read → re-cluster on the
-        manifest's keys at the reduced partition count → atomic swap;
-        row count re-verified against the manifest before the swap.
-        Returns the new file count."""
+        manifest's keys at the reduced partition count → crash-safe
+        swap; row count re-verified against the manifest before the
+        swap. Returns the new file count.
+
+        Crash safety (round 11 — the original delete-then-rename swap
+        had a window where a kill left NEITHER directory and the next
+        whole-store read silently missed the drop): the swap never
+        destroys data before its replacement is live —
+
+            write <drop>__compact_tmp        (crash: tmp garbage, drop intact)
+            rename <drop>  -> <drop>__compact_old   (crash: old holds the data)
+            rename tmp     -> <drop>                (crash: both exist)
+            delete <drop>__compact_old
+
+        and every catalog entry point runs
+        :meth:`_recover_crashed_compactions` first, which rolls the
+        store back/forward to a consistent state from any of those
+        leftovers."""
         import math
 
+        self._recover_crashed_compactions(name)
         manifest = self.manifest(name)
         keys = manifest["clustering_keys"]
         drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
         expected = next(
             d["rows"] for d in manifest["drops"] if d["label"] == drop_label
         )
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(drop_dir)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         total = sum(
-            s.getLen()
-            for s in fs.listStatus(jvm_path)
-            if s.getPath().getName().endswith(".parquet")
+            e.stat().st_size
+            for e in os.scandir(drop_dir)
+            if e.name.endswith(".parquet")
         )
         n = max(1, math.ceil(total / target_file_bytes))
         tmp = drop_dir.rstrip("/") + "__compact_tmp"
@@ -210,9 +225,41 @@ class StoreCatalog:
                 f"compaction of {name}/{drop_label} produced {got} rows, "
                 f"manifest says {expected}; drop left untouched"
             )
-        fs.delete(jvm_path, True)
-        fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+        old = drop_dir.rstrip("/") + "__compact_old"
+        os.rename(drop_dir, old)  # the data survives every crash point
+        os.rename(tmp, drop_dir)
+        shutil.rmtree(old, ignore_errors=True)
         return n
+
+    def _recover_crashed_compactions(self, name: str) -> None:
+        """Repair leftovers of a ``compact_drop`` killed mid-swap so
+        readers never see a half-swapped store (a ``__compact_tmp`` /
+        ``__compact_old`` sibling would otherwise also poison the
+        whole-store partition-discovery read):
+
+        - ``<drop>__compact_old`` with ``<drop>`` missing — killed
+          between the two renames: roll BACK (the old directory is the
+          authoritative data; the tmp rewrite is discarded).
+        - ``<drop>__compact_old`` with ``<drop>`` present — killed
+          after the swap, before cleanup: roll FORWARD (drop the old
+          copy; the compacted directory is live and verified).
+        - ``<drop>__compact_tmp`` — an uncommitted rewrite: discard.
+
+        O(drops) directory listing, no data reads — cheap enough to
+        run on every catalog entry point."""
+        data = self._data_path(name)
+        if not os.path.isdir(data):
+            return
+        for entry in sorted(os.listdir(data)):
+            path = os.path.join(data, entry)
+            if entry.endswith("__compact_old"):
+                final = path[: -len("__compact_old")]
+                if not os.path.exists(final):
+                    os.rename(path, final)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif entry.endswith("__compact_tmp"):
+                shutil.rmtree(path, ignore_errors=True)
 
     # -- read ------------------------------------------------------------
     def read(self, spark: SparkSession, name: str, with_drop: bool = False) -> DataFrame:
@@ -221,6 +268,7 @@ class StoreCatalog:
         handle for drop-scoped reprocessing."""
         if not self.exists(name):
             raise FileNotFoundError(f"store {name!r} does not exist under {self.root}")
+        self._recover_crashed_compactions(name)
         data = self._data_path(name)
         df = spark.read.option("basePath", data).parquet(data)
         if with_drop:
@@ -230,6 +278,7 @@ class StoreCatalog:
     def read_drop(self, spark: SparkSession, name: str, drop_label: str) -> DataFrame:
         """One drop — a direct partition-directory read (no listing of
         the other drops at all)."""
+        self._recover_crashed_compactions(name)
         drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
         return spark.read.parquet(drop_dir)
 

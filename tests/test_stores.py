@@ -288,3 +288,57 @@ def test_crash_window_manifest_tmp_leftover_is_harmless(spark, cat):
     cat.write_drop(_frame(spark, 40, 100), "sigs", ["band", "sig"], "m1")
     assert cat.manifest("sigs")["last_drop_watermark"] == "m1"
     assert not os.path.exists(tmp)
+
+
+def test_compact_crash_between_renames_rolls_back(spark, cat):
+    """compact_drop killed between `drop -> old` and `tmp -> drop`
+    (the window where the ORIGINAL swap lost the month): the old
+    directory holds the authoritative data; any catalog entry point
+    rolls it back and the store reads complete."""
+    cat.write_drop(_frame(spark, 0, 500), "sigs", ["band", "sig"], "m0", target_partitions=4)
+    cat.write_drop(_frame(spark, 500, 600), "sigs", ["band", "sig"], "m1")
+    want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    # simulate: tmp written, first rename done, killed before the second
+    from owl_etl_spark.sources.writers import write_sorted_parquet
+
+    write_sorted_parquet(
+        spark.read.parquet(drop_dir), drop_dir + "__compact_tmp", ["band", "sig"], 1
+    )
+    os.rename(drop_dir, drop_dir + "__compact_old")
+    assert not os.path.exists(drop_dir)  # the crash state
+    # a plain read (no explicit repair call) recovers and sees every row
+    assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+    assert os.path.isdir(drop_dir)
+    assert not os.path.exists(drop_dir + "__compact_old")
+    assert not os.path.exists(drop_dir + "__compact_tmp")
+    # and the compaction can simply be re-run to completion
+    assert cat.compact_drop(spark, "sigs", "m0") == 1
+    assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+
+
+def test_compact_crash_before_cleanup_rolls_forward(spark, cat):
+    """compact_drop killed after the swap, before deleting the old
+    copy: the compacted directory is live; recovery drops the stale
+    old copy instead of double-counting it."""
+    cat.write_drop(_frame(spark, 0, 500), "sigs", ["band", "sig"], "m0", target_partitions=4)
+    want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    import shutil as _sh
+
+    _sh.copytree(drop_dir, drop_dir + "__compact_old")  # the crash state
+    assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+    assert not os.path.exists(drop_dir + "__compact_old")
+
+
+def test_compact_crash_tmp_only_is_discarded(spark, cat):
+    """compact_drop killed during the tmp rewrite: the drop is
+    untouched; the uncommitted tmp must be discarded BEFORE the
+    whole-store read (a stray non-partition sibling directory would
+    otherwise poison partition discovery)."""
+    cat.write_drop(_frame(spark, 0, 200), "sigs", ["band", "sig"], "m0")
+    want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    _frame(spark, 0, 37).write.parquet(drop_dir + "__compact_tmp")
+    assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+    assert not os.path.exists(drop_dir + "__compact_tmp")
