@@ -11967,20 +11967,24 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q227_event_series_dtw",
     """
     WITH RECURSIVE
-    daily AS (
+    -- prelude CTEs MATERIALIZED: a recursive term re-evaluates every
+    -- inlined reference PER ITERATION (parquet re-scan + window per
+    -- row of the DP) -- the q233 lesson; materializing keeps the
+    -- whole 30-row recursion under a second.
+    daily AS MATERIALIZED (
       SELECT event_type, epoch_us(ts) // 86400000000 AS day,
              CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
-    ser AS (
+    ser AS MATERIALIZED (
       SELECT event_type AS sid,
              CAST(row_number() OVER (PARTITION BY event_type ORDER BY day, cents)
                   AS BIGINT) AS idx,
              cents AS val
       FROM daily
     ),
-    slen AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
-    pr AS (
+    slen AS MATERIALIZED (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
+    pr AS MATERIALIZED (
       SELECT la.sid AS id_a, lb.sid AS id_b, la.n AS len_a, lb.n AS len_b
       FROM slen la JOIN slen lb ON la.sid < lb.sid
     ),
@@ -11990,8 +11994,10 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     --          = C_j + min_{k<=j}(m_k - C_{k-1}),  m_k = min(prev[k], prev[k-1])
     -- (C = in-band cost prefix sum), i.e. a prefix sum plus a running
     -- min over shifted values -- pure window functions per step.
-    -- Out-of-band/unwritten prev cells coalesce to BIG = 2^62, the
-    -- numpy sentinel, so cell values agree with the engine EXACTLY.
+    -- prev[j] / prev[j-1] are fetched by two equi hash joins (an OR'd
+    -- IN join would plan as a nested loop); out-of-band/unwritten
+    -- cells coalesce to BIG = 2^62, the numpy sentinel, so cell
+    -- values agree with the engine EXACTLY.
     dp(id_a, id_b, i, j, d) AS (
       SELECT id_a, id_b, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       FROM pr
@@ -12005,7 +12011,8 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
                m - (sum(cost) OVER wrun - cost) AS mshift
         FROM (
           SELECT c.id_a, c.id_b, c.i, c.j, c.cost,
-                 coalesce(min(p.d), 4611686018427387904) AS m
+                 least(coalesce(p1.d, 4611686018427387904),
+                       coalesce(p2.d, 4611686018427387904)) AS m
           FROM (
             SELECT pq.id_a, pq.id_b, pq.i, bj.idx AS j,
                    abs(av.val - bj.val) AS cost
@@ -12017,9 +12024,10 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND bj.idx >= greatest(1, pq.i - 16)
                  AND bj.idx <= least(pq.len_b, pq.i + 16)
           ) c
-          LEFT JOIN dp p ON p.id_a = c.id_a AND p.id_b = c.id_b
-                        AND p.i = c.i - 1 AND p.j IN (c.j, c.j - 1)
-          GROUP BY c.id_a, c.id_b, c.i, c.j, c.cost
+          LEFT JOIN dp p1 ON p1.id_a = c.id_a AND p1.id_b = c.id_b
+                         AND p1.i = c.i - 1 AND p1.j = c.j
+          LEFT JOIN dp p2 ON p2.id_a = c.id_a AND p2.id_b = c.id_b
+                         AND p2.i = c.i - 1 AND p2.j = c.j - 1
         )
         WINDOW wrun AS (PARTITION BY id_a, id_b ORDER BY j
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -13588,27 +13596,29 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q250_sequence_alignment",
     """
     WITH RECURSIVE
-    daily AS (
+    -- prelude CTEs MATERIALIZED: the recursive term re-evaluates every
+    -- inlined reference per iteration (the q233/q227 lesson).
+    daily AS MATERIALIZED (
       SELECT event_type, epoch_us(ts) // 86400000000 AS day,
              CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT event_type, day,
              CAST(sign(cents - lag(cents) OVER w) AS BIGINT) AS dirn
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
       QUALIFY lag(cents) OVER w IS NOT NULL
     ),
-    ser AS (
+    ser AS MATERIALIZED (
       SELECT event_type AS sid,
              CAST(row_number() OVER (PARTITION BY event_type ORDER BY day, dirn)
                   AS BIGINT) AS idx,
              dirn AS val
       FROM tok
     ),
-    slen AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
-    pr AS (
+    slen AS MATERIALIZED (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY sid),
+    pr AS MATERIALIZED (
       SELECT la.sid AS id_a, lb.sid AS id_b, la.n AS len_a, lb.n AS len_b
       FROM slen la JOIN slen lb ON la.sid < lb.sid
     ),
@@ -13642,17 +13652,13 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN c.j = c.lo - 1 THEN
                      CASE WHEN c.lo = 1 THEN c.i * (-2) ELSE NULL END
                    ELSE
-                     greatest(coalesce(max(CASE WHEN p.j = c.j - 1 THEN p.nw END),
-                                       -4611686018427387904) + c.sub,
-                              coalesce(max(CASE WHEN p.j = c.j THEN p.nw END),
-                                       -4611686018427387904) + (-2))
+                     greatest(coalesce(p2.nw, -4611686018427387904) + c.sub,
+                              coalesce(p1.nw, -4611686018427387904) + (-2))
                    END AS nwbase,
                    CASE WHEN c.j = c.lo - 1 THEN NULL
                    ELSE
-                     greatest(coalesce(max(CASE WHEN p.j = c.j - 1 THEN p.sw END), 0)
-                                + c.sub,
-                              coalesce(max(CASE WHEN p.j = c.j THEN p.sw END), 0)
-                                + (-2))
+                     greatest(coalesce(p2.sw, 0) + c.sub,
+                              coalesce(p1.sw, 0) + (-2))
                    END AS swbase
             FROM (
               SELECT pq.id_a, pq.id_b, pq.i, bj.idx AS j, pq.lo,
@@ -13673,9 +13679,10 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM dp JOIN pr p2 ON p2.id_a = dp.id_a AND p2.id_b = dp.id_b
               WHERE dp.i + 1 <= p2.len_a
             ) c
-            LEFT JOIN dp p ON p.id_a = c.id_a AND p.id_b = c.id_b
-                          AND p.i = c.i - 1 AND p.j IN (c.j, c.j - 1)
-            GROUP BY c.id_a, c.id_b, c.i, c.j, c.lo, c.sub
+            LEFT JOIN dp p1 ON p1.id_a = c.id_a AND p1.id_b = c.id_b
+                           AND p1.i = c.i - 1 AND p1.j = c.j
+            LEFT JOIN dp p2 ON p2.id_a = c.id_a AND p2.id_b = c.id_b
+                           AND p2.i = c.i - 1 AND p2.j = c.j - 1
           )
           WINDOW wrun AS (PARTITION BY id_a, id_b ORDER BY j
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
