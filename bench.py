@@ -1312,8 +1312,9 @@ def _scale_stress_scenario(
         # mapInPandas holds one Arrow batch of payloads per task, so
         # peak memory = batch_bytes x task_threads — but nothing
         # recorded it. Fixture: the 10x tier's documents as binary
-        # payloads with a planted 1% of rows inflated 100x (the mixed
-        # thumbnails-and-4K-video shape). Recorded:
+        # payloads with a planted ~0.08% of rows inflated 1000x (the
+        # mixed thumbnails-and-4K-video shape — few HUGE rows, the
+        # regime where row hashing actually fails). Recorded:
         # - max_batch_bytes under the default arrow maxRecordsPerBatch
         #   (10k rows/batch — rows-based, payload-blind) vs under a
         #   payload-aware 256: the sizing guidance is
@@ -1337,11 +1338,17 @@ def _scale_stress_scenario(
             )
 
             docs10 = sparksession.read.parquet(f"{work}/documents.parquet")
-            skew_mod = 100  # 1% of rows carry a 100x payload
+            # the FEW-HUGE-ROWS regime (~0.08% of rows at 1000x — the
+            # 4K-video-among-thumbnails shape): this is where row
+            # hashing actually fails. With many moderately-big rows
+            # (say 1% at 100x) hash averaging is already fine — the
+            # imbalance lever only pays when #huge ~ task width, so
+            # that is what the fixture plants.
+            skew_mod = 1250
             skewed = docs10.withColumn(
                 "text",
                 F.when(
-                    F.col("doc_id") % skew_mod == 0, F.repeat(F.col("text"), 100)
+                    F.col("doc_id") % skew_mod == 0, F.repeat(F.col("text"), 1000)
                 ).otherwise(F.col("text")),
             )
             payloads = to_binary_payload(skewed).localCheckpoint()
@@ -1388,6 +1395,14 @@ def _scale_stress_scenario(
                 .collect()[0]
             )
             hash_part = task_bytes(payloads.repartition(width, "doc_id"))
+            # balanced layout: size-round-robin slot = rank % width,
+            # measured per SLOT. The slot→task mapping must be EXACT —
+            # DataFrame repartition(col) murmur-hashes (collides ~1/e
+            # of 32 slots) and repartitionByRange samples boundaries
+            # (merges slots); in production the exact mapping is an
+            # RDD HashPartitioner over the integer slot (Int.hashCode
+            # is the identity, so slot % width → task 1:1). Per-slot
+            # sums ARE the per-task bytes under that partitioner.
             lpt = payloads.withColumn(
                 "__slot",
                 (
@@ -1398,10 +1413,16 @@ def _scale_stress_scenario(
                 )
                 % width,
             )
-            # repartitionByRange, not hash: 32 distinct slot values
-            # into 32 partitions must map 1:1 (hash would collide ~1/e
-            # of the slots and re-create the very skew being removed)
-            lpt_part = task_bytes(lpt.repartitionByRange(width, "__slot"))
+            lpt_agg = (
+                lpt.groupBy("__slot")
+                .agg(F.sum("n_bytes").alias("b"))
+                .agg(
+                    F.max("b").alias("mx"),
+                    F.expr("percentile(b, 0.5)").alias("md"),
+                )
+                .collect()[0]
+            )
+            lpt_part = lpt_agg
             out["multimodal_task_mb_hash_max"] = round(hash_part["mx"] / 1e6, 2)
             out["multimodal_task_mb_hash_median"] = round(hash_part["md"] / 1e6, 2)
             out["multimodal_task_mb_lpt_max"] = round(lpt_part["mx"] / 1e6, 2)
