@@ -21950,14 +21950,19 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     man = cat.manifest(name)
+    # the row-count leg re-counts from PARQUET (the on-disk truth a
+    # probe actually joins), not from the manifest's own arithmetic —
+    # a compaction that lost rows must fail here, not agree with itself
+    disk_rows = cat.read(spark, name).count()
     if (
         cat.watermark(name) != "m11"
         or cat.drops(name) != labels
-        or man["row_count"] != sum(dr["rows"] for dr in man["drops"])
+        or disk_rows != man["row_count"]
     ):
         raise AssertionError(
             f"store catalog out of contract after 12 drops: "
-            f"watermark={cat.watermark(name)} drops={cat.drops(name)}"
+            f"watermark={cat.watermark(name)} drops={cat.drops(name)} "
+            f"disk_rows={disk_rows} manifest_rows={man['row_count']}"
         )
     return out.distinct()
 

@@ -970,8 +970,10 @@ _SCALE_QUERIES = [
     "q347_priority_ordered_trend",
     # round-11: the 12-drop catalog-endurance law at 10x documents —
     # a year of monthly loads with mid-stream compaction against a
-    # 10x-sized corpus (wall+rows only, no 1x headline baseline). Its
-    # store is then reused by the store_probe_* pruning counters.
+    # 10x-sized corpus (wall+rows only, no 1x headline baseline). The
+    # store_probe_* pruning counters run separately against a
+    # dedicated 64-file store: q358's compacted drops are one file
+    # each at bench scale, which makes file skipping vacuous there.
     "q358_store_catalog_endurance",
 ]
 
@@ -1271,8 +1273,12 @@ def _scale_stress_scenario(
             docs10 = sparksession.read.parquet(f"{work}/documents.parquet")
             n_docs10 = docs10.count()
             needle_mod = max(1, n_docs10 // 20)
+            # 17 % needle_mod, not bare 17: on a corpus under ~360 docs
+            # needle_mod <= 17 and a bare-17 residue matches NOTHING,
+            # silently recording a vacuous 0-key "pruning proof"
+            needle_res = 17 % needle_mod
             for label, probe in (
-                ("needle", docs10.filter(F.col("doc_id") % needle_mod == 17)),
+                ("needle", docs10.filter(F.col("doc_id") % needle_mod == needle_res)),
                 ("fulldrop", docs10.filter(F.col("doc_id") % 12 == 11)),
             ):
                 by_band: dict[int, list[str]] = {}
@@ -1413,7 +1419,7 @@ def _scale_stress_scenario(
                 )
                 % width,
             )
-            lpt_agg = (
+            lpt_part = (
                 lpt.groupBy("__slot")
                 .agg(F.sum("n_bytes").alias("b"))
                 .agg(
@@ -1422,7 +1428,6 @@ def _scale_stress_scenario(
                 )
                 .collect()[0]
             )
-            lpt_part = lpt_agg
             out["multimodal_task_mb_hash_max"] = round(hash_part["mx"] / 1e6, 2)
             out["multimodal_task_mb_hash_median"] = round(hash_part["md"] / 1e6, 2)
             out["multimodal_task_mb_lpt_max"] = round(lpt_part["mx"] / 1e6, 2)

@@ -126,6 +126,12 @@ class StoreCatalog:
         that drop only); refuses schema or clustering-key drift."""
         if not _LABEL_RE.match(drop_label):
             raise ValueError(f"invalid drop label {drop_label!r}")
+        if drop_label.endswith(("__compact_tmp", "__compact_old")):
+            raise ValueError(
+                f"drop label {drop_label!r} ends with a reserved compaction "
+                "suffix — crash recovery would treat the drop as a mid-swap "
+                "leftover and rename or delete it"
+            )
         if DROP_COL in df.columns:
             raise ValueError(
                 f"store frames must not carry a {DROP_COL!r} column; "
@@ -246,7 +252,17 @@ class StoreCatalog:
         - ``<drop>__compact_tmp`` — an uncommitted rewrite: discard.
 
         O(drops) directory listing, no data reads — cheap enough to
-        run on every catalog entry point."""
+        run on every catalog entry point.
+
+        Concurrency contract: catalog MAINTENANCE (write_drop /
+        compact_drop / this recovery) assumes ONE maintainer process
+        at a time — the reference's monthly-cadence loader shape. A
+        concurrent maintainer's live tmp/old directories are
+        indistinguishable from crash leftovers, so recovery would
+        sabotage its swap; coordinate multi-writer deployments
+        externally (scheduler lease / advisory lock). Plain parquet
+        READERS outside the catalog are unaffected except during the
+        instant of the swap renames."""
         data = self._data_path(name)
         if not os.path.isdir(data):
             return

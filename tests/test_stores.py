@@ -342,3 +342,17 @@ def test_compact_crash_tmp_only_is_discarded(spark, cat):
     _frame(spark, 0, 37).write.parquet(drop_dir + "__compact_tmp")
     assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
     assert not os.path.exists(drop_dir + "__compact_tmp")
+
+
+def test_reserved_compaction_suffix_labels_are_refused(spark, cat):
+    """A drop label ending in the reserved __compact_tmp/__compact_old
+    suffixes would be indistinguishable from a mid-swap crash leftover
+    — recovery would rename or delete the legitimate drop. Refused at
+    write time."""
+    cat.write_drop(_frame(spark, 0, 10), "sigs", ["band"], "m0")
+    for bad in ("m0__compact_old", "m1__compact_tmp"):
+        with pytest.raises(ValueError, match="reserved compaction suffix"):
+            cat.write_drop(_frame(spark, 0, 10), "sigs", ["band"], bad)
+    # the legitimate store is untouched
+    assert cat.drops("sigs") == ["m0"]
+    assert cat.read(spark, "sigs").count() == 10
