@@ -1,0 +1,100 @@
+"""Model-based randomized endurance test for the store catalog
+(round 11): a seeded random sequence of loads, same-label reloads,
+compactions, and injected mid-swap crash states is applied to a real
+StoreCatalog and to a trivial in-memory model; after every step the
+catalog must agree with the model on (drop order, per-drop rows,
+manifest row_count, whole-store row multiset). This is the q358
+endurance law generalized from one scripted year to arbitrary
+operation interleavings — the class of bug it catches is any state
+transition (recovery path included) that silently diverges the
+on-disk store from the record a scheduler trusts."""
+
+import os
+import random
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl_etl_spark.operators.stores import StoreCatalog
+from owl_etl_spark.sources.writers import write_sorted_parquet
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 7).alias("band"),
+        (F.col("id") * 31 % 1000).alias("sig"),
+        F.col("id").alias("doc_id"),
+    )
+
+
+def _rows(lo, hi):
+    return frozenset((i % 7, i * 31 % 1000, i) for i in range(lo, hi))
+
+
+def _check(spark, cat, model, name):
+    man = cat.manifest(name)
+    assert [d["label"] for d in man["drops"]] == [lbl for lbl, _ in model]
+    assert man["row_count"] == sum(len(r) for _, r in model)
+    got = {
+        (r.band, r.sig, r.doc_id)
+        for r in cat.read(spark, name).collect()
+    }
+    want = set().union(*(r for _, r in model)) if model else set()
+    assert got == want
+    for lbl, r in model:
+        got_d = {
+            (x.band, x.sig, x.doc_id)
+            for x in cat.read_drop(spark, name, lbl).collect()
+        }
+        assert got_d == set(r), f"drop {lbl} diverged"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_op_sequence_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    name = "sigs"
+    model: list[tuple[str, frozenset]] = []  # (label, rows) in arrival order
+    nxt = 0
+    for step in range(14):
+        ops = ["write"]
+        if model:
+            ops += ["rewrite", "compact", "crash_tmp", "crash_old_forward"]
+        op = rng.choice(ops)
+        if op == "write":
+            label = f"m{len(model):02d}"
+            lo, hi = nxt, nxt + rng.randint(5, 60)
+            nxt = hi
+            cat.write_drop(_frame(spark, lo, hi), name, ["band", "sig"], label)
+            model.append((label, _rows(lo, hi)))
+        elif op == "rewrite":
+            idx = rng.randrange(len(model))
+            label = model[idx][0]
+            lo, hi = nxt, nxt + rng.randint(5, 40)
+            nxt = hi
+            cat.write_drop(_frame(spark, lo, hi), name, ["band", "sig"], label)
+            # same-label reload: replaces that drop, moves it to the tail
+            model = [m for m in model if m[0] != label] + [(label, _rows(lo, hi))]
+        elif op == "compact":
+            label = rng.choice(model)[0]
+            cat.compact_drop(spark, name, label)
+        elif op == "crash_tmp":
+            # killed mid-rewrite: garbage tmp next to a random drop
+            label = rng.choice(model)[0]
+            d = os.path.join(cat.store_path(name), "data", f"drop={label}")
+            _frame(spark, 0, 3).write.mode("overwrite").parquet(d + "__compact_tmp")
+        elif op == "crash_old_forward":
+            # killed after the swap, before cleanup: stale old copy
+            label = rng.choice(model)[0]
+            d = os.path.join(cat.store_path(name), "data", f"drop={label}")
+            shutil.copytree(d, d + "__compact_old", dirs_exist_ok=True)
+        _check(spark, cat, model, name)
+
+    # and one terminal mid-swap rollback crash: drop renamed away
+    label = model[rng.randrange(len(model))][0]
+    d = os.path.join(cat.store_path(name), "data", f"drop={label}")
+    write_sorted_parquet(spark.read.parquet(d), d + "__compact_tmp", ["band", "sig"], 1)
+    os.rename(d, d + "__compact_old")
+    _check(spark, cat, model, name)  # recovery inside read restores it
