@@ -1332,39 +1332,90 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_multimodal_mixed_media",
     """
     WITH p AS (
-      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-             CASE WHEN doc_id % 3 = 0 THEN 'image/fake' ELSE 'text/plain' END AS media_type
+      SELECT doc_id,
+             least(octet_length(encode(text)), 4000) AS nu,
+             octet_length(encode(text)) AS nfull,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                  ELSE 'text/plain' END AS media_type
       FROM documents
+    ),
+    f AS (
+      SELECT media_type,
+             CASE media_type WHEN 'image/png'  THEN 57 + nu
+                             WHEN 'image/jpeg' THEN 39 + nu
+                             ELSE nfull END AS n_bytes,
+             CASE media_type WHEN 'image/png'  THEN (nu % 1024) + 1
+                             WHEN 'image/jpeg' THEN (nu % 1280) + 1
+                             ELSE (nfull % 640) + 1 END AS width,
+             CASE media_type WHEN 'image/png'  THEN (nu % 768) + 1
+                             WHEN 'image/jpeg' THEN (nu % 720) + 1
+                             ELSE (nfull % 480) + 1 END AS height,
+             nfull
+      FROM p
     )
     SELECT media_type,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(SUM(CASE WHEN media_type = 'image/fake' THEN (n_bytes % 1280) + 1
-                         ELSE (n_bytes % 640) + 1 END) AS BIGINT) AS sum_width,
-           CAST(SUM(CASE WHEN media_type = 'image/fake' THEN (n_bytes % 720) + 1
-                         ELSE (n_bytes % 480) + 1 END) AS BIGINT) AS sum_height,
-           round(CAST(SUM(CASE WHEN media_type = 'image/fake' THEN n_bytes % 997
-                               ELSE n_bytes % 1000 END) AS BIGINT)
-                 / (CASE WHEN media_type = 'image/fake' THEN 997.0 ELSE 1000.0 END)
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           round(CAST(SUM(CASE WHEN media_type = 'text/plain' THEN nfull % 1000
+                               ELSE (width * height) % 997 END) AS BIGINT)
+                 / (CASE WHEN media_type = 'text/plain' THEN 1000.0 ELSE 997.0 END)
                  / COUNT(*), 6) AS avg_feature_norm
-    FROM p GROUP BY media_type
+    FROM f GROUP BY media_type
     """,
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-media multimodal pipeline WITH an oracle: binary payloads
-    carrying two media types, per-type decoder dispatch inside the
-    Arrow-batched mapInPandas extractor, then a per-media aggregate.
-    The oracle recomputes the stub decode formulas in SQL, so it
-    catches a decoder that ignores ``media_type``. Float determinism:
-    each feature_norm is reconstructed to its exact integer numerator
-    (round(norm·modulus)) before summing — integer sums + one division
-    at the end, the integer-cents pattern."""
-    from owl_etl_spark.operators.multimodal import extract_features, to_binary_payload
+    """Mixed-media multimodal pipeline WITH an oracle, over REAL
+    containers (round 12 — VERDICT r11 Next-round #6): each document
+    is wrapped Catalyst-side into a spec-valid PNG (signature + IHDR
+    with correct CRC-32 + the text as a tEXt chunk) or JPEG (SOI +
+    APP0 + the text as a COM segment the marker scanner must skip +
+    SOF0) or left as a plain-text payload, then the Arrow-batched
+    extractor runs the GENUINE pure-stdlib header parsers
+    (multimodal.parse_png_header / parse_jpeg_header — CRC verified,
+    marker walk) and a per-media aggregate follows. The oracle
+    recomputes the synthesized dimensions and container sizes from the
+    text's byte length, so any parser/synthesis regression (endianness,
+    offset, CRC, segment-skip) breaks the hash match. Texts are
+    byte-truncated to 4000 for the image containers (the JPEG segment-
+    length bound is 16-bit); dims derive from the truncated length.
+    Float determinism: each feature_norm is reconstructed to its exact
+    integer numerator (round(norm·modulus)) before summing — integer
+    sums + one division at the end, the integer-cents pattern."""
+    from owl_etl_spark.operators.multimodal import (
+        extract_features,
+        jpeg_container_expr,
+        png_container_expr,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    media = F.when(F.col("doc_id") % 3 == 0, F.lit("image/fake")).otherwise(F.lit("text/plain"))
-    feats = extract_features(to_binary_payload(d, media_type=media))
-    modulus = F.when(F.col("media_type") == "image/fake", F.lit(997.0)).otherwise(F.lit(1000.0))
+    nu = "octet_length(substring(encode(text, 'utf-8'), 1, 4000))"
+    png = png_container_expr(
+        f"({nu} % 1024) + 1", f"({nu} % 768) + 1", "substring(encode(text, 'utf-8'), 1, 4000)"
+    )
+    jpg = jpeg_container_expr(
+        f"({nu} % 1280) + 1", f"({nu} % 720) + 1", "substring(encode(text, 'utf-8'), 1, 4000)"
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.expr(png))
+        .when(F.col("doc_id") % 3 == 1, F.expr(jpg))
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("text/plain"))
+    )
+    wrapped = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        media.alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    feats = extract_features(wrapped)
+    modulus = F.when(F.col("media_type") == "text/plain", F.lit(1000.0)).otherwise(F.lit(997.0))
     return (
         feats.withColumn("__num", F.round(F.col("feature_norm") * modulus, 0).cast("long"))
         .groupBy("media_type")
@@ -1380,7 +1431,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_feature_norm",
             F.round(
                 F.col("__sum_num")
-                / F.when(F.col("media_type") == "image/fake", F.lit(997.0)).otherwise(F.lit(1000.0))
+                / F.when(F.col("media_type") == "text/plain", F.lit(1000.0)).otherwise(F.lit(997.0))
                 / F.col("__n"),
                 6,
             ),

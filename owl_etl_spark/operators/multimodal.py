@@ -3,11 +3,16 @@ decoded/featurized through Arrow-batched ``mapInPandas``.
 
 Real pipelines carry images/audio/video as ``binary`` columns next to
 typed metadata, and run decode → feature-extract → resize/frame-sample
-as vectorized UDF stages. The image/audio codecs are not available in
-this environment, so ``_decode`` is a clearly-marked deterministic
-stub — the Spark-side contract (schema, batching, partitioning, UDF
-signature) is real and tested, and swapping the stub for PIL/ffmpeg is
-a one-function change.
+as vectorized UDF stages. Container-HEADER decoding is real and pure
+stdlib (round 12): ``parse_png_header`` verifies the PNG signature and
+the IHDR chunk's CRC-32 and reads the big-endian dimension pair
+(ISO/IEC 15948 §11.2.2); ``parse_jpeg_header`` walks the marker-
+segment stream to the SOFn frame header (ITU-T T.81 §B.2). Full PIXEL
+decode (the image/audio codecs) is not available in this environment,
+so the remaining ``_decode`` media types keep a clearly-marked
+deterministic stub — the Spark-side contract (schema, batching,
+partitioning, UDF signature) is real and tested, and swapping the
+stub for PIL/ffmpeg is a one-function change.
 
 Scale notes: ``mapInPandas`` streams Arrow batches, so peak memory is
 one batch of payloads per task — size ``spark.sql.execution.arrow.
@@ -52,23 +57,105 @@ def to_binary_payload(
     )
 
 
-def _decode(payload: bytes, media_type: str) -> dict:
-    """STUB decode. A real deployment replaces this with PIL/ffmpeg/
-    soundfile decoding. Here: deterministic pseudo-dimensions derived
-    from the payload so tests have stable expectations.
+#: 8-byte PNG file signature (ISO/IEC 15948 §5.2)
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-    Raises ``NotImplementedError`` for media types the stub does not
-    model, mirroring how a production decoder should fail loudly on
-    unsupported codecs. The two supported types decode with DIFFERENT
-    (deterministic) dimension formulas so per-type dispatch is
-    observable end-to-end — an oracle over mixed-media input catches a
-    decoder that ignores ``media_type``.
+#: JPEG frame-header (SOFn) markers: C0–CF minus DHT (C4), JPG (C8),
+#: DAC (CC), which share the range but are not frame headers
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int]:
+    """REAL PNG container parse, pure stdlib: verify the 8-byte
+    signature, require the first chunk to be the mandatory 13-byte
+    IHDR, verify the chunk's CRC-32 (zlib.crc32 over type+data — a
+    torn or bit-flipped container fails loudly), and return
+    ``(width, height)`` from the big-endian dword pair at bytes 16–24
+    (ISO/IEC 15948 §11.2.2). Chunks after IHDR (pixel data, ancillary
+    text) are irrelevant to header featurization and are not read —
+    O(1) regardless of payload size."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or bytes(payload[:8]) != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(bytes(payload[12:29])) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch (corrupt container)")
+    width, height = struct.unpack(">II", payload[16:24])
+    if not width or not height:
+        raise ValueError("PNG dimensions must be nonzero")
+    return width, height
+
+
+def parse_jpeg_header(payload: bytes) -> tuple[int, int]:
+    """REAL JPEG header parse, pure stdlib: after the SOI marker, walk
+    the marker-segment stream — skipping variable-length segments
+    (APPn/COM/DQT/…) by their 2-byte big-endian length fields and
+    length-less standalone markers (TEM/RSTn) — until an SOFn frame
+    header, and return ``(width, height)`` from its (lines,
+    samples-per-line) fields (ITU-T T.81 §B.2.2). Truncated streams,
+    marker desync, and SOF-less files raise."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI marker)")
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > n:
+            raise ValueError("JPEG segment length out of range (truncated?)")
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 7:
+                raise ValueError("JPEG SOF segment too short")
+            height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+            if not width or not height:
+                raise ValueError("JPEG dimensions must be nonzero")
+            return width, height
+        i += 2 + seglen
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def _decode(payload: bytes, media_type: str) -> dict:
+    """Per-type decode dispatch. ``image/png`` and ``image/jpeg`` run
+    the REAL container-header parsers above (signature + CRC / marker
+    scan — corrupt containers raise), with ``feature_norm`` a
+    deterministic function of the PARSED dimensions so any parsing
+    regression is observable through the oracle. ``text/plain`` and
+    ``image/fake`` keep the original deterministic stub formulas
+    (full pixel/codec decode is unavailable in this environment — a
+    real deployment swaps those branches for PIL/ffmpeg).
+
+    Raises ``NotImplementedError`` for media types with no decoder,
+    mirroring how a production decoder should fail loudly on
+    unsupported codecs. Each type decodes with a DIFFERENT
+    deterministic formula so per-type dispatch is observable
+    end-to-end — an oracle over mixed-media input catches a decoder
+    that ignores ``media_type``.
     """
     n = len(payload)
     if media_type == "text/plain":
         return {"width": (n % 640) + 1, "height": (n % 480) + 1, "feature_norm": float(n % 1000) / 1000.0}
     if media_type == "image/fake":
         return {"width": (n % 1280) + 1, "height": (n % 720) + 1, "feature_norm": float(n % 997) / 997.0}
+    if media_type == "image/png":
+        w, h = parse_png_header(payload)
+        return {"width": w, "height": h, "feature_norm": float((w * h) % 997) / 997.0}
+    if media_type == "image/jpeg":
+        w, h = parse_jpeg_header(payload)
+        return {"width": w, "height": h, "feature_norm": float((w * h) % 997) / 997.0}
     raise NotImplementedError(f"no decoder for {media_type}")
 
 
@@ -95,6 +182,70 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# container synthesis (pure Catalyst): REAL, spec-valid PNG/JPEG byte
+# streams built JVM-side, so parser round-trip tests and oracle-gated
+# queries can exercise the genuine header parse without any codec in
+# the environment. All arguments are SQL expression STRINGS composed
+# into one expression for F.expr — zero Python in the synthesis path.
+# ---------------------------------------------------------------------------
+
+
+def _be_expr(expr: str, nbytes: int) -> str:
+    """SQL expr: *expr* (a non-negative integral) as ``nbytes``
+    big-endian bytes — ``unhex(lpad(hex(x)))``, the ANSI-safe
+    int-to-binary idiom (a direct integral→binary cast is rejected
+    under ANSI mode)."""
+    return f"unhex(lpad(hex({expr}), {2 * nbytes}, '0'))"
+
+
+def _png_chunk_expr(ctype: str, data_expr: str) -> str:
+    """SQL expr for one PNG chunk: length, 4-char type, data, and the
+    spec's CRC-32 over type+data (Spark's ``crc32`` matches zlib's)."""
+    t = f"cast('{ctype}' as binary)"
+    return (
+        f"concat({_be_expr(f'octet_length({data_expr})', 4)}, {t}, {data_expr}, "
+        f"{_be_expr(f'crc32(concat({t}, {data_expr}))', 4)})"
+    )
+
+
+def png_container_expr(width_expr: str, height_expr: str, data_expr: str) -> str:
+    """SQL expr building a spec-valid PNG container: signature, a
+    13-byte IHDR (8-bit truecolor) carrying the given dimensions with
+    a correct CRC, the data bytes as an ancillary ``tEXt`` chunk, and
+    IEND. ``parse_png_header`` round-trips (width, height) from it —
+    including the CRC verification. Total size = 57 + octet_length(data)."""
+    ihdr_data = (
+        f"concat({_be_expr(width_expr, 4)}, {_be_expr(height_expr, 4)}, X'0802000000')"
+    )
+    return (
+        "concat(X'89504E470D0A1A0A', "
+        + _png_chunk_expr("IHDR", ihdr_data)
+        + ", "
+        + _png_chunk_expr("tEXt", data_expr)
+        + ", "
+        + _png_chunk_expr("IEND", "X''")
+        + ")"
+    )
+
+
+def jpeg_container_expr(width_expr: str, height_expr: str, comment_expr: str) -> str:
+    """SQL expr building a spec-valid JPEG header stream: SOI, a JFIF
+    APP0, the comment bytes as a COM segment (variable length — the
+    segment the marker scanner must SKIP by its length field), a
+    one-component SOF0 frame header carrying the dimensions, EOI.
+    ``parse_jpeg_header`` round-trips (width, height). The comment
+    must be ≤ 65533 bytes (the 16-bit segment-length bound — callers
+    truncate). Total size = 39 + octet_length(comment)."""
+    app0 = "concat(X'FFE00010', cast('JFIF' as binary), X'00010100000100010000')"
+    com = f"concat(X'FFFE', {_be_expr(f'octet_length({comment_expr}) + 2', 2)}, {comment_expr})"
+    sof0 = (
+        f"concat(X'FFC0000B08', {_be_expr(height_expr, 2)}, "
+        f"{_be_expr(width_expr, 2)}, X'01011100')"
+    )
+    return f"concat(X'FFD8', {app0}, {com}, {sof0}, X'FFD9')"
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,8 @@ Layout — one directory per named store under a catalog root::
     <root>/<name>/
         MANIFEST.json          clustering keys, schema, per-drop rows,
                                total rows, last-drop watermark
+        LEASE.json             advisory maintenance lease (only while
+                               a maintainer is active)
         data/drop=<label>/     parquet, range-clustered on the keys
 
 Contract:
@@ -33,17 +35,39 @@ Contract:
   and ``last_drop_watermark`` — the label of the newest drop, which a
   scheduler compares against the arrival feed to decide what to load
   next. Written atomically (tmp + rename) so a crashed load never
-  leaves a half-manifest.
+  leaves a half-manifest. Reads resolve drop directories THROUGH the
+  manifest, so stray sibling directories (crash leftovers, foreign
+  files) can never inflate a read.
 * **Schema and clustering are pinned at creation**: a drop whose
   schema or keys disagree with the manifest is refused loudly rather
   than silently forked.
+* **Maintenance vs reads** (round 12): all MAINTENANCE entry points
+  (``write_drop`` / ``compact_drop`` / ``repair``) take a best-effort
+  advisory lease (``LEASE.json`` under the store directory, stale-
+  lease takeover after its TTL) so a second concurrent maintainer
+  fails loudly instead of having its mid-swap directories "recovered"
+  out from under it. READS are lease-free and strictly read-only:
+  they never delete or rename anything, and they stay correct during
+  a live compaction or after a crash by falling back to the
+  ``__compact_old`` directory when a drop directory is mid-swap (the
+  old copy is, by construction, either identical to or the
+  authoritative predecessor of the compacted one). Crash leftovers
+  are repaired only under the lease — by the next maintenance call or
+  an explicit :meth:`StoreCatalog.repair`.
+
+Locality: the catalog root must be a **local, single-filesystem
+path** — the crash-safe swap relies on same-filesystem ``os.rename``
+atomicity and the lease on ``O_CREAT|O_EXCL``, neither of which holds
+on object stores. Obviously-remote URIs (``s3a://``, ``hdfs://``,
+…) are rejected at construction; mount network storage as a POSIX
+filesystem if the store must be shared.
 
 Hermeticity: gated queries root their catalog at
-:func:`session_catalog` — ``$OWL_ETL_STORE_ROOT`` if set (the
-deployment shape: a warehouse path), else one per-process temp root
-created lazily and removed at exit, so stores survive across queries
-within a run but never leak state between runs or scale factors
-(store names carry an sf tag for the latter).
+:func:`session_catalog` — ``$OWL_ETL_STORE_ROOT`` if set (a local
+warehouse directory), else one per-process temp root created lazily
+and removed at exit, so stores survive across queries within a run
+but never leak state between runs or scale factors (store names carry
+an sf tag for the latter).
 """
 
 from __future__ import annotations
@@ -52,7 +76,12 @@ import json
 import os
 import re
 import shutil
+import socket
 import tempfile
+import time
+import uuid
+from contextlib import contextmanager
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,12 +93,48 @@ _LABEL_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 #: reserved partition-directory column; store frames must not carry it
 DROP_COL = "drop"
 
+#: advisory maintenance-lease file, per store directory
+LEASE_FILE = "LEASE.json"
+
+#: default lease TTL — generous enough for the largest single-drop
+#: compaction; a maintainer that dies mid-run is taken over after this
+DEFAULT_LEASE_TTL_S = 3600.0
+
+
+class StoreLeaseHeld(RuntimeError):
+    """A second maintainer tried to run while the advisory lease is
+    live. Loud by design: recovery under a shared store would rename
+    or delete the first maintainer's in-flight swap directories."""
+
+
+def _rmtree_checked(path: str) -> None:
+    """Remove a directory tree and VERIFY it is gone. A partially
+    failed delete (EACCES, lingering handles on a network mount) must
+    surface instead of leaving a directory that later maintenance
+    passes would keep tripping over — silent leftovers were the bug
+    class behind double-counted ``__compact_old`` partitions."""
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.lexists(path):
+        raise RuntimeError(
+            f"failed to remove {path!r} (permissions? open handles?); "
+            "refusing to continue with a stale directory on disk — fix "
+            "the filesystem issue and re-run repair()"
+        )
+
 
 class StoreCatalog:
     """A root directory owning any number of named incremental stores."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, lease_ttl_s: float = DEFAULT_LEASE_TTL_S):
+        if "://" in root:
+            raise ValueError(
+                f"StoreCatalog root must be a local filesystem path, got "
+                f"{root!r}: the crash-safe swap needs same-filesystem "
+                "rename atomicity and the lease needs O_EXCL create — "
+                "mount remote storage as a POSIX path instead"
+            )
         self.root = root
+        self.lease_ttl_s = lease_ttl_s
         os.makedirs(root, exist_ok=True)
 
     # -- paths -----------------------------------------------------------
@@ -83,6 +148,76 @@ class StoreCatalog:
 
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.store_path(name), "MANIFEST.json")
+
+    def _drop_dir(self, name: str, drop_label: str) -> str:
+        return os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
+
+    # -- advisory maintenance lease --------------------------------------
+    def _lease_path(self, name: str) -> str:
+        return os.path.join(self.store_path(name), LEASE_FILE)
+
+    @contextmanager
+    def _maintenance_lease(self, name: str):
+        """Best-effort advisory single-maintainer lock for one store:
+        ``O_CREAT|O_EXCL`` on ``LEASE.json``; a live foreign lease
+        raises :class:`StoreLeaseHeld`; a lease older than its TTL is
+        taken over (the holder is presumed dead — its crash leftovers
+        are exactly what the subsequent recovery pass repairs). The
+        takeover is verified by re-reading the file, so two racing
+        takeovers cannot both win."""
+        os.makedirs(self.store_path(name), exist_ok=True)
+        path = self._lease_path(name)
+        token = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex}"
+        payload = json.dumps(
+            {
+                "token": token,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_unix": time.time(),
+                "ttl_s": self.lease_ttl_s,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = json.load(fh)
+            except (OSError, ValueError):
+                holder = {}  # torn lease write: treat as stale
+            age = time.time() - float(holder.get("acquired_unix", 0.0))
+            if age <= float(holder.get("ttl_s", self.lease_ttl_s)):
+                raise StoreLeaseHeld(
+                    f"store {name!r} is under maintenance by "
+                    f"{holder.get('host')}:{holder.get('pid')} "
+                    f"(lease age {age:.0f}s of {holder.get('ttl_s')}s); "
+                    "a second concurrent maintainer would corrupt its "
+                    "in-flight swap — wait for the lease or its TTL"
+                ) from None
+            # stale: take over atomically, then verify we won the race
+            tmp = f"{path}.takeover.{os.getpid()}.{token[-8:]}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+            with open(path) as fh:
+                if json.load(fh).get("token") != token:
+                    raise StoreLeaseHeld(
+                        f"lost the stale-lease takeover race for store {name!r}"
+                    ) from None
+        try:
+            yield
+        finally:
+            try:
+                with open(path) as fh:
+                    current = json.load(fh)
+                if current.get("token") == token:
+                    os.remove(path)
+            except (OSError, ValueError):
+                pass  # lease already gone or taken over — nothing to release
 
     # -- manifest --------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -110,7 +245,7 @@ class StoreCatalog:
     def reset(self, name: str) -> None:
         """Delete a store entirely (data + manifest). Used by replay
         tests and by backfills that rebuild a store from scratch."""
-        shutil.rmtree(self.store_path(name), ignore_errors=True)
+        _rmtree_checked(self.store_path(name))
 
     # -- write -----------------------------------------------------------
     def write_drop(
@@ -123,7 +258,8 @@ class StoreCatalog:
     ) -> dict:
         """Load one arriving drop into ``name`` and return the updated
         manifest. Idempotent per label (same-label rewrite replaces
-        that drop only); refuses schema or clustering-key drift."""
+        that drop only); refuses schema or clustering-key drift. Takes
+        the store's maintenance lease for the duration."""
         if not _LABEL_RE.match(drop_label):
             raise ValueError(f"invalid drop label {drop_label!r}")
         if drop_label.endswith(("__compact_tmp", "__compact_old")):
@@ -164,17 +300,18 @@ class StoreCatalog:
                 "last_drop_watermark": None,
             }
 
-        self._recover_crashed_compactions(name)
-        drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
-        write_sorted_parquet(df, drop_dir, list(clustering_keys), target_partitions)
-        # metadata-only count of what actually landed (parquet footers)
-        rows = df.sparkSession.read.parquet(drop_dir).count()
+        with self._maintenance_lease(name):
+            self._recover_crashed_compactions(name)
+            drop_dir = self._drop_dir(name, drop_label)
+            write_sorted_parquet(df, drop_dir, list(clustering_keys), target_partitions)
+            # metadata-only count of what actually landed (parquet footers)
+            rows = df.sparkSession.read.parquet(drop_dir).count()
 
-        manifest["drops"] = [d for d in manifest["drops"] if d["label"] != drop_label]
-        manifest["drops"].append({"label": drop_label, "rows": rows})
-        manifest["row_count"] = sum(d["rows"] for d in manifest["drops"])
-        manifest["last_drop_watermark"] = drop_label
-        self._write_manifest(name, manifest)
+            manifest["drops"] = [d for d in manifest["drops"] if d["label"] != drop_label]
+            manifest["drops"].append({"label": drop_label, "rows": rows})
+            manifest["row_count"] = sum(d["rows"] for d in manifest["drops"])
+            manifest["last_drop_watermark"] = drop_label
+            self._write_manifest(name, manifest)
         return manifest
 
     def compact_drop(
@@ -191,7 +328,7 @@ class StoreCatalog:
         pruning the store exists for). Read → re-cluster on the
         manifest's keys at the reduced partition count → crash-safe
         swap; row count re-verified against the manifest before the
-        swap. Returns the new file count.
+        swap. Takes the maintenance lease. Returns the new file count.
 
         Crash safety (round 11 — the original delete-then-rename swap
         had a window where a kill left NEITHER directory and the next
@@ -203,45 +340,58 @@ class StoreCatalog:
             rename tmp     -> <drop>                (crash: both exist)
             delete <drop>__compact_old
 
-        and every catalog entry point runs
-        :meth:`_recover_crashed_compactions` first, which rolls the
-        store back/forward to a consistent state from any of those
-        leftovers."""
+        Every MAINTENANCE entry point runs
+        :meth:`_recover_crashed_compactions` first (under the lease),
+        which rolls the store back/forward to a consistent state from
+        any of those leftovers; lease-free READS instead resolve the
+        authoritative directory per drop read-only (see
+        :meth:`read`)."""
         import math
 
-        self._recover_crashed_compactions(name)
-        manifest = self.manifest(name)
-        keys = manifest["clustering_keys"]
-        drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
-        expected = next(
-            d["rows"] for d in manifest["drops"] if d["label"] == drop_label
-        )
-        total = sum(
-            e.stat().st_size
-            for e in os.scandir(drop_dir)
-            if e.name.endswith(".parquet")
-        )
-        n = max(1, math.ceil(total / target_file_bytes))
-        tmp = drop_dir.rstrip("/") + "__compact_tmp"
-        write_sorted_parquet(spark.read.parquet(drop_dir), tmp, keys, n)
-        got = spark.read.parquet(tmp).count()
-        if got != expected:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compaction of {name}/{drop_label} produced {got} rows, "
-                f"manifest says {expected}; drop left untouched"
+        with self._maintenance_lease(name):
+            self._recover_crashed_compactions(name)
+            manifest = self.manifest(name)
+            keys = manifest["clustering_keys"]
+            drop_dir = self._drop_dir(name, drop_label)
+            expected = next(
+                d["rows"] for d in manifest["drops"] if d["label"] == drop_label
             )
-        old = drop_dir.rstrip("/") + "__compact_old"
-        os.rename(drop_dir, old)  # the data survives every crash point
-        os.rename(tmp, drop_dir)
-        shutil.rmtree(old, ignore_errors=True)
+            total = sum(
+                e.stat().st_size
+                for e in os.scandir(drop_dir)
+                if e.name.endswith(".parquet")
+            )
+            n = max(1, math.ceil(total / target_file_bytes))
+            tmp = drop_dir.rstrip("/") + "__compact_tmp"
+            write_sorted_parquet(spark.read.parquet(drop_dir), tmp, keys, n)
+            got = spark.read.parquet(tmp).count()
+            if got != expected:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"compaction of {name}/{drop_label} produced {got} rows, "
+                    f"manifest says {expected}; drop left untouched"
+                )
+            old = drop_dir.rstrip("/") + "__compact_old"
+            os.rename(drop_dir, old)  # the data survives every crash point
+            os.rename(tmp, drop_dir)
+            _rmtree_checked(old)
         return n
 
+    def repair(self, name: str) -> None:
+        """Explicit crash-recovery entry point: take the maintenance
+        lease and roll any mid-swap compaction leftovers back/forward.
+        Reads never need this for correctness (they resolve around
+        leftovers read-only); run it to reclaim disk after a crashed
+        maintainer, or let the next ``write_drop``/``compact_drop``
+        do the same thing implicitly."""
+        with self._maintenance_lease(name):
+            self._recover_crashed_compactions(name)
+
     def _recover_crashed_compactions(self, name: str) -> None:
-        """Repair leftovers of a ``compact_drop`` killed mid-swap so
-        readers never see a half-swapped store (a ``__compact_tmp`` /
-        ``__compact_old`` sibling would otherwise also poison the
-        whole-store partition-discovery read):
+        """Repair leftovers of a ``compact_drop`` killed mid-swap
+        (MAINTENANCE-ONLY — the caller must hold the lease, which is
+        what makes deleting/renaming these directories safe against a
+        live maintainer's in-flight swap):
 
         - ``<drop>__compact_old`` with ``<drop>`` missing — killed
           between the two renames: roll BACK (the old directory is the
@@ -251,18 +401,9 @@ class StoreCatalog:
           copy; the compacted directory is live and verified).
         - ``<drop>__compact_tmp`` — an uncommitted rewrite: discard.
 
-        O(drops) directory listing, no data reads — cheap enough to
-        run on every catalog entry point.
-
-        Concurrency contract: catalog MAINTENANCE (write_drop /
-        compact_drop / this recovery) assumes ONE maintainer process
-        at a time — the reference's monthly-cadence loader shape. A
-        concurrent maintainer's live tmp/old directories are
-        indistinguishable from crash leftovers, so recovery would
-        sabotage its swap; coordinate multi-writer deployments
-        externally (scheduler lease / advisory lock). Plain parquet
-        READERS outside the catalog are unaffected except during the
-        instant of the swap renames."""
+        O(drops) directory listing, no data reads. Deletions are
+        verified (:func:`_rmtree_checked`): a leftover that survives a
+        failed delete surfaces loudly instead of lingering."""
         data = self._data_path(name)
         if not os.path.isdir(data):
             return
@@ -273,30 +414,66 @@ class StoreCatalog:
                 if not os.path.exists(final):
                     os.rename(path, final)
                 else:
-                    shutil.rmtree(path, ignore_errors=True)
+                    _rmtree_checked(path)
             elif entry.endswith("__compact_tmp"):
-                shutil.rmtree(path, ignore_errors=True)
+                _rmtree_checked(path)
 
     # -- read ------------------------------------------------------------
+    def _live_drop_dir(self, name: str, drop_label: str) -> str:
+        """The authoritative directory for one drop, resolved
+        READ-ONLY: the ``drop=<label>`` directory normally; its
+        ``__compact_old`` sibling when a compaction crash (or a live
+        compaction's between-renames instant) has the primary renamed
+        away — the old copy is the pre-swap data, which is row-
+        identical to the verified compacted rewrite."""
+        drop_dir = self._drop_dir(name, drop_label)
+        if os.path.isdir(drop_dir):
+            return drop_dir
+        old = drop_dir + "__compact_old"
+        if os.path.isdir(old):
+            return old
+        raise FileNotFoundError(
+            f"store {name!r} drop {drop_label!r}: neither {drop_dir!r} nor "
+            "its __compact_old fallback exists — manifest/data divergence"
+        )
+
     def read(self, spark: SparkSession, name: str, with_drop: bool = False) -> DataFrame:
         """The whole store (every drop unioned). ``with_drop=True``
         keeps the drop label as a string column — the partition-pruned
-        handle for drop-scoped reprocessing."""
+        handle for drop-scoped reprocessing.
+
+        Strictly read-only and manifest-driven: the read serves
+        exactly the manifest's drops (stray sibling directories —
+        crash leftovers, foreign files — are ignored, never deleted),
+        and a drop caught mid-swap is served from its
+        ``__compact_old`` fallback. Safe to run concurrently with a
+        maintainer; repair happens only under the maintenance lease."""
         if not self.exists(name):
             raise FileNotFoundError(f"store {name!r} does not exist under {self.root}")
-        self._recover_crashed_compactions(name)
         data = self._data_path(name)
-        df = spark.read.option("basePath", data).parquet(data)
-        if with_drop:
-            return df.withColumn(DROP_COL, F.col(DROP_COL).cast("string"))
-        return df.drop(DROP_COL)
+        labels = self.drops(name)
+        dirs = {label: self._live_drop_dir(name, label) for label in labels}
+        fallbacks = {la: d for la, d in dirs.items() if d.endswith("__compact_old")}
+        if not fallbacks:
+            # fast path: one partition-discovered read over the
+            # manifest's directories (basePath keeps the drop column)
+            df = spark.read.option("basePath", data).parquet(*dirs.values())
+            if with_drop:
+                return df.withColumn(DROP_COL, F.col(DROP_COL).cast("string"))
+            return df.drop(DROP_COL)
+        parts = []
+        for label, d in dirs.items():
+            parts.append(
+                spark.read.parquet(d).withColumn(DROP_COL, F.lit(label).cast("string"))
+            )
+        df = reduce(DataFrame.unionByName, parts)
+        return df if with_drop else df.drop(DROP_COL)
 
     def read_drop(self, spark: SparkSession, name: str, drop_label: str) -> DataFrame:
         """One drop — a direct partition-directory read (no listing of
-        the other drops at all)."""
-        self._recover_crashed_compactions(name)
-        drop_dir = os.path.join(self._data_path(name), f"{DROP_COL}={drop_label}")
-        return spark.read.parquet(drop_dir)
+        the other drops at all). Read-only; mid-swap drops fall back
+        to their ``__compact_old`` copy like :meth:`read`."""
+        return spark.read.parquet(self._live_drop_dir(name, drop_label))
 
 
 # ---------------------------------------------------------------------------
@@ -308,10 +485,12 @@ _SESSION_CATALOG: StoreCatalog | None = None
 
 def session_catalog() -> StoreCatalog:
     """The process-wide catalog gated queries share: rooted at
-    ``$OWL_ETL_STORE_ROOT`` when a deployment sets one, else a lazily
-    created per-process temp root removed at interpreter exit. Stores
-    written by one query are readable by later queries in the same
-    run; nothing leaks between runs."""
+    ``$OWL_ETL_STORE_ROOT`` when a deployment sets one (a LOCAL
+    single-filesystem directory — remote URIs are rejected, see the
+    module docstring), else a lazily created per-process temp root
+    removed at interpreter exit. Stores written by one query are
+    readable by later queries in the same run; nothing leaks between
+    runs."""
     global _SESSION_CATALOG
     if _SESSION_CATALOG is None:
         root = os.environ.get("OWL_ETL_STORE_ROOT")

@@ -290,11 +290,14 @@ def test_crash_window_manifest_tmp_leftover_is_harmless(spark, cat):
     assert not os.path.exists(tmp)
 
 
-def test_compact_crash_between_renames_rolls_back(spark, cat):
+def test_compact_crash_between_renames_reads_fallback_then_repairs(spark, cat):
     """compact_drop killed between `drop -> old` and `tmp -> drop`
     (the window where the ORIGINAL swap lost the month): the old
-    directory holds the authoritative data; any catalog entry point
-    rolls it back and the store reads complete."""
+    directory holds the authoritative data. A plain read stays
+    READ-ONLY (round 12 — a reader racing a live maintainer must not
+    rename its in-flight directories) and serves the rows from the
+    __compact_old fallback; explicit repair() (or the next maintenance
+    call) then materializes the rollback."""
     cat.write_drop(_frame(spark, 0, 500), "sigs", ["band", "sig"], "m0", target_partitions=4)
     cat.write_drop(_frame(spark, 500, 600), "sigs", ["band", "sig"], "m1")
     want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
@@ -307,8 +310,13 @@ def test_compact_crash_between_renames_rolls_back(spark, cat):
     )
     os.rename(drop_dir, drop_dir + "__compact_old")
     assert not os.path.exists(drop_dir)  # the crash state
-    # a plain read (no explicit repair call) recovers and sees every row
+    # a plain read sees every row WITHOUT touching the crash leftovers
     assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+    assert {r.doc_id for r in cat.read_drop(spark, "sigs", "m0").collect()} == set(range(500))
+    assert not os.path.exists(drop_dir)  # read repaired nothing
+    assert os.path.isdir(drop_dir + "__compact_old")
+    # explicit repair rolls back under the maintenance lease
+    cat.repair("sigs")
     assert os.path.isdir(drop_dir)
     assert not os.path.exists(drop_dir + "__compact_old")
     assert not os.path.exists(drop_dir + "__compact_tmp")
@@ -317,10 +325,12 @@ def test_compact_crash_between_renames_rolls_back(spark, cat):
     assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
 
 
-def test_compact_crash_before_cleanup_rolls_forward(spark, cat):
+def test_compact_crash_before_cleanup_read_ignores_old_copy(spark, cat):
     """compact_drop killed after the swap, before deleting the old
-    copy: the compacted directory is live; recovery drops the stale
-    old copy instead of double-counting it."""
+    copy: the compacted directory is live. The manifest-driven read
+    serves only the live directory (never double-counts the stale
+    copy) and leaves it in place; the next maintenance pass rolls
+    forward and reclaims it."""
     cat.write_drop(_frame(spark, 0, 500), "sigs", ["band", "sig"], "m0", target_partitions=4)
     want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
     drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
@@ -328,20 +338,142 @@ def test_compact_crash_before_cleanup_rolls_forward(spark, cat):
 
     _sh.copytree(drop_dir, drop_dir + "__compact_old")  # the crash state
     assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
-    assert not os.path.exists(drop_dir + "__compact_old")
+    assert os.path.isdir(drop_dir + "__compact_old")  # read is read-only
+    cat.write_drop(_frame(spark, 500, 600), "sigs", ["band", "sig"], "m1")
+    assert not os.path.exists(drop_dir + "__compact_old")  # maintenance repaired
 
 
-def test_compact_crash_tmp_only_is_discarded(spark, cat):
+def test_compact_crash_tmp_only_is_ignored_by_reads(spark, cat):
     """compact_drop killed during the tmp rewrite: the drop is
-    untouched; the uncommitted tmp must be discarded BEFORE the
-    whole-store read (a stray non-partition sibling directory would
-    otherwise poison partition discovery)."""
+    untouched; the uncommitted tmp is invisible to the manifest-driven
+    whole-store read (it is not a manifest drop) and is discarded by
+    the next maintenance pass."""
     cat.write_drop(_frame(spark, 0, 200), "sigs", ["band", "sig"], "m0")
     want = {tuple(r) for r in cat.read(spark, "sigs").collect()}
     drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
     _frame(spark, 0, 37).write.parquet(drop_dir + "__compact_tmp")
     assert {tuple(r) for r in cat.read(spark, "sigs").collect()} == want
+    assert os.path.isdir(drop_dir + "__compact_tmp")  # read left it alone
+    cat.repair("sigs")
     assert not os.path.exists(drop_dir + "__compact_tmp")
+
+
+# ---------------------------------------------------------------------------
+# round-12: advisory maintenance lease (VERDICT r11 Next-round #4) +
+# read-only reader guarantees + strict-cleanup surfacing
+# ---------------------------------------------------------------------------
+
+
+def test_two_interleaved_maintainers_second_raises(spark, cat, tmp_path):
+    """The multi-maintainer law: while maintainer A holds the lease
+    (mid-compaction), maintainer B's write_drop/compact_drop/repair
+    raise StoreLeaseHeld instead of 'recovering' A's in-flight swap
+    directories; after A releases, B proceeds."""
+    from owl_etl_spark.operators.stores import StoreCatalog, StoreLeaseHeld
+
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band"], "m0")
+    other = StoreCatalog(cat.root)  # second maintainer, same store root
+    with cat._maintenance_lease("sigs"):
+        with pytest.raises(StoreLeaseHeld, match="under maintenance"):
+            other.write_drop(_frame(spark, 40, 80), "sigs", ["band"], "m1")
+        with pytest.raises(StoreLeaseHeld, match="under maintenance"):
+            other.compact_drop(spark, "sigs", "m0")
+        with pytest.raises(StoreLeaseHeld, match="under maintenance"):
+            other.repair("sigs")
+        # the blocked maintainer changed nothing
+        assert cat.drops("sigs") == ["m0"]
+    # lease released: the same calls now succeed
+    other.write_drop(_frame(spark, 40, 80), "sigs", ["band"], "m1")
+    assert cat.drops("sigs") == ["m0", "m1"]
+    assert cat.read(spark, "sigs").count() == 80
+
+
+def test_stale_lease_is_taken_over(spark, cat):
+    """A lease whose age exceeds its TTL belongs to a dead maintainer:
+    the next maintenance call takes it over (and then repairs whatever
+    the dead maintainer left mid-swap) instead of deadlocking the
+    store forever."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band"], "m0")
+    lease = cat._lease_path("sigs")
+    with open(lease, "w") as fh:
+        _json.dump(
+            {"token": "dead-maintainer", "pid": 999999, "host": "gone",
+             "acquired_unix": _time.time() - 7200, "ttl_s": 3600}, fh
+        )
+    cat.write_drop(_frame(spark, 40, 80), "sigs", ["band"], "m1")  # takeover
+    assert cat.drops("sigs") == ["m0", "m1"]
+    assert not _os.path.exists(lease)  # released after the maintenance
+
+
+def test_torn_lease_file_is_treated_as_stale(spark, cat):
+    """A lease file holding a torn half-write (the writer died inside
+    its own acquire) must not brick the store: unparseable == stale."""
+    cat.write_drop(_frame(spark, 0, 10), "sigs", ["band"], "m0")
+    with open(cat._lease_path("sigs"), "w") as fh:
+        fh.write('{"token": "torn')
+    cat.write_drop(_frame(spark, 10, 20), "sigs", ["band"], "m1")
+    assert cat.read(spark, "sigs").count() == 20
+
+
+def test_lease_released_even_on_maintenance_failure(spark, cat):
+    """A maintenance call that raises (here: schema drift) must not
+    leave the lease behind — the next maintainer would wait a full TTL
+    for a store nobody is touching."""
+    import os as _os
+
+    cat.write_drop(_frame(spark, 0, 10), "sigs", ["band", "sig"], "m0")
+    with pytest.raises(ValueError, match="schema drift"):
+        cat.write_drop(
+            _frame(spark, 0, 5).withColumn("extra", F.lit(1)),
+            "sigs", ["band", "sig"], "m1",
+        )
+    assert not _os.path.exists(cat._lease_path("sigs"))
+    cat.write_drop(_frame(spark, 10, 20), "sigs", ["band", "sig"], "m1")  # not blocked
+
+
+def test_reads_need_no_lease(spark, cat):
+    """Catalog reads are lease-free: they must work while a maintainer
+    holds the lease (they are read-only, so there is nothing to
+    coordinate)."""
+    cat.write_drop(_frame(spark, 0, 40), "sigs", ["band"], "m0")
+    with cat._maintenance_lease("sigs"):
+        assert cat.read(spark, "sigs").count() == 40
+        assert cat.read_drop(spark, "sigs", "m0").count() == 40
+        assert cat.watermark("sigs") == "m0"
+
+
+def test_remote_catalog_roots_are_rejected():
+    """The crash-safe swap and the O_EXCL lease are single-filesystem
+    POSIX constructs; an object-store URI would silently lose both."""
+    from owl_etl_spark.operators.stores import StoreCatalog
+
+    for bad in ("s3a://bucket/warehouse", "hdfs://nn:8020/stores", "file://x/y"):
+        with pytest.raises(ValueError, match="local filesystem path"):
+            StoreCatalog(bad)
+
+
+def test_failed_cleanup_surfaces_instead_of_lingering(spark, cat, monkeypatch):
+    """A partially failed delete of a __compact_old leftover must
+    raise, not linger (a surviving directory would keep tripping
+    maintenance passes and, pre-round-12, double-counted rows). The
+    failure is simulated by a no-op rmtree."""
+    import shutil as _sh
+
+    cat.write_drop(_frame(spark, 0, 50), "sigs", ["band"], "m0")
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    _sh.copytree(drop_dir, drop_dir + "__compact_old")
+    import owl_etl_spark.operators.stores as stores_mod
+
+    monkeypatch.setattr(stores_mod.shutil, "rmtree", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="failed to remove"):
+        cat.repair("sigs")
+    monkeypatch.undo()
+    cat.repair("sigs")  # real rmtree: repair completes
+    assert not os.path.exists(drop_dir + "__compact_old")
 
 
 def test_reserved_compaction_suffix_labels_are_refused(spark, cat):

@@ -97,4 +97,11 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     d = os.path.join(cat.store_path(name), "data", f"drop={label}")
     write_sorted_parquet(spark.read.parquet(d), d + "__compact_tmp", ["band", "sig"], 1)
     os.rename(d, d + "__compact_old")
-    _check(spark, cat, model, name)  # recovery inside read restores it
+    # reads are READ-ONLY (round 12): the store must still serve every
+    # row through the __compact_old fallback without repairing anything
+    _check(spark, cat, model, name)
+    assert not os.path.exists(d)
+    # explicit repair materializes the rollback; state unchanged
+    cat.repair(name)
+    assert os.path.isdir(d)
+    _check(spark, cat, model, name)
