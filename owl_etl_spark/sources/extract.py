@@ -198,6 +198,213 @@ def pdf_text_extractor(content: bytes) -> str:
     return "\n".join(lines)
 
 
+class ServiceError(Exception):
+    """The extraction service reported a terminal error for a job
+    (the reference's ``status == 'error'`` branch) or rejected a
+    submission (rate limiting). One attempt's failure — the adapter
+    retries with exponential backoff before quarantining."""
+
+
+class PollingServiceExtractor:
+    """Rate-limited ASYNC-SERVICE text extractor — the engine twin of
+    the reference's LLMWhisperer loop (src/etl/extract.py:111-166):
+    submit a document, poll its status every ``poll_interval`` seconds
+    (5 s there) up to ``max_wait`` (300 s), retrieve on ``processed``,
+    raise on ``error``/timeout/empty text, and retry the whole attempt
+    up to ``max_retries`` (3) times with ``backoff_base * 2**attempt``
+    sleeps between attempts (``time.sleep(2 ** attempt)`` there).
+
+    On top of the reference's per-document semantics it adds the piece
+    a Spark task needs: **bounded in-flight pipelining**. The
+    reference fans out one thread per file (ThreadPoolExecutor(3));
+    inside a Spark task threads would multiply by task parallelism
+    and stampede the service, so :meth:`extract_many` instead keeps at
+    most ``max_in_flight`` jobs submitted at once and multiplexes
+    their polls on ONE clock — global concurrency is then exactly
+    ``tasks × max_in_flight``, set by repartitioning upstream.
+
+    ``service`` is duck-typed (hermetic fakes in tests, a real client
+    in production):
+
+    * ``submit(content: bytes) -> str`` — returns a job id; may raise
+      (e.g. HTTP 429) — counted as an attempt failure with backoff.
+    * ``status(job: str) -> dict`` — ``{"state": "processing" |
+      "processed" | "error", "error": "..."}``.
+    * ``retrieve(job: str) -> str`` — the extracted text.
+
+    ``sleep`` is injectable so the backoff/poll schedule is law-tested
+    hermetically (tests record the exact sleep sequence)."""
+
+    def __init__(
+        self,
+        service,
+        poll_interval: float = 5.0,
+        max_wait: float = 300.0,
+        max_retries: int = 3,
+        backoff_base: float = 1.0,
+        max_in_flight: int = 3,
+        sleep=None,
+    ):
+        import time as _time
+
+        if max_in_flight < 1:
+            raise ValueError("max_in_flight must be >= 1")
+        self.service = service
+        self.poll_interval = float(poll_interval)
+        self.max_wait = float(max_wait)
+        self.max_retries = int(max_retries)
+        self.backoff_base = float(backoff_base)
+        self.max_in_flight = int(max_in_flight)
+        self._sleep = sleep if sleep is not None else _time.sleep
+
+    def extract_one(self, content: bytes) -> str:
+        """One document, reference semantics exactly; raises on final
+        failure (the quarantine wrapper lives in extract_many)."""
+        text, err = self.extract_many([content])[0]
+        if err is not None:
+            raise ServiceError(err)
+        return text
+
+    def extract_many(self, contents) -> list[tuple[str | None, str | None]]:
+        """Extract a sequence of documents with at most
+        ``max_in_flight`` concurrently submitted jobs. Returns one
+        ``(text, error)`` pair per input, in order — a document that
+        exhausts its retries yields ``(None, message)`` instead of
+        raising (bad records must not kill a 100 TB job; quarantine
+        downstream, same contract as ``extract_text``).
+
+        Scheduling: each loop turn tops up free slots with eligible
+        documents (a failed attempt becomes eligible again only after
+        its backoff expires), polls every in-flight job once, then
+        sleeps one ``poll_interval`` if anything is still running —
+        so a single document's status-check/sleep schedule is exactly
+        the reference loop's, and a full batch costs ~one document's
+        wall time per ``max_in_flight`` documents rather than being
+        serial."""
+        from collections import deque
+
+        n = len(contents)
+        results: list[tuple[str | None, str | None]] = [(None, None)] * n
+        #: (doc index, attempt number, eligible-at virtual time)
+        pending = deque((i, 0, 0.0) for i in range(n))
+        in_flight: dict[str, tuple[int, int, float]] = {}  # job -> (idx, attempt, elapsed)
+        now = 0.0  # virtual clock: sum of sleeps this call
+        done = 0
+
+        def fail_attempt(idx: int, attempt: int, msg: str) -> None:
+            nonlocal done
+            if attempt + 1 >= self.max_retries:
+                results[idx] = (None, msg)
+                done += 1
+            else:
+                backoff = self.backoff_base * (2**attempt)
+                pending.append((idx, attempt + 1, now + backoff))
+
+        while done < n:
+            # top up free slots with documents whose backoff expired
+            requeue = []
+            while pending and len(in_flight) < self.max_in_flight:
+                idx, attempt, eligible_at = pending.popleft()
+                if eligible_at > now:
+                    requeue.append((idx, attempt, eligible_at))
+                    continue
+                try:
+                    job = self.service.submit(bytes(contents[idx]))
+                    in_flight[job] = (idx, attempt, 0.0)
+                except Exception as e:  # noqa: BLE001 — 429s etc. retry
+                    fail_attempt(idx, attempt, f"submit failed: {e}")
+            pending.extendleft(reversed(requeue))
+
+            # poll every in-flight job once (status first, sleep after —
+            # the reference's loop order, so an instantly-processed job
+            # costs zero poll sleeps)
+            for job in list(in_flight):
+                idx, attempt, elapsed = in_flight[job]
+                if elapsed >= self.max_wait:
+                    del in_flight[job]
+                    fail_attempt(idx, attempt, f"timeout after {self.max_wait}s waiting for extraction")
+                    continue
+                try:
+                    st = self.service.status(job)
+                    state = st.get("state")
+                    if state == "processed":
+                        text = self.service.retrieve(job)
+                        del in_flight[job]
+                        if text is None or not text.strip():
+                            fail_attempt(idx, attempt, "extracted text is empty")
+                        else:
+                            results[idx] = (text, None)
+                            done += 1
+                    elif state == "error":
+                        del in_flight[job]
+                        fail_attempt(idx, attempt, f"service error: {st.get('error', 'unknown')}")
+                except Exception as e:  # noqa: BLE001 — poll/retrieve faults retry too
+                    in_flight.pop(job, None)
+                    fail_attempt(idx, attempt, f"poll failed: {e}")
+
+            if done >= n:
+                break
+            if in_flight:
+                self._sleep(self.poll_interval)
+                now += self.poll_interval
+                in_flight = {
+                    job: (idx, attempt, elapsed + self.poll_interval)
+                    for job, (idx, attempt, elapsed) in in_flight.items()
+                }
+            elif pending:
+                # everything is backing off: sleep exactly to the next
+                # eligibility instead of spinning
+                wait = max(min(e for _, _, e in pending) - now, 0.0)
+                if wait > 0:
+                    self._sleep(wait)
+                    now += wait
+        return results
+
+
+def extract_text_service(
+    df: DataFrame,
+    service_factory,
+    poll_interval: float = 5.0,
+    max_wait: float = 300.0,
+    max_retries: int = 3,
+    backoff_base: float = 1.0,
+    max_in_flight: int = 3,
+) -> DataFrame:
+    """S2 via an EXTERNAL polling service: the mapInPandas stage that
+    runs :class:`PollingServiceExtractor` inside each task —
+    ``service_factory`` is a zero-arg picklable callable constructing
+    the client ON THE WORKER (clients hold sockets; never close over
+    a live one). Output schema and quarantine semantics match
+    ``extract_text``. Global service concurrency = partitions ×
+    ``max_in_flight``: repartition upstream to the service's rate
+    budget (reference parity: ThreadPoolExecutor(3) over one process
+    ≙ one partition with the default max_in_flight=3)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = PollingServiceExtractor(
+            service_factory(),
+            poll_interval=poll_interval,
+            max_wait=max_wait,
+            max_retries=max_retries,
+            backoff_base=backoff_base,
+            max_in_flight=max_in_flight,
+        )
+        for pdf in batches:
+            pairs = extractor.extract_many(list(pdf["content"]))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "filename": pdf["filename"],
+                    "extracted_text": [t for t, _ in pairs],
+                    "extract_error": [e for _, e in pairs],
+                }
+            )
+
+    return df.mapInPandas(
+        fn, schema="path string, filename string, extracted_text string, extract_error string"
+    )
+
+
 def fake_json_structurer(text: str) -> str:
     """Hermetic S3 stand-in: wraps the text into the FIC document shape
     the way the LLM prompt enforces it (fence-stripping included in the
