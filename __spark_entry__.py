@@ -1459,33 +1459,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #: body references). Every registered query appears exactly once across
 #: _PRIORITY + the registration-order tail — asserted below.
 _PRIORITY = [
-    # r11 window (VERDICT r10 Next-round #1/#2/#3) — exactly 50
-    # entries, all of which the driver gate snapshots. Three blocks:
-    # (1) queries whose behavior hash changed or that never had a
-    #     green driver row: q227 (DTW) and q250 (NW/SW) gained
-    #     recursive-CTE oracles this round (retiring the program's
-    #     last two rows-only dynamic programs), q35's mixed-media
-    #     oracle landed earlier but was never anchored, and q358 is
-    #     the new 12-drop catalog-endurance law with mid-stream
-    #     compaction.
-    "q227", "q250", "q35", "q358",
-    # (2) the age rotation, oldest anchors first (VERDICT r10 #1):
-    #     all 27 queries whose newest driver row is round 3 …
-    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
-    "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
-    "q28", "q29", "q30", "q31", "q33", "q38", "q39", "q40",
-    "q53", "q100", "q104",
-    # (3) … plus the 19 lowest-numbered of the 48 whose newest row is
-    #     round 4. The remaining 29 round-4 anchors (q101–q132 band)
-    #     are next-oldest and take round 12's rotation slots; their
-    #     manifest hashes are stamped green, so freshness holds while
-    #     they wait.
-    "q32", "q34", "q36", "q37", "q41", "q42", "q49", "q62",
-    "q72", "q73", "q75", "q76", "q77", "q78", "q85", "q91",
-    "q93", "q95", "q98",
+    # r12 window (VERDICT r11 Next-round #1 + the gate-freshness rule)
+    # — exactly 50 entries, all of which the driver gate snapshots.
+    # Three blocks:
+    # (1) queries whose behavior hash CHANGED this round and therefore
+    #     must re-anchor: the store-catalog family (stores.py gained
+    #     the advisory maintenance lease, read-only reads, and strict
+    #     cleanup — q296/q303/q311/q324/q328/q358) and the multimodal
+    #     family (real PNG/JPEG header decode + container synthesis —
+    #     q35/q329/q330/q333; q48 is also multimodal-affected and
+    #     sits in block 3 by age).
+    "q35", "q296", "q303", "q311", "q324", "q328", "q329", "q330",
+    "q333", "q358",
+    # (2) the age rotation, oldest anchors first (VERDICT r11 #1):
+    #     ALL 29 queries whose newest driver row is round 4 — after
+    #     this window no anchor is older than round 5.
+    "q101", "q102", "q103", "q105", "q106", "q107", "q108", "q109",
+    "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118",
+    "q119", "q120", "q121", "q122", "q123", "q124", "q125", "q127",
+    "q128", "q129", "q130", "q131", "q132",
+    # (3) … plus the 11 lowest-numbered round-5 anchors that fit the
+    #     remaining slots (10 changed-query slots displaced the other
+    #     ten r5 rotations to round 13; standing rule hereafter: the
+    #     window is the 50 oldest anchors unless a changed/new family
+    #     needs gating, which always takes precedence).
+    "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
+    "q52", "q54", "q55",
     # --- 50-slot window boundary: everything below (the implicit
     #     registration-order tail) rides committed sweep evidence +
-    #     driver rows from earlier rounds (union of r1–r10 CORRECTNESS
+    #     driver rows from earlier rounds (union of r1–r11 CORRECTNESS
     #     anchors covers every other registered query green). ---
 ]
 
