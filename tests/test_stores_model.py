@@ -1,13 +1,14 @@
 """Model-based randomized endurance test for the store catalog
-(round 11): a seeded random sequence of loads, same-label reloads,
-compactions, and injected mid-swap crash states is applied to a real
-StoreCatalog and to a trivial in-memory model; after every step the
-catalog must agree with the model on (drop order, per-drop rows,
-manifest row_count, whole-store row multiset). This is the q358
-endurance law generalized from one scripted year to arbitrary
+(round 11; lease injections round 12): a seeded random sequence of
+loads, same-label reloads, compactions, injected mid-swap crash
+states, and injected dead-maintainer lease states (stale and torn) is
+applied to a real StoreCatalog and to a trivial in-memory model; after
+every step the catalog must agree with the model on (drop order,
+per-drop rows, manifest row_count, whole-store row multiset). This is
+the q358 endurance law generalized from one scripted year to arbitrary
 operation interleavings — the class of bug it catches is any state
-transition (recovery path included) that silently diverges the
-on-disk store from the record a scheduler trusts."""
+transition (recovery and lease-takeover paths included) that silently
+diverges the on-disk store from the record a scheduler trusts."""
 
 import os
 import random
@@ -61,7 +62,8 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     for step in range(14):
         ops = ["write"]
         if model:
-            ops += ["rewrite", "compact", "crash_tmp", "crash_old_forward"]
+            ops += ["rewrite", "compact", "crash_tmp", "crash_old_forward",
+                    "stale_lease", "torn_lease"]
         op = rng.choice(ops)
         if op == "write":
             label = f"m{len(model):02d}"
@@ -90,6 +92,21 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
             label = rng.choice(model)[0]
             d = os.path.join(cat.store_path(name), "data", f"drop={label}")
             shutil.copytree(d, d + "__compact_old", dirs_exist_ok=True)
+        elif op == "stale_lease":
+            # a maintainer died holding the lease long ago: the next
+            # maintenance op must take it over, not deadlock (round 12)
+            import json as _json
+            import time as _time
+
+            with open(cat._lease_path(name), "w") as fh:
+                _json.dump({"token": "dead", "pid": 0, "host": "gone",
+                            "acquired_unix": _time.time() - 10 * cat.lease_ttl_s,
+                            "ttl_s": cat.lease_ttl_s}, fh)
+        elif op == "torn_lease":
+            # a maintainer died inside its own lease write: unparseable
+            # lease files must read as stale, not brick the store
+            with open(cat._lease_path(name), "w") as fh:
+                fh.write('{"token": "to')
         _check(spark, cat, model, name)
 
     # and one terminal mid-swap rollback crash: drop renamed away
