@@ -300,9 +300,10 @@ def main() -> None:
     assert len(line) < 1900, f"bench output line too long ({len(line)} bytes)"
     print(line)
     spark.stop()
-    _check_regression(timings, total, sf)
     if _FAILURES:
         print("BENCH QUALITY GATES FAILED: " + "; ".join(_FAILURES), file=sys.stderr)
+    _check_regression(timings, total, sf)
+    if _FAILURES:
         sys.exit(1)
 
 
