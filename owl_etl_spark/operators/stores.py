@@ -244,8 +244,12 @@ class StoreCatalog:
 
     def reset(self, name: str) -> None:
         """Delete a store entirely (data + manifest). Used by replay
-        tests and by backfills that rebuild a store from scratch."""
-        _rmtree_checked(self.store_path(name))
+        tests and by backfills that rebuild a store from scratch.
+        Maintenance: takes the lease, so a reset cannot yank a store
+        out from under a live maintainer (the deletion removes the
+        lease file with the store; release tolerates that)."""
+        with self._maintenance_lease(name):
+            _rmtree_checked(self.store_path(name))
 
     # -- write -----------------------------------------------------------
     def write_drop(
@@ -278,29 +282,32 @@ class StoreCatalog:
             raise ValueError(f"clustering keys {missing} not in frame columns {df.columns}")
 
         schema_str = df.schema.simpleString()
-        if self.exists(name):
-            manifest = self.manifest(name)
-            if manifest["clustering_keys"] != list(clustering_keys):
-                raise ValueError(
-                    f"store {name!r} is clustered on {manifest['clustering_keys']}; "
-                    f"refusing a drop clustered on {list(clustering_keys)}"
-                )
-            if manifest["schema"] != schema_str:
-                raise ValueError(
-                    f"store {name!r} schema drift: manifest has "
-                    f"{manifest['schema']}, drop has {schema_str}"
-                )
-        else:
-            manifest = {
-                "name": name,
-                "clustering_keys": list(clustering_keys),
-                "schema": schema_str,
-                "drops": [],
-                "row_count": 0,
-                "last_drop_watermark": None,
-            }
-
         with self._maintenance_lease(name):
+            # manifest read + drift validation INSIDE the lease: read
+            # before acquisition and another maintainer's just-released
+            # update could be validated against (and then overwritten
+            # from) a stale manifest object
+            if self.exists(name):
+                manifest = self.manifest(name)
+                if manifest["clustering_keys"] != list(clustering_keys):
+                    raise ValueError(
+                        f"store {name!r} is clustered on {manifest['clustering_keys']}; "
+                        f"refusing a drop clustered on {list(clustering_keys)}"
+                    )
+                if manifest["schema"] != schema_str:
+                    raise ValueError(
+                        f"store {name!r} schema drift: manifest has "
+                        f"{manifest['schema']}, drop has {schema_str}"
+                    )
+            else:
+                manifest = {
+                    "name": name,
+                    "clustering_keys": list(clustering_keys),
+                    "schema": schema_str,
+                    "drops": [],
+                    "row_count": 0,
+                    "last_drop_watermark": None,
+                }
             self._recover_crashed_compactions(name)
             drop_dir = self._drop_dir(name, drop_label)
             write_sorted_parquet(df, drop_dir, list(clustering_keys), target_partitions)
