@@ -345,10 +345,15 @@ class PollingServiceExtractor:
             if done >= n:
                 break
             if in_flight:
+                # poll_interval=0 is a hermetic-test convenience (no
+                # real sleeping); timeout accounting then advances a
+                # 1-second virtual quantum per poll tick so a hanging
+                # job still times out instead of spinning forever
+                quantum = self.poll_interval if self.poll_interval > 0 else 1.0
                 self._sleep(self.poll_interval)
-                now += self.poll_interval
+                now += quantum
                 in_flight = {
-                    job: (idx, attempt, elapsed + self.poll_interval)
+                    job: (idx, attempt, elapsed + quantum)
                     for job, (idx, attempt, elapsed) in in_flight.items()
                 }
             elif pending:

@@ -290,3 +290,15 @@ def test_extract_text_service_mapinpandas_e2e(spark, tmp_path):
     assert rows["good_1.pdf"].extract_error is None
     assert rows["bad_1.pdf"].extracted_text is None
     assert "service error" in rows["bad_1.pdf"].extract_error
+
+
+def test_zero_poll_interval_still_times_out_hanging_jobs():
+    """poll_interval=0 (hermetic tests) must not spin forever on a
+    hanging job: timeout accounting advances a 1 s virtual quantum per
+    poll tick, so a hang exhausts max_wait and retries normally."""
+    svc = FakeService({b"x": [("hang",)]})
+    sleeps = []
+    ad = _adapter(svc, sleeps, poll_interval=0.0, max_wait=3.0, backoff_base=0.0)
+    text, err = ad.extract_many([b"x"])[0]
+    assert text is None and "timeout" in err
+    assert svc.n_submits == 3  # all retries ran, nothing spun
