@@ -190,16 +190,30 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).schema
 
+    # SPARK_GRAFT_HEADLINE_RUNS > 1 (round 12, used by round_close):
+    # run the whole headline list N times and record the per-query MIN
+    # — the same estimator the committed paired-A/B protocol judges on.
+    # Intermittent multi-second host stalls land on DIFFERENT queries
+    # each pass (observed: three consecutive round-closes flagged three
+    # disjoint query sets), so a single sample certifies host weather,
+    # not code; the min of N interleaved-in-time passes does not. The
+    # driver's own invocation keeps the default single pass.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "1")))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    for pass_i in range(runs):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
+            print(
+                f"# {name}: {dt:.3f}s ({n} rows)"
+                + (f" [pass {pass_i + 1}/{runs}]" if runs > 1 else ""),
+                file=sys.stderr,
+            )
+    total = sum(timings.values())
 
     skew = _skew_scenario(spark, sf_dir)
     ann = _ann_scenario(spark, sf_dir)

@@ -25,6 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     commit = "--no-commit" not in sys.argv
     env = dict(os.environ)
+    # min-of-3 headline passes: single samples certify host weather,
+    # not code (three consecutive closes flagged three disjoint query
+    # sets on an intermittently-stalling host); the canonical record
+    # uses the same min estimator as the paired A/B protocol
+    env.setdefault("SPARK_GRAFT_HEADLINE_RUNS", "3")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO,
