@@ -1462,13 +1462,16 @@ _PRIORITY = [
     # r12 window (VERDICT r11 Next-round #1 + the gate-freshness rule)
     # — exactly 50 entries, all of which the driver gate snapshots.
     # Three blocks:
-    # (1) queries whose behavior hash CHANGED this round and therefore
-    #     must re-anchor: the store-catalog family (stores.py gained
-    #     the advisory maintenance lease, read-only reads, and strict
-    #     cleanup — q296/q303/q311/q324/q328/q358) and the multimodal
-    #     family (real PNG/JPEG header decode + container synthesis —
-    #     q35/q329/q330/q333; q48 is also multimodal-affected and
-    #     sits in block 3 by age).
+    # (1) queries whose behavior hash is NEW or CHANGED this round and
+    #     therefore must (re-)anchor: the NEW media-codec family (full
+    #     JPEG entropy decode / WAV PCM decode / GIF LZW frame
+    #     sampling — q359/q360/q361), the store-catalog family
+    #     (stores.py gained the advisory maintenance lease, read-only
+    #     reads, and strict cleanup — q296/q303/q311/q324/q328/q358)
+    #     and the multimodal family (real PNG/JPEG header decode +
+    #     container synthesis — q35/q329/q330/q333; q48 is also
+    #     multimodal-affected and sits in block 3 by age).
+    "q359", "q360", "q361", "q362",
     "q35", "q296", "q303", "q311", "q324", "q328", "q329", "q330",
     "q333", "q358",
     # (2) the age rotation, oldest anchors first (VERDICT r11 #1):
@@ -1478,13 +1481,14 @@ _PRIORITY = [
     "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118",
     "q119", "q120", "q121", "q122", "q123", "q124", "q125", "q127",
     "q128", "q129", "q130", "q131", "q132",
-    # (3) … plus the 11 lowest-numbered round-5 anchors that fit the
-    #     remaining slots (10 changed-query slots displaced the other
-    #     ten r5 rotations to round 13; standing rule hereafter: the
-    #     window is the 50 oldest anchors unless a changed/new family
-    #     needs gating, which always takes precedence).
-    "q43", "q44", "q45", "q46", "q47", "q48", "q50", "q51",
-    "q52", "q54", "q55",
+    # (3) … plus the 7 lowest-numbered round-5 anchors that fit the
+    #     remaining slots (the 10 changed-query slots plus the 4 NEW
+    #     queries — media codecs q359/q360/q361 and gram coverage
+    #     q362 — displaced the other r5 rotations, q51/q52/q54/q55
+    #     onward, to round 13; standing rule hereafter: the window is
+    #     the 50 oldest anchors unless a changed/new family needs
+    #     gating, which always takes precedence).
+    "q43", "q44", "q45", "q46", "q47", "q48", "q50",
     # --- 50-slot window boundary: everything below (the implicit
     #     registration-order tail) rides committed sweep evidence +
     #     driver rows from earlier rounds (union of r1–r11 CORRECTNESS
@@ -22024,3 +22028,253 @@ _REGISTRY["q358_store_catalog_endurance"] = (
     _REGISTRY["q358_store_catalog_endurance"][0],
     _REGISTRY["q34_minhash_lsh_pairs"][1],
 )
+
+
+# ---------------------------------------------------------------------------
+# round 12 (continued): REAL media codecs — JPEG entropy decode, WAV
+# PCM decode, GIF LZW frame-sampling. These close the last env-stubbed
+# media branches ("JPEG entropy decode, audio/video") declared in
+# operators/multimodal.py: the payloads below are genuine containers
+# built by the engine's own pure-stdlib encoders and decoded by the
+# full byte-level decoders in operators/imagecodec.py /
+# operators/audiocodec.py. Oracle exactness devices: JPEG images are
+# flat-per-8x8-block (DC-only DCT + DC quant step 8 -> byte-exact
+# round-trip), GIF and WAV are lossless codecs, so every decoded
+# statistic is an integer formula of doc_id that DuckDB replays.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q359_jpeg_entropy_decode",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             (doc_id * 31 + 0 * 17) % 256 AS v0,
+             (doc_id * 31 + 1 * 17) % 256 AS v1,
+             (doc_id * 31 + 2 * 17) % 256 AS v2,
+             (doc_id * 31 + 3 * 17) % 256 AS v3
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) AS px_sum,
+           CAST(least(v0, v1, v2, v3) AS INTEGER) AS px_min,
+           CAST(greatest(v0, v1, v2, v3) AS INTEGER) AS px_max
+    FROM v
+    """,
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL JPEG entropy decode (T.81 baseline: canonical-Huffman
+    decode with byte unstuffing, dequantization, un-zigzag, batched
+    8x8 IDCT) over containers the engine itself encodes: per document
+    a 16x16 grayscale image of four flat 8x8 blocks with values
+    v_j = (doc_id*31 + j*17) % 256 — flat blocks have DC-only DCT and
+    the default table's DC step of 8 makes the round-trip BYTE-EXACT,
+    so the oracle replays the decoded pixel statistics from the block
+    formula with no codec. The four distinct block values force real
+    DC-prediction differentials through the Huffman DC categories;
+    restart markers every 2 MCUs exercise the RSTn/predictor-reset
+    path. Both stages are Arrow-batched mapInPandas, shuffle-free —
+    the 100 TB shape for a decode pipeline (reference parity:
+    Jave-OWL/owl-ETL src/etl/extract.py treats binary docs as opaque;
+    this engine decodes them in-process)."""
+    from owl_etl_spark.operators.imagecodec import jpeg_pixel_stats
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from owl_etl_spark.operators.imagecodec import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                v = [(int(doc_id) * 31 + j * 17) % 256 for j in range(4)]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8], img[:8, 8:] = v[0], v[1]
+                img[8:, :8], img[8:, 8:] = v[2], v[3]
+                payloads.append(encode_jpeg_baseline(img, restart_interval=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    jpegs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return jpeg_pixel_stats(jpegs)
+
+
+@_register(
+    "q360_wav_audio_decode",
+    """
+    WITH s AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 7919 + t.i * 104729) % 20001) - 10000 AS smp
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) t
+    ),
+    w AS (
+      SELECT doc_id, i, smp,
+             lead(smp) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(256 AS INTEGER) AS n_frames,
+           CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN smp * nxt < 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings,
+           CAST(MAX(abs(smp)) AS INTEGER) AS peak
+    FROM w GROUP BY doc_id
+    """,
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM decode over containers the engine itself
+    encodes: per document a 256-sample 8 kHz mono 16-bit PCM waveform
+    s_i = ((doc_id*7919 + i*104729) % 20001) - 10000, wrapped in a
+    canonical RIFF container (fmt + data chunk walk on decode) and
+    featurized to EXACT integers — sum of squares (the RMS numerator),
+    strict zero crossings, peak amplitude. PCM is lossless, so the
+    oracle replays every statistic from the sample formula via a
+    generated series + lead() window. Synthesis and decode are
+    separate Arrow-batched mapInPandas stages communicating only
+    through the binary column — the decode stage sees bytes, nothing
+    else."""
+    from owl_etl_spark.operators.audiocodec import wav_audio_stats
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from owl_etl_spark.operators.audiocodec import encode_wav_pcm16
+
+        i = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                smp = ((int(doc_id) * 7919 + i * 104729) % 20001) - 10000
+                payloads.append(
+                    encode_wav_pcm16(smp.astype(np.int16), sample_rate=8000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return wav_audio_stats(wavs)
+
+
+@_register(
+    "q361_gif_frame_sample",
+    """
+    WITH f AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS nf,
+             t.f,
+             (d.doc_id * 19 + t.f * 37) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS f) t
+      WHERE t.f < 4 + d.doc_id % 5 AND t.f % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(MAX(nf) AS INTEGER) AS n_frames,
+           CAST(COUNT(*) AS INTEGER) AS n_sampled,
+           CAST(64 * SUM(v) AS BIGINT) AS sampled_sum,
+           CAST(MIN(v) AS INTEGER) AS sampled_min,
+           CAST(MAX(v) AS INTEGER) AS sampled_max
+    FROM f GROUP BY doc_id
+    """,
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode + FRAME SAMPLING (the video
+    keyframe-sampling shape) over containers the engine itself
+    encodes: per document an animated GIF of 4 + doc_id%5 flat 8x8
+    frames with values v_f = (doc_id*19 + f*37) % 256, LZW-compressed
+    per the GIF89a spec (variable code width, CLEAR/EOI, sub-blocks)
+    and decoded back through the full LZW decompressor, then sampled
+    every 2nd frame. GIF with a grayscale identity palette is
+    LOSSLESS, so the oracle replays the sampled-frame statistics from
+    the frame formula. Variable frame counts make the sampled set
+    doc-dependent — a decoder that miscounts frames or a sampler with
+    an off-by-one breaks the hash."""
+    from owl_etl_spark.operators.imagecodec import gif_frame_sample_stats
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from owl_etl_spark.operators.imagecodec import encode_gif_frames
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                nf = 4 + int(doc_id) % 5
+                frames = np.stack(
+                    [
+                        np.full((8, 8), (int(doc_id) * 19 + f * 37) % 256, dtype=np.uint8)
+                        for f in range(nf)
+                    ]
+                )
+                payloads.append(encode_gif_frames(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    gifs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return gif_frame_sample_stats(gifs, every=2)
+
+
+@_register(
+    "q362_gram_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 512) AS t,
+             greatest(length(substr(text, 1, 512)) - 23, 0) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, s.i, substr(t.t, s.i, 24) AS gram
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 489)) AS i) s
+      WHERE s.i <= t.n
+    ),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gram)),
+    c AS (
+      SELECT doc_id, i,
+             lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM d
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_positions,
+             CAST(SUM(CASE WHEN nxt IS NULL THEN 24
+                           ELSE least(nxt - i, 24) END) AS BIGINT)
+               AS covered_chars
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(a.covered_chars, 0) AS BIGINT) AS covered_chars
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication coverage (the suffix-array
+    substring-dedup analysis of Lee et al. 2022, distributed): every
+    overlapping 24-char window of each document head, corpus-wide
+    document frequency per gram, and per document the duplicated
+    position count plus the exact characters covered by the union of
+    duplicated windows (interval-union closed form via one lead()
+    window — no gaps-and-islands scan). Unlike winnowing (q47,
+    sampled) or segment dedup (q102, fixed chunks), stride-1 grams
+    assume NO alignment: a copied sentence is caught at every offset.
+    The oracle replays the full analysis on the gram STRINGS; the
+    engine groups on xxhash64(gram) — agreement also re-proves the
+    hash-group device at one more query family."""
+    from owl_etl_spark.operators.dedup import cross_doc_gram_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_doc_gram_coverage(
+        d, gram_chars=24, max_chars=512, min_docs=2
+    )

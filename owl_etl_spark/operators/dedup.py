@@ -1277,3 +1277,96 @@ def incremental_components(
         )
     )
     return out_store.unionByName(out_new)
+
+
+def cross_doc_gram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_chars: int = 32,
+    max_chars: int = 512,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT substring-level duplication coverage — the all-position
+    sliding k-gram analysis behind suffix-array substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as distributed relational algebra: every
+    overlapping ``gram_chars``-char window of each document (stride
+    1 — unlike ``winnow_fingerprints``' sampled minima or
+    ``dedup_segments``' fixed chunks, NO alignment is assumed and no
+    position can hide), a corpus-wide document-frequency count per
+    gram, and per document the number of positions whose gram also
+    occurs in ≥ ``min_docs`` distinct documents plus the exact number
+    of characters covered by the union of those duplicated windows
+    (the interval-union closed form: for consecutive duplicated
+    positions p_j < p_{j+1}, coverage contributes min(p_{j+1} - p_j,
+    gram_chars), plus gram_chars for the last — no gaps-and-islands
+    scan needed).
+
+    Output: one row per input doc — ``n_grams`` (positions analyzed),
+    ``n_dup_positions``, ``covered_chars``. ``covered_chars /
+    length`` is the RefinedWeb-style "fraction of the document that
+    is corpus-duplicated text" signal that drives span removal or
+    doc-level filtering.
+
+    Plan shape at scale: intra-row ``transform(sequence(...))`` gram
+    expansion + posexplode (no shuffle) → one groupBy on
+    ``xxhash64(gram)`` (8-byte shuffle keys, partial agg folds
+    per-map duplicates) → hash join back → a per-doc window (lead)
+    over at most ``max_chars`` rows per doc → one groupBy on doc id.
+    ``max_chars`` bounds the expansion to O(max_chars) rows per doc
+    regardless of document size — analyze heads, or raise it and pay
+    linearly. Exact up to 64-bit gram-hash collisions (the documented
+    engine-wide tolerance).
+    """
+    if gram_chars < 1 or max_chars < gram_chars:
+        raise ValueError("need 1 <= gram_chars <= max_chars")
+    head = F.expr(f"substring({text_col}, 1, {max_chars})")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        head.alias("__t"),
+        F.greatest(F.lit(0), F.length(head) - F.lit(gram_chars - 1))
+        .cast("int")
+        .alias("__n"),
+    )
+    grams = base.filter(F.col("__n") > 0).select(
+        "__id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, __n), i -> substring(__t, i, {gram_chars}))")
+        ).alias("__pos0", "__gram"),
+    )
+    freq = (
+        grams.select(F.xxhash64("__gram").alias("__h"), "__id")
+        .groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__df"))
+    )
+    dups = (
+        grams.join(freq, F.xxhash64(grams["__gram"]) == freq["__h"])
+        .filter(F.col("__df") >= min_docs)
+        .select("__id", (F.col("__pos0") + 1).alias("__i"))
+    )
+    win = Window.partitionBy("__id").orderBy("__i")
+    covered = (
+        dups.withColumn("__nxt", F.lead("__i").over(win))
+        .withColumn(
+            "__cov",
+            F.when(
+                F.col("__nxt").isNull(), F.lit(gram_chars)
+            ).otherwise(F.least(F.col("__nxt") - F.col("__i"), F.lit(gram_chars))),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ndup"),
+            F.sum("__cov").cast("long").alias("__cov_chars"),
+        )
+    )
+    return (
+        base.select("__id", "__n")
+        .join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_grams"),
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.coalesce(F.col("__cov_chars"), F.lit(0)).cast("long").alias("covered_chars"),
+        )
+    )

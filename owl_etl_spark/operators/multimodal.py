@@ -8,11 +8,13 @@ stdlib (round 12): ``parse_png_header`` verifies the PNG signature and
 the IHDR chunk's CRC-32 and reads the big-endian dimension pair
 (ISO/IEC 15948 §11.2.2); ``parse_jpeg_header`` walks the marker-
 segment stream to the SOFn frame header (ITU-T T.81 §B.2). Full PIXEL
-decode (the image/audio codecs) is not available in this environment,
-so the remaining ``_decode`` media types keep a clearly-marked
-deterministic stub — the Spark-side contract (schema, batching,
-partitioning, UDF signature) is real and tested, and swapping the
-stub for PIL/ffmpeg is a one-function change.
+decode is ALSO real, pure stdlib+numpy: ``decode_png_pixels`` below
+(IDAT inflate + §9 filter reconstruction), baseline JPEG entropy
+decode / WAV PCM / animated-GIF LZW in ``operators/imagecodec.py``
+and ``operators/audiocodec.py``. The only stubbed ``_decode`` media
+types left are the synthetic ``text/plain`` / ``image/fake`` formula
+branches kept for the mixed-dispatch oracle (q35) — every named
+container format decodes for real.
 
 Scale notes: ``mapInPandas`` streams Arrow batches, so peak memory is
 one batch of payloads per task — size ``spark.sql.execution.arrow.

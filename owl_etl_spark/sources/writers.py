@@ -55,10 +55,14 @@ def write_gold_snapshot(tables: dict[str, DataFrame], base_path: str, mode: str 
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
-    """Postgres-parity sink (S10 exact-target variant). Not exercised in
-    tests (no database in the environment); kept as the thin adapter a
-    deployment would use: ``df.write.jdbc`` with batch sizing options.
-    """
+    """Postgres-parity sink (S10 exact-target variant, reference
+    src/etl/load.py:76-151): ``df.write.jdbc`` with batch sizing
+    options (pass ``batchsize=`` to size the executor-side INSERT
+    batches — the knob that matters at scale). Exercised E2E against
+    Spark's bundled embedded Derby engine (tests/test_jdbc_roundtrip.py:
+    round-trip, append/overwrite SaveModes, the recency-merge gold-table
+    flow, batched multi-thousand-row writes); a deployment swaps only
+    the URL/driver for Postgres."""
     df.write.mode(mode).options(**options).jdbc(url, table)
 
 
