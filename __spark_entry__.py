@@ -1471,7 +1471,7 @@ _PRIORITY = [
     #     and the multimodal family (real PNG/JPEG header decode +
     #     container synthesis — q35/q329/q330/q333; q48 is also
     #     multimodal-affected and sits in block 3 by age).
-    "q359", "q360", "q361", "q362",
+    "q359", "q360", "q361", "q362", "q363",
     "q35", "q296", "q303", "q311", "q324", "q328", "q329", "q330",
     "q333", "q358",
     # (2) the age rotation, oldest anchors first (VERDICT r11 #1):
@@ -1481,14 +1481,15 @@ _PRIORITY = [
     "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118",
     "q119", "q120", "q121", "q122", "q123", "q124", "q125", "q127",
     "q128", "q129", "q130", "q131", "q132",
-    # (3) … plus the 7 lowest-numbered round-5 anchors that fit the
-    #     remaining slots (the 10 changed-query slots plus the 4 NEW
-    #     queries — media codecs q359/q360/q361 and gram coverage
-    #     q362 — displaced the other r5 rotations, q51/q52/q54/q55
-    #     onward, to round 13; standing rule hereafter: the window is
-    #     the 50 oldest anchors unless a changed/new family needs
-    #     gating, which always takes precedence).
-    "q43", "q44", "q45", "q46", "q47", "q48", "q50",
+    # (3) … plus the 6 lowest-numbered round-5 anchors that fit the
+    #     remaining slots (the 10 changed-query slots plus the 5 NEW
+    #     queries — media codecs q359/q360/q361, gram coverage q362,
+    #     full mixed-media dispatch q363 — displaced the other r5
+    #     rotations, q50/q51/q52/q54/q55 onward, to round 13;
+    #     standing rule hereafter: the window is the 50 oldest
+    #     anchors unless a changed/new family needs gating, which
+    #     always takes precedence).
+    "q43", "q44", "q45", "q46", "q47", "q48",
     # --- 50-slot window boundary: everything below (the implicit
     #     registration-order tail) rides committed sweep evidence +
     #     driver rows from earlier rounds (union of r1–r11 CORRECTNESS
@@ -22277,4 +22278,177 @@ def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return cross_doc_gram_coverage(
         d, gram_chars=24, max_chars=512, min_docs=2
+    )
+
+
+@_register(
+    "q363_mixed_media_full_dispatch",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb, doc_id % 5 AS k
+      FROM documents
+    ),
+    peaks AS (
+      SELECT m.doc_id,
+             MAX(abs(((m.doc_id * 7 + s.i * 11) % 2001) - 1000)) AS peak
+      FROM m CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS i) s
+      WHERE m.k = 3 AND s.i < 60 + m.doc_id % 40
+      GROUP BY m.doc_id
+    ),
+    f AS (
+      SELECT CASE m.k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+                      ELSE 'text/plain' END AS media_type,
+             CASE m.k WHEN 0 THEN (m.doc_id % 300) + 1
+                      WHEN 1 THEN 8 * (1 + m.doc_id % 4)
+                      WHEN 2 THEN 8
+                      WHEN 3 THEN 60 + m.doc_id % 40
+                      ELSE (m.nb % 640) + 1 END AS width,
+             CASE m.k WHEN 0 THEN (m.doc_id % 200) + 1
+                      WHEN 1 THEN 8 * (1 + m.doc_id % 3)
+                      WHEN 2 THEN 8
+                      WHEN 3 THEN 1
+                      ELSE (m.nb % 480) + 1 END AS height,
+             CASE m.k
+               WHEN 0 THEN (((m.doc_id % 300) + 1) * ((m.doc_id % 200) + 1)) % 997
+               WHEN 1 THEN (64 * (1 + m.doc_id % 4) * (1 + m.doc_id % 3)) % 997
+               WHEN 2 THEN (64 * (2 + m.doc_id % 3)) % 991
+               WHEN 3 THEN ((60 + m.doc_id % 40) + p.peak) % 983
+               ELSE m.nb % 1000 END AS num,
+             CASE m.k WHEN 2 THEN 991 WHEN 3 THEN 983
+                      WHEN 4 THEN 1000 ELSE 997 END AS modulus
+      FROM m LEFT JOIN peaks p USING (doc_id)
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           round(CAST(SUM(num) AS BIGINT) / MAX(modulus * 1.0) / COUNT(*), 6)
+             AS avg_feature_norm
+    FROM f GROUP BY media_type
+    """,
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media extraction with EVERY branch a REAL decode — the
+    full five-way dispatch through one Arrow-batched extract stage:
+    PNG (signature + CRC-verified IHDR parse), full baseline JPEG
+    (a genuine entropy-coded file; header parse at dispatch, whose
+    dims the oracle replays), animated GIF (full LZW decompress of
+    every frame), WAV (RIFF walk + PCM samples; the feature folds in
+    the decoded PEAK, so a sample-level regression — not just header
+    fields — breaks the hash), and plain text. All four binary
+    containers are built by the engine's own encoders from doc_id
+    formulas, so the DuckDB oracle replays each type's decoded
+    dimensions and feature norms exactly (integer-numerator device
+    per media type, one division at the end). One synthesis
+    mapInPandas -> one extract mapInPandas -> one groupBy: the 100 TB
+    decode-pipeline shape, no shuffle before the final aggregate."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from owl_etl_spark.operators.multimodal import extract_features
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from owl_etl_spark.operators.audiocodec import encode_wav_pcm16
+        from owl_etl_spark.operators.imagecodec import (
+            encode_gif_frames,
+            encode_jpeg_baseline,
+        )
+
+        def png(w, h):
+            def chunk(t, d):
+                return (
+                    _struct.pack(">I", len(d))
+                    + t
+                    + d
+                    + _struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"tEXt", b"")
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                k = did % 5
+                if k == 0:
+                    payload = png((did % 300) + 1, (did % 200) + 1)
+                    media = "image/png"
+                elif k == 1:
+                    img = np.full(
+                        (8 * (1 + did % 3), 8 * (1 + did % 4)),
+                        did % 256,
+                        dtype=np.uint8,
+                    )
+                    payload = encode_jpeg_baseline(img)
+                    media = "image/jpeg"
+                elif k == 2:
+                    nf = 2 + did % 3
+                    frames = np.stack(
+                        [
+                            np.full((8, 8), (did * 13 + f * 29) % 256, dtype=np.uint8)
+                            for f in range(nf)
+                        ]
+                    )
+                    payload = encode_gif_frames(frames)
+                    media = "image/gif"
+                elif k == 3:
+                    n = 60 + did % 40
+                    i = np.arange(n, dtype=np.int64)
+                    smp = ((did * 7 + i * 11) % 2001) - 1000
+                    payload = encode_wav_pcm16(smp.astype(np.int16), 8000)
+                    media = "audio/wav"
+                else:
+                    payload = str(text).encode("utf-8")
+                    media = "text/plain"
+                out.append((did, payload, media, len(payload)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "media_type", "n_bytes"]
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.mapInPandas(
+        synth, schema="doc_id bigint, payload binary, media_type string, n_bytes bigint"
+    )
+    feats = extract_features(wrapped)
+    modulus = (
+        F.when(F.col("media_type") == "image/gif", F.lit(991.0))
+        .when(F.col("media_type") == "audio/wav", F.lit(983.0))
+        .when(F.col("media_type") == "text/plain", F.lit(1000.0))
+        .otherwise(F.lit(997.0))
+    )
+    return (
+        feats.withColumn("__num", F.round(F.col("feature_norm") * modulus, 0).cast("long"))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("__num").alias("__sum_num"),
+            F.max(
+                F.when(F.col("media_type") == "image/gif", F.lit(991.0))
+                .when(F.col("media_type") == "audio/wav", F.lit(983.0))
+                .when(F.col("media_type") == "text/plain", F.lit(1000.0))
+                .otherwise(F.lit(997.0))
+            ).alias("__mod"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "media_type",
+            "n_items",
+            "sum_width",
+            "sum_height",
+            F.round(F.col("__sum_num") / F.col("__mod") / F.col("__n"), 6).alias(
+                "avg_feature_norm"
+            ),
+        )
     )

@@ -262,6 +262,33 @@ def _decode(payload: bytes, media_type: str) -> dict:
     if media_type == "image/jpeg":
         w, h = parse_jpeg_header(payload)
         return {"width": w, "height": h, "feature_norm": float((w * h) % 997) / 997.0}
+    if media_type == "image/gif":
+        # REAL full decode: LZW decompress every frame (imagecodec)
+        from owl_etl_spark.operators.imagecodec import decode_gif_frames
+
+        d = decode_gif_frames(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "feature_norm": float((d["width"] * d["height"] * d["n_frames"]) % 991)
+            / 991.0,
+        }
+    if media_type == "audio/wav":
+        # REAL full decode: RIFF chunk walk + PCM samples (audiocodec);
+        # the norm folds in the decoded PEAK so a sample-level decode
+        # regression (not just header fields) breaks the oracle
+        import numpy as np
+
+        from owl_etl_spark.operators.audiocodec import decode_wav
+
+        d = decode_wav(payload)
+        # int64 before abs: int16 abs(-32768) would overflow
+        peak = int(np.abs(d["samples"].astype(np.int64)).max(initial=0))
+        return {
+            "width": d["n_frames"],
+            "height": d["channels"],
+            "feature_norm": float((d["n_frames"] + peak) % 983) / 983.0,
+        }
     raise NotImplementedError(f"no decoder for {media_type}")
 
 

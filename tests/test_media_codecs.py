@@ -326,3 +326,34 @@ def test_gif_frame_sample_stats_spark(spark):
         assert r["sampled_sum"] == 64 * sum(sampled)
         assert r["sampled_min"] == min(sampled)
         assert r["sampled_max"] == max(sampled)
+
+
+# ---------------------------------------------------------------------------
+# mixed-media dispatch: the GIF/WAV branches of multimodal._decode
+# ---------------------------------------------------------------------------
+
+
+def test_decode_dispatch_gif_and_wav_are_real():
+    from owl_etl_spark.operators.multimodal import _decode
+
+    frames = np.stack([np.full((8, 8), v, dtype=np.uint8) for v in (5, 9, 200)])
+    d = _decode(encode_gif_frames(frames), "image/gif")
+    assert (d["width"], d["height"]) == (8, 8)
+    assert d["feature_norm"] == float((8 * 8 * 3) % 991) / 991.0
+
+    smp = np.array([-32768, 0, 100, -5], dtype=np.int16)
+    d = _decode(encode_wav_pcm16(smp, 8000), "audio/wav")
+    assert (d["width"], d["height"]) == (4, 1)
+    # peak must survive the int16 abs(-32768) trap
+    assert d["feature_norm"] == float((4 + 32768) % 983) / 983.0
+
+
+def test_decode_dispatch_rejects_corrupt_containers():
+    from owl_etl_spark.operators.multimodal import _decode
+
+    with pytest.raises(ValueError):
+        _decode(b"GIF89a\x00\x00", "image/gif")
+    with pytest.raises(ValueError):
+        _decode(b"RIFFxxxxWAVE", "audio/wav")
+    with pytest.raises(NotImplementedError):
+        _decode(b"\x00", "video/mp4")
