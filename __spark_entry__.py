@@ -1471,7 +1471,7 @@ _PRIORITY = [
     #     and the multimodal family (real PNG/JPEG header decode +
     #     container synthesis — q35/q329/q330/q333; q48 is also
     #     multimodal-affected and sits in block 3 by age).
-    "q359", "q360", "q361", "q362", "q363",
+    "q359", "q360", "q361", "q362", "q363", "q364",
     "q35", "q296", "q303", "q311", "q324", "q328", "q329", "q330",
     "q333", "q358",
     # (2) the age rotation, oldest anchors first (VERDICT r11 #1):
@@ -1481,15 +1481,15 @@ _PRIORITY = [
     "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118",
     "q119", "q120", "q121", "q122", "q123", "q124", "q125", "q127",
     "q128", "q129", "q130", "q131", "q132",
-    # (3) … plus the 6 lowest-numbered round-5 anchors that fit the
-    #     remaining slots (the 10 changed-query slots plus the 5 NEW
+    # (3) … plus the 5 lowest-numbered round-5 anchors that fit the
+    #     remaining slots (the 10 changed-query slots plus the 6 NEW
     #     queries — media codecs q359/q360/q361, gram coverage q362,
-    #     full mixed-media dispatch q363 — displaced the other r5
-    #     rotations, q50/q51/q52/q54/q55 onward, to round 13;
-    #     standing rule hereafter: the window is the 50 oldest
-    #     anchors unless a changed/new family needs gating, which
-    #     always takes precedence).
-    "q43", "q44", "q45", "q46", "q47", "q48",
+    #     full mixed-media dispatch q363, span removal q364 —
+    #     displaced the other r5 rotations, q48/q50/q51/q52/q54/q55
+    #     onward, to round 13; standing rule hereafter: the window is
+    #     the 50 oldest anchors unless a changed/new family needs
+    #     gating, which always takes precedence).
+    "q43", "q44", "q45", "q46", "q47",
     # --- 50-slot window boundary: everything below (the implicit
     #     registration-order tail) rides committed sweep evidence +
     #     driver rows from earlier rounds (union of r1–r11 CORRECTNESS
@@ -22452,3 +22452,68 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "q364_remove_duplicated_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 512) AS t,
+             greatest(length(substr(text, 1, 512)) - 23, 0) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, s.i, substr(t.t, s.i, 24) AS gram
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 489)) AS i) s
+      WHERE s.i <= t.n
+    ),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gram)),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                       OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 24
+                  THEN 1 ELSE 0 END AS st
+      FROM d
+    ),
+    ns AS (SELECT doc_id, CAST(SUM(st) AS BIGINT) AS n_spans FROM isl GROUP BY doc_id),
+    cov AS (
+      SELECT DISTINCT d.doc_id, d.i + o.o AS p
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS o) o
+    ),
+    ch AS (
+      SELECT t.doc_id, s.i, substr(t.t, s.i, 1) AS c
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 512)) AS i) s
+      WHERE s.i <= length(t.t)
+    ),
+    cl AS (
+      SELECT ch.doc_id,
+             coalesce(string_agg(ch.c, '' ORDER BY ch.i)
+                        FILTER (WHERE cov.p IS NULL), '') AS clean_text,
+             CAST(count(cov.p) AS BIGINT) AS removed_chars
+      FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.i
+      GROUP BY ch.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(cl.removed_chars, 0) AS BIGINT) AS removed_chars,
+           COALESCE(cl.clean_text, t.t) AS clean_text
+    FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN cl USING (doc_id)
+    """,
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level span REMOVAL (the action step of Lee et
+    al. 2022 substring dedup, completing q362's detection): merge
+    duplicated 24-gram windows into maximal spans per document
+    (gaps-and-islands via one lag window) and stitch the surviving
+    text with one intra-row aggregate() walk — returning the cleaned
+    document text itself, so the oracle comparison is an exact STRING
+    equality per doc (the oracle rebuilds clean_text character-by-
+    character with a covered-position anti-join + ordered string_agg,
+    a completely different construction from the engine's span
+    stitch: agreement pins both the island merge rule and the stitch
+    arithmetic)."""
+    from owl_etl_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, gram_chars=24, max_chars=512, min_docs=2)

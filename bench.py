@@ -148,6 +148,18 @@ HEADLINE = [
     # -> per-source funnel) — the composed shape a real monthly 100 TB
     # ingest runs, so its wall time is the one a user asks about first.
     "q324_monthly_drop_pipeline",
+    # round-12 (continued) families: full media codecs (baseline-JPEG
+    # entropy decode, WAV PCM, animated-GIF LZW frame sampling — all
+    # Arrow-batched encode+decode per doc), the stride-1 substring
+    # duplication coverage (2.4M gram rows at sf0.1 through one hash
+    # groupBy + per-doc lead window), and the five-way mixed-media
+    # dispatch.
+    "q359_jpeg_entropy_decode",
+    "q360_wav_audio_decode",
+    "q361_gif_frame_sample",
+    "q362_gram_coverage",
+    "q363_mixed_media_full_dispatch",
+    "q364_remove_duplicated_spans",
 ]
 
 

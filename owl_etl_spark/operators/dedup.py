@@ -1319,6 +1319,50 @@ def cross_doc_gram_coverage(
     linearly. Exact up to 64-bit gram-hash collisions (the documented
     engine-wide tolerance).
     """
+    base, dups = _gram_dup_positions(
+        df, id_col, text_col, gram_chars, max_chars, min_docs
+    )
+    win = Window.partitionBy("__id").orderBy("__i")
+    covered = (
+        dups.withColumn("__nxt", F.lead("__i").over(win))
+        .withColumn(
+            "__cov",
+            F.when(
+                F.col("__nxt").isNull(), F.lit(gram_chars)
+            ).otherwise(F.least(F.col("__nxt") - F.col("__i"), F.lit(gram_chars))),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ndup"),
+            F.sum("__cov").cast("long").alias("__cov_chars"),
+        )
+    )
+    return (
+        base.select("__id", "__n")
+        .join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_grams"),
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.coalesce(F.col("__cov_chars"), F.lit(0)).cast("long").alias("covered_chars"),
+        )
+    )
+
+
+def _gram_dup_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_chars: int,
+    max_chars: int,
+    min_docs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the substring-duplication operators: ``base``
+    (one row per doc: __id, __t truncated head, __n gram positions)
+    and ``dups`` (one row per duplicated gram position: __id, __i
+    1-based start) — stride-1 sliding grams, corpus-wide document
+    frequency on xxhash64(gram), positions whose gram occurs in
+    ≥ ``min_docs`` distinct documents."""
     if gram_chars < 1 or max_chars < gram_chars:
         raise ValueError("need 1 <= gram_chars <= max_chars")
     head = F.expr(f"substring({text_col}, 1, {max_chars})")
@@ -1345,28 +1389,92 @@ def cross_doc_gram_coverage(
         .filter(F.col("__df") >= min_docs)
         .select("__id", (F.col("__pos0") + 1).alias("__i"))
     )
+    return base, dups
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_chars: int = 32,
+    max_chars: int = 512,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level span REMOVAL — the action step of
+    suffix-array substring dedup (Lee et al. 2022 remove the
+    duplicated spans, not the documents): merge each document's
+    duplicated gram windows into maximal spans (gaps-and-islands:
+    position i starts a new span iff i > lag(i) + gram_chars — with
+    fixed-width windows the previous position's end IS the running
+    max end, so one lag() suffices) and stitch the surviving text
+    back together with one intra-row ``aggregate`` over the span
+    array (no second shuffle for the reassembly — unlike
+    ``dedup_segments``' collect-and-sort, the spans per doc arrive
+    pre-merged and the stitch walks the original string).
+
+    Output: one row per input doc — ``n_spans``, ``removed_chars``,
+    ``clean_text`` (the document head with every corpus-duplicated
+    span excised; docs with no duplication pass through verbatim).
+    Only the first ``max_chars`` chars are analyzed AND returned —
+    the operator contract is "clean the analyzed head", keeping the
+    expansion O(max_chars) per doc at 100 TB.
+
+    Plan shape: the shared gram/df core (one groupBy + one join) →
+    per-doc lag window → span groupBy → collect_list of at most
+    max_chars/gram_chars spans per doc → one intra-row aggregate()
+    stitch. Exact up to 64-bit gram-hash collisions.
+    """
+    base, dups = _gram_dup_positions(
+        df, id_col, text_col, gram_chars, max_chars, min_docs
+    )
     win = Window.partitionBy("__id").orderBy("__i")
-    covered = (
-        dups.withColumn("__nxt", F.lead("__i").over(win))
+    spans = (
+        dups.withColumn("__prev", F.lag("__i").over(win))
         .withColumn(
-            "__cov",
+            "__start_flag",
             F.when(
-                F.col("__nxt").isNull(), F.lit(gram_chars)
-            ).otherwise(F.least(F.col("__nxt") - F.col("__i"), F.lit(gram_chars))),
+                F.col("__prev").isNull()
+                | (F.col("__i") > F.col("__prev") + F.lit(gram_chars)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
         )
-        .groupBy("__id")
+        .withColumn(
+            "__island",
+            F.sum("__start_flag").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("__id", "__island")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__ndup"),
-            F.sum("__cov").cast("long").alias("__cov_chars"),
+            F.min("__i").alias("__s"),
+            (F.max("__i") + F.lit(gram_chars)).alias("__e"),  # exclusive end
         )
     )
+    per_doc = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nspans"),
+        F.sum(F.col("__e") - F.col("__s")).cast("long").alias("__removed"),
+        F.expr("array_sort(collect_list(struct(__s AS s, __e AS e)))").alias("__spans"),
+    )
+    stitch = F.expr(
+        "concat("
+        "  aggregate(__spans,"
+        "            named_struct('pos', 1, 'acc', CAST('' AS STRING)),"
+        "            (a, sp) -> named_struct("
+        "                'pos', CAST(sp.e AS INT),"
+        "                'acc', concat(a.acc, substring(__t, a.pos, sp.s - a.pos))),"
+        "            a -> a.acc),"
+        "  substring(__t,"
+        "            aggregate(__spans, 1, (p, sp) -> CAST(sp.e AS INT)),"
+        f"           {max_chars + 1}))"
+    )
     return (
-        base.select("__id", "__n")
-        .join(covered, "__id", "left")
+        base.join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.col("__n").cast("long").alias("n_grams"),
-            F.coalesce(F.col("__ndup"), F.lit(0)).cast("long").alias("n_dup_positions"),
-            F.coalesce(F.col("__cov_chars"), F.lit(0)).cast("long").alias("covered_chars"),
+            F.coalesce(F.col("__nspans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias("removed_chars"),
+            F.when(F.col("__nspans").isNull(), F.col("__t"))
+            .otherwise(stitch)
+            .alias("clean_text"),
         )
     )

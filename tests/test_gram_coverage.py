@@ -75,3 +75,59 @@ def test_bad_params_rejected(spark):
         cross_doc_gram_coverage(df, gram_chars=0)
     with pytest.raises(ValueError):
         cross_doc_gram_coverage(df, gram_chars=64, max_chars=32)
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans: the action step (span merge + stitch)
+# ---------------------------------------------------------------------------
+
+
+def _run_remove(spark, rows, **kw):
+    from owl_etl_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in remove_duplicated_spans(df, **kw).collect()}
+
+
+def test_remove_spans_stitches_clean_text(spark):
+    out = _run_remove(
+        spark,
+        [(1, "XXabcdefYY"), (2, "ZZZabcdefWW"), (3, "qqqrstuvwx")],
+        gram_chars=4,
+    )
+    assert out[1]["clean_text"] == "XXYY"
+    assert out[1]["n_spans"] == 1 and out[1]["removed_chars"] == 6
+    assert out[2]["clean_text"] == "ZZZWW"
+    assert out[3]["clean_text"] == "qqqrstuvwx" and out[3]["n_spans"] == 0
+
+
+def test_remove_spans_two_islands(spark):
+    out = _run_remove(
+        spark,
+        [(5, "abcdQQQQQwxyzKK"), (6, "abcdPPPPPwxyzJJ")],
+        gram_chars=4,
+    )
+    assert out[5]["clean_text"] == "QQQQQKK"
+    assert out[5]["n_spans"] == 2 and out[5]["removed_chars"] == 8
+
+
+def test_remove_spans_fully_duplicated_doc_empties(spark):
+    out = _run_remove(spark, [(1, "abcdefgh"), (2, "abcdefgh")], gram_chars=4)
+    assert out[1]["clean_text"] == "" and out[1]["removed_chars"] == 8
+    assert out[1]["n_spans"] == 1
+
+
+def test_remove_spans_matches_coverage_counts(spark):
+    from owl_etl_spark.operators.dedup import cross_doc_gram_coverage
+
+    rows = [
+        (1, "aaaa bbbb cccc dddd"),
+        (2, "bbbb cccc xxxx yyyy"),
+        (3, "dddd aaaa zzzz wwww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = {r["doc_id"]: r for r in cross_doc_gram_coverage(df, gram_chars=5).collect()}
+    rem = _run_remove(spark, rows, gram_chars=5)
+    for k in cov:
+        assert rem[k]["removed_chars"] == cov[k]["covered_chars"]
+        assert len(rem[k]["clean_text"]) + rem[k]["removed_chars"] == len(rows[k - 1][1])
