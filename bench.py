@@ -1032,6 +1032,16 @@ _SCALE_QUERIES = [
     # dedicated 64-file store: q358's compacted drops are one file
     # each at bench scale, which makes file skipping vacuous there.
     "q358_store_catalog_endurance",
+    # round-12 (continued): the substring-dedup pair at 10x documents —
+    # the ' ~rK' replica construction makes nearly EVERY gram position
+    # cross-replica duplicated, so the dup-position row count (and the
+    # per-doc window input) approaches the full gram expansion: the
+    # worst case for coverage counting and span stitching by design.
+    # Plus the JPEG entropy decoder as a pure decode-throughput probe
+    # (50k encode+decode round-trips through the Arrow boundary).
+    "q362_gram_coverage",
+    "q364_remove_duplicated_spans",
+    "q359_jpeg_entropy_decode",
 ]
 
 
