@@ -235,14 +235,17 @@ def decode_png_pixels(payload: bytes) -> dict:
 
 
 def _decode(payload: bytes, media_type: str) -> dict:
-    """Per-type decode dispatch. ``image/png`` and ``image/jpeg`` run
-    the REAL container-header parsers above (signature + CRC / marker
-    scan — corrupt containers raise), with ``feature_norm`` a
-    deterministic function of the PARSED dimensions so any parsing
-    regression is observable through the oracle. ``text/plain`` and
-    ``image/fake`` keep the original deterministic stub formulas
-    (full pixel/codec decode is unavailable in this environment — a
-    real deployment swaps those branches for PIL/ffmpeg).
+    """Per-type decode dispatch — every named container format is a
+    REAL decode: ``image/png`` / ``image/jpeg`` run the container
+    parsers above (signature + CRC / marker scan — corrupt containers
+    raise), ``image/gif`` LZW-decompresses every frame and
+    ``audio/wav`` walks the RIFF chunks and decodes the PCM samples
+    (operators/imagecodec.py, operators/audiocodec.py), each with
+    ``feature_norm`` a deterministic function of DECODED values so a
+    decode regression is observable through the oracle (q363).
+    ``text/plain`` and ``image/fake`` keep deterministic formula
+    branches (there is nothing to decode) for the mixed-dispatch
+    oracle.
 
     Raises ``NotImplementedError`` for media types with no decoder,
     mirroring how a production decoder should fail loudly on
