@@ -22099,7 +22099,13 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_jpeg_baseline(img, restart_interval=2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound decode stage: repartition to the core count so the
+    # Arrow-batched encode/decode parallelizes even when the input is
+    # one parquet file (at 100 TB the scan arrives pre-split; locally
+    # one file = one task without this). Rows are 8-byte ids - the
+    # shuffle is negligible next to the per-doc codec work.
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .repartition(spark.sparkContext.defaultParallelism))
     jpegs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return jpeg_pixel_stats(jpegs)
 
@@ -22159,7 +22165,13 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound decode stage: repartition to the core count so the
+    # Arrow-batched encode/decode parallelizes even when the input is
+    # one parquet file (at 100 TB the scan arrives pre-split; locally
+    # one file = one task without this). Rows are 8-byte ids - the
+    # shuffle is negligible next to the per-doc codec work.
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .repartition(spark.sparkContext.defaultParallelism))
     wavs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return wav_audio_stats(wavs)
 
@@ -22220,7 +22232,13 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif_frames(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound decode stage: repartition to the core count so the
+    # Arrow-batched encode/decode parallelizes even when the input is
+    # one parquet file (at 100 TB the scan arrives pre-split; locally
+    # one file = one task without this). Rows are 8-byte ids - the
+    # shuffle is negligible next to the per-doc codec work.
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .repartition(spark.sparkContext.defaultParallelism))
     gifs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return gif_frame_sample_stats(gifs, every=2)
 
@@ -22415,7 +22433,9 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "payload", "media_type", "n_bytes"]
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # CPU-bound codec stage - parallelize as in q359 (see note there)
+    d = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+         .repartition(spark.sparkContext.defaultParallelism))
     wrapped = d.mapInPandas(
         synth, schema="doc_id bigint, payload binary, media_type string, n_bytes bigint"
     )
