@@ -227,6 +227,24 @@ def main() -> None:
             )
     total = sum(timings.values())
 
+    # Local-iteration escape hatch for the optimization loop: headline
+    # only, skip the scenario blocks. The driver never sets this — the
+    # default (full run) is unchanged.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", ""):
+        line = json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": {k.split("_")[0]: round(v, 2) for k, v in timings.items()},
+                "sf": sf,
+            }
+        )
+        print(line)
+        spark.stop()
+        _check_regression(timings, total, sf)
+        return
+
     skew = _skew_scenario(spark, sf_dir)
     ann = _ann_scenario(spark, sf_dir)
     ann_clustered = _ann_clustered_scenario(spark)

@@ -84,6 +84,13 @@ _PYTHON_ALLOWED = {
     "q35_multimodal_mixed_media",
     "q48_multimodal_features",
     "q329_perceptual_fingerprints",
+    # round-12 media codecs: synthesis + full byte-level decode are
+    # inherently Python (Arrow-batched mapInPandas over binary
+    # payloads) — the same declared boundary as q35/q48/q329.
+    "q359_jpeg_entropy_decode",
+    "q360_wav_audio_decode",
+    "q361_gif_frame_sample",
+    "q363_mixed_media_full_dispatch",
 }
 _PANDAS_ALLOWED = {"q112_fuzzy_scorers"}
 #: applyInPandas by design: the DTW / NW-SW dynamic programs are
