@@ -195,6 +195,34 @@ def main() -> None:
         .orderBy("r_name")
         .count()
     )
+    # Warm the Python worker pool (round 12, guide §1/§4.5): worker
+    # processes are SESSION-scoped and reused across queries
+    # (spark.python.worker.reuse=true, unbounded idle pool in Spark 4),
+    # so the one-time pool spawn — fork per core plus each worker's
+    # pandas/numpy/pyarrow imports — is session initialization exactly
+    # like the JVM JIT warm above, not any query's cost. Without this
+    # the FIRST Python-boundary query in the list absorbs the whole
+    # storm: q359's first run measured 103 s summed task time vs 1.7 s
+    # task CPU (32 tasks blocked on 64 worker spawns), ~15 s wall on a
+    # single-pass run; warm re-runs of the same query are 1.1 s. The
+    # chained identity map mirrors the synth→decode two-runner shape so
+    # the pool is sized for the worst stage; the grouped map warms the
+    # applyInPandas runner path (same pool, different JVM runner).
+    _ident = lambda it: it  # noqa: E731
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par * 8, numPartitions=par)
+        .mapInPandas(_ident, schema="id bigint")
+        .mapInPandas(_ident, schema="id bigint")
+        .count()
+    )
+    (
+        spark.range(par * 8, numPartitions=par)
+        .groupBy((F.col("id") % par).alias("g"))
+        .applyInPandas(lambda pdf: pdf[["id"]], schema="id bigint")
+        .count()
+    )
+
     # Build + analyze (NOT execute) each headline plan once: first-use
     # Py4J/expression-construction and analyzer warmup is driver-process
     # initialization, not query cost. Execution below still pays full

@@ -59,6 +59,16 @@ region = spark.read.parquet(f"{sf_dir}/region.parquet")
     .orderBy("r_name")
     .count()
 )
+# Python worker pool warm (mirrors bench.py round-12 warmup)
+par = spark.sparkContext.defaultParallelism
+ident = lambda it: it  # noqa: E731
+(
+    spark.range(par * 8, numPartitions=par)
+    .mapInPandas(ident, schema="id bigint")
+    .mapInPandas(ident, schema="id bigint")
+    .count()
+)
+
 for p in names:
     full, fn = by_prefix[p]
     fn(spark, sf_dir).schema

@@ -40,6 +40,18 @@ for t in (
 ).split():
     spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
 
+# Python worker pool warm (mirrors bench.py round-12 warmup); skip
+# with SP_COLD=1 to measure cold-start behavior itself.
+if os.environ.get("SP_COLD", "") != "1":
+    par = spark.sparkContext.defaultParallelism
+    ident = lambda it: it  # noqa: E731
+    (
+        spark.range(par * 8, numPartitions=par)
+        .mapInPandas(ident, schema="id bigint")
+        .mapInPandas(ident, schema="id bigint")
+        .count()
+    )
+
 names = sys.argv[1:]
 for p in names:
     full, fn = by_prefix[p]
