@@ -9402,15 +9402,35 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q176 unrolled-loop discipline). Plan per half-round: one
     edges⋈scores join + one aggregate over the EDGE list, a broadcast
     scalar max, localCheckpoint keeping plan depth O(iters) — the
-    q125 pagerank shape with a second score vector."""
+    q125 pagerank shape with a second score vector.
+
+    Round 12 (guide §2.2, narrower types): the iteration runs on
+    BIGINT node ids — supplier k ↦ 2k, part k ↦ 2k+1, a bijection into
+    disjoint ids — and the public 's<k>'/'p<k>' string labels are
+    reconstructed only on the final node-sized output. The edge
+    checkpoint the six half-rounds re-scan drops from two ~10-byte
+    strings to two longs per row, and every join/groupBy hashes fixed
+    64-bit keys instead of variable-length UTF-8. Bijection ⇒ the
+    distinct edge set, every contribution sum, and every max are
+    identical values, so the declared result is unchanged."""
     from owl_etl_spark.operators.graph import hits_scores
 
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return hits_scores(edges, "src", "dst", n_iters=3)
+    out = hits_scores(edges, "src", "dst", n_iters=3)
+    return out.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("p"), F.expr("(node - 1) div 2").cast("string")))
+        .alias("node"),
+        "hub_micro",
+        "auth_micro",
+    )
 
 
 @_register(
@@ -11554,6 +11574,41 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_report(li, ["suppkey"], "x", "y")
 
 
+def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
+    """Support-pruned co-purchase pairs ``(a, b, c)`` with a < b and
+    c ≥ 2 baskets — the edge prep shared by q219/q224/q310/q315.
+
+    Round 12 (guide §2.1/§2.3): the original basket SELF-join
+    (distinct → x⋈y on orderkey → filter pa<pb → groupBy) shuffled the
+    basket table three times and sorted both join sides; this form is
+    the association_rules shape instead — ONE groupBy(orderkey)
+    collecting each basket's distinct sorted part array, i<j pairs
+    expanded intra-row map-side, then the (a, b) count — two exchanges
+    total, zero sorts. Per-basket distinct parts (collect_set over the
+    sorted array, i<j expansion) emit exactly the pair multiset of the
+    old distinct+self-join, so counts and the support filter are
+    value-identical. Fan-out is |basket|² emitted MAP-SIDE from one
+    array row — the same quadratic the self-join paid at shuffle time,
+    minus the shuffle; baskets here are order line lists (bounded by
+    order size), not unbounded corpora."""
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    arr = b.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("arr"))
+    return (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) -> "
+                    "transform(slice(arr, i + 2, size(arr)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+
+
 @_register(
     "q219_copurchase_link_prediction",
     """
@@ -11607,18 +11662,8 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_etl_spark.operators.graph import adamic_adar_topk
 
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    x = baskets.select(F.col("ok"), F.col("pk").alias("pa"))
-    y = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    edges = _copurchase_pair_counts(li).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     return adamic_adar_topk(edges, "src", "dst", k=100, hub_cap=500, min_common=2)
 
@@ -11889,18 +11934,8 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_etl_spark.operators.graph import modularity_report
 
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    x = baskets.select(F.col("ok"), F.col("pk").alias("pa"))
-    y = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    edges = _copurchase_pair_counts(li).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     labels = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return modularity_report(edges, labels, "p_partkey", "p_brand")
@@ -18130,17 +18165,7 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
     from owl_etl_spark.operators.graph import betweenness_seeded
 
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    x = b.alias("x")
-    y = b.alias("y")
-    pc = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")))
-        .groupBy(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pc = _copurchase_pair_counts(li)
     edges = pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -18516,17 +18541,7 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    x = b.alias("x")
-    y = b.alias("y")
-    pc = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")))
-        .groupBy(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pc = _copurchase_pair_counts(li)
     edges = pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

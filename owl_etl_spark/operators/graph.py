@@ -1047,6 +1047,7 @@ def betweenness_seeded(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Seeded (truncated) betweenness centrality — Brandes' algorithm
     from a fixed source set, BFS truncated at ``n_levels``: the
@@ -1074,6 +1075,22 @@ def betweenness_seeded(
     BIGINT — on support-pruned graphs σ stays small; pathological
     dense graphs need a tighter level cap.
     """
+    # Round-12 optimization (guide §2.4/§3.1): every per-level frame
+    # (frontier, visited, succ, delta) is keyed by (seed, node) and
+    # bounded by the ≤n_levels-hop ball of the SEED set — the very
+    # bound the truncation exists to enforce — so with the default
+    # ``broadcast_frontier=True`` each edges⋈frame join is a broadcast
+    # hash join: the EDGE list (the only big table here) is scanned
+    # map-side and never shuffled, and the only exchanges left are the
+    # per-level σ/δ aggregations. Before: ~20 exchanges / ~50 stages
+    # (every join shuffled both sides); after: 1 exchange per
+    # half-level. Pass ``broadcast_frontier=False`` for seed sets whose
+    # k-hop ball outgrows executor memory — the shuffle plan is the
+    # honest one there. Join strategy does not change any value: sums
+    # are exact BIGINTs and the δ snap is IEEE-deterministic.
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_frontier else df
+
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     ).localCheckpoint()
@@ -1083,19 +1100,22 @@ def betweenness_seeded(
         F.lit(1).cast("long").alias("__sig"),
     ).localCheckpoint()
     levels = [f0]  # levels[l] = (seed, node, sigma) at distance l
-    visited = f0.select("__seed", "__n").localCheckpoint()
+    # `visited` is a union of already-sealed level frames — scanning
+    # the cached levels again is cheaper than materializing the union,
+    # so it carries no checkpoint of its own.
+    visited = f0.select("__seed", "__n")
     for _ in range(int(n_levels)):
+        frontier = levels[-1]
         nxt = (
-            levels[-1]
-            .join(e, levels[-1]["__n"] == e["__s"])
+            e.join(_b(frontier), frontier["__n"] == e["__s"])
             .select("__seed", F.col("__d").alias("__n"), "__sig")
             .groupBy("__seed", "__n")
             .agg(F.sum("__sig").cast("long").alias("__sig"))
-            .join(visited, ["__seed", "__n"], "left_anti")
+            .join(_b(visited), ["__seed", "__n"], "left_anti")
             .localCheckpoint()
         )
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("__seed", "__n")).localCheckpoint()
+        visited = visited.unionByName(nxt.select("__seed", "__n"))
     # backward dependency accumulation, deepest level has delta = 0
     delta = levels[-1].select(
         "__seed", "__n", F.lit(0).cast("long").alias("__delta")
@@ -1103,24 +1123,23 @@ def betweenness_seeded(
     acc = [delta]  # per-level delta frames, deepest first
     for l in range(len(levels) - 2, -1, -1):
         cur, succ = levels[l], levels[l + 1]
+        # join the two successor-level frames (identical key sets — the
+        # δ frame is built on exactly levels[l+1]'s rows) FIRST, so the
+        # wedge frame cur⋈e pays one successor join, not two
+        sd = succ.join(
+            delta.withColumnRenamed("__delta", "__dw"), ["__seed", "__n"]
+        ).select(
+            F.col("__seed").alias("__seed2"),
+            F.col("__n").alias("__w2"),
+            F.col("__sig").alias("__sigw"),
+            F.col("__dw"),
+        )
         contrib = (
-            cur.join(e, cur["__n"] == e["__s"])
+            e.join(_b(cur), cur["__n"] == e["__s"])
             .select("__seed", "__n", "__sig", F.col("__d").alias("__w"))
             .join(
-                succ.select(
-                    F.col("__seed").alias("__seed2"),
-                    F.col("__n").alias("__w2"),
-                    F.col("__sig").alias("__sigw"),
-                ),
+                _b(sd),
                 (F.col("__seed") == F.col("__seed2")) & (F.col("__w") == F.col("__w2")),
-            )
-            .join(
-                delta.select(
-                    F.col("__seed").alias("__seed3"),
-                    F.col("__n").alias("__w3"),
-                    F.col("__delta").alias("__dw"),
-                ),
-                (F.col("__seed") == F.col("__seed3")) & (F.col("__w") == F.col("__w3")),
             )
             .select(
                 "__seed",
