@@ -3358,8 +3358,13 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     final stats agg."""
     from owl_etl_spark.functions.text import normalize_text, tokens
     from owl_etl_spark.operators.split import hash_split, weighted_mixture
+    from owl_etl_spark.session import spread_for_cpu
 
-    d = _t(spark, sf_dir, "documents")
+    # Round 12 (guide §2.4): the per-doc normalize/md5/tokenize chain
+    # is CPU-dense on a corpus that scans as ONE partition at bench
+    # scale — profiled as two ~2s single-task stages. spread_for_cpu
+    # widens it to the environment-derived width (no-op at scale).
+    d = spread_for_cpu(_t(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
         "lang",
@@ -16930,7 +16935,14 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = cat.read(spark, store_name)
     sigs2 = minhash_band_signatures(drop2, "doc_id", "text", num_hashes=16, bands=8)
     pairs2 = incremental_lsh_pairs(sigs2, store)
-    pairs1 = incremental_lsh_pairs(sigs1, None)
+    # Round 12 (guide §2.1): history's within-drop pairs expand from the
+    # STORE read-back, not a second signing pass over drop 1 — the store
+    # rows ARE sigs1's rows (write_drop/read round-trip of exact long/
+    # string keys), so the pair set is value-identical while the whole
+    # single-task signature chain (normalize → shingle → md5 → 16-way
+    # min) runs once per drop instead of twice for drop 1. This is also
+    # the honest monthly shape: history pairs come from the catalog.
+    pairs1 = incremental_lsh_pairs(store, None)
     return pairs1.unionByName(pairs2).distinct()
 
 

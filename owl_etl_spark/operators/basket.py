@@ -114,20 +114,38 @@ def association_rules(
         pairs.join(F.broadcast(na), "__a")
         .join(F.broadcast(nb), "__b")
     )
+    # Round 12 (guide §1.2): both directions of each rule explode from
+    # ONE sized row (a 2-element struct array, the small-star trick)
+    # instead of a self-union — the union form re-ran the ENTIRE
+    # upstream pipeline (distinct, baskets, pair expansion, both
+    # groupBys) once per direction: 32 parquet scans and zero
+    # ReusedExchange in q160's before-plan, halved by this change.
+    # Row values are identical; only the duplication is gone.
     directed = sized.select(
-        F.col("__a").alias("antecedent"),
-        F.col("__b").alias("consequent"),
-        "n_pair",
-        F.col("__na").alias("n_antecedent"),
-        F.col("__nb").alias("n_consequent"),
-    ).unionByName(
-        sized.select(
-            F.col("__b").alias("antecedent"),
-            F.col("__a").alias("consequent"),
-            "n_pair",
-            F.col("__nb").alias("n_antecedent"),
-            F.col("__na").alias("n_consequent"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__a").alias("antecedent"),
+                    F.col("__b").alias("consequent"),
+                    F.col("n_pair"),
+                    F.col("__na").alias("n_antecedent"),
+                    F.col("__nb").alias("n_consequent"),
+                ),
+                F.struct(
+                    F.col("__b").alias("antecedent"),
+                    F.col("__a").alias("consequent"),
+                    F.col("n_pair"),
+                    F.col("__nb").alias("n_antecedent"),
+                    F.col("__na").alias("n_consequent"),
+                ),
+            )
+        ).alias("__r")
+    ).select(
+        F.col("__r.antecedent").alias("antecedent"),
+        F.col("__r.consequent").alias("consequent"),
+        F.col("__r.n_pair").alias("n_pair"),
+        F.col("__r.n_antecedent").alias("n_antecedent"),
+        F.col("__r.n_consequent").alias("n_consequent"),
     )
     return directed.select(
         "antecedent",

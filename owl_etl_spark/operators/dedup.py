@@ -171,8 +171,15 @@ def minhash_band_signatures(
     rows_per_band = num_hashes // bands
     # Repartition BEFORE the signature stage: a small text corpus often
     # arrives as one scan partition, which would serialize the CPU-heavy
-    # md5 work onto a single task.
-    spread = df.select(id_col, text_col).repartition(F.col(id_col))
+    # md5 work onto a single task. Round 12: with an EXPLICIT width —
+    # the bare .repartition(col) form let AQE coalesce the small-bytes
+    # shuffle back to one partition, re-serializing exactly the CPU
+    # this exchange exists to spread (q296's signature chain profiled
+    # as a string of 1-task stages). spread_for_cpu is a no-op when the
+    # scan already carries enough partitions (the 100 TB case).
+    from owl_etl_spark.session import spread_for_cpu
+
+    spread = spread_for_cpu(df.select(id_col, text_col), by=F.col(id_col))
     # Signatures via explode → md5 once per distinct shingle → groupBy
     # id with num_hashes affine MIN aggregates. Everything runs in
     # WholeStageCodegen — unlike the intra-row higher-order form

@@ -58,3 +58,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread_for_cpu(df, by=None):
+    """Repartition a CPU-dense narrow stage's input so per-row work
+    (normalize/tokenize/hash chains) runs wide, with an EXPLICIT
+    partition count AQE cannot coalesce away (guide §2.4: adaptive
+    coalescing targets shuffle BYTES, so a small-bytes/heavy-CPU map
+    stage gets folded onto one task exactly when parallelism matters
+    most — measured on q85: a 2s single-task text stage vs 32-way).
+
+    Scale-adaptive, not local-tuned: the target is
+    max(spark.sql.shuffle.partitions, current scan partitions) — on a
+    petabyte table the scan already carries more partitions than the
+    target and this is a NO-OP (no exchange is added); on a small or
+    single-file input it spreads to the environment-derived width.
+    Pass ``by`` (a column) to keep a downstream groupBy on that column
+    exchange-free."""
+    spark = df.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        target = spark.sparkContext.defaultParallelism
+    current = df.rdd.getNumPartitions()
+    if current >= target:
+        return df
+    return df.repartition(target, by) if by is not None else df.repartition(target)
