@@ -14211,19 +14211,27 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("na"),
         F.col("l_shipdate").alias("da"),
     )
-    b = a.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("na").alias("nb"),
-        F.col("da").alias("db"),
-    )
+    # Round 12 (guide §2.1): the game list used to come from a basket
+    # SELF-join on orderkey (two exchanges + sorts of the full line
+    # table); each order's lines collapse to ONE collect_list row and
+    # the ordered (earlier, later, different-nation) pairs expand
+    # intra-row — the _copurchase_pair_counts shape. collect_list keeps
+    # duplicates and all (i, j) position pairs are enumerated, so the
+    # emitted (winner, loser) MULTISET is exactly the join's output
+    # (pair order is irrelevant: bradley_terry aggregates counts).
     games = (
-        a.join(
-            b,
-            (a["l_orderkey"] == b["ok2"])
-            & (a["da"] < b["db"])
-            & (a["na"] != b["nb"]),
+        a.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("na", "da")).alias("__ls"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ls, x -> "
+                    "transform(filter(__ls, y -> x.da < y.da AND x.na != y.na), "
+                    "y -> named_struct('winner', x.na, 'loser', y.na))))"
+                )
+            ).alias("__g")
         )
-        .select(F.col("na").alias("winner"), F.col("nb").alias("loser"))
+        .select(F.col("__g.winner").alias("winner"), F.col("__g.loser").alias("loser"))
     )
     return bradley_terry_strengths(games, "winner", "loser", n_iters=5)
 
@@ -22018,10 +22026,16 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         for k, label in enumerate(labels):
+            # Round 12 (guide §1.2): checkpoint the month's signatures
+            # once — they feed BOTH the probe (via the pairs
+            # checkpoint) and write_drop, which otherwise re-runs the
+            # whole normalize→shingle→md5→min chain per month for the
+            # parquet write. One small materialization replaces a
+            # second signing pass, twelve times.
             sigs = minhash_band_signatures(
                 d.filter(F.col("doc_id") % 12 == k), "doc_id", "text",
                 num_hashes=16, bands=8,
-            )
+            ).localCheckpoint(eager=True)
             store = cat.read(spark, name) if cat.exists(name) else None
             # materialize this month's pairs BEFORE the store gains the
             # month's own signatures (the read is lazy; the law needs

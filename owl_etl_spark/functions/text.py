@@ -29,19 +29,45 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def shingle_chain_sql(toks: str, n: int) -> str:
+    """SQL for the array of space-joined ``n``-token windows of the
+    token-array expression ``toks`` (which must have ≥ ``n`` elements
+    — callers guard the short case).
+
+    Round 12 (guide §4.2's interpreted-lambda trap): the old form
+    ``transform(sequence(1, m), i -> array_join(slice(toks, i, n)))``
+    re-evaluates everything inside the lambda body — including
+    ``toks`` and a per-element slice copy — once per window position
+    on the INTERPRETED higher-order path (no codegen, no
+    subexpression reuse; measured 7.5× on q345's sibling builder).
+    This form zips ``n`` aligned slices instead: the token array is
+    referenced only OUTSIDE the lambdas, and each lambda is a bare
+    two-argument concat. Output strings are byte-identical."""
+    if n < 1:
+        raise ValueError(f"shingle_chain_sql: n must be >= 1, got {n}")
+    m = f"(size({toks}) - {n} + 1)"
+    acc = f"slice({toks}, 1, {m})"
+    for j in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({toks}, {j}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return acc
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
 
-    Built with ``sequence`` + ``transform`` over the token array —
-    intra-row, no explode, no shuffle. Documents shorter than ``n``
-    tokens yield a single shingle of the whole text.
+    Built with zipped slices over the token array (see
+    ``shingle_chain_sql``) — intra-row, no explode, no shuffle.
+    Documents shorter than ``n`` tokens yield a single shingle of the
+    whole text.
     """
     toks = f"split(trim({_sql(col)}), '\\\\s+')"
     return F.expr(
         f"""CASE
               WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
-              ELSE transform(sequence(1, size({toks}) - {n} + 1),
-                             i -> array_join(slice({toks}, i, {n}), ' '))
+              ELSE {shingle_chain_sql(toks, n)}
             END"""
     )
 

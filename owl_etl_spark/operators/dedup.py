@@ -27,6 +27,8 @@ from owl_etl_spark.functions.hashing import (
     minhash_signature_sql,
     simhash_sql,
 )
+from owl_etl_spark.functions.text import shingle_chain_sql
+from owl_etl_spark.session import spread_for_cpu
 from owl_etl_spark.functions.text import fingerprint, normalize_text
 
 
@@ -76,8 +78,7 @@ def with_minhash(
             "__shingles",
             F.expr(
                 f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
-                f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
-                f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+                f"ELSE {shingle_chain_sql('__toks', shingle_n)} END"
             ),
         )
     )
@@ -177,8 +178,6 @@ def minhash_band_signatures(
     # this exchange exists to spread (q296's signature chain profiled
     # as a string of 1-task stages). spread_for_cpu is a no-op when the
     # scan already carries enough partitions (the 100 TB case).
-    from owl_etl_spark.session import spread_for_cpu
-
     spread = spread_for_cpu(df.select(id_col, text_col), by=F.col(id_col))
     # Signatures via explode → md5 once per distinct shingle → groupBy
     # id with num_hashes affine MIN aggregates. Everything runs in
@@ -196,8 +195,7 @@ def minhash_band_signatures(
     )
     shingles_sql = (
         f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
-        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
-        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+        f"ELSE {shingle_chain_sql('__toks', shingle_n)} END"
     )
     hashes = base.select(
         "__id", F.explode(F.array_distinct(F.expr(shingles_sql))).alias("__s")
@@ -458,14 +456,15 @@ def ngram_jaccard_pairs(
     # pre-spread: small corpora scan as one partition; shingling +
     # hashing must not serialize onto a single task
     base = (
-        df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
-        .repartition(F.col("id"))
+        spread_for_cpu(
+            df.select(F.col(id_col).alias("id"), norm.alias("__norm")),
+            by=F.col("id"),
+        )
         .withColumn("__toks", F.split(F.col("__norm"), " "))
     )
     shingles_sql = (
         f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
-        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
-        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+        f"ELSE {shingle_chain_sql('__toks', shingle_n)} END"
     )
     sh = (
         base.select(
@@ -557,14 +556,15 @@ def ngram_jaccard_pairs_prefix(
     # pre-spread: small corpora scan as one partition; shingling +
     # hashing must not serialize onto a single task
     base = (
-        df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
-        .repartition(F.col("id"))
+        spread_for_cpu(
+            df.select(F.col(id_col).alias("id"), norm.alias("__norm")),
+            by=F.col("id"),
+        )
         .withColumn("__toks", F.split(F.col("__norm"), " "))
     )
     shingles_sql = (
         f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
-        f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
-        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+        f"ELSE {shingle_chain_sql('__toks', shingle_n)} END"
     )
     # `sets` feeds three branches (df counts, prefix index, verification);
     # without materialization each branch re-scans and re-shingles the
@@ -747,8 +747,7 @@ def near_dup_dedup(
             F.array_distinct(
                 F.expr(
                     f"CASE WHEN size(__toks) < {shingle_n} THEN array(__norm) "
-                    f"ELSE transform(sequence(1, size(__toks) - {shingle_n} + 1), "
-                    f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) END"
+                    f"ELSE {shingle_chain_sql('__toks', shingle_n)} END"
                 )
             ),
         )

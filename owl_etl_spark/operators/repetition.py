@@ -58,20 +58,32 @@ def ngram_repetition_profile(
         F.col(id_col).alias("__id"),
         tokens(normalize_text(F.col(text_col))).alias("__t"),
     ).filter(F.size("__t") >= int(min_tokens))
+    # Round 12 (guide §4.2's interpreted-lambda trap, measured §1):
+    # the old gram builder indexed the token array from INSIDE the
+    # transform lambda (get(__t, i)); CollapseProject inlines __t's
+    # whole tokens(normalize_text(text)) definition into the lambda
+    # body, and higher-order lambdas evaluate INTERPRETED with no
+    # subexpression reuse — the regex normalize re-ran once per gram
+    # ELEMENT (~2,500×/doc; profiled as two single-task stages burning
+    # 19–25 s CPU at sf0.1). zip_with over two slices references the
+    # token array only OUTSIDE the lambda (slice/size are ordinary
+    # per-row expressions), so the lambda touches just its element
+    # arguments and normalize runs a constant number of times per ROW.
+    # Gram strings are byte-identical to the get() form.
     base = base.select(
         "__id",
         F.size("__t").cast("long").alias("n_tokens"),
-        # get() (total, NULL out of range) instead of [] indexing: ANSI
-        # mode + predicate pushdown/reordering can evaluate these
-        # expressions on rows the min_tokens filter will drop (seen as a
-        # join null-filter reordered above the size gate), and [] throws
         F.expr(
-            "transform(sequence(0, greatest(size(__t) - 2, 0)), "
-            "i -> concat(get(__t, i), ' ', get(__t, i + 1)))"
+            "zip_with(slice(__t, 1, greatest(size(__t) - 1, 1)), "
+            "slice(__t, 2, greatest(size(__t) - 1, 1)), "
+            "(a, b) -> concat(a, ' ', b))"
         ).alias("__b2"),
         F.expr(
-            "transform(sequence(0, greatest(size(__t) - 3, 0)), "
-            "i -> concat(get(__t, i), ' ', get(__t, i + 1), ' ', get(__t, i + 2)))"
+            "zip_with(zip_with(slice(__t, 1, greatest(size(__t) - 2, 1)), "
+            "slice(__t, 2, greatest(size(__t) - 2, 1)), "
+            "(a, b) -> concat(a, ' ', b)), "
+            "slice(__t, 3, greatest(size(__t) - 2, 1)), "
+            "(ab, c) -> concat(ab, ' ', c))"
         ).alias("__b3"),
     )
     bi = (
