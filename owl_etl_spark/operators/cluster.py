@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 from owl_etl_spark.functions.similarity import cosine_sql
 
 
+def _sqdist_fold(vd_expr: str, center: np.ndarray, round_digits: int | None) -> str:
+    """Squared-L2 of an array<double> expression against one centroid
+    literal — the engine's fixed-order left fold (zip_with +
+    aggregate), IEEE-deterministic on any engine/partitioning."""
+    arr = ", ".join(f"{float(v)!r}D" for v in center)
+    d = (
+        f"aggregate(zip_with({vd_expr}, array({arr}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    )
+    return f"round({d}, {round_digits})" if round_digits is not None else d
+
+
+def _argmin_sql(darr_col: str) -> str:
+    """First index (0-based INT) holding the minimum of a distance
+    array COLUMN. ``array_position(a, array_min(a))`` matches the
+    first element equal to the min under SQL ``=`` — exactly the
+    semantics of the old ``CASE WHEN least(d0..dk)=(dc) THEN c``
+    chain (lowest index wins ties; -0.0 = 0.0 both paths), but each
+    distance is evaluated ONCE instead of O(k) times per branch: the
+    higher-order folds run on the interpreted path, so the CASE form
+    cost O(k²) interpreted fold evaluations per row (profiled as the
+    single-task encode wall in q105/q118/q303)."""
+    return f"CAST(array_position({darr_col}, array_min({darr_col})) - 1 AS INT)"
+
+
 def _assign_expr(
     vec_col: str, centroids: np.ndarray, round_digits: int | None = None
 ) -> F.Column:
@@ -30,20 +55,19 @@ def _assign_expr(
     expression, no UDF, no shuffle. ``round_digits`` rounds each
     distance before the argmin (ties → lowest cluster index), making
     the assignment portable across engines for oracle checking — the
-    same trick the cosine family uses (round 6 + id tiebreak)."""
+    same trick the cosine family uses (round 6 + id tiebreak).
+
+    NOTE: single-expression form — each distance's fold re-evaluates
+    the cast transform. Prefer :func:`assign_clusters`, which stages
+    the cast vector and the distance array as columns so every fold
+    runs once per row (the r12 optimization); this wrapper remains for
+    expression-position callers."""
     k, dim = centroids.shape
-    dists = []
-    for c in range(k):
-        arr = ", ".join(f"{float(v)!r}D" for v in centroids[c])
-        d = (
-            f"aggregate(zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), array({arr}), "
-            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-        )
-        dists.append(f"round({d}, {round_digits})" if round_digits is not None else d)
-    best = " ".join(
-        f"WHEN least({', '.join(dists)}) = ({dists[c]}) THEN {c}" for c in range(k)
-    )
-    return F.expr(f"CASE {best} END")
+    vd = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    darr = "array(" + ", ".join(
+        _sqdist_fold(vd, centroids[c], round_digits) for c in range(k)
+    ) + ")"
+    return F.expr(f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)")
 
 
 def centroids_from_ids(
@@ -98,9 +122,20 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} vectors, got {centroids.shape[0]}")
 
     for _ in range(max_iters):
-        assigned = df.select(
-            _assign_expr(vec_col, centroids).alias("cluster"),
-            F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("v"),
+        # staged-column assignment (see assign_clusters): the cast
+        # vector is computed once and reused as the mean input
+        darr = "array(" + ", ".join(
+            _sqdist_fold("__vd", centroids[c], None) for c in range(k)
+        ) + ")"
+        assigned = (
+            df.withColumn(
+                "__vd", F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")
+            )
+            .withColumn("__d", F.expr(darr))
+            .select(
+                F.expr(_argmin_sql("__d")).alias("cluster"),
+                F.col("__vd").alias("v"),
+            )
         )
         # per-cluster element-wise sum + count: aggregate arrays with
         # zip_with inside a reduce-style agg — k·dim doubles move, not data
@@ -128,8 +163,26 @@ def assign_clusters(
     vec_col: str = "embedding",
     round_digits: int | None = None,
 ) -> DataFrame:
-    """Attach ``cluster_id`` — map-only, broadcast-by-literal."""
-    return df.withColumn("cluster_id", _assign_expr(vec_col, centroids, round_digits))
+    """Attach ``cluster_id`` — map-only, broadcast-by-literal.
+
+    Staged-column form (r12, guide §4.1): the cast vector and the
+    k-distance array are materialized as intermediate Project columns
+    (multi-referenced non-cheap expressions, so CollapseProject keeps
+    them), which means each interpreted higher-order fold runs ONCE
+    per row — the old single-CASE expression re-evaluated every fold
+    per branch, O(k²) per row."""
+    k, _dim = centroids.shape
+    darr = "array(" + ", ".join(
+        _sqdist_fold("__ac_vd", centroids[c], round_digits) for c in range(k)
+    ) + ")"
+    return (
+        df.withColumn(
+            "__ac_vd", F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")
+        )
+        .withColumn("__ac_d", F.expr(darr))
+        .withColumn("cluster_id", F.expr(_argmin_sql("__ac_d")))
+        .drop("__ac_vd", "__ac_d")
+    )
 
 
 def ivf_knn(
@@ -346,16 +399,32 @@ def pq_encode(
     and shuffles move codes, never raw vectors). ``round_digits``
     rounds block distances before the argmin (ties → lowest code) for
     engine-portable assignment."""
-    m = codebooks.shape[0]
-    block_codes = []
+    m, ks, sub = codebooks.shape
+    # Staged-column form (r12, guide §4.1): cast the vector once, stage
+    # each block's sub-vector slice and its ks-distance array as
+    # intermediate columns (multi-referenced → CollapseProject keeps
+    # them), then take each block's argmin with the first-match
+    # semantics of the old CASE chain. The old form re-evaluated every
+    # interpreted fold per CASE branch — O(ks²) folds per row per
+    # block; this is O(ks).
+    out = df.withColumn(
+        "__pq_vd", F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")
+    )
+    tmp = ["__pq_vd"]
+    code_exprs = []
     for b in range(m):
-        dists = _pq_block_dists(vec_col, codebooks, b, round_digits)
-        best = " ".join(
-            f"WHEN least({', '.join(dists)}) = ({dists[j]}) THEN {j}"
-            for j in range(codebooks.shape[1])
-        )
-        block_codes.append(f"CASE {best} END")
-    return df.withColumn(code_col, F.expr(f"array({', '.join(block_codes)})"))
+        sl = f"__pq_s{b}"
+        out = out.withColumn(sl, F.expr(f"slice(__pq_vd, {b * sub + 1}, {sub})"))
+        dists = [
+            _sqdist_fold(sl, codebooks[b, j], round_digits) for j in range(ks)
+        ]
+        dc = f"__pq_d{b}"
+        out = out.withColumn(dc, F.expr(f"array({', '.join(dists)})"))
+        tmp += [sl, dc]
+        code_exprs.append(_argmin_sql(dc))
+    return out.withColumn(code_col, F.expr(f"array({', '.join(code_exprs)})")).drop(
+        *tmp
+    )
 
 
 def pq_adc_topk(

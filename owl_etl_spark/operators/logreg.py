@@ -83,11 +83,26 @@ def logistic_regression_fit(
             )
         ).cast("long"),
     ).otherwise(y0)
-    work = df.select(
-        y.alias("__y"),
-        *[F.col(c).cast("long").alias(f"__x{j}") for j, c in enumerate(x_cols)],
-    )
     d = len(x_cols)
+    # Collapse to distinct feature/label combos ONCE (r12, guide §2.3
+    # "aggregate before you shuffle", applied to iteration): every
+    # per-row gradient term round(resid·x_j·1e6) is a pure function of
+    # (y, x_0..x_{d-1}), so summing cnt·term over the weighted distinct
+    # combos is bit-identical to summing term over rows — and each GD
+    # iteration then scans the collapsed frame (bounded by the feature
+    # cardinality product; bucketed covariates are the documented
+    # convention) instead of the data. Also fixes the silent
+    # re-computation of an uncached upstream: `work` was re-evaluated
+    # from `df`'s lineage on every iteration.
+    work = (
+        df.select(
+            y.alias("__y"),
+            *[F.col(c).cast("long").alias(f"__x{j}") for j, c in enumerate(x_cols)],
+        )
+        .groupBy("__y", *[f"__x{j}" for j in range(d)])
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
     w = [0] * d  # micro-units
     n = None
     for _ in range(int(iterations)):
@@ -95,8 +110,13 @@ def logistic_regression_fit(
             (F.lit(w[j]) * F.col(f"__x{j}")).cast("double") for j in range(d)
         ) / F.lit(1_000_000.0)
         resid = _sigma(z) - F.col("__y").cast("double")
-        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
-            F.sum(F.round(resid * F.col(f"__x{j}").cast("double") * 1_000_000.0).cast("long"))
+        aggs = [F.sum("__cnt").cast("long").alias("__n")] + [
+            F.sum(
+                F.col("__cnt")
+                * F.round(resid * F.col(f"__x{j}").cast("double") * 1_000_000.0).cast(
+                    "long"
+                )
+            )
             .cast("long")
             .alias(f"__g{j}")
             for j in range(d)

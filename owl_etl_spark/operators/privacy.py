@@ -278,6 +278,14 @@ def mondrian_partitions(
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     d = d.localCheckpoint(eager=False)
     for lvl in range(int(depth)):
+        # One window pass per level, all partitioned by the current
+        # cell (r12, guide §2.4): the median, the left-flag counts and
+        # the split decision are window aggregates over the SAME
+        # partitioning — the old form joined the ranked frame against a
+        # filtered copy of itself (median) and against a groupBy of the
+        # result (sizes), which re-computed the rank windows up to 4x
+        # per level and added two joins + one extra shuffle per level.
+        # Same medians, same flags, same gids — integer arithmetic only.
         wx = Window.partitionBy("__gid").orderBy(F.col("__x").asc(), F.col("__t").asc())
         wy = Window.partitionBy("__gid").orderBy(F.col("__y").asc(), F.col("__t").asc())
         wg = Window.partitionBy("__gid")
@@ -290,37 +298,33 @@ def mondrian_partitions(
             .withColumn("__usex", F.col("__rngx") >= F.col("__rngy"))
             .withColumn("__medrank", F.expr("(__n + 1) div 2"))
         )
-        med = (
-            ranked.filter(
-                F.when(F.col("__usex"), F.col("__rx") == F.col("__medrank")).otherwise(
-                    F.col("__ry") == F.col("__medrank")
+        # exactly one row per cell has rank == medrank on the chosen
+        # attribute; max(when ...) over the cell broadcasts its value
+        with_med = ranked.withColumn(
+            "__med",
+            F.max(
+                F.when(
+                    F.when(F.col("__usex"), F.col("__rx")).otherwise(F.col("__ry"))
+                    == F.col("__medrank"),
+                    F.when(F.col("__usex"), F.col("__x")).otherwise(F.col("__y")),
                 )
-            )
-            .select(
-                F.col("__gid").alias("__g2"),
-                F.when(F.col("__usex"), F.col("__x"))
-                .otherwise(F.col("__y"))
-                .alias("__med"),
-            )
-        )
-        joined = ranked.join(med, ranked["__gid"] == med["__g2"]).withColumn(
+            ).over(wg),
+        ).withColumn(
             "__left",
             F.when(F.col("__usex"), F.col("__x") <= F.col("__med")).otherwise(
                 F.col("__y") <= F.col("__med")
             ),
         )
-        sizes = joined.groupBy("__gid").agg(
-            F.sum(F.col("__left").cast("long")).alias("__nl"),
-            F.sum((~F.col("__left")).cast("long")).alias("__nr"),
-        )
         d = (
-            joined.join(sizes, "__gid")
+            with_med.withColumn(
+                "__nl", F.sum(F.col("__left").cast("long")).over(wg)
+            )
             .select(
                 "__x",
                 "__y",
                 "__t",
                 F.when(
-                    (F.col("__nl") >= k) & (F.col("__nr") >= k),
+                    (F.col("__nl") >= k) & ((F.col("__n") - F.col("__nl")) >= k),
                     F.concat(
                         F.col("__gid"),
                         F.when(F.col("__left"), F.lit("0")).otherwise(F.lit("1")),

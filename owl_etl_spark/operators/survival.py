@@ -308,11 +308,23 @@ def cox_ph_fit(
     the final-iteration gradient (≈0 at convergence: a self-check the
     caller can assert on).
     """
-    work = df.select(
-        F.col(duration_col).cast("long").alias("__t"),
-        F.col(event_col).cast("long").alias("__e"),
-        F.col(x_col).cast("long").alias("__x"),
-    ).localCheckpoint(eager=True)
+    # Collapse to distinct (t, e, x) combos ONCE (r12, guide §2.3
+    # applied to iteration): every per-duration aggregate term — the
+    # risk weight w = round(exp(β·x/1e6)·1e6), x·w, x²·w, the event
+    # counts — is a pure function of (t, e, x), so weighting by __cnt
+    # is bit-identical to scanning the rows, and each Newton iteration
+    # then aggregates the collapsed frame (≤ |t|·|e|·|x| rows; bucketed
+    # covariates are the documented convention) instead of the data.
+    work = (
+        df.select(
+            F.col(duration_col).cast("long").alias("__t"),
+            F.col(event_col).cast("long").alias("__e"),
+            F.col(x_col).cast("long").alias("__x"),
+        )
+        .groupBy("__t", "__e", "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
 
     from owl_etl_spark.operators.logreg import _round_half_away
     from pyspark.sql import Window
@@ -337,16 +349,16 @@ def cox_ph_fit(
         e_w = F.round(F.exp(guard) * F.lit(1_000_000.0)).cast("long")
         grouped = (
             work.select(
-                "__t", "__e", "__x", e_w.alias("__w")
+                "__t", "__e", "__x", "__cnt", e_w.alias("__w")
             )
             .groupBy("__t")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("__m"),
-                F.sum(F.col("__w")).cast("long").alias("__s0g"),
-                F.sum(F.col("__x") * F.col("__w")).cast("long").alias("__s1g"),
-                F.sum(F.col("__x") * F.col("__x") * F.col("__w")).cast("long").alias("__s2g"),
-                F.sum(F.when(F.col("__e") == 1, 1).otherwise(0)).cast("long").alias("__d"),
-                F.sum(F.when(F.col("__e") == 1, F.col("__x")).otherwise(0)).cast("long").alias("__sx"),
+                F.sum("__cnt").cast("long").alias("__m"),
+                F.sum(F.col("__cnt") * F.col("__w")).cast("long").alias("__s0g"),
+                F.sum(F.col("__cnt") * F.col("__x") * F.col("__w")).cast("long").alias("__s1g"),
+                F.sum(F.col("__cnt") * F.col("__x") * F.col("__x") * F.col("__w")).cast("long").alias("__s2g"),
+                F.sum(F.when(F.col("__e") == 1, F.col("__cnt")).otherwise(0)).cast("long").alias("__d"),
+                F.sum(F.when(F.col("__e") == 1, F.col("__cnt") * F.col("__x")).otherwise(0)).cast("long").alias("__sx"),
             )
         )
         risk = (
@@ -371,8 +383,8 @@ def cox_ph_fit(
             )
         beta = beta + _round_half_away(g_micro / h_micro * 1_000_000.0)
     counts = work.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("__e") == 1, 1).otherwise(0)).cast("long").alias("ne"),
+        F.sum("__cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("__e") == 1, F.col("__cnt")).otherwise(0)).cast("long").alias("ne"),
     )
     import math as _math
 
