@@ -70,41 +70,73 @@ def gbm_stump_fit(
         F.col(x_col).cast("long").alias("__x"),
     ).localCheckpoint(eager=True)
 
-    first = work.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__y").cast("long").alias("s"),
+    # r12 restructure (guide §2.3 "aggregate before you shuffle",
+    # applied to iteration): every SPLIT statistic is linear in y
+    # within an x-group — Σ_{x≤t} resid_k = Σ_{x≤t} y − Σ_{x≤t} n_x ·
+    # pred_k(x), exact BIGINT — so the per-round candidate scan runs
+    # over the per-x collapsed frame (bounded by the covariate's
+    # cardinality; bucketed covariates are the engine convention),
+    # not the data. Only the MAE terms Σ|y − pred_k(x)| need rows, and
+    # the whole trajectory's predictions are known before they are
+    # computed — ONE final scan evaluates every round's MAE. Old
+    # shape: rounds+2 full-data scans; new: 1 collapse + rounds tiny
+    # aggregates + 1 full-data scan. Every reported integer
+    # (thresholds, leaves, maes) is bit-identical.
+    xstats = (
+        work.groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nx"),
+            F.sum("__y").cast("long").alias("__sy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = xstats.agg(
+        F.sum("__nx").cast("long").alias("n"),
+        F.sum("__sy").cast("long").alias("s"),
     ).collect()[0]
     n_total, s_total = first["n"], first["s"]
     if not n_total:
         raise ValueError("gbm_stump_fit: empty input")
     base = _round_half_away(s_total / n_total)
 
-    resid = F.col("__y") - F.lit(base)
     out = [
         {
             "round": 0,
             "threshold": None,
             "left_leaf": base,
             "right_leaf": base,
-            "mae": None,  # filled below together with round 1's scan
+            "mae": None,  # all maes filled by the single final scan
         }
     ]
+    # pred_k(x) as an exact-integer column expression over __x; starts
+    # at the base prediction and gains one stump per round
+    def _pred_plus(pred_col, t, left, right):
+        return pred_col + F.when(
+            F.col("__x") <= F.lit(t), F.lit(left)
+        ).otherwise(F.lit(right))
+
+    pred = F.lit(base).cast("long")
+    preds = [pred]  # pred_k per round, for the final MAE scan
     for k in range(1, int(rounds) + 1):
+        # candidate stats over the COLLAPSED frame: resid sums derive
+        # from (n_x, sy_x) and the current prediction, exactly
+        spred = F.col("__nx") * pred
         aggs = [
-            F.sum(F.abs(resid)).cast("long").alias("abs_prev"),
-            F.sum(resid).cast("long").alias("s"),
+            F.sum(F.col("__sy") - spred).cast("long").alias("s"),
         ]
         for t in ts:
             cond = F.col("__x") <= F.lit(t)
-            aggs.append(F.sum(F.when(cond, resid)).cast("long").alias(f"sl_{t}"))
-            aggs.append(F.count(F.when(cond, F.lit(1))).cast("long").alias(f"nl_{t}"))
-        row = work.agg(*aggs).collect()[0]
-        if out[-1]["mae"] is None:
-            out[-1]["mae"] = _round_half_away(row["abs_prev"] / n_total)
+            aggs.append(
+                F.sum(F.when(cond, F.col("__sy") - spred)).cast("long").alias(f"sl_{t}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, F.col("__nx"))).cast("long").alias(f"nl_{t}")
+            )
+        row = xstats.agg(*aggs).collect()[0]
         s_resid = row["s"]
         best = None  # (gain, -t) max; i.e. ties -> smallest t
         for t in ts:
-            nl = row[f"nl_{t}"]
+            nl = row[f"nl_{t}"] or 0
             if nl == 0 or nl == n_total:
                 continue
             sl = row[f"sl_{t}"] or 0
@@ -122,17 +154,21 @@ def gbm_stump_fit(
         _, t, sl, nl, sr, nr = best
         left = _round_half_away(sl / nl)
         right = _round_half_away(sr / nr)
-        resid = resid - F.when(F.col("__x") <= F.lit(t), F.lit(left)).otherwise(
-            F.lit(right)
-        )
+        pred = _pred_plus(pred, t, left, right)
+        preds.append(pred)
         out.append(
             {"round": k, "threshold": t, "left_leaf": left, "right_leaf": right,
              "mae": None}
         )
-    final = work.agg(F.sum(F.abs(resid)).cast("long").alias("a")).collect()[0]
-    out[-1]["mae"] = _round_half_away(final["a"] / n_total)
-    # fill intermediate maes: rounds 1..K-1 got theirs from the NEXT
-    # round's scan (abs_prev) — only possible gap is when rounds == 0
+    # ONE data scan evaluates every round's Σ|y − pred_k(x)|
+    final = work.agg(
+        *[
+            F.sum(F.abs(F.col("__y") - preds[k])).cast("long").alias(f"a{k}")
+            for k in range(len(preds))
+        ]
+    ).collect()[0]
+    for k in range(len(preds)):
+        out[k]["mae"] = _round_half_away(final[f"a{k}"] / n_total)
     return out
 
 
