@@ -963,8 +963,11 @@ def connected_components_star(
 
     Per round: large-star hangs every larger neighbor of u onto u's
     minimum neighbor (keeps components, shrinks long tails onto local
-    minima); small-star re-hangs the smaller neighbors. Both are one
-    groupBy + one join on the edge list (2 shuffles each); edges are
+    minima); small-star re-hangs the smaller neighbors. Both compute
+    the per-u minimum as a WINDOW aggregate sharing the phase's one
+    exchange (sort-based, streaming — no per-node buffers, so
+    giant-component hubs are safe; the pre-r12 groupBy+join form paid
+    an extra broadcast build + join per phase per round); edges are
     ``localCheckpoint``-ed per round (lineage truncation, same
     rationale as min-label) and the previous round's checkpoint is
     released. Convergence = the small-star round leaves the edge set
@@ -1007,21 +1010,24 @@ def connected_components_star(
                 edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
             )
             # LARGE-STAR: for each u, m = min(N(u) ∪ {u}); emit (v, m)
-            # for all neighbors v > u.
-            lmin = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+            # for all neighbors v > u. The per-u min is a WINDOW
+            # aggregate over the same rows (r12, guide §2.4): the old
+            # groupBy(min) + join-back added a broadcast build + join
+            # per phase per round; the window shares the one exchange,
+            # streams (sort-based, spills — no per-node buffers, so
+            # giant-component hubs stay safe), and emits the identical
+            # pair multiset.
+            wu = Window.partitionBy("u")
             large = _canon(
-                bidir.join(lmin, "u")
+                bidir.withColumn("mv", F.min("v").over(wu))
                 .filter(F.col("v") > F.col("u"))
-                .select(
-                    F.col("v").alias("src"), F.least("u", "mv").alias("dst")
-                )
+                .select(F.col("v").alias("src"), F.least("u", "mv").alias("dst"))
             )
             # SMALL-STAR: for each u over its ≤-neighbors v < u,
             # m = min(N<(u)); emit (v, m) and (u, m).
             smaller = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-            smin = smaller.groupBy("u").agg(F.min("v").alias("mv"))
             small = _canon(
-                smaller.join(smin, "u")
+                smaller.withColumn("mv", F.min("v").over(wu))
                 .select(
                     F.explode(
                         F.array(
