@@ -157,7 +157,13 @@ def power_iteration_top_eigvec(
             .cast("long")
             .alias("a"),
         )
-        .localCheckpoint(eager=False)
+        # eager: every iteration chains off `a`, and Spark ANALYZES the
+        # growing plan eagerly at every DataFrame build — with a lazy
+        # checkpoint the 6-iteration build re-analyzed the full
+        # gram subtree per operator (measured: 3.4 s of q253's 4.2 s
+        # was plan build, 0.4 s execution). Truncating here keeps
+        # every iteration's analyzed tree shallow.
+        .localCheckpoint(eager=True)
     )
     v = a.select(F.col("i").alias("vi")).distinct().select(
         "vi", F.lit(int(micro)).cast("long").alias("x")
@@ -186,5 +192,8 @@ def power_iteration_top_eigvec(
             .alias("x"),
         )
         if (it + 1) % 2 == 0 and it + 1 < n_iters:
-            v = v.localCheckpoint(eager=False)
+            # eager for the same reason as `a` above: bound the depth
+            # of the plan the NEXT iteration's build must re-analyze
+            # (ckpt cadence 1/2/3/none measured 5.1/3.0/3.4/5.0 s)
+            v = v.localCheckpoint(eager=True)
     return v.select(F.col("vi").alias("i"), F.col("x").alias("v_micro"))
