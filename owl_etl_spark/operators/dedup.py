@@ -790,7 +790,14 @@ def connected_components(
     or short chains), so this converges in 2-3 rounds in practice.
 
     Each iteration: one join + one groupBy (2 shuffles) on the PAIR
-    list, not the corpus — edges are sparse after LSH + verification.
+    list, not the corpus — edges are sparse after LSH + verification;
+    the label frame the loop carries holds EDGE ENDPOINTS only (nodes
+    with no edge can never change their label — they rejoin as
+    self-labeled singletons in the final left join), so a round never
+    shuffles corpus-sized rows. Edge endpoints must be drawn from
+    ``ids`` (true of every caller: pairs are built from the same
+    frame); a foreign endpoint would propagate labels but be dropped
+    from the output.
 
     Scale notes:
     - ``labels`` is ``localCheckpoint``-ed every round, so each round's
@@ -810,7 +817,17 @@ def connected_components(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()
     )
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    # Iterate labels over EDGE ENDPOINTS only (r12, guide §2.3): a node
+    # with no edge can never change its label, so carrying the full
+    # ``ids`` frame through every round shuffled corpus-sized rows for
+    # nothing — on a sparse dup graph the endpoint set is orders of
+    # magnitude smaller than the corpus. Non-endpoint ids rejoin as
+    # self-labeled singletons in the final left join (unchanged).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
     prev_checkpoint: DataFrame | None = None
     converged = False
     try:
@@ -856,7 +873,17 @@ def connected_components(
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
         # localCheckpoint is eager — the result is materialized here, so
         # the per-round checkpoint backing `labels` can be released.
-        result = labels.select(F.col("node").alias(id_col), "component").localCheckpoint()
+        # Non-endpoint ids (no edges — their label can never move)
+        # rejoin here as self-labeled singletons.
+        result = (
+            ids.select(F.col(id_col).alias("node"))
+            .join(labels, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
+            .localCheckpoint()
+        )
         if prev_checkpoint is not None:
             prev_checkpoint.unpersist()
         return result
