@@ -817,6 +817,20 @@ def connected_components(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()
     )
+    # Width the loop to the EDGE COUNT, not the upstream partitioning
+    # (r12, guide §2.6/§1): the no-shuffle union doubles the pair
+    # frame's partitions, so a small dup graph inherited ~2×scan-width
+    # near-empty partitions and every round paid that many tasks of
+    # pure serialization churn (profiled: 64-task stages over 0.1 MB).
+    # One count materializes the cache (round 1 paid it implicitly
+    # anyway); the coalesce reads the cache, never recomputes. At
+    # scale ceil(n/4M) keeps ~4M edges per task — the clamp leaves big
+    # graphs at their natural width.
+    n_edges = edges.count()
+    cur_parts = edges.rdd.getNumPartitions()
+    want = max(1, min(cur_parts, -(-n_edges // 4_000_000)))
+    if want < cur_parts:
+        edges = edges.coalesce(want)
     # Iterate labels over EDGE ENDPOINTS only (r12, guide §2.3): a node
     # with no edge can never change its label, so carrying the full
     # ``ids`` frame through every round shuffled corpus-sized rows for
