@@ -464,7 +464,12 @@ def hits_scores(
         )
         hub = _maxnorm(hraw, "__s", "__h")
         if seal_every and (i + 1) % seal_every == 0 and i + 1 < n_iters:
-            hub = hub.localCheckpoint(eager=False)
+            # eager (r12): Spark analyzes the growing plan per
+            # DataFrame build — the lazy seal left the full half-round
+            # chain under every later operator (q183: 3.4 s of the
+            # 4.2 s wall was plan build). Same fix as
+            # linalg.power_iteration_top_eigvec.
+            hub = hub.localCheckpoint(eager=True)
     return (
         nodes.join(hub, "__n", "left")
         .join(auth, "__n", "left")

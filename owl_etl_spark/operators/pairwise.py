@@ -170,7 +170,10 @@ def bradley_terry_strengths(
             F.expr(_fd("__p * 1000000", "__pm")).cast("long").alias("__r"),
         )
         if (it + 1) % 2 == 0 and it + 1 < n_iters:
-            r = r.localCheckpoint(eager=False)
+            # eager (r12): bound the analyzed-plan depth the next
+            # iteration's build pays (q253/q183 fix; q255 measured
+            # 5.3 s build vs 0.2 s exec with the lazy seal)
+            r = r.localCheckpoint(eager=True)
     return items.join(_bi(r), "item").select(
         "item", "wins", "games", F.col("__r").alias("strength_micro")
     )
