@@ -409,8 +409,10 @@ def shapley_attribution(
     )
     spark = touches.sparkSession
     masks = spark.range(0, 2**k).select(F.col("id").cast("long").alias("__s"))
-    chan_rows = spark.createDataFrame(
-        [(c, i) for i, c in enumerate(chans)], "channel string, __i int"
+    from owl_etl_spark.session import literal_frame
+
+    chan_rows = literal_frame(
+        spark, [(c, i) for i, c in enumerate(chans)], "channel string, __i int"
     )
     pairs = (
         masks.crossJoin(F.broadcast(chan_rows))

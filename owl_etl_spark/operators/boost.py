@@ -68,33 +68,35 @@ def gbm_stump_fit(
     work = df.select(
         F.col(y_col).cast("long").alias("__y"),
         F.col(x_col).cast("long").alias("__x"),
-    ).localCheckpoint(eager=True)
+    )
 
-    # r12 restructure (guide §2.3 "aggregate before you shuffle",
-    # applied to iteration): every SPLIT statistic is linear in y
-    # within an x-group — Σ_{x≤t} resid_k = Σ_{x≤t} y − Σ_{x≤t} n_x ·
-    # pred_k(x), exact BIGINT — so the per-round candidate scan runs
-    # over the per-x collapsed frame (bounded by the covariate's
-    # cardinality; bucketed covariates are the engine convention),
-    # not the data. Only the MAE terms Σ|y − pred_k(x)| need rows, and
-    # the whole trajectory's predictions are known before they are
-    # computed — ONE final scan evaluates every round's MAE. Old
-    # shape: rounds+2 full-data scans; new: 1 collapse + rounds tiny
-    # aggregates + 1 full-data scan. Every reported integer
-    # (thresholds, leaves, maes) is bit-identical.
-    xstats = (
+    # r12 restructured the rounds to scan a per-x collapsed frame
+    # (guide §2.3: every split statistic is linear in y within an
+    # x-group, so Σ_{x≤t} resid_k derives exactly from (n_x, Σy_x) and
+    # pred_k). r13 finishes the move (guide §5 driver work / §1.2):
+    # the collapsed frame is bounded by the covariate's cardinality
+    # (bucketed covariates are the engine convention — the same bound
+    # the r12 shape already relied on to checkpoint it), so it is
+    # collected ONCE and the K rounds replay in exact driver
+    # arithmetic — BIGINT sums of Python ints in any order, gains as
+    # IEEE doubles OF those exact integers, identical to the JVM's.
+    # That deletes two localCheckpoint jobs and K+1 collect jobs; what
+    # remains on the cluster is one collapse job and ONE final
+    # full-data scan for every round's MAE (|y − pred_k(x)| is not
+    # linear in y, so it genuinely needs the rows). 7 Spark jobs → 2,
+    # and the full-data frame is no longer checkpointed at all — at
+    # 100 TB two column-pruned parquet scans beat materializing the
+    # working set to executor storage.
+    xrows = (
         work.groupBy("__x")
         .agg(
             F.count(F.lit(1)).cast("long").alias("__nx"),
             F.sum("__y").cast("long").alias("__sy"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    first = xstats.agg(
-        F.sum("__nx").cast("long").alias("n"),
-        F.sum("__sy").cast("long").alias("s"),
-    ).collect()[0]
-    n_total, s_total = first["n"], first["s"]
+    n_total = sum(r["__nx"] for r in xrows)
+    s_total = sum(r["__sy"] for r in xrows if r["__sy"] is not None)
     if not n_total:
         raise ValueError("gbm_stump_fit: empty input")
     base = _round_half_away(s_total / n_total)
@@ -115,31 +117,34 @@ def gbm_stump_fit(
             F.col("__x") <= F.lit(t), F.lit(left)
         ).otherwise(F.lit(right))
 
+    # driver replay state: pred_k(x) per collapsed x-group, exact ints.
+    # A null x never satisfies `__x <= t`, so it takes the right leaf
+    # every round (same as the column expression's `otherwise`) and is
+    # excluded from the conditional sums (a null SQL condition skips
+    # the term), but its (sy − nx·pred) term does enter the
+    # unconditional residual total — all mirrored below.
+    predmap = {r["__x"]: base for r in xrows}
     pred = F.lit(base).cast("long")
     preds = [pred]  # pred_k per round, for the final MAE scan
     for k in range(1, int(rounds) + 1):
-        # candidate stats over the COLLAPSED frame: resid sums derive
-        # from (n_x, sy_x) and the current prediction, exactly
-        spred = F.col("__nx") * pred
-        aggs = [
-            F.sum(F.col("__sy") - spred).cast("long").alias("s"),
-        ]
-        for t in ts:
-            cond = F.col("__x") <= F.lit(t)
-            aggs.append(
-                F.sum(F.when(cond, F.col("__sy") - spred)).cast("long").alias(f"sl_{t}")
-            )
-            aggs.append(
-                F.sum(F.when(cond, F.col("__nx"))).cast("long").alias(f"nl_{t}")
-            )
-        row = xstats.agg(*aggs).collect()[0]
-        s_resid = row["s"]
+        # candidate stats over the COLLAPSED rows: resid sums derive
+        # from (n_x, sy_x) and the current prediction — exact Python
+        # ints, order-free, bit-identical to the JVM's BIGINT sums
+        s_resid = sum(
+            r["__sy"] - r["__nx"] * predmap[r["__x"]]
+            for r in xrows
+            if r["__sy"] is not None
+        )
         best = None  # (gain, -t) max; i.e. ties -> smallest t
         for t in ts:
-            nl = row[f"nl_{t}"] or 0
+            nl = sum(r["__nx"] for r in xrows if r["__x"] is not None and r["__x"] <= t)
             if nl == 0 or nl == n_total:
                 continue
-            sl = row[f"sl_{t}"] or 0
+            sl = sum(
+                r["__sy"] - r["__nx"] * predmap[r["__x"]]
+                for r in xrows
+                if r["__x"] is not None and r["__x"] <= t and r["__sy"] is not None
+            )
             sr = s_resid - sl
             nr = n_total - nl
             # exact ints -> IEEE double ops: bit-identical on any engine
@@ -154,6 +159,8 @@ def gbm_stump_fit(
         _, t, sl, nl, sr, nr = best
         left = _round_half_away(sl / nl)
         right = _round_half_away(sr / nr)
+        for x in predmap:
+            predmap[x] += left if (x is not None and x <= t) else right
         pred = _pred_plus(pred, t, left, right)
         preds.append(pred)
         out.append(
@@ -175,20 +182,22 @@ def gbm_stump_fit(
 def gbm_stump_model_df(spark, fitted: list[dict]) -> DataFrame:
     """The fitted trajectory as a tiny driver-built DataFrame (one row
     per round) — the model artifact a pipeline persists next to the
-    data it scores."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    data it scores.
 
-    schema = StructType(
+    Built as a literal plan, not ``createDataFrame`` (r13, guide §4):
+    parallelizing a 4-row Python list distributes it over
+    ``defaultParallelism`` pickle partitions, and every task pays a
+    Python-worker round trip to deserialize its (mostly empty) slice —
+    profiled at 32 tasks / ~1.9 s wall for this frame alone. The
+    literal form evaluates in the JVM: zero Python boundary."""
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(
+        spark,
         [
-            StructField("boost_round", LongType()),
-            StructField("threshold", LongType(), nullable=True),
-            StructField("left_leaf", LongType()),
-            StructField("right_leaf", LongType()),
-            StructField("mae", LongType()),
-        ]
+            (d["round"], d["threshold"], d["left_leaf"], d["right_leaf"], d["mae"])
+            for d in fitted
+        ],
+        "boost_round bigint, threshold bigint, left_leaf bigint, "
+        "right_leaf bigint, mae bigint",
     )
-    rows = [
-        (d["round"], d["threshold"], d["left_leaf"], d["right_leaf"], d["mae"])
-        for d in fitted
-    ]
-    return spark.createDataFrame(rows, schema)

@@ -203,8 +203,10 @@ def linear_cka(
         round(num / (math.sqrt(a2) * math.sqrt(b2)), 6) if a2 > 0 and b2 > 0 else None
     )
     spark = a.sparkSession
-    return spark.createDataFrame(
-        [(n_a, n_b, cka)], "n_a long, n_b long, cka double"
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(
+        spark, [(n_a, n_b, cka)], "n_a long, n_b long, cka double"
     )
 
 
@@ -272,6 +274,8 @@ def quadratic_mmd(
     den = n_a * n_a * n_b * n_b * int(scale) ** 4
     mmd2 = float(num) / float(den)
     spark = a.sparkSession
-    return spark.createDataFrame(
-        [(n_a, n_b, round(mmd2, 6))], "n_a long, n_b long, mmd2 double"
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(
+        spark, [(n_a, n_b, round(mmd2, 6))], "n_a long, n_b long, mmd2 double"
     )

@@ -111,7 +111,9 @@ def fuzzy_set_membership(
     is cheaper than a join.
     """
     spark = df.sparkSession
-    dim = spark.createDataFrame([(v,) for v in known_values], [out_col])
+    from owl_etl_spark.session import literal_frame
+
+    dim = literal_frame(spark, [(v,) for v in known_values], [out_col])
     probe = df.withColumn("__orig", F.col(col))
     joined = fuzzy_top1_join(probe, dim, col, out_col, threshold=cutoff, how="left")
     return joined.withColumn(flag_col, F.col(out_col).isNotNull()).withColumn(

@@ -338,8 +338,10 @@ def bfs_hops(
         )
     e = e.distinct()
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(s, 0) for s in sources], schema=["node", "hop"]
+    from owl_etl_spark.session import literal_frame
+
+    dist = literal_frame(
+        spark, [(s, 0) for s in sources], ["node", "hop"]
     ).select(F.col("node").cast(dict(e.dtypes)["__s"]), F.col("hop").cast("int"))
     dist = dist.localCheckpoint()
     frontier = dist.select("node")

@@ -222,7 +222,11 @@ def kll_quantile_report(
     )
     sk = kll_merge_rows(kll_partition_sketches(longs, "v", k=k).collect())
     ests = [(int(p), sk.quantile(int(p))) for p in ps_bp]
-    est_df = spark.createDataFrame(ests, "p_bp bigint, est bigint")
+    # literal_frame, not createDataFrame: no Python-worker round trips
+    # for a percentile-count-sized frame (r13)
+    from owl_etl_spark.session import literal_frame
+
+    est_df = literal_frame(spark, ests, "p_bp bigint, est bigint")
     # one scan computes every estimate's exact strict rank
     ranks = longs.crossJoin(F.broadcast(est_df)).groupBy("p_bp", "est").agg(
         F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0))

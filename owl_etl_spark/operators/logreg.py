@@ -94,41 +94,83 @@ def logistic_regression_fit(
     # convention) instead of the data. Also fixes the silent
     # re-computation of an uncached upstream: `work` was re-evaluated
     # from `df`'s lineage on every iteration.
-    work = (
+    # r13 (guide §5 driver work / §1.2): the collapsed frame is bounded
+    # by the feature-combo cardinality (bucketed covariates are the
+    # documented convention — the same bound the r12 shape relied on to
+    # checkpoint it), so it is collected ONCE and the K GD iterations
+    # replay in exact driver arithmetic: ONE Spark job instead of a
+    # checkpoint plus K aggregate round-trips. Bit-identity with the
+    # JVM expression path, term by term: long products are exactly
+    # representable doubles (|x| ≤ ~10³, |w| ≤ ~10⁷ — the feature
+    # contract), the double fold runs in the same j-order, σ's
+    # 9-decimal snap and the micro-unit round both emulate Spark's
+    # ROUND (BigDecimal over the shortest decimal repr, HALF_UP —
+    # Python's repr() is the same shortest-repr algorithm), and the
+    # gradient totals are exact Python-int sums. libm: math.exp and
+    # the JVM's Math.exp may differ by 1 ulp; the 9-decimal σ snap
+    # exists to absorb exactly that (the DuckDB oracle already replays
+    # this trajectory through a THIRD exp and hash-matches).
+    rows = (
         df.select(
             y.alias("__y"),
             *[F.col(c).cast("long").alias(f"__x{j}") for j, c in enumerate(x_cols)],
         )
         .groupBy("__y", *[f"__x{j}" for j in range(d)])
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    n = sum(r["__cnt"] for r in rows)
+    if not n:
+        raise ValueError("logistic_regression_fit: empty input")
     w = [0] * d  # micro-units
-    n = None
     for _ in range(int(iterations)):
-        z = sum(
-            (F.lit(w[j]) * F.col(f"__x{j}")).cast("double") for j in range(d)
-        ) / F.lit(1_000_000.0)
-        resid = _sigma(z) - F.col("__y").cast("double")
-        aggs = [F.sum("__cnt").cast("long").alias("__n")] + [
-            F.sum(
-                F.col("__cnt")
-                * F.round(resid * F.col(f"__x{j}").cast("double") * 1_000_000.0).cast(
-                    "long"
-                )
+        g = [0] * d
+        for r in rows:
+            z = (
+                sum(float(w[j] * r[f"__x{j}"]) for j in range(d)) / 1_000_000.0
             )
-            .cast("long")
-            .alias(f"__g{j}")
-            for j in range(d)
-        ]
-        row = work.agg(*aggs).collect()[0]
-        n = row["__n"]
-        if not n:
-            raise ValueError("logistic_regression_fit: empty input")
+            resid = _sigma_py(z) - float(r["__y"])
+            cnt = r["__cnt"]
+            for j in range(d):
+                g[j] += cnt * _jvm_round0(
+                    resid * float(r[f"__x{j}"]) * 1_000_000.0
+                )
         for j in range(d):
-            gmean = _round_half_away(row[f"__g{j}"] / n)
+            gmean = _round_half_away(g[j] / n)
             w[j] = w[j] - _round_half_away(lr * gmean)
     return w
+
+
+def _sigma_py(z: float) -> float:
+    """Driver twin of :func:`_sigma`: σ(z) snapped to 9 decimals with
+    Spark's ROUND semantics. math.exp overflows to an exception where
+    the JVM returns +inf — map that back to the JVM's 1/(1+inf) = 0."""
+    import math as _math
+
+    try:
+        e = _math.exp(-z)
+    except OverflowError:
+        return 0.0
+    return _jvm_round(1.0 / (1.0 + e), 9)
+
+
+def _jvm_round(x: float, scale: int) -> float:
+    """Spark's ROUND(double, scale): BigDecimal.valueOf(x) — i.e. the
+    SHORTEST decimal repr of the double, which Python's repr() also
+    produces — setScale(scale, HALF_UP), back to the nearest double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+    )
+
+
+def _jvm_round0(x: float) -> int:
+    """Spark's ROUND(double) to scale 0, taken to a Python int (the
+    expression path's `.cast("long")` of an integral double)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _round_half_away(x: float) -> int:
@@ -356,4 +398,6 @@ def cv_logistic_report(
         + ", ".join(f"w_{c} long" for c in x_cols)
         + ", test_logloss_micro_nats long"
     )
-    return spark.createDataFrame(outs, schema).orderBy("fold")
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(spark, outs, schema).orderBy("fold")

@@ -180,7 +180,10 @@ def markov_removal_attribution(
         for ch, b, r, eff in effects:
             out.append((ch, b, r, eff, None))
     spark = touches.sparkSession
-    return spark.createDataFrame(
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(
+        spark,
         out,
         "channel string, base_conv_micro long, removed_conv_micro long, "
         "removal_effect_micro long, share_micro long",

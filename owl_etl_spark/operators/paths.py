@@ -98,8 +98,10 @@ def weighted_shortest_paths(
     # identical shortest-path semantics
     e = e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(s, 0) for s in sources], schema=["node", "cost"]
+    from owl_etl_spark.session import literal_frame
+
+    dist = literal_frame(
+        spark, [(s, 0) for s in sources], ["node", "cost"]
     ).select(
         F.col("node").cast(dict(e.dtypes)["__s"]), F.col("cost").cast("long")
     )

@@ -379,13 +379,17 @@ def misra_gries_report(
         misra_gries_partition_sketches(vals, "v", k=k).collect()
     )
     cand = sorted(sk.counts.items(), key=lambda kv: (-kv[1], kv[0]))[: int(top)]
-    cand_df = spark.createDataFrame(
-        [(v, int(c)) for v, c in cand], "item string, counter long"
+    # literal_frame, not createDataFrame: model-sized driver frames as
+    # pure-JVM literal plans (no Python-worker round trips — r13)
+    from owl_etl_spark.session import literal_frame
+
+    cand_df = literal_frame(
+        spark, [(v, int(c)) for v, c in cand], "item string, counter long"
     )
     # the missed-heavy check runs against the WHOLE summary: items the
     # summary tracks but top-N truncated are not "missed"
-    all_df = spark.createDataFrame(
-        [(v,) for v in sorted(sk.counts)], "tracked string"
+    all_df = literal_frame(
+        spark, [(v,) for v in sorted(sk.counts)], "tracked string"
     )
     exact = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("__true"))
     missed = (

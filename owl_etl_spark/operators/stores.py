@@ -107,6 +107,25 @@ class StoreLeaseHeld(RuntimeError):
     or delete the first maintainer's in-flight swap directories."""
 
 
+def _dir_parquet_rows(path: str) -> int:
+    """Row count of a parquet directory from the file FOOTERS, read
+    driver-side (pyarrow). The catalog root is contractually a local
+    single-filesystem path (see :class:`StoreCatalog`), so this is the
+    same metadata-only count ``spark.read.parquet(dir).count()``
+    computes — minus an entire Spark job (driver round-trip, task
+    scheduling, executor-side footer fetch) per maintenance call.
+    Round 13 (guide §5 driver work / §1.2): q324 pays this twice and
+    q358 twenty-four times per run; the footer bytes are the cost
+    either way, the job orchestration was pure overhead."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(e.path).metadata.num_rows
+        for e in os.scandir(path)
+        if e.name.endswith(".parquet")
+    )
+
+
 def _rmtree_checked(path: str) -> None:
     """Remove a directory tree and VERIFY it is gone. A partially
     failed delete (EACCES, lingering handles on a network mount) must
@@ -311,8 +330,9 @@ class StoreCatalog:
             self._recover_crashed_compactions(name)
             drop_dir = self._drop_dir(name, drop_label)
             write_sorted_parquet(df, drop_dir, list(clustering_keys), target_partitions)
-            # metadata-only count of what actually landed (parquet footers)
-            rows = df.sparkSession.read.parquet(drop_dir).count()
+            # metadata-only count of what actually landed (parquet
+            # footers, read driver-side — not a Spark job)
+            rows = _dir_parquet_rows(drop_dir)
 
             manifest["drops"] = [d for d in manifest["drops"] if d["label"] != drop_label]
             manifest["drops"].append({"label": drop_label, "rows": rows})
@@ -371,7 +391,9 @@ class StoreCatalog:
             n = max(1, math.ceil(total / target_file_bytes))
             tmp = drop_dir.rstrip("/") + "__compact_tmp"
             write_sorted_parquet(spark.read.parquet(drop_dir), tmp, keys, n)
-            got = spark.read.parquet(tmp).count()
+            # footer-count the rewrite driver-side (same metadata the
+            # Spark count reads, without the per-compaction job)
+            got = _dir_parquet_rows(tmp)
             if got != expected:
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise RuntimeError(

@@ -315,7 +315,23 @@ def cox_ph_fit(
     # is bit-identical to scanning the rows, and each Newton iteration
     # then aggregates the collapsed frame (≤ |t|·|e|·|x| rows; bucketed
     # covariates are the documented convention) instead of the data.
-    work = (
+    # r13 (guide §5 driver work / §1.2): the collapsed frame is bounded
+    # by |t|·|e|·|x| (bucketed covariates are the documented convention
+    # — the same bound the r12 shape relied on to checkpoint it), so it
+    # is collected ONCE and the Newton iterations replay in exact
+    # driver arithmetic: ONE Spark job instead of a checkpoint plus
+    # n_iters aggregate round-trips plus a counts job. Bit-identity
+    # with the JVM expression path: risk weights snap to integer
+    # micro-units through Spark's ROUND (BigDecimal over the shortest
+    # decimal repr, HALF_UP — emulated by _jvm_round0), every suffix
+    # S0/S1/S2 sum and gradient total is an exact Python-int sum, and
+    # the per-event-time double terms run the same operation order.
+    # libm: math.exp and the JVM's Math.exp may differ by 1 ulp; the
+    # micro-unit snap absorbs it except within ~1e-10 of a half-micro
+    # boundary, and the bucketed covariate keeps the distinct exp
+    # inputs to a handful per iteration (the same argument, and the
+    # same DuckDB-replayed oracle gate, the docstring already makes).
+    rows = (
         df.select(
             F.col(duration_col).cast("long").alias("__t"),
             F.col(event_col).cast("long").alias("__e"),
@@ -323,76 +339,88 @@ def cox_ph_fit(
         )
         .groupBy("__t", "__e", "__x")
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
 
-    from owl_etl_spark.operators.logreg import _round_half_away
-    from pyspark.sql import Window
+    import math as _math
+
+    from owl_etl_spark.operators.logreg import (
+        _jvm_round0,
+        _round_half_away,
+    )
+
+    # One pass folds the collapsed rows into per-duration structures;
+    # the risk weight w depends only on x, so iterations then pay
+    # |distinct x| exp/round calls and |t|·|x| exact-int multiplies —
+    # never another pass over the collapsed rows. (Integer sums are
+    # order-free, so regrouping by (t, x) is value-identical to the
+    # expression path's per-row fold.)
+    per_tx: dict = {}  # t -> {x: [Σcnt, Σcnt·x, Σcnt·x²]}
+    d_sx: dict = {}  # t -> [d_t, sx_t]  (beta-independent)
+    xs = set()
+    for r in rows:
+        t, e, x, cnt = r["__t"], r["__e"], r["__x"], r["__cnt"]
+        by_x = per_tx.setdefault(t, {})
+        ds = d_sx.setdefault(t, [0, 0])
+        if x is not None:
+            xs.add(x)
+            acc = by_x.setdefault(x, [0, 0, 0])
+            acc[0] += cnt
+            acc[1] += cnt * x
+            acc[2] += cnt * x * x
+        if e == 1:
+            ds[0] += cnt
+            if x is not None:
+                ds[1] += cnt * x
+    # SQL desc puts a null duration last; suffix sums accumulate from
+    # the largest t down, so order matches the window frame exactly
+    t_desc = sorted((k for k in per_tx if k is not None), reverse=True) + (
+        [None] if None in per_tx else []
+    )
 
     beta = 0  # micro-units
     g_micro = h_micro = None
-    n = n_events = None
-    w_rev = Window.orderBy(F.col("__t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     for _ in range(int(n_iters)):
-        z = (F.lit(beta) * F.col("__x")).cast("double") / F.lit(1_000_000.0)
-        guard = F.when(
-            F.abs(F.lit(beta) * F.col("__x")) > F.lit(10_000_000),
-            F.raise_error(
-                F.lit(
+        w_by_x = {}
+        for x in xs:
+            if abs(beta * x) > 10_000_000:
+                raise ValueError(
                     "cox_ph_fit: |beta*x| exceeded 10 — rescale/bucket the "
                     "covariate (risk-weight sums would overflow BIGINT)"
                 )
-            ).cast("double"),
-        ).otherwise(z)
-        e_w = F.round(F.exp(guard) * F.lit(1_000_000.0)).cast("long")
-        grouped = (
-            work.select(
-                "__t", "__e", "__x", "__cnt", e_w.alias("__w")
-            )
-            .groupBy("__t")
-            .agg(
-                F.sum("__cnt").cast("long").alias("__m"),
-                F.sum(F.col("__cnt") * F.col("__w")).cast("long").alias("__s0g"),
-                F.sum(F.col("__cnt") * F.col("__x") * F.col("__w")).cast("long").alias("__s1g"),
-                F.sum(F.col("__cnt") * F.col("__x") * F.col("__x") * F.col("__w")).cast("long").alias("__s2g"),
-                F.sum(F.when(F.col("__e") == 1, F.col("__cnt")).otherwise(0)).cast("long").alias("__d"),
-                F.sum(F.when(F.col("__e") == 1, F.col("__cnt") * F.col("__x")).otherwise(0)).cast("long").alias("__sx"),
-            )
-        )
-        risk = (
-            grouped.withColumn("__s0", F.sum("__s0g").over(w_rev))
-            .withColumn("__s1", F.sum("__s1g").over(w_rev))
-            .withColumn("__s2", F.sum("__s2g").over(w_rev))
-            .filter(F.col("__d") >= 1)
-        )
-        r1 = F.col("__s1").cast("double") / F.col("__s0").cast("double")
-        r2 = F.col("__s2").cast("double") / F.col("__s0").cast("double")
-        grad_t = F.col("__sx").cast("double") - F.col("__d").cast("double") * r1
-        hess_t = F.col("__d").cast("double") * (r2 - r1 * r1)
-        tot = risk.agg(
-            F.sum(F.round(grad_t * F.lit(1_000_000.0)).cast("long")).cast("long").alias("g"),
-            F.sum(F.round(hess_t * F.lit(1_000_000.0)).cast("long")).cast("long").alias("h"),
-        ).collect()[0]
-        g_micro, h_micro = tot["g"], tot["h"]
+            z = float(beta * x) / 1_000_000.0
+            w_by_x[x] = _jvm_round0(_math.exp(z) * 1_000_000.0)
+        s0 = s1 = s2 = 0
+        g_micro = h_micro = 0
+        for t in t_desc:
+            for x, (c, cx, cxx) in per_tx[t].items():
+                w = w_by_x[x]
+                s0 += c * w
+                s1 += cx * w
+                s2 += cxx * w
+            d_t, sx = d_sx[t]
+            if d_t >= 1:
+                r1 = float(s1) / float(s0)
+                r2 = float(s2) / float(s0)
+                grad_t = float(sx) - float(d_t) * r1
+                hess_t = float(d_t) * (r2 - r1 * r1)
+                g_micro += _jvm_round0(grad_t * 1_000_000.0)
+                h_micro += _jvm_round0(hess_t * 1_000_000.0)
         if not h_micro or h_micro <= 0:
             raise ValueError(
                 "cox_ph_fit: non-positive information — constant covariate "
                 "or no events"
             )
         beta = beta + _round_half_away(g_micro / h_micro * 1_000_000.0)
-    counts = work.agg(
-        F.sum("__cnt").cast("long").alias("n"),
-        F.sum(F.when(F.col("__e") == 1, F.col("__cnt")).otherwise(0)).cast("long").alias("ne"),
-    )
-    import math as _math
-
+    n = sum(r["__cnt"] for r in rows)
+    n_events = sum(r["__cnt"] for r in rows if r["__e"] == 1)
     se_micro = _round_half_away(1.0 / _math.sqrt(h_micro / 1_000_000.0) * 1_000_000.0)
-    return counts.select(
-        "n",
-        F.col("ne").alias("n_events"),
-        F.lit(beta).cast("long").alias("beta_micro"),
-        F.lit(se_micro).cast("long").alias("se_micro"),
-        F.lit(g_micro).cast("long").alias("grad_micro"),
+
+    from owl_etl_spark.session import literal_frame
+
+    return literal_frame(
+        df.sparkSession,
+        [(n, n_events, beta, se_micro, g_micro)],
+        "n bigint, n_events bigint, beta_micro bigint, se_micro bigint, "
+        "grad_micro bigint",
     )

@@ -101,7 +101,9 @@ def constraint_report(
             )
         )
     if not reports:
-        return spark.createDataFrame([], "constraint string, n_violations long")
+        from owl_etl_spark.session import literal_frame
+
+        return literal_frame(spark, [], "constraint string, n_violations long")
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -60,6 +60,66 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def literal_frame(spark, rows, schema):
+    """A tiny driver-built DataFrame as a pure-JVM literal plan.
+
+    ``spark.createDataFrame(small_list)`` distributes the list over
+    ``defaultParallelism`` pickle partitions and EVERY task pays a
+    Python-worker round trip to deserialize its (mostly empty) slice —
+    profiled at 32 tasks / ~1.9 s wall for a 4-row model frame (r13,
+    guide §4: the boundary exists even for driver-local data). This
+    builds the same frame as ``inline(array(struct(lit(...))))`` over
+    ``spark.range(1)``: literal expressions constructed directly (no
+    SQL-text escaping), zero Python boundary, constant-folded JVM
+    evaluation.
+
+    ``rows``: list of tuples of primitives (None allowed). ``schema``:
+    a DDL string ("a string, b long"), a StructType, or a list of
+    column names (types then inferred per column from the first
+    non-None value: bool→boolean, int→bigint, float→double,
+    str→string). Intended for MODEL-SIZED frames (sketch summaries,
+    fitted coefficients, seed lists) — not a data path.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    elif isinstance(schema, str):
+        fields = [
+            (f.name, f.dataType.simpleString())
+            for f in StructType.fromDDL(schema).fields
+        ]
+    else:  # list of names: infer each column like createDataFrame would
+        def _infer(i: int) -> str:
+            for r in rows:
+                v = r[i]
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return "boolean"
+                if isinstance(v, int):
+                    return "bigint"
+                if isinstance(v, float):
+                    return "double"
+                return "string"
+            return "string"
+
+        fields = [(n, _infer(i)) for i, n in enumerate(schema)]
+
+    if not rows:
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in fields]
+        )
+    structs = [
+        F.struct(
+            *[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, fields)]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+
+
 def spread_for_cpu(df, by=None):
     """Repartition a CPU-dense narrow stage's input so per-row work
     (normalize/tokenize/hash chains) runs wide, with an EXPLICIT

@@ -488,3 +488,17 @@ def test_reserved_compaction_suffix_labels_are_refused(spark, cat):
     # the legitimate store is untouched
     assert cat.drops("sigs") == ["m0"]
     assert cat.read(spark, "sigs").count() == 10
+
+
+def test_footer_rowcount_matches_spark_count(spark, cat):
+    """Round 13: manifest row counts come from driver-side parquet
+    footer reads (no Spark job per drop). The footers must agree with
+    what a Spark read of the same directory counts — same metadata,
+    different reader."""
+    from owl_etl_spark.operators.stores import _dir_parquet_rows
+
+    cat.write_drop(_frame(spark, 0, 123), "sigs", ["band", "sig"], "m0")
+    drop_dir = os.path.join(cat.store_path("sigs"), "data", "drop=m0")
+    assert _dir_parquet_rows(drop_dir) == 123
+    assert spark.read.parquet(drop_dir).count() == 123
+    assert cat.manifest("sigs")["row_count"] == 123
