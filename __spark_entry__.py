@@ -18186,12 +18186,6 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     pc = _copurchase_pair_counts(li)
-    edges = pc.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        pc.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    seeds = (
-        edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(_Q310_SEEDS)
-    )
     # The level loop materializes eagerly (per-level localCheckpoint —
     # an RDD-path action AQE cannot coalesce); pin the iterative phase
     # to the session's core count so an un-tuned 200-partition session
@@ -18201,7 +18195,24 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     try:
-        out = betweenness_seeded(edges, seeds, n_levels=_Q310_LEVELS)
+        # Round 13: seal the edge frame ONCE, and derive the seed set
+        # from the SEALED frame — the unsealed seeds plan was measured
+        # re-running the whole co-purchase aggregation a second time
+        # inside the operator's seed seal (~1.5 s of the query's wall).
+        edges = (
+            pc.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(pc.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        seeds = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(_Q310_SEEDS)
+        )
+        out = betweenness_seeded(
+            edges, seeds, n_levels=_Q310_LEVELS, edges_sealed=True
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(F.col("node").alias("part_key"), "betweenness_micro")
@@ -22025,27 +22036,50 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     try:
+        # Round 13 (guide §2.6/§1.2): months' pair probes SEAL once per
+        # compaction window, not once per month. Each month's probe
+        # frame stays lazy but is pinned to the PRE-append store: the
+        # catalog read resolves drop directories eagerly and a new drop
+        # lands in a fresh directory, so later appends cannot leak into
+        # an earlier month's probe. The union of a window's four probes
+        # is checkpointed in ONE job (four independent probe plans
+        # back-filling each other's stragglers) immediately BEFORE the
+        # window's compaction rewrites those directories — the only
+        # point where laziness would turn into reading swapped-out
+        # files. 24 sequential seal jobs → 12 sig seals + 3 window
+        # seals; values unchanged (the law hashes the union).
+        window: list = []  # lazy per-month pair frames, current window
+        def _seal_window(acc):
+            if not window:
+                return acc
+            merged = window[0]
+            for p in window[1:]:
+                merged = merged.unionByName(p)
+            merged = merged.localCheckpoint(eager=True)
+            window.clear()
+            return merged if acc is None else acc.unionByName(merged)
+
         for k, label in enumerate(labels):
             # Round 12 (guide §1.2): checkpoint the month's signatures
-            # once — they feed BOTH the probe (via the pairs
-            # checkpoint) and write_drop, which otherwise re-runs the
-            # whole normalize→shingle→md5→min chain per month for the
-            # parquet write. One small materialization replaces a
-            # second signing pass, twelve times.
+            # once — they feed BOTH the probe and write_drop, which
+            # otherwise re-runs the whole normalize→shingle→md5→min
+            # chain per month for the parquet write. One small
+            # materialization replaces a second signing pass, twelve
+            # times.
             sigs = minhash_band_signatures(
                 d.filter(F.col("doc_id") % 12 == k), "doc_id", "text",
                 num_hashes=16, bands=8,
             ).localCheckpoint(eager=True)
             store = cat.read(spark, name) if cat.exists(name) else None
-            # materialize this month's pairs BEFORE the store gains the
-            # month's own signatures (the read is lazy; the law needs
-            # the pre-append store)
-            pairs = incremental_lsh_pairs(sigs, store).localCheckpoint(eager=True)
+            # this month's pairs against the pre-append store (lazy;
+            # directory-pinned — see the window note above)
+            window.append(incremental_lsh_pairs(sigs, store))
             cat.write_drop(sigs, name, ["band", "sig"], label)
             if (k + 1) % 4 == 0:
+                out = _seal_window(out)
                 for back in labels[k - 3 : k + 1]:
                     cat.compact_drop(spark, name, back)
-            out = pairs if out is None else out.unionByName(pairs)
+        out = _seal_window(out)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     man = cat.manifest(name)
