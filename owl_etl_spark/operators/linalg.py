@@ -108,6 +108,7 @@ def power_iteration_top_eigvec(
     n_iters: int = 6,
     a_scale: int = 10_000,
     micro: int = 1_000_000,
+    max_driver_cells: int = 4_000_000,
 ) -> DataFrame:
     """Dominant eigenvector of a symmetric matrix given as the
     upper-triangle ``(i, j, s)`` frame ``gram_matrix`` emits —
@@ -165,6 +166,41 @@ def power_iteration_top_eigvec(
         # every iteration's analyzed tree shallow.
         .localCheckpoint(eager=True)
     )
+    # r13 (guide §5 driver work / §1.2): the quantized matrix is dim²
+    # CELLS — bounded by the matrix width, never the corpus — and the
+    # whole iteration is INTEGER arithmetic (multiply/add, max-|w|
+    # pivot, exact-multiple floor division: Python's // is precisely
+    # the floordiv the SQL identity reconstructs from trunc-%). When
+    # the sealed cell frame is model-sized, collect it once and replay
+    # the n_iters rounds in exact driver ints: the count+collect over
+    # cached blocks replaces 6×(join + aggregate + sort-limit pivot +
+    # broadcast) micro-stage jobs, bit-identically. Wider matrices
+    # (cells > max_driver_cells) keep the distributed loop below.
+    if a.count() <= int(max_driver_cells):
+        cells = [(r[0], r[1], r[2]) for r in a.collect()]
+        ityp = dict(a.dtypes)["i"]
+        v_d = {i: int(micro) for i, _, _ in cells}
+        for _ in range(int(n_iters)):
+            w_d: dict = {}
+            for i, j, aa in cells:
+                xj = v_d.get(j)
+                if xj is not None:
+                    w_d[i] = w_d.get(i, 0) + aa * xj
+            if not w_d:
+                v_d = {}
+                continue
+            # pivot: max |w|, ties -> lowest i; sign fixes orientation
+            pi, pw = max(w_d.items(), key=lambda kv: (abs(kv[1]), -kv[0]))
+            sg = -1 if pw < 0 else 1
+            pv = max(abs(pw), 1)
+            v_d = {i: (w * int(micro) * sg) // pv for i, w in w_d.items()}
+        from owl_etl_spark.session import literal_frame
+
+        return literal_frame(
+            gram.sparkSession,
+            sorted(v_d.items()),
+            f"i {ityp}, v_micro bigint",
+        )
     v = a.select(F.col("i").alias("vi")).distinct().select(
         "vi", F.lit(int(micro)).cast("long").alias("x")
     )
