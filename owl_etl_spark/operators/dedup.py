@@ -992,6 +992,7 @@ def connected_components_star(
     id_col: str = "doc_id",
     max_iters: int = 12,
     strict: bool = True,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -1046,6 +1047,56 @@ def connected_components_star(
     edges = _canon(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint()
+    # r13 (guide §5 driver work / §1.2): when the sealed edge set is
+    # model-sized (count over cached blocks — cheap), the contraction
+    # rounds' job-per-phase orchestration costs more than the whole
+    # problem: run an exact union-find driver-side and hand back the
+    # (node → component-min) star as a pure literal frame. The ids
+    # join below stays in Spark, so corpus-sized id tables are
+    # untouched; component = min reachable id is algorithm-independent,
+    # so the labels are identical to the converged star's. Bigger edge
+    # sets (q311-class dup graphs) take the distributed rounds.
+    if edges.count() <= int(max_driver_edges):
+        erows = [(r[0], r[1]) for r in edges.collect()]
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for lo, hi in erows:
+            parent.setdefault(lo, lo)
+            parent.setdefault(hi, hi)
+            a, b = _find(lo), _find(hi)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp_min: dict = {}
+        for node in parent:
+            root = _find(node)
+            comp_min[root] = min(comp_min.get(root, node), node)
+        from owl_etl_spark.session import literal_frame
+
+        ntyp = dict(edges.dtypes)["lo"]
+        mapping = literal_frame(
+            pairs.sparkSession,
+            sorted((node, comp_min[_find(node)]) for node in parent),
+            f"node {ntyp}, root {ntyp}",
+        )
+        result = (
+            ids.select(F.col(id_col).alias("node"))
+            .join(mapping, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("root"), F.col("node")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        edges.unpersist()
+        return result
     prev_ckpt: DataFrame | None = edges
     converged = False
     try:

@@ -149,6 +149,13 @@ def grid_density_clusters(
             "cell_id",
             ((F.col("cx") + OFF) * STRIDE + (F.col("cy") + OFF)).cast("long"),
         )
+        # r13 (guide §1.2): four consumers read the dense-cell table
+        # (adjacency build side, probe side, the component ids, the
+        # final label join) and each ran the per-POINT aggregation
+        # again — cross-job, where ReuseExchange cannot fire. One
+        # eager seal of the grid-bounded cell table replaces three
+        # full re-aggregations of the corpus.
+        .localCheckpoint(eager=True)
     )
     d = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     probe = cells.select("cell_id", "cx", "cy")

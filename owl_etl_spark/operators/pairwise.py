@@ -53,6 +53,7 @@ def bradley_terry_strengths(
     loser_col: str = "loser",
     n_iters: int = 5,
     broadcast_items: bool = True,
+    max_driver_pairs: int = 4_000_000,
 ) -> DataFrame:
     """Fit Bradley-Terry strengths from a (winner, loser) outcome
     list; returns ``(item, wins, games, strength_micro)`` — strengths
@@ -99,6 +100,57 @@ def bradley_terry_strengths(
         )
         .localCheckpoint()
     )
+    # r13 (guide §5 driver work / §1.2): the unordered-pair record is
+    # bounded by distinct item PAIRS — tournament-sized, never
+    # game-list-sized — and the MM recurrence is all-integer (every
+    # division the exact-multiple floor-div, which Python's // computes
+    # directly), so when the sealed pair frame is model-sized it is
+    # collected once and the n_iters rounds replay in exact driver
+    # ints, bit-identically: one Spark job instead of two more seals
+    # plus 5×(two joins + aggregate + max-pivot + broadcast)
+    # micro-stages. Tournaments with more distinct pairs keep the
+    # distributed loop below (guarded by a count over sealed blocks).
+    if pairs.count() <= int(max_driver_pairs):
+        prows = [(r[0], r[1], r[2], r[3]) for r in pairs.collect()]
+        wins: dict = {}
+        games_d: dict = {}
+        for a, b, n, wa in prows:
+            wins[a] = wins.get(a, 0) + wa
+            wins[b] = wins.get(b, 0) + (n - wa)
+            games_d[a] = games_d.get(a, 0) + n
+            games_d[b] = games_d.get(b, 0) + n
+        for item, wv in wins.items():
+            if wv > 10**12:
+                raise Exception(
+                    "bradley_terry: a win count exceeds 1e12 — the "
+                    "documented BIGINT headroom; pre-aggregate or "
+                    "shard the tournament"
+                )
+        r_d = {item: MICRO for item in wins}
+        for _ in range(int(n_iters)):
+            den: dict = {}
+            for a, b, n, _wa in prows:
+                t_ab = (n * 1_000_000_000) // max(r_d[a] + r_d[b], 1)
+                den[a] = den.get(a, 0) + t_ab
+                den[b] = den.get(b, 0) + t_ab
+            praw_d = {}
+            for item in wins:
+                dsmall = den[item] // 1000 if item in den else None
+                praw_d[item] = (wins[item] * 1_000_000_000) // max(
+                    dsmall if dsmall is not None else 1, 1
+                )
+            pm = max(max(praw_d.values(), default=0), 1)
+            r_d = {item: (p * 1_000_000) // pm for item, p in praw_d.items()}
+        from owl_etl_spark.session import literal_frame
+
+        return literal_frame(
+            games.sparkSession,
+            [
+                (item, wins[item], games_d[item], r_d[item])
+                for item in sorted(wins)
+            ],
+            "item string, wins bigint, games bigint, strength_micro bigint",
+        )
     items = (
         pairs.select(F.col("__a").alias("item"), F.col("__wa").alias("__wins"), "__n")
         .unionAll(

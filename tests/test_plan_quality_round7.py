@@ -72,17 +72,60 @@ def test_ransac_candidates_are_broadcast(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_bradley_terry_strengths_ride_broadcast(spark):
+def test_bradley_terry_default_is_literal_fallback_broadcasts(spark):
+    # r13: the MM fit replays driver-side over the bounded pair record
+    # (the returned frame is a pure literal plan — no exchange, no
+    # Python boundary); the DISTRIBUTED fallback for over-sized
+    # tournaments must still ride broadcast joins for its item-sized
+    # frames, so force the guard off and check that plan too.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.pairwise import bradley_terry_strengths
+
     plan = _plan(spark, "q255_shipping_bradley_terry")
-    assert "BroadcastExchange" in plan
+    assert "Exchange" not in plan  # literal model frame
+
+    games = spark.range(100).select(
+        (F.col("id") % 7).cast("string").alias("winner"),
+        ((F.col("id") % 7 + 1 + F.col("id") % 3) % 11).cast("string").alias("loser"),
+    )
+    dist = bradley_terry_strengths(games, max_driver_pairs=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dist.explain("formatted")
+    assert "BroadcastExchange" in buf.getvalue()
 
 
-def test_power_iteration_pivot_stays_in_plan(spark):
-    # the in-plan scalar pivot shows up as a broadcast nested loop
-    # join (1-row cross join) — if it disappears the operator went
-    # back to driver-collect barriers
+def test_power_iteration_default_is_literal_fallback_pivot_in_plan(spark):
+    # r13: the all-integer loop replays driver-side when the quantized
+    # matrix is model-sized (literal result frame); the distributed
+    # fallback for wide matrices must keep its scalar pivot IN-PLAN
+    # (a 1-row broadcast nested loop join), not a per-iteration
+    # driver collect.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from owl_etl_spark.operators.linalg import power_iteration_top_eigvec
+
     plan = _plan(spark, "q253_embedding_top_eigvec")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" not in plan  # literal model frame (+ final sort only)
+
+    gram = spark.range(9).select(
+        (F.col("id") % 3).cast("int").alias("i"),
+        (F.col("id") / 3).cast("int").alias("j"),
+        (F.col("id") + 1).cast("long").alias("s"),
+    ).filter("j >= i")
+    dist = power_iteration_top_eigvec(gram, n_iters=2, max_driver_cells=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dist.explain("formatted")
+    assert "BroadcastNestedLoopJoin" in buf.getvalue()
 
 
 def test_bootstrap_explode_feeds_single_aggregate(spark):

@@ -355,8 +355,11 @@ def test_star_contraction_nonstrict_one_row_per_node(spark):
     ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
+        # force the distributed rounds (r13 added an exact union-find
+        # fast path for model-sized edge sets, which always converges —
+        # this test pins the truncated DISTRIBUTED path's shape)
         rows = connected_components_star(
-            pairs, ids, max_iters=1, strict=False
+            pairs, ids, max_iters=1, strict=False, max_driver_edges=0
         ).collect()
     assert any("did not converge" in str(x.message) for x in w)
     assert len(rows) == n
@@ -413,3 +416,30 @@ def test_minhash_lsh_skew_guard_chunks_giant_buckets(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") >= 2, plan
     assert "REPARTITION_BY_COL" in plan or "hashpartitioning(band" in plan, plan
+
+
+def test_star_contraction_driver_path_matches_distributed(spark):
+    """r13: model-sized edge sets take an exact union-find driver path
+    (literal mapping frame). Labels must equal the distributed star
+    contraction's on the same graph — component = min reachable id is
+    algorithm-independent, and this pins it."""
+    from owl_etl_spark.operators.dedup import connected_components_star
+
+    # two chains, a triangle, and singletons
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (21, 20)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], ["doc_id"]
+    )
+    fast = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components_star(pairs, ids).collect()
+    )
+    dist = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components_star(
+            pairs, ids, max_driver_edges=0
+        ).collect()
+    )
+    assert fast == dist
+    assert dict(fast)[99] == 99  # singleton keeps its own id

@@ -24,6 +24,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     commit = "--no-commit" not in sys.argv
+    if "--full-tests" in sys.argv:
+        # the FULL test tier (everything, including @pytest.mark.full
+        # suites the default time-boxed tier excludes — see pytest.ini);
+        # run it at round close and stamp the result in VERIFY_r13.txt
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "tests/", "-q",
+                "-m", "full or not full",
+            ],
+            cwd=REPO,
+        )
+        return proc.returncode
     env = dict(os.environ)
     # min-of-3 headline passes: single samples certify host weather,
     # not code (three consecutive closes flagged three disjoint query
