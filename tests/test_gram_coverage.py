@@ -4,6 +4,11 @@ cross-doc-only semantics, truncation bound, degenerate lengths."""
 
 import pytest
 
+# r13 test tiering (VERDICT r12 #2): this suite runs in the FULL tier
+# (tools/round_close.py --full-tests); the default time-boxed tier
+# excludes it so the driver's verification window completes.
+pytestmark = pytest.mark.full
+
 from owl_etl_spark.operators.dedup import cross_doc_gram_coverage
 
 

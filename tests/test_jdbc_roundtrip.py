@@ -16,6 +16,11 @@ would target a networked database instead; the adapter is identical.
 
 import pytest
 
+# r13 test tiering (VERDICT r12 #2): this suite runs in the FULL tier
+# (tools/round_close.py --full-tests); the default time-boxed tier
+# excludes it so the driver's verification window completes.
+pytestmark = pytest.mark.full
+
 from owl_etl_spark.sources.writers import write_jdbc
 
 URL = "jdbc:derby:memory:owletl_test;create=true"

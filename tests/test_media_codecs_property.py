@@ -6,6 +6,12 @@ Shrinking gives minimal counterexamples if a codec edge (filter
 boundary, code-width bump, byte stuffing, RIFF padding) regresses."""
 
 import numpy as np
+import pytest
+
+# r13 test tiering (VERDICT r12 #2): this suite runs in the FULL tier
+# (tools/round_close.py --full-tests); the default time-boxed tier
+# excludes it so the driver's verification window completes.
+pytestmark = pytest.mark.full
 from hypothesis import given, settings, strategies as st
 
 from owl_etl_spark.operators.audiocodec import decode_wav, encode_wav_pcm16

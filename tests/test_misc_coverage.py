@@ -3,6 +3,7 @@ with difflib, the Pipeline runner, observation metrics, text shingles,
 fuzzy_top1_join directly, and the reference's monthly-upsert flow."""
 
 from __future__ import annotations
+import pytest
 
 from difflib import SequenceMatcher
 
@@ -178,6 +179,7 @@ def test_near_dup_clusters_transitive(spark):
     assert comp[9] == 9
 
 
+@pytest.mark.full
 def test_cli_pipeline_in_process(spark, tmp_path):
     """Drive the CLI end-to-end in-process: fake PDFs -> gold tables."""
     from owl_etl_spark import cli

@@ -215,6 +215,7 @@ def test_fuzzy_set_membership(spark):
     assert res["No Such Agency Ltd"] == ("No Such Agency Ltd", False)
 
 
+@pytest.mark.full
 def test_star_schema_explode(spark):
     from owl_etl_spark.operators.relational import to_star_schema
     from owl_etl_spark.plans.fic_pipeline import transform_fic_documents
@@ -402,6 +403,7 @@ def test_gap_fill_dense_grid(spark):
     }
 
 
+@pytest.mark.full
 def test_decontaminate_partitions_corpus(spark):
     from owl_etl_spark.operators.dedup import decontaminate
 
@@ -545,6 +547,7 @@ def test_hll_sketch_incremental_merge_consistency(spark):
     assert abs(oneshot - exact) / exact < 0.05
 
 
+@pytest.mark.full
 def test_incremental_rollup_equals_full_recompute(spark):
     """Fold monthly partials one at a time into state; the final state
     must be exactly the single-shot aggregate over all months, in any

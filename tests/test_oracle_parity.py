@@ -17,6 +17,11 @@ import time
 import duckdb
 import pytest
 
+# r13 test tiering (VERDICT r12 #2): this suite runs in the FULL tier
+# (tools/round_close.py --full-tests); the default time-boxed tier
+# excludes it so the driver's verification window completes.
+pytestmark = pytest.mark.full
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod

@@ -28,9 +28,14 @@ REF = "/root/reference/data"
 EXCLUDE_PREFIXES = ("fic.url", "caracteristicas.valor")
 TOL = 1e-10
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(f"{REF}/json_raw_2025_07"), reason="reference fixtures unavailable"
-)
+pytestmark = [
+    # r13 test tiering (VERDICT r12 #2): FULL tier only
+    pytest.mark.full,
+    pytest.mark.skipif(
+        not os.path.isdir(f"{REF}/json_raw_2025_07"),
+        reason="reference fixtures unavailable",
+    ),
+]
 
 
 def _flatten(obj, prefix=""):

@@ -892,6 +892,7 @@ def test_centroid_drift_identical_halves_zero(spark):
     assert r["centroid_dist"] == 0.0
 
 
+@pytest.mark.full
 def test_similarity_histogram_counts_pairs(spark):
     from owl_etl_spark.operators.embdrift import similarity_histogram
 

@@ -294,11 +294,16 @@ def test_connected_components_unconverged_raises(spark):
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"])
     ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    # force the distributed rounds (r13: the exact union-find fast path
+    # for model-sized edge sets always converges — this test pins the
+    # DISTRIBUTED loop's truncation contract)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, ids, max_iters=1)
+        connected_components(pairs, ids, max_iters=1, max_driver_edges=0)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(pairs, ids, max_iters=1, strict=False).collect()
+        connected_components(
+            pairs, ids, max_iters=1, strict=False, max_driver_edges=0
+        ).collect()
     assert any("did not converge" in str(x.message) for x in w)
 
 
@@ -443,3 +448,26 @@ def test_star_contraction_driver_path_matches_distributed(spark):
     )
     assert fast == dist
     assert dict(fast)[99] == 99  # singleton keeps its own id
+
+
+def test_min_label_cc_driver_path_matches_distributed(spark):
+    """r13: model-sized dup graphs take the exact union-find driver
+    path in connected_components too — labels must equal the
+    distributed min-label rounds' on the same graph."""
+    from owl_etl_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], ["doc_id"]
+    )
+    fast = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, ids).collect()
+    )
+    dist = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, ids, max_driver_edges=0).collect()
+    )
+    assert fast == dist
+    assert dict(fast)[99] == 99

@@ -1,6 +1,12 @@
 """Sources/sinks + extraction frontier + app tables."""
 
 from __future__ import annotations
+import pytest
+
+# r13 test tiering (VERDICT r12 #2): this suite runs in the FULL tier
+# (tools/round_close.py --full-tests); the default time-boxed tier
+# excludes it so the driver's verification window completes.
+pytestmark = pytest.mark.full
 
 import json
 import os

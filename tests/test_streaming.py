@@ -105,6 +105,7 @@ def test_streaming_latest_per_key(spark, tmp_path):
     assert last == {"f1": ("2025-07-31", "new"), "f2": ("2025-05-31", "only")}
 
 
+@pytest.mark.full
 def test_incremental_silver_exactly_once(spark, tmp_path):
     """Two invocations over a growing bronze dir: the second run
     processes ONLY the new file (checkpointed file source)."""
