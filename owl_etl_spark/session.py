@@ -111,13 +111,29 @@ def literal_frame(spark, rows, schema):
         return spark.range(0, 0, 1, 1).select(
             *[F.lit(None).cast(t).alias(n) for n, t in fields]
         )
-    structs = [
-        F.struct(
-            *[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, fields)]
-        )
-        for row in rows
-    ]
-    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+    if len(rows) <= 256:
+        # inline literal plan: zero Python boundary, constant-folded.
+        # Bounded because each row costs py4j Column calls and
+        # expression-tree nodes — a 4k-row inline array measured
+        # SECONDS of driver time and a codegen-hostile tree (the q98
+        # regression bench.py's own gate caught in r13).
+        structs = [
+            F.struct(
+                *[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, fields)]
+            )
+            for row in rows
+        ]
+        return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+    # larger (but still model-sized) frames: the Arrow createDataFrame
+    # path — ONE vectorized driver-side conversion, shipped as Arrow
+    # batches that the JVM deserializes itself (no Python workers at
+    # execution, unlike the pickle path this module exists to avoid)
+    import pandas as pd
+    from pyspark.sql.types import StructType as _St
+
+    ddl = ", ".join(f"{n} {t}" for n, t in fields)
+    pdf = pd.DataFrame.from_records(list(rows), columns=[n for n, _ in fields])
+    return spark.createDataFrame(pdf, schema=_St.fromDDL(ddl))
 
 
 #: spread_for_cpu width sizing: bytes of (compressed, plan-estimated)
