@@ -783,6 +783,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iters: int = 10,
     strict: bool = True,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over a similarity-pair edge list:
     (id, component) where component = min id reachable.
@@ -831,6 +832,52 @@ def connected_components(
     # scale ceil(n/4M) keeps ~4M edges per task — the clamp leaves big
     # graphs at their natural width.
     n_edges = edges.count()
+    # r13 (guide §5 driver work / §1.2): a model-sized dup graph (the
+    # count is already paid — it materializes the cache) converges
+    # faster in an exact driver union-find than in even ONE round of
+    # join+groupBy+checkpoint+convergence-count jobs; component = min
+    # reachable id is algorithm-independent (same contract as the star
+    # variant, pinned by test). The ids join stays in Spark — only the
+    # edge list crosses to the driver. Corpus-scale dup graphs
+    # (n_edges > max_driver_edges) take the distributed rounds.
+    if n_edges <= int(max_driver_edges):
+        try:
+            erows = [(r[0], r[1]) for r in edges.collect()]
+        finally:
+            edges.unpersist()
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in erows:
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            a, b = _find(s), _find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        from owl_etl_spark.session import literal_frame
+
+        ntyp = dict(ids.select(F.col(id_col)).dtypes)[id_col]
+        mapping = literal_frame(
+            pairs.sparkSession,
+            sorted((node, _find(node)) for node in parent),
+            f"node {ntyp}, root {ntyp}",
+        )
+        return (
+            ids.select(F.col(id_col).alias("node"))
+            .join(mapping, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("root"), F.col("node")).alias("component"),
+            )
+            .localCheckpoint()
+        )
     cur_parts = edges.rdd.getNumPartitions()
     want = max(1, min(cur_parts, -(-n_edges // 4_000_000)))
     if want < cur_parts:
